@@ -1,0 +1,167 @@
+package graft.operators
+
+import graft.QueryPack
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Analytical query surface: the reference's three benchmark queries
+  * (reference: python/dw_etl_tests.py:470-506) re-expressed over the
+  * testdata star schema (orders+lineitem = fact; part/customer/nation/
+  * region = dims), plus the grouped/having/conditional/top-k shapes of
+  * SURVEY §2.4-§2.5.
+  *
+  * Numeric convention for oracle parity: monetary doubles are cast to
+  * exact DecimalType at the scan, all arithmetic stays in decimal, and
+  * only the final aggregate is cast to double — identical bits in Spark
+  * and DuckDB regardless of summation order.
+  *
+  * Scale notes: dims (region, nation, part, even customer) are broadcast;
+  * the only shuffles are the fact-side group-bys and the
+  * lineitem⋈orders join (co-partitioned on orderkey at 100 TB via
+  * bucketing; AQE handles skew locally).
+  */
+object AnalyticsQueries extends QueryPack {
+
+  private val dec = DecimalType(18, 2)
+  /** exact revenue: price × (1 − discount), all decimal. */
+  private def revenue = (col("l_extendedprice").cast(dec) *
+    (lit(1) - col("l_discount").cast(DecimalType(4, 2))))
+  private val revenueSql =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+
+  val queries: Map[String, Q] = Map(
+    // A1: global fact aggregate (reference Q1, dw_etl_tests.py:470-476)
+    "q01_fact_agg" -> ((s, d) => {
+      Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast(dec)).cast(DoubleType).as("sum_qty"),
+        sum(revenue).cast(DoubleType).as("sum_revenue"))
+    }),
+
+    // A5: sales by product type (reference Q2, dw_etl_tests.py:481-490)
+    "q02_sales_by_type" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val p = Tables.part(s, d).select("p_partkey", "p_type")
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_type"))
+        .agg(
+          count(lit(1)).as("n_sales"),
+          sum(col("l_quantity").cast(dec)).cast(DoubleType).as("sum_qty"),
+          sum(revenue).cast(DoubleType).as("sum_revenue"))
+        .orderBy(col("sum_revenue").desc, col("p_type"))
+    }),
+
+    // A5: top-10 geographies by revenue (reference Q3, dw_etl_tests.py:494-506)
+    "q03_top_nations" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), revenue.as("rev"))
+      val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(col("rev")).cast(DoubleType).as("sum_revenue"))
+        .orderBy(col("sum_revenue").desc, col("n_name"))
+        .limit(10)
+    }),
+
+    // A4: GROUP BY multi-col + HAVING (dw_etl_tests.py:436-447)
+    "q04_having_groups" -> ((s, d) => {
+      Tables.customer(s, d)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("c_acctbal").cast(dec)).cast(DoubleType).as("sum_acctbal"))
+        .filter(col("n_customers") >= 10)
+    }),
+
+    // A3: conditional aggregates (dw_etl_tests.py:274-281)
+    "q05_conditional_agg" -> ((s, d) => {
+      Tables.orders(s, d).agg(
+        count(lit(1)).as("n_orders"),
+        sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).cast(LongType).as("n_finished"),
+        sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).cast(LongType).as("n_open"),
+        sum(when(col("o_totalprice") > 200000.0, 1).otherwise(0)).cast(LongType).as("n_large"))
+    }),
+
+    // §2.5: top-k per group via row_number window (Power BI top-10 pattern)
+    "q06_topk_per_group" -> ((s, d) => {
+      Relational.topKPerGroup(
+        Tables.orders(s, d).select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        Seq("o_orderpriority"),
+        Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
+    }),
+
+    // A6: audit-trail style rollup over the events table as the log
+    // analog (dw_etl_tests.py:554-564)
+    "q07_log_rollup" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          max(col("ts").cast(DateType)).as("last_day"),
+          sum(when(col("value") > 10.0, 1).otherwise(0)).cast(LongType).as("n_big"))
+    }),
+
+    // A2: MIN/MAX range derivation (watermark / date-dim auto-range input)
+    "q08_minmax_range" -> ((s, d) => {
+      Tables.orders(s, d).agg(
+        min(col("o_orderdate").cast(DateType)).as("min_dt"),
+        max(col("o_orderdate").cast(DateType)).as("max_dt"),
+        countDistinct(col("o_custkey")).as("n_custs"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_fact_agg" ->
+      s"""SELECT count(*) AS n_rows,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM($revenueSql) AS DOUBLE) AS sum_revenue
+         FROM lineitem""",
+    "q02_sales_by_type" ->
+      s"""SELECT p_type, count(*) AS n_sales,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM($revenueSql) AS DOUBLE) AS sum_revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_type ORDER BY sum_revenue DESC, p_type""",
+    "q03_top_nations" ->
+      s"""SELECT r_name, n_name, CAST(SUM($revenueSql) AS DOUBLE) AS sum_revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name
+         ORDER BY sum_revenue DESC, n_name LIMIT 10""",
+    "q04_having_groups" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS n_customers,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+         FROM customer GROUP BY c_nationkey, c_mktsegment
+         HAVING count(*) >= 10""",
+    "q05_conditional_agg" ->
+      """SELECT count(*) AS n_orders,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+         CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+         CAST(SUM(CASE WHEN o_totalprice > 200000.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_large
+         FROM orders""",
+    "q06_topk_per_group" ->
+      """SELECT * FROM (
+           SELECT o_orderkey, o_orderpriority, o_totalprice,
+                  CAST(row_number() OVER (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+           FROM orders) t WHERE rn <= 3""",
+    "q07_log_rollup" ->
+      """SELECT event_type, count(*) AS n_events,
+         CAST(max(ts) AS DATE) AS last_day,
+         CAST(SUM(CASE WHEN value > 10.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_big
+         FROM events GROUP BY event_type""",
+    "q08_minmax_range" ->
+      """SELECT CAST(min(o_orderdate) AS DATE) AS min_dt,
+         CAST(max(o_orderdate) AS DATE) AS max_dt,
+         count(DISTINCT o_custkey) AS n_custs
+         FROM orders"""
+  )
+}

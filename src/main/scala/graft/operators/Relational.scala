@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** General relational operators shared across layers.
+  *
+  * Each maps 1:1 to a SURVEY §2 row; all are plain Catalyst-optimizable
+  * DataFrame graphs (predicate pushdown / column pruning / broadcast
+  * decided by the optimizer, AQE re-plans shuffles at runtime).
+  */
+object Relational {
+
+  /** P3: incremental watermark — keep only src rows strictly newer than
+    * max(tsCol) of the target (reference:
+    * sql/3nf/load_3nf_ce_sales_pre_fact_table.sql:21-23,94).
+    *
+    * The max() is a cheap single-column scan (column-pruned); the
+    * resulting filter is pushed to the parquet scan of `src`, so with a
+    * date-partitioned source this prunes whole partitions — the property
+    * that keeps incremental loads O(new data) at 100 TB.
+    */
+  def newerThanWatermark(src: DataFrame, target: DataFrame, tsCol: String): DataFrame = {
+    val wm = target.agg(max(col(tsCol))).head().get(0)
+    if (wm == null) src else src.filter(col(tsCol) > lit(wm))
+  }
+
+  /** U1: PostgreSQL UNION semantics (dedup) — Spark union is UNION ALL,
+    * so the distinct() is load-bearing (SURVEY §3.4.2).
+    */
+  def unionDistinct(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).distinct()
+
+  /** J2/F2: default-row backfill — the reference cross-joins a 1-row
+    * default dimension record (id −1, 'n.a.') so COALESCE can replace
+    * NULLs (reference: sql/3nf/load_3nf_ce_continents_table.sql:24-25).
+    * Expressed directly as coalesce with the default constants: same
+    * semantics, no join at all.
+    */
+  def withDefault(c: Column, default: Any): Column = coalesce(c, lit(default))
+
+  /** §2.5: top-k per group with a deterministic tie-break. */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String], orderBy: Seq[Column], k: Int): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(orderBy: _*)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** F19: sequence replacement — dense surrogate ids for new rows,
+    * offset past the existing max id.
+    *
+    * `row_number over (order by …)` funnels through a single partition:
+    * fine at dimension cardinality (the reference's dims are ≤15k rows),
+    * wrong for facts. For fact-scale key needs use
+    * [[surrogateKeysHashed]] instead.
+    */
+  def surrogateKeys(newRows: DataFrame, orderCol: String, maxExisting: Long, idCol: String): DataFrame =
+    newRows.withColumn(idCol,
+      (row_number().over(Window.orderBy(col(orderCol))) + lit(maxExisting)).cast(LongType))
+
+  /** Fact-scale surrogate keys: deterministic 64-bit hash of the business
+    * key — no global sort, no single-partition window, collision-checked
+    * by callers via a post-load uniqueness assertion (SURVEY §7.4).
+    */
+  def surrogateKeysHashed(rows: DataFrame, businessKey: Seq[String], idCol: String): DataFrame =
+    rows.withColumn(idCol, xxhash64(businessKey.map(col): _*))
+}

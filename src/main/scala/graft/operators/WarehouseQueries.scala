@@ -1,0 +1,168 @@
+package graft.operators
+
+import graft.QueryPack
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Warehouse-layer operator surface: staging cleaners, insert-dedup
+  * anti-joins, union-distinct, default-row backfill, surrogate keys,
+  * case-insensitive hierarchy joins, name splitting — SURVEY §2.1-§2.3,
+  * §2.6-§2.7, each mapped onto the testdata tables.
+  */
+object WarehouseQueries extends QueryPack {
+
+  val queries: Map[String, Q] = Map(
+    // P1+P2: cast-everything-to-varchar staging cleaner + DISTINCT
+    // (reference: sql/staging/load_staging_customers_table.sql:24-35).
+    // Doubles are deliberately excluded from the cast list: double→string
+    // formatting is engine-specific, and staging only needs the keys.
+    "q10_staging_clean" -> ((s, d) => {
+      Staging.clean(Tables.customer(s, d),
+        Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
+    }),
+
+    // J8: anti-join insert-dedup — rows whose key is absent from the
+    // "target" (orders already finalized), summarized per linestatus
+    // (reference: sql/staging/load_staging_sales_table.sql:116-121).
+    "q11_antijoin_new_rows" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val tgt = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"))
+      Staging.newRowsOnly(li, tgt.withColumnRenamed("o_orderkey", "l_orderkey"),
+        Seq("l_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"))
+    }),
+
+    // U1: UNION with PostgreSQL dedup semantics
+    // (reference: sql/3nf/load_3nf_ce_countries_table.sql:34).
+    "q12_union_distinct" -> ((s, d) => {
+      val a = Tables.customer(s, d).select(col("c_nationkey").cast(IntegerType).as("nationkey"))
+      val b = Tables.supplier(s, d).select(col("s_nationkey").cast(IntegerType).as("nationkey"))
+      Relational.unionDistinct(a, b)
+    }),
+
+    // F5: SPLIT_PART name split with the PG ''-past-the-end convention
+    // (reference: sql/3nf/load_3nf_ce_customers_scd_table_type1.sql:24-25,
+    //  SURVEY §7.5.7).
+    "q13_split_name" -> ((s, d) => {
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        coalesce(split(col("c_name"), "#").getItem(0), lit("")).as("name_prefix"),
+        coalesce(split(col("c_name"), "#").getItem(1), lit("")).as("name_num"))
+    }),
+
+    // J2/F2: default-row (−1 / 'n.a.') backfill after a left join against
+    // a deliberately incomplete dimension
+    // (reference: sql/3nf/load_3nf_ce_continents_table.sql:24-25,48-69).
+    "q14_default_row" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d).filter(col("n_nationkey") < 20)
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"), "left")
+        .select(
+          col("c_custkey"),
+          Relational.withDefault(col("n_nationkey").cast(IntegerType), -1).as("nation_id"),
+          Relational.withDefault(col("n_name"), "n.a.").as("nation_name"))
+    }),
+
+    // F19: sequence replacement — dense surrogate ids past an existing max
+    // (reference: NEXTVAL at sql/3nf/load_3nf_ce_continents_table.sql:89).
+    "q15_surrogate_keys" -> ((s, d) => {
+      Relational.surrogateKeys(
+        Tables.nation(s, d).select("n_nationkey", "n_name"),
+        "n_name", 100L, "surr_id")
+    }),
+
+    // J1+F3/F4: case-insensitive hierarchy join with INITCAP-normalized
+    // output (reference: sql/3nf/load_3nf_ce_countries_table.sql:22,31-32).
+    "q16_ci_hierarchy_join" -> ((s, d) => {
+      val n = Tables.nation(s, d)
+        .select(lower(col("n_name")).as("nation_lc"), col("n_regionkey"))
+      val r = Tables.region(s, d)
+      val joined = n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"), "left")
+      joined.select(
+        initcap(col("nation_lc")).as("nation_name"),
+        initcap(lower(col("r_name"))).as("region_name"))
+    }),
+
+    // F6: money-string cleaning "$1,234.50" → decimal. The money string is
+    // synthesized deterministically from integer parts so both engines see
+    // identical input text (reference money parse:
+    // sql/3nf/load_3nf_ce_products_scd_table_type2.sql:28-35).
+    "q17_money_parse" -> ((s, d) => {
+      val p = Tables.part(s, d).select(col("p_partkey"))
+      val money = concat(lit("$"), (col("p_partkey") % 90 + 1).cast(StringType),
+        lit(","), lpad(((col("p_partkey") * 7) % 1000).cast(StringType), 3, "0"),
+        lit("."), lpad((col("p_partkey") % 100).cast(StringType), 2, "0"))
+      p.withColumn("money_str", money)
+        .withColumn("amount",
+          regexp_replace(trim(col("money_str")), "[$,]", "").cast(DecimalType(9, 2)).cast(DoubleType))
+    }),
+
+    // F7: MM/dd/yyyy date round-trip (reference TO_DATE parse:
+    // sql/3nf/load_3nf_ce_stores_table.sql:23).
+    "q18_date_parse" -> ((s, d) => {
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "MM/dd/yyyy").as("date_str"))
+        .withColumn("parsed_dt", to_date(col("date_str"), "MM/dd/yyyy"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q10_staging_clean" ->
+      """SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS c_custkey,
+         CAST(c_name AS VARCHAR) AS c_name,
+         CAST(c_nationkey AS VARCHAR) AS c_nationkey,
+         CAST(c_mktsegment AS VARCHAR) AS c_mktsegment
+         FROM customer""",
+    "q11_antijoin_new_rows" ->
+      """SELECT l_linestatus, count(*) AS n_rows,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_orderkey = l_orderkey AND o_orderstatus = 'F')
+         GROUP BY l_linestatus""",
+    "q12_union_distinct" ->
+      """SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+         UNION
+         SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier""",
+    "q13_split_name" ->
+      """SELECT c_custkey,
+         split_part(c_name, '#', 1) AS name_prefix,
+         split_part(c_name, '#', 2) AS name_num
+         FROM customer""",
+    "q14_default_row" ->
+      """SELECT c_custkey,
+         COALESCE(CAST(n_nationkey AS INT), -1) AS nation_id,
+         COALESCE(n_name, 'n.a.') AS nation_name
+         FROM customer LEFT JOIN (SELECT * FROM nation WHERE n_nationkey < 20) n
+           ON c_nationkey = n_nationkey""",
+    "q15_surrogate_keys" ->
+      """SELECT n_nationkey, n_name,
+         CAST(row_number() OVER (ORDER BY n_name) + 100 AS BIGINT) AS surr_id
+         FROM nation""",
+    "q16_ci_hierarchy_join" ->
+      """SELECT array_to_string(list_transform(string_split(lower(n_name), ' '),
+                w -> upper(substr(w,1,1)) || substr(w,2)), ' ') AS nation_name,
+         array_to_string(list_transform(string_split(lower(r_name), ' '),
+                w -> upper(substr(w,1,1)) || substr(w,2)), ' ') AS region_name
+         FROM nation LEFT JOIN region ON n_regionkey = r_regionkey""",
+    "q17_money_parse" ->
+      """SELECT p_partkey,
+         '$' || CAST(p_partkey % 90 + 1 AS VARCHAR) || ',' ||
+            lpad(CAST((p_partkey * 7) % 1000 AS VARCHAR), 3, '0') || '.' ||
+            lpad(CAST(p_partkey % 100 AS VARCHAR), 2, '0') AS money_str,
+         CAST(CAST(regexp_replace(trim('$' || CAST(p_partkey % 90 + 1 AS VARCHAR) || ',' ||
+            lpad(CAST((p_partkey * 7) % 1000 AS VARCHAR), 3, '0') || '.' ||
+            lpad(CAST(p_partkey % 100 AS VARCHAR), 2, '0')), '[$,]', '', 'g') AS DECIMAL(9,2)) AS DOUBLE) AS amount
+         FROM part""",
+    "q18_date_parse" ->
+      """SELECT o_orderkey,
+         strftime(o_orderdate, '%m/%d/%Y') AS date_str,
+         CAST(strptime(strftime(o_orderdate, '%m/%d/%Y'), '%m/%d/%Y') AS DATE) AS parsed_dt
+         FROM orders"""
+  )
+}
