@@ -8,7 +8,9 @@ object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
     AnalyticsQueries,
-    WarehouseQueries
+    WarehouseQueries,
+    ScdQueries,
+    DatesQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

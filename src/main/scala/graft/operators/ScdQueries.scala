@@ -1,0 +1,229 @@
+package graft.operators
+
+import graft.QueryPack
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SCD + incremental-load operator surface (SURVEY §2.9, §2.2-P3,
+  * §2.3 J5-J10). Target/source pairs are derived deterministically from
+  * the testdata so the DuckDB oracle can rebuild the exact same merge
+  * inputs; all timestamps are NTZ so parquet annotations agree between
+  * engines.
+  */
+object ScdQueries extends QueryPack {
+
+  private val dec = DecimalType(18, 2)
+  private def ntz(s: String) = lit(s).cast(TimestampNTZType)
+
+  val queries: Map[String, Q] = Map(
+    // C1: SCD Type 1 upsert — full-outer merge with null-safe change
+    // detection (reference: load_3nf_ce_customers_scd_table_type1.sql:98-144).
+    "q20_scd1_upsert" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val target = c.filter(col("c_custkey") % 100 < 90)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_nationkey"))
+        .withColumn("insert_dt", lit("2024-01-01").cast(DateType))
+        .withColumn("update_dt", lit("2024-01-01").cast(DateType))
+      val source = c.filter(col("c_custkey") % 7 =!= 0)
+        .select(col("c_custkey"), col("c_name"),
+          when(col("c_custkey") % 3 === 0, "AUTOMOBILE").otherwise(col("c_mktsegment")).as("c_mktsegment"),
+          col("c_nationkey"))
+      Scd.scd1Merge(target, source, Seq("c_custkey"),
+        Seq("c_name", "c_mktsegment"), lit("2024-06-01").cast(DateType))
+    }),
+
+    // C2: SCD Type 2 versioning — close-and-version on price change
+    // (reference: load_3nf_ce_products_scd_table_type2.sql:111-222).
+    "q21_scd2_versioning" -> ((s, d) => {
+      val p = Tables.part(s, d)
+      val active = p.filter(col("p_partkey") % 100 < 95)
+        .select(col("p_partkey"), col("p_retailprice").as("price"))
+        .withColumn("start_ts", ntz("2024-01-01 00:00:00"))
+        .withColumn("end_ts", ntz("9999-12-31 00:00:00"))
+        .withColumn("is_active", lit("Y"))
+      val inactive = p.filter(col("p_partkey") % 100 < 5)
+        .select(col("p_partkey"), (col("p_retailprice") - 5.0).as("price"))
+        .withColumn("start_ts", ntz("2023-01-01 00:00:00"))
+        .withColumn("end_ts", ntz("2023-12-31 23:59:59"))
+        .withColumn("is_active", lit("N"))
+      val target = active.unionByName(inactive)
+      val source = p.select(col("p_partkey"),
+        (col("p_retailprice") + when(col("p_partkey") % 5 === 0, 10.0).otherwise(0.0)).as("price"))
+      Scd.scd2Merge(target, source, Seq("p_partkey"), Seq("price"),
+        ntz("2024-06-01 00:00:00"), ntz("9999-12-31 00:00:00"))
+    }),
+
+    // P3: incremental watermark load — only rows past max(target ts)
+    // (reference: load_3nf_ce_sales_pre_fact_table.sql:21-23,94).
+    "q22_watermark_incremental" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val finished = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderdate").as("l_shipdate"))
+      Relational.newerThanWatermark(li, finished, "l_shipdate")
+        .groupBy(date_trunc("month", col("l_shipdate")).cast(DateType).as("ship_month"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast(dec)).cast(DoubleType).as("sum_qty"))
+    }),
+
+    // J10+F8+F9: fact load — composite business key, dim surrogate
+    // resolution with −1 defaults, exact measure computation
+    // (reference: load_fct_sales_fact_table_dimensional_layer.sql:108-148).
+    "q23_fact_load" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d).select("o_orderkey", "o_orderdate")
+      val p = Tables.part(s, d).filter(col("p_size") <= 45).select("p_partkey")
+      val sup = Tables.supplier(s, d).filter(col("s_suppkey") < 90).select("s_suppkey")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"), "left")
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"), "left")
+        .select(
+          concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("sale_src_id"),
+          col("o_orderdate").cast(DateType).as("order_dt"),
+          coalesce(col("p_partkey"), lit(-1L)).as("part_id"),
+          coalesce(col("s_suppkey"), lit(-1L)).as("supp_id"),
+          col("l_quantity").as("quantity"),
+          (col("l_quantity").cast(dec) * col("l_extendedprice").cast(dec))
+            .cast(DoubleType).as("total_sum"))
+    }),
+
+    // J7: left semi (EXISTS) — customers having orders
+    // (reference: load_3nf_ce_products_scd_table_type2.sql:121-127).
+    "q24_exists_semi" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).select(col("o_custkey").as("c_custkey"))
+      c.join(o, Seq("c_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_customers"))
+    }),
+
+    // J9: left anti (NOT EXISTS) — customers with no 'P'-status order
+    // (reference: load_3nf_ce_products_scd_table_type2.sql:181-186).
+    "q25_not_exists_anti" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_orderstatus") === "P")
+        .select(col("o_custkey").as("c_custkey"))
+      c.join(o, Seq("c_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_customers"))
+    }),
+
+    // C3 composed: insert-only dimension load — union-dedup two sources,
+    // anti-join existing keys, assign fresh surrogate ids past the max
+    // (reference: load_3nf_ce_countries_table.sql:34,96-100 + NEXTVAL).
+    "q26_insert_only_dim" -> ((s, d) => {
+      val existing = Tables.nation(s, d).filter(col("n_nationkey") < 15)
+        .select(col("n_nationkey").as("nationkey"),
+          (col("n_nationkey") + 1000).cast(LongType).as("surr_id"))
+      val src = Relational.unionDistinct(
+        Tables.customer(s, d).select(col("c_nationkey").as("nationkey")),
+        Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+      val maxId = existing.agg(max(col("surr_id"))).head().getLong(0)
+      val fresh = Relational.surrogateKeys(
+        Staging.newRowsOnly(src, existing, Seq("nationkey")),
+        "nationkey", maxId, "surr_id")
+      existing.withColumn("status", lit("existing"))
+        .unionByName(fresh.withColumn("status", lit("new")))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q20_scd1_upsert" ->
+      """WITH tgt AS (
+           SELECT c_custkey, c_name, c_mktsegment, c_nationkey,
+                  DATE '2024-01-01' AS insert_dt, DATE '2024-01-01' AS update_dt
+           FROM customer WHERE c_custkey % 100 < 90),
+         src AS (
+           SELECT c_custkey, c_name,
+                  CASE WHEN c_custkey % 3 = 0 THEN 'AUTOMOBILE' ELSE c_mktsegment END AS c_mktsegment,
+                  c_nationkey
+           FROM customer WHERE c_custkey % 7 != 0)
+       SELECT COALESCE(t.c_custkey, s.c_custkey) AS c_custkey,
+         CASE WHEN t.c_custkey IS NULL
+                OR (s.c_custkey IS NOT NULL AND (s.c_name IS DISTINCT FROM t.c_name
+                    OR s.c_mktsegment IS DISTINCT FROM t.c_mktsegment))
+              THEN s.c_name ELSE t.c_name END AS c_name,
+         CASE WHEN t.c_custkey IS NULL
+                OR (s.c_custkey IS NOT NULL AND (s.c_name IS DISTINCT FROM t.c_name
+                    OR s.c_mktsegment IS DISTINCT FROM t.c_mktsegment))
+              THEN s.c_mktsegment ELSE t.c_mktsegment END AS c_mktsegment,
+         CASE WHEN t.c_custkey IS NULL THEN s.c_nationkey ELSE t.c_nationkey END AS c_nationkey,
+         CASE WHEN t.c_custkey IS NULL THEN DATE '2024-06-01' ELSE t.insert_dt END AS insert_dt,
+         CASE WHEN t.c_custkey IS NULL
+                OR (s.c_custkey IS NOT NULL AND (s.c_name IS DISTINCT FROM t.c_name
+                    OR s.c_mktsegment IS DISTINCT FROM t.c_mktsegment))
+              THEN DATE '2024-06-01' ELSE t.update_dt END AS update_dt,
+         CASE WHEN t.c_custkey IS NULL THEN 'new'
+              WHEN s.c_custkey IS NOT NULL AND (s.c_name IS DISTINCT FROM t.c_name
+                   OR s.c_mktsegment IS DISTINCT FROM t.c_mktsegment) THEN 'updated'
+              ELSE 'unchanged' END AS scd_status
+       FROM tgt t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey""",
+    "q21_scd2_versioning" ->
+      """WITH tgt_active AS (
+           SELECT p_partkey, p_retailprice AS price FROM part WHERE p_partkey % 100 < 95),
+         src AS (
+           SELECT p_partkey, p_retailprice +
+                  CASE WHEN p_partkey % 5 = 0 THEN 10.0 ELSE 0.0 END AS price
+           FROM part)
+       SELECT p_partkey, p_retailprice - 5.0 AS price,
+              TIMESTAMP '2023-01-01 00:00:00' AS start_ts,
+              TIMESTAMP '2023-12-31 23:59:59' AS end_ts, 'N' AS is_active
+       FROM part WHERE p_partkey % 100 < 5
+       UNION ALL
+       SELECT p_partkey, price, TIMESTAMP '2024-01-01 00:00:00',
+              TIMESTAMP '9999-12-31 00:00:00', 'Y'
+       FROM tgt_active WHERE p_partkey % 5 != 0
+       UNION ALL
+       SELECT p_partkey, price, TIMESTAMP '2024-01-01 00:00:00',
+              TIMESTAMP '2024-05-31 23:59:59', 'N'
+       FROM tgt_active WHERE p_partkey % 5 = 0
+       UNION ALL
+       SELECT p_partkey, price, TIMESTAMP '2024-06-01 00:00:00',
+              TIMESTAMP '9999-12-31 00:00:00', 'Y'
+       FROM src WHERE p_partkey % 5 = 0 AND p_partkey % 100 < 95
+       UNION ALL
+       SELECT p_partkey, price, TIMESTAMP '2024-06-01 00:00:00',
+              TIMESTAMP '9999-12-31 00:00:00', 'Y'
+       FROM src WHERE p_partkey % 100 >= 95""",
+    "q22_watermark_incremental" ->
+      """SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+         count(*) AS n_rows,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         WHERE l_shipdate > (SELECT max(o_orderdate) FROM orders WHERE o_orderstatus = 'F')
+         GROUP BY 1""",
+    "q23_fact_load" ->
+      """SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS sale_src_id,
+         CAST(o_orderdate AS DATE) AS order_dt,
+         COALESCE(p.p_partkey, CAST(-1 AS BIGINT)) AS part_id,
+         COALESCE(sup.s_suppkey, CAST(-1 AS BIGINT)) AS supp_id,
+         l_quantity AS quantity,
+         CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS total_sum
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         LEFT JOIN (SELECT p_partkey FROM part WHERE p_size <= 45) p ON l_partkey = p.p_partkey
+         LEFT JOIN (SELECT s_suppkey FROM supplier WHERE s_suppkey < 90) sup ON l_suppkey = sup.s_suppkey""",
+    "q24_exists_semi" ->
+      """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         GROUP BY c_mktsegment""",
+    "q25_not_exists_anti" ->
+      """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+         GROUP BY c_mktsegment""",
+    "q26_insert_only_dim" ->
+      """WITH existing AS (
+           SELECT n_nationkey AS nationkey, CAST(n_nationkey + 1000 AS BIGINT) AS surr_id
+           FROM nation WHERE n_nationkey < 15),
+         src AS (
+           SELECT c_nationkey AS nationkey FROM customer
+           UNION
+           SELECT s_nationkey FROM supplier),
+         fresh AS (
+           SELECT nationkey,
+                  CAST(row_number() OVER (ORDER BY nationkey) + 1014 AS BIGINT) AS surr_id
+           FROM src WHERE nationkey NOT IN (SELECT nationkey FROM existing))
+       SELECT nationkey, surr_id, 'existing' AS status FROM existing
+       UNION ALL
+       SELECT nationkey, surr_id, 'new' AS status FROM fresh"""
+  )
+}
