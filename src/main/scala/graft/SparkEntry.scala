@@ -10,7 +10,12 @@ object SparkEntry {
     AnalyticsQueries,
     WarehouseQueries,
     ScdQueries,
-    DatesQueries
+    DatesQueries,
+    TextQueries,
+    DedupQueries,
+    SimilarityQueries,
+    EventsQueries,
+    MultimodalQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data
+  * pipelines: tokenization, quality scoring, language-ID scoring,
+  * fingerprinting, shingling. All are pure `Column` expressions built
+  * from codegen'd builtins — no UDFs — so they stay inside
+  * WholeStageCodegen and scale linearly with the scan.
+  *
+  * Determinism note: hashing uses md5 (available in every engine we
+  * oracle against); per-row double arithmetic is IEEE-deterministic.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: alpha runs + digit runs + punct as one token
+    * each (a cheap stand-in for a real tokenizer's token count).
+    */
+  def regexTokenCount(text: Column): Column =
+    regexp_count(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"))
+
+  /** Fraction of tokens that appear in `stopwords`. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val hits = size(filter(tokens(text), t => t.isin(stopwords.map(lit(_)): _*)))
+    hits.cast("double") / tokenCount(text).cast("double")
+  }
+
+  /** Number of tokens found in `vocab` — the language-ID score for one
+    * language's stopword set (n-gram/stopword heuristic).
+    */
+  def langScore(text: Column, vocab: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(vocab.map(lit(_)): _*)))
+
+  /** Composite quality score in [0,1]: length credit × (1 − stopword
+    * share). Mirrors the usual length/stopword heuristics.
+    */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column =
+    least(lit(1.0), tokenCount(text).cast("double") / lit(50.0)) *
+      (lit(1.0) - stopwordRatio(text, stopwords))
+
+  /** Document fingerprint: md5 of the whitespace-normalized, lowercased
+    * text. Collision-safe enough for exact dedup at 100 TB (128-bit).
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Word n-gram shingles (distinct), 1-based element_at so the same
+    * expression shape works in 1-based SQL engines. Empty array when the
+    * document has fewer than n tokens.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    val make = transform(sequence(lit(1), size(ts) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(o => element_at(ts, i + o)): _*))
+    array_distinct(when(size(ts) >= n, make).otherwise(array()))
+  }
+
+  /** Value of a hex digit via position lookup — identical semantics to
+    * SQL `strpos('123456789abcdef', ch)`: '0'→0, '1'→1 … 'f'→15.
+    */
+  def hexNibble(ch: Column): Column =
+    call_function("instr", lit("123456789abcdef"), ch)
+}

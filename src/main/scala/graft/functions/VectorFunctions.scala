@@ -1,0 +1,32 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns, as pure Catalyst
+  * higher-order functions (zip_with/aggregate) — codegen-friendly, no
+  * UDF/serialization cost, works on any array length.
+  *
+  * Floats are widened to double BEFORE multiplication and folded
+  * strictly left-to-right, so the result is bit-identical across engines
+  * that fold sequentially (the DuckDB oracle's list_reduce does).
+  */
+object VectorFunctions {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Sign-bit LSH bucket over the first `bits` dimensions: projection
+    * onto the standard basis (a degenerate but deterministic random-
+    * hyperplane family). Vectors in the same bucket are ANN candidates.
+    */
+  def signBucket(a: Column, bits: Int): Column =
+    concat((1 to bits).map(i =>
+      when(element_at(a, i) >= 0f, "1").otherwise("0")): _*)
+}

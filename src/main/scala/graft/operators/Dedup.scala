@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators for training-data pipelines:
+  * exact (fingerprint group-by), n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design (the part that matters at 100 TB):
+  *  - exact dedup is one hash-aggregate on a 128-bit fingerprint — the
+  *    shuffle key is the fingerprint, perfectly balanced.
+  *  - pairwise Jaccard is NEVER run all-pairs at scale: candidates come
+  *    from the LSH band-bucket join, and the exact Jaccard only verifies
+  *    candidates. `maxShingleDf` caps hot-shingle fan-out (a shingle in
+  *    k docs produces k² candidate rows — stopword-like shingles must be
+  *    dropped, they carry no signal).
+  *  - MinHash signatures are one group-by over the shingle table; LSH
+  *    banding turns near-dup search into an equi-join on (band, key) —
+  *    the classic shuffle-friendly formulation.
+  */
+object Dedup {
+
+  /** Exact dedup: one row per distinct fingerprint with the kept doc id
+    * (min) and the duplicate count.
+    */
+  def exactGroups(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(TextFunctions.fingerprint(col(textCol)).as("fp"), col(idCol))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
+
+  /** (id, shingle) table — distinct word n-gram shingles per document. */
+  def shingleTable(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    docs.select(col(idCol), explode(TextFunctions.shingles(col(textCol), n)).as("shingle"))
+
+  /** Exact pairwise n-gram Jaccard ≥ minJaccard via shingle self-join.
+    * `maxShingleDf` (optional) drops shingles occurring in more docs —
+    * required at scale, off by default for oracle parity.
+    */
+  def jaccardPairs(shingles: DataFrame, idCol: String, minJaccard: Double,
+                   maxShingleDf: Option[Int] = None): DataFrame = {
+    val sh = maxShingleDf match {
+      case Some(cap) =>
+        val hot = shingles.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("shingle")
+        shingles.join(hot, Seq("shingle"), "left_anti")
+      case None => shingles
+    }
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val a = sh.toDF("id_1", "shingle")
+    val b = sh.toDF("id_2", "shingle")
+    val inter = a.join(b, "shingle")
+      .filter(col("id_1") < col("id_2"))
+      .groupBy(col("id_1"), col("id_2")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("id_1", "n1"), "id_1")
+      .join(sizes.toDF("id_2", "n2"), "id_2")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n1") + col("n2") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_1"), col("id_2"), col("jaccard"))
+  }
+
+  /** MinHash signatures: mh_i = min over shingles of md5(i || '|' || s).
+    * md5-as-permutation gives a uniform, engine-portable hash family;
+    * lexicographic min over the hex strings is a valid min-hash.
+    */
+  def minhashSignatures(shingles: DataFrame, idCol: String, k: Int): DataFrame = {
+    val exprs = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"mh$i"))
+    shingles.groupBy(col(idCol)).agg(exprs.head, exprs.tail: _*)
+  }
+
+  /** LSH banding: band key b = md5(mh_{b·r} || … || mh_{b·r+r−1});
+    * candidate pairs share at least one (band, key). Returns distinct
+    * (id_1 < id_2) candidate pairs.
+    */
+  def lshCandidatePairs(signatures: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandStructs = (0 until bands).map { b =>
+      val key = md5(concat_ws("|",
+        (0 until rowsPerBand).map(j => col(s"mh${b * rowsPerBand + j}")): _*))
+      struct(lit(b).as("band"), key.as("bkey"))
+    }
+    val exploded = signatures
+      .select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
+      .select(col(idCol).as("id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val l = exploded.toDF("id_1", "band", "bkey")
+    val r = exploded.toDF("id_2", "band", "bkey")
+    l.join(r, Seq("band", "bkey"))
+      .filter(col("id_1") < col("id_2"))
+      .select("id_1", "id_2").distinct()
+  }
+
+  /** MinHash+LSH near-dup pipeline: LSH candidates verified with exact
+    * Jaccard. The all-pairs cost is gone; work ∝ true-near-dup density.
+    */
+  def minhashLshNearDups(docs: DataFrame, textCol: String, idCol: String,
+                         ngram: Int, k: Int, bands: Int, minJaccard: Double): DataFrame = {
+    val sh = shingleTable(docs, textCol, idCol, ngram)
+    val cands = lshCandidatePairs(minhashSignatures(sh, idCol, k), idCol, bands, k / bands)
+    val verified = jaccardPairs(sh, idCol, minJaccard)
+    cands.join(verified, Seq("id_1", "id_2"))
+  }
+
+  /** 16-bit SimHash over the distinct token set, built from the first 4
+    * hex nibbles of md5(token). Returns (id, simhash INT).
+    */
+  def simhash16(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("tok"))
+    val h = md5(col("tok"))
+    val bitSums = (0 until 16).map { j =>
+      val nibble = TextFunctions.hexNibble(substring(h, j / 4 + 1, 1))
+      val bit = shiftright(nibble, j % 4).bitwiseAND(lit(1))
+      sum(bit * 2 - 1).as(s"s$j")
+    }
+    val sums = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 16).map(j =>
+      when(col(s"s$j") > 0, lit(1 << j)).otherwise(lit(0))).reduce(_ + _)
+    sums.select(col(idCol), fp.cast("int").as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: Hamming distance ≤ maxHamming. All-pairs
+    * here; at scale, block on simhash bytes (pigeonhole) first.
+    */
+  def simhashPairs(sim: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
+    val a = sim.toDF("id_1", "sh_1")
+    val b = sim.toDF("id_2", "sh_2")
+    a.crossJoin(b).filter(col("id_1") < col("id_2"))
+      .withColumn("hamming", bit_count(col("sh_1").bitwiseXOR(col("sh_2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_1"), col("id_2"), col("hamming").cast("int").as("hamming"))
+  }
+}

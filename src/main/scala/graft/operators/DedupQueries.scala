@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.QueryPack
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Deduplication surface over `documents`: exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash. The DuckDB oracles rebuild the identical
+  * hash-math (md5-based) so results hash-match exactly.
+  */
+object DedupQueries extends QueryPack {
+
+  private val K = 8      // minhash functions
+  private val BANDS = 4  // LSH bands (rows per band = K/BANDS = 2)
+  private val MIN_JACCARD = 0.2
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup: fingerprint group-by with keeper id + dup count.
+    "q44_dedup_exact" -> ((s, d) =>
+      Dedup.exactGroups(Tables.documents(s, d), "text", "doc_id")),
+
+    // Exact pairwise word-3-gram Jaccard near-dups (the verification
+    // primitive; all-pairs via shingle join only below LSH scale).
+    "q45_ngram_jaccard" -> ((s, d) =>
+      Dedup.jaccardPairs(
+        Dedup.shingleTable(Tables.documents(s, d), "text", "doc_id", 3),
+        "doc_id", MIN_JACCARD)),
+
+    // MinHash signatures + LSH banding + exact-Jaccard verification.
+    "q46_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLshNearDups(Tables.documents(s, d), "text", "doc_id",
+        ngram = 3, k = K, bands = BANDS, minJaccard = MIN_JACCARD)),
+
+    // 16-bit SimHash fingerprints per document.
+    "q47_simhash" -> ((s, d) =>
+      Dedup.simhash16(Tables.documents(s, d), "text", "doc_id")),
+
+    // SimHash near-dup pairs at Hamming ≤ 3.
+    "q48_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(Dedup.simhash16(Tables.documents(s, d), "text", "doc_id"),
+        "doc_id", maxHamming = 3))
+  )
+
+  // ---- shared oracle fragments ----
+
+  /** Distinct word-3-gram shingles per doc (1-based list indexing). */
+  private val shinglesCte =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       raw AS (SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(ts) - 2),
+                        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle
+               FROM toks),
+       sh AS (SELECT DISTINCT doc_id, shingle FROM raw)"""
+
+  /** Pairwise Jaccard ≥ threshold over `sh`. Produces id_1,id_2,jaccard. */
+  private val jaccardSelect =
+    s"""SELECT id_1, id_2,
+          CAST(inter AS DOUBLE) / CAST(n1 + n2 - inter AS DOUBLE) AS jaccard
+        FROM (
+          SELECT i.id_1, i.id_2, i.inter, s1.n AS n1, s2.n AS n2
+          FROM (SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS inter
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2) i
+          JOIN (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1) s1 ON i.id_1 = s1.doc_id
+          JOIN (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1) s2 ON i.id_2 = s2.doc_id)
+        WHERE CAST(inter AS DOUBLE) / CAST(n1 + n2 - inter AS DOUBLE) >= $MIN_JACCARD"""
+
+  private val minhashCols =
+    (0 until K).map(i => s"min(md5('$i|' || shingle)) AS mh$i").mkString(", ")
+
+  private val bandUnion = (0 until BANDS).map { b =>
+    val r = K / BANDS
+    val key = (0 until r).map(j => s"mh${b * r + j}").mkString(" || '|' || ")
+    s"SELECT doc_id, $b AS band, md5($key) AS bkey FROM mh"
+  }.mkString(" UNION ALL ")
+
+  /** SimHash bit-sum columns s0..s15 from md5 nibbles of each token. */
+  private val simhashSums = (0 until 16).map { j =>
+    s"SUM(((strpos('123456789abcdef', substr(md5(tok), ${j / 4 + 1}, 1)) >> ${j % 4}) & 1) * 2 - 1) AS s$j"
+  }.mkString(", ")
+
+  private val simhashValue = (0 until 16).map { j =>
+    s"(CASE WHEN s$j > 0 THEN ${1 << j} ELSE 0 END)"
+  }.mkString(" + ")
+
+  private val simhashCte =
+    s"""dtoks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents),
+        sums AS (SELECT doc_id, $simhashSums FROM dtoks GROUP BY doc_id),
+        simh AS (SELECT doc_id, CAST($simhashValue AS INT) AS simhash FROM sums)"""
+
+  val oracleSql: Map[String, String] = Map(
+    "q44_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+         min(doc_id) AS keep_id, count(*) AS n_docs
+         FROM documents GROUP BY 1""",
+    "q45_ngram_jaccard" ->
+      s"WITH $shinglesCte $jaccardSelect",
+    "q46_minhash_lsh" ->
+      s"""WITH $shinglesCte,
+         mh AS (SELECT doc_id, $minhashCols FROM sh GROUP BY doc_id),
+         bands AS ($bandUnion),
+         cand AS (SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         verified AS ($jaccardSelect)
+       SELECT c.id_1, c.id_2, v.jaccard
+       FROM cand c JOIN verified v ON c.id_1 = v.id_1 AND c.id_2 = v.id_2""",
+    "q47_simhash" ->
+      s"WITH $simhashCte SELECT doc_id, simhash FROM simh",
+    "q48_simhash_pairs" ->
+      s"""WITH $simhashCte
+       SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+              CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       FROM simh a JOIN simh b ON a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+  )
+}

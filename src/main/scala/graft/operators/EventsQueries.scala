@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.QueryPack
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Event-stream surface, batch-equivalent form. The same logic runs as
+  * Structured Streaming in [[graft.streaming.EventPipelines]] (windowed
+  * aggregation with watermark, dedup-by-id, stateful sessionization);
+  * these batch twins give the DuckDB oracle something to hash.
+  */
+object EventsQueries extends QueryPack {
+
+  private val dec = DecimalType(18, 2)
+  private val GAP_US = 30L * 60 * 1000000 // 30-min session gap
+
+  val queries: Map[String, Q] = Map(
+    // Tumbling 1-hour windowed aggregation (streaming: groupBy(window(..)))
+    "q53_event_hourly" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(
+          date_trunc("hour", col("ts")).cast(TimestampNTZType).as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(dec)).cast(DoubleType).as("sum_value"))
+    }),
+
+    // Exactly-once style dedup of an at-least-once (duplicated) feed
+    // (streaming: dropDuplicates("event_id") under watermark).
+    "q54_event_dedup" -> ((s, d) => {
+      val e = Tables.events(s, d).select("event_id", "event_type")
+      e.unionByName(e) // simulate duplicate delivery
+        .dropDuplicates("event_id")
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))
+    }),
+
+    // Gap-based sessionization (streaming: flatMapGroupsWithState).
+    "q55_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("is_new",
+          when(col("prev_us").isNull ||
+            (unix_micros(col("ts")) - col("prev_us")) > GAP_US, 1).otherwise(0))
+        .groupBy(col("user_id"))
+        .agg(sum(col("is_new")).as("n_sessions"), count(lit(1)).as("n_events"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q53_event_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+         count(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2""",
+    "q54_event_dedup" ->
+      """SELECT event_type, count(*) AS n_events FROM (
+           SELECT DISTINCT event_id, event_type FROM (
+             SELECT event_id, event_type FROM events
+             UNION ALL
+             SELECT event_id, event_type FROM events))
+         GROUP BY event_type""",
+    "q55_sessionize" ->
+      """SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions,
+                count(*) AS n_events
+         FROM (SELECT user_id,
+                 CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+                      THEN 1 ELSE 0 END AS is_new
+               FROM (SELECT user_id, ts, event_id,
+                       lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS prev_us
+                     FROM events))
+         GROUP BY user_id"""
+  )
+}

@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Two paths, mirroring what a 100 TB pipeline needs:
+  *  - [[bruteForceKnn]]: exact cosine top-k via self-join — the
+  *    correctness baseline, quadratic, only for small/filtered sets
+  *    (or per-LSH-bucket after blocking).
+  *  - [[lshNearPairs]]: sign-bit LSH bucketing → candidates share a
+  *    bucket → exact cosine only on candidates. The bucket join is an
+  *    equi-join (shuffle on the bucket key), so the all-pairs cross
+  *    product never materializes; bucket skew is handled by AQE or by
+  *    raising `bits`. An IVF variant is the same shape with learned
+  *    centroid ids as the bucket key.
+  */
+object Similarity {
+
+  /** Exact cosine top-k neighbors per vector (excluding self), with a
+    * deterministic neighbor-id tie-break.
+    */
+  def bruteForceKnn(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val a = emb.select(col(idCol).as("vec_id"), col(vecCol).as("va"))
+    val b = emb.select(col(idCol).as("nn_id"), col(vecCol).as("vb"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("nn_id"))
+    a.crossJoin(b).filter(col("vec_id") =!= col("nn_id"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("vec_id"), col("nn_id"), col("cos"), col("rn"))
+  }
+
+  /** Sign-bit LSH buckets: (id, bucket). */
+  def buckets(emb: DataFrame, idCol: String, vecCol: String, bits: Int): DataFrame =
+    emb.select(col(idCol), col(vecCol), signBucket(col(vecCol), bits).as("bucket"))
+
+  /** Near pairs: same bucket AND exact cosine ≥ minCos. */
+  def lshNearPairs(emb: DataFrame, idCol: String, vecCol: String,
+                   bits: Int, minCos: Double): DataFrame = {
+    val bk = buckets(emb, idCol, vecCol, bits)
+    val a = bk.select(col(idCol).as("id_1"), col(vecCol).as("va"), col("bucket"))
+    val b = bk.select(col(idCol).as("id_2"), col(vecCol).as("vb"), col("bucket"))
+    a.join(b, "bucket").filter(col("id_1") < col("id_2"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= minCos)
+      .select(col("id_1"), col("id_2"), col("cos"))
+  }
+}

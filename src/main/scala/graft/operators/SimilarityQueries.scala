@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.QueryPack
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Similarity-search surface over `embeddings` (64-dim float vectors).
+  * The DuckDB oracle folds dot products with the same left-to-right
+  * double arithmetic, so cosines are bit-identical.
+  */
+object SimilarityQueries extends QueryPack {
+
+  private val BITS = 8
+  private val MIN_COS = 0.3
+
+  val queries: Map[String, Q] = Map(
+    // Exact brute-force cosine top-3 neighbors (baseline ANN).
+    "q50_cosine_knn" -> ((s, d) =>
+      Similarity.bruteForceKnn(Tables.embeddings(s, d), "vec_id", "embedding", 3)),
+
+    // Sign-bit LSH bucketed ANN: candidates share an 8-bit bucket,
+    // verified with exact cosine ≥ 0.3 (the scale path).
+    "q51_ann_lsh" -> ((s, d) =>
+      Similarity.lshNearPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+        BITS, MIN_COS)),
+
+    // Bucket histogram — shows LSH balance (skew → raise bits).
+    "q52_lsh_buckets" -> ((s, d) =>
+      Similarity.buckets(Tables.embeddings(s, d), "vec_id", "embedding", BITS)
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_vecs")))
+  )
+
+  /** cosine(a,b) with strict left-fold double arithmetic. */
+  private def cosSql(a: String, b: String) =
+    s"""(list_reduce(list_transform(list_zip($a, $b),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q) /
+        (sqrt(list_reduce(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, q) -> p + q)) *
+         sqrt(list_reduce(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, q) -> p + q))))"""
+
+  private val bucketSql = (1 to BITS).map(i =>
+    s"(CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+
+  val oracleSql: Map[String, String] = Map(
+    "q50_cosine_knn" ->
+      s"""SELECT vec_id, nn_id, cos, rn FROM (
+           SELECT a.vec_id, b.vec_id AS nn_id,
+                  ${cosSql("a.embedding", "b.embedding")} AS cos,
+                  CAST(row_number() OVER (PARTITION BY a.vec_id
+                       ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id) AS INT) AS rn
+           FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id)
+         WHERE rn <= 3""",
+    "q51_ann_lsh" ->
+      s"""WITH bk AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings)
+         SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+                ${cosSql("a.embedding", "b.embedding")} AS cos
+         FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         WHERE ${cosSql("a.embedding", "b.embedding")} >= $MIN_COS""",
+    "q52_lsh_buckets" ->
+      s"""SELECT $bucketSql AS bucket, count(*) AS n_vecs
+         FROM embeddings GROUP BY 1"""
+  )
+}

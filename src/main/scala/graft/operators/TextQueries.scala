@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.QueryPack
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis surface over the `documents` table: token counting,
+  * quality scoring, language-ID heuristic, fingerprinting. These are the
+  * per-document map-side primitives of a training-data pipeline — no
+  * shuffles at all except where a group-by is the point; at 100 TB they
+  * run at scan speed.
+  */
+object TextQueries extends QueryPack {
+
+  // Stopword vocabularies for the language-ID heuristic.
+  val EN = Seq("the", "a", "of", "to", "and")
+  val DE = Seq("der", "die", "das", "und", "ist")
+  val ES = Seq("el", "la", "los", "de", "y")
+  val FR = Seq("le", "les", "et", "un", "dans")
+
+  private def inList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("(", ",", ")")
+
+  val queries: Map[String, Q] = Map(
+    // Token counting: whitespace tokens + BPE-ish regex subword count.
+    "q40_token_stats" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        regexTokenCount(col("text")).as("n_subwords"),
+        length(col("text")).as("n_chars_calc"))
+    }),
+
+    // Quality scoring: length credit × (1 − stopword share).
+    "q41_quality_score" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        stopwordRatio(col("text"), EN).as("stop_ratio"),
+        qualityScore(col("text"), EN).as("quality"))
+    }),
+
+    // Language-ID: per-language stopword-hit scores, deterministic argmax.
+    "q42_langid" -> ((s, d) => {
+      val df = Tables.documents(s, d).select(
+        col("doc_id"), col("lang"),
+        langScore(col("text"), EN).as("s_en"),
+        langScore(col("text"), DE).as("s_de"),
+        langScore(col("text"), ES).as("s_es"),
+        langScore(col("text"), FR).as("s_fr"))
+      df.withColumn("pred_lang",
+          when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
+            .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+            .when(col("s_es") >= col("s_fr"), "es")
+            .otherwise("fr"))
+        .withColumn("is_match", col("pred_lang") === col("lang"))
+    }),
+
+    // Document fingerprint: md5 over normalized text (rolling-hash class).
+    "q43_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"), col("source"),
+        fingerprint(col("text")).as("fp"))
+    })
+  )
+
+  private val nTokensSql = "CAST(len(string_split(text, ' ')) AS INT)"
+  private def stopHitsSql(xs: Seq[String]) =
+    s"CAST(len(list_filter(string_split(text, ' '), t -> t IN ${inList(xs)})) AS INT)"
+  private val stopRatioSql =
+    s"CAST(${stopHitsSql(EN)} AS DOUBLE) / CAST($nTokensSql AS DOUBLE)"
+
+  val oracleSql: Map[String, String] = Map(
+    "q40_token_stats" ->
+      s"""SELECT doc_id, $nTokensSql AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INT) AS n_subwords,
+         CAST(length(text) AS INT) AS n_chars_calc
+         FROM documents""",
+    "q41_quality_score" ->
+      s"""SELECT doc_id, $nTokensSql AS n_tokens,
+         $stopRatioSql AS stop_ratio,
+         least(1.0, CAST($nTokensSql AS DOUBLE) / 50.0) * (1.0 - $stopRatioSql) AS quality
+         FROM documents""",
+    "q42_langid" ->
+      s"""SELECT doc_id, lang, s_en, s_de, s_es, s_fr,
+         CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+              WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+              WHEN s_es >= s_fr THEN 'es'
+              ELSE 'fr' END AS pred_lang,
+         (CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+              WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+              WHEN s_es >= s_fr THEN 'es'
+              ELSE 'fr' END) = lang AS is_match
+         FROM (SELECT doc_id, lang,
+                 ${stopHitsSql(EN)} AS s_en, ${stopHitsSql(DE)} AS s_de,
+                 ${stopHitsSql(ES)} AS s_es, ${stopHitsSql(FR)} AS s_fr
+               FROM documents)""",
+    "q43_fingerprint" ->
+      """SELECT doc_id, source,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+         FROM documents"""
+  )
+}
