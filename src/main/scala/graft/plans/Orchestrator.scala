@@ -1,0 +1,224 @@
+package graft.plans
+
+import graft.operators.{DimDates, Relational, Scd, Staging}
+import graft.sources.{Tables, Warehouse}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Full ETL pipeline — the reference's master procedure re-expressed as
+  * one Spark driver program (reference: sql/utils/run_full_etl_process
+  * .sql:36-104, staging → 3NF → dimensional, strict parent-first order),
+  * with the testdata star schema playing the role of the retailer CSVs:
+  * customer→customers (SCD1), part→products (SCD2), region/nation→geo
+  * hierarchy, orders+lineitem→sales fact.
+  *
+  * Every loader is idempotent (anti-join/merge no-ops on re-run) and
+  * every table write is an atomic directory swap, so a second run is a
+  * no-op and a crashed run never corrupts a table — matching the
+  * reference's idempotency test (reference: python/dw_etl_tests.py:371-410).
+  *
+  * Scale shape: dims are broadcast in every fact join; the fact load's
+  * only wide operations are the orders⋈lineitem join and the final
+  * month-partitioned write (partition pruning for downstream readers).
+  */
+class Orchestrator(spark: SparkSession, sfDir: String, whRoot: String) {
+
+  val wh = new Warehouse(whRoot, spark)
+  val log = new EtlLog(wh, spark)
+  private val dec = DecimalType(18, 2)
+
+  /** Runs all three stages; returns per-table row counts. */
+  def runFullEtl(): Map[String, Long] = {
+    val t0 = System.nanoTime()
+    val counts = stageStaging() ++ stage3nf() ++ stageDm()
+    log.append("run_full_etl", f"pipeline completed in ${(System.nanoTime() - t0) / 1e9}%.2f s",
+      counts.values.sum)
+    counts
+  }
+
+  // -- Stage 1: staging — cast-to-string clean + distinct + anti-join append
+  //    (reference: sql/staging/load_staging_*_table.sql)
+  def stageStaging(): Map[String, Long] = {
+    def load(name: String, src: DataFrame, cols: Seq[String], keys: Seq[String]): (String, Long) = {
+      val cleaned = Staging.clean(src, cols)
+      val merged =
+        if (wh.exists("staging", name)) Staging.antiJoinAppend(cleaned, wh.read("staging", name), keys)
+        else cleaned
+      name -> log.logged(s"load_staging_$name")(wh.overwrite(merged, "staging", name))
+    }
+    Map(
+      load("customers", Tables.customer(spark, sfDir),
+        Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"), Seq("c_custkey")),
+      load("products", Tables.part(spark, sfDir),
+        Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"),
+        Seq("p_partkey", "p_retailprice")), // key+price: lets a price change re-enter (SURVEY §3.4.4)
+      load("suppliers", Tables.supplier(spark, sfDir),
+        Seq("s_suppkey", "s_name", "s_nationkey"), Seq("s_suppkey")),
+      load("sales", Tables.lineitem(spark, sfDir),
+        Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity",
+          "l_extendedprice", "l_shipdate"),
+        Seq("l_orderkey", "l_linenumber")),
+      load("orders", Tables.orders(spark, sfDir),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"), Seq("o_orderkey")))
+  }
+
+  // -- Stage 2: 3NF — geo hierarchy (insert-only), SCD1 customers,
+  //    SCD2 products, incremental sales fact
+  def stage3nf(): Map[String, Long] = {
+    val runDt = current_date()
+    val runTs = date_trunc("second", current_timestamp())
+
+    // Geo hierarchy: continents ← countries (insert-only, C3)
+    val continents = withDefaultRow(
+      Tables.region(spark, sfDir).select(
+        col("r_regionkey").cast(LongType).as("continent_id"),
+        initcap(lower(col("r_name"))).as("continent_name")),
+      Seq(lit(-1L), lit("n.a.")))
+    val nContinents = log.logged("load_3nf_ce_continents")(
+      wh.overwrite(insertOnly(continents, "bl_3nf", "ce_continents", Seq("continent_id")),
+        "bl_3nf", "ce_continents"))
+
+    val countries = withDefaultRow(
+      Tables.nation(spark, sfDir).select(
+        col("n_nationkey").cast(LongType).as("country_id"),
+        initcap(lower(col("n_name"))).as("country_name"),
+        col("n_regionkey").cast(LongType).as("country_continent_id")),
+      Seq(lit(-1L), lit("n.a."), lit(-1L)))
+    val nCountries = log.logged("load_3nf_ce_countries")(
+      wh.overwrite(insertOnly(countries, "bl_3nf", "ce_countries", Seq("country_id")),
+        "bl_3nf", "ce_countries"))
+
+    // Customers: SCD Type 1 on (name, segment)
+    val custSrc = wh.read("staging", "customers").select(
+      col("c_custkey").cast(LongType).as("customer_id"),
+      col("c_name").as("customer_name"),
+      col("c_mktsegment").as("segment"),
+      col("c_nationkey").cast(LongType).as("customer_country_id"))
+    val custTarget =
+      if (wh.exists("bl_3nf", "ce_customers")) wh.read("bl_3nf", "ce_customers")
+        .drop("scd_status")
+      else custSrc.limit(0)
+        .withColumn("insert_dt", runDt).withColumn("update_dt", runDt)
+    val nCustomers = log.logged("load_3nf_ce_customers_scd1")(
+      wh.overwrite(
+        Scd.scd1Merge(custTarget, custSrc, Seq("customer_id"),
+          Seq("customer_name", "segment"), runDt),
+        "bl_3nf", "ce_customers"))
+
+    // Products: SCD Type 2 on retail price
+    val prodSrc = wh.read("staging", "products").select(
+      col("p_partkey").cast(LongType).as("product_id"),
+      col("p_name").as("product_name"),
+      col("p_brand").as("brand"),
+      col("p_type").as("product_type"),
+      col("p_retailprice").cast(DecimalType(9, 2)).as("unit_price"))
+      // staging dedups on (key, price); one current row per key enters SCD2
+      .transform(df => Staging.dedupFirstWins(df, Seq("product_id"), Seq(col("unit_price").desc)))
+    val prodTarget =
+      if (wh.exists("bl_3nf", "ce_products_scd")) wh.read("bl_3nf", "ce_products_scd")
+      else prodSrc.limit(0)
+        .withColumn("start_ts", runTs.cast(TimestampType))
+        .withColumn("end_ts", runTs.cast(TimestampType))
+        .withColumn("is_active", lit("Y"))
+    val nProducts = log.logged("load_3nf_ce_products_scd2")(
+      wh.overwrite(
+        Scd.scd2Merge(prodTarget, prodSrc, Seq("product_id"), Seq("unit_price"), runTs),
+        "bl_3nf", "ce_products_scd"))
+
+    // Sales fact: incremental watermark + dim lookups + measures
+    val sales = wh.read("staging", "sales").select(
+      concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("sale_src_id"),
+      col("l_orderkey").cast(LongType).as("order_id"),
+      col("l_partkey").cast(LongType).as("product_src_id"),
+      col("l_suppkey").cast(LongType).as("supplier_src_id"),
+      col("l_quantity").cast(dec).as("quantity"),
+      col("l_extendedprice").cast(dec).as("extended_price"),
+      to_date(col("l_shipdate")).as("ship_dt"))
+    val orders = wh.read("staging", "orders").select(
+      col("o_orderkey").cast(LongType).as("order_id"),
+      col("o_custkey").cast(LongType).as("customer_src_id"),
+      to_date(col("o_orderdate")).as("order_dt"))
+    val activeProducts = wh.read("bl_3nf", "ce_products_scd")
+      .filter(col("is_active") === "Y")
+      .select(col("product_id"), col("unit_price"))
+    val factNew = sales
+      .join(orders, Seq("order_id"), "left")
+      .join(broadcast(activeProducts),
+        col("product_src_id") === col("product_id"), "left")
+      .select(
+        col("sale_src_id"),
+        coalesce(col("order_dt"), lit("1900-01-01").cast(DateType)).as("order_dt"),
+        coalesce(col("customer_src_id"), lit(-1L)).as("customer_id"),
+        coalesce(col("product_id"), lit(-1L)).as("product_id"),
+        coalesce(col("supplier_src_id"), lit(-1L)).as("supplier_id"),
+        col("quantity"),
+        // reference semantics: total = quantity × currently-ACTIVE price
+        // (SURVEY §3.4.5), falling back to extended price when unknown dim
+        coalesce((col("quantity") * col("unit_price")).cast(DecimalType(18, 2)),
+          col("extended_price")).as("sale_total"),
+        col("ship_dt"))
+    val fact =
+      if (wh.exists("bl_3nf", "ce_sales")) {
+        val existing = wh.read("bl_3nf", "ce_sales")
+        val incremental = Relational.newerThanWatermark(factNew, existing, "order_dt")
+        existing.unionByName(
+          Staging.newRowsOnly(incremental, existing, Seq("sale_src_id")))
+      } else factNew
+    val nSales = log.logged("load_3nf_ce_sales")(
+      wh.overwrite(fact, "bl_3nf", "ce_sales"))
+
+    Map("ce_continents" -> nContinents, "ce_countries" -> nCountries,
+      "ce_customers" -> nCustomers, "ce_products_scd" -> nProducts,
+      "ce_sales" -> nSales)
+  }
+
+  // -- Stage 3: dimensional — date dim, flattened dims, partitioned fact
+  def stageDm(): Map[String, Long] = {
+    val fact3nf = wh.read("bl_3nf", "ce_sales")
+
+    val nDates = log.logged("load_dim_dates")(
+      wh.overwrite(DimDates.autoRanged(spark, fact3nf, "order_dt"), "bl_dm", "dim_dates"))
+
+    // J3 snowflake flatten: customer → country → continent
+    val countries = wh.read("bl_3nf", "ce_countries")
+    val continents = wh.read("bl_3nf", "ce_continents")
+    val dimCustomers = wh.read("bl_3nf", "ce_customers")
+      .filter(col("customer_id") =!= -1) // P4 default-row exclusion
+      .join(broadcast(countries), col("customer_country_id") === col("country_id"), "left")
+      .join(broadcast(continents), col("country_continent_id") === col("continent_id"), "left")
+      .select(col("customer_id"), col("customer_name"), col("segment"),
+        coalesce(col("country_name"), lit("n.a.")).as("country_name"),
+        coalesce(col("continent_name"), lit("n.a.")).as("continent_name"))
+    val nDimCust = log.logged("load_dim_customers")(
+      wh.overwrite(dimCustomers, "bl_dm", "dim_customers"))
+
+    val dimProducts = wh.read("bl_3nf", "ce_products_scd")
+      .filter(col("is_active") === "Y")
+    val nDimProd = log.logged("load_dim_products")(
+      wh.overwrite(dimProducts, "bl_dm", "dim_products_scd"))
+
+    // Fact: month-partitioned (reference's RANGE partitions → partitionBy)
+    val fct = fact3nf
+      .withColumn("order_month", date_format(col("order_dt"), "yyyyMM"))
+    val nFct = log.logged("load_fct_sales")(
+      wh.overwrite(fct, "bl_dm", "fct_sales", partitionBy = Seq("order_month")))
+
+    Map("dim_dates" -> nDates, "dim_customers" -> nDimCust,
+      "dim_products_scd" -> nDimProd, "fct_sales" -> nFct)
+  }
+
+  /** C3 insert-only append against the existing warehouse table. */
+  private def insertOnly(src: DataFrame, layer: String, table: String,
+                         keys: Seq[String]): DataFrame =
+    if (wh.exists(layer, table)) Staging.antiJoinAppend(src, wh.read(layer, table), keys)
+    else src
+
+  /** The reference's −1 default row ('n.a.', SURVEY §1.4). */
+  private def withDefaultRow(df: DataFrame, defaults: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val defaultRow = df.sparkSession.range(1).select(
+      defaults.zip(df.columns).map { case (d, c) =>
+        d.cast(df.schema(c).dataType).as(c) }: _*)
+    df.unionByName(defaultRow)
+  }
+}

@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Layered parquet warehouse: one directory per (layer, table), the
+  * Spark analog of the reference's five PostgreSQL schemas
+  * (reference: readme.md:193-199 — data_source/staging/bl_3nf/bl_dm/bl_cl).
+  *
+  * Plain parquet has no MERGE and no transactions, so every loader is a
+  * pure (source, target) → newTarget function and the ONLY mutation is
+  * [[overwrite]]: write to `<table>__tmp`, then atomically swap
+  * directories. A crash mid-write leaves the old table intact — the
+  * moral equivalent of the reference's per-procedure ROLLBACK
+  * (reference: sql/staging/load_staging_sales_table.sql:137-148).
+  */
+class Warehouse(val root: String, spark: SparkSession) {
+
+  private val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def path(layer: String, table: String): String = s"$root/$layer/$table"
+
+  def exists(layer: String, table: String): Boolean =
+    fs.exists(new Path(path(layer, table), "_SUCCESS"))
+
+  def read(layer: String, table: String): DataFrame =
+    spark.read.parquet(path(layer, table))
+
+  /** Atomic overwrite: tmp write + directory swap. `partitionBy` gives
+    * the fact table its month layout (partition pruning on read —
+    * the reference's RANGE partitions,
+    * load_fct_sales_fact_table_dimensional_layer.sql:55-102).
+    */
+  def overwrite(df: DataFrame, layer: String, table: String,
+                partitionBy: Seq[String] = Nil): Long = {
+    val target = new Path(path(layer, table))
+    val tmp = new Path(path(layer, table + "__tmp"))
+    val old = new Path(path(layer, table + "__old"))
+    fs.delete(tmp, true)
+    val writer = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(tmp.toString)
+    val n = spark.read.parquet(tmp.toString).count()
+    fs.delete(old, true)
+    if (fs.exists(target)) fs.rename(target, old)
+    fs.rename(tmp, target)
+    fs.delete(old, true)
+    n
+  }
+}

@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming twins of the batch event queries
+  * ([[graft.operators.EventsQueries]]). The reference is batch-only
+  * (SURVEY §2.12); these extend its incremental-watermark semantics to a
+  * real stream: file source → watermark → windowed agg / dedup /
+  * stateful sessions → sink, runnable with Trigger.AvailableNow over a
+  * parquet directory (at-least-once + dedup ≈ the reference's J8 + P3).
+  */
+object EventPipelines {
+
+  /** Parquet schema of the events table; ts arrives as nanosecond longs
+    * (see Tables.events) and is normalized to a timestamp here.
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based stream over a directory of events parquet files. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(rawSchema).parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  /** Tumbling 1-hour counts/sums per event type with a 2-hour watermark:
+    * late data beyond the watermark is dropped, state is bounded.
+    */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** At-least-once → effectively-once: drop duplicate event ids inside
+    * the watermark horizon (the streaming form of the J8 anti-join).
+    */
+  def dedupById(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+  case class SessionState(start: Long, lastUs: Long, n: Int)
+  case class SessionOut(user_id: Long, session_start_us: Long, n_events: Int, duration_us: Long)
+
+  /** Gap-based sessionization with event-time timeout: a session closes
+    * after 30 min of silence and is emitted exactly once.
+    */
+  def sessionize(spark: SparkSession, events: DataFrame): Dataset[SessionOut] = {
+    import spark.implicits._
+    val gapUs = 30L * 60 * 1000000
+
+    def update(user: Long, rows: Iterator[SessionEvent],
+               state: GroupState[SessionState]): Iterator[SessionOut] = {
+      var out = List.empty[SessionOut]
+      var cur = state.getOption
+      rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        val us = e.ts.getTime * 1000
+        cur match {
+          case Some(st) if us - st.lastUs <= gapUs =>
+            cur = Some(st.copy(lastUs = us, n = st.n + 1))
+          case Some(st) =>
+            out ::= SessionOut(user, st.start, st.n, st.lastUs - st.start)
+            cur = Some(SessionState(us, us, 1))
+          case None =>
+            cur = Some(SessionState(us, us, 1))
+        }
+      }
+      if (state.hasTimedOut) {
+        cur.foreach(st => out ::= SessionOut(user, st.start, st.n, st.lastUs - st.start))
+        state.remove()
+      } else {
+        cur.foreach { st =>
+          state.update(st)
+          state.setTimeoutTimestamp(st.lastUs / 1000 + gapUs / 1000)
+        }
+      }
+      out.reverseIterator
+    }
+
+    events
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("ts"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** Run any of the above to a named in-memory sink, synchronously
+    * (Trigger.AvailableNow semantics via processAllAvailable).
+    */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append): Unit = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}
