@@ -7,7 +7,8 @@ import org.apache.spark.sql.SparkSession
   * `master`, with shuffle partitions sized to cores×2-3.
   */
 object Sessions {
-  def local(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"),
+  def local(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+              Runtime.getRuntime.availableProcessors().toString),
             app: String = "graft"): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")

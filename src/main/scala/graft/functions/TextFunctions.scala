@@ -50,12 +50,16 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
-  /** Word n-gram shingles (distinct), 1-based element_at so the same
-    * expression shape works in 1-based SQL engines. Empty array when the
-    * document has fewer than n tokens.
+  /** Word n-gram shingles (distinct) from a STAGED token-array column,
+    * 1-based element_at so the same expression shape works in 1-based SQL
+    * engines. Empty array when the document has fewer than n tokens.
+    *
+    * Takes the token array, not the text: every `element_at(ts, …)`
+    * reference inlines its argument subtree, so passing `tokens(text)`
+    * directly would re-split the whole document 3n× per shingle
+    * (measured ~20× slowdown). Project the tokens into a column first.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val ts = tokens(text)
+  def shinglesOfTokens(ts: Column, n: Int): Column = {
     val make = transform(sequence(lit(1), size(ts) - (n - 1)),
       i => concat_ws(" ", (0 until n).map(o => element_at(ts, i + o)): _*))
     array_distinct(when(size(ts) >= n, make).otherwise(array()))

@@ -29,9 +29,13 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
 
-  /** (id, shingle) table — distinct word n-gram shingles per document. */
+  /** (id, shingle) table — distinct word n-gram shingles per document.
+    * Tokenizes in its own projection so the shingle expression references
+    * the token ARRAY attribute (one split per doc, not per element_at).
+    */
   def shingleTable(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
-    docs.select(col(idCol), explode(TextFunctions.shingles(col(textCol), n)).as("shingle"))
+    docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__ts"))
+      .select(col(idCol), explode(TextFunctions.shinglesOfTokens(col("__ts"), n)).as("shingle"))
 
   /** Exact pairwise n-gram Jaccard ≥ minJaccard via shingle self-join.
     * `maxShingleDf` (optional) drops shingles occurring in more docs —
@@ -98,8 +102,20 @@ object Dedup {
                          ngram: Int, k: Int, bands: Int, minJaccard: Double): DataFrame = {
     val sh = shingleTable(docs, textCol, idCol, ngram)
     val cands = lshCandidatePairs(minhashSignatures(sh, idCol, k), idCol, bands, k / bands)
-    val verified = jaccardPairs(sh, idCol, minJaccard)
-    cands.join(verified, Seq("id_1", "id_2"))
+    // Verify ONLY the candidates (work ∝ candidate density, never all
+    // pairs): attach each side's distinct-shingle set and compute exact
+    // Jaccard via array intersection. Equivalent to joining the all-pairs
+    // jaccard table — a pair sharing no shingle has jaccard 0 and is
+    // filtered either way.
+    val sets = sh.groupBy(col(idCol)).agg(collect_set(col("shingle")).as("sset"))
+    cands
+      .join(sets.select(col(idCol).as("id_1"), col("sset").as("s1")), "id_1")
+      .join(sets.select(col(idCol).as("id_2"), col("sset").as("s2")), "id_2")
+      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("s1")) + size(col("s2")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_1"), col("id_2"), col("jaccard"))
   }
 
   /** 16-bit SimHash over the distinct token set, built from the first 4

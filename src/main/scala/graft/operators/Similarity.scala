@@ -24,12 +24,18 @@ object Similarity {
     * deterministic neighbor-id tie-break.
     */
   def bruteForceKnn(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
-    val a = emb.select(col(idCol).as("vec_id"), col(vecCol).as("va"))
-    val b = emb.select(col(idCol).as("nn_id"), col(vecCol).as("vb"))
+    // Norms are computed once per vector BEFORE the self-join (2N sqrt's,
+    // not 2N² — the join then evaluates a single codegen'd dot per pair).
+    // cos = dot/(na*nb) is the same arithmetic as dot/(sqrt(Σa²)·sqrt(Σb²)),
+    // so oracle results stay bit-identical.
+    val a = emb.select(col(idCol).as("vec_id"), col(vecCol).as("va"),
+      norm(col(vecCol)).as("na"))
+    val b = emb.select(col(idCol).as("nn_id"), col(vecCol).as("vb"),
+      norm(col(vecCol)).as("nb"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("nn_id"))
     a.crossJoin(b).filter(col("vec_id") =!= col("nn_id"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("vec_id"), col("nn_id"), col("cos"), col("rn"))
@@ -43,10 +49,12 @@ object Similarity {
   def lshNearPairs(emb: DataFrame, idCol: String, vecCol: String,
                    bits: Int, minCos: Double): DataFrame = {
     val bk = buckets(emb, idCol, vecCol, bits)
-    val a = bk.select(col(idCol).as("id_1"), col(vecCol).as("va"), col("bucket"))
-    val b = bk.select(col(idCol).as("id_2"), col(vecCol).as("vb"), col("bucket"))
+    val a = bk.select(col(idCol).as("id_1"), col(vecCol).as("va"),
+      norm(col(vecCol)).as("na"), col("bucket"))
+    val b = bk.select(col(idCol).as("id_2"), col(vecCol).as("vb"),
+      norm(col(vecCol)).as("nb"), col("bucket"))
     a.join(b, "bucket").filter(col("id_1") < col("id_2"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= minCos)
       .select(col("id_1"), col("id_2"), col("cos"))
   }
