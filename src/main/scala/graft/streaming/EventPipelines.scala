@@ -48,7 +48,10 @@ object EventPipelines {
     events.withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
-  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+  /** `us` carries the full microsecond timestamp — Timestamp.getTime is
+    * ms-truncated and would shift session boundaries vs batch unix_micros.
+    */
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, us: Long)
   case class SessionState(start: Long, lastUs: Long, n: Int)
   case class SessionOut(user_id: Long, session_start_us: Long, n_events: Int, duration_us: Long)
 
@@ -63,8 +66,8 @@ object EventPipelines {
                state: GroupState[SessionState]): Iterator[SessionOut] = {
       var out = List.empty[SessionOut]
       var cur = state.getOption
-      rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
-        val us = e.ts.getTime * 1000
+      rows.toSeq.sortBy(_.us).foreach { e =>
+        val us = e.us
         cur match {
           case Some(st) if us - st.lastUs <= gapUs =>
             cur = Some(st.copy(lastUs = us, n = st.n + 1))
@@ -89,7 +92,7 @@ object EventPipelines {
 
     events
       .withWatermark("ts", "2 hours")
-      .select(col("user_id"), col("ts"))
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"))
       .as[SessionEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)

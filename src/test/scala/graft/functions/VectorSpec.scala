@@ -1,0 +1,56 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class VectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val df = Seq(
+    (1L, Array(1f, 2f, 3f), Array(4f, 5f, 6f)),
+    (2L, Array(0f, 0f, 1f), Array(0f, 1f, 0f)),
+    (3L, Array(1.5f, -2.5f, 0.5f), Array(-1f, 1f, 1f))
+  ).toDF("id", "a", "b")
+
+  test("codegen'd dot matches the scala fold exactly") {
+    val got = df.select($"id", VectorFunctions.dot($"a", $"b").as("d"))
+      .as[(Long, Double)].collect().toMap
+    def fold(a: Array[Float], b: Array[Float]) =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+    assert(got(1L) == fold(Array(1f, 2f, 3f), Array(4f, 5f, 6f)))
+    assert(got(2L) == 0.0)
+    assert(got(3L) == fold(Array(1.5f, -2.5f, 0.5f), Array(-1f, 1f, 1f)))
+  }
+
+  test("dot matches the interpreted higher-order-function formulation") {
+    val hof = aggregate(
+      zip_with($"a", $"b", (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val diff = df.select((VectorFunctions.dot($"a", $"b") - hof).as("d"))
+      .as[Double].collect()
+    assert(diff.forall(_ == 0.0))
+  }
+
+  test("null vector yields null, not a crash") {
+    val withNull = Seq((1L, Array(1f), Option.empty[Array[Float]]))
+      .toDF("id", "a", "b")
+    val r = withNull.select(VectorFunctions.dot($"a", $"b")).collect()
+    assert(r.head.isNullAt(0))
+  }
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    val r = df.select($"id",
+      VectorFunctions.cosine($"a", $"a").as("self"),
+      VectorFunctions.cosine($"a", $"b").as("cross"))
+      .as[(Long, Double, Double)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(math.abs(r(1L)._1 - 1.0) < 1e-12)
+    assert(r(2L)._2 == 0.0)
+  }
+
+  test("signBucket maps sign pattern of leading dims") {
+    val r = df.select($"id", VectorFunctions.signBucket($"a", 3).as("bk"))
+      .as[(Long, String)].collect().toMap
+    assert(r(1L) == "111")
+    assert(r(3L) == "101")
+  }
+}

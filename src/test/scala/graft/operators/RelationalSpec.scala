@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Warehouse
+import org.apache.spark.sql.functions._
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("newerThanWatermark keeps strictly newer rows; empty target passes all") {
+    val target = Seq(("2024-01-01"), ("2024-02-01")).toDF("dt")
+      .select($"dt".cast("date"))
+    val src = Seq("2024-01-15", "2024-02-01", "2024-02-02").toDF("dt")
+      .select($"dt".cast("date"))
+    assert(Relational.newerThanWatermark(src, target, "dt").count() == 1)
+    assert(Relational.newerThanWatermark(src, target.limit(0), "dt").count() == 3)
+  }
+
+  test("unionDistinct has PostgreSQL UNION semantics") {
+    val a = Seq(1, 2, 2).toDF("x")
+    val b = Seq(2, 3).toDF("x")
+    assert(Relational.unionDistinct(a, b).as[Int].collect().sorted.sameElements(Array(1, 2, 3)))
+  }
+
+  test("topKPerGroup is deterministic under ties") {
+    val df = Seq(("a", 10, 1), ("a", 10, 2), ("a", 5, 3), ("b", 7, 4)).toDF("g", "m", "id")
+    val top = Relational.topKPerGroup(df, Seq("g"), Seq($"m".desc, $"id"), 1)
+      .select($"g", $"id").as[(String, Int)].collect().toMap
+    assert(top("a") == 1 && top("b") == 4)
+  }
+
+  test("staging clean casts all to string and dedups") {
+    val df = Seq((1, 2.5), (1, 2.5), (2, 3.0)).toDF("k", "v")
+    val out = Staging.clean(df, Seq("k", "v"))
+    assert(out.schema.fields.forall(_.dataType.typeName == "string"))
+    assert(out.count() == 2)
+  }
+
+  test("antiJoinAppend is idempotent and appends only new keys") {
+    val target = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val src = Seq((2, "zzz"), (3, "c")).toDF("k", "v")
+    val once = Staging.antiJoinAppend(src, target, Seq("k"))
+    assert(once.count() == 3)
+    // existing key 2 keeps target's value (insert-only, never update)
+    assert(once.filter($"k" === 2).select($"v").as[String].head() == "b")
+    val twice = Staging.antiJoinAppend(src, once, Seq("k"))
+    assert(twice.exceptAll(once).isEmpty)
+  }
+
+  test("dedupFirstWins picks one deterministic row per key") {
+    val df = Seq((1, "x", 5), (1, "y", 9), (2, "z", 1)).toDF("k", "v", "p")
+    val out = Staging.dedupFirstWins(df, Seq("k"), Seq($"p".desc))
+    assert(out.count() == 2)
+    assert(out.filter($"k" === 1).select($"v").as[String].head() == "y")
+  }
+
+  test("warehouse overwrite is an atomic swap and survives re-read") {
+    val root = java.nio.file.Files.createTempDirectory("graft-whspec").toString
+    val wh = new Warehouse(root, spark)
+    assert(!wh.exists("l", "t"))
+    assert(wh.overwrite(Seq(1, 2, 3).toDF("x"), "l", "t") == 3)
+    assert(wh.exists("l", "t"))
+    assert(wh.overwrite(Seq(4).toDF("x"), "l", "t") == 1)
+    assert(wh.read("l", "t").as[Int].collect().sameElements(Array(4)))
+  }
+
+  test("hashed surrogate keys are deterministic across runs") {
+    val df = Seq("k1", "k2").toDF("bk")
+    val a = Relational.surrogateKeysHashed(df, Seq("bk"), "id").as[(String, Long)].collect().toMap
+    val b = Relational.surrogateKeysHashed(df, Seq("bk"), "id").as[(String, Long)].collect().toMap
+    assert(a == b && a("k1") != a("k2"))
+  }
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "  The  quick brown fox jumps over the lazy dog "), // exact dup of 1 mod ws/case
+    (4L, "completely different text about spark engines")
+  ).toDF("doc_id", "text")
+
+  test("fingerprint collapses whitespace/case variants") {
+    val fps = docs.select($"doc_id", TextFunctions.fingerprint($"text").as("fp"))
+      .as[(Long, String)].collect().toMap
+    assert(fps(1L) == fps(3L))
+    assert(fps(1L) != fps(2L))
+  }
+
+  test("exactGroups keeps min id and counts duplicates") {
+    val g = Dedup.exactGroups(docs, "text", "doc_id")
+      .as[(String, Long, Long)].collect().map(t => t._2 -> t._3).toMap
+    assert(g(1L) == 2) // docs 1+3 collapse, keeper is min id 1
+    assert(g(2L) == 1 && g(4L) == 1)
+  }
+
+  test("shingleTable emits distinct word n-grams; short docs emit none") {
+    val sh = Dedup.shingleTable(Seq((1L, "a b c d"), (2L, "a b")).toDF("doc_id", "text"),
+      "text", "doc_id", 3)
+    val rows = sh.as[(Long, String)].collect().toSet
+    assert(rows == Set((1L, "a b c"), (1L, "b c d")))
+  }
+
+  test("jaccardPairs computes exact intersection/union ratio") {
+    val sh = Dedup.shingleTable(docs, "text", "doc_id", 3)
+    val pairs = Dedup.jaccardPairs(sh, "doc_id", 0.0)
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    // docs 1,2: 9 tokens → 7 shingles each, 6 shared → 6/8
+    assert(math.abs(pairs((1L, 2L)) - 6.0 / 8.0) < 1e-12)
+    // identical-after-normalization docs differ in raw text shingles (case)
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("minhashLshNearDups finds the obvious near-dup pair and nothing with doc 4") {
+    val found = Dedup.minhashLshNearDups(docs, "text", "doc_id",
+      ngram = 3, k = 8, bands = 4, minJaccard = 0.2)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2)).toSet
+    assert(found.contains((1L, 2L)))
+    assert(!found.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("simhash: identical token sets hash identically, near-dups are close") {
+    val sim = Dedup.simhash16(docs, "text", "doc_id")
+      .as[(Long, Int)].collect().toMap
+    def ham(a: Int, b: Int) = Integer.bitCount(a ^ b)
+    assert(ham(sim(1L), sim(2L)) < ham(sim(1L), sim(4L)))
+    val pairs = Dedup.simhashPairs(Dedup.simhash16(docs, "text", "doc_id"), "doc_id", 16)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.length == 6) // all pairs at max hamming
+  }
+
+  test("token stats, quality and langid columns are sane") {
+    val sw = Seq("the", "over")
+    val r = docs.select($"doc_id",
+      TextFunctions.tokenCount($"text").as("n"),
+      TextFunctions.stopwordRatio($"text", sw).as("swr"),
+      TextFunctions.qualityScore($"text", sw).as("q"))
+      .as[(Long, Int, Double, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(r(1L)._1 == 9)
+    assert(math.abs(r(1L)._2 - 3.0 / 9.0) < 1e-12)
+    assert(r.values.forall(v => v._3 >= 0.0 && v._3 <= 1.0))
+  }
+}

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming ↔ batch parity over the sf0.001 events table.
+  * The stream source is a temp dir seeded with the events parquet file
+  * (the file-source contract a production feed would use).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val streamDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-events")
+    val src = new java.io.File(s"$sf/events.parquet")
+    val files =
+      if (src.isDirectory) src.listFiles().filter(_.getName.endsWith(".parquet")).toSeq
+      else Seq(src)
+    files.zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.copy(f.toPath, dir.resolve(s"part-$i.parquet"))
+    }
+    dir.toString
+  }
+
+  private def batchEvents = Tables.events(spark, sf)
+
+  test("hourlyAgg matches the batch tumbling-window aggregation") {
+    EventPipelines.runToMemory(
+      EventPipelines.hourlyAgg(EventPipelines.readEventStream(spark, streamDir)),
+      "hourly", org.apache.spark.sql.streaming.OutputMode.Complete)
+    val streamed = spark.table("hourly")
+      .select(date_format($"hour", "yyyy-MM-dd HH").as("h"), $"event_type", $"n_events")
+      .as[(String, String, Long)].collect().toSet
+    val batch = batchEvents
+      .groupBy(date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH").as("h"), $"event_type")
+      .agg(count(lit(1)).as("n_events"))
+      .as[(String, String, Long)].collect().toSet
+    assert(streamed == batch)
+  }
+
+  test("dedupById removes duplicate event ids within the watermark") {
+    val s = EventPipelines.readEventStream(spark, streamDir)
+    EventPipelines.runToMemory(
+      EventPipelines.dedupById(s.union(s)).select($"event_id"), "deduped")
+    assert(spark.table("deduped").count() == batchEvents.select($"event_id").distinct().count())
+  }
+
+  test("sessionize emits closed sessions that match the batch gap logic") {
+    EventPipelines.runToMemory(
+      EventPipelines.sessionize(spark, EventPipelines.readEventStream(spark, streamDir)).toDF(),
+      "sessions")
+    val streamed = spark.table("sessions")
+      .select($"user_id", $"session_start_us", $"n_events")
+      .as[(Long, Long, Int)].collect().toSet
+
+    // batch truth: gap-based sessions via lag + running sum
+    val gapUs = 30L * 60 * 1000000
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val sessions = batchEvents
+      .withColumn("us", unix_micros($"ts"))
+      .withColumn("new_s", when(lag($"us", 1).over(w).isNull ||
+        ($"us" - lag($"us", 1).over(w)) > gapUs, 1).otherwise(0))
+      .withColumn("sid", sum($"new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"sid")
+      .agg(min($"us").as("session_start_us"), count(lit(1)).cast("int").as("n_events"))
+    val all = sessions.select($"user_id", $"session_start_us", $"n_events")
+      .as[(Long, Long, Int)].collect().toSet
+
+    // every emitted session is a true session, and at most one session per
+    // user (the final one, possibly still open in state) is unemitted
+    assert(streamed.subsetOf(all))
+    val nUsers = sessions.select($"user_id").distinct().count()
+    assert(streamed.size >= all.size - nUsers)
+  }
+}
