@@ -1,0 +1,21 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.DotProductFloat
+
+/** SparkSessionExtensions entry point: registers graft's native
+  * expressions as SQL functions, so `spark.sql("SELECT vec_dot(a, b)")`
+  * works anywhere the extension is loaded
+  * (`--conf spark.sql.extensions=graft.GraftExtensions` on a cluster;
+  * Sessions.local wires it automatically).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[DotProductFloat].getName, "vec_dot"),
+      (children: Seq[Expression]) => DotProductFloat(children(0), children(1))))
+  }
+}

@@ -13,6 +13,7 @@ object Sessions {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(app)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -45,6 +45,30 @@ object Similarity {
   def buckets(emb: DataFrame, idCol: String, vecCol: String, bits: Int): DataFrame =
     emb.select(col(idCol), col(vecCol), signBucket(col(vecCol), bits).as("bucket"))
 
+  /** IVF-style ANN: exact top-k restricted to the probed coarse
+    * partition (`clusterCol` — a centroid/cell id from any coarse
+    * quantizer; the testdata's `label` plays that role). The classic
+    * IVF trade: recall bounded by the quantizer, cost divided by the
+    * number of cells. nprobe>1 = union several cluster ids upstream.
+    * Partition-local: the self-join shuffles on the cluster key only —
+    * each cell's quadratic search is independent, so the shape
+    * parallelizes across cells at 100 TB.
+    */
+  def ivfKnn(emb: DataFrame, idCol: String, vecCol: String,
+             clusterCol: String, k: Int): DataFrame = {
+    val a = emb.select(col(clusterCol).as("cluster"), col(idCol).as("vec_id"),
+      col(vecCol).as("va"), norm(col(vecCol)).as("na"))
+    val b = emb.select(col(clusterCol).as("cluster"), col(idCol).as("nn_id"),
+      col(vecCol).as("vb"), norm(col(vecCol)).as("nb"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("nn_id"))
+    a.join(b, "cluster").filter(col("vec_id") =!= col("nn_id"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("cluster"), col("vec_id"), col("nn_id"), col("cos"), col("rn"))
+  }
+
   /** Near pairs: same bucket AND exact cosine ≥ minCos. */
   def lshNearPairs(emb: DataFrame, idCol: String, vecCol: String,
                    bits: Int, minCos: Double): DataFrame = {

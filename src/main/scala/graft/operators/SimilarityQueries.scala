@@ -27,7 +27,12 @@ object SimilarityQueries extends QueryPack {
     // Bucket histogram — shows LSH balance (skew → raise bits).
     "q52_lsh_buckets" -> ((s, d) =>
       Similarity.buckets(Tables.embeddings(s, d), "vec_id", "embedding", BITS)
-        .groupBy(col("bucket")).agg(count(lit(1)).as("n_vecs")))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_vecs"))),
+
+    // IVF-style ANN: exact top-3 within the coarse partition (label as
+    // the quantizer cell) — recall bounded by the quantizer, cost ÷ cells.
+    "q57_ivf_knn" -> ((s, d) =>
+      Similarity.ivfKnn(Tables.embeddings(s, d), "vec_id", "embedding", "label", 3))
   )
 
   /** cosine(a,b) with strict left-fold double arithmetic. */
@@ -57,6 +62,15 @@ object SimilarityQueries extends QueryPack {
          WHERE ${cosSql("a.embedding", "b.embedding")} >= $MIN_COS""",
     "q52_lsh_buckets" ->
       s"""SELECT $bucketSql AS bucket, count(*) AS n_vecs
-         FROM embeddings GROUP BY 1"""
+         FROM embeddings GROUP BY 1""",
+    "q57_ivf_knn" ->
+      s"""SELECT cluster, vec_id, nn_id, cos, rn FROM (
+           SELECT a.label AS cluster, a.vec_id, b.vec_id AS nn_id,
+                  ${cosSql("a.embedding", "b.embedding")} AS cos,
+                  CAST(row_number() OVER (PARTITION BY a.vec_id
+                       ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id) AS INT) AS rn
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id != b.vec_id)
+         WHERE rn <= 3"""
   )
 }

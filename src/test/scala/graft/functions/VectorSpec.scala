@@ -47,6 +47,24 @@ class VectorSpec extends SparkSpec {
     assert(r(2L)._2 == 0.0)
   }
 
+  test("vec_dot is SQL-callable via GraftExtensions") {
+    df.createOrReplaceTempView("vecs")
+    val r = spark.sql("SELECT id, vec_dot(a, b) AS d FROM vecs WHERE id = 1")
+      .as[(Long, Double)].head()
+    assert(r == (1L, 32.0))
+  }
+
+  test("ivfKnn searches only within the coarse partition") {
+    val emb = Seq(
+      (1L, 0, Array(1f, 0f)), (2L, 0, Array(0.9f, 0.1f)), (3L, 0, Array(0f, 1f)),
+      (4L, 1, Array(1f, 0f))
+    ).toDF("vec_id", "label", "embedding")
+    val knn = graft.operators.Similarity.ivfKnn(emb, "vec_id", "embedding", "label", 1)
+      .select($"vec_id", $"nn_id").as[(Long, Long)].collect().toMap
+    assert(knn(1L) == 2L && knn(2L) == 1L)
+    assert(!knn.contains(4L)) // alone in its cell: no neighbors, never crosses cells
+  }
+
   test("signBucket maps sign pattern of leading dims") {
     val r = df.select($"id", VectorFunctions.signBucket($"a", 3).as("bk"))
       .as[(Long, String)].collect().toMap
