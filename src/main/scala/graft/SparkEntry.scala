@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators._
+import graft.plans.EtlQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -15,7 +16,8 @@ object SparkEntry {
     DedupQueries,
     SimilarityQueries,
     EventsQueries,
-    MultimodalQueries
+    MultimodalQueries,
+    EtlQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
