@@ -65,4 +65,20 @@ object Relational {
     */
   def surrogateKeysHashed(rows: DataFrame, businessKey: Seq[String], idCol: String): DataFrame =
     rows.withColumn(idCol, xxhash64(businessKey.map(col): _*))
+
+  /** Skew-salted inner equi-join: fact-side hot keys are spread over
+    * `salts` buckets and the (smaller) build side is replicated once per
+    * bucket, so no single reducer owns a hot key's whole partition. AQE's
+    * skew-join split handles moderate skew on its own; explicit salting
+    * is for the pathological case (one key = 30% of a 100 TB fact) where
+    * even a split partition is a straggler. Build-side replication cost =
+    * `salts` × |build|, so keep the build side the small one.
+    */
+  def saltedJoin(fact: DataFrame, build: DataFrame, key: String, salts: Int): DataFrame = {
+    val salted = fact.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
+    val replicated = build.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
 }

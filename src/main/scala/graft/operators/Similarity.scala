@@ -32,13 +32,16 @@ object Similarity {
       norm(col(vecCol)).as("na"))
     val b = emb.select(col(idCol).as("nn_id"), col(vecCol).as("vb"),
       norm(col(vecCol)).as("nb"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos").desc, col("nn_id"))
+    // Top-k via a bounded partial aggregate, not a window: map tasks
+    // reduce to ≤k per vec_id before the exchange (see TopKByScore).
+    val topk = udaf(new graft.functions.TopKByScore(k))
     a.crossJoin(b).filter(col("vec_id") =!= col("nn_id"))
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("vec_id"), col("nn_id"), col("cos"), col("rn"))
+      .groupBy(col("vec_id"))
+      .agg(topk(col("cos"), col("nn_id")).as("nns"))
+      .select(col("vec_id"), posexplode(col("nns")))
+      .select(col("vec_id"), col("col._2").as("nn_id"), col("col._1").as("cos"),
+        (col("pos") + 1).cast("int").as("rn"))
   }
 
   /** Sign-bit LSH buckets: (id, bucket). */

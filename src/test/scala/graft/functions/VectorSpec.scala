@@ -65,6 +65,17 @@ class VectorSpec extends SparkSpec {
     assert(!knn.contains(4L)) // alone in its cell: no neighbors, never crosses cells
   }
 
+  test("TopKByScore keeps k best with deterministic ties across merge orders") {
+    val agg = new graft.functions.TopKByScore(2)
+    val items = Seq((0.5, 7L), (0.9, 3L), (0.9, 1L), (0.1, 9L), (0.9, 2L))
+    val direct = items.foldLeft(agg.zero)(agg.reduce)
+    assert(direct == Seq((0.9, 1L), (0.9, 2L)))
+    // associativity: any split-merge gives the same answer
+    val (l, r) = items.splitAt(2)
+    val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+    assert(merged == direct)
+  }
+
   test("signBucket maps sign pattern of leading dims") {
     val r = df.select($"id", VectorFunctions.signBucket($"a", 3).as("bk"))
       .as[(Long, String)].collect().toMap
