@@ -26,6 +26,27 @@ class Warehouse(val root: String, spark: SparkSession) {
   def read(layer: String, table: String): DataFrame =
     spark.read.parquet(path(layer, table))
 
+  /** Bucketed overwrite via the session catalog: rows are hash-bucketed
+    * (and sorted) on `bucketCols`, so equi-joins and aggregations on
+    * those columns between same-bucketed tables need NO exchange — the
+    * co-located-join layout for the 100 TB fact⋈fact / fact⋈big-dim
+    * case where broadcast is impossible. Catalog tables (not bare paths)
+    * because bucketing metadata lives in the catalog.
+    */
+  def overwriteBucketed(df: DataFrame, layer: String, table: String,
+                        bucketCols: Seq[String], numBuckets: Int): Long = {
+    val name = s"${layer}_$table"
+    df.write.mode("overwrite")
+      .option("path", path(layer, table + "__bucketed"))
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(name)
+    spark.table(name).count()
+  }
+
+  def readBucketed(layer: String, table: String): DataFrame =
+    spark.table(s"${layer}_$table")
+
   /** Atomic overwrite: tmp write + directory swap. `partitionBy` gives
     * the fact table its month layout (partition pruning on read —
     * the reference's RANGE partitions,

@@ -64,6 +64,24 @@ class RelationalSpec extends SparkSpec {
     assert(wh.read("l", "t").as[Int].collect().sameElements(Array(4)))
   }
 
+  test("bucketed tables join without an exchange") {
+    import graft.sources.Warehouse
+    val root = java.nio.file.Files.createTempDirectory("graft-bk").toString
+    val wh = new Warehouse(root, spark)
+    val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
+    val b = (1 to 1000).map(i => (i.toLong, s"b$i")).toDF("k", "vb")
+    wh.overwriteBucketed(a, "l", "ta", Seq("k"), 4)
+    wh.overwriteBucketed(b, "l", "tb", Seq("k"), 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = wh.readBucketed("l", "ta").join(wh.readBucketed("l", "tb"), "k")
+      assert(j.count() == 1000)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("hashed surrogate keys are deterministic across runs") {
     val df = Seq("k1", "k2").toDF("bk")
     val a = Relational.surrogateKeysHashed(df, Seq("bk"), "id").as[(String, Long)].collect().toMap
