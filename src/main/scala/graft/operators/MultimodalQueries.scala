@@ -8,7 +8,7 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: opaque binary payloads + typed metadata.
   * The testdata has no real image/audio bytes, so the payload is the
   * utf-8 encoding of the document text and the "decode" is the
-  * deterministic fake from [[Multimodal.fakeDecodeBatches]]; what's real
+  * deterministic fake from [[Multimodal.FakeCodec]]; what's real
   * and tested here is the Spark-side shape — binary column, per-row
   * metadata extraction, stable content addressing.
   */

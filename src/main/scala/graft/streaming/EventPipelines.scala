@@ -106,4 +106,27 @@ object EventPipelines {
     q.processAllAvailable()
     q.stop()
   }
+
+  /** Stream → warehouse table via foreachBatch: each micro-batch is
+    * idempotently merged (anti-join on the key) into the layered parquet
+    * store, using the same batch loaders as the orchestrator — the
+    * SURVEY §2.12 claim that the reference's at-least-once-with-dedup
+    * semantics slot straight into Structured Streaming. foreachBatch +
+    * anti-join + atomic swap = effectively-once delivery on plain
+    * parquet.
+    */
+  def streamToWarehouse(events: DataFrame, wh: graft.sources.Warehouse,
+                        layer: String, table: String, keys: Seq[String]): Unit = {
+    val q = events.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val merged =
+          if (wh.exists(layer, table))
+            graft.operators.Staging.antiJoinAppend(batch.toDF(), wh.read(layer, table), keys)
+          else batch.toDF()
+        wh.overwrite(merged, layer, table): Unit
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
 }

@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "hello world payload"),
+    (2L, "x"),
+    (3L, "a somewhat longer binary payload for frame sampling tests")
+  ).toDF("doc_id", "text")
+    .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+
+  test("decodeImages runs the codec per-partition and matches direct calls") {
+    val out = Multimodal.decodeImages(docs)
+      .as[(Long, Int, Int, Long)].collect().map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    val expected = Multimodal.FakeCodec.decode("hello world payload".getBytes("UTF-8"))
+    assert(out(1L) == expected)
+    assert(out.size == 3)
+  }
+
+  test("sampleFrames splits payloads into strided fixed-size frames") {
+    val frames = Multimodal.sampleFrames(docs.filter($"doc_id" === 3L), frameBytes = 10, stride = 2)
+      .select($"frame_idx", length($"frame_bytes").as("len"))
+      .as[(Int, Int)].collect().sortBy(_._1)
+    // 58-byte payload → frames 0..5; stride 2 keeps 0,2,4
+    assert(frames.map(_._1).sameElements(Array(0, 2, 4)))
+    assert(frames.forall(_._2 == 10) || frames.last._2 <= 10)
+    // frame content round-trips: frame 0 is the first 10 bytes
+    val f0 = Multimodal.sampleFrames(docs.filter($"doc_id" === 3L), 10, 2)
+      .filter($"frame_idx" === 0).select($"frame_bytes").as[Array[Byte]].head()
+    assert(new String(f0, "UTF-8") == "a somewhat")
+  }
+
+  test("streamToWarehouse merges micro-batches idempotently") {
+    import graft.sources.Warehouse
+    import graft.streaming.EventPipelines
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-wh").toString
+    val wh = new Warehouse(root, spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-src")
+    val ev = Seq((1L, 1000000L, 10L, "click", 1.0, "{}"),
+      (2L, 2000000L, 10L, "view", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    ev.coalesce(1).write.mode("append").parquet(dir.toString)
+    def stream = spark.readStream.schema(EventPipelines.rawSchema).parquet(dir.toString)
+    EventPipelines.streamToWarehouse(stream, wh, "staging", "events", Seq("event_id"))
+    assert(wh.read("staging", "events").count() == 2)
+    // re-delivery of the same file set (plus one new event) dedups by key
+    Seq((2L, 2000000L, 10L, "view", 99.0, "{}"), (3L, 3000000L, 11L, "buy", 3.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    EventPipelines.streamToWarehouse(stream, wh, "staging", "events", Seq("event_id"))
+    val rows = wh.read("staging", "events")
+    assert(rows.count() == 3)
+    // first-delivery wins: event 2 keeps value 2.0
+    assert(rows.filter($"event_id" === 2L).select($"value").as[Double].head() == 2.0)
+  }
+}
