@@ -51,11 +51,24 @@ object Dedup {
       case None => shingles
     }
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    val a = sh.toDF("id_1", "shingle")
-    val b = sh.toDF("id_2", "shingle")
-    val inter = a.join(b, "shingle")
-      .filter(col("id_1") < col("id_2"))
-      .groupBy(col("id_1"), col("id_2")).agg(count(lit(1)).as("inter"))
+    // Intersection counting WITHOUT a self-join: group each shingle's
+    // (sorted) doc list, emit its ordered pairs set-based, count pairs.
+    // One shuffle on the shingle key instead of a join shuffle + fan-out;
+    // rows produced = Σ df·(df−1)/2, half the join's Σ df². Hot shingles
+    // still need the `maxShingleDf` cap at scale — a df-k shingle emits
+    // k²/2 pairs either way.
+    val pairsOfIds = {
+      val ids = col("ids")
+      flatten(transform(ids, (x, i) =>
+        transform(slice(ids, i + lit(2), size(ids)),
+          y => struct(x.as("id_1"), y.as("id_2")))))
+    }
+    val inter = sh.groupBy(col("shingle"))
+      .agg(sort_array(collect_set(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairsOfIds).as("p"))
+      .groupBy(col("p.id_1").as("id_1"), col("p.id_2").as("id_2"))
+      .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.toDF("id_1", "n1"), "id_1")
       .join(sizes.toDF("id_2", "n2"), "id_2")
