@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants for the SCD merges and the top-k
+  * aggregator — the operators where a subtle branch bug survives
+  * example-based tests. Deterministic seeds, raw scalacheck Gen (the
+  * scalatest bridge isn't in the offline cache).
+  */
+class ScdPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val runDt = lit("2024-06-01").cast("date")
+  private val runTs = lit("2024-06-01 00:00:00").cast("timestamp_ntz")
+  private val far = lit("9999-12-31 00:00:00").cast("timestamp_ntz")
+
+  private val rowsGen: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(0, 12)
+    keys <- Gen.listOfN(n, Gen.choose(1L, 8L))
+    vals <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
+  } yield keys.distinct.zip(vals)
+
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B], n: Int = 12)(f: (A, B) => Unit): Unit =
+    (1 to n).foreach { i =>
+      val p = Gen.Parameters.default
+      f(ga(p, Seed(i)).get, gb(p, Seed(i * 7919)).get)
+    }
+
+  test("scd1Merge: keys = target ∪ source; idempotent re-merge; untouched absent keys") {
+    forAll(rowsGen, rowsGen) { (t, s) =>
+      val target = t.toDF("id", "v")
+        .withColumn("insert_dt", lit("2024-01-01").cast("date"))
+        .withColumn("update_dt", lit("2024-01-01").cast("date"))
+      val source = s.toDF("id", "v")
+      val merged = Scd.scd1Merge(target, source, Seq("id"), Seq("v"), runDt)
+      val out = merged.select($"id", $"v", $"scd_status").as[(Long, String, String)]
+        .collect().map(r => r._1 -> (r._2, r._3)).toMap
+      assert(out.keySet == (t.map(_._1) ++ s.map(_._1)).toSet)
+      val sMap = s.toMap
+      t.foreach { case (k, v) =>
+        if (!sMap.contains(k)) assert(out(k) == (v, "unchanged")) // absent from source: untouched
+        else if (sMap(k) == v) assert(out(k) == (v, "unchanged"))
+        else assert(out(k) == (sMap(k), "updated"))
+      }
+      // idempotency: merging the merged state with the same source is all unchanged
+      val again = Scd.scd1Merge(merged.drop("scd_status"), source, Seq("id"), Seq("v"), runDt)
+      assert(again.filter($"scd_status" =!= "unchanged").count() == 0)
+    }
+  }
+
+  test("scd2Merge: exactly one active row per live key; history never shrinks; re-merge no-op") {
+    forAll(rowsGen, rowsGen) { (t, s) =>
+      val target = t.toDF("id", "v")
+        .withColumn("start_ts", lit("2024-01-01 00:00:00").cast("timestamp_ntz"))
+        .withColumn("end_ts", far)
+        .withColumn("is_active", lit("Y"))
+      val source = s.toDF("id", "v")
+      val v1 = Scd.scd2Merge(target, source, Seq("id"), Seq("v"), runTs, far)
+      val activePerKey = v1.filter($"is_active" === "Y")
+        .groupBy($"id").agg(count(lit(1)).as("n"))
+        .filter($"n" =!= 1).count()
+      assert(activePerKey == 0)
+      assert(v1.count() >= target.count()) // versions are only ever added
+      // every source value is the active value for its key
+      val act = v1.filter($"is_active" === "Y").select($"id", $"v")
+        .as[(Long, String)].collect().toMap
+      s.foreach { case (k, v) => assert(act(k) == v) }
+      // re-merge with the same source changes nothing
+      val v2 = Scd.scd2Merge(v1, source, Seq("id"), Seq("v"), runTs, far)
+      assert(v2.count() == v1.count() && v2.exceptAll(v1).isEmpty)
+    }
+  }
+
+  test("TopKByScore equals sort-take for any input and any split") {
+    val itemsGen = Gen.listOf(Gen.zip(Gen.chooseNum(-1.0, 1.0), Gen.choose(0L, 50L)))
+    forAll(itemsGen, Gen.choose(1, 5), n = 30) { (items, k) =>
+      val agg = new graft.functions.TopKByScore(k)
+      val expected = items.distinct.sortBy { case (s, id) => (-s, id) }.take(k)
+      val direct = items.distinct.foldLeft(agg.zero)(agg.reduce)
+      assert(direct == expected)
+      val (l, r) = items.distinct.splitAt(items.distinct.length / 2)
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      assert(merged == expected)
+    }
+  }
+}
