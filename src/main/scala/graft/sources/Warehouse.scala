@@ -58,7 +58,14 @@ class Warehouse(val root: String, spark: SparkSession) {
     val tmp = new Path(path(layer, table + "__tmp"))
     val old = new Path(path(layer, table + "__old"))
     fs.delete(tmp, true)
-    val writer = df.write.mode("overwrite")
+    // Cluster rows by the partition columns before a partitioned write:
+    // otherwise every task writes a file into every partition dir
+    // (tasks × partitions small files — the classic 100 TB anti-pattern).
+    val clustered =
+      if (partitionBy.nonEmpty)
+        df.repartition(partitionBy.map(org.apache.spark.sql.functions.col): _*)
+      else df
+    val writer = clustered.write.mode("overwrite")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(tmp.toString)
     val n = spark.read.parquet(tmp.toString).count()
