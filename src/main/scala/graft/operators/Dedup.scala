@@ -93,6 +93,9 @@ object Dedup {
     * (id_1 < id_2) candidate pairs.
     */
   def lshCandidatePairs(signatures: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
+    require(bands >= 1 && rowsPerBand >= 1,
+      s"bands=$bands rowsPerBand=$rowsPerBand: rowsPerBand of 0 would give every doc " +
+        "the same band key and materialize the all-pairs cross product")
     val bandStructs = (0 until bands).map { b =>
       val key = md5(concat_ws("|",
         (0 until rowsPerBand).map(j => col(s"mh${b * rowsPerBand + j}")): _*))
@@ -113,6 +116,8 @@ object Dedup {
     */
   def minhashLshNearDups(docs: DataFrame, textCol: String, idCol: String,
                          ngram: Int, k: Int, bands: Int, minJaccard: Double): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide evenly into bands=$bands " +
+      "(trailing minhashes would be silently ignored)")
     val sh = shingleTable(docs, textCol, idCol, ngram)
     val cands = lshCandidatePairs(minhashSignatures(sh, idCol, k), idCol, bands, k / bands)
     // Verify ONLY the candidates (work ∝ candidate density, never all

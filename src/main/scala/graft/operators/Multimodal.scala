@@ -27,12 +27,20 @@ object Multimodal {
     * plumbing does not change.
     */
   object FakeCodec {
+    /** Fake-dimension formula constants — shared with the Column/SQL
+      * reimplementations in [[MultimodalQueries]] so the three copies
+      * can't drift.
+      */
+    val DimMod = 64
+    val DimBase = 16
+    val HeightMul = 7
+
     /** Deterministic fake "image decode": dims + a checksum-ish pixel
       * stat derived only from the payload bytes.
       */
     def decode(payload: Array[Byte]): (Int, Int, Long) = {
-      val w = (payload.length % 64) + 16
-      val h = ((payload.length * 7) % 64) + 16
+      val w = (payload.length % DimMod) + DimBase
+      val h = ((payload.length * HeightMul) % DimMod) + DimBase
       var acc = 0L
       var i = 0
       while (i < payload.length) { acc = acc * 31 + (payload(i) & 0xff); i += 1 }
@@ -66,7 +74,10 @@ object Multimodal {
     val nFrames = ceil(length(col("payload")).cast(DoubleType) / frameBytes).cast(IntegerType)
     withPayload
       .select(col("doc_id"), col("payload"),
-        explode(sequence(lit(0), greatest(nFrames - 1, lit(0)))).as("frame_idx"))
+        // empty payload → empty array → explode drops the row (no
+        // spurious zero-byte frame 0)
+        explode(when(nFrames > 0, sequence(lit(0), nFrames - 1))
+          .otherwise(array().cast("array<int>"))).as("frame_idx"))
       .filter(col("frame_idx") % stride === 0)
       .select(col("doc_id"), col("frame_idx"),
         call_function("substring", col("payload"),

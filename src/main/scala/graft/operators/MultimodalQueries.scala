@@ -14,6 +14,8 @@ import org.apache.spark.sql.types._
   */
 object MultimodalQueries extends QueryPack {
 
+  import Multimodal.FakeCodec.{DimBase, DimMod, HeightMul}
+
   val queries: Map[String, Q] = Map(
     // Binary payload + metadata extraction ("image header parse" stand-in):
     // byte length, fake dims derived from the bytes, content address.
@@ -23,8 +25,8 @@ object MultimodalQueries extends QueryPack {
         .select(
           col("doc_id"),
           length(col("payload")).as("n_bytes"),
-          (length(col("payload")) % 64 + 16).as("fake_width"),
-          ((length(col("payload")) * 7) % 64 + 16).as("fake_height"),
+          (length(col("payload")) % DimMod + DimBase).as("fake_width"),
+          ((length(col("payload")) * HeightMul) % DimMod + DimBase).as("fake_height"),
           substring(md5(col("text")), 1, 8).as("content_addr"))
         .withColumn("aspect",
           col("fake_width").cast(DoubleType) / col("fake_height").cast(DoubleType))
@@ -33,13 +35,13 @@ object MultimodalQueries extends QueryPack {
 
   val oracleSql: Map[String, String] = Map(
     "q56_binary_meta" ->
-      """SELECT doc_id,
+      s"""SELECT doc_id,
          CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-         CAST(octet_length(encode(text)) % 64 + 16 AS INT) AS fake_width,
-         CAST(octet_length(encode(text)) * 7 % 64 + 16 AS INT) AS fake_height,
+         CAST(octet_length(encode(text)) % $DimMod + $DimBase AS INT) AS fake_width,
+         CAST(octet_length(encode(text)) * $HeightMul % $DimMod + $DimBase AS INT) AS fake_height,
          substr(md5(text), 1, 8) AS content_addr,
-         CAST(octet_length(encode(text)) % 64 + 16 AS DOUBLE) /
-           CAST(octet_length(encode(text)) * 7 % 64 + 16 AS DOUBLE) AS aspect
+         CAST(octet_length(encode(text)) % $DimMod + $DimBase AS DOUBLE) /
+           CAST(octet_length(encode(text)) * $HeightMul % $DimMod + $DimBase AS DOUBLE) AS aspect
          FROM documents"""
   )
 }

@@ -31,11 +31,12 @@ class Orchestrator(spark: SparkSession, sfDir: String, whRoot: String) {
   /** Runs all three stages; returns per-table row counts. */
   def runFullEtl(): Map[String, Long] = {
     val t0 = System.nanoTime()
-    val counts = stageStaging() ++ stage3nf() ++ stageDm()
-    log.append("run_full_etl", f"pipeline completed in ${(System.nanoTime() - t0) / 1e9}%.2f s",
-      counts.values.sum)
-    log.flush()
-    counts
+    try {
+      val counts = stageStaging() ++ stage3nf() ++ stageDm()
+      log.append("run_full_etl", f"pipeline completed in ${(System.nanoTime() - t0) / 1e9}%.2f s",
+        counts.values.sum)
+      counts
+    } finally log.flush() // failure outside a logged{} block still lands buffered events
   }
 
   /** Run independent loads of one stage concurrently — Spark schedules

@@ -21,16 +21,19 @@ object Csv {
   def readWithEncodingFallback(spark: SparkSession, path: String,
                                schema: Option[StructType] = None,
                                probeRows: Int = 100): DataFrame = {
+    // A decode is rejected on U+FFFD (utf-8 failure under PERMISSIVE) or
+    // C1 control chars U+0080–U+009F — ISO-8859-1 decodes EVERY byte
+    // sequence, so cp1252 punctuation (0x93 smart quotes etc.) surfaces
+    // as C1 controls there; without this check the fallback could never
+    // reach windows-1252.
+    def clean(s: String): Boolean =
+      !s.exists(c => c == '\ufffd' || (c >= '\u0080' && c <= '\u009f'))
     val winner = Encodings.find { enc =>
       try {
-        val probe = reader(spark, enc, schema).csv(path).limit(probeRows)
-        probe.collect()
-        // decodable AND no replacement chars (utf-8 decode of latin1
-        // bytes yields U+FFFD under PERMISSIVE, not an exception)
-        !probe.columns.exists(_ == null) &&
-          probe.collect().forall(r => (0 until r.length).forall { i =>
-            r.get(i) == null || !r.get(i).toString.contains('�')
-          })
+        val rows = reader(spark, enc, schema).csv(path).limit(probeRows).collect()
+        rows.forall(r => (0 until r.length).forall { i =>
+          r.get(i) == null || clean(r.get(i).toString)
+        })
       } catch { case _: Throwable => false }
     }.getOrElse(throw new IllegalArgumentException(
       s"$path: no encoding in ${Encodings.mkString(",")} decodes cleanly"))

@@ -20,11 +20,27 @@ class Warehouse(val root: String, spark: SparkSession) {
 
   def path(layer: String, table: String): String = s"$root/$layer/$table"
 
-  def exists(layer: String, table: String): Boolean =
+  def exists(layer: String, table: String): Boolean = {
+    recover(layer, table)
     fs.exists(new Path(path(layer, table), "_SUCCESS"))
+  }
 
-  def read(layer: String, table: String): DataFrame =
+  def read(layer: String, table: String): DataFrame = {
+    recover(layer, table)
     spark.read.parquet(path(layer, table))
+  }
+
+  /** Close the swap's crash window: a JVM death between
+    * rename(target → old) and rename(tmp → target) leaves the table only
+    * at `__old`; the next access restores it. With recovery the swap is
+    * all-or-nothing from every reader's perspective.
+    */
+  private def recover(layer: String, table: String): Unit = {
+    val target = new Path(path(layer, table))
+    val old = new Path(path(layer, table + "__old"))
+    if (!fs.exists(target) && fs.exists(new Path(old, "_SUCCESS")))
+      fs.rename(old, target): Unit
+  }
 
   /** Bucketed overwrite via the session catalog: rows are hash-bucketed
     * (and sorted) on `bucketCols`, so equi-joins and aggregations on

@@ -64,6 +64,19 @@ class RelationalSpec extends SparkSpec {
     assert(wh.read("l", "t").as[Int].collect().sameElements(Array(4)))
   }
 
+  test("warehouse recovers a table stranded at __old by a mid-swap crash") {
+    import graft.sources.Warehouse
+    import org.apache.hadoop.fs.Path
+    val root = java.nio.file.Files.createTempDirectory("graft-crash").toString
+    val wh = new Warehouse(root, spark)
+    wh.overwrite(Seq(1, 2).toDF("x"), "l", "t")
+    // simulate a crash between rename(target, old) and rename(tmp, target)
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new Path(wh.path("l", "t")), new Path(wh.path("l", "t__old")))
+    assert(wh.exists("l", "t")) // recovery restores the table
+    assert(wh.read("l", "t").count() == 2)
+  }
+
   test("bucketed tables join without an exchange") {
     import graft.sources.Warehouse
     val root = java.nio.file.Files.createTempDirectory("graft-bk").toString
