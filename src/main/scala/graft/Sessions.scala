@@ -14,6 +14,9 @@ object Sessions {
       .master(s"local[$cores]")
       .appName(app)
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // Csv encoding fallback probes windows-1252, which Spark 4's
+      // charset allowlist rejects without this flag.
+      .config("spark.sql.legacy.javaCharsets", "true")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -27,6 +27,13 @@ class CsvSpec extends SparkSpec {
     assert(v == "café", s"got $v")
   }
 
+  test("cp1252 smart quotes fall through past ISO-8859-1") {
+    // 0x93/0x94 are C1 controls in latin-1 but “ ” in windows-1252
+    val p = write("c.csv", "id,name\n1,“quoted”\n", "windows-1252")
+    val df = Csv.readWithEncodingFallback(spark, p)
+    assert(df.collect().head.getString(1) == "“quoted”")
+  }
+
   test("salted join equals plain join on skewed data") {
     import spark.implicits._
     import graft.operators.Relational
