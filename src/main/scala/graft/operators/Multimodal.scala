@@ -67,6 +67,21 @@ object Multimodal {
       }(enc)
   }
 
+  /** Aspect-preserving resize planning: given decoded (width, height)
+    * and a bounding box, compute output dims + scale — the pure-metadata
+    * half of a resize (the pixel resample itself belongs in the codec
+    * stub). Set-based arithmetic, stays in codegen.
+    */
+  def resizePlan(decoded: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val scale = least(lit(1.0),
+      least(lit(maxW) / col("width").cast(DoubleType),
+        lit(maxH) / col("height").cast(DoubleType)))
+    decoded
+      .withColumn("scale", scale)
+      .withColumn("out_width", floor(col("width") * col("scale")).cast(IntegerType))
+      .withColumn("out_height", floor(col("height") * col("scale")).cast(IntegerType))
+  }
+
   /** "Video" frame sampling: split the payload into fixed-size frames
     * and keep every `stride`-th — posexplode keeps it set-based.
     */

@@ -34,6 +34,17 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(f0, "UTF-8") == "a somewhat")
   }
 
+  test("resizePlan preserves aspect and never upscales") {
+    val decoded = Seq((1L, 640, 480), (2L, 100, 50), (3L, 32, 64))
+      .toDF("doc_id", "width", "height")
+    val out = Multimodal.resizePlan(decoded, maxW = 128, maxH = 128)
+      .select($"doc_id", $"out_width", $"out_height")
+      .as[(Long, Int, Int)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(out(1L) == (128, 96))   // scaled down, 4:3 kept
+    assert(out(2L) == (100, 50))   // inside the box: untouched
+    assert(out(3L) == (32, 64))    // portrait inside the box: untouched
+  }
+
   test("streamToWarehouse merges micro-batches idempotently") {
     import graft.sources.Warehouse
     import graft.streaming.EventPipelines
