@@ -36,11 +36,15 @@ class EtlLog(wh: Warehouse, spark: SparkSession) {
     }
   }
 
-  /** O3: run a stage with start/success/error logging + re-raise. */
-  def logged[A](procedure: String)(body: => Long): Long =
+  /** O3: run a stage with success/error logging (+ duration) + re-raise
+    * (the reference's per-procedure log calls + CLOCK_TIMESTAMP timing,
+    * reference: run_full_etl_process.sql:112-129).
+    */
+  def logged[A](procedure: String)(body: => Long): Long = {
+    val t0 = System.nanoTime()
     try {
       val rows = body
-      append(procedure, "completed", rows)
+      append(procedure, f"completed in ${(System.nanoTime() - t0) / 1e9}%.2f s", rows)
       rows
     } catch {
       case e: Throwable =>
@@ -48,4 +52,5 @@ class EtlLog(wh: Warehouse, spark: SparkSession) {
         flush()
         throw e
     }
+  }
 }

@@ -90,7 +90,7 @@ class OrchestratorSpec extends SparkSpec {
   test("etl log captures one completed row per loader") {
     firstRun
     val log = orch.wh.read("bl_cl", "etl_log")
-    val procs = log.filter($"message" === "completed")
+    val procs = log.filter($"message".startsWith("completed"))
       .select($"procedure").distinct().as[String].collect().toSet
     assert(procs.contains("load_staging_sales"))
     assert(procs.contains("load_3nf_ce_sales"))
