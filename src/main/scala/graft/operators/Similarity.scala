@@ -23,25 +23,55 @@ object Similarity {
   /** Exact cosine top-k neighbors per vector (excluding self), with a
     * deterministic neighbor-id tie-break.
     */
+  /** Exact cosine top-k, broadcast block kernel: the query side is
+    * broadcast once per executor (an exact KNN baseline is only ever run
+    * on sets that fit — at scale the blocked variants below bound the
+    * candidates first), and each partition of the probe side runs a
+    * tight primitive loop with a bounded insertion buffer. No shuffle at
+    * all: the N·M pair relation never materializes as rows.
+    *
+    * Numeric contract: cos = dot/(na·nb) with the same left-to-right
+    * float→double fold as [[VectorFunctions.dot]], so results are
+    * bit-identical to the join formulation and the DuckDB oracle.
+    */
   def bruteForceKnn(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
-    // Norms are computed once per vector BEFORE the self-join (2N sqrt's,
-    // not 2N² — the join then evaluates a single codegen'd dot per pair).
-    // cos = dot/(na*nb) is the same arithmetic as dot/(sqrt(Σa²)·sqrt(Σb²)),
-    // so oracle results stay bit-identical.
-    val a = emb.select(col(idCol).as("vec_id"), col(vecCol).as("va"),
-      norm(col(vecCol)).as("na"))
-    val b = emb.select(col(idCol).as("nn_id"), col(vecCol).as("vb"),
-      norm(col(vecCol)).as("nb"))
-    // Top-k via a bounded partial aggregate, not a window: map tasks
-    // reduce to ≤k per vec_id before the exchange (see TopKByScore).
-    val topk = udaf(new graft.functions.TopKByScore(k))
-    a.crossJoin(b).filter(col("vec_id") =!= col("nn_id"))
-      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-      .groupBy(col("vec_id"))
-      .agg(topk(col("cos"), col("nn_id")).as("nns"))
-      .select(col("vec_id"), posexplode(col("nns")))
-      .select(col("vec_id"), col("col._2").as("nn_id"), col("col._1").as("cos"),
-        (col("pos") + 1).cast("int").as("rn"))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val rows = emb.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+    def dotf(x: Array[Float], y: Array[Float]): Double = {
+      val n = math.min(x.length, y.length)
+      var acc = 0.0; var i = 0
+      while (i < n) { acc += x(i).toDouble * y(i).toDouble; i += 1 }
+      acc
+    }
+    val side = spark.sparkContext.broadcast(
+      rows.collect().map { case (id, v) => (id, v, math.sqrt(dotf(v, v))) })
+    rows.mapPartitions { it =>
+      val bs = side.value
+      it.flatMap { case (id, v) =>
+        val na = math.sqrt(dotf(v, v))
+        // bounded insertion buffer: (cos desc, nn_id asc)
+        val top = new Array[(Double, Long)](k)
+        var used = 0
+        bs.foreach { case (nid, nv, nb) =>
+          if (nid != id) {
+            val c = dotf(v, nv) / (na * nb)
+            if (used < k || c > top(used - 1)._1 ||
+                (c == top(used - 1)._1 && nid < top(used - 1)._2)) {
+              var j = math.min(used, k - 1)
+              while (j > 0 && (top(j - 1)._1 < c ||
+                     (top(j - 1)._1 == c && top(j - 1)._2 > nid))) {
+                top(j) = top(j - 1); j -= 1
+              }
+              top(j) = (c, nid)
+              if (used < k) used += 1
+            }
+          }
+        }
+        (0 until used).map(r => (id, top(r)._2, top(r)._1, r + 1))
+      }
+    }.toDF("vec_id", "nn_id", "cos", "rn")
   }
 
   /** Sign-bit LSH buckets: (id, bucket). */
@@ -63,13 +93,17 @@ object Similarity {
       col(vecCol).as("va"), norm(col(vecCol)).as("na"))
     val b = emb.select(col(clusterCol).as("cluster"), col(idCol).as("nn_id"),
       col(vecCol).as("vb"), norm(col(vecCol)).as("nb"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos").desc, col("nn_id"))
+    // Top-k via bounded partial aggregation (TopKByScore): map tasks
+    // reduce to ≤k rows per vector before the exchange, instead of a
+    // window shuffling the whole candidate relation.
+    val topk = udaf(new graft.functions.TopKByScore(k))
     a.join(b, "cluster").filter(col("vec_id") =!= col("nn_id"))
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("cluster"), col("vec_id"), col("nn_id"), col("cos"), col("rn"))
+      .groupBy(col("cluster"), col("vec_id"))
+      .agg(topk(col("cos"), col("nn_id")).as("nns"))
+      .select(col("cluster"), col("vec_id"), posexplode(col("nns")))
+      .select(col("cluster"), col("vec_id"), col("col._2").as("nn_id"),
+        col("col._1").as("cos"), (col("pos") + 1).cast("int").as("rn"))
   }
 
   /** Near pairs: same bucket AND exact cosine ≥ minCos. */
