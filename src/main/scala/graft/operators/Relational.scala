@@ -66,6 +66,42 @@ object Relational {
   def surrogateKeysHashed(rows: DataFrame, businessKey: Seq[String], idCol: String): DataFrame =
     rows.withColumn(idCol, xxhash64(businessKey.map(col): _*))
 
+  /** As-of join: for each left row, the single latest right row with
+    * `rightTs <= leftTs` on the same key — the price-at-event-time
+    * lookup Spark has no built-in for (the reference sidesteps it by
+    * using the currently-active price, SURVEY §3.4.5; this operator is
+    * the "more correct" variant).
+    *
+    * Implementation is the union-and-carry-forward form, NOT a range
+    * join: tag right rows 0 / left rows 1, sort within each key by
+    * (ts, tag), and carry the last non-null right attributes forward
+    * with an unbounded-preceding window. ONE shuffle on the key — the
+    * same cost as a plain equi-join — versus a range join's quadratic
+    * per-key blowup; at same-ts ties the right row sorts first, giving
+    * the inclusive (>=) semantics of SQL ASOF JOIN.
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String): DataFrame = {
+    val rightAttrs = right.columns.filterNot(c => keys.contains(c) || c == rightTs).toSeq
+    val leftAttrs = left.columns.filterNot(c => keys.contains(c) || c == leftTs).toSeq
+    val taggedRight = right.select(
+      keys.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__tag")) ++
+        leftAttrs.map(c => lit(null).as(c)) ++ rightAttrs.map(col): _*)
+    val taggedLeft = left.select(
+      keys.map(col) ++ Seq(col(leftTs).as("__ts"), lit(1).as("__tag")) ++
+        leftAttrs.map(col) ++ rightAttrs.map(c => lit(null).as(c)): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    taggedRight.unionByName(taggedLeft)
+      .select(
+        keys.map(col) ++ Seq(col("__ts"), col("__tag")) ++ leftAttrs.map(col) ++
+          rightAttrs.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+      .filter(col("__tag") === 1)
+      .select(keys.map(col) ++ Seq(col("__ts").as(leftTs)) ++
+        leftAttrs.map(col) ++ rightAttrs.map(col): _*)
+  }
+
   /** Skew-salted inner equi-join: fact-side hot keys are spread over
     * `salts` buckets and the (smaller) build side is replicated once per
     * bucket, so no single reducer owns a hot key's whole partition. AQE's

@@ -122,10 +122,43 @@ object ScdQueries extends QueryPack {
         "nationkey", maxId, "surr_id")
       existing.withColumn("status", lit("existing"))
         .unionByName(fresh.withColumn("status", lit("new")))
+    }),
+
+    // As-of join: price at ship time against a versioned price table —
+    // the operator the reference sidesteps with "currently-active price"
+    // (SURVEY §3.4.5). One shuffle (union-and-carry-forward), oracle is
+    // DuckDB's native ASOF LEFT JOIN.
+    "q27_asof_price" -> ((s, d) => {
+      val versions = Tables.part(s, d).select(col("p_partkey"), explode(array(
+        struct(lit("1993-01-01").cast(DateType).as("price_dt"),
+          (col("p_retailprice") - 10.0).as("price")),
+        struct(lit("1995-01-01").cast(DateType).as("price_dt"),
+          col("p_retailprice").as("price")),
+        struct(lit("1997-01-01").cast(DateType).as("price_dt"),
+          (col("p_retailprice") + 10.0).as("price")))).as("v"))
+        .select(col("p_partkey"), col("v.price_dt"), col("v.price"))
+      val li = Tables.lineitem(s, d).select(
+        concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("sale_id"),
+        col("l_partkey").as("p_partkey"),
+        to_date(col("l_shipdate")).as("ship_dt"))
+      Relational.asOfJoin(li, versions, Seq("p_partkey"), "ship_dt", "price_dt")
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q27_asof_price" ->
+      """WITH versions AS (
+           SELECT p_partkey, CAST(v.dt AS DATE) AS price_dt,
+                  p_retailprice + CAST(v.off AS DOUBLE) AS price
+           FROM part, (VALUES ('1993-01-01', -10.0), ('1995-01-01', 0.0),
+                              ('1997-01-01', 10.0)) v(dt, off)),
+         li AS (
+           SELECT l_orderkey || '-' || l_linenumber AS sale_id,
+                  l_partkey AS p_partkey, CAST(l_shipdate AS DATE) AS ship_dt
+           FROM lineitem)
+       SELECT li.p_partkey, li.ship_dt, li.sale_id, v.price
+       FROM li ASOF LEFT JOIN versions v
+         ON li.p_partkey = v.p_partkey AND li.ship_dt >= v.price_dt""",
     "q20_scd1_upsert" ->
       """WITH tgt AS (
            SELECT c_custkey, c_name, c_mktsegment, c_nationkey,

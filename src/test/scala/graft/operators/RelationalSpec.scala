@@ -64,6 +64,24 @@ class RelationalSpec extends SparkSpec {
     assert(wh.read("l", "t").as[Int].collect().sameElements(Array(4)))
   }
 
+  test("asOfJoin picks the latest right row at or before the left timestamp") {
+    val prices = Seq((1L, "2024-01-01", 10.0), (1L, "2024-03-01", 20.0), (2L, "2024-02-01", 5.0))
+      .toDF("k", "dt", "price").select($"k", $"dt".cast("date").as("dt"), $"price")
+    val events = Seq(
+      (1L, "2023-12-31", "before-any"), (1L, "2024-01-01", "same-day"),
+      (1L, "2024-02-15", "mid"), (1L, "2024-03-01", "at-v2"), (1L, "2024-12-31", "after-all"),
+      (2L, "2024-02-02", "other-key"))
+      .toDF("k", "ts", "tag").select($"k", $"ts".cast("date").as("ts"), $"tag")
+    val out = Relational.asOfJoin(events, prices, Seq("k"), "ts", "dt")
+      .select($"tag", $"price").as[(String, Option[Double])].collect().toMap
+    assert(out("before-any").isEmpty)  // no version yet → null
+    assert(out("same-day").contains(10.0)) // inclusive >=
+    assert(out("mid").contains(10.0))
+    assert(out("at-v2").contains(20.0))
+    assert(out("after-all").contains(20.0))
+    assert(out("other-key").contains(5.0)) // keys never cross
+  }
+
   test("warehouse recovers a table stranded at __old by a mid-swap crash") {
     import graft.sources.Warehouse
     import org.apache.hadoop.fs.Path
