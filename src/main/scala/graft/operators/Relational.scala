@@ -102,6 +102,26 @@ object Relational {
         leftAttrs.map(col) ++ rightAttrs.map(col): _*)
   }
 
+  /** Binned range join: point-in-interval joins (`leftTs ∈ [start,end]`)
+    * have no equi-key, so Spark executes them as a broadcast
+    * nested-loop — O(N·M) comparisons. Binning gives them one: each
+    * interval explodes into the `binDays`-sized bins it covers, the
+    * point maps to its single bin, and the match becomes an equi-join
+    * on the bin id plus a residual filter. Work becomes
+    * O(N + M·span/bin + matches); pick `binDays` near the typical
+    * interval length so each interval covers O(1) bins.
+    */
+  def rangeJoinBinned(left: DataFrame, right: DataFrame, leftTs: String,
+                      start: String, end: String, binDays: Int): DataFrame = {
+    val lb = left.withColumn("__bin", floor(unix_date(col(leftTs)) / binDays))
+    val rb = right.withColumn("__bin", explode(sequence(
+      floor(unix_date(col(start)) / binDays),
+      floor(unix_date(col(end)) / binDays))))
+    lb.join(rb, "__bin")
+      .filter(col(leftTs).between(col(start), col(end)))
+      .drop("__bin")
+  }
+
   /** Skew-salted inner equi-join: fact-side hot keys are spread over
     * `salts` buckets and the (smaller) build side is replicated once per
     * bucket, so no single reducer owns a hot key's whole partition. AQE's

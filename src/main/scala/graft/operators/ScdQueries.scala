@@ -142,6 +142,26 @@ object ScdQueries extends QueryPack {
         col("l_partkey").as("p_partkey"),
         to_date(col("l_shipdate")).as("ship_dt"))
       Relational.asOfJoin(li, versions, Seq("p_partkey"), "ship_dt", "price_dt")
+    }),
+
+    // Binned range join: orders falling inside per-nation campaign
+    // windows — point-in-interval as an equi-join on time bins plus a
+    // residual filter, instead of a nested-loop.
+    "q28_range_join" -> ((s, d) => {
+      val campaigns = Tables.nation(s, d)
+        .select(date_add(lit("1995-01-01").cast(DateType),
+          (col("n_nationkey") * 40).cast("int")).as("camp_start"))
+        .distinct()
+        .withColumn("camp_end", date_add(col("camp_start"), 90))
+        .withColumn("camp_id", unix_date(col("camp_start")))
+      val o = Tables.orders(s, d).select(
+        to_date(col("o_orderdate")).as("order_dt"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("total"))
+      Relational.rangeJoinBinned(o, campaigns,
+        "order_dt", "camp_start", "camp_end", binDays = 90)
+        .groupBy(col("camp_id"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("total")).cast(DoubleType).as("sum_total"))
     })
   )
 
@@ -159,6 +179,18 @@ object ScdQueries extends QueryPack {
        SELECT li.p_partkey, li.ship_dt, li.sale_id, v.price
        FROM li ASOF LEFT JOIN versions v
          ON li.p_partkey = v.p_partkey AND li.ship_dt >= v.price_dt""",
+    "q28_range_join" ->
+      """WITH campaigns AS (
+           SELECT DISTINCT DATE '1995-01-01' + CAST(n_nationkey * 40 AS INT) AS camp_start
+           FROM nation),
+         c2 AS (SELECT camp_start, camp_start + 90 AS camp_end,
+                  CAST(date_diff('day', DATE '1970-01-01', camp_start) AS INT) AS camp_id
+                FROM campaigns)
+       SELECT camp_id, count(*) AS n_orders,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+       FROM orders JOIN c2
+         ON CAST(o_orderdate AS DATE) BETWEEN camp_start AND camp_end
+       GROUP BY camp_id""",
     "q20_scd1_upsert" ->
       """WITH tgt AS (
            SELECT c_custkey, c_name, c_mktsegment, c_nationkey,

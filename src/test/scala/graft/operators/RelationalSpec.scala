@@ -82,6 +82,20 @@ class RelationalSpec extends SparkSpec {
     assert(out("other-key").contains(5.0)) // keys never cross
   }
 
+  test("rangeJoinBinned equals a plain inequality join") {
+    val points = Seq((1, "2024-01-05"), (2, "2024-02-20"), (3, "2024-06-01"))
+      .toDF("id", "ts").select($"id", $"ts".cast("date").as("ts"))
+    val intervals = Seq(("a", "2024-01-01", "2024-01-31"), ("b", "2024-01-20", "2024-03-15"),
+      ("c", "2030-01-01", "2030-12-31"))
+      .toDF("name", "s", "e")
+      .select($"name", $"s".cast("date").as("s"), $"e".cast("date").as("e"))
+    val binned = Relational.rangeJoinBinned(points, intervals, "ts", "s", "e", binDays = 7)
+      .select($"id", $"name")
+    val plain = points.join(intervals, $"ts".between($"s", $"e")).select($"id", $"name")
+    assert(binned.exceptAll(plain).isEmpty && plain.exceptAll(binned).isEmpty)
+    assert(binned.as[(Int, String)].collect().toSet == Set((1, "a"), (2, "b")))
+  }
+
   test("warehouse recovers a table stranded at __old by a mid-swap crash") {
     import graft.sources.Warehouse
     import org.apache.hadoop.fs.Path
