@@ -51,6 +51,21 @@ object EventPipelines {
   /** `us` carries the full microsecond timestamp — Timestamp.getTime is
     * ms-truncated and would shift session boundaries vs batch unix_micros.
     */
+  /** Gap sessionization via the native `session_window` — the
+    * declarative twin of [[sessionize]] (which demonstrates custom
+    * state). Works identically over a stream (with the watermark) or a
+    * batch frame. Note the boundary nuance: session_window closes at a
+    * gap ≥ `gap`, the custom version at > gap — they differ only for
+    * events exactly `gap` apart.
+    */
+  def sessionizeNative(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, us: Long)
   case class SessionState(start: Long, lastUs: Long, n: Int)
   case class SessionOut(user_id: Long, session_start_us: Long, n_events: Int, duration_us: Long)

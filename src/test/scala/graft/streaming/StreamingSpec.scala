@@ -47,6 +47,27 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("deduped").count() == batchEvents.select($"event_id").distinct().count())
   }
 
+  test("native session_window agrees with the lag/sum gap logic on session counts") {
+    // strict-gap vs gap-inclusive boundaries differ only at exactly-30min
+    // gaps; verify none exist in the fixture, then counts must match
+    val gapUs = 30L * 60 * 1000000
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val exactGaps = batchEvents.withColumn("us", unix_micros($"ts"))
+      .withColumn("d", $"us" - lag($"us", 1).over(w))
+      .filter($"d" === gapUs).count()
+    assert(exactGaps == 0, "fixture has an exactly-30min gap; counts may differ")
+    val native = graft.streaming.EventPipelines
+      .sessionizeNative(batchEvents.select($"user_id", $"ts"))
+      .groupBy($"user_id").agg(count(lit(1)).as("n_sessions"))
+      .as[(Long, Long)].collect().toMap
+    val viaLag = batchEvents.withColumn("us", unix_micros($"ts"))
+      .withColumn("new_s", when(lag($"us", 1).over(w).isNull ||
+        ($"us" - lag($"us", 1).over(w)) > gapUs, 1).otherwise(0))
+      .groupBy($"user_id").agg(sum($"new_s").as("n_sessions"))
+      .as[(Long, Long)].collect().toMap
+    assert(native == viaLag)
+  }
+
   test("sessionize emits closed sessions that match the batch gap logic") {
     EventPipelines.runToMemory(
       EventPipelines.sessionize(spark, EventPipelines.readEventStream(spark, streamDir)).toDF(),
