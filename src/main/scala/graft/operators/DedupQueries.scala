@@ -38,7 +38,24 @@ object DedupQueries extends QueryPack {
     // SimHash near-dup pairs at Hamming ≤ 3.
     "q48_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(Dedup.simhash16(Tables.documents(s, d), "text", "doc_id"),
-        "doc_id", maxHamming = 3))
+        "doc_id", maxHamming = 3)),
+
+    // Embedding-cosine near-dup: LSH-bucketed candidate pairs above the
+    // cosine threshold resolved back to the documents (vec_id = doc_id),
+    // with the keeper chosen as the smaller id — semantic dedup, the
+    // embedding-space sibling of MinHash. (Synthetic random embeddings
+    // are near-orthogonal, so the demo threshold sits at 0.35; real
+    // near-dup corpora use ~0.9.)
+    "q49_embedding_neardup" -> ((s, d) => {
+      val pairs = Similarity.lshNearPairs(
+        Tables.embeddings(s, d), "vec_id", "embedding", bits = 8, minCos = 0.35)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      pairs
+        .join(docs.toDF("id_1", "source_1"), "id_1")
+        .join(docs.toDF("id_2", "source_2"), "id_2")
+        .select(col("id_1").as("keep_id"), col("id_2").as("dup_id"),
+          col("cos"), (col("source_1") === col("source_2")).as("same_source"))
+    })
   )
 
   // ---- shared oracle fragments ----
@@ -90,6 +107,20 @@ object DedupQueries extends QueryPack {
         simh AS (SELECT doc_id, CAST($simhashValue AS INT) AS simhash FROM sums)"""
 
   val oracleSql: Map[String, String] = Map(
+    "q49_embedding_neardup" -> {
+      val cos = SimilarityQueries.cosSql("a.embedding", "b.embedding")
+      s"""WITH bk AS (SELECT vec_id, embedding, ${SimilarityQueries.bucketSql} AS bucket
+                      FROM embeddings),
+         pairs AS (
+           SELECT a.vec_id AS id_1, b.vec_id AS id_2, $cos AS cos
+           FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+           WHERE $cos >= 0.35)
+       SELECT p.id_1 AS keep_id, p.id_2 AS dup_id, p.cos,
+              (d1.source = d2.source) AS same_source
+       FROM pairs p
+       JOIN documents d1 ON p.id_1 = d1.doc_id
+       JOIN documents d2 ON p.id_2 = d2.doc_id"""
+    },
     "q44_dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
          min(doc_id) AS keep_id, count(*) AS n_docs

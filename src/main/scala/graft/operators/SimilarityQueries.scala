@@ -36,13 +36,13 @@ object SimilarityQueries extends QueryPack {
   )
 
   /** cosine(a,b) with strict left-fold double arithmetic. */
-  private def cosSql(a: String, b: String) =
+  private[operators] def cosSql(a: String, b: String) =
     s"""(list_reduce(list_transform(list_zip($a, $b),
           x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q) /
         (sqrt(list_reduce(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, q) -> p + q)) *
          sqrt(list_reduce(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, q) -> p + q))))"""
 
-  private val bucketSql = (1 to BITS).map(i =>
+  private[operators] val bucketSql = (1 to BITS).map(i =>
     s"(CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
 
   val oracleSql: Map[String, String] = Map(
