@@ -37,12 +37,27 @@ object TextFunctions {
   def langScore(text: Column, vocab: Seq[String]): Column =
     size(filter(tokens(text), t => t.isin(vocab.map(lit(_)): _*)))
 
+  /** Fraction of characters that are punctuation (not alnum/space). */
+  def punctRatio(text: Column): Column =
+    regexp_count(text, lit("[^a-zA-Z0-9 ]")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
   /** Composite quality score in [0,1]: length credit × (1 − stopword
     * share). Mirrors the usual length/stopword heuristics.
     */
   def qualityScore(text: Column, stopwords: Seq[String]): Column =
     least(lit(1.0), tokenCount(text).cast("double") / lit(50.0)) *
       (lit(1.0) - stopwordRatio(text, stopwords))
+
+  /** Polynomial rolling hash over the token stream:
+    * h ← (h·31 + v(tok)) mod (2³¹−1), with v(tok) the value of the
+    * first md5 nibble — engine-portable integer arithmetic (no 64-bit
+    * overflow, same md5 on both sides), order-sensitive unlike the
+    * md5-of-normalized-text fingerprint.
+    */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (h, t) => (h * 31 + hexNibble(substring(md5(t), 1, 1)).cast("long")) % 2147483647L)
 
   /** Document fingerprint: md5 of the whitespace-normalized, lowercased
     * text. Collision-safe enough for exact dedup at 100 TB (128-bit).

@@ -32,12 +32,13 @@ object TextQueries extends QueryPack {
         length(col("text")).as("n_chars_calc"))
     }),
 
-    // Quality scoring: length credit × (1 − stopword share).
+    // Quality scoring: length credit × (1 − stopword share) + punct ratio.
     "q41_quality_score" -> ((s, d) => {
       Tables.documents(s, d).select(
         col("doc_id"),
         tokenCount(col("text")).as("n_tokens"),
         stopwordRatio(col("text"), EN).as("stop_ratio"),
+        punctRatio(col("text")).as("punct_ratio"),
         qualityScore(col("text"), EN).as("quality"))
     }),
 
@@ -57,11 +58,13 @@ object TextQueries extends QueryPack {
         .withColumn("is_match", col("pred_lang") === col("lang"))
     }),
 
-    // Document fingerprint: md5 over normalized text (rolling-hash class).
+    // Document fingerprints: md5 over normalized text (exact) + an
+    // order-sensitive polynomial rolling hash over the token stream.
     "q43_fingerprint" -> ((s, d) => {
       Tables.documents(s, d).select(
         col("doc_id"), col("source"),
-        fingerprint(col("text")).as("fp"))
+        fingerprint(col("text")).as("fp"),
+        rollingFingerprint(col("text")).as("rolling_fp"))
     })
   )
 
@@ -80,6 +83,8 @@ object TextQueries extends QueryPack {
     "q41_quality_score" ->
       s"""SELECT doc_id, $nTokensSql AS n_tokens,
          $stopRatioSql AS stop_ratio,
+         CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE) /
+           CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
          least(1.0, CAST($nTokensSql AS DOUBLE) / 50.0) * (1.0 - $stopRatioSql) AS quality
          FROM documents""",
     "q42_langid" ->
@@ -98,7 +103,11 @@ object TextQueries extends QueryPack {
                FROM documents)""",
     "q43_fingerprint" ->
       """SELECT doc_id, source,
-         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(text, ' '),
+               t -> CAST(strpos('123456789abcdef', substr(md5(t), 1, 1)) AS BIGINT))),
+           (h, v) -> (h * 31 + v) % 2147483647) AS rolling_fp
          FROM documents"""
   )
 }
