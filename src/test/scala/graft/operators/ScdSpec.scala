@@ -63,6 +63,22 @@ class ScdSpec extends SparkSpec {
     assert(v2.exceptAll(v1).isEmpty)
   }
 
+  test("scd2Merge detects change on ANY tracked column, not just the first") {
+    val ts0 = lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+    val far = lit("9999-12-31 00:00:00").cast("timestamp_ntz")
+    val runTs = lit("2024-06-01 00:00:00").cast("timestamp_ntz")
+    val target = Seq((1L, 10.0, "a"), (2L, 20.0, "b")).toDF("id", "price", "cat")
+      .withColumn("start_ts", ts0).withColumn("end_ts", far)
+      .withColumn("is_active", lit("Y"))
+    // id=1: only the SECOND tracked column changes; id=2: untouched
+    val source = Seq((1L, 10.0, "z"), (2L, 20.0, "b")).toDF("id", "price", "cat")
+    val out = Scd.scd2Merge(target, source, Seq("id"), Seq("price", "cat"), runTs, far)
+    assert(out.filter($"id" === 1L).count() == 2)
+    assert(out.filter($"id" === 1L && $"is_active" === "Y")
+      .select($"cat").as[String].head() == "z")
+    assert(out.filter($"id" === 2L).count() == 1)
+  }
+
   test("surrogate keys are dense and collision-free") {
     val dim = Seq("c", "a", "b").toDF("k")
     val withIds = Relational.surrogateKeys(dim, "k", 100L, "id")
