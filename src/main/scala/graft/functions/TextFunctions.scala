@@ -14,8 +14,19 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokens. */
+  /** Space-delimited tokens — deliberately a SINGLE-space split, the
+    * exact cross-engine contract the oracles reproduce
+    * (`string_split(text, ' ')`). Runs of whitespace/tabs produce empty
+    * or glued tokens here; for real corpora normalize first or use
+    * [[tokensNormalized]].
+    */
   def tokens(text: Column): Column = split(text, " ")
+
+  /** Whitespace-robust tokens for real corpora: trims, splits on any
+    * whitespace run, never yields empty tokens ('' → empty array).
+    */
+  def tokensNormalized(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= "")
 
   def tokenCount(text: Column): Column = size(tokens(text))
 

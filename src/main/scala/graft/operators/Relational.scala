@@ -74,8 +74,10 @@ object Relational {
     *
     * Implementation is the union-and-carry-forward form, NOT a range
     * join: tag right rows 0 / left rows 1, sort within each key by
-    * (ts, tag), and carry the last non-null right attributes forward
-    * with an unbounded-preceding window. ONE shuffle on the key — the
+    * (ts, tag), and carry the latest right row forward as ONE struct
+    * with an unbounded-preceding window — atomically, so a NULL
+    * attribute in the matched version stays NULL instead of being
+    * back-filled from an older version. ONE shuffle on the key — the
     * same cost as a plain equi-join — versus a range join's quadratic
     * per-key blowup; at same-ts ties the right row sorts first, giving
     * the inclusive (>=) semantics of SQL ASOF JOIN.
@@ -84,22 +86,27 @@ object Relational {
                leftTs: String, rightTs: String): DataFrame = {
     val rightAttrs = right.columns.filterNot(c => keys.contains(c) || c == rightTs).toSeq
     val leftAttrs = left.columns.filterNot(c => keys.contains(c) || c == leftTs).toSeq
+    require(leftAttrs.intersect(rightAttrs).isEmpty,
+      s"asOfJoin: colliding attribute names ${leftAttrs.intersect(rightAttrs).mkString(",")}" +
+        " — rename one side first")
+    require(!(leftAttrs ++ rightAttrs).exists(c => c == "__ts" || c == "__tag" || c == "__r"),
+      "asOfJoin: __ts/__tag/__r are reserved")
+    require(rightAttrs.nonEmpty, "asOfJoin: right side carries no attributes to join")
     val taggedRight = right.select(
       keys.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__tag")) ++
-        leftAttrs.map(c => lit(null).as(c)) ++ rightAttrs.map(col): _*)
+        leftAttrs.map(c => lit(null).as(c)) :+
+        struct(rightAttrs.map(col): _*).as("__r"): _*)
     val taggedLeft = left.select(
       keys.map(col) ++ Seq(col(leftTs).as("__ts"), lit(1).as("__tag")) ++
-        leftAttrs.map(col) ++ rightAttrs.map(c => lit(null).as(c)): _*)
+        leftAttrs.map(col) :+ lit(null).as("__r"): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    taggedRight.unionByName(taggedLeft)
-      .select(
-        keys.map(col) ++ Seq(col("__ts"), col("__tag")) ++ leftAttrs.map(col) ++
-          rightAttrs.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+    taggedRight.unionByName(taggedLeft, allowMissingColumns = false)
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__tag") === 1)
       .select(keys.map(col) ++ Seq(col("__ts").as(leftTs)) ++
-        leftAttrs.map(col) ++ rightAttrs.map(col): _*)
+        leftAttrs.map(col) ++ rightAttrs.map(c => col(s"__r.$c").as(c)): _*)
   }
 
   /** Binned range join: point-in-interval joins (`leftTs ∈ [start,end]`)

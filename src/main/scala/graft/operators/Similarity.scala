@@ -2,27 +2,28 @@ package graft.operators
 
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`array<float>`).
   *
-  * Two paths, mirroring what a 100 TB pipeline needs:
-  *  - [[bruteForceKnn]]: exact cosine top-k via self-join — the
-  *    correctness baseline, quadratic, only for small/filtered sets
-  *    (or per-LSH-bucket after blocking).
+  * Three paths, mirroring what a 100 TB pipeline needs:
+  *  - [[bruteForceKnn]]: exact cosine top-k via a broadcast block
+  *    kernel — the correctness baseline, quadratic, only for
+  *    small/filtered sets (or per-bucket after blocking).
   *  - [[lshNearPairs]]: sign-bit LSH bucketing → candidates share a
   *    bucket → exact cosine only on candidates. The bucket join is an
   *    equi-join (shuffle on the bucket key), so the all-pairs cross
   *    product never materializes; bucket skew is handled by AQE or by
-  *    raising `bits`. An IVF variant is the same shape with learned
-  *    centroid ids as the bucket key.
+  *    raising `bits`.
+  *  - [[ivfKnn]]: the same shape with coarse-quantizer cell ids as the
+  *    bucket key.
+  *
+  * Zero vectors have no defined cosine: every path drops pairs where
+  * either norm is 0 (the SQL division yields NULL there; the kernel
+  * skips them explicitly — same result).
   */
 object Similarity {
 
-  /** Exact cosine top-k neighbors per vector (excluding self), with a
-    * deterministic neighbor-id tie-break.
-    */
   /** Exact cosine top-k, broadcast block kernel: the query side is
     * broadcast once per executor (an exact KNN baseline is only ever run
     * on sets that fit — at scale the blocked variants below bound the
@@ -35,6 +36,7 @@ object Similarity {
     * bit-identical to the join formulation and the DuckDB oracle.
     */
   def bruteForceKnn(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
     val spark = emb.sparkSession
     import spark.implicits._
     val rows = emb.select(col(idCol).cast("long"), col(vecCol))
@@ -55,7 +57,7 @@ object Similarity {
         val top = new Array[(Double, Long)](k)
         var used = 0
         bs.foreach { case (nid, nv, nb) =>
-          if (nid != id) {
+          if (nid != id && na != 0.0 && nb != 0.0) { // zero-norm: no cosine
             val c = dotf(v, nv) / (na * nb)
             if (used < k || c > top(used - 1)._1 ||
                 (c == top(used - 1)._1 && nid < top(used - 1)._2)) {
@@ -99,6 +101,7 @@ object Similarity {
     val topk = udaf(new graft.functions.TopKByScore(k))
     a.join(b, "cluster").filter(col("vec_id") =!= col("nn_id"))
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos").isNotNull) // zero-norm vectors have no cosine
       .groupBy(col("cluster"), col("vec_id"))
       .agg(topk(col("cos"), col("nn_id")).as("nns"))
       .select(col("cluster"), col("vec_id"), posexplode(col("nns")))

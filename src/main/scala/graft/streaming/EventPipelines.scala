@@ -48,9 +48,6 @@ object EventPipelines {
     events.withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
-  /** `us` carries the full microsecond timestamp — Timestamp.getTime is
-    * ms-truncated and would shift session boundaries vs batch unix_micros.
-    */
   /** Gap sessionization via the native `session_window` — the
     * declarative twin of [[sessionize]] (which demonstrates custom
     * state). Works identically over a stream (with the watermark) or a
@@ -66,6 +63,9 @@ object EventPipelines {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"))
 
+  /** `us` carries the full microsecond timestamp — Timestamp.getTime is
+    * ms-truncated and would shift session boundaries vs batch unix_micros.
+    */
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, us: Long)
   case class SessionState(start: Long, lastUs: Long, n: Int)
   case class SessionOut(user_id: Long, session_start_us: Long, n_events: Int, duration_us: Long)
@@ -85,7 +85,12 @@ object EventPipelines {
         val us = e.us
         cur match {
           case Some(st) if us - st.lastUs <= gapUs =>
-            cur = Some(st.copy(lastUs = us, n = st.n + 1))
+            // out-of-order events inside the watermark can arrive with
+            // us < lastUs (or < start): extend the session's bounds,
+            // never shrink them — else durations go negative and the
+            // timeout fires early
+            cur = Some(SessionState(math.min(st.start, us),
+              math.max(st.lastUs, us), st.n + 1))
           case Some(st) =>
             out ::= SessionOut(user, st.start, st.n, st.lastUs - st.start)
             cur = Some(SessionState(us, us, 1))
@@ -134,10 +139,16 @@ object EventPipelines {
                         layer: String, table: String, keys: Seq[String]): Unit = {
     val q = events.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // dedup WITHIN the micro-batch too: an at-least-once feed can
+        // deliver the same key twice in one batch, and the anti-join
+        // only guards against the existing target
+        val b = batch.toDF()
+        val tieBreak = b.columns.filterNot(keys.contains).map(col(_).asc).toSeq
+        val deduped = graft.operators.Staging.dedupFirstWins(b, keys, tieBreak)
         val merged =
           if (wh.exists(layer, table))
-            graft.operators.Staging.antiJoinAppend(batch.toDF(), wh.read(layer, table), keys)
-          else batch.toDF()
+            graft.operators.Staging.antiJoinAppend(deduped, wh.read(layer, table), keys)
+          else deduped
         wh.overwrite(merged, layer, table): Unit
       }
       .start()

@@ -82,6 +82,17 @@ class RelationalSpec extends SparkSpec {
     assert(out("other-key").contains(5.0)) // keys never cross
   }
 
+  test("asOfJoin keeps a NULL attribute of the matched version (no stale backfill)") {
+    val prices = Seq((1L, "2024-01-01", Some(10.0), Some("promo")),
+      (1L, "2024-03-01", Some(20.0), None))
+      .toDF("k", "dt", "price", "note").select($"k", $"dt".cast("date").as("dt"), $"price", $"note")
+    val events = Seq((1L, "2024-03-02", "after-v2")).toDF("k", "ts", "tag")
+      .select($"k", $"ts".cast("date").as("ts"), $"tag")
+    val r = Relational.asOfJoin(events, prices, Seq("k"), "ts", "dt").collect().head
+    assert(r.getAs[Double]("price") == 20.0)
+    assert(r.isNullAt(r.fieldIndex("note"))) // matched version's NULL survives
+  }
+
   test("rangeJoinBinned equals a plain inequality join") {
     val points = Seq((1, "2024-01-05"), (2, "2024-02-20"), (3, "2024-06-01"))
       .toDF("id", "ts").select($"id", $"ts".cast("date").as("ts"))
