@@ -41,7 +41,8 @@ object Staging {
     * Re-running with the same src yields the identical result.
     */
   def antiJoinAppend(src: DataFrame, target: DataFrame, keys: Seq[String]): DataFrame =
-    target.unionByName(newRowsOnly(src, target, keys).select(target.columns.map(col): _*))
+    target.unionByName(
+      newRowsOnly(src, target, keys).select(target.columns.toIndexedSeq.map(col): _*))
 
   /** First-row-wins within a batch (SURVEY §3.4.1): deterministic
     * tie-break instead of the reference's arbitrary loop order.
