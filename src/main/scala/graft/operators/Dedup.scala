@@ -50,21 +50,26 @@ object Dedup {
         shingles.join(hot, Seq("shingle"), "left_anti")
       case None => shingles
     }
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     // Intersection counting WITHOUT a self-join: group each shingle's
     // (sorted) doc list, emit its ordered pairs set-based, count pairs.
     // One shuffle on the shingle key instead of a join shuffle + fan-out;
     // rows produced = Σ df·(df−1)/2, half the join's Σ df². Hot shingles
     // still need the `maxShingleDf` cap at scale — a df-k shingle emits
     // k²/2 pairs either way.
+    val grouped = sh.groupBy(col("shingle"))
+      .agg(sort_array(collect_set(col(idCol))).as("ids"))
+    // Doc sizes derived from the SAME grouped relation (not from `sh`
+    // again): both branches sit on one Exchange(shingle), so Spark's
+    // ReuseExchange evaluates the shingle generation once.
+    val sizes = grouped.select(explode(col("ids")).as(idCol))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val pairsOfIds = {
       val ids = col("ids")
       flatten(transform(ids, (x, i) =>
         transform(slice(ids, i + lit(2), size(ids)),
           y => struct(x.as("id_1"), y.as("id_2")))))
     }
-    val inter = sh.groupBy(col("shingle"))
-      .agg(sort_array(collect_set(col(idCol))).as("ids"))
+    val inter = grouped
       .filter(size(col("ids")) > 1)
       .select(explode(pairsOfIds).as("p"))
       .groupBy(col("p.id_1").as("id_1"), col("p.id_2").as("id_2"))
