@@ -65,6 +65,35 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs.length == 6) // all pairs at max hamming
   }
 
+  test("tokensNormalized handles tabs, runs of spaces, and empty text") {
+    val messy = Seq((1L, " the\tquick  brown  fox "), (2L, ""), (3L, "   "))
+      .toDF("doc_id", "text")
+    val out = messy.select($"doc_id",
+      TextFunctions.tokensNormalized($"text").as("ts"),
+      TextFunctions.tokens($"text").as("raw"))
+      .as[(Long, Seq[String], Seq[String])].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(out(1L)._1 == Seq("the", "quick", "brown", "fox"))
+    assert(out(2L)._1.isEmpty && out(3L)._1.isEmpty)
+    // the oracle-contract tokens() splits on single spaces only
+    assert(out(1L)._2.contains("the\tquick"))
+  }
+
+  test("punctRatio and rollingFingerprint are deterministic and bounded") {
+    val df = Seq((1L, "a, b. c!"), (2L, "abc"), (3L, "")).toDF("doc_id", "text")
+    val r = df.select($"doc_id",
+      TextFunctions.punctRatio($"text").as("pr"),
+      TextFunctions.rollingFingerprint($"text").as("fp"))
+      .as[(Long, Double, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(math.abs(r(1L)._1 - 3.0 / 8.0) < 1e-12)
+    assert(r(2L)._1 == 0.0 && r(3L)._1 == 0.0)
+    // order sensitivity: same tokens, different order → different hash
+    val swapped = Seq((1L, "b a"), (2L, "a b")).toDF("doc_id", "text")
+      .select(TextFunctions.rollingFingerprint($"text")).as[Long].collect()
+    assert(swapped(0) != swapped(1))
+    assert(r.values.forall(v => v._2 >= 0L && v._2 < 2147483647L))
+  }
+
   test("token stats, quality and langid columns are sane") {
     val sw = Seq("the", "over")
     val r = docs.select($"doc_id",
