@@ -43,7 +43,9 @@ object AnalyticsQueries extends QueryPack {
     "q02_sales_by_type" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       val p = Tables.part(s, d).select("p_partkey", "p_type")
-      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      // no forced broadcast: part grows with the scale factor — AQE
+      // broadcasts it while it fits and falls back to shuffle when not
+      li.join(p, col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_type"))
         .agg(
           count(lit(1)).as("n_sales"),
@@ -59,8 +61,10 @@ object AnalyticsQueries extends QueryPack {
       val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
       val n = Tables.nation(s, d)
       val r = Tables.region(s, d)
+      // customer scales with the data — no forced broadcast (AQE
+      // decides); nation/region are fixed-cardinality, hint kept
       li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))

@@ -159,15 +159,42 @@ object Dedup {
     sums.select(col(idCol), fp.cast("int").as("simhash"))
   }
 
-  /** SimHash near-dup pairs: Hamming distance ≤ maxHamming. All-pairs
-    * here; at scale, block on simhash bytes (pigeonhole) first.
+  /** SimHash near-dup pairs: Hamming distance ≤ maxHamming, via
+    * pigeonhole blocking — the fingerprint splits into `maxHamming + 1`
+    * contiguous bit blocks; any pair within Hamming ≤ h differs in at
+    * most h blocks, so it must agree EXACTLY on at least one block.
+    * Candidates come from an equi-join on (block_idx, block_value) and
+    * only candidates pay the `bit_count` verification — the all-pairs
+    * cross product never materializes. Work per block shrinks with the
+    * fingerprint width (`bits`): 16-bit fingerprints give 2^4-value
+    * blocks (coarse); at corpus scale pair this with a 64-bit simhash
+    * so each block carries 2^16 values.
     */
-  def simhashPairs(sim: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
-    val a = sim.toDF("id_1", "sh_1")
-    val b = sim.toDF("id_2", "sh_2")
-    a.crossJoin(b).filter(col("id_1") < col("id_2"))
+  def simhashPairs(sim: DataFrame, idCol: String, maxHamming: Int,
+                   bits: Int = 16): DataFrame = {
+    val nBlocks = maxHamming + 1
+    require(nBlocks <= bits,
+      s"maxHamming=$maxHamming needs $nBlocks pigeonhole blocks but the " +
+        s"fingerprint has only $bits bits; at maxHamming >= bits every pair " +
+        "qualifies anyway — use a wider simhash")
+    // Block j covers bit range [j*bits/n, (j+1)*bits/n) — near-equal widths.
+    val blockStructs = (0 until nBlocks).map { j =>
+      val lo = j * bits / nBlocks
+      val hi = (j + 1) * bits / nBlocks
+      struct(lit(j).as("blk"),
+        shiftright(col("__sh"), lo).bitwiseAND(lit((1L << (hi - lo)) - 1)).as("bval"))
+    }
+    val exploded = sim.toDF("__id", "__sh")
+      .select(col("__id"), col("__sh"), explode(array(blockStructs: _*)).as("b"))
+      .select(col("__id"), col("__sh"), col("b.blk").as("blk"), col("b.bval").as("bval"))
+    val a = exploded.toDF("id_1", "sh_1", "blk", "bval")
+    val b = exploded.toDF("id_2", "sh_2", "blk", "bval")
+    a.join(b, Seq("blk", "bval"))
+      .filter(col("id_1") < col("id_2"))
       .withColumn("hamming", bit_count(col("sh_1").bitwiseXOR(col("sh_2"))))
       .filter(col("hamming") <= maxHamming)
+      // a pair agreeing on >1 block appears once per agreeing block
       .select(col("id_1"), col("id_2"), col("hamming").cast("int").as("hamming"))
+      .distinct()
   }
 }

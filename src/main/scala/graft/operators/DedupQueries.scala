@@ -13,6 +13,7 @@ object DedupQueries extends QueryPack {
   private val K = 8      // minhash functions
   private val BANDS = 4  // LSH bands (rows per band = K/BANDS = 2)
   private val MIN_JACCARD = 0.2
+  private val MAX_SHINGLE_DF = 25  // q58: drop shingles hotter than this
 
   val queries: Map[String, Q] = Map(
     // Exact dedup: fingerprint group-by with keeper id + dup count.
@@ -35,10 +36,20 @@ object DedupQueries extends QueryPack {
     "q47_simhash" -> ((s, d) =>
       Dedup.simhash16(Tables.documents(s, d), "text", "doc_id")),
 
-    // SimHash near-dup pairs at Hamming ≤ 3.
+    // SimHash near-dup pairs at Hamming ≤ 3, candidates via pigeonhole
+    // block equi-join (no cross product — TextDedupSpec asserts the plan).
     "q48_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(Dedup.simhash16(Tables.documents(s, d), "text", "doc_id"),
         "doc_id", maxHamming = 3)),
+
+    // q45's scale-safe twin: identical Jaccard pipeline with the
+    // hot-shingle cap ON — a shingle present in > MAX_SHINGLE_DF docs
+    // carries no dedup signal but emits df²/2 candidate rows, so the
+    // 100 TB run always caps. The oracle applies the identical df filter.
+    "q58_jaccard_capped" -> ((s, d) =>
+      Dedup.jaccardPairs(
+        Dedup.shingleTable(Tables.documents(s, d), "text", "doc_id", 3),
+        "doc_id", MIN_JACCARD, maxShingleDf = Some(MAX_SHINGLE_DF))),
 
     // Embedding-cosine near-dup: LSH-bucketed candidate pairs above the
     // cosine threshold resolved back to the documents (vec_id = doc_id),
@@ -69,18 +80,20 @@ object DedupQueries extends QueryPack {
                FROM toks),
        sh AS (SELECT DISTINCT doc_id, shingle FROM raw)"""
 
-  /** Pairwise Jaccard ≥ threshold over `sh`. Produces id_1,id_2,jaccard. */
-  private val jaccardSelect =
+  /** Pairwise Jaccard ≥ threshold over `rel`. Produces id_1,id_2,jaccard. */
+  private def jaccardFrom(rel: String) =
     s"""SELECT id_1, id_2,
           CAST(inter AS DOUBLE) / CAST(n1 + n2 - inter AS DOUBLE) AS jaccard
         FROM (
           SELECT i.id_1, i.id_2, i.inter, s1.n AS n1, s2.n AS n2
           FROM (SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS inter
-                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                FROM $rel a JOIN $rel b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
                 GROUP BY 1, 2) i
-          JOIN (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1) s1 ON i.id_1 = s1.doc_id
-          JOIN (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1) s2 ON i.id_2 = s2.doc_id)
+          JOIN (SELECT doc_id, count(*) AS n FROM $rel GROUP BY 1) s1 ON i.id_1 = s1.doc_id
+          JOIN (SELECT doc_id, count(*) AS n FROM $rel GROUP BY 1) s2 ON i.id_2 = s2.doc_id)
         WHERE CAST(inter AS DOUBLE) / CAST(n1 + n2 - inter AS DOUBLE) >= $MIN_JACCARD"""
+
+  private val jaccardSelect = jaccardFrom("sh")
 
   private val minhashCols =
     (0 until K).map(i => s"min(md5('$i|' || shingle)) AS mh$i").mkString(", ")
@@ -127,6 +140,14 @@ object DedupQueries extends QueryPack {
          FROM documents GROUP BY 1""",
     "q45_ngram_jaccard" ->
       s"WITH $shinglesCte $jaccardSelect",
+    "q58_jaccard_capped" ->
+      s"""WITH $shinglesCte,
+         shc AS (SELECT doc_id, shingle FROM sh
+                 WHERE NOT EXISTS (
+                   SELECT 1 FROM (SELECT shingle FROM sh GROUP BY shingle
+                                  HAVING count(*) > $MAX_SHINGLE_DF) hot
+                   WHERE hot.shingle = sh.shingle))
+       ${jaccardFrom("shc")}""",
     "q46_minhash_lsh" ->
       s"""WITH $shinglesCte,
          mh AS (SELECT doc_id, $minhashCols FROM sh GROUP BY doc_id),

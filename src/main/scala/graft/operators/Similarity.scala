@@ -109,6 +109,58 @@ object Similarity {
         col("col._1").as("cos"), (col("pos") + 1).cast("int").as("rn"))
   }
 
+  /** Blocked exact KNN: the [[bruteForceKnn]] insertion-buffer kernel
+    * composed per LSH bucket, with NO driver collect — buckets shuffle
+    * once on the bucket key (`groupByKey`) and each group runs the exact
+    * quadratic kernel over only its own members. The broadcast/collect
+    * side of the naive baseline disappears; memory per task is one
+    * bucket, so the exact kernel never sees an unbounded relation. This
+    * is the 100 TB shape for exact-within-block search (recall bounded
+    * by the blocking, like IVF).
+    *
+    * Same ordering contract as [[bruteForceKnn]]: (cos desc, nn_id asc),
+    * zero-norm vectors dropped, rn 1..k.
+    */
+  def blockedKnn(emb: DataFrame, idCol: String, vecCol: String,
+                 bits: Int, k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    def dotf(x: Array[Float], y: Array[Float]): Double = {
+      val n = math.min(x.length, y.length)
+      var acc = 0.0; var i = 0
+      while (i < n) { acc += x(i).toDouble * y(i).toDouble; i += 1 }
+      acc
+    }
+    buckets(emb, idCol, vecCol, bits)
+      .select(col("bucket"), col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .as[(String, Long, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (bucket, it) =>
+        val rows = it.map { case (_, id, v) => (id, v, math.sqrt(dotf(v, v))) }.toArray
+        rows.iterator.flatMap { case (id, v, na) =>
+          val top = new Array[(Double, Long)](k)
+          var used = 0
+          rows.foreach { case (nid, nv, nb) =>
+            if (nid != id && na != 0.0 && nb != 0.0) {
+              val c = dotf(v, nv) / (na * nb)
+              if (used < k || c > top(used - 1)._1 ||
+                  (c == top(used - 1)._1 && nid < top(used - 1)._2)) {
+                var j = math.min(used, k - 1)
+                while (j > 0 && (top(j - 1)._1 < c ||
+                       (top(j - 1)._1 == c && top(j - 1)._2 > nid))) {
+                  top(j) = top(j - 1); j -= 1
+                }
+                top(j) = (c, nid)
+                if (used < k) used += 1
+              }
+            }
+          }
+          (0 until used).map(r => (bucket, id, top(r)._2, top(r)._1, r + 1))
+        }
+      }.toDF("bucket", "vec_id", "nn_id", "cos", "rn")
+  }
+
   /** Near pairs: same bucket AND exact cosine ≥ minCos. */
   def lshNearPairs(emb: DataFrame, idCol: String, vecCol: String,
                    bits: Int, minCos: Double): DataFrame = {

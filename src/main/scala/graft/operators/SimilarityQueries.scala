@@ -32,7 +32,13 @@ object SimilarityQueries extends QueryPack {
     // IVF-style ANN: exact top-3 within the coarse partition (label as
     // the quantizer cell) — recall bounded by the quantizer, cost ÷ cells.
     "q57_ivf_knn" -> ((s, d) =>
-      Similarity.ivfKnn(Tables.embeddings(s, d), "vec_id", "embedding", "label", 3))
+      Similarity.ivfKnn(Tables.embeddings(s, d), "vec_id", "embedding", "label", 3)),
+
+    // Blocked exact KNN: the brute-force kernel run per LSH bucket with
+    // no driver collect — the bounded-memory exact path at scale
+    // (q50 stays as the small-set global baseline).
+    "q59_blocked_knn" -> ((s, d) =>
+      Similarity.blockedKnn(Tables.embeddings(s, d), "vec_id", "embedding", BITS, 3))
   )
 
   /** cosine(a,b) with strict left-fold double arithmetic. */
@@ -71,6 +77,16 @@ object SimilarityQueries extends QueryPack {
                        ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id) AS INT) AS rn
            FROM embeddings a JOIN embeddings b
              ON a.label = b.label AND a.vec_id != b.vec_id)
+         WHERE rn <= 3""",
+    "q59_blocked_knn" ->
+      s"""WITH bk AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings)
+         SELECT bucket, vec_id, nn_id, cos, rn FROM (
+           SELECT a.bucket, a.vec_id, b.vec_id AS nn_id,
+                  ${cosSql("a.embedding", "b.embedding")} AS cos,
+                  CAST(row_number() OVER (PARTITION BY a.vec_id
+                       ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id) AS INT) AS rn
+           FROM bk a JOIN bk b
+             ON a.bucket = b.bucket AND a.vec_id != b.vec_id)
          WHERE rn <= 3"""
   )
 }

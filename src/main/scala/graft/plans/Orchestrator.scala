@@ -165,9 +165,11 @@ class Orchestrator(spark: SparkSession, sfDir: String, whRoot: String) {
     val activeProducts = wh.read("bl_3nf", "ce_products_scd")
       .filter(col("is_active") === "Y")
       .select(col("product_id"), col("unit_price"))
+    // products scale with the data — no forced broadcast (AQE decides
+    // per run; at 100 TB this becomes a shuffle join, never an OOM)
     val factNew = sales
       .join(orders, Seq("order_id"), "left")
-      .join(broadcast(activeProducts),
+      .join(activeProducts,
         col("product_src_id") === col("product_id"), "left")
       .select(
         col("sale_src_id"),

@@ -1,7 +1,8 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions.{count, lit}
 
 /** Layered parquet warehouse: one directory per (layer, table), the
   * Spark analog of the reference's five PostgreSQL schemas
@@ -52,12 +53,13 @@ class Warehouse(val root: String, spark: SparkSession) {
   def overwriteBucketed(df: DataFrame, layer: String, table: String,
                         bucketCols: Seq[String], numBuckets: Int): Long = {
     val name = s"${layer}_$table"
-    df.write.mode("overwrite")
+    val obs = Observation()
+    df.observe(obs, count(lit(1)).as("n")).write.mode("overwrite")
       .option("path", path(layer, table + "__bucketed"))
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(name)
-    spark.table(name).count()
+    obs.get("n").asInstanceOf[Long]
   }
 
   def readBucketed(layer: String, table: String): DataFrame =
@@ -81,10 +83,15 @@ class Warehouse(val root: String, spark: SparkSession) {
       if (partitionBy.nonEmpty)
         df.repartition(partitionBy.map(org.apache.spark.sql.functions.col): _*)
       else df
-    val writer = clustered.write.mode("overwrite")
+    // S7 row-count rides the write job itself (df.observe) — no second
+    // full scan of the freshly written table, which at 100 TB would
+    // double every load's read volume.
+    val obs = Observation()
+    val writer = clustered.observe(obs, count(lit(1)).as("n"))
+      .write.mode("overwrite")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(tmp.toString)
-    val n = spark.read.parquet(tmp.toString).count()
+    val n = obs.get("n").asInstanceOf[Long]
     fs.delete(old, true)
     if (fs.exists(target)) fs.rename(target, old)
     fs.rename(tmp, target)

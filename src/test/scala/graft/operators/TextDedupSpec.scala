@@ -60,9 +60,29 @@ class TextDedupSpec extends SparkSpec {
       .as[(Long, Int)].collect().toMap
     def ham(a: Int, b: Int) = Integer.bitCount(a ^ b)
     assert(ham(sim(1L), sim(2L)) < ham(sim(1L), sim(4L)))
-    val pairs = Dedup.simhashPairs(Dedup.simhash16(docs, "text", "doc_id"), "doc_id", 16)
-      .as[(Long, Long, Int)].collect()
-    assert(pairs.length == 6) // all pairs at max hamming
+    // pigeonhole blocking must reproduce the locally computed pair set
+    // exactly, at several thresholds (incl. the 15-bit near-all case)
+    for (h <- Seq(1, 3, 8, 15)) {
+      val expected = (for {
+        (a, sa) <- sim; (b, sb) <- sim
+        if a < b && ham(sa, sb) <= h
+      } yield (a, b, ham(sa, sb))).toSet
+      val got = Dedup.simhashPairs(Dedup.simhash16(docs, "text", "doc_id"), "doc_id", h)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got == expected, s"maxHamming=$h")
+    }
+    // maxHamming >= bits cannot be blocked — must be rejected, not wrong
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(Dedup.simhash16(docs, "text", "doc_id"), "doc_id", 16)
+    }
+  }
+
+  test("simhashPairs plan is a block equi-join — no cross product") {
+    val plan = Dedup.simhashPairs(
+      Dedup.simhash16(docs, "text", "doc_id"), "doc_id", 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
   test("tokensNormalized handles tabs, runs of spaces, and empty text") {
