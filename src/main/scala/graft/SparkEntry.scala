@@ -11,6 +11,7 @@ object SparkEntry {
     AnalyticsQueries,
     WarehouseQueries,
     ScdQueries,
+    HierarchyQueries,
     DatesQueries,
     TextQueries,
     DedupQueries,

@@ -1,0 +1,214 @@
+package graft.operators
+
+import graft.QueryPack
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Reference-depth hierarchy surface (SURVEY §2.3 J3/J4 at full depth):
+  * the 4-level geo chain continents → countries → states → cities with
+  * the snowflake flatten into the customer dimension (reference:
+  * sql/dimensional/load_dim_customers_dimension_scd_type1.sql:88-95),
+  * the store-analog supplier dimension (reference:
+  * sql/3nf/load_3nf_ce_stores_table.sql,
+  * sql/dimensional/load_dim_stores_dimension.sql:79-84), and the
+  * 2-level product tree (reference:
+  * sql/3nf/load_3nf_ce_categories_table.sql,
+  * load_3nf_ce_subcategories_table.sql).
+  *
+  * Every query derives the synthesized hierarchy levels with the same
+  * deterministic arithmetic as the DuckDB oracle, so the whole chain —
+  * level derivation, case-insensitive name lookups, surrogate ids,
+  * 4-join flatten — is hash-verified end-to-end.
+  *
+  * Scale shape: all hierarchy levels are fixed-cardinality by
+  * construction (≤ 25·20 cities, ≤ ~40 subcategories) so every lookup
+  * join is a safe broadcast at any scale factor; the only wide ops are
+  * the initial distinct() over two-column geo projections.
+  */
+object HierarchyQueries extends QueryPack {
+
+  private def countriesOf(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d).select(
+      col("n_nationkey").cast(LongType).as("country_id"),
+      initcap(lower(col("n_name"))).as("country_name"),
+      col("n_regionkey").cast(LongType).as("country_continent_id"))
+
+  private def continentsOf(s: SparkSession, d: String): DataFrame =
+    Tables.region(s, d).select(
+      col("r_regionkey").cast(LongType).as("continent_id"),
+      initcap(lower(col("r_name"))).as("continent_name"))
+
+  private def custGeoOf(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(
+      col("c_nationkey").cast(LongType).as("country_id"),
+      col("c_custkey").cast(LongType).as("src_key"))
+
+  private def supGeoOf(s: SparkSession, d: String): DataFrame =
+    Tables.supplier(s, d).select(
+      col("s_nationkey").cast(LongType).as("country_id"),
+      col("s_suppkey").cast(LongType).as("src_key"))
+
+  val queries: Map[String, Q] = Map(
+    // J3 at reference depth: states from customers ∪ suppliers, cities
+    // resolved by case-insensitive name, full-name split, then the
+    // 4-join snowflake flatten customer→city→state→country→continent.
+    "q61_geo_flatten" -> ((s, d) => {
+      val countries = countriesOf(s, d)
+      val continents = continentsOf(s, d)
+      val custGeo = custGeoOf(s, d)
+      val states = Hierarchy.states(custGeo, supGeoOf(s, d), countries)
+      val cities = Hierarchy.cities(custGeo, countries, states)
+      val customers = Hierarchy.customersSource(Tables.customer(s, d), countries, cities)
+      Hierarchy.flattenCustomers(customers, cities, states, countries, continents)
+    }),
+
+    // Store-analog dimension: supplier → state link by name, then the
+    // 3-join flatten supplier→state→country→continent.
+    "q62_supplier_dim" -> ((s, d) => {
+      val countries = countriesOf(s, d)
+      val states = Hierarchy.states(custGeoOf(s, d), supGeoOf(s, d), countries)
+      val suppliers = Hierarchy.suppliersSource(Tables.supplier(s, d), countries, states)
+      Hierarchy.flattenSuppliers(suppliers, states, countriesOf(s, d), continentsOf(s, d))
+        .withColumn("acctbal", col("acctbal").cast(DoubleType))
+    }),
+
+    // 2-level product tree: categories/subcategories with row_number
+    // surrogate ids (F19) and case-insensitive parent resolution (J1),
+    // resolved per product.
+    "q63_product_tree" -> ((s, d) => {
+      val p = Tables.part(s, d)
+      val cats = Hierarchy.categories(p)
+      val subs = Hierarchy.subcategories(p, cats)
+      p.select(col("p_partkey").cast(LongType).as("product_id"), col("p_type"), col("p_brand"))
+        .withColumn("sub_ref", Hierarchy.subcategoryOf(col("p_type"), col("p_brand")))
+        .join(broadcast(subs), upper(col("sub_ref")) === upper(col("subcategory_name")), "left")
+        .join(broadcast(cats), col("subcategory_category_id") === col("category_id"), "left")
+        .select(col("product_id"),
+          coalesce(col("category_name"), lit("n.a.")).as("category_name"),
+          coalesce(col("subcategory_name"), lit("n.a.")).as("subcategory_name"),
+          coalesce(col("category_id"), lit(-1L)).as("category_id"),
+          coalesce(col("subcategory_id"), lit(-1L)).as("subcategory_id"))
+    })
+  )
+
+  // DuckDB has no initcap; emulate with per-word upper(first)||rest
+  // (same trick as q16's oracle).
+  private val initcapN =
+    """array_to_string(list_transform(string_split(lower(n_name), ' '),
+      |  w -> upper(substr(w,1,1)) || substr(w,2)), ' ')""".stripMargin
+  private val initcapR =
+    """array_to_string(list_transform(string_split(lower(r_name), ' '),
+      |  w -> upper(substr(w,1,1)) || substr(w,2)), ' ')""".stripMargin
+
+  private val geoCtes =
+    s"""countries AS (
+       |  SELECT CAST(n_nationkey AS BIGINT) AS country_id,
+       |         $initcapN AS country_name,
+       |         CAST(n_regionkey AS BIGINT) AS country_continent_id
+       |  FROM nation),
+       |continents AS (
+       |  SELECT CAST(r_regionkey AS BIGINT) AS continent_id,
+       |         $initcapR AS continent_name
+       |  FROM region),
+       |geo AS (
+       |  SELECT CAST(c_nationkey AS BIGINT) AS country_id,
+       |         CAST(c_custkey % 5 AS BIGINT) AS state_num
+       |  FROM customer
+       |  UNION
+       |  SELECT CAST(s_nationkey AS BIGINT), CAST(s_suppkey % 5 AS BIGINT)
+       |  FROM supplier),
+       |states AS (
+       |  SELECT country_id * 5 + state_num AS state_id,
+       |         country_name || ' State ' || CAST(state_num AS VARCHAR) AS state_name,
+       |         country_id AS state_country_id
+       |  FROM geo JOIN countries USING (country_id))""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q61_geo_flatten" ->
+      s"""WITH $geoCtes,
+         |cities_src AS (
+         |  SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS country_id,
+         |         CAST(c_custkey % 20 AS BIGINT) AS city_num,
+         |         CAST(c_custkey % 5 AS BIGINT) AS state_num
+         |  FROM customer),
+         |cities AS (
+         |  SELECT cs.country_id * 20 + cs.city_num AS city_id,
+         |         co.country_name || ' City ' || CAST(cs.city_num AS VARCHAR) AS city_name,
+         |         COALESCE(st.state_id, -1) AS city_state_id
+         |  FROM cities_src cs
+         |  JOIN countries co USING (country_id)
+         |  LEFT JOIN states st
+         |    ON upper(co.country_name || ' State ' || CAST(cs.state_num AS VARCHAR)) = upper(st.state_name)),
+         |cust AS (
+         |  SELECT CAST(c_custkey AS BIGINT) AS customer_id,
+         |         COALESCE(split_part(c_name, '#', 1), '') AS first_name,
+         |         COALESCE(split_part(c_name, '#', 2), '') AS last_name,
+         |         c_mktsegment AS segment,
+         |         CAST(c_nationkey AS BIGINT) AS country_id
+         |  FROM customer),
+         |cust_city AS (
+         |  SELECT cu.customer_id, cu.first_name, cu.last_name, cu.segment,
+         |         COALESCE(ci.city_id, -1) AS customer_city_id
+         |  FROM cust cu
+         |  LEFT JOIN countries co USING (country_id)
+         |  LEFT JOIN cities ci
+         |    ON upper(co.country_name || ' City ' || CAST(cu.customer_id % 20 AS VARCHAR)) = upper(ci.city_name))
+         |SELECT cc.customer_id, cc.first_name, cc.last_name, cc.segment,
+         |       COALESCE(ci.city_name, 'n.a.') AS city_name,
+         |       COALESCE(st.state_name, 'n.a.') AS state_name,
+         |       COALESCE(co.country_name, 'n.a.') AS country_name,
+         |       COALESCE(ct.continent_name, 'n.a.') AS continent_name
+         |FROM cust_city cc
+         |LEFT JOIN cities ci ON cc.customer_city_id = ci.city_id
+         |LEFT JOIN states st ON ci.city_state_id = st.state_id
+         |LEFT JOIN countries co ON st.state_country_id = co.country_id
+         |LEFT JOIN continents ct ON co.country_continent_id = ct.continent_id""".stripMargin,
+    "q62_supplier_dim" ->
+      s"""WITH $geoCtes,
+         |sup AS (
+         |  SELECT CAST(s_suppkey AS BIGINT) AS supplier_id, s_name AS supplier_name,
+         |         CAST(s_acctbal AS DECIMAL(12,2)) AS acctbal,
+         |         CAST(s_nationkey AS BIGINT) AS country_id
+         |  FROM supplier),
+         |sup_state AS (
+         |  SELECT su.supplier_id, su.supplier_name, su.acctbal,
+         |         COALESCE(st.state_id, -1) AS supplier_state_id
+         |  FROM sup su
+         |  LEFT JOIN countries co USING (country_id)
+         |  LEFT JOIN states st
+         |    ON upper(co.country_name || ' State ' || CAST(su.supplier_id % 5 AS VARCHAR)) = upper(st.state_name))
+         |SELECT ss.supplier_id, ss.supplier_name, CAST(ss.acctbal AS DOUBLE) AS acctbal,
+         |       COALESCE(st.state_name, 'n.a.') AS supplier_state,
+         |       COALESCE(co.country_name, 'n.a.') AS supplier_country,
+         |       COALESCE(ct.continent_name, 'n.a.') AS supplier_continent
+         |FROM sup_state ss
+         |LEFT JOIN states st ON ss.supplier_state_id = st.state_id
+         |LEFT JOIN countries co ON st.state_country_id = co.country_id
+         |LEFT JOIN continents ct ON co.country_continent_id = ct.continent_id""".stripMargin,
+    "q63_product_tree" ->
+      """WITH cats AS (
+        |  SELECT category_name,
+        |         CAST(row_number() OVER (ORDER BY category_name) AS BIGINT) AS category_id
+        |  FROM (SELECT DISTINCT split_part(p_type, ' ', 1) AS category_name FROM part)),
+        |subs0 AS (
+        |  SELECT DISTINCT split_part(p_type, ' ', 1) || ' ' || p_brand AS subcategory_name,
+        |         split_part(p_type, ' ', 1) AS category_ref
+        |  FROM part),
+        |subs AS (
+        |  SELECT subcategory_name,
+        |         CAST(row_number() OVER (ORDER BY subcategory_name) AS BIGINT) AS subcategory_id,
+        |         COALESCE(c.category_id, -1) AS subcategory_category_id
+        |  FROM subs0 LEFT JOIN cats c ON upper(subs0.category_ref) = upper(c.category_name))
+        |SELECT CAST(p_partkey AS BIGINT) AS product_id,
+        |       COALESCE(c.category_name, 'n.a.') AS category_name,
+        |       COALESCE(s.subcategory_name, 'n.a.') AS subcategory_name,
+        |       COALESCE(c.category_id, CAST(-1 AS BIGINT)) AS category_id,
+        |       COALESCE(s.subcategory_id, CAST(-1 AS BIGINT)) AS subcategory_id
+        |FROM part
+        |LEFT JOIN subs s
+        |  ON upper(split_part(p_type, ' ', 1) || ' ' || p_brand) = upper(s.subcategory_name)
+        |LEFT JOIN cats c ON s.subcategory_category_id = c.category_id""".stripMargin
+  )
+}
