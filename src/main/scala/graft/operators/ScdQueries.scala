@@ -144,6 +144,29 @@ object ScdQueries extends QueryPack {
       Relational.asOfJoin(li, versions, Seq("p_partkey"), "ship_dt", "price_dt")
     }),
 
+    // C2 at the DM layer: the reference re-runs an INDEPENDENT SCD2
+    // merge over the 3NF active slice when building the dimensional
+    // product dim — its own change detection, closing, and versioning
+    // (reference: load_dim_products_dimension_scd_type2.sql:118-234).
+    // Modeled as two chained merges into an initially-empty DM target:
+    // run 1 loads the active slice, run 2 sees a changed slice and
+    // closes/re-versions — history accumulates in the DM dim even
+    // though each 3NF active slice carries only current rows.
+    "q64_dm_scd2_reversion" -> ((s, d) => {
+      val p = Tables.part(s, d)
+      val slice1 = p.select(col("p_partkey"), col("p_retailprice").as("price"))
+      val empty = slice1.limit(0)
+        .withColumn("start_ts", ntz("2024-01-01 00:00:00"))
+        .withColumn("end_ts", ntz("9999-12-31 00:00:00"))
+        .withColumn("is_active", lit("Y"))
+      val dm1 = Scd.scd2Merge(empty, slice1, Seq("p_partkey"), Seq("price"),
+        ntz("2024-01-01 00:00:00"), ntz("9999-12-31 00:00:00"))
+      val slice2 = p.select(col("p_partkey"),
+        (col("p_retailprice") + when(col("p_partkey") % 4 === 0, 7.5).otherwise(0.0)).as("price"))
+      Scd.scd2Merge(dm1, slice2, Seq("p_partkey"), Seq("price"),
+        ntz("2024-06-01 00:00:00"), ntz("9999-12-31 00:00:00"))
+    }),
+
     // Binned range join: orders falling inside per-nation campaign
     // windows — point-in-interval as an equi-join on time bins plus a
     // residual filter, instead of a nested-loop.
@@ -248,6 +271,17 @@ object ScdQueries extends QueryPack {
        SELECT p_partkey, price, TIMESTAMP '2024-06-01 00:00:00',
               TIMESTAMP '9999-12-31 00:00:00', 'Y'
        FROM src WHERE p_partkey % 100 >= 95""",
+    "q64_dm_scd2_reversion" ->
+      """SELECT p_partkey, p_retailprice AS price,
+           TIMESTAMP '2024-01-01 00:00:00' AS start_ts,
+           CASE WHEN p_partkey % 4 = 0 THEN TIMESTAMP '2024-05-31 23:59:59'
+                ELSE TIMESTAMP '9999-12-31 00:00:00' END AS end_ts,
+           CASE WHEN p_partkey % 4 = 0 THEN 'N' ELSE 'Y' END AS is_active
+         FROM part
+         UNION ALL
+         SELECT p_partkey, p_retailprice + 7.5,
+           TIMESTAMP '2024-06-01 00:00:00', TIMESTAMP '9999-12-31 00:00:00', 'Y'
+         FROM part WHERE p_partkey % 4 = 0""",
     "q22_watermark_incremental" ->
       """SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
          count(*) AS n_rows,

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.operators.{DimDates, Relational, Scd, Staging}
+import graft.operators.{DimDates, Hierarchy, Relational, Scd, Staging}
 import graft.sources.{Tables, Warehouse}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -69,7 +69,7 @@ class Orchestrator(spark: SparkSession, sfDir: String, whRoot: String) {
         Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"),
         Seq("p_partkey", "p_retailprice")), // key+price: lets a price change re-enter (SURVEY §3.4.4)
       () => load("suppliers", Tables.supplier(spark, sfDir),
-        Seq("s_suppkey", "s_name", "s_nationkey"), Seq("s_suppkey")),
+        Seq("s_suppkey", "s_name", "s_acctbal", "s_nationkey"), Seq("s_suppkey")),
       () => load("sales", Tables.lineitem(spark, sfDir),
         Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity",
           "l_extendedprice", "l_shipdate"),
@@ -78,44 +78,92 @@ class Orchestrator(spark: SparkSession, sfDir: String, whRoot: String) {
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"), Seq("o_orderkey"))))
   }
 
-  // -- Stage 2: 3NF — geo hierarchy (insert-only), SCD1 customers,
-  //    SCD2 products, incremental sales fact
+  // -- Stage 2: 3NF — 4-level geo hierarchy + 2-level product tree
+  //    (insert-only), SCD1 customers (split name, city link), SCD2
+  //    products (subcategory link), supplier dim, incremental sales fact
   def stage3nf(): Map[String, Long] = {
     val runDt = current_date()
     val runTs = date_trunc("second", current_timestamp())
 
-    // Geo hierarchy + SCD1 customers + SCD2 products are independent of
-    // each other — loaded concurrently; the fact load below waits on them.
+    // Hierarchy SOURCE relations (SURVEY §2.3 J3/J4 at reference depth):
+    // all are deterministic functions of the staged data — geo ids are
+    // stable arithmetic (Hierarchy), tree ids are max-offset
+    // row_numbers — so loaders can derive them with no write-order
+    // dependency between the parallel dimension loads.
+    val continentsSrc = withDefaultRow(
+      Tables.region(spark, sfDir).select(
+        col("r_regionkey").cast(LongType).as("continent_id"),
+        initcap(lower(col("r_name"))).as("continent_name")),
+      Seq(lit(-1L), lit("n.a.")))
+    val countriesSrc = withDefaultRow(
+      Tables.nation(spark, sfDir).select(
+        col("n_nationkey").cast(LongType).as("country_id"),
+        initcap(lower(col("n_name"))).as("country_name"),
+        col("n_regionkey").cast(LongType).as("country_continent_id")),
+      Seq(lit(-1L), lit("n.a."), lit(-1L)))
+    val realCountries = countriesSrc.filter(col("country_id") =!= -1)
+    val custGeo = wh.read("staging", "customers").select(
+      col("c_nationkey").cast(LongType).as("country_id"),
+      col("c_custkey").cast(LongType).as("src_key"))
+    val supGeo = wh.read("staging", "suppliers").select(
+      col("s_nationkey").cast(LongType).as("country_id"),
+      col("s_suppkey").cast(LongType).as("src_key"))
+    val statesSrc = withDefaultRow(
+      Hierarchy.states(custGeo, supGeo, realCountries),
+      Seq(lit(-1L), lit("n.a."), lit(-1L)))
+    val citiesSrc = withDefaultRow(
+      Hierarchy.cities(custGeo, realCountries, statesSrc),
+      Seq(lit(-1L), lit("n.a."), lit(-1L)))
+
+    // Product tree first, sequentially: subcategories resolve parents
+    // against the FINAL categories table, and the products loader reads
+    // both trees from disk. New names get ids past the existing max —
+    // the reference's NEXTVAL (F19,
+    // reference: sql/3nf/load_3nf_ce_categories_table.sql).
+    val prodStaged = wh.read("staging", "products")
+    val catsFinal = resumeSurrogates(
+      prodStaged.select(Hierarchy.categoryOf(col("p_type")).as("category_name")).distinct(),
+      "bl_3nf", "ce_categories", "category_name", "category_id")
+    val nCats = log.logged("load_3nf_ce_categories")(
+      wh.overwrite(catsFinal, "bl_3nf", "ce_categories"))
+    val cats = wh.read("bl_3nf", "ce_categories")
+    val subsSrc = prodStaged.select(
+        Hierarchy.subcategoryOf(col("p_type"), col("p_brand")).as("subcategory_name"),
+        Hierarchy.categoryOf(col("p_type")).as("category_ref")).distinct()
+      .join(broadcast(cats), upper(col("category_ref")) === upper(col("category_name")), "left")
+      .select(col("subcategory_name"),
+        coalesce(col("category_id"), lit(-1L)).as("subcategory_category_id"))
+    val nSubs = log.logged("load_3nf_ce_subcategories")(
+      wh.overwrite(resumeSurrogates(subsSrc, "bl_3nf", "ce_subcategories",
+        "subcategory_name", "subcategory_id"), "bl_3nf", "ce_subcategories"))
+
+    // Geo levels + SCD1 customers + SCD2 products + suppliers are
+    // independent of each other — loaded concurrently; the fact load
+    // below waits on them.
     val dims = inParallel(Seq(
+      () => "ce_continents" -> log.logged("load_3nf_ce_continents")(
+        wh.overwrite(insertOnly(continentsSrc, "bl_3nf", "ce_continents", Seq("continent_id")),
+          "bl_3nf", "ce_continents")),
+      () => "ce_countries" -> log.logged("load_3nf_ce_countries")(
+        wh.overwrite(insertOnly(countriesSrc, "bl_3nf", "ce_countries", Seq("country_id")),
+          "bl_3nf", "ce_countries")),
+      // states from customers ∪ suppliers (reference:
+      // sql/3nf/load_3nf_ce_states_table.sql:31-49); cities resolve
+      // their parent state by case-insensitive name (J1, reference:
+      // sql/3nf/load_3nf_ce_cities_table.sql:31-32)
+      () => "ce_states" -> log.logged("load_3nf_ce_states")(
+        wh.overwrite(insertOnly(statesSrc, "bl_3nf", "ce_states", Seq("state_id")),
+          "bl_3nf", "ce_states")),
+      () => "ce_cities" -> log.logged("load_3nf_ce_cities")(
+        wh.overwrite(insertOnly(citiesSrc, "bl_3nf", "ce_cities", Seq("city_id")),
+          "bl_3nf", "ce_cities")),
       () => {
-        // continents (insert-only, C3)
-        val continents = withDefaultRow(
-          Tables.region(spark, sfDir).select(
-            col("r_regionkey").cast(LongType).as("continent_id"),
-            initcap(lower(col("r_name"))).as("continent_name")),
-          Seq(lit(-1L), lit("n.a.")))
-        "ce_continents" -> log.logged("load_3nf_ce_continents")(
-          wh.overwrite(insertOnly(continents, "bl_3nf", "ce_continents", Seq("continent_id")),
-            "bl_3nf", "ce_continents"))
-      },
-      () => {
-        val countries = withDefaultRow(
-          Tables.nation(spark, sfDir).select(
-            col("n_nationkey").cast(LongType).as("country_id"),
-            initcap(lower(col("n_name"))).as("country_name"),
-            col("n_regionkey").cast(LongType).as("country_continent_id")),
-          Seq(lit(-1L), lit("n.a."), lit(-1L)))
-        "ce_countries" -> log.logged("load_3nf_ce_countries")(
-          wh.overwrite(insertOnly(countries, "bl_3nf", "ce_countries", Seq("country_id")),
-            "bl_3nf", "ce_countries"))
-      },
-      () => {
-        // Customers: SCD Type 1 on (name, segment)
-        val custSrc = wh.read("staging", "customers").select(
-          col("c_custkey").cast(LongType).as("customer_id"),
-          col("c_name").as("customer_name"),
-          col("c_mktsegment").as("segment"),
-          col("c_nationkey").cast(LongType).as("customer_country_id"))
+        // Customers: SCD Type 1 on (first_name, last_name, segment) —
+        // the split-then-track composition the reference runs
+        // (load_3nf_ce_customers_scd_table_type1.sql:24-25,128-138);
+        // city link rides along untracked.
+        val custSrc = Hierarchy.customersSource(
+          wh.read("staging", "customers"), realCountries, citiesSrc)
         val custTarget =
           if (wh.exists("bl_3nf", "ce_customers")) wh.read("bl_3nf", "ce_customers")
             .drop("scd_status")
@@ -124,17 +172,35 @@ class Orchestrator(spark: SparkSession, sfDir: String, whRoot: String) {
         "ce_customers" -> log.logged("load_3nf_ce_customers_scd1")(
           wh.overwrite(
             Scd.scd1Merge(custTarget, custSrc, Seq("customer_id"),
-              Seq("customer_name", "segment"), runDt),
+              Seq("first_name", "last_name", "segment"), runDt),
             "bl_3nf", "ce_customers"))
       },
       () => {
-        // Products: SCD Type 2 on retail price
-        val prodSrc = wh.read("staging", "products").select(
-          col("p_partkey").cast(LongType).as("product_id"),
-          col("p_name").as("product_name"),
-          col("p_brand").as("brand"),
-          col("p_type").as("product_type"),
-          col("p_retailprice").cast(DecimalType(9, 2)).as("unit_price"))
+        // Suppliers — the reference's stores: state-level geo link +
+        // numeric attribute, insert-only
+        // (reference: sql/3nf/load_3nf_ce_stores_table.sql:17-33)
+        val supSrc = withDefaultRow(
+          Hierarchy.suppliersSource(wh.read("staging", "suppliers"), realCountries, statesSrc),
+          Seq(lit(-1L), lit("n.a."), lit(null), lit(-1L)))
+        "ce_suppliers" -> log.logged("load_3nf_ce_suppliers")(
+          wh.overwrite(insertOnly(supSrc, "bl_3nf", "ce_suppliers", Seq("supplier_id")),
+            "bl_3nf", "ce_suppliers"))
+      },
+      () => {
+        // Products: SCD Type 2 on retail price; subcategory resolved by
+        // case-insensitive name (J1) into an untracked attribute
+        val subs = wh.read("bl_3nf", "ce_subcategories")
+        val prodSrc = prodStaged
+          .withColumn("sub_ref", Hierarchy.subcategoryOf(col("p_type"), col("p_brand")))
+          .join(broadcast(subs.select(col("subcategory_id"), col("subcategory_name"))),
+            upper(col("sub_ref")) === upper(col("subcategory_name")), "left")
+          .select(
+            col("p_partkey").cast(LongType).as("product_id"),
+            col("p_name").as("product_name"),
+            col("p_brand").as("brand"),
+            col("p_type").as("product_type"),
+            coalesce(col("subcategory_id"), lit(-1L)).as("product_subcategory_id"),
+            col("p_retailprice").cast(DecimalType(9, 2)).as("unit_price"))
           // staging dedups on (key, price); one current row per key enters SCD2
           .transform(df => Staging.dedupFirstWins(df, Seq("product_id"), Seq(col("unit_price").desc)))
         val prodTarget =
@@ -165,69 +231,167 @@ class Orchestrator(spark: SparkSession, sfDir: String, whRoot: String) {
     val activeProducts = wh.read("bl_3nf", "ce_products_scd")
       .filter(col("is_active") === "Y")
       .select(col("product_id"), col("unit_price"))
-    // products scale with the data — no forced broadcast (AQE decides
-    // per run; at 100 TB this becomes a shuffle join, never an OOM)
+    // the supplier FK now resolves against its dimension (J10) — the
+    // fact never carries a key no dim can explain
+    val suppliersDim = wh.read("bl_3nf", "ce_suppliers").select(col("supplier_id"))
+    // products/suppliers scale with the data — no forced broadcast (AQE
+    // decides per run; at 100 TB these become shuffle joins, never OOMs)
     val factNew = sales
       .join(orders, Seq("order_id"), "left")
       .join(activeProducts,
         col("product_src_id") === col("product_id"), "left")
+      .join(suppliersDim,
+        col("supplier_src_id") === col("supplier_id"), "left")
       .select(
         col("sale_src_id"),
         coalesce(col("order_dt"), lit("1900-01-01").cast(DateType)).as("order_dt"),
         coalesce(col("customer_src_id"), lit(-1L)).as("customer_id"),
         coalesce(col("product_id"), lit(-1L)).as("product_id"),
-        coalesce(col("supplier_src_id"), lit(-1L)).as("supplier_id"),
+        coalesce(col("supplier_id"), lit(-1L)).as("supplier_id"),
         col("quantity"),
         // reference semantics: total = quantity × currently-ACTIVE price
         // (SURVEY §3.4.5), falling back to extended price when unknown dim
         coalesce((col("quantity") * col("unit_price")).cast(DecimalType(18, 2)),
           col("extended_price")).as("sale_total"),
         col("ship_dt"))
-    val fact =
-      if (wh.exists("bl_3nf", "ce_sales")) {
-        val existing = wh.read("bl_3nf", "ce_sales")
-        val incremental = Relational.newerThanWatermark(factNew, existing, "order_dt")
-        existing.unionByName(
-          Staging.newRowsOnly(incremental, existing, Seq("sale_src_id")))
-      } else factNew
+      .withColumn("order_month", date_format(col("order_dt"), "yyyyMM"))
     val nSales = log.logged("load_3nf_ce_sales")(
-      wh.overwrite(fact, "bl_3nf", "ce_sales"))
+      loadFactIncremental(factNew, "bl_3nf", "ce_sales"))
 
-    dims + ("ce_sales" -> nSales)
+    dims + ("ce_categories" -> nCats) + ("ce_subcategories" -> nSubs) + ("ce_sales" -> nSales)
   }
 
-  // -- Stage 3: dimensional — date dim, flattened dims, partitioned fact
-  def stageDm(): Map[String, Long] = {
-    val fact3nf = wh.read("bl_3nf", "ce_sales")
+  /** Incremental month-partitioned fact load: the first run writes the
+    * full table; later runs touch ONLY the months that received rows.
+    * The watermark (P3) bounds the READ to post-watermark source rows
+    * and the per-partition swap bounds the WRITE to affected months —
+    * both O(new data), the property that keeps a 100 TB incremental
+    * load from rewriting the table every run.
+    */
+  private def loadFactIncremental(src: DataFrame, layer: String, table: String): Long = {
+    if (!wh.exists(layer, table))
+      return wh.overwrite(src, layer, table, partitionBy = Seq("order_month"))
+    val existing = wh.readPartitioned(layer, table, "order_month")
+    val wm = existing.agg(max(col("order_dt"))).head().get(0)
+    if (wm == null)
+      return wh.overwrite(src, layer, table, partitionBy = Seq("order_month"))
+    val wmMonth = new java.text.SimpleDateFormat("yyyyMM")
+      .format(wm.asInstanceOf[java.util.Date])
+    // insert-dedup (J8) only needs the boundary months: fresh rows are
+    // strictly newer than the watermark, so they can only collide there
+    // — the existing-side read stays partition-pruned
+    val boundary = existing.filter(col("order_month") >= wmMonth)
+    val fresh = src.filter(col("order_dt") > lit(wm))
+      .join(boundary.select("sale_src_id"), Seq("sale_src_id"), "left_anti")
+      .persist()
+    try {
+      val affected = fresh.select("order_month").distinct()
+        .collect().map(_.getString(0)).sorted
+      if (affected.isEmpty) existing.count() // no-op run: nothing written
+      else {
+        val slice = boundary.filter(col("order_month").isin(affected.toIndexedSeq: _*))
+          .unionByName(fresh.select(existing.columns.toIndexedSeq.map(col): _*))
+        wh.overwritePartitions(slice, layer, table, "order_month")
+        wh.read(layer, table).count() // zero-column footer scan
+      }
+    } finally { fresh.unpersist(); () }
+  }
 
-    // All four DM loads read only stage-2 outputs → fully concurrent.
+  /** DM-side month sync: rebuild only the months whose 3NF rows are
+    * newer than the DM watermark — the rebuild read is partition-pruned
+    * to those months on both sides.
+    */
+  private def syncFactMonths(src3nf: DataFrame, layer: String, table: String): Long = {
+    if (!wh.exists(layer, table))
+      return wh.overwrite(src3nf, layer, table, partitionBy = Seq("order_month"))
+    val existing = wh.readPartitioned(layer, table, "order_month")
+    val wm = existing.agg(max(col("order_dt"))).head().get(0)
+    if (wm == null)
+      return wh.overwrite(src3nf, layer, table, partitionBy = Seq("order_month"))
+    val affected = src3nf.filter(col("order_dt") > lit(wm))
+      .select("order_month").distinct().collect().map(_.getString(0)).sorted
+    if (affected.isEmpty) existing.count()
+    else {
+      wh.overwritePartitions(
+        src3nf.filter(col("order_month").isin(affected.toIndexedSeq: _*)),
+        layer, table, "order_month")
+      wh.read(layer, table).count()
+    }
+  }
+
+  /** F19 NEXTVAL-style id continuity: existing rows keep their ids, new
+    * names get row_number ids offset past the existing max.
+    */
+  private def resumeSurrogates(src: DataFrame, layer: String, table: String,
+                               nameCol: String, idCol: String): DataFrame =
+    if (wh.exists(layer, table)) {
+      val existing = wh.read(layer, table)
+      val maxId = existing.agg(max(col(idCol))).head().getLong(0)
+      val fresh = Relational.surrogateKeys(
+        Staging.newRowsOnly(src, existing, Seq(nameCol)), nameCol, maxId, idCol)
+      existing.unionByName(fresh.select(existing.columns.toIndexedSeq.map(col): _*))
+    } else
+      Relational.surrogateKeys(src, nameCol, 0L, idCol)
+
+  // -- Stage 3: dimensional — date dim, snowflake-flattened dims,
+  //    DM-layer SCD2 re-versioning, partition-wise incremental fact
+  def stageDm(): Map[String, Long] = {
+    val runTs = date_trunc("second", current_timestamp())
+    val fact3nf = wh.readPartitioned("bl_3nf", "ce_sales", "order_month")
+
+    // All DM loads read only stage-2 outputs → fully concurrent.
     inParallel(Seq(
       () => "dim_dates" -> log.logged("load_dim_dates")(
         wh.overwrite(DimDates.autoRanged(spark, fact3nf, "order_dt"), "bl_dm", "dim_dates")),
       () => {
-        // J3 snowflake flatten: customer → country → continent
-        val countries = wh.read("bl_3nf", "ce_countries")
-        val continents = wh.read("bl_3nf", "ce_continents")
-        val dimCustomers = wh.read("bl_3nf", "ce_customers")
-          .filter(col("customer_id") =!= -1) // P4 default-row exclusion
-          .join(broadcast(countries), col("customer_country_id") === col("country_id"), "left")
-          .join(broadcast(continents), col("country_continent_id") === col("continent_id"), "left")
-          .select(col("customer_id"), col("customer_name"), col("segment"),
-            coalesce(col("country_name"), lit("n.a.")).as("country_name"),
-            coalesce(col("continent_name"), lit("n.a.")).as("continent_name"))
+        // J3 at reference depth: the 4-join snowflake flatten
+        // customer → city → state → country → continent (reference:
+        // load_dim_customers_dimension_scd_type1.sql:88-95)
+        val dimCustomers = Hierarchy.flattenCustomers(
+          wh.read("bl_3nf", "ce_customers"),
+          wh.read("bl_3nf", "ce_cities"),
+          wh.read("bl_3nf", "ce_states"),
+          wh.read("bl_3nf", "ce_countries"),
+          wh.read("bl_3nf", "ce_continents"))
         "dim_customers" -> log.logged("load_dim_customers")(
           wh.overwrite(dimCustomers, "bl_dm", "dim_customers"))
       },
-      () => "dim_products_scd" -> log.logged("load_dim_products")(
-        wh.overwrite(wh.read("bl_3nf", "ce_products_scd").filter(col("is_active") === "Y"),
-          "bl_dm", "dim_products_scd")),
       () => {
-        // Fact: month-partitioned (reference's RANGE partitions → partitionBy)
-        val fct = fact3nf
-          .withColumn("order_month", date_format(col("order_dt"), "yyyyMM"))
-        "fct_sales" -> log.logged("load_fct_sales")(
-          wh.overwrite(fct, "bl_dm", "fct_sales", partitionBy = Seq("order_month")))
-      }))
+        // store-analog dimension flatten (reference:
+        // sql/dimensional/load_dim_stores_dimension.sql:79-84)
+        val dimSuppliers = Hierarchy.flattenSuppliers(
+          wh.read("bl_3nf", "ce_suppliers"),
+          wh.read("bl_3nf", "ce_states"),
+          wh.read("bl_3nf", "ce_countries"),
+          wh.read("bl_3nf", "ce_continents"))
+        "dim_suppliers" -> log.logged("load_dim_suppliers")(
+          wh.overwrite(dimSuppliers, "bl_dm", "dim_suppliers"))
+      },
+      () => {
+        // DM-layer SCD2: an INDEPENDENT re-versioning merge over the
+        // 3NF active slice — its own change detection across ALL
+        // attributes, so DM history accumulates even though each 3NF
+        // active slice carries only current rows (reference:
+        // load_dim_products_dimension_scd_type2.sql:118-234)
+        val active = wh.read("bl_3nf", "ce_products_scd")
+          .filter(col("is_active") === "Y")
+          .drop("start_ts", "end_ts", "is_active")
+        val target =
+          if (wh.exists("bl_dm", "dim_products_scd")) wh.read("bl_dm", "dim_products_scd")
+          else active.limit(0)
+            .withColumn("start_ts", runTs.cast(TimestampType))
+            .withColumn("end_ts", runTs.cast(TimestampType))
+            .withColumn("is_active", lit("Y"))
+        val tracked = active.columns.filterNot(_ == "product_id").toSeq
+        "dim_products_scd" -> log.logged("load_dim_products_scd2")(
+          wh.overwrite(
+            Scd.scd2Merge(target, active, Seq("product_id"), tracked, runTs),
+            "bl_dm", "dim_products_scd"))
+      },
+      // Fact: month-partitioned (reference's RANGE partitions →
+      // partitionBy); incremental runs rebuild only post-watermark months
+      () => "fct_sales" -> log.logged("load_fct_sales")(
+        syncFactMonths(fact3nf, "bl_dm", "fct_sales"))))
   }
 
   /** C3 insert-only append against the existing warehouse table. */

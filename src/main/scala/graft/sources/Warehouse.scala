@@ -2,7 +2,8 @@ package graft.sources
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
-import org.apache.spark.sql.functions.{count, lit}
+import org.apache.spark.sql.functions.{col, count, lit}
+import org.apache.spark.sql.types.StringType
 
 /** Layered parquet warehouse: one directory per (layer, table), the
   * Spark analog of the reference's five PostgreSQL schemas
@@ -41,6 +42,60 @@ class Warehouse(val root: String, spark: SparkSession) {
     val old = new Path(path(layer, table + "__old"))
     if (!fs.exists(target) && fs.exists(new Path(old, "_SUCCESS")))
       fs.rename(old, target): Unit
+    // partition-level swaps (overwritePartitions): a crash between the
+    // two renames leaves `<part>__old` without a live dir — restore it;
+    // a leftover WITH a live dir is a superseded version — drop it.
+    // One top-level listing (≤ #months entries), cheap even on an
+    // object store.
+    if (fs.exists(target))
+      fs.listStatus(target).filter(_.getPath.getName.endsWith("__old")).foreach { st =>
+        val live = new Path(target, st.getPath.getName.stripSuffix("__old"))
+        if (!fs.exists(live)) fs.rename(st.getPath, live): Unit
+        else fs.delete(st.getPath, true): Unit
+      }
+  }
+
+  /** Read a partitioned table with the partition column normalized back
+    * to its written string form — partition-dir type inference would
+    * otherwise read "202402" as int (SURVEY gotcha).
+    */
+  def readPartitioned(layer: String, table: String, partCol: String): DataFrame =
+    read(layer, table).withColumn(partCol, col(partCol).cast(StringType))
+
+  /** Incremental fact write: replace ONLY the partition dirs present in
+    * `df`, each via an atomic per-partition swap (tmp write → rename
+    * live→__old → rename in → drop __old). The 100 TB property: an
+    * incremental run's write cost is O(affected partitions), never
+    * O(table) — the reference's month-RANGE partition exchange
+    * (load_fct_sales_fact_table_dimensional_layer.sql:55-102) on
+    * immutable storage. A crash leaves every partition either fully old
+    * or fully new (recover() closes the mid-swap window), and the
+    * idempotent watermark+anti-join loader completes the remainder on
+    * re-run — the same per-procedure granularity as the reference's
+    * transactions.
+    */
+  def overwritePartitions(df: DataFrame, layer: String, table: String,
+                          partCol: String): Long = {
+    val target = new Path(path(layer, table))
+    require(fs.exists(target), s"overwritePartitions: $layer.$table must already exist")
+    val tmp = new Path(path(layer, table + "__ptmp"))
+    fs.delete(tmp, true)
+    val obs = Observation()
+    df.repartition(col(partCol)).observe(obs, count(lit(1)).as("n"))
+      .write.mode("overwrite").partitionBy(partCol).parquet(tmp.toString)
+    val n = obs.get("n").asInstanceOf[Long]
+    fs.listStatus(tmp)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(partCol + "="))
+      .foreach { st =>
+        val live = new Path(target, st.getPath.getName)
+        val old = new Path(target, st.getPath.getName + "__old")
+        fs.delete(old, true)
+        if (fs.exists(live)) fs.rename(live, old)
+        fs.rename(st.getPath, live)
+        fs.delete(old, true)
+      }
+    fs.delete(tmp, true)
+    n
   }
 
   /** Bucketed overwrite via the session catalog: rows are hash-bucketed

@@ -37,6 +37,29 @@ class OrchestratorSpec extends SparkSpec {
     assert(fct.filter($"product_id" === -1L).count() == 0)
     assert(fct.filter($"customer_id" === -1L).count() == 0)
     assert(fct.filter($"sale_total".isNull).count() == 0)
+    // supplier FK resolves against its dimension: none unresolved, and
+    // every fact supplier key has a dim_suppliers row to land on
+    assert(fct.filter($"supplier_id" === -1L).count() == 0)
+    val dimSup = orch.wh.read("bl_dm", "dim_suppliers")
+    assert(fct.select($"supplier_id").distinct()
+      .join(dimSup, Seq("supplier_id"), "left_anti").count() == 0)
+  }
+
+  test("4-level snowflake flatten resolves every customer's geo chain") {
+    firstRun
+    val dimCust = orch.wh.read("bl_dm", "dim_customers")
+    assert(dimCust.count() == Tables.customer(spark, sf).count())
+    assert(dimCust.filter($"city_name" === "n.a." || $"state_name" === "n.a." ||
+      $"country_name" === "n.a." || $"continent_name" === "n.a.").count() == 0)
+    // name was split into tracked first/last parts
+    assert(dimCust.filter($"first_name" === "" || $"last_name" === "").count() == 0)
+    val dimSup = orch.wh.read("bl_dm", "dim_suppliers")
+    assert(dimSup.filter($"supplier_state" === "n.a.").count() == 0)
+    // product tree: every product resolves to a real subcategory→category
+    val prod = orch.wh.read("bl_3nf", "ce_products_scd")
+    assert(prod.filter($"product_subcategory_id" === -1L).count() == 0)
+    val subs = orch.wh.read("bl_3nf", "ce_subcategories")
+    assert(subs.filter($"subcategory_category_id" === -1L).count() == 0)
   }
 
   test("dim_dates covers [min−1mo, max+1mo] of the fact, 17 attributes") {
@@ -54,18 +77,33 @@ class OrchestratorSpec extends SparkSpec {
     assert(dates.columns.length == 18) // date_id + 17 attributes
   }
 
+  private def partFiles(layer: String, table: String): Set[(String, Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Path.of(whRoot, layer, table)
+    java.nio.file.Files.walk(root).iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map(p => (p.toString, java.nio.file.Files.size(p),
+        java.nio.file.Files.getLastModifiedTime(p).toMillis))
+      .toSet
+  }
+
   test("second run is idempotent: fact unchanged, no new SCD2 versions") {
     firstRun
     // materialize BEFORE the re-run: the overwrite swaps the directory a
     // lazy DataFrame would still point at
     val before = orch.wh.read("bl_dm", "fct_sales").drop("order_month")
       .collect().map(_.toString).sorted
+    // a no-op incremental run must not rewrite a single fact file
+    val files3nfBefore = partFiles("bl_3nf", "ce_sales")
+    val filesDmBefore = partFiles("bl_dm", "fct_sales")
     val secondRun = orch.runFullEtl()
     assert(secondRun("ce_sales") == firstRun("ce_sales"))
     assert(secondRun("ce_products_scd") == firstRun("ce_products_scd"))
     val after = orch.wh.read("bl_dm", "fct_sales").drop("order_month")
       .collect().map(_.toString).sorted
     assert(after.sameElements(before))
+    assert(partFiles("bl_3nf", "ce_sales") == files3nfBefore)
+    assert(partFiles("bl_dm", "fct_sales") == filesDmBefore)
   }
 
   test("a price change triggers exactly one new SCD2 version") {
@@ -85,6 +123,51 @@ class OrchestratorSpec extends SparkSpec {
     assert(versions.length == 2)
     assert(versions.count(_.getAs[String]("is_active") == "Y") == 1)
     assert(versions.count(_.getAs[String]("is_active") == "N") == 1)
+  }
+
+  test("DM dim re-versions independently over the 3NF active slice") {
+    // depends on the previous test's price bump having produced a new
+    // ACTIVE 3NF version; the DM merge must now detect it on its own
+    firstRun
+    val pid = orch.wh.read("bl_3nf", "ce_products_scd")
+      .select($"product_id").orderBy($"product_id").as[Long].head()
+    orch.stageDm()
+    val versions = orch.wh.read("bl_dm", "dim_products_scd")
+      .filter($"product_id" === pid).collect()
+    assert(versions.length == 2)
+    assert(versions.count(_.getAs[String]("is_active") == "Y") == 1)
+  }
+
+  test("incremental load touches only the affected month partitions") {
+    firstRun
+    val maxDt = orch.wh.read("bl_3nf", "ce_sales")
+      .agg(max($"order_dt")).as[java.sql.Date].head()
+    val newDt = java.sql.Date.valueOf(maxDt.toLocalDate.plusMonths(2).withDayOfMonth(3))
+    val newMonth = newDt.toLocalDate
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyyMM"))
+    // a late-arriving order lands in staging
+    val so = orch.wh.read("staging", "orders")
+    orch.wh.overwrite(so.unionByName(
+      Seq(("999999", "0", "O", newDt.toString)).toDF(so.columns.toIndexedSeq: _*)),
+      "staging", "orders")
+    val ss = orch.wh.read("staging", "sales")
+    orch.wh.overwrite(ss.unionByName(
+      Seq(("999999", "1", "0", "0", "5", "100.0", newDt.toString))
+        .toDF(ss.columns.toIndexedSeq: _*)),
+      "staging", "sales")
+    val before3nf = partFiles("bl_3nf", "ce_sales")
+    val beforeDm = partFiles("bl_dm", "fct_sales")
+    orch.stage3nf()
+    orch.stageDm()
+    // the new month exists, and every pre-existing file is byte-identical
+    val after3nf = partFiles("bl_3nf", "ce_sales")
+    assert(after3nf.exists(_._1.contains(s"order_month=$newMonth")))
+    assert(before3nf.subsetOf(after3nf))
+    val afterDm = partFiles("bl_dm", "fct_sales")
+    assert(afterDm.exists(_._1.contains(s"order_month=$newMonth")))
+    assert(beforeDm.subsetOf(afterDm))
+    assert(orch.wh.readPartitioned("bl_dm", "fct_sales", "order_month")
+      .filter($"sale_src_id" === "999999-1").count() == 1)
   }
 
   test("etl log captures one completed row per loader") {
