@@ -159,6 +159,30 @@ object Dedup {
     sums.select(col(idCol), fp.cast("int").as("simhash"))
   }
 
+  /** Wide SimHash over the distinct token set: `bits` (≤ 60) bits drawn
+    * from md5(token) nibbles. 60 bits keeps every intermediate positive
+    * in BOTH engines (no 1<<63 sign wrap, no ANSI overflow) while giving
+    * pigeonhole blocks of 15 bits — 32k distinct values per block, so
+    * the candidate join stays sparse at corpus scale where the 16-bit
+    * fingerprint's 4-bit blocks (16 values) congest.
+    */
+  def simhashWide(docs: DataFrame, textCol: String, idCol: String,
+                  bits: Int = 60): DataFrame = {
+    require(bits <= 60, "bits > 60 would overflow signed-long arithmetic")
+    val toks = docs.select(col(idCol),
+      explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("tok"))
+    val h = md5(col("tok"))
+    val bitSums = (0 until bits).map { j =>
+      val nibble = TextFunctions.hexNibble(substring(h, j / 4 + 1, 1))
+      val bit = shiftright(nibble, j % 4).bitwiseAND(lit(1))
+      sum(bit * 2 - 1).as(s"s$j")
+    }
+    val sums = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until bits).map(j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    sums.select(col(idCol), fp.cast("long").as("simhash"))
+  }
+
   /** SimHash near-dup pairs: Hamming distance ≤ maxHamming, via
     * pigeonhole blocking — the fingerprint splits into `maxHamming + 1`
     * contiguous bit blocks; any pair within Hamming ≤ h differs in at

@@ -42,6 +42,14 @@ object DedupQueries extends QueryPack {
       Dedup.simhashPairs(Dedup.simhash16(Tables.documents(s, d), "text", "doc_id"),
         "doc_id", maxHamming = 3)),
 
+    // q48's corpus-scale twin: 60-bit fingerprints → 15-bit pigeonhole
+    // blocks (32k values each), so candidate buckets stay sparse where
+    // the 16-bit fingerprint's 4-bit blocks congest into O(n²/16) pairs.
+    "q65_simhash_wide_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(
+        Dedup.simhashWide(Tables.documents(s, d), "text", "doc_id", bits = 60),
+        "doc_id", maxHamming = 3, bits = 60)),
+
     // q45's scale-safe twin: identical Jaccard pipeline with the
     // hot-shingle cap ON — a shingle present in > MAX_SHINGLE_DF docs
     // carries no dedup signal but emits df²/2 candidate rows, so the
@@ -119,7 +127,30 @@ object DedupQueries extends QueryPack {
         sums AS (SELECT doc_id, $simhashSums FROM dtoks GROUP BY doc_id),
         simh AS (SELECT doc_id, CAST($simhashValue AS INT) AS simhash FROM sums)"""
 
+  /** 60-bit analogs of the 16-bit fragments (BIGINT power-of-two
+    * literals keep everything in signed-long range).
+    */
+  private val simhashWideSums = (0 until 60).map { j =>
+    s"SUM(((strpos('123456789abcdef', substr(md5(tok), ${j / 4 + 1}, 1)) >> ${j % 4}) & 1) * 2 - 1) AS s$j"
+  }.mkString(", ")
+
+  private val simhashWideValue = (0 until 60).map { j =>
+    s"(CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)"
+  }.mkString(" + ")
+
+  private val simhashWideCte =
+    s"""dtoks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents),
+        sums AS (SELECT doc_id, $simhashWideSums FROM dtoks GROUP BY doc_id),
+        simh AS (SELECT doc_id, CAST($simhashWideValue AS BIGINT) AS simhash FROM sums)"""
+
   val oracleSql: Map[String, String] = Map(
+    "q65_simhash_wide_pairs" ->
+      s"""WITH $simhashWideCte
+       SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+              CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       FROM simh a JOIN simh b ON a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
     "q49_embedding_neardup" -> {
       val cos = SimilarityQueries.cosSql("a.embedding", "b.embedding")
       s"""WITH bk AS (SELECT vec_id, embedding, ${SimilarityQueries.bucketSql} AS bucket

@@ -90,6 +90,57 @@ object HierarchyQueries extends QueryPack {
           coalesce(col("subcategory_name"), lit("n.a.")).as("subcategory_name"),
           coalesce(col("category_id"), lit(-1L)).as("category_id"),
           coalesce(col("subcategory_id"), lit(-1L)).as("subcategory_id"))
+    }),
+
+    // Store-analysis analog (reference PowerBI_Report/screenshots/
+    // store-analysis.PNG): revenue rolled up the supplier geo chain.
+    // The states/countries/continents sides are fixed-cardinality →
+    // broadcast inside the flatten; the only fact-side shuffle is the
+    // final 3-column group-by (partial-aggregated map-side).
+    "q66_sales_by_state" -> ((s, d) => {
+      val countries = countriesOf(s, d)
+      val states = Hierarchy.states(custGeoOf(s, d), supGeoOf(s, d), countries)
+      val suppliers = Hierarchy.suppliersSource(Tables.supplier(s, d), countries, states)
+      val flat = Hierarchy.flattenSuppliers(suppliers, states, countries, continentsOf(s, d))
+        .select(col("supplier_id"), col("supplier_state"),
+          col("supplier_country"), col("supplier_continent"))
+      Tables.lineitem(s, d).select(
+          col("l_suppkey").cast(LongType).as("supplier_id"),
+          col("l_extendedprice").cast(DecimalType(18, 2)).as("price"),
+          col("l_quantity").cast(DecimalType(18, 2)).as("qty"))
+        // suppliers scale with the data — no forced broadcast (AQE decides)
+        .join(flat, Seq("supplier_id"))
+        .groupBy(col("supplier_continent"), col("supplier_country"), col("supplier_state"))
+        .agg(count(lit(1)).as("n_sales"),
+          sum(col("price")).cast(DoubleType).as("revenue"),
+          sum(col("qty")).cast(DoubleType).as("sum_qty"))
+    }),
+
+    // Product-tree rollup with an in-category revenue rank (§2.5 window
+    // over aggregate). Decimal sums stay exact until the final cast, so
+    // the rank's ordering is deterministic across engines.
+    "q67_sales_by_category" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = Tables.part(s, d)
+      val cats = Hierarchy.categories(p)
+      val subs = Hierarchy.subcategories(p, cats)
+      val prodTree = p.select(col("p_partkey").cast(LongType).as("product_id"),
+          col("p_type"), col("p_brand"))
+        .withColumn("sub_ref", Hierarchy.subcategoryOf(col("p_type"), col("p_brand")))
+        .join(broadcast(subs), upper(col("sub_ref")) === upper(col("subcategory_name")))
+        .join(broadcast(cats), col("subcategory_category_id") === col("category_id"))
+        .select(col("product_id"), col("category_name"), col("subcategory_name"))
+      Tables.lineitem(s, d).select(
+          col("l_partkey").cast(LongType).as("product_id"),
+          col("l_extendedprice").cast(DecimalType(18, 2)).as("price"))
+        .join(prodTree, Seq("product_id"))
+        .groupBy(col("category_name"), col("subcategory_name"))
+        .agg(count(lit(1)).as("n_sales"), sum(col("price")).as("rev"))
+        .withColumn("rank_in_category", row_number().over(
+          Window.partitionBy(col("category_name"))
+            .orderBy(col("rev").desc, col("subcategory_name"))).cast(IntegerType))
+        .select(col("category_name"), col("subcategory_name"), col("n_sales"),
+          col("rev").cast(DoubleType).as("revenue"), col("rank_in_category"))
     })
   )
 
@@ -125,7 +176,71 @@ object HierarchyQueries extends QueryPack {
        |         country_id AS state_country_id
        |  FROM geo JOIN countries USING (country_id))""".stripMargin
 
+  private val supFlatCtes =
+    s"""$geoCtes,
+       |sup AS (
+       |  SELECT CAST(s_suppkey AS BIGINT) AS supplier_id, s_name AS supplier_name,
+       |         CAST(s_acctbal AS DECIMAL(12,2)) AS acctbal,
+       |         CAST(s_nationkey AS BIGINT) AS country_id
+       |  FROM supplier),
+       |sup_state AS (
+       |  SELECT su.supplier_id, su.supplier_name, su.acctbal,
+       |         COALESCE(st.state_id, -1) AS supplier_state_id
+       |  FROM sup su
+       |  LEFT JOIN countries co USING (country_id)
+       |  LEFT JOIN states st
+       |    ON upper(co.country_name || ' State ' || CAST(su.supplier_id % 5 AS VARCHAR)) = upper(st.state_name)),
+       |flat AS (
+       |  SELECT ss.supplier_id, ss.supplier_name, ss.acctbal,
+       |         COALESCE(st.state_name, 'n.a.') AS supplier_state,
+       |         COALESCE(co.country_name, 'n.a.') AS supplier_country,
+       |         COALESCE(ct.continent_name, 'n.a.') AS supplier_continent
+       |  FROM sup_state ss
+       |  LEFT JOIN states st ON ss.supplier_state_id = st.state_id
+       |  LEFT JOIN countries co ON st.state_country_id = co.country_id
+       |  LEFT JOIN continents ct ON co.country_continent_id = ct.continent_id)""".stripMargin
+
+  private val treeCtes =
+    """cats AS (
+      |  SELECT category_name,
+      |         CAST(row_number() OVER (ORDER BY category_name) AS BIGINT) AS category_id
+      |  FROM (SELECT DISTINCT split_part(p_type, ' ', 1) AS category_name FROM part)),
+      |subs0 AS (
+      |  SELECT DISTINCT split_part(p_type, ' ', 1) || ' ' || p_brand AS subcategory_name,
+      |         split_part(p_type, ' ', 1) AS category_ref
+      |  FROM part),
+      |subs AS (
+      |  SELECT subcategory_name,
+      |         CAST(row_number() OVER (ORDER BY subcategory_name) AS BIGINT) AS subcategory_id,
+      |         COALESCE(c.category_id, -1) AS subcategory_category_id
+      |  FROM subs0 LEFT JOIN cats c ON upper(subs0.category_ref) = upper(c.category_name))""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q66_sales_by_state" ->
+      s"""WITH $supFlatCtes
+         |SELECT f.supplier_continent, f.supplier_country, f.supplier_state,
+         |       count(*) AS n_sales,
+         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         |FROM lineitem JOIN flat f ON l_suppkey = f.supplier_id
+         |GROUP BY 1, 2, 3""".stripMargin,
+    "q67_sales_by_category" ->
+      s"""WITH $treeCtes,
+         |tree AS (
+         |  SELECT CAST(p_partkey AS BIGINT) AS product_id, c.category_name, s.subcategory_name
+         |  FROM part
+         |  JOIN subs s ON upper(split_part(p_type, ' ', 1) || ' ' || p_brand) = upper(s.subcategory_name)
+         |  JOIN cats c ON s.subcategory_category_id = c.category_id),
+         |agg AS (
+         |  SELECT t.category_name, t.subcategory_name, count(*) AS n_sales,
+         |         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+         |  FROM lineitem JOIN tree t ON l_partkey = t.product_id
+         |  GROUP BY 1, 2)
+         |SELECT category_name, subcategory_name, n_sales,
+         |       CAST(rev AS DOUBLE) AS revenue,
+         |       CAST(row_number() OVER (PARTITION BY category_name
+         |              ORDER BY rev DESC, subcategory_name) AS INT) AS rank_in_category
+         |FROM agg""".stripMargin,
     "q61_geo_flatten" ->
       s"""WITH $geoCtes,
          |cities_src AS (
@@ -166,27 +281,10 @@ object HierarchyQueries extends QueryPack {
          |LEFT JOIN countries co ON st.state_country_id = co.country_id
          |LEFT JOIN continents ct ON co.country_continent_id = ct.continent_id""".stripMargin,
     "q62_supplier_dim" ->
-      s"""WITH $geoCtes,
-         |sup AS (
-         |  SELECT CAST(s_suppkey AS BIGINT) AS supplier_id, s_name AS supplier_name,
-         |         CAST(s_acctbal AS DECIMAL(12,2)) AS acctbal,
-         |         CAST(s_nationkey AS BIGINT) AS country_id
-         |  FROM supplier),
-         |sup_state AS (
-         |  SELECT su.supplier_id, su.supplier_name, su.acctbal,
-         |         COALESCE(st.state_id, -1) AS supplier_state_id
-         |  FROM sup su
-         |  LEFT JOIN countries co USING (country_id)
-         |  LEFT JOIN states st
-         |    ON upper(co.country_name || ' State ' || CAST(su.supplier_id % 5 AS VARCHAR)) = upper(st.state_name))
-         |SELECT ss.supplier_id, ss.supplier_name, CAST(ss.acctbal AS DOUBLE) AS acctbal,
-         |       COALESCE(st.state_name, 'n.a.') AS supplier_state,
-         |       COALESCE(co.country_name, 'n.a.') AS supplier_country,
-         |       COALESCE(ct.continent_name, 'n.a.') AS supplier_continent
-         |FROM sup_state ss
-         |LEFT JOIN states st ON ss.supplier_state_id = st.state_id
-         |LEFT JOIN countries co ON st.state_country_id = co.country_id
-         |LEFT JOIN continents ct ON co.country_continent_id = ct.continent_id""".stripMargin,
+      s"""WITH $supFlatCtes
+         |SELECT supplier_id, supplier_name, CAST(acctbal AS DOUBLE) AS acctbal,
+         |       supplier_state, supplier_country, supplier_continent
+         |FROM flat""".stripMargin,
     "q63_product_tree" ->
       """WITH cats AS (
         |  SELECT category_name,

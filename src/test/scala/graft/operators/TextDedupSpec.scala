@@ -85,6 +85,31 @@ class TextDedupSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("simhashWide agrees with the 16-bit fingerprint on its low bits") {
+    // both draw bit j from the same md5 nibble, so the wide fingerprint's
+    // low 16 bits ARE the 16-bit fingerprint
+    val wide = Dedup.simhashWide(docs, "text", "doc_id", bits = 60)
+      .as[(Long, Long)].collect().toMap
+    val narrow = Dedup.simhash16(docs, "text", "doc_id")
+      .as[(Long, Int)].collect().toMap
+    narrow.foreach { case (id, s16) =>
+      assert((wide(id) & 0xffffL) == (s16.toLong & 0xffffL), s"doc $id")
+    }
+    // wide pigeonhole pairs reproduce the locally computed pair set
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val expected = (for {
+      (a, sa) <- wide; (b, sb) <- wide
+      if a < b && ham(sa, sb) <= 3
+    } yield (a, b, ham(sa, sb))).toSet
+    val got = Dedup.simhashPairs(
+      Dedup.simhashWide(docs, "text", "doc_id", bits = 60), "doc_id", 3, bits = 60)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == expected)
+    intercept[IllegalArgumentException] {
+      Dedup.simhashWide(docs, "text", "doc_id", bits = 61)
+    }
+  }
+
   test("tokensNormalized handles tabs, runs of spaces, and empty text") {
     val messy = Seq((1L, " the\tquick  brown  fox "), (2L, ""), (3L, "   "))
       .toDF("doc_id", "text")
