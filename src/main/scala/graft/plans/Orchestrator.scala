@@ -115,32 +115,34 @@ class Orchestrator(spark: SparkSession, sfDir: String, whRoot: String) {
       Hierarchy.cities(custGeo, realCountries, statesSrc),
       Seq(lit(-1L), lit("n.a."), lit(-1L)))
 
-    // Product tree first, sequentially: subcategories resolve parents
-    // against the FINAL categories table, and the products loader reads
-    // both trees from disk. New names get ids past the existing max —
-    // the reference's NEXTVAL (F19,
-    // reference: sql/3nf/load_3nf_ce_categories_table.sql).
+    // Product tree: tiny fixed-cardinality relations (≤ ~6 categories,
+    // ≤ ~150 subcategories), so materialize them ONCE on the driver —
+    // the tree writes and the products SCD2 merge below then all run in
+    // the same parallel batch sharing identical resolved ids, with no
+    // read-after-swap race and no sequential stage on the critical
+    // path. New names get ids past the existing max — the reference's
+    // NEXTVAL (F19, reference: sql/3nf/load_3nf_ce_categories_table.sql).
     val prodStaged = wh.read("staging", "products")
-    val catsFinal = resumeSurrogates(
+    val catsLocal = localize(resumeSurrogates(
       prodStaged.select(Hierarchy.categoryOf(col("p_type")).as("category_name")).distinct(),
-      "bl_3nf", "ce_categories", "category_name", "category_id")
-    val nCats = log.logged("load_3nf_ce_categories")(
-      wh.overwrite(catsFinal, "bl_3nf", "ce_categories"))
-    val cats = wh.read("bl_3nf", "ce_categories")
+      "bl_3nf", "ce_categories", "category_name", "category_id"))
     val subsSrc = prodStaged.select(
         Hierarchy.subcategoryOf(col("p_type"), col("p_brand")).as("subcategory_name"),
         Hierarchy.categoryOf(col("p_type")).as("category_ref")).distinct()
-      .join(broadcast(cats), upper(col("category_ref")) === upper(col("category_name")), "left")
+      .join(broadcast(catsLocal), upper(col("category_ref")) === upper(col("category_name")), "left")
       .select(col("subcategory_name"),
         coalesce(col("category_id"), lit(-1L)).as("subcategory_category_id"))
-    val nSubs = log.logged("load_3nf_ce_subcategories")(
-      wh.overwrite(resumeSurrogates(subsSrc, "bl_3nf", "ce_subcategories",
-        "subcategory_name", "subcategory_id"), "bl_3nf", "ce_subcategories"))
+    val subsLocal = localize(resumeSurrogates(subsSrc, "bl_3nf", "ce_subcategories",
+      "subcategory_name", "subcategory_id"))
 
     // Geo levels + SCD1 customers + SCD2 products + suppliers are
     // independent of each other — loaded concurrently; the fact load
     // below waits on them.
     val dims = inParallel(Seq(
+      () => "ce_categories" -> log.logged("load_3nf_ce_categories")(
+        wh.overwrite(catsLocal, "bl_3nf", "ce_categories")),
+      () => "ce_subcategories" -> log.logged("load_3nf_ce_subcategories")(
+        wh.overwrite(subsLocal, "bl_3nf", "ce_subcategories")),
       () => "ce_continents" -> log.logged("load_3nf_ce_continents")(
         wh.overwrite(insertOnly(continentsSrc, "bl_3nf", "ce_continents", Seq("continent_id")),
           "bl_3nf", "ce_continents")),
@@ -189,7 +191,7 @@ class Orchestrator(spark: SparkSession, sfDir: String, whRoot: String) {
       () => {
         // Products: SCD Type 2 on retail price; subcategory resolved by
         // case-insensitive name (J1) into an untracked attribute
-        val subs = wh.read("bl_3nf", "ce_subcategories")
+        val subs = subsLocal
         val prodSrc = prodStaged
           .withColumn("sub_ref", Hierarchy.subcategoryOf(col("p_type"), col("p_brand")))
           .join(broadcast(subs.select(col("subcategory_id"), col("subcategory_name"))),
@@ -258,8 +260,16 @@ class Orchestrator(spark: SparkSession, sfDir: String, whRoot: String) {
     val nSales = log.logged("load_3nf_ce_sales")(
       loadFactIncremental(factNew, "bl_3nf", "ce_sales"))
 
-    dims + ("ce_categories" -> nCats) + ("ce_subcategories" -> nSubs) + ("ce_sales" -> nSales)
+    dims + ("ce_sales" -> nSales)
   }
+
+  /** Pin a BOUNDED dimension relation in driver memory (hierarchy trees
+    * are ≤ a few hundred rows by construction) so parallel loaders can
+    * share it without re-deriving or racing a directory swap. Never use
+    * for anything that scales with the data.
+    */
+  private def localize(df: DataFrame): DataFrame =
+    spark.createDataFrame(df.collectAsList(), df.schema)
 
   /** Incremental month-partitioned fact load: the first run writes the
     * full table; later runs touch ONLY the months that received rows.
