@@ -58,6 +58,27 @@ object TextQueries extends QueryPack {
         .withColumn("is_match", col("pred_lang") === col("lang"))
     }),
 
+    // Corpus statistics: the pre-filter profiling pass of a training
+    // pipeline — per-source doc/token totals, exact token-count
+    // quantiles, quality mass. Quality sums go through DECIMAL so the
+    // aggregation is order-independent (double partial sums are not);
+    // one partial-aggregated group-by, quantiles via exact percentile
+    // (at 100 TB swap for approx_percentile and drop the oracle to a
+    // rows-only check).
+    "q69_corpus_stats" -> ((s, d) => {
+      val t = Tables.documents(s, d).select(
+        col("source"),
+        tokenCount(col("text")).as("n_tokens"),
+        qualityScore(col("text"), EN).cast(DecimalType(18, 8)).as("q"))
+      t.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        percentile(col("n_tokens"), lit(0.5)).as("p50_tokens"),
+        percentile(col("n_tokens"), lit(0.9)).as("p90_tokens"),
+        sum(col("q")).cast(DoubleType).as("sum_quality"),
+        sum(when(col("q") >= 0.5, 1L).otherwise(0L)).as("n_high_quality"))
+    }),
+
     // Document fingerprints: md5 over normalized text (exact) + an
     // order-sensitive polynomial rolling hash over the token stream.
     "q43_fingerprint" -> ((s, d) => {
@@ -108,6 +129,18 @@ object TextQueries extends QueryPack {
              list_transform(string_split(text, ' '),
                t -> CAST(strpos('123456789abcdef', substr(md5(t), 1, 1)) AS BIGINT))),
            (h, v) -> (h * 31 + v) % 2147483647) AS rolling_fp
-         FROM documents"""
+         FROM documents""",
+    "q69_corpus_stats" ->
+      s"""SELECT source, count(*) AS n_docs,
+         SUM(n_tokens) AS sum_tokens,
+         quantile_cont(n_tokens, 0.5) AS p50_tokens,
+         quantile_cont(n_tokens, 0.9) AS p90_tokens,
+         CAST(SUM(q) AS DOUBLE) AS sum_quality,
+         SUM(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS n_high_quality
+         FROM (SELECT source, $nTokensSql AS n_tokens,
+                 CAST(least(1.0, CAST($nTokensSql AS DOUBLE) / 50.0) * (1.0 - $stopRatioSql)
+                      AS DECIMAL(18,8)) AS q
+               FROM documents)
+         GROUP BY source"""
   )
 }

@@ -110,6 +110,26 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents labels chains, cliques and singletons") {
+    val nodes = (1L to 7L).toDF("doc_id")
+    // chain 1-2-3, clique 4-5-6 (all pairs), singleton 7
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L))
+      .toDF("id_1", "id_2")
+    val got = Dedup.connectedComponents(edges, nodes, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 7L))
+    // a long path needs diameter rounds — maxIters=1 must refuse loudly
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L))
+      .toDF("id_1", "id_2")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(path, nodes, "doc_id", maxIters = 1)
+    }
+    // and converge given room
+    val full = Dedup.connectedComponents(path, nodes, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(full.values.toSet == Set(1L))
+  }
+
   test("tokensNormalized handles tabs, runs of spaces, and empty text") {
     val messy = Seq((1L, " the\tquick  brown  fox "), (2L, ""), (3L, "   "))
       .toDF("doc_id", "text")
