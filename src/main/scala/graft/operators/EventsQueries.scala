@@ -36,6 +36,20 @@ object EventsQueries extends QueryPack {
         .groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))
     }),
 
+    // Stream-static dimension enrichment (streaming: the micro-batch
+    // side joins a static dim snapshot — EventPipelines.enrichWithDim):
+    // events resolve their user against the customer dim, unknowns get
+    // the default bucket, rollup per (segment, event_type).
+    "q70_event_enrich" -> ((s, d) => {
+      val dim = Tables.customer(s, d).select(
+        col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+      Tables.events(s, d)
+        .join(dim, Seq("user_id"), "left")
+        .groupBy(coalesce(col("segment"), lit("n.a.")).as("segment"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(dec)).cast(DoubleType).as("sum_value"))
+    }),
+
     // Gap-based sessionization (streaming: flatMapGroupsWithState).
     "q55_sessionize" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -62,6 +76,12 @@ object EventsQueries extends QueryPack {
              UNION ALL
              SELECT event_id, event_type FROM events))
          GROUP BY event_type""",
+    "q70_event_enrich" ->
+      """SELECT COALESCE(c.c_mktsegment, 'n.a.') AS segment, e.event_type,
+         count(*) AS n_events,
+         CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+         GROUP BY 1, 2""",
     "q55_sessionize" ->
       """SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions,
                 count(*) AS n_events

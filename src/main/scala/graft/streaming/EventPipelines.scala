@@ -63,6 +63,18 @@ object EventPipelines {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"))
 
+  /** Stream-static dimension enrichment — the streaming form of J10
+    * fact→dim key resolution: each micro-batch left-joins a STATIC
+    * dimension snapshot (Spark re-plans the static side per batch, so a
+    * dim refresh between batches is picked up; a small dim broadcasts).
+    * Unresolved keys get the default bucket, as in the batch loaders.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, key: String,
+                    dimCols: Seq[String], default: String = "n.a."): DataFrame =
+    dimCols.foldLeft(events.join(dim, Seq(key), "left")) { (df, c) =>
+      df.withColumn(c, coalesce(col(c), lit(default)))
+    }
+
   /** `us` carries the full microsecond timestamp — Timestamp.getTime is
     * ms-truncated and would shift session boundaries vs batch unix_micros.
     */

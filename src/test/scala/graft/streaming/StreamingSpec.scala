@@ -40,6 +40,23 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stream-static dim enrichment matches the batch join") {
+    val dim = Tables.customer(spark, sf).select(
+      $"c_custkey".as("user_id"), $"c_mktsegment".as("segment"))
+    val enriched = EventPipelines.enrichWithDim(
+      EventPipelines.readEventStream(spark, streamDir), dim, "user_id", Seq("segment"))
+      .groupBy($"segment", $"event_type").agg(count(lit(1)).as("n_events"))
+    EventPipelines.runToMemory(enriched, "enriched",
+      org.apache.spark.sql.streaming.OutputMode.Complete)
+    val streamed = spark.table("enriched")
+      .as[(String, String, Long)].collect().toSet
+    val batch = batchEvents.join(dim, Seq("user_id"), "left")
+      .groupBy(coalesce($"segment", lit("n.a.")).as("segment"), $"event_type")
+      .agg(count(lit(1)).as("n_events"))
+      .as[(String, String, Long)].collect().toSet
+    assert(streamed == batch)
+  }
+
   test("dedupById removes duplicate event ids within the watermark") {
     val s = EventPipelines.readEventStream(spark, streamDir)
     EventPipelines.runToMemory(
