@@ -175,13 +175,24 @@ object Dedup {
     *
     * Throws if `maxIters` rounds don't converge — a wrong-but-plausible
     * result is worse than a loud failure.
+    *
+    * `cluster_id` is the minimum id in the component of the edge graph
+    * (dangling edge endpoints included — they bridge their neighbours
+    * even when absent from `nodes`); when the minimum is a dangling id,
+    * pick a surviving keeper downstream via min(id) per cluster_id.
     */
   def connectedComponents(edges: DataFrame, nodes: DataFrame, idCol: String,
                           maxIters: Int = 25): DataFrame = {
     val e = edges.toDF("src", "dst")
     val und = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint(true)
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("comp"))
+    // propagate over EVERY edge endpoint, even ids missing from `nodes`
+    // (e.g. a doc dropped by an upstream filter after pair generation):
+    // a dangling endpoint must still bridge its neighbours, or the
+    // component silently splits. Output is restricted back to `nodes`.
+    val nodeIds = nodes.select(col(idCol).as("id"))
+    val seeds = nodeIds.unionByName(und.select(col("src").as("id"))).distinct()
+    var labels = seeds.select(col("id"), col("id").as("comp"))
       .localCheckpoint(true)
     var iter = 0
     var changed = 1L
@@ -199,7 +210,8 @@ object Dedup {
       changed = joined.filter(col("comp2") < col("comp")).count()
       labels = joined.select(col("id"), col("comp2").as("comp"))
     }
-    labels.select(col("id").as(idCol), col("comp").as("cluster_id"))
+    labels.join(nodeIds, Seq("id"), "left_semi")
+      .select(col("id").as(idCol), col("comp").as("cluster_id"))
   }
 
   /** Wide SimHash over the distinct token set: `bits` (≤ 60) bits drawn

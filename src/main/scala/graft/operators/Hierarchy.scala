@@ -47,6 +47,28 @@ object Hierarchy {
   val StatesPerCountry = 5
   val CitiesPerCountry = 20
 
+  /** Shared source projections — ONE derivation for the orchestrator
+    * and the oracle-verified queries, so the warehouse and the checked
+    * query surface cannot diverge. Inputs may be raw typed tables or
+    * the string-typed staging layer (casts cover both).
+    */
+  def countriesFrom(nation: DataFrame): DataFrame = nation.select(
+    col("n_nationkey").cast(LongType).as("country_id"),
+    initcap(lower(col("n_name"))).as("country_name"),
+    col("n_regionkey").cast(LongType).as("country_continent_id"))
+
+  def continentsFrom(region: DataFrame): DataFrame = region.select(
+    col("r_regionkey").cast(LongType).as("continent_id"),
+    initcap(lower(col("r_name"))).as("continent_name"))
+
+  def custGeoFrom(customer: DataFrame): DataFrame = customer.select(
+    col("c_nationkey").cast(LongType).as("country_id"),
+    col("c_custkey").cast(LongType).as("src_key"))
+
+  def supGeoFrom(supplier: DataFrame): DataFrame = supplier.select(
+    col("s_nationkey").cast(LongType).as("country_id"),
+    col("s_suppkey").cast(LongType).as("src_key"))
+
   def stateNum(key: Column): Column = key % StatesPerCountry
   def cityNum(key: Column): Column = key % CitiesPerCountry
 

@@ -29,26 +29,19 @@ import org.apache.spark.sql.types._
   */
 object HierarchyQueries extends QueryPack {
 
+  // delegate to the SAME derivations the orchestrator loads, so the
+  // verified queries and the warehouse cannot diverge
   private def countriesOf(s: SparkSession, d: String): DataFrame =
-    Tables.nation(s, d).select(
-      col("n_nationkey").cast(LongType).as("country_id"),
-      initcap(lower(col("n_name"))).as("country_name"),
-      col("n_regionkey").cast(LongType).as("country_continent_id"))
+    Hierarchy.countriesFrom(Tables.nation(s, d))
 
   private def continentsOf(s: SparkSession, d: String): DataFrame =
-    Tables.region(s, d).select(
-      col("r_regionkey").cast(LongType).as("continent_id"),
-      initcap(lower(col("r_name"))).as("continent_name"))
+    Hierarchy.continentsFrom(Tables.region(s, d))
 
   private def custGeoOf(s: SparkSession, d: String): DataFrame =
-    Tables.customer(s, d).select(
-      col("c_nationkey").cast(LongType).as("country_id"),
-      col("c_custkey").cast(LongType).as("src_key"))
+    Hierarchy.custGeoFrom(Tables.customer(s, d))
 
   private def supGeoOf(s: SparkSession, d: String): DataFrame =
-    Tables.supplier(s, d).select(
-      col("s_nationkey").cast(LongType).as("country_id"),
-      col("s_suppkey").cast(LongType).as("src_key"))
+    Hierarchy.supGeoFrom(Tables.supplier(s, d))
 
   val queries: Map[String, Q] = Map(
     // J3 at reference depth: states from customers ∪ suppliers, cities

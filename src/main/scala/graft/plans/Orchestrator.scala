@@ -57,8 +57,13 @@ class Orchestrator(spark: SparkSession, sfDir: String, whRoot: String) {
   def stageStaging(): Map[String, Long] = {
     def load(name: String, src: DataFrame, cols: Seq[String], keys: Seq[String]): (String, Long) = {
       val cleaned = Staging.clean(src, cols)
+      // append only when the existing table has the SAME columns — a
+      // schema change (new extracted column) triggers a full reload
+      // instead of antiJoinAppend silently projecting the column away
       val merged =
-        if (wh.exists("staging", name)) Staging.antiJoinAppend(cleaned, wh.read("staging", name), keys)
+        if (wh.exists("staging", name) &&
+            wh.read("staging", name).columns.sameElements(cleaned.columns))
+          Staging.antiJoinAppend(cleaned, wh.read("staging", name), keys)
         else cleaned
       name -> log.logged(s"load_staging_$name")(wh.overwrite(merged, "staging", name))
     }
@@ -91,29 +96,23 @@ class Orchestrator(spark: SparkSession, sfDir: String, whRoot: String) {
     // row_numbers — so loaders can derive them with no write-order
     // dependency between the parallel dimension loads.
     val continentsSrc = withDefaultRow(
-      Tables.region(spark, sfDir).select(
-        col("r_regionkey").cast(LongType).as("continent_id"),
-        initcap(lower(col("r_name"))).as("continent_name")),
+      Hierarchy.continentsFrom(Tables.region(spark, sfDir)),
       Seq(lit(-1L), lit("n.a.")))
     val countriesSrc = withDefaultRow(
-      Tables.nation(spark, sfDir).select(
-        col("n_nationkey").cast(LongType).as("country_id"),
-        initcap(lower(col("n_name"))).as("country_name"),
-        col("n_regionkey").cast(LongType).as("country_continent_id")),
+      Hierarchy.countriesFrom(Tables.nation(spark, sfDir)),
       Seq(lit(-1L), lit("n.a."), lit(-1L)))
     val realCountries = countriesSrc.filter(col("country_id") =!= -1)
-    val custGeo = wh.read("staging", "customers").select(
-      col("c_nationkey").cast(LongType).as("country_id"),
-      col("c_custkey").cast(LongType).as("src_key"))
-    val supGeo = wh.read("staging", "suppliers").select(
-      col("s_nationkey").cast(LongType).as("country_id"),
-      col("s_suppkey").cast(LongType).as("src_key"))
-    val statesSrc = withDefaultRow(
+    val custGeo = Hierarchy.custGeoFrom(wh.read("staging", "customers"))
+    val supGeo = Hierarchy.supGeoFrom(wh.read("staging", "suppliers"))
+    // states/cities are bounded (≤ 125 / ≤ 500 rows) but their
+    // derivation scans the two largest staging tables — localize so the
+    // four loaders sharing them don't re-run the distinct-shuffle each
+    val statesSrc = localize(withDefaultRow(
       Hierarchy.states(custGeo, supGeo, realCountries),
-      Seq(lit(-1L), lit("n.a."), lit(-1L)))
-    val citiesSrc = withDefaultRow(
+      Seq(lit(-1L), lit("n.a."), lit(-1L))))
+    val citiesSrc = localize(withDefaultRow(
       Hierarchy.cities(custGeo, realCountries, statesSrc),
-      Seq(lit(-1L), lit("n.a."), lit(-1L)))
+      Seq(lit(-1L), lit("n.a."), lit(-1L))))
 
     // Product tree: tiny fixed-cardinality relations (≤ ~6 categories,
     // ≤ ~150 subcategories), so materialize them ONCE on the driver —
@@ -166,9 +165,14 @@ class Orchestrator(spark: SparkSession, sfDir: String, whRoot: String) {
         // city link rides along untracked.
         val custSrc = Hierarchy.customersSource(
           wh.read("staging", "customers"), realCountries, citiesSrc)
+        // a target written by an older schema (e.g. pre-name-split) has
+        // no history the new tracked columns can continue — rebuild
+        val targetOk = wh.exists("bl_3nf", "ce_customers") && {
+          val cols = wh.read("bl_3nf", "ce_customers").columns.toSet
+          custSrc.columns.forall(cols.contains)
+        }
         val custTarget =
-          if (wh.exists("bl_3nf", "ce_customers")) wh.read("bl_3nf", "ce_customers")
-            .drop("scd_status")
+          if (targetOk) wh.read("bl_3nf", "ce_customers").drop("scd_status")
           else custSrc.limit(0)
             .withColumn("insert_dt", runDt).withColumn("update_dt", runDt)
         "ce_customers" -> log.logged("load_3nf_ce_customers_scd1")(
@@ -287,10 +291,16 @@ class Orchestrator(spark: SparkSession, sfDir: String, whRoot: String) {
       return wh.overwrite(src, layer, table, partitionBy = Seq("order_month"))
     val wmMonth = new java.text.SimpleDateFormat("yyyyMM")
       .format(wm.asInstanceOf[java.util.Date])
-    // insert-dedup (J8) only needs the boundary months: fresh rows are
-    // strictly newer than the watermark, so they can only collide there
-    // — the existing-side read stays partition-pruned
-    val boundary = existing.filter(col("order_month") >= wmMonth)
+    // insert-dedup (J8) needs only the months where an existing
+    // sale_src_id could collide with a post-watermark row: the boundary
+    // months (fresh rows are strictly newer than the watermark) PLUS the
+    // fallback month — a sale loaded before its order arrived sits at
+    // 1900-01-01, and once the order lands its src row maps past the
+    // watermark again. order_dt is immutable otherwise, so every other
+    // month is collision-free and the existing-side read stays
+    // partition-pruned.
+    val boundary = existing.filter(
+      col("order_month") >= wmMonth || col("order_month") === "190001")
     val fresh = src.filter(col("order_dt") > lit(wm))
       .join(boundary.select("sale_src_id"), Seq("sale_src_id"), "left_anti")
       .persist()
@@ -336,7 +346,8 @@ class Orchestrator(spark: SparkSession, sfDir: String, whRoot: String) {
                                nameCol: String, idCol: String): DataFrame =
     if (wh.exists(layer, table)) {
       val existing = wh.read(layer, table)
-      val maxId = existing.agg(max(col(idCol))).head().getLong(0)
+      // coalesce: an existing-but-empty table has a NULL max
+      val maxId = existing.agg(coalesce(max(col(idCol)), lit(0L))).head().getLong(0)
       val fresh = Relational.surrogateKeys(
         Staging.newRowsOnly(src, existing, Seq(nameCol)), nameCol, maxId, idCol)
       existing.unionByName(fresh.select(existing.columns.toIndexedSeq.map(col): _*))

@@ -84,14 +84,27 @@ class Warehouse(val root: String, spark: SparkSession) {
     df.repartition(col(partCol)).observe(obs, count(lit(1)).as("n"))
       .write.mode("overwrite").partitionBy(partCol).parquet(tmp.toString)
     val n = obs.get("n").asInstanceOf[Long]
+    // Swap in ASCENDING partition order: a crash mid-loop then leaves
+    // new data only for a chronological PREFIX of the affected months,
+    // so the next run's watermark (= max over the swapped prefix, still
+    // below every unswapped month's fresh rows) re-selects exactly the
+    // unswapped remainder. Unordered swaps would let a later month land
+    // first and push the watermark past an earlier month's lost rows.
+    // Renames are require-checked: Hadoop rename reports failure by
+    // returning false, and silently continuing would delete the fresh
+    // partition with the tmp dir below. Single writer per table assumed
+    // (the orchestrator's stage ordering guarantees it); a concurrent
+    // reader's recover() at worst makes a rename fail loudly here.
     fs.listStatus(tmp)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(partCol + "="))
+      .sortBy(_.getPath.getName)
       .foreach { st =>
         val live = new Path(target, st.getPath.getName)
         val old = new Path(target, st.getPath.getName + "__old")
         fs.delete(old, true)
-        if (fs.exists(live)) fs.rename(live, old)
-        fs.rename(st.getPath, live)
+        if (fs.exists(live))
+          require(fs.rename(live, old), s"rename $live -> $old failed")
+        require(fs.rename(st.getPath, live), s"rename ${st.getPath} -> $live failed")
         fs.delete(old, true)
       }
     fs.delete(tmp, true)

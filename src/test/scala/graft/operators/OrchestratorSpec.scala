@@ -126,11 +126,18 @@ class OrchestratorSpec extends SparkSpec {
   }
 
   test("DM dim re-versions independently over the 3NF active slice") {
-    // depends on the previous test's price bump having produced a new
-    // ACTIVE 3NF version; the DM merge must now detect it on its own
     firstRun
+    // bump a product of our own (the second id — self-contained, no
+    // dependence on the previous test's side effects)
     val pid = orch.wh.read("bl_3nf", "ce_products_scd")
-      .select($"product_id").orderBy($"product_id").as[Long].head()
+      .select($"product_id").orderBy($"product_id").as[Long].take(2).last
+    val staged = orch.wh.read("staging", "products")
+    orch.wh.overwrite(staged.withColumn("p_retailprice",
+      when($"p_partkey".cast("long") === pid,
+        ($"p_retailprice".cast(DecimalType(9, 2)) + lit(2)).cast("string"))
+        .otherwise($"p_retailprice")),
+      "staging", "products")
+    orch.stage3nf()
     orch.stageDm()
     val versions = orch.wh.read("bl_dm", "dim_products_scd")
       .filter($"product_id" === pid).collect()

@@ -128,6 +128,13 @@ class TextDedupSpec extends SparkSpec {
     val full = Dedup.connectedComponents(path, nodes, "doc_id")
       .as[(Long, Long)].collect().toMap
     assert(full.values.toSet == Set(1L))
+    // a dangling endpoint (dropped upstream) still bridges its
+    // neighbours; output stays restricted to the given nodes
+    val bridge = Seq((2L, 99L), (99L, 3L)).toDF("id_1", "id_2")
+    val some = Seq(2L, 3L, 4L).toDF("doc_id")
+    val br = Dedup.connectedComponents(bridge, some, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(br == Map(2L -> 2L, 3L -> 2L, 4L -> 4L))
   }
 
   test("tokensNormalized handles tabs, runs of spaces, and empty text") {
