@@ -116,10 +116,37 @@ object AnalyticsQueries extends QueryPack {
         min(col("o_orderdate").cast(DateType)).as("min_dt"),
         max(col("o_orderdate").cast(DateType)).as("max_dt"),
         countDistinct(col("o_custkey")).as("n_custs"))
+    }),
+
+    // Pivot: month × segment revenue matrix — the report-layout shape
+    // every BI export needs. The pivot values are PINNED so the plan is
+    // a single pass (no values-discovery job) and the output schema is
+    // static — the only pivot form that scales.
+    "q09_sales_pivot" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(
+        date_format(to_date(col("o_orderdate")), "yyyyMM").as("order_month"),
+        col("o_custkey").as("c_custkey"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("total"))
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+      o.join(c, Seq("c_custkey"))
+        .groupBy(col("order_month"))
+        .pivot("c_mktsegment",
+          Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"))
+        .agg(sum(col("total")).cast(DoubleType))
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q09_sales_pivot" -> {
+      val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+      val cols = segs.map(g =>
+        s"CAST(SUM(CASE WHEN c_mktsegment = '$g' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS $g"
+      ).mkString(",\n         ")
+      s"""SELECT strftime(CAST(o_orderdate AS DATE), '%Y%m') AS order_month,
+         $cols
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1"""
+    },
     "q01_fact_agg" ->
       s"""SELECT count(*) AS n_rows,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -50,6 +50,20 @@ object EventsQueries extends QueryPack {
           sum(col("value").cast(dec)).cast(DoubleType).as("sum_value"))
     }),
 
+    // Semi-structured props: JSON field extraction stays a codegen'd
+    // expression (get_json_object), then a plain rollup — the shape of
+    // every event-payload pipeline.
+    "q71_json_props" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+    }),
+
     // Gap-based sessionization (streaming: flatMapGroupsWithState).
     "q55_sessionize" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -76,6 +90,12 @@ object EventsQueries extends QueryPack {
              UNION ALL
              SELECT event_id, event_type FROM events))
          GROUP BY event_type""",
+    "q71_json_props" ->
+      """SELECT event_type, count(*) AS n_events,
+         CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+         MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+         MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+         FROM events GROUP BY event_type""",
     "q70_event_enrich" ->
       """SELECT COALESCE(c.c_mktsegment, 'n.a.') AS segment, e.event_type,
          count(*) AS n_events,

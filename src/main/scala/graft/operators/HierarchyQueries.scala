@@ -134,6 +134,23 @@ object HierarchyQueries extends QueryPack {
             .orderBy(col("rev").desc, col("subcategory_name"))).cast(IntegerType))
         .select(col("category_name"), col("subcategory_name"), col("n_sales"),
           col("rev").cast(DoubleType).as("revenue"), col("rank_in_category"))
+    }),
+
+    // Grouping sets: revenue by (continent, country) with ROLLUP
+    // subtotals — one shuffle, Spark expands the grouping sets
+    // map-side; the NULL rows are the continent/grand totals.
+    "q73_geo_rollup" -> ((s, d) => {
+      val countries = countriesOf(s, d)
+      val continents = continentsOf(s, d)
+      val geo = countries
+        .join(broadcast(continents), col("country_continent_id") === col("continent_id"))
+        .select(col("country_id"), col("country_name"), col("continent_name"))
+      Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey").cast(LongType).as("country_id"))
+        .join(Tables.orders(s, d).select(col("o_custkey").as("c_custkey"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("total")), Seq("c_custkey"))
+        .join(broadcast(geo), Seq("country_id"))
+        .rollup(col("continent_name"), col("country_name"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("total")).cast(DoubleType).as("revenue"))
     })
   )
 
@@ -278,6 +295,26 @@ object HierarchyQueries extends QueryPack {
          |SELECT supplier_id, supplier_name, CAST(acctbal AS DOUBLE) AS acctbal,
          |       supplier_state, supplier_country, supplier_continent
          |FROM flat""".stripMargin,
+    "q73_geo_rollup" ->
+      s"""WITH countries AS (
+         |  SELECT CAST(n_nationkey AS BIGINT) AS country_id,
+         |         $initcapN AS country_name,
+         |         CAST(n_regionkey AS BIGINT) AS country_continent_id
+         |  FROM nation),
+         |continents AS (
+         |  SELECT CAST(r_regionkey AS BIGINT) AS continent_id,
+         |         $initcapR AS continent_name
+         |  FROM region),
+         |geo AS (
+         |  SELECT country_id, country_name, continent_name
+         |  FROM countries JOIN continents ON country_continent_id = continent_id)
+         |SELECT g.continent_name, g.country_name,
+         |       count(*) AS n_orders,
+         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN geo g ON CAST(c_nationkey AS BIGINT) = g.country_id
+         |GROUP BY ROLLUP (g.continent_name, g.country_name)""".stripMargin,
     "q63_product_tree" ->
       """WITH cats AS (
         |  SELECT category_name,
