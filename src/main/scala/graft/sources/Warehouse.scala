@@ -133,6 +133,29 @@ class Warehouse(val root: String, spark: SparkSession) {
   def readBucketed(layer: String, table: String): DataFrame =
     spark.table(s"${layer}_$table")
 
+  /** Small-file compaction: rewrite the table into ~`targetBytes` files
+    * (per partition dir when `partCol` is set), preserving every row and
+    * the partition layout, through the same atomic swap as any load.
+    * Incremental month loads accrete one file per run; compaction
+    * restores scan efficiency — at 100 TB an uncompacted table's
+    * per-file open cost dominates the read path long before the bytes
+    * do. Run it out-of-band (it is just another writer, single-writer
+    * rule applies).
+    */
+  def compact(layer: String, table: String, partCol: Option[String] = None,
+              targetBytes: Long = 128L * 1024 * 1024): Long = {
+    val size = fs.getContentSummary(new Path(path(layer, table))).getLength
+    val nFiles = math.max(1, (size / targetBytes).toInt + (if (size % targetBytes > 0) 1 else 0))
+    partCol match {
+      case Some(c) =>
+        // clustered write → one file per (shuffle partition, dir); the
+        // repartition inside overwrite already yields one file per dir
+        overwrite(readPartitioned(layer, table, c), layer, table, partitionBy = Seq(c))
+      case None =>
+        overwrite(read(layer, table).repartition(nFiles), layer, table)
+    }
+  }
+
   /** Atomic overwrite: tmp write + directory swap. `partitionBy` gives
     * the fact table its month layout (partition pruning on read —
     * the reference's RANGE partitions,

@@ -64,6 +64,26 @@ class RelationalSpec extends SparkSpec {
     assert(wh.read("l", "t").as[Int].collect().sameElements(Array(4)))
   }
 
+  test("warehouse compact collapses small files without changing a row") {
+    val root = java.nio.file.Files.createTempDirectory("graft-whspec").toString
+    val wh = new Warehouse(root, spark)
+    wh.overwrite((1 to 1000).toDF("x").repartition(16), "l", "frag")
+    def files() = new java.io.File(s"$root/l/frag").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files() == 16)
+    assert(wh.compact("l", "frag") == 1000)
+    assert(files() == 1)
+    assert(wh.read("l", "frag").as[Int].collect().sorted.sameElements(1 to 1000))
+    // partitioned variant: one file per partition dir afterwards
+    val parted = (1 to 100).map(i => (i, (i % 3).toString)).toDF("x", "p")
+    wh.overwrite(parted.repartition(8), "l", "pfrag", partitionBy = Seq("p"))
+    assert(wh.compact("l", "pfrag", partCol = Some("p")) == 100)
+    val dirs = new java.io.File(s"$root/l/pfrag").listFiles().filter(_.isDirectory)
+    assert(dirs.nonEmpty && dirs.forall(d =>
+      d.listFiles().count(_.getName.endsWith(".parquet")) == 1))
+    assert(wh.readPartitioned("l", "pfrag", "p").count() == 100)
+  }
+
   test("asOfJoin picks the latest right row at or before the left timestamp") {
     val prices = Seq((1L, "2024-01-01", 10.0), (1L, "2024-03-01", 20.0), (2L, "2024-02-01", 5.0))
       .toDF("k", "dt", "price").select($"k", $"dt".cast("date").as("dt"), $"price")
