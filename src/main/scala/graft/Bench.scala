@@ -11,6 +11,14 @@ object Bench {
       SparkEntry.queries.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
+    // One heavy shuffle at the BENCH scale: heap growth and shuffle-path
+    // JIT otherwise get charged to whichever timed query happens to run
+    // first (map order shifts as queries are added, making totals jumpy).
+    try {
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy(col("l_partkey")).agg(sum(col("l_quantity"))).count(): Unit
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // a failed query reports -1, not a fast-looking elapsed time
