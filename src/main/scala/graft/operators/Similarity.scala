@@ -109,6 +109,47 @@ object Similarity {
         col("col._1").as("cos"), (col("pos") + 1).cast("int").as("rn"))
   }
 
+  /** One Lloyd refinement step for a cosine k-means coarse quantizer —
+    * the TRAINING shape behind [[ivfKnn]]'s cells: assign every vector
+    * to its nearest seed centroid (seeds = the k smallest ids,
+    * deterministic), recompute centroids as per-dimension exact LONG
+    * sums of 1e-7-quantized coordinates, re-assign. Cosine is
+    * scale-invariant, so the (scaled) sum IS the mean for assignment
+    * purposes; exact integer sums are order-independent where double
+    * means are not; and floor() on the shared IEEE double value has no
+    * decimal-expansion rounding ambiguity (a double→decimal cast
+    * rounds shortest-repr vs exact-binary digits differently across
+    * engines at halfway cases). The 1e-7 grid is far below any float
+    * coordinate's precision — harmless for a coarse quantizer.
+    *
+    * Scale shape: centroids are k rows → broadcast; the assignment
+    * top-1 and the (cid, dim) sum are both partial-aggregated, so the
+    * only wide work is two narrow shuffles. Iterate by feeding the
+    * output clusters back in; one step per pass keeps each pass
+    * verifiable.
+    */
+  def kmeansAssignStep(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, IntegerType}
+    val seeds = emb.filter(col(idCol) < k)
+      .select(col(idCol).cast(IntegerType).as("cid"), col(vecCol).as("centroid"))
+    def assign(cents: DataFrame): DataFrame =
+      Relational.topKPerGroup(
+        emb.crossJoin(broadcast(cents))
+          .withColumn("cos", cosine(col(vecCol), col("centroid")))
+          .filter(col("cos").isNotNull), // zero-norm vectors: no cosine
+        Seq(idCol), Seq(col("cos").desc, col("cid").asc), 1)
+        .select(col(idCol), col(vecCol), col("cid"), col("cos"))
+    val a1 = assign(seeds)
+    val cents1 = a1.select(col("cid"), posexplode(col(vecCol)))
+      .groupBy(col("cid"), col("pos"))
+      .agg(sum(floor(col("col").cast(DoubleType) * 1e7).cast("long")).as("s"))
+      .groupBy(col("cid"))
+      .agg(collect_list(struct(col("pos"), col("s").cast(DoubleType).as("v"))).as("xs"))
+      .select(col("cid"),
+        expr("transform(array_sort(xs), x -> CAST(x.v AS FLOAT))").as("centroid"))
+    assign(cents1).drop(vecCol)
+  }
+
   /** Blocked exact KNN: the [[bruteForceKnn]] insertion-buffer kernel
     * composed per LSH bucket, with NO driver collect — buckets shuffle
     * once on the bucket key (`groupByKey`) and each group runs the exact

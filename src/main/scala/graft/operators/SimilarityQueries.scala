@@ -38,7 +38,14 @@ object SimilarityQueries extends QueryPack {
     // no driver collect — the bounded-memory exact path at scale
     // (q50 stays as the small-set global baseline).
     "q59_blocked_knn" -> ((s, d) =>
-      Similarity.blockedKnn(Tables.embeddings(s, d), "vec_id", "embedding", BITS, 3))
+      Similarity.blockedKnn(Tables.embeddings(s, d), "vec_id", "embedding", BITS, 3)),
+
+    // Quantizer training: one deterministic Lloyd step (seed on the 8
+    // smallest ids, decimal-exact centroid sums, cosine re-assignment) —
+    // how ivfKnn's cells are learned rather than given.
+    "q72_kmeans_assign" -> ((s, d) =>
+      Similarity.kmeansAssignStep(Tables.embeddings(s, d), "vec_id", "embedding", k = 8)
+        .withColumnRenamed("cid", "cluster"))
   )
 
   /** cosine(a,b) with strict left-fold double arithmetic. */
@@ -52,6 +59,31 @@ object SimilarityQueries extends QueryPack {
     s"(CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
 
   val oracleSql: Map[String, String] = Map(
+    // embedding dim is 64 in the driver testdata (range(1,65) indexes it)
+    "q72_kmeans_assign" -> {
+      def argmin(cents: String) =
+        s"""SELECT vec_id, embedding, cid, cos FROM (
+           |  SELECT e.vec_id, e.embedding, c.cid,
+           |         ${cosSql("e.embedding", "c.centroid")} AS cos,
+           |         row_number() OVER (PARTITION BY e.vec_id
+           |           ORDER BY ${cosSql("e.embedding", "c.centroid")} DESC, c.cid) AS rn
+           |  FROM emb e CROSS JOIN $cents c
+           |  WHERE ${cosSql("e.embedding", "c.centroid")} IS NOT NULL)
+           |WHERE rn = 1""".stripMargin
+      s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+         |seeds AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS centroid
+         |          FROM embeddings WHERE vec_id < 8),
+         |a1 AS (${argmin("seeds")}),
+         |sums AS (
+         |  SELECT cid, r.i AS pos,
+         |         SUM(CAST(floor(CAST(embedding[r.i] AS DOUBLE) * 1e7) AS BIGINT)) AS s
+         |  FROM a1, range(1, 65) r(i) GROUP BY 1, 2),
+         |cents AS (
+         |  SELECT cid, list(CAST(CAST(s AS DOUBLE) AS FLOAT) ORDER BY pos) AS centroid
+         |  FROM sums GROUP BY cid),
+         |a2 AS (${argmin("cents")})
+         |SELECT vec_id, cid AS cluster, cos FROM a2""".stripMargin
+    },
     "q50_cosine_knn" ->
       s"""SELECT vec_id, nn_id, cos, rn FROM (
            SELECT a.vec_id, b.vec_id AS nn_id,
