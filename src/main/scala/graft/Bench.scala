@@ -16,7 +16,7 @@ object Bench {
     // first (map order shifts as queries are added, making totals jumpy).
     try {
       import org.apache.spark.sql.functions._
-      spark.read.parquet(s"$sfDir/lineitem.parquet")
+      graft.sources.Tables.lineitem(spark, sfDir)
         .groupBy(col("l_partkey")).agg(sum(col("l_quantity"))).count(): Unit
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>

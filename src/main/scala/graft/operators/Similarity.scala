@@ -129,16 +129,24 @@ object Similarity {
     * verifiable.
     */
   def kmeansAssignStep(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.types.{DoubleType, IntegerType}
-    val seeds = emb.filter(col(idCol) < k)
-      .select(col(idCol).cast(IntegerType).as("cid"), col(vecCol).as("centroid"))
+    import org.apache.spark.sql.types.DoubleType
+    import org.apache.spark.sql.expressions.Window
+    // seeds = the k smallest ids (whatever the id space), cid = 1..k
+    val seeds = emb.orderBy(col(idCol)).limit(k)
+      .withColumn("cid", row_number().over(Window.orderBy(col(idCol))).cast("int"))
+      .select(col("cid"), col(vecCol).as("centroid"))
+    // nearest centroid via the bounded TopKByScore partial aggregation
+    // (k=1): map tasks reduce each vector's k candidate rows to one
+    // before the exchange — no window sort over the N·k relation
+    val top1 = udaf(new graft.functions.TopKByScore(1))
     def assign(cents: DataFrame): DataFrame =
-      Relational.topKPerGroup(
-        emb.crossJoin(broadcast(cents))
-          .withColumn("cos", cosine(col(vecCol), col("centroid")))
-          .filter(col("cos").isNotNull), // zero-norm vectors: no cosine
-        Seq(idCol), Seq(col("cos").desc, col("cid").asc), 1)
-        .select(col(idCol), col(vecCol), col("cid"), col("cos"))
+      emb.crossJoin(broadcast(cents))
+        .withColumn("cos", cosine(col(vecCol), col("centroid")))
+        .filter(col("cos").isNotNull) // zero-norm vectors: no cosine
+        .groupBy(col(idCol), col(vecCol))
+        .agg(top1(col("cos"), col("cid").cast("long")).as("nns"))
+        .select(col(idCol), col(vecCol),
+          expr("nns[0]._2").cast("int").as("cid"), expr("nns[0]._1").as("cos"))
     val a1 = assign(seeds)
     val cents1 = a1.select(col("cid"), posexplode(col(vecCol)))
       .groupBy(col("cid"), col("pos"))

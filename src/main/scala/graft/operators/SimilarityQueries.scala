@@ -71,8 +71,9 @@ object SimilarityQueries extends QueryPack {
            |  WHERE ${cosSql("e.embedding", "c.centroid")} IS NOT NULL)
            |WHERE rn = 1""".stripMargin
       s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
-         |seeds AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS centroid
-         |          FROM embeddings WHERE vec_id < 8),
+         |seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cid,
+         |                 embedding AS centroid
+         |          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
          |a1 AS (${argmin("seeds")}),
          |sums AS (
          |  SELECT cid, r.i AS pos,

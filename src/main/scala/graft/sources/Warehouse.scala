@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
-import org.apache.spark.sql.functions.{col, count, lit}
+import org.apache.spark.sql.functions.{col, count, lit, pmod, xxhash64}
 import org.apache.spark.sql.types.StringType
 
 /** Layered parquet warehouse: one directory per (layer, table), the
@@ -144,13 +144,23 @@ class Warehouse(val root: String, spark: SparkSession) {
     */
   def compact(layer: String, table: String, partCol: Option[String] = None,
               targetBytes: Long = 128L * 1024 * 1024): Long = {
-    val size = fs.getContentSummary(new Path(path(layer, table))).getLength
-    val nFiles = math.max(1, (size / targetBytes).toInt + (if (size % targetBytes > 0) 1 else 0))
+    val target = new Path(path(layer, table))
+    val size = fs.getContentSummary(target).getLength
+    // long math + a 1M-file cap: Int division would wrap past 2^31 and
+    // silently collapse a multi-TB table into one file
+    val nFiles = math.min(1L << 20, math.max(1L, (size + targetBytes - 1) / targetBytes)).toInt
     partCol match {
       case Some(c) =>
-        // clustered write → one file per (shuffle partition, dir); the
-        // repartition inside overwrite already yields one file per dir
-        overwrite(readPartitioned(layer, table, c), layer, table, partitionBy = Seq(c))
+        // ~targetBytes files per dir: slice each partition value into
+        // nFiles/dirs hash slices so a huge month still writes in
+        // parallel as split-friendly files (1 slice → 1 file per dir)
+        val nDirs = math.max(1, fs.listStatus(target)
+          .count(st => st.isDirectory && st.getPath.getName.startsWith(c + "=")))
+        val perDir = math.max(1, nFiles / nDirs)
+        val base = readPartitioned(layer, table, c)
+        val sliced = base.repartition(col(c),
+          pmod(xxhash64(base.columns.map(col).toIndexedSeq: _*), lit(perDir)))
+        overwrite(sliced, layer, table, partitionBy = Seq(c), preClustered = true)
       case None =>
         overwrite(read(layer, table).repartition(nFiles), layer, table)
     }
@@ -162,7 +172,7 @@ class Warehouse(val root: String, spark: SparkSession) {
     * load_fct_sales_fact_table_dimensional_layer.sql:55-102).
     */
   def overwrite(df: DataFrame, layer: String, table: String,
-                partitionBy: Seq[String] = Nil): Long = {
+                partitionBy: Seq[String] = Nil, preClustered: Boolean = false): Long = {
     val target = new Path(path(layer, table))
     val tmp = new Path(path(layer, table + "__tmp"))
     val old = new Path(path(layer, table + "__old"))
@@ -170,8 +180,9 @@ class Warehouse(val root: String, spark: SparkSession) {
     // Cluster rows by the partition columns before a partitioned write:
     // otherwise every task writes a file into every partition dir
     // (tasks × partitions small files — the classic 100 TB anti-pattern).
+    // `preClustered` callers (compact) bring their own finer layout.
     val clustered =
-      if (partitionBy.nonEmpty)
+      if (partitionBy.nonEmpty && !preClustered)
         df.repartition(partitionBy.map(org.apache.spark.sql.functions.col): _*)
       else df
     // S7 row-count rides the write job itself (df.observe) — no second
