@@ -454,23 +454,84 @@ object Orchestrator {
   * (reference: python/dw_tests.log:21).
   */
 object EtlQueries extends graft.QueryPack {
+
+  private def tmpWarehouse(): String = {
+    val base = new java.io.File("/dev/shm")
+    val whRoot = (if (base.isDirectory && base.canWrite)
+      java.nio.file.Files.createTempDirectory(base.toPath, "graft-etl")
+    else java.nio.file.Files.createTempDirectory("graft-etl")).toString
+    sys.addShutdownHook { // RAM-backed scratch: reclaim on JVM exit
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      val root = Path.of(whRoot)
+      if (Files.exists(root))
+        Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p): Unit)
+    }
+    whRoot
+  }
+
   val queries: Map[String, Q] = Map(
+    // The incremental path, hash-checked end-to-end: load a 20% order
+    // subset, then feed a late-arriving extract (the last month shifted
+    // +60 days under fresh keys) through the SAME loaders — watermark,
+    // boundary anti-join, per-month partition swaps and all. The oracle
+    // computes the from-scratch result over the unioned extracts, so a
+    // green hash proves incremental == full reload row-for-row (the
+    // reference's idempotency contract, python/dw_etl_tests.py:371-410,
+    // promoted from a spec assertion to the correctness gate).
+    "q74_incremental_etl" -> ((s, d) => {
+      import graft.operators.Staging
+      import graft.sources.Tables
+      val orch = new Orchestrator(s, d, tmpWarehouse())
+      val wh = orch.wh
+      def stage(name: String, df: DataFrame, cols: Seq[String]): Unit = {
+        wh.overwrite(Staging.clean(df, cols), "staging", name): Unit
+      }
+      val oCols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate")
+      val lCols = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_shipdate")
+      stage("customers", Tables.customer(s, d),
+        Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
+      stage("products", Tables.part(s, d),
+        Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"))
+      stage("suppliers", Tables.supplier(s, d),
+        Seq("s_suppkey", "s_name", "s_acctbal", "s_nationkey"))
+      val liSub = Tables.lineitem(s, d).filter(col("l_orderkey") % 5 === 0)
+      val oSub = Tables.orders(s, d).filter(col("o_orderkey") % 5 === 0)
+      stage("orders", oSub, oCols)
+      stage("sales", liSub, lCols)
+      orch.stage3nf(); orch.stageDm()
+      // the late extract: last month's orders + their lines, +60 days,
+      // fresh keys — strictly past the watermark
+      val month = date_format(to_date(col("o_orderdate")), "yyyyMM")
+      val lastMonth = oSub.agg(max(month)).head().getString(0)
+      val lateO = oSub.filter(month === lastMonth).select(
+        (col("o_orderkey").cast(LongType) + 10000000L).as("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"),
+        date_add(to_date(col("o_orderdate")), 60).as("o_orderdate"))
+      val lateL = liSub
+        .join(oSub.filter(month === lastMonth).select(col("o_orderkey").as("l_orderkey")),
+          Seq("l_orderkey"), "left_semi")
+        .select(
+          (col("l_orderkey").cast(LongType) + 10000000L).as("l_orderkey"),
+          col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_extendedprice"),
+          date_add(to_date(col("l_shipdate")), 60).as("l_shipdate"))
+      wh.overwrite(Staging.antiJoinAppend(Staging.clean(lateO, oCols),
+        wh.read("staging", "orders"), Seq("o_orderkey")), "staging", "orders"): Unit
+      wh.overwrite(Staging.antiJoinAppend(Staging.clean(lateL, lCols),
+        wh.read("staging", "sales"), Seq("l_orderkey", "l_linenumber")), "staging", "sales"): Unit
+      orch.stage3nf(); orch.stageDm()
+      wh.readPartitioned("bl_dm", "fct_sales", "order_month")
+        .groupBy(col("order_month"))
+        .agg(count(lit(1)).as("n_sales"),
+          sum(col("sale_total")).cast("double").as("sum_total"))
+    }),
     "q60_full_etl" -> ((s, d) => {
       // ephemeral bench warehouse on tmpfs when available: the query
       // measures the pipeline's compute, not the host VM's bursty disk
-      val base = new java.io.File("/dev/shm")
-      val whRoot = (if (base.isDirectory && base.canWrite)
-        java.nio.file.Files.createTempDirectory(base.toPath, "graft-etl")
-      else java.nio.file.Files.createTempDirectory("graft-etl")).toString
-      sys.addShutdownHook { // RAM-backed scratch: reclaim on JVM exit
-        import java.nio.file.{Files, Path}
-        import java.util.Comparator
-        val root = Path.of(whRoot)
-        if (Files.exists(root))
-          Files.walk(root).sorted(Comparator.reverseOrder[Path]())
-            .forEach(p => Files.deleteIfExists(p): Unit)
-      }
-      val orch = new Orchestrator(s, d, whRoot)
+      val orch = new Orchestrator(s, d, tmpWarehouse())
       orch.runFullEtl()
       orch.wh.read("bl_dm", "fct_sales")
         // partition-column type inference reads the month dir as int
@@ -481,6 +542,38 @@ object EtlQueries extends graft.QueryPack {
     })
   )
   val oracleSql: Map[String, String] = Map(
+    "q74_incremental_etl" ->
+      """WITH o0 AS (SELECT * FROM orders WHERE o_orderkey % 5 = 0),
+         li0 AS (SELECT * FROM lineitem WHERE l_orderkey % 5 = 0),
+         lastm AS (SELECT max(strftime(CAST(o_orderdate AS DATE), '%Y%m')) AS m FROM o0),
+         allo AS (
+           SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                  CAST(o_orderdate AS DATE) AS order_dt
+           FROM o0
+           UNION ALL
+           SELECT CAST(o_orderkey AS BIGINT) + 10000000,
+                  CAST(o_orderdate AS DATE) + 60
+           FROM o0 WHERE strftime(CAST(o_orderdate AS DATE), '%Y%m') = (SELECT m FROM lastm)),
+         alll AS (
+           SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey, l_partkey, l_quantity
+           FROM li0
+           UNION ALL
+           SELECT CAST(l.l_orderkey AS BIGINT) + 10000000, l.l_partkey, l.l_quantity
+           FROM li0 l
+           WHERE EXISTS (SELECT 1 FROM o0
+                         WHERE o0.o_orderkey = l.l_orderkey
+                           AND strftime(CAST(o0.o_orderdate AS DATE), '%Y%m') = (SELECT m FROM lastm))),
+         active_price AS (
+           SELECT p_partkey, max(CAST(p_retailprice AS DECIMAL(9,2))) AS unit_price
+           FROM part GROUP BY 1)
+       SELECT strftime(order_dt, '%Y%m') AS order_month,
+              count(*) AS n_sales,
+              CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * unit_price
+                   AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+       FROM alll
+       JOIN allo ON l_orderkey = o_orderkey
+       JOIN active_price ON l_partkey = p_partkey
+       GROUP BY 1""",
     "q60_full_etl" ->
       """WITH active_price AS (
            SELECT p_partkey, max(CAST(p_retailprice AS DECIMAL(9,2))) AS unit_price
