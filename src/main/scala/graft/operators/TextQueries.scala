@@ -60,23 +60,25 @@ object TextQueries extends QueryPack {
 
     // Corpus statistics: the pre-filter profiling pass of a training
     // pipeline — per-source doc/token totals, exact token-count
-    // quantiles, quality mass. Quality sums go through DECIMAL so the
-    // aggregation is order-independent (double partial sums are not);
-    // one partial-aggregated group-by, quantiles via exact percentile
-    // (at 100 TB swap for approx_percentile and drop the oracle to a
-    // rows-only check).
+    // quantiles, quality mass. The quality score is quantized to a
+    // LONG (floor(q*1e7), same trick as the k-means step) before
+    // summing: exact integer sums are order-independent AND engine-
+    // independent, where double partial sums and double→DECIMAL casts
+    // both diverge across engines at representation/halfway cases.
+    // One partial-aggregated group-by, quantiles via exact percentile
+    // (q75 is the approx_percentile / HLL scale twin for 100 TB).
     "q69_corpus_stats" -> ((s, d) => {
       val t = Tables.documents(s, d).select(
         col("source"),
         tokenCount(col("text")).as("n_tokens"),
-        qualityScore(col("text"), EN).cast(DecimalType(18, 8)).as("q"))
+        floor(qualityScore(col("text"), EN) * lit(1e7)).cast(LongType).as("ql"))
       t.groupBy(col("source")).agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("sum_tokens"),
         percentile(col("n_tokens"), lit(0.5)).as("p50_tokens"),
         percentile(col("n_tokens"), lit(0.9)).as("p90_tokens"),
-        sum(col("q")).cast(DoubleType).as("sum_quality"),
-        sum(when(col("q") >= 0.5, 1L).otherwise(0L)).as("n_high_quality"))
+        (sum(col("ql")).cast(DoubleType) / lit(1e7)).as("sum_quality"),
+        sum(when(col("ql") >= 5000000L, 1L).otherwise(0L)).as("n_high_quality"))
     }),
 
     // Document fingerprints: md5 over normalized text (exact) + an
@@ -135,11 +137,11 @@ object TextQueries extends QueryPack {
          SUM(n_tokens) AS sum_tokens,
          quantile_cont(n_tokens, 0.5) AS p50_tokens,
          quantile_cont(n_tokens, 0.9) AS p90_tokens,
-         CAST(SUM(q) AS DOUBLE) AS sum_quality,
-         SUM(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS n_high_quality
+         CAST(CAST(SUM(ql) AS DOUBLE) / 10000000.0 AS DOUBLE) AS sum_quality,
+         CAST(SUM(CASE WHEN ql >= 5000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_quality
          FROM (SELECT source, $nTokensSql AS n_tokens,
-                 CAST(least(1.0, CAST($nTokensSql AS DOUBLE) / 50.0) * (1.0 - $stopRatioSql)
-                      AS DECIMAL(18,8)) AS q
+                 CAST(floor(least(1.0, CAST($nTokensSql AS DOUBLE) / 50.0) * (1.0 - $stopRatioSql)
+                      * 10000000.0) AS BIGINT) AS ql
                FROM documents)
          GROUP BY source"""
   )
