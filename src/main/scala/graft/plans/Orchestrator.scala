@@ -90,6 +90,27 @@ class Orchestrator(spark: SparkSession, sfDir: String, whRoot: String) {
     val runDt = current_date()
     val runTs = date_trunc("second", current_timestamp())
 
+    // Staging tables consumed by MORE THAN ONE loader below are read
+    // once and persisted for the duration of the stage — customers
+    // feed both the geo derivation and the SCD1 source, suppliers both
+    // geo and the supplier dim, products three product-tree relations.
+    // Without the persist each parallel loader re-runs the same parquet
+    // scan + string-clean; with it the scan happens once per table per
+    // run (at 100 TB staging re-scans are the difference between one
+    // pass and four).
+    val custStaged = wh.read("staging", "customers").persist()
+    val supStaged = wh.read("staging", "suppliers").persist()
+    val prodStaged = wh.read("staging", "products").persist()
+    try stage3nfBody(runDt, runTs, custStaged, supStaged, prodStaged)
+    finally {
+      custStaged.unpersist(); supStaged.unpersist(); prodStaged.unpersist(); ()
+    }
+  }
+
+  private def stage3nfBody(runDt: org.apache.spark.sql.Column,
+                           runTs: org.apache.spark.sql.Column,
+                           custStaged: DataFrame, supStaged: DataFrame,
+                           prodStaged: DataFrame): Map[String, Long] = {
     // Hierarchy SOURCE relations (SURVEY §2.3 J3/J4 at reference depth):
     // all are deterministic functions of the staged data — geo ids are
     // stable arithmetic (Hierarchy), tree ids are max-offset
@@ -102,8 +123,8 @@ class Orchestrator(spark: SparkSession, sfDir: String, whRoot: String) {
       Hierarchy.countriesFrom(Tables.nation(spark, sfDir)),
       Seq(lit(-1L), lit("n.a."), lit(-1L)))
     val realCountries = countriesSrc.filter(col("country_id") =!= -1)
-    val custGeo = Hierarchy.custGeoFrom(wh.read("staging", "customers"))
-    val supGeo = Hierarchy.supGeoFrom(wh.read("staging", "suppliers"))
+    val custGeo = Hierarchy.custGeoFrom(custStaged)
+    val supGeo = Hierarchy.supGeoFrom(supStaged)
     // states/cities are bounded (≤ 125 / ≤ 500 rows) but their
     // derivation scans the two largest staging tables — localize so the
     // four loaders sharing them don't re-run the distinct-shuffle each
@@ -121,7 +142,6 @@ class Orchestrator(spark: SparkSession, sfDir: String, whRoot: String) {
     // read-after-swap race and no sequential stage on the critical
     // path. New names get ids past the existing max — the reference's
     // NEXTVAL (F19, reference: sql/3nf/load_3nf_ce_categories_table.sql).
-    val prodStaged = wh.read("staging", "products")
     val catsLocal = localize(resumeSurrogates(
       prodStaged.select(Hierarchy.categoryOf(col("p_type")).as("category_name")).distinct(),
       "bl_3nf", "ce_categories", "category_name", "category_id"))
@@ -163,8 +183,7 @@ class Orchestrator(spark: SparkSession, sfDir: String, whRoot: String) {
         // the split-then-track composition the reference runs
         // (load_3nf_ce_customers_scd_table_type1.sql:24-25,128-138);
         // city link rides along untracked.
-        val custSrc = Hierarchy.customersSource(
-          wh.read("staging", "customers"), realCountries, citiesSrc)
+        val custSrc = Hierarchy.customersSource(custStaged, realCountries, citiesSrc)
         // a target written by an older schema (e.g. pre-name-split) has
         // no history the new tracked columns can continue — rebuild
         val targetOk = wh.exists("bl_3nf", "ce_customers") && {
@@ -186,7 +205,7 @@ class Orchestrator(spark: SparkSession, sfDir: String, whRoot: String) {
         // numeric attribute, insert-only
         // (reference: sql/3nf/load_3nf_ce_stores_table.sql:17-33)
         val supSrc = withDefaultRow(
-          Hierarchy.suppliersSource(wh.read("staging", "suppliers"), realCountries, statesSrc),
+          Hierarchy.suppliersSource(supStaged, realCountries, statesSrc),
           Seq(lit(-1L), lit("n.a."), lit(null), lit(-1L)))
         "ce_suppliers" -> log.logged("load_3nf_ce_suppliers")(
           wh.overwrite(insertOnly(supSrc, "bl_3nf", "ce_suppliers", Seq("supplier_id")),
