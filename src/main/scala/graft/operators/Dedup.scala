@@ -244,10 +244,18 @@ object Dedup {
     * most h blocks, so it must agree EXACTLY on at least one block.
     * Candidates come from an equi-join on (block_idx, block_value) and
     * only candidates pay the `bit_count` verification — the all-pairs
-    * cross product never materializes. Work per block shrinks with the
-    * fingerprint width (`bits`): 16-bit fingerprints give 2^4-value
-    * blocks (coarse); at corpus scale pair this with a 64-bit simhash
-    * so each block carries 2^16 values.
+    * cross product never materializes.
+    *
+    * Identical fingerprints are collapsed BEFORE the block join: the
+    * join runs over DISTINCT fingerprint values and id pairs re-expand
+    * from the per-fingerprint id lists afterwards. Hamming-0 pairs come
+    * straight from the groups without touching the join at all. On a
+    * duplicate-heavy corpus (the norm in dedup) this shrinks the block
+    * join from O(n²/blocks) to O(d²/blocks), d = distinct fingerprints,
+    * and the expansion emits only true result rows. Work per block still
+    * shrinks with the fingerprint width (`bits`): 16-bit fingerprints
+    * give 2^4-value blocks (coarse); at corpus scale pair this with a
+    * 60-bit simhash so each block carries 2^15 values.
     */
   def simhashPairs(sim: DataFrame, idCol: String, maxHamming: Int,
                    bits: Int = 16): DataFrame = {
@@ -256,6 +264,19 @@ object Dedup {
       s"maxHamming=$maxHamming needs $nBlocks pigeonhole blocks but the " +
         s"fingerprint has only $bits bits; at maxHamming >= bits every pair " +
         "qualifies anyway — use a wider simhash")
+    val groups = sim.toDF("__id", "__sh")
+      .groupBy(col("__sh")).agg(sort_array(collect_set(col("__id"))).as("ids"))
+    // Hamming-0: every ordered pair within one fingerprint group.
+    val pairsOfIds = {
+      val ids = col("ids")
+      flatten(transform(ids, (x, i) =>
+        transform(slice(ids, i + lit(2), size(ids)),
+          y => struct(x.as("id_1"), y.as("id_2")))))
+    }
+    val intra = groups.filter(size(col("ids")) > 1)
+      .select(explode(pairsOfIds).as("p"))
+      .select(col("p.id_1").as("id_1"), col("p.id_2").as("id_2"),
+        lit(0).cast("int").as("hamming"))
     // Block j covers bit range [j*bits/n, (j+1)*bits/n) — near-equal widths.
     val blockStructs = (0 until nBlocks).map { j =>
       val lo = j * bits / nBlocks
@@ -263,17 +284,26 @@ object Dedup {
       struct(lit(j).as("blk"),
         shiftright(col("__sh"), lo).bitwiseAND(lit((1L << (hi - lo)) - 1)).as("bval"))
     }
-    val exploded = sim.toDF("__id", "__sh")
-      .select(col("__id"), col("__sh"), explode(array(blockStructs: _*)).as("b"))
-      .select(col("__id"), col("__sh"), col("b.blk").as("blk"), col("b.bval").as("bval"))
-    val a = exploded.toDF("id_1", "sh_1", "blk", "bval")
-    val b = exploded.toDF("id_2", "sh_2", "blk", "bval")
-    a.join(b, Seq("blk", "bval"))
-      .filter(col("id_1") < col("id_2"))
+    val exploded = groups
+      .select(col("__sh"), col("ids"), explode(array(blockStructs: _*)).as("b"))
+      .select(col("__sh"), col("ids"), col("b.blk").as("blk"), col("b.bval").as("bval"))
+    val a = exploded.toDF("sh_1", "ids_1", "blk", "bval")
+    val b = exploded.toDF("sh_2", "ids_2", "blk", "bval")
+    // sh_1 < sh_2 dedups the symmetric candidate, distinct() the
+    // pair agreeing on >1 block (ids_i are functions of sh_i, so
+    // distinct over (sh, ids, hamming) ≡ distinct over (sh, hamming)).
+    val fpPairs = a.join(b, Seq("blk", "bval"))
+      .filter(col("sh_1") < col("sh_2"))
       .withColumn("hamming", bit_count(col("sh_1").bitwiseXOR(col("sh_2"))))
       .filter(col("hamming") <= maxHamming)
-      // a pair agreeing on >1 block appears once per agreeing block
-      .select(col("id_1"), col("id_2"), col("hamming").cast("int").as("hamming"))
+      .select(col("ids_1"), col("ids_2"), col("hamming"))
       .distinct()
+    val cross = fpPairs
+      .select(explode(col("ids_1")).as("id_a"), col("ids_2"), col("hamming"))
+      .select(col("id_a"), explode(col("ids_2")).as("id_b"), col("hamming"))
+      .select(least(col("id_a"), col("id_b")).as("id_1"),
+        greatest(col("id_a"), col("id_b")).as("id_2"),
+        col("hamming").cast("int").as("hamming"))
+    intra.unionByName(cross)
   }
 }
