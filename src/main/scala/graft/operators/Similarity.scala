@@ -128,34 +128,79 @@ object Similarity {
     * output clusters back in; one step per pass keeps each pass
     * verifiable.
     */
-  def kmeansAssignStep(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.types.DoubleType
+  def kmeansAssignStep(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
+    kmeansAssign(emb, idCol, vecCol,
+      kmeansCentroids(emb, idCol, vecCol, k, rounds = 1)).drop(vecCol)
+
+  /** Seed centroids: the k smallest ids (whatever the id space), cid 1..k. */
+  private def kmeansSeeds(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // seeds = the k smallest ids (whatever the id space), cid = 1..k
-    val seeds = emb.orderBy(col(idCol)).limit(k)
+    emb.orderBy(col(idCol)).limit(k)
       .withColumn("cid", row_number().over(Window.orderBy(col(idCol))).cast("int"))
       .select(col("cid"), col(vecCol).as("centroid"))
-    // nearest centroid via the bounded TopKByScore partial aggregation
-    // (k=1): map tasks reduce each vector's k candidate rows to one
-    // before the exchange — no window sort over the N·k relation
+  }
+
+  /** Nearest-centroid assignment via the bounded TopKByScore partial
+    * aggregation (k=1): map tasks reduce each vector's k candidate rows
+    * to one before the exchange — no window sort over the N·k relation.
+    * Returns (idCol, vecCol, cid, cos).
+    */
+  private def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
+                           cents: DataFrame): DataFrame = {
     val top1 = udaf(new graft.functions.TopKByScore(1))
-    def assign(cents: DataFrame): DataFrame =
-      emb.crossJoin(broadcast(cents))
-        .withColumn("cos", cosine(col(vecCol), col("centroid")))
-        .filter(col("cos").isNotNull) // zero-norm vectors: no cosine
-        .groupBy(col(idCol), col(vecCol))
-        .agg(top1(col("cos"), col("cid").cast("long")).as("nns"))
-        .select(col(idCol), col(vecCol),
-          expr("nns[0]._2").cast("int").as("cid"), expr("nns[0]._1").as("cos"))
-    val a1 = assign(seeds)
-    val cents1 = a1.select(col("cid"), posexplode(col(vecCol)))
+    emb.crossJoin(broadcast(cents))
+      .withColumn("cos", cosine(col(vecCol), col("centroid")))
+      .filter(col("cos").isNotNull) // zero-norm vectors: no cosine
+      .groupBy(col(idCol), col(vecCol))
+      .agg(top1(col("cos"), col("cid").cast("long")).as("nns"))
+      .select(col(idCol), col(vecCol),
+        expr("nns[0]._2").cast("int").as("cid"), expr("nns[0]._1").as("cos"))
+  }
+
+  /** Per-cell centroids from an assignment: per-dimension exact LONG
+    * sums of 1e-7-quantized coordinates (see [[kmeansAssignStep]] for
+    * why quantized integer sums, not double means).
+    */
+  private def kmeansRecenter(assigned: DataFrame, vecCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    assigned.select(col("cid"), posexplode(col(vecCol)))
       .groupBy(col("cid"), col("pos"))
       .agg(sum(floor(col("col").cast(DoubleType) * 1e7).cast("long")).as("s"))
       .groupBy(col("cid"))
       .agg(collect_list(struct(col("pos"), col("s").cast(DoubleType).as("v"))).as("xs"))
       .select(col("cid"),
         expr("transform(array_sort(xs), x -> CAST(x.v AS FLOAT))").as("centroid"))
-    assign(cents1).drop(vecCol)
+  }
+
+  /** TRAIN the coarse quantizer: `rounds` deterministic Lloyd
+    * refinements from the id-seeded start. Each round is one broadcast
+    * assignment plus one narrow (cid, dim) sum; the k-row centroid
+    * table is localCheckpointed per round so the plan doesn't grow with
+    * the round count. A cell that loses all members simply drops out
+    * (both engines agree). Returns the final (cid, centroid) table.
+    */
+  def kmeansCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                      k: Int, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds=$rounds must be >= 1")
+    var cents = kmeansSeeds(emb, idCol, vecCol, k)
+    for (_ <- 1 to rounds)
+      cents = kmeansRecenter(kmeansAssign(emb, idCol, vecCol, cents), vecCol)
+        .localCheckpoint(true)
+    cents
+  }
+
+  /** The closed ANN loop: train the quantizer ([[kmeansCentroids]]),
+    * assign every vector to its trained cell, then [[ivfKnn]] within
+    * those cells — index cells come from the learned centroids, not a
+    * fixture label. The train side touches k-row tables only; the
+    * search side is the partition-local IVF join.
+    */
+  def ivfTrainedKnn(emb: DataFrame, idCol: String, vecCol: String,
+                    k: Int, rounds: Int, kNeighbors: Int): DataFrame = {
+    val cents = kmeansCentroids(emb, idCol, vecCol, k, rounds)
+    val cells = kmeansAssign(emb, idCol, vecCol, cents)
+      .select(col(idCol), col("cid"))
+    ivfKnn(emb.join(cells, idCol), idCol, vecCol, "cid", kNeighbors)
   }
 
   /** Blocked exact KNN: the [[bruteForceKnn]] insertion-buffer kernel

@@ -45,8 +45,18 @@ object SimilarityQueries extends QueryPack {
     // how ivfKnn's cells are learned rather than given.
     "q72_kmeans_assign" -> ((s, d) =>
       Similarity.kmeansAssignStep(Tables.embeddings(s, d), "vec_id", "embedding", k = 8)
-        .withColumnRenamed("cid", "cluster"))
+        .withColumnRenamed("cid", "cluster")),
+
+    // The closed ANN loop: 2 Lloyd training rounds → assign to trained
+    // cells → exact top-3 within each learned cell. q57's cells come
+    // from the fixture label; here they come from the quantizer itself.
+    "q76_ivf_trained" -> ((s, d) =>
+      Similarity.ivfTrainedKnn(Tables.embeddings(s, d), "vec_id", "embedding",
+        k = KM_K, rounds = KM_ROUNDS, kNeighbors = 3))
   )
+
+  private val KM_K = 8
+  private val KM_ROUNDS = 2
 
   /** cosine(a,b) with strict left-fold double arithmetic. */
   private[operators] def cosSql(a: String, b: String) =
@@ -58,33 +68,54 @@ object SimilarityQueries extends QueryPack {
   private[operators] val bucketSql = (1 to BITS).map(i =>
     s"(CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
 
-  val oracleSql: Map[String, String] = Map(
-    // embedding dim is 64 in the driver testdata (range(1,65) indexes it)
-    "q72_kmeans_assign" -> {
-      def argmin(cents: String) =
-        s"""SELECT vec_id, embedding, cid, cos FROM (
-           |  SELECT e.vec_id, e.embedding, c.cid,
-           |         ${cosSql("e.embedding", "c.centroid")} AS cos,
-           |         row_number() OVER (PARTITION BY e.vec_id
-           |           ORDER BY ${cosSql("e.embedding", "c.centroid")} DESC, c.cid) AS rn
-           |  FROM emb e CROSS JOIN $cents c
-           |  WHERE ${cosSql("e.embedding", "c.centroid")} IS NOT NULL)
-           |WHERE rn = 1""".stripMargin
+  /** WITH-clause chain for `rounds` Lloyd refinements over the 64-dim
+    * embeddings (range(1,65) indexes the vector): seeds → a1 → cents1 →
+    * a2 → … — the final assignment relation is `a{rounds+1}`. Mirrors
+    * [[Similarity.kmeansCentroids]] exactly, macro-expanded per round.
+    */
+  private def kmeansWith(k: Int, rounds: Int): String = {
+    def argmin(cents: String) =
+      s"""SELECT vec_id, embedding, cid, cos FROM (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |         ${cosSql("e.embedding", "c.centroid")} AS cos,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY ${cosSql("e.embedding", "c.centroid")} DESC, c.cid) AS rn
+         |  FROM emb e CROSS JOIN $cents c
+         |  WHERE ${cosSql("e.embedding", "c.centroid")} IS NOT NULL)
+         |WHERE rn = 1""".stripMargin
+    val head =
       s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
          |seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cid,
          |                 embedding AS centroid
-         |          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
-         |a1 AS (${argmin("seeds")}),
-         |sums AS (
+         |          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $k)),
+         |a1 AS (${argmin("seeds")})""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s"""sums$r AS (
          |  SELECT cid, r.i AS pos,
          |         SUM(CAST(floor(CAST(embedding[r.i] AS DOUBLE) * 1e7) AS BIGINT)) AS s
-         |  FROM a1, range(1, 65) r(i) GROUP BY 1, 2),
-         |cents AS (
+         |  FROM a$r, range(1, 65) r(i) GROUP BY 1, 2),
+         |cents$r AS (
          |  SELECT cid, list(CAST(CAST(s AS DOUBLE) AS FLOAT) ORDER BY pos) AS centroid
-         |  FROM sums GROUP BY cid),
-         |a2 AS (${argmin("cents")})
-         |SELECT vec_id, cid AS cluster, cos FROM a2""".stripMargin
-    },
+         |  FROM sums$r GROUP BY cid),
+         |a${r + 1} AS (${argmin(s"cents$r")})""".stripMargin
+    }
+    (head +: steps).mkString(",\n")
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "q72_kmeans_assign" ->
+      s"""${kmeansWith(8, 1)}
+         |SELECT vec_id, cid AS cluster, cos FROM a2""".stripMargin,
+    "q76_ivf_trained" ->
+      s"""${kmeansWith(KM_K, KM_ROUNDS)}
+         |SELECT cluster, vec_id, nn_id, cos, rn FROM (
+         |  SELECT a.cid AS cluster, a.vec_id, b.vec_id AS nn_id,
+         |         ${cosSql("a.embedding", "b.embedding")} AS cos,
+         |         CAST(row_number() OVER (PARTITION BY a.vec_id
+         |              ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id) AS INT) AS rn
+         |  FROM a${KM_ROUNDS + 1} a JOIN a${KM_ROUNDS + 1} b
+         |    ON a.cid = b.cid AND a.vec_id != b.vec_id)
+         |WHERE rn <= 3""".stripMargin,
     "q50_cosine_knn" ->
       s"""SELECT vec_id, nn_id, cos, rn FROM (
            SELECT a.vec_id, b.vec_id AS nn_id,

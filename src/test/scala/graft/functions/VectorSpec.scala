@@ -76,6 +76,26 @@ class VectorSpec extends SparkSpec {
     assert(merged == direct)
   }
 
+  test("kmeansCentroids trains deterministic cells; ivfTrainedKnn searches within them") {
+    val emb = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0f, 1f)), (4L, Array(0.1f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val c1 = graft.operators.Similarity.kmeansCentroids(emb, "vec_id", "embedding", 2, 2)
+      .orderBy($"cid").as[(Int, Array[Float])].collect()
+    val c2 = graft.operators.Similarity.kmeansCentroids(emb, "vec_id", "embedding", 2, 2)
+      .orderBy($"cid").as[(Int, Array[Float])].collect()
+    assert(c1.map(_._1).toSeq == c2.map(_._1).toSeq)
+    assert(c1.map(_._2.toSeq).toSeq == c2.map(_._2.toSeq).toSeq) // bit-identical reruns
+    val knn = graft.operators.Similarity
+      .ivfTrainedKnn(emb, "vec_id", "embedding", k = 2, rounds = 2, kNeighbors = 1)
+      .select($"vec_id", $"nn_id").as[(Long, Long)].collect().toMap
+    // seeds 1,2 pull the x-axis pair into one cell, the y-axis pair lands
+    // together too — neighbors never cross the learned cells
+    assert(knn(1L) == 2L && knn(2L) == 1L)
+    assert(knn(3L) == 4L && knn(4L) == 3L)
+  }
+
   test("signBucket maps sign pattern of leading dims") {
     val r = df.select($"id", VectorFunctions.signBucket($"a", 3).as("bk"))
       .as[(Long, String)].collect().toMap
