@@ -64,6 +64,40 @@ object EventsQueries extends QueryPack {
           max(col("k")).as("max_k"))
     }),
 
+    // STREAMING ingest, promoted to the correctness gate q74-style: the
+    // first half of the time range is batch-bootstrapped into a
+    // day-partitioned warehouse table, then the FULL feed replays
+    // through Trigger.AvailableNow → foreachBatch → anti-join merge →
+    // per-day atomic partition swaps. A green hash proves stream ingest
+    // ≡ batch load row-for-row (the oracle aggregates the raw table):
+    // already-loaded days aren't rewritten, the boundary day merges,
+    // duplicate delivery dedups.
+    "q77_stream_ingest" -> ((s, d) => {
+      import graft.streaming.EventPipelines
+      val wh = new graft.sources.Warehouse(graft.plans.EtlQueries.tmpWarehouse(), s)
+      val full = Tables.events(s, d)
+      val (lo, hi) = {
+        val r = full.agg(min(to_date(col("ts"))), max(to_date(col("ts")))).head()
+        (r.getDate(0).toLocalDate, r.getDate(1).toLocalDate)
+      }
+      val cut = lo.plusDays(java.time.temporal.ChronoUnit.DAYS.between(lo, hi) / 2)
+      val boot = full.filter(to_date(col("ts")) < lit(java.sql.Date.valueOf(cut)))
+      wh.overwrite(EventPipelines.withEventDay(boot), "bl_3nf", "events_stream",
+        partitionBy = Seq("event_day")): Unit
+      // file stream sources take a directory: stream the sfDir with a
+      // glob pinned to the events table
+      val stream = s.readStream.schema(EventPipelines.rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      EventPipelines.ingestAvailableNow(stream, wh, "bl_3nf", "events_stream",
+        keys = Seq("event_id"))
+      wh.readPartitioned("bl_3nf", "events_stream", "event_day")
+        .groupBy(col("event_day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(dec)).cast(DoubleType).as("sum_value"))
+    }),
+
     // Gap-based sessionization (streaming: flatMapGroupsWithState).
     "q55_sessionize" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -102,6 +136,11 @@ object EventsQueries extends QueryPack {
          CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
          GROUP BY 1, 2""",
+    "q77_stream_ingest" ->
+      """SELECT strftime(ts, '%Y%m%d') AS event_day, event_type,
+         count(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2""",
     "q55_sessionize" ->
       """SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions,
                 count(*) AS n_events

@@ -474,7 +474,7 @@ object Orchestrator {
   */
 object EtlQueries extends graft.QueryPack {
 
-  private def tmpWarehouse(): String = {
+  private[graft] def tmpWarehouse(): String = {
     val base = new java.io.File("/dev/shm")
     val whRoot = (if (base.isDirectory && base.canWrite)
       java.nio.file.Files.createTempDirectory(base.toPath, "graft-etl")

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming twins of the batch event queries
@@ -147,6 +147,51 @@ object EventPipelines {
     * anti-join + atomic swap = effectively-once delivery on plain
     * parquet.
     */
+  /** Derive the day partition column an ingested events table is laid
+    * out by (yyyyMMdd, the same read-back-as-string convention as
+    * order_month).
+    */
+  def withEventDay(df: DataFrame, partCol: String = "event_day"): DataFrame =
+    df.withColumn(partCol, date_format(col("ts"), "yyyyMMdd"))
+
+  /** AvailableNow ingest: stream → foreachBatch → per-partition atomic
+    * swaps. Each micro-batch dedups within itself AND against the
+    * target on `keys`, derives its day partition, and lands via
+    * [[graft.sources.Warehouse.overwritePartitions]] — only day
+    * partitions the batch actually touches are rewritten, so a batch's
+    * write cost is O(batch), never O(table): the streaming twin of the
+    * orchestrator's partition-wise incremental fact load (and of the
+    * reference's incremental watermark semantics, SURVEY §2.12).
+    * Micro-batches run sequentially (Structured Streaming serializes
+    * foreachBatch), so the read→merge→swap is single-writer by
+    * construction; the trigger drains everything available, then stops.
+    */
+  def ingestAvailableNow(events: DataFrame, wh: graft.sources.Warehouse,
+                         layer: String, table: String, keys: Seq[String],
+                         partCol: String = "event_day"): Unit = {
+    val q = events.writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val withDay = withEventDay(batch.toDF(), partCol)
+        val tieBreak = withDay.columns.filterNot(keys.contains).map(col(_).asc).toSeq
+        val deduped = graft.operators.Staging.dedupFirstWins(withDay, keys, tieBreak)
+        if (!wh.exists(layer, table))
+          wh.overwrite(deduped, layer, table, partitionBy = Seq(partCol)): Unit
+        else {
+          val existing = wh.readPartitioned(layer, table, partCol)
+          val fresh = deduped.join(existing, keys, "left_anti")
+          // rewrite ONLY the days that gained rows, carrying each such
+          // day's existing rows through the swap
+          val affectedExisting = existing.join(
+            fresh.select(partCol).distinct(), Seq(partCol), "left_semi")
+          wh.overwritePartitions(affectedExisting.unionByName(fresh),
+            layer, table, partCol): Unit
+        }
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   def streamToWarehouse(events: DataFrame, wh: graft.sources.Warehouse,
                         layer: String, table: String, keys: Seq[String]): Unit = {
     val q = events.writeStream

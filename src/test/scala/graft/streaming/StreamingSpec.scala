@@ -85,6 +85,31 @@ class StreamingSpec extends SparkSpec {
     assert(native == viaLag)
   }
 
+  test("ingestAvailableNow lands multi-batch dedup'd events via partition swaps") {
+    // two copies of the feed in separate files + maxFilesPerTrigger=1:
+    // batch 1 bootstraps the table, batch 2 is 100% duplicate delivery
+    // and must merge to a no-op — the at-least-once contract end-to-end
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest-src")
+    val src = new java.io.File(s"$sf/events.parquet")
+    java.nio.file.Files.copy(src.toPath, dir.resolve("feed-0.parquet"))
+    java.nio.file.Files.copy(src.toPath, dir.resolve("feed-1.parquet"))
+    val whRoot = java.nio.file.Files.createTempDirectory("graft-ingest-wh").toString
+    val wh = new graft.sources.Warehouse(whRoot, spark)
+    val stream = spark.readStream.schema(EventPipelines.rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    EventPipelines.ingestAvailableNow(stream, wh, "bl_3nf", "ev", Seq("event_id"))
+    val got = wh.readPartitioned("bl_3nf", "ev", "event_day")
+    assert(got.count() == batchEvents.count()) // duplicates fully collapsed
+    val days = batchEvents.select(date_format($"ts", "yyyyMMdd")).distinct().count()
+    assert(got.select($"event_day").distinct().count() == days)
+    // value-level parity with the batch table on a checksum
+    val a = got.agg(bit_xor(xxhash64($"event_id", $"event_type", $"value"))).head().getLong(0)
+    val b = batchEvents.agg(bit_xor(xxhash64($"event_id", $"event_type", $"value"))).head().getLong(0)
+    assert(a == b)
+  }
+
   test("sessionize emits closed sessions that match the batch gap logic") {
     EventPipelines.runToMemory(
       EventPipelines.sessionize(spark, EventPipelines.readEventStream(spark, streamDir)).toDF(),
