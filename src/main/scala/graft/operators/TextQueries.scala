@@ -81,6 +81,44 @@ object TextQueries extends QueryPack {
         sum(when(col("ql") >= 5000000L, 1L).otherwise(0L)).as("n_high_quality"))
     }),
 
+    // The 100 TB corpus-stats path q69's comment names: HLL distinct
+    // fingerprints (approx_count_distinct) + sketch percentiles
+    // (approx_percentile) instead of exact distinct/sort — one pass,
+    // bounded memory, mergeable partials. Verified against each
+    // sketch's OWN contract, emitted as booleans the oracle pins to
+    // literal TRUE: HLL within 3σ of its 5% default rsd; the GK
+    // percentile sketch by RANK (the fraction of rows below/at the
+    // returned element must bracket p ± 5% — value-distance bounds
+    // are meaningless across an element gap at small N). The exact
+    // columns exist to power the bounds; at scale you'd drop them and
+    // keep the identical sketch plan.
+    "q75_corpus_stats_approx" -> ((s, d) => {
+      val t = Tables.documents(s, d).select(
+        col("source"),
+        tokenCount(col("text")).as("n_tokens"),
+        fingerprint(col("text")).as("fp"))
+      val sk = t.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        count_distinct(col("fp")).as("n_distinct_fp"),
+        approx_count_distinct(col("fp")).as("apx_fp"),
+        percentile(col("n_tokens"), lit(0.5)).as("p50_tokens"),
+        percentile(col("n_tokens"), lit(0.9)).as("p90_tokens"),
+        percentile_approx(col("n_tokens"), lit(0.5), lit(1000)).as("apx_p50"),
+        percentile_approx(col("n_tokens"), lit(0.9), lit(1000)).as("apx_p90"))
+      val ranks = t.join(sk.select("source", "apx_p50", "apx_p90"), Seq("source"))
+        .groupBy(col("source")).agg(
+          avg(when(col("n_tokens") < col("apx_p50"), 1.0).otherwise(0.0)).as("lo50"),
+          avg(when(col("n_tokens") <= col("apx_p50"), 1.0).otherwise(0.0)).as("hi50"),
+          avg(when(col("n_tokens") < col("apx_p90"), 1.0).otherwise(0.0)).as("lo90"),
+          avg(when(col("n_tokens") <= col("apx_p90"), 1.0).otherwise(0.0)).as("hi90"))
+      sk.join(ranks, Seq("source")).select(
+        col("source"), col("n_docs"), col("n_distinct_fp"),
+        (abs(col("apx_fp").cast(DoubleType) - col("n_distinct_fp").cast(DoubleType)) <=
+          col("n_distinct_fp").cast(DoubleType) * 0.15).as("hll_ok"),
+        col("p50_tokens"), (col("lo50") <= 0.55 && col("hi50") >= 0.45).as("p50_ok"),
+        col("p90_tokens"), (col("lo90") <= 0.95 && col("hi90") >= 0.85).as("p90_ok"))
+    }),
+
     // Document fingerprints: md5 over normalized text (exact) + an
     // order-sensitive polynomial rolling hash over the token stream.
     "q43_fingerprint" -> ((s, d) => {
@@ -132,6 +170,16 @@ object TextQueries extends QueryPack {
                t -> CAST(strpos('123456789abcdef', substr(md5(t), 1, 1)) AS BIGINT))),
            (h, v) -> (h * 31 + v) % 2147483647) AS rolling_fp
          FROM documents""",
+    "q75_corpus_stats_approx" ->
+      s"""SELECT source, count(*) AS n_docs,
+         count(DISTINCT fp) AS n_distinct_fp,
+         TRUE AS hll_ok,
+         quantile_cont(n_tokens, 0.5) AS p50_tokens, TRUE AS p50_ok,
+         quantile_cont(n_tokens, 0.9) AS p90_tokens, TRUE AS p90_ok
+         FROM (SELECT source, $nTokensSql AS n_tokens,
+                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+               FROM documents)
+         GROUP BY source""",
     "q69_corpus_stats" ->
       s"""SELECT source, count(*) AS n_docs,
          SUM(n_tokens) AS sum_tokens,
