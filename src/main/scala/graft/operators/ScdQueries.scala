@@ -167,6 +167,25 @@ object ScdQueries extends QueryPack {
         ntz("2024-06-01 00:00:00"), ntz("9999-12-31 00:00:00"))
     }),
 
+    // Skew-salted join, verified: ~70% of the fact lands on one key (the
+    // pathological hot-key case where even AQE's skew split straggles),
+    // the dim side replicates per salt, and the result must equal the
+    // plain join — the oracle computes exactly that. The per-nation
+    // rollup after the join keeps the output hashable while the join
+    // itself runs at fact width.
+    "q78_salted_join" -> ((s, d) => {
+      val fact = Tables.lineitem(s, d).select(
+        when(col("l_partkey") % 1000 < 700, 0L)
+          .otherwise(col("l_partkey").cast(LongType) % 25).as("nation_key"),
+        col("l_quantity").cast(DecimalType(18, 2)).as("qty"))
+      val dim = Tables.nation(s, d).select(
+        col("n_nationkey").cast(LongType).as("nation_key"), col("n_name"))
+      Relational.saltedJoin(fact, dim, "nation_key", salts = 16)
+        .groupBy(col("nation_key"), col("n_name"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("qty")).cast(DoubleType).as("sum_qty"))
+    }),
+
     // Binned range join: orders falling inside per-nation campaign
     // windows — point-in-interval as an equi-join on time bins plus a
     // residual filter, instead of a nested-loop.
@@ -202,6 +221,16 @@ object ScdQueries extends QueryPack {
        SELECT li.p_partkey, li.ship_dt, li.sale_id, v.price
        FROM li ASOF LEFT JOIN versions v
          ON li.p_partkey = v.p_partkey AND li.ship_dt >= v.price_dt""",
+    "q78_salted_join" ->
+      """SELECT nation_key, n_name, count(*) AS n_rows,
+              CAST(SUM(qty) AS DOUBLE) AS sum_qty
+         FROM (SELECT CASE WHEN l_partkey % 1000 < 700 THEN CAST(0 AS BIGINT)
+                           ELSE CAST(l_partkey % 25 AS BIGINT) END AS nation_key,
+                      CAST(l_quantity AS DECIMAL(18,2)) AS qty
+               FROM lineitem) f
+         JOIN (SELECT CAST(n_nationkey AS BIGINT) AS nation_key, n_name
+               FROM nation) n USING (nation_key)
+         GROUP BY 1, 2""",
     "q28_range_join" ->
       """WITH campaigns AS (
            SELECT DISTINCT DATE '1995-01-01' + CAST(n_nationkey * 40 AS INT) AS camp_start

@@ -44,5 +44,11 @@ class CsvSpec extends SparkSpec {
     val plain = fact.join(dim, "k")
     assert(salted.count() == 1001)
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    // the salt must reach the physical join: build side fans out via
+    // explode and the join keys carry __salt, splitting the hot key
+    // across `salts` shuffle partitions
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"))
+    assert(plan.toLowerCase.contains("generate explode") || plan.contains("Generate"))
   }
 }
