@@ -547,6 +547,47 @@ object EtlQueries extends graft.QueryPack {
         .agg(count(lit(1)).as("n_sales"),
           sum(col("sale_total")).cast("double").as("sum_total"))
     }),
+    // Compaction, hash-verified end-to-end: fragment a month-partitioned
+    // table (8 files per month — the state incremental loads accrete),
+    // snapshot a per-partition row checksum, compact to one file per
+    // month, and emit booleans proving (a) every partition's row multiset
+    // survived byte-for-byte (xxhash64 bit_xor + count, both engines are
+    // the same Spark session so the hash is apples-to-apples) and
+    // (b) the file count actually collapsed. The oracle pins the
+    // aggregates to raw lineitem and the booleans to TRUE.
+    "q79_compact" -> ((s, d) => {
+      import graft.sources.Tables
+      val wh = new graft.sources.Warehouse(tmpWarehouse(), s)
+      val li = Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast(DecimalType(18, 2)).as("qty"),
+        date_format(to_date(col("l_shipdate")), "yyyyMM").as("ship_month"))
+      wh.overwrite(li.repartition(8), "bl_dm", "li_frag",
+        partitionBy = Seq("ship_month"), preClustered = true): Unit
+      def fileCount(month: String): Int =
+        new java.io.File(s"${wh.path("bl_dm", "li_frag")}/ship_month=$month")
+          .listFiles().count(_.getName.endsWith(".parquet"))
+      def chk(df: DataFrame) = df.groupBy(col("ship_month")).agg(
+        bit_xor(xxhash64(col("l_orderkey"), col("l_linenumber"), col("qty"))).as("chk"),
+        count(lit(1)).as("n"))
+      // snapshot BEFORE the swap (bounded: one row + one file count per month)
+      val before = chk(wh.readPartitioned("bl_dm", "li_frag", "ship_month"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val filesBefore = before.keys.map(m => m -> fileCount(m)).toMap
+      wh.compact("bl_dm", "li_frag", Some("ship_month"),
+        targetBytes = Long.MaxValue): Unit
+      val after = wh.readPartitioned("bl_dm", "li_frag", "ship_month")
+      val bdf = s.createDataFrame(before.toSeq.map { case (m, (c, n)) =>
+        (m, c, n, filesBefore(m), fileCount(m)) }.sortBy(_._1))
+        .toDF("ship_month", "chk_b", "n_b", "files_b", "files_a")
+      chk(after)
+        .join(after.groupBy(col("ship_month"))
+          .agg(sum(col("qty")).cast(DoubleType).as("sum_qty")), Seq("ship_month"))
+        .join(bdf, Seq("ship_month"))
+        .select(col("ship_month"), col("n").as("n_rows"), col("sum_qty"),
+          (col("chk") === col("chk_b") && col("n") === col("n_b")).as("identical"),
+          (col("files_a") === 1 && col("files_b") > 1).as("compacted_ok"))
+    }),
     "q60_full_etl" -> ((s, d) => {
       // ephemeral bench warehouse on tmpfs when available: the query
       // measures the pipeline's compute, not the host VM's bursty disk
@@ -593,6 +634,12 @@ object EtlQueries extends graft.QueryPack {
        JOIN allo ON l_orderkey = o_orderkey
        JOIN active_price ON l_partkey = p_partkey
        GROUP BY 1""",
+    "q79_compact" ->
+      """SELECT strftime(CAST(l_shipdate AS DATE), '%Y%m') AS ship_month,
+              count(*) AS n_rows,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+              TRUE AS identical, TRUE AS compacted_ok
+         FROM lineitem GROUP BY 1""",
     "q60_full_etl" ->
       """WITH active_price AS (
            SELECT p_partkey, max(CAST(p_retailprice AS DECIMAL(9,2))) AS unit_price
