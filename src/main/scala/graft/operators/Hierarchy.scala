@@ -151,15 +151,23 @@ object Hierarchy {
   }
 
   /** 3NF supplier source rows (the reference's stores: state-level geo
-    * link + a numeric attribute — reference:
-    * sql/3nf/load_3nf_ce_stores_table.sql:17-33).
-    * Output: supplier_id, supplier_name, acctbal, supplier_state_id.
+    * link + a numeric attribute + a DATE attribute parsed inside the
+    * loader — reference: sql/3nf/load_3nf_ce_stores_table.sql:17-33,
+    * where open_date arrives as a raw MM/DD/YYYY VARCHAR and is parsed
+    * by TO_DATE in the insert path (F7 composed into the dim loader,
+    * :23). The testdata suppliers carry no date column, so the raw
+    * string is synthesized deterministically from the key, then parsed
+    * exactly as the reference parses its raw extract.
+    * Output: supplier_id, supplier_name, acctbal, open_date,
+    * supplier_state_id.
     */
   def suppliersSource(sup: DataFrame, countries: DataFrame, states: DataFrame): DataFrame = {
+    val key = col("s_suppkey").cast(LongType)
     val base = sup.select(
-      col("s_suppkey").cast(LongType).as("supplier_id"),
+      key.as("supplier_id"),
       col("s_name").as("supplier_name"),
       col("s_acctbal").cast(DecimalType(12, 2)).as("acctbal"),
+      concat_ws("/", key % 12 + 1, key % 28 + 1, key % 7 + 1992).as("open_date_raw"),
       col("s_nationkey").cast(LongType).as("country_id"))
     base
       .join(broadcast(countries.select(col("country_id"), col("country_name"))),
@@ -169,6 +177,7 @@ object Hierarchy {
       .join(broadcast(states.select(col("state_id"), col("state_name"))),
         upper(col("state_ref")) === upper(col("state_name")), "left")
       .select(col("supplier_id"), col("supplier_name"), col("acctbal"),
+        to_date(col("open_date_raw"), "M/d/yyyy").as("open_date"),
         coalesce(col("state_id"), lit(-1L)).as("supplier_state_id"))
   }
 
@@ -200,6 +209,7 @@ object Hierarchy {
       .join(broadcast(countries), col("state_country_id") === col("country_id"), "left")
       .join(broadcast(continents), col("country_continent_id") === col("continent_id"), "left")
       .select(col("supplier_id"), col("supplier_name"), col("acctbal"),
+        col("open_date"),
         coalesce(col("state_name"), lit("n.a.")).as("supplier_state"),
         coalesce(col("country_name"), lit("n.a.")).as("supplier_country"),
         coalesce(col("continent_name"), lit("n.a.")).as("supplier_continent"))

@@ -191,17 +191,20 @@ object HierarchyQueries extends QueryPack {
        |sup AS (
        |  SELECT CAST(s_suppkey AS BIGINT) AS supplier_id, s_name AS supplier_name,
        |         CAST(s_acctbal AS DECIMAL(12,2)) AS acctbal,
+       |         make_date(CAST(1992 + s_suppkey % 7 AS INT),
+       |                   CAST(1 + s_suppkey % 12 AS INT),
+       |                   CAST(1 + s_suppkey % 28 AS INT)) AS open_date,
        |         CAST(s_nationkey AS BIGINT) AS country_id
        |  FROM supplier),
        |sup_state AS (
-       |  SELECT su.supplier_id, su.supplier_name, su.acctbal,
+       |  SELECT su.supplier_id, su.supplier_name, su.acctbal, su.open_date,
        |         COALESCE(st.state_id, -1) AS supplier_state_id
        |  FROM sup su
        |  LEFT JOIN countries co USING (country_id)
        |  LEFT JOIN states st
        |    ON upper(co.country_name || ' State ' || CAST(su.supplier_id % 5 AS VARCHAR)) = upper(st.state_name)),
        |flat AS (
-       |  SELECT ss.supplier_id, ss.supplier_name, ss.acctbal,
+       |  SELECT ss.supplier_id, ss.supplier_name, ss.acctbal, ss.open_date,
        |         COALESCE(st.state_name, 'n.a.') AS supplier_state,
        |         COALESCE(co.country_name, 'n.a.') AS supplier_country,
        |         COALESCE(ct.continent_name, 'n.a.') AS supplier_continent
@@ -293,7 +296,7 @@ object HierarchyQueries extends QueryPack {
     "q62_supplier_dim" ->
       s"""WITH $supFlatCtes
          |SELECT supplier_id, supplier_name, CAST(acctbal AS DOUBLE) AS acctbal,
-         |       supplier_state, supplier_country, supplier_continent
+         |       open_date, supplier_state, supplier_country, supplier_continent
          |FROM flat""".stripMargin,
     "q73_geo_rollup" ->
       s"""WITH countries AS (

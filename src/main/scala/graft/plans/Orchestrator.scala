@@ -206,7 +206,7 @@ class Orchestrator(spark: SparkSession, sfDir: String, whRoot: String) {
         // (reference: sql/3nf/load_3nf_ce_stores_table.sql:17-33)
         val supSrc = withDefaultRow(
           Hierarchy.suppliersSource(supStaged, realCountries, statesSrc),
-          Seq(lit(-1L), lit("n.a."), lit(null), lit(-1L)))
+          Seq(lit(-1L), lit("n.a."), lit(null), lit(null), lit(-1L)))
         "ce_suppliers" -> log.logged("load_3nf_ce_suppliers")(
           wh.overwrite(insertOnly(supSrc, "bl_3nf", "ce_suppliers", Seq("supplier_id")),
             "bl_3nf", "ce_suppliers"))
