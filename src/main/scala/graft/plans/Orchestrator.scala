@@ -57,14 +57,27 @@ class Orchestrator(spark: SparkSession, sfDir: String, whRoot: String) {
   def stageStaging(): Map[String, Long] = {
     def load(name: String, src: DataFrame, cols: Seq[String], keys: Seq[String]): (String, Long) = {
       val cleaned = Staging.clean(src, cols)
-      // append only when the existing table has the SAME columns — a
-      // schema change (new extracted column) triggers a full reload
-      // instead of antiJoinAppend silently projecting the column away
+      // same columns → plain anti-join append. New ADDITIVE columns →
+      // pad the existing history with NULLs and keep its rows (the
+      // reference's CREATE TABLE IF NOT EXISTS + INSERT tolerance,
+      // load_staging_sales_table.sql:52-73) — at 100 TB a one-column
+      // extract change must not trigger a full staging reload. A
+      // removed/renamed column still falls back to the full reload:
+      // antiJoinAppend would otherwise silently project data away.
       val merged =
-        if (wh.exists("staging", name) &&
-            wh.read("staging", name).columns.sameElements(cleaned.columns))
-          Staging.antiJoinAppend(cleaned, wh.read("staging", name), keys)
-        else cleaned
+        if (!wh.exists("staging", name)) cleaned
+        else {
+          val existing = wh.read("staging", name)
+          if (existing.columns.sameElements(cleaned.columns))
+            Staging.antiJoinAppend(cleaned, existing, keys)
+          else if (existing.columns.toSet.subsetOf(cleaned.columns.toSet)) {
+            val padded = cleaned.columns.foldLeft(existing) { (df, c) =>
+              if (df.columns.contains(c)) df
+              else df.withColumn(c, lit(null).cast(StringType))
+            }.select(cleaned.columns.map(col).toIndexedSeq: _*)
+            Staging.antiJoinAppend(cleaned, padded, keys)
+          } else cleaned
+        }
       name -> log.logged(s"load_staging_$name")(wh.overwrite(merged, "staging", name))
     }
     inParallel(Seq(

@@ -177,6 +177,34 @@ class OrchestratorSpec extends SparkSpec {
       .filter($"sale_src_id" === "999999-1").count() == 1)
   }
 
+  test("additive staging column pads history instead of reloading") {
+    val whRoot2 = java.nio.file.Files.createTempDirectory("graft-wh2").toString
+    val orch2 = new Orchestrator(spark, sf, whRoot2)
+    // an 'older extract' run: half the suppliers staged WITHOUT
+    // s_acctbal, plus a retired supplier the source no longer carries
+    val src = Tables.supplier(spark, sf)
+    val oldCols = Seq("s_suppkey", "s_name", "s_nationkey")
+    val old = Staging.clean(
+        src.filter($"s_suppkey" % 2 === 0).select(oldCols.map(col): _*), oldCols)
+      .unionByName(Seq(("999999", "Retired Supplier", "0"))
+        .toDF("s_suppkey", "s_name", "s_nationkey"))
+    orch2.wh.overwrite(old, "staging", "suppliers")
+    orch2.stageStaging()
+    val now = orch2.wh.read("staging", "suppliers")
+    assert(now.columns.toSet ==
+      Set("s_suppkey", "s_name", "s_acctbal", "s_nationkey"))
+    // retired history row survived the schema change, padded with NULL
+    val retired = now.filter($"s_suppkey" === "999999").collect()
+    assert(retired.length == 1 && retired.head.getAs[String]("s_acctbal") == null)
+    // previously-staged keys keep their insert-only row (NULL pad); only
+    // keys NEW to staging enter with the new column populated — the
+    // reference's INSERT ... WHERE NOT EXISTS semantics
+    assert(now.filter($"s_acctbal".isNull).count() ==
+      src.filter($"s_suppkey" % 2 === 0).count() + 1)
+    assert(now.filter($"s_acctbal".isNotNull).count() ==
+      src.filter($"s_suppkey" % 2 =!= 0).count())
+  }
+
   test("etl log captures one completed row per loader") {
     firstRun
     val log = orch.wh.read("bl_cl", "etl_log")
