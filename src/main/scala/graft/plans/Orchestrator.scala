@@ -325,33 +325,59 @@ class Orchestrator(spark: SparkSession, sfDir: String, whRoot: String) {
       .format(wm.asInstanceOf[java.util.Date])
     // insert-dedup (J8) needs only the months where an existing
     // sale_src_id could collide with a post-watermark row: the boundary
-    // months (fresh rows are strictly newer than the watermark) PLUS the
-    // fallback month — a sale loaded before its order arrived sits at
-    // 1900-01-01, and once the order lands its src row maps past the
-    // watermark again. order_dt is immutable otherwise, so every other
-    // month is collision-free and the existing-side read stays
-    // partition-pruned.
-    val boundary = existing.filter(
-      col("order_month") >= wmMonth || col("order_month") === "190001")
+    // months — fresh rows are strictly newer than the watermark and
+    // order_dt is otherwise immutable, so every other month is
+    // collision-free and the existing-side read stays partition-pruned.
+    val boundary = existing.filter(col("order_month") >= wmMonth)
     val fresh = src.filter(col("order_dt") > lit(wm))
       .join(boundary.select("sale_src_id"), Seq("sale_src_id"), "left_anti")
       .persist()
     try {
-      val affected = fresh.select("order_month").distinct()
-        .collect().map(_.getString(0)).sorted
-      if (affected.isEmpty) existing.count() // no-op run: nothing written
-      else {
-        val slice = boundary.filter(col("order_month").isin(affected.toIndexedSeq: _*))
-          .unionByName(fresh.select(existing.columns.toIndexedSeq.map(col): _*))
-        wh.overwritePartitions(slice, layer, table, "order_month")
-        wh.read(layer, table).count() // zero-column footer scan
-      }
+      // Fallback re-map: a sale first loaded before its order arrived
+      // sits in the 190001 partition; when the order lands with a
+      // post-watermark date, the src row re-enters `fresh` — MOVE it:
+      // drop it from the fallback partition and let the fresh copy land
+      // in its real month. Never both (duplicate), never neither (the
+      // round-2 behavior this replaces, which pinned the row at 1900
+      // forever). An order backfilled BELOW the watermark stays pinned —
+      // that is the watermark contract, same as the reference's.
+      val fallback = existing.filter(col("order_month") === "190001")
+      val correctedIds = fresh
+        .join(fallback.select("sale_src_id"), Seq("sale_src_id"), "left_semi")
+        .select("sale_src_id").persist()
+      try {
+        val nCorrected = correctedIds.count()
+        val affected = fresh.select("order_month").distinct()
+          .collect().map(_.getString(0)).sorted
+        if (affected.isEmpty && nCorrected == 0) existing.count() // no-op run
+        else {
+          val keepFallback =
+            if (nCorrected == 0) None
+            else Some(fallback.join(correctedIds, Seq("sale_src_id"), "left_anti"))
+              .filter(!_.isEmpty) // a fully-corrected partition empties out
+          // drop an emptied fallback dir BEFORE the month swaps (see
+          // Warehouse.dropPartition for why remove-then-add is the
+          // crash-safe order); the slice below must not reference the
+          // dropped files, so the union is conditional
+          if (nCorrected > 0 && keepFallback.isEmpty)
+            wh.dropPartition(layer, table, "order_month", "190001")
+          val slice0 = boundary.filter(col("order_month").isin(affected.toIndexedSeq: _*))
+            .unionByName(fresh.select(existing.columns.toIndexedSeq.map(col): _*))
+          val slice = keepFallback.fold(slice0)(slice0.unionByName(_))
+          wh.overwritePartitions(slice, layer, table, "order_month")
+          wh.read(layer, table).count() // zero-column footer scan
+        }
+      } finally { correctedIds.unpersist(); () }
     } finally { fresh.unpersist(); () }
   }
 
   /** DM-side month sync: rebuild only the months whose 3NF rows are
-    * newer than the DM watermark — the rebuild read is partition-pruned
-    * to those months on both sides.
+    * newer than the DM watermark. BOTH the discovery scan and the
+    * rebuild read are partition-pruned: a post-watermark order_dt can
+    * only live in a month >= the watermark's month, so the discovery
+    * filter leads with the partition column (without it the discovery
+    * would scan every month each run and the loader's O(new data) claim
+    * would hold only for the rebuild half).
     */
   private def syncFactMonths(src3nf: DataFrame, layer: String, table: String): Long = {
     if (!wh.exists(layer, table))
@@ -360,13 +386,26 @@ class Orchestrator(spark: SparkSession, sfDir: String, whRoot: String) {
     val wm = existing.agg(max(col("order_dt"))).head().get(0)
     if (wm == null)
       return wh.overwrite(src3nf, layer, table, partitionBy = Seq("order_month"))
-    val affected = src3nf.filter(col("order_dt") > lit(wm))
+    val wmMonth = new java.text.SimpleDateFormat("yyyyMM")
+      .format(wm.asInstanceOf[java.util.Date])
+    val affected = src3nf
+      .filter(col("order_month") >= wmMonth && col("order_dt") > lit(wm))
       .select("order_month").distinct().collect().map(_.getString(0)).sorted
-    if (affected.isEmpty) existing.count()
+    // fallback drift: a 3NF re-map only ever REMOVES rows from 190001,
+    // so a count mismatch is a complete drift signal (both counts are
+    // partition-pruned to the one dir)
+    val srcFb = src3nf.filter(col("order_month") === "190001").count()
+    val dmFb = existing.filter(col("order_month") === "190001").count()
+    if (affected.isEmpty && srcFb == dmFb) existing.count()
     else {
-      wh.overwritePartitions(
-        src3nf.filter(col("order_month").isin(affected.toIndexedSeq: _*)),
-        layer, table, "order_month")
+      if (srcFb == 0 && dmFb > 0)
+        wh.dropPartition(layer, table, "order_month", "190001")
+      val months = (if (srcFb != dmFb && srcFb > 0) affected.toSeq :+ "190001"
+                    else affected.toSeq).distinct.sorted
+      if (months.nonEmpty)
+        wh.overwritePartitions(
+          src3nf.filter(col("order_month").isin(months: _*)),
+          layer, table, "order_month"): Unit
       wh.read(layer, table).count()
     }
   }

@@ -111,6 +111,19 @@ class Warehouse(val root: String, spark: SparkSession) {
     n
   }
 
+  /** Drop ONE partition dir — the partition analog of an empty
+    * overwrite, for when an incremental correction empties a partition
+    * (overwritePartitions can only replace dirs that have rows). Callers
+    * must drop BEFORE swapping the months that absorb the moved rows: a
+    * crash between the two leaves the rows in neither partition, and the
+    * unchanged watermark re-selects them on the next run — remove-then-
+    * add recovers, add-then-remove would duplicate.
+    */
+  def dropPartition(layer: String, table: String, partCol: String, value: String): Unit = {
+    val dir = new Path(path(layer, table), s"$partCol=$value")
+    if (fs.exists(dir)) { fs.delete(dir, true); () }
+  }
+
   /** Bucketed overwrite via the session catalog: rows are hash-bucketed
     * (and sorted) on `bucketCols`, so equi-joins and aggregations on
     * those columns between same-bucketed tables need NO exchange — the

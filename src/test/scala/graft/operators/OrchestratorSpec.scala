@@ -177,6 +177,57 @@ class OrchestratorSpec extends SparkSpec {
       .filter($"sale_src_id" === "999999-1").count() == 1)
   }
 
+  test("a late-arriving order re-maps its fallback sales into the real month") {
+    val whRoot3 = java.nio.file.Files.createTempDirectory("graft-wh3").toString
+    val orch3 = new Orchestrator(spark, sf, whRoot3)
+    val wh3 = orch3.wh
+    val oCols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate")
+    val lCols = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+      "l_quantity", "l_extendedprice", "l_shipdate")
+    val orders = Tables.orders(spark, sf)
+    val li = Tables.lineitem(spark, sf)
+    def stage(name: String, df: org.apache.spark.sql.DataFrame, cols: Seq[String]): Unit = {
+      wh3.overwrite(Staging.clean(df, cols), "staging", name): Unit
+    }
+    stage("customers", Tables.customer(spark, sf),
+      Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
+    stage("products", Tables.part(spark, sf),
+      Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"))
+    stage("suppliers", Tables.supplier(spark, sf),
+      Seq("s_suppkey", "s_name", "s_acctbal", "s_nationkey"))
+    // run 1: one order is missing — its sales land in the 190001 fallback
+    val lateKey = orders.agg(min($"o_orderkey".cast("long"))).head().getLong(0)
+    stage("orders", orders.filter($"o_orderkey".cast("long") =!= lateKey), oCols)
+    stage("sales", li, lCols)
+    orch3.stage3nf(); orch3.stageDm()
+    val nOrphan = li.filter($"l_orderkey".cast("long") === lateKey).count()
+    def fb(layer: String, table: String) =
+      wh3.readPartitioned(layer, table, "order_month").filter($"order_month" === "190001")
+    assert(nOrphan > 0 && fb("bl_3nf", "ce_sales").count() == nOrphan)
+    assert(fb("bl_dm", "fct_sales").count() == nOrphan)
+    // run 2: the order lands, dated past the watermark → the orphans
+    // must MOVE out of 190001 into the real month, in both layers
+    val maxD = orders.agg(max(to_date($"o_orderdate"))).head().getDate(0)
+    val lateOrder = orders.filter($"o_orderkey".cast("long") === lateKey)
+      .withColumn("o_orderdate", date_add(lit(maxD), 30).cast("string"))
+    wh3.overwrite(Staging.antiJoinAppend(
+      Staging.clean(lateOrder.selectExpr(oCols: _*), oCols),
+      wh3.read("staging", "orders"), Seq("o_orderkey")), "staging", "orders"): Unit
+    orch3.stage3nf(); orch3.stageDm()
+    val newMonth = maxD.toLocalDate.plusDays(30)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyyMM"))
+    for ((layer, table) <- Seq("bl_3nf" -> "ce_sales", "bl_dm" -> "fct_sales")) {
+      val t = wh3.readPartitioned(layer, table, "order_month")
+      assert(t.filter($"order_month" === "190001").count() == 0,
+        s"$layer.$table still has fallback rows")
+      // the orphan sales specifically moved into the real month (which
+      // may already hold other orders' rows)
+      assert(t.filter($"order_month" === newMonth &&
+        $"sale_src_id".startsWith(s"$lateKey-")).count() == nOrphan)
+      assert(t.count() == li.count()) // moved, not duplicated or dropped
+    }
+  }
+
   test("additive staging column pads history instead of reloading") {
     val whRoot2 = java.nio.file.Files.createTempDirectory("graft-wh2").toString
     val orch2 = new Orchestrator(spark, sf, whRoot2)
