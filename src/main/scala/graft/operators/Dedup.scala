@@ -203,11 +203,16 @@ object Dedup {
           "graph diameter exceeds the bound; raise maxIters")
       val contrib = und.join(labels.select(col("id").as("src"), col("comp")), "src")
         .groupBy(col("dst").as("id")).agg(min(col("comp")).as("nmin"))
+      // the changed-count rides the checkpoint job itself (observe):
+      // one job per round, not a propagate job plus a count job — at
+      // diameter d that halves the driver round-trips
+      val obs = org.apache.spark.sql.Observation()
       val joined = labels.join(contrib, Seq("id"), "left")
         .select(col("id"), col("comp"),
           least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp2"))
+        .observe(obs, sum(when(col("comp2") < col("comp"), 1L).otherwise(0L)).as("n"))
         .localCheckpoint(true)
-      changed = joined.filter(col("comp2") < col("comp")).count()
+      changed = Option(obs.get("n")).map(_.asInstanceOf[Long]).getOrElse(0L)
       labels = joined.select(col("id"), col("comp2").as("comp"))
     }
     labels.join(nodeIds, Seq("id"), "left_semi")
