@@ -81,9 +81,14 @@ object EventsQueries extends QueryPack {
         (r.getDate(0).toLocalDate, r.getDate(1).toLocalDate)
       }
       val cut = lo.plusDays(java.time.temporal.ChronoUnit.DAYS.between(lo, hi) / 2)
-      val boot = full.filter(to_date(col("ts")) < lit(java.sql.Date.valueOf(cut)))
-      wh.overwrite(EventPipelines.withEventDay(boot), "bl_3nf", "events_stream",
-        partitionBy = Seq("event_day")): Unit
+      // a feed spanning <= 2 days has nothing before the cut — skip the
+      // bootstrap (a zero-file table would break the first micro-batch's
+      // read) and let the stream path create the table itself
+      if (cut.isAfter(lo)) {
+        val boot = full.filter(to_date(col("ts")) < lit(java.sql.Date.valueOf(cut)))
+        wh.overwrite(EventPipelines.withEventDay(boot), "bl_3nf", "events_stream",
+          partitionBy = Seq("event_day")): Unit
+      }
       // file stream sources take a directory: stream the sfDir with a
       // glob pinned to the events table
       val stream = s.readStream.schema(EventPipelines.rawSchema)

@@ -329,19 +329,26 @@ class Orchestrator(spark: SparkSession, sfDir: String, whRoot: String) {
     // order_dt is otherwise immutable, so every other month is
     // collision-free and the existing-side read stays partition-pruned.
     val boundary = existing.filter(col("order_month") >= wmMonth)
+    val fallback = existing.filter(col("order_month") === "190001")
+    // A src row whose order is still missing maps to 1900-01-01 — below
+    // any watermark, so the date filter alone would drop it forever.
+    // Orphans are NEW iff absent from the fallback partition: staged
+    // orders are insert-only, so a sale that ever resolved to a real
+    // month keeps resolving there and can't hide an orphan twin.
+    val freshOrphans = src.filter(col("order_month") === "190001")
+      .join(fallback.select("sale_src_id"), Seq("sale_src_id"), "left_anti")
     val fresh = src.filter(col("order_dt") > lit(wm))
       .join(boundary.select("sale_src_id"), Seq("sale_src_id"), "left_anti")
+      .unionByName(freshOrphans)
       .persist()
     try {
       // Fallback re-map: a sale first loaded before its order arrived
       // sits in the 190001 partition; when the order lands with a
       // post-watermark date, the src row re-enters `fresh` — MOVE it:
       // drop it from the fallback partition and let the fresh copy land
-      // in its real month. Never both (duplicate), never neither (the
-      // round-2 behavior this replaces, which pinned the row at 1900
-      // forever). An order backfilled BELOW the watermark stays pinned —
-      // that is the watermark contract, same as the reference's.
-      val fallback = existing.filter(col("order_month") === "190001")
+      // in its real month. Never both (duplicate), never neither. An
+      // order backfilled BELOW the watermark stays pinned — that is the
+      // watermark contract, same as the reference's.
       val correctedIds = fresh
         .join(fallback.select("sale_src_id"), Seq("sale_src_id"), "left_semi")
         .select("sale_src_id").persist()
@@ -351,19 +358,27 @@ class Orchestrator(spark: SparkSession, sfDir: String, whRoot: String) {
           .collect().map(_.getString(0)).sorted
         if (affected.isEmpty && nCorrected == 0) existing.count() // no-op run
         else {
-          val keepFallback =
-            if (nCorrected == 0) None
+          // whenever 190001 is rewritten (corrections out, new orphans
+          // in, or both) the surviving existing rows must ride the swap;
+          // emptiness is decided from counts — no extra probe job
+          val hasFreshFb = affected.contains("190001")
+          val nFallback =
+            if (nCorrected > 0 || hasFreshFb) fallback.count() else 0L
+          val carryFb: Option[DataFrame] =
+            if (nCorrected == 0 && !hasFreshFb) None // 190001 untouched
+            else if (nCorrected == nFallback && !hasFreshFb) {
+              // fully corrected, nothing incoming: drop BEFORE the month
+              // swaps (see Warehouse.dropPartition for why remove-then-
+              // add is the crash-safe order); the slice below must not
+              // reference the dropped files
+              wh.dropPartition(layer, table, "order_month", "190001")
+              None
+            }
+            else if (nCorrected == 0) Some(fallback)
             else Some(fallback.join(correctedIds, Seq("sale_src_id"), "left_anti"))
-              .filter(!_.isEmpty) // a fully-corrected partition empties out
-          // drop an emptied fallback dir BEFORE the month swaps (see
-          // Warehouse.dropPartition for why remove-then-add is the
-          // crash-safe order); the slice below must not reference the
-          // dropped files, so the union is conditional
-          if (nCorrected > 0 && keepFallback.isEmpty)
-            wh.dropPartition(layer, table, "order_month", "190001")
           val slice0 = boundary.filter(col("order_month").isin(affected.toIndexedSeq: _*))
             .unionByName(fresh.select(existing.columns.toIndexedSeq.map(col): _*))
-          val slice = keepFallback.fold(slice0)(slice0.unionByName(_))
+          val slice = carryFb.fold(slice0)(slice0.unionByName(_))
           wh.overwritePartitions(slice, layer, table, "order_month")
           wh.read(layer, table).count() // zero-column footer scan
         }
@@ -391,16 +406,24 @@ class Orchestrator(spark: SparkSession, sfDir: String, whRoot: String) {
     val affected = src3nf
       .filter(col("order_month") >= wmMonth && col("order_dt") > lit(wm))
       .select("order_month").distinct().collect().map(_.getString(0)).sorted
-    // fallback drift: a 3NF re-map only ever REMOVES rows from 190001,
-    // so a count mismatch is a complete drift signal (both counts are
-    // partition-pruned to the one dir)
-    val srcFb = src3nf.filter(col("order_month") === "190001").count()
-    val dmFb = existing.filter(col("order_month") === "190001").count()
-    if (affected.isEmpty && srcFb == dmFb) existing.count()
+    // fallback drift: the 3NF 190001 partition both loses rows (re-maps)
+    // and gains rows (new orphans) between runs, so compare a count +
+    // key-checksum signature, not counts alone (a move-k-in/move-k-out
+    // run would collide on count). Both scans are partition-pruned.
+    def fbSig(df: DataFrame): (Long, Long) = {
+      val r = df.filter(col("order_month") === "190001")
+        .agg(count(lit(1)),
+          coalesce(bit_xor(xxhash64(col("sale_src_id"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val (srcFbN, srcFbChk) = fbSig(src3nf)
+    val (dmFbN, dmFbChk) = fbSig(existing)
+    val fbDrift = srcFbN != dmFbN || srcFbChk != dmFbChk
+    if (affected.isEmpty && !fbDrift) existing.count()
     else {
-      if (srcFb == 0 && dmFb > 0)
+      if (fbDrift && srcFbN == 0)
         wh.dropPartition(layer, table, "order_month", "190001")
-      val months = (if (srcFb != dmFb && srcFb > 0) affected.toSeq :+ "190001"
+      val months = (if (fbDrift && srcFbN > 0) affected.toSeq :+ "190001"
                     else affected.toSeq).distinct.sorted
       if (months.nonEmpty)
         wh.overwritePartitions(
@@ -486,11 +509,28 @@ class Orchestrator(spark: SparkSession, sfDir: String, whRoot: String) {
         syncFactMonths(fact3nf, "bl_dm", "fct_sales"))))
   }
 
-  /** C3 insert-only append against the existing warehouse table. */
+  /** C3 insert-only append against the existing warehouse table.
+    * Additive schema evolution mirrors the staging layer's: a target
+    * written before a new source column exists is padded with typed
+    * NULLs and keeps its history (antiJoinAppend would otherwise
+    * silently project the new column away and downstream readers of it
+    * would fail); any non-additive mismatch rebuilds from source.
+    */
   private def insertOnly(src: DataFrame, layer: String, table: String,
                          keys: Seq[String]): DataFrame =
-    if (wh.exists(layer, table)) Staging.antiJoinAppend(src, wh.read(layer, table), keys)
-    else src
+    if (!wh.exists(layer, table)) src
+    else {
+      val target = wh.read(layer, table)
+      if (target.columns.sameElements(src.columns))
+        Staging.antiJoinAppend(src, target, keys)
+      else if (target.columns.toSet.subsetOf(src.columns.toSet)) {
+        val padded = src.columns.foldLeft(target) { (df, c) =>
+          if (df.columns.contains(c)) df
+          else df.withColumn(c, lit(null).cast(src.schema(c).dataType))
+        }.select(src.columns.toIndexedSeq.map(col): _*)
+        Staging.antiJoinAppend(src, padded, keys)
+      } else src
+    }
 
   /** The reference's −1 default row ('n.a.', SURVEY §1.4). */
   private def withDefaultRow(df: DataFrame, defaults: Seq[org.apache.spark.sql.Column]): DataFrame = {

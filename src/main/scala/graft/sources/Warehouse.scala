@@ -159,9 +159,12 @@ class Warehouse(val root: String, spark: SparkSession) {
               targetBytes: Long = 128L * 1024 * 1024): Long = {
     val target = new Path(path(layer, table))
     val size = fs.getContentSummary(target).getLength
-    // long math + a 1M-file cap: Int division would wrap past 2^31 and
-    // silently collapse a multi-TB table into one file
-    val nFiles = math.min(1L << 20, math.max(1L, (size + targetBytes - 1) / targetBytes)).toInt
+    // ceiling WITHOUT the size+target-1 numerator: that form wraps past
+    // 2^63 for large targetBytes (e.g. a Long.MaxValue "one file please"
+    // sentinel), and Int division would wrap past 2^31 — either way a
+    // silent wrong file count. 1M-file cap bounds the other extreme.
+    val nFiles = math.min(1L << 20, math.max(1L,
+      size / targetBytes + (if (size % targetBytes == 0) 0 else 1))).toInt
     partCol match {
       case Some(c) =>
         // ~targetBytes files per dir: slice each partition value into

@@ -154,6 +154,18 @@ object EventPipelines {
   def withEventDay(df: DataFrame, partCol: String = "event_day"): DataFrame =
     df.withColumn(partCol, date_format(col("ts"), "yyyyMMdd"))
 
+  /** Within-batch dedup shared by both foreachBatch ingest paths: an
+    * at-least-once feed can deliver the same key twice in one batch, and
+    * the against-target anti-join only guards the existing table.
+    * First-row-wins with a deterministic all-column tie-break.
+    */
+  private def dedupBatch(batch: Dataset[org.apache.spark.sql.Row],
+                         keys: Seq[String]): DataFrame = {
+    val b = batch.toDF()
+    val tieBreak = b.columns.filterNot(keys.contains).map(col(_).asc).toSeq
+    graft.operators.Staging.dedupFirstWins(b, keys, tieBreak)
+  }
+
   /** AvailableNow ingest: stream → foreachBatch → per-partition atomic
     * swaps. Each micro-batch dedups within itself AND against the
     * target on `keys`, derives its day partition, and lands via
@@ -172,9 +184,7 @@ object EventPipelines {
     val q = events.writeStream
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val withDay = withEventDay(batch.toDF(), partCol)
-        val tieBreak = withDay.columns.filterNot(keys.contains).map(col(_).asc).toSeq
-        val deduped = graft.operators.Staging.dedupFirstWins(withDay, keys, tieBreak)
+        val deduped = withEventDay(dedupBatch(batch, keys), partCol)
         if (!wh.exists(layer, table))
           wh.overwrite(deduped, layer, table, partitionBy = Seq(partCol)): Unit
         else {
@@ -196,12 +206,7 @@ object EventPipelines {
                         layer: String, table: String, keys: Seq[String]): Unit = {
     val q = events.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        // dedup WITHIN the micro-batch too: an at-least-once feed can
-        // deliver the same key twice in one batch, and the anti-join
-        // only guards against the existing target
-        val b = batch.toDF()
-        val tieBreak = b.columns.filterNot(keys.contains).map(col(_).asc).toSeq
-        val deduped = graft.operators.Staging.dedupFirstWins(b, keys, tieBreak)
+        val deduped = dedupBatch(batch, keys)
         val merged =
           if (wh.exists(layer, table))
             graft.operators.Staging.antiJoinAppend(deduped, wh.read(layer, table), keys)

@@ -195,17 +195,28 @@ class OrchestratorSpec extends SparkSpec {
       Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"))
     stage("suppliers", Tables.supplier(spark, sf),
       Seq("s_suppkey", "s_name", "s_acctbal", "s_nationkey"))
-    // run 1: one order is missing — its sales land in the 190001 fallback
+    // run 1: one order AND its sales withheld — no fallback rows at all
     val lateKey = orders.agg(min($"o_orderkey".cast("long"))).head().getLong(0)
     stage("orders", orders.filter($"o_orderkey".cast("long") =!= lateKey), oCols)
-    stage("sales", li, lCols)
+    stage("sales", li.filter($"l_orderkey".cast("long") =!= lateKey), lCols)
     orch3.stage3nf(); orch3.stageDm()
-    val nOrphan = li.filter($"l_orderkey".cast("long") === lateKey).count()
     def fb(layer: String, table: String) =
       wh3.readPartitioned(layer, table, "order_month").filter($"order_month" === "190001")
+    assert(fb("bl_3nf", "ce_sales").count() == 0)
+    // run 2: the sales arrive but the order is still missing — the
+    // orphans must land in the 190001 fallback INCREMENTALLY (they sit
+    // below the watermark, so a date filter alone would drop them), and
+    // the DM fallback must drift-sync to match
+    val lateLines = li.filter($"l_orderkey".cast("long") === lateKey)
+    val nOrphan = lateLines.count()
+    wh3.overwrite(Staging.antiJoinAppend(
+      Staging.clean(lateLines.selectExpr(lCols: _*), lCols),
+      wh3.read("staging", "sales"), Seq("l_orderkey", "l_linenumber")),
+      "staging", "sales"): Unit
+    orch3.stage3nf(); orch3.stageDm()
     assert(nOrphan > 0 && fb("bl_3nf", "ce_sales").count() == nOrphan)
     assert(fb("bl_dm", "fct_sales").count() == nOrphan)
-    // run 2: the order lands, dated past the watermark → the orphans
+    // run 3: the order lands, dated past the watermark → the orphans
     // must MOVE out of 190001 into the real month, in both layers
     val maxD = orders.agg(max(to_date($"o_orderdate"))).head().getDate(0)
     val lateOrder = orders.filter($"o_orderkey".cast("long") === lateKey)
@@ -254,6 +265,24 @@ class OrchestratorSpec extends SparkSpec {
       src.filter($"s_suppkey" % 2 === 0).count() + 1)
     assert(now.filter($"s_acctbal".isNotNull).count() ==
       src.filter($"s_suppkey" % 2 =!= 0).count())
+  }
+
+  test("a 3NF insert-only table written before a new column upgrades in place") {
+    val whRoot4 = java.nio.file.Files.createTempDirectory("graft-wh4").toString
+    val orch4 = new Orchestrator(spark, sf, whRoot4)
+    orch4.stageStaging(); orch4.stage3nf()
+    // simulate a warehouse from before the open_date column existed
+    val old = orch4.wh.read("bl_3nf", "ce_suppliers").drop("open_date")
+    orch4.wh.overwrite(old, "bl_3nf", "ce_suppliers"): Unit
+    orch4.stage3nf(); orch4.stageDm() // must neither throw nor reload
+    val sup = orch4.wh.read("bl_3nf", "ce_suppliers")
+    assert(sup.columns.contains("open_date"))
+    // insert-only semantics: existing keys keep their row (NULL pad),
+    // they do NOT re-enter with a populated value — so a non-NULL
+    // open_date anywhere would mean a reload happened
+    assert(sup.filter($"open_date".isNotNull).count() == 0)
+    assert(orch4.wh.read("bl_dm", "dim_suppliers").count() ==
+      Tables.supplier(spark, sf).count())
   }
 
   test("etl log captures one completed row per loader") {
