@@ -219,6 +219,19 @@ object Dedup {
       .select(col("id").as(idCol), col("comp").as("cluster_id"))
   }
 
+  /** The keep-one pass that ends every dedup pipeline: label clusters
+    * over the near-dup pair graph ([[connectedComponents]]), keep the
+    * minimum id per cluster, and return the surviving rows of `docs`.
+    * Docs untouched by any pair are their own singleton cluster and
+    * always survive. One extra shuffle (cluster group-by) + a semi-join
+    * on the id — the filtered corpus never materializes the drop set.
+    */
+  def keepOnePerCluster(docs: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val cc = connectedComponents(pairs, docs.select(col(idCol)), idCol)
+    val keepers = cc.groupBy(col("cluster_id")).agg(min(col(idCol)).as(idCol))
+    docs.join(keepers.select(idCol), Seq(idCol), "left_semi")
+  }
+
   /** Wide SimHash over the distinct token set: `bits` (≤ 60) bits drawn
     * from md5(token) nibbles. 60 bits keeps every intermediate positive
     * in BOTH engines (no 1<<63 sign wrap, no ANSI overflow) while giving

@@ -74,6 +74,19 @@ object DedupQueries extends QueryPack {
         .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
     }),
 
+    // The dedup pipeline's final act: near-dup pairs → clusters →
+    // keep min-id per cluster → the FILTERED corpus (what actually
+    // ships to training). Composes q46's pair generation with q68's
+    // clustering and the keep-one semi-join.
+    "q80_dedup_filter" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashLshNearDups(docs, "text", "doc_id",
+        ngram = 3, k = K, bands = BANDS, minJaccard = MIN_JACCARD)
+        .select(col("id_1"), col("id_2"))
+      Dedup.keepOnePerCluster(docs, pairs, "doc_id")
+        .select(col("doc_id"), col("source"), col("lang"))
+    }),
+
     // Embedding-cosine near-dup: LSH-bucketed candidate pairs above the
     // cosine threshold resolved back to the documents (vec_id = doc_id),
     // with the keeper chosen as the smaller id — semantic dedup, the
@@ -224,6 +237,26 @@ object DedupQueries extends QueryPack {
        SELECT cc.doc_id, cc.cluster_id, sz.cluster_size
        FROM cc JOIN (SELECT cluster_id, count(*) AS cluster_size
                      FROM cc GROUP BY 1) sz USING (cluster_id)""",
+    "q80_dedup_filter" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         mh AS (SELECT doc_id, $minhashCols FROM sh GROUP BY doc_id),
+         bands AS ($bandUnion),
+         cand AS (SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         verified AS ($jaccardSelect),
+         pairs AS (SELECT c.id_1, c.id_2
+                   FROM cand c JOIN verified v ON c.id_1 = v.id_1 AND c.id_2 = v.id_2),
+         edges AS (SELECT id_1 AS src, id_2 AS dst FROM pairs
+                   UNION ALL SELECT id_2, id_1 FROM pairs),
+         walk(id, comp) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.dst, w.comp FROM walk w JOIN edges e ON w.id = e.src),
+         cc AS (SELECT id AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY id),
+         keep AS (SELECT min(doc_id) AS doc_id FROM cc GROUP BY cluster_id)
+       SELECT d.doc_id, d.source, d.lang
+       FROM documents d JOIN keep USING (doc_id)""",
     "q47_simhash" ->
       s"WITH $simhashCte SELECT doc_id, simhash FROM simh",
     "q48_simhash_pairs" ->
