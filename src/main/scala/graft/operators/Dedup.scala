@@ -232,6 +232,24 @@ object Dedup {
     docs.join(keepers.select(idCol), Seq(idCol), "left_semi")
   }
 
+  /** Benchmark decontamination: flag training docs sharing at least
+    * `minShared` distinct word n-gram shingles with ANY doc of the
+    * (much smaller) eval/benchmark set. The eval shingle set is
+    * broadcast — the classic shape: benchmark n-grams are a bounded
+    * relation (thousands of docs) even when the train side is 100 TB,
+    * so the scan stays shuffle-free on the train side except the final
+    * per-doc count. Returns (idCol, n_shared) for flagged docs.
+    */
+  def contaminatedDocs(train: DataFrame, evalDocs: DataFrame, textCol: String,
+                       idCol: String, n: Int, minShared: Int): DataFrame = {
+    val evalShingles = shingleTable(evalDocs, textCol, idCol, n)
+      .select(col("shingle")).distinct()
+    shingleTable(train, textCol, idCol, n)
+      .join(broadcast(evalShingles), Seq("shingle"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Wide SimHash over the distinct token set: `bits` (≤ 60) bits drawn
     * from md5(token) nibbles. 60 bits keeps every intermediate positive
     * in BOTH engines (no 1<<63 sign wrap, no ANSI overflow) while giving

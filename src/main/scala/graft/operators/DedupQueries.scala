@@ -74,6 +74,19 @@ object DedupQueries extends QueryPack {
         .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
     }),
 
+    // Benchmark decontamination: training docs sharing >= 3 distinct
+    // 3-gram shingles with the 'src0' slice (standing in for an eval
+    // benchmark) are flagged with their overlap count. The eval shingle
+    // set broadcasts; the train side never shuffles except the final
+    // per-doc count.
+    "q83_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contaminatedDocs(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "text", "doc_id", n = 3, minShared = 3)
+    }),
+
     // The dedup pipeline's final act: near-dup pairs → clusters →
     // keep min-id per cluster → the FILTERED corpus (what actually
     // ships to training). Composes q46's pair generation with q68's
@@ -237,6 +250,16 @@ object DedupQueries extends QueryPack {
        SELECT cc.doc_id, cc.cluster_id, sz.cluster_size
        FROM cc JOIN (SELECT cluster_id, count(*) AS cluster_size
                      FROM cc GROUP BY 1) sz USING (cluster_id)""",
+    "q83_decontaminate" ->
+      s"""WITH $shinglesCte,
+         ev AS (SELECT DISTINCT shingle FROM sh
+                JOIN documents USING (doc_id) WHERE source = 'src0'),
+         tr AS (SELECT sh.doc_id, sh.shingle FROM sh
+                JOIN documents USING (doc_id) WHERE source != 'src0')
+       SELECT doc_id, count(*) AS n_shared
+       FROM tr JOIN ev USING (shingle)
+       GROUP BY doc_id
+       HAVING count(*) >= 3""",
     "q80_dedup_filter" ->
       s"""WITH RECURSIVE $shinglesCte,
          mh AS (SELECT doc_id, $minhashCols FROM sh GROUP BY doc_id),

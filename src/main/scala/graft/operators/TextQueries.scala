@@ -119,6 +119,38 @@ object TextQueries extends QueryPack {
         col("p90_tokens"), (col("lo90") <= 0.95 && col("hi90") >= 0.85).as("p90_ok"))
     }),
 
+    // Deterministic train/eval split — the hash-bucket assignment every
+    // training pipeline runs before anything else. Bucket = two md5
+    // nibbles of the id (engine-portable, uniform, stable across runs
+    // and cluster sizes — row_number or rand() would be neither), 90/10
+    // by bucket. Pure per-row map, scan speed at any scale.
+    "q81_train_split" -> ((s, d) => {
+      val h = md5(col("doc_id").cast(StringType))
+      val bucket = (hexNibble(substring(h, 1, 1)) * 16 +
+        hexNibble(substring(h, 2, 1))) % 10
+      Tables.documents(s, d).select(
+        col("doc_id"), col("source"),
+        bucket.cast(IntegerType).as("bucket"),
+        when(bucket < 9, "train").otherwise("eval").as("split"))
+    }),
+
+    // Sequence packing: assign documents to fixed-token-budget bins
+    // (the context-window packing pass before tokenization) — a
+    // per-source running token total, bin = floor(tokens-before / B).
+    // The window partitions by source, so packing parallelizes across
+    // sources at 100 TB (greedy exact packing is inherently sequential;
+    // this cumulative approximation is the standard distributed form).
+    "q82_seq_packing" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), tokenCount(col("text")).as("n_tokens"))
+        .withColumn("bin_id",
+          floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / 4096).cast(IntegerType))
+        .groupBy(col("source"), col("bin_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+    }),
+
     // Document fingerprints: md5 over normalized text (exact) + an
     // order-sensitive polynomial rolling hash over the token stream.
     "q43_fingerprint" -> ((s, d) => {
@@ -170,6 +202,22 @@ object TextQueries extends QueryPack {
                t -> CAST(strpos('123456789abcdef', substr(md5(t), 1, 1)) AS BIGINT))),
            (h, v) -> (h * 31 + v) % 2147483647) AS rolling_fp
          FROM documents""",
+    "q81_train_split" ->
+      """SELECT doc_id, source,
+         CAST((strpos('123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 16 +
+               strpos('123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 10 AS INT) AS bucket,
+         CASE WHEN (strpos('123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 16 +
+                    strpos('123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 10 < 9
+              THEN 'train' ELSE 'eval' END AS split
+         FROM documents""",
+    "q82_seq_packing" ->
+      s"""SELECT source, bin_id, count(*) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+         FROM (SELECT source, n_tokens,
+                 CAST(floor((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+                      - n_tokens) / 4096.0) AS INT) AS bin_id
+               FROM (SELECT doc_id, source, $nTokensSql AS n_tokens FROM documents))
+         GROUP BY 1, 2""",
     "q75_corpus_stats_approx" ->
       s"""SELECT source, count(*) AS n_docs,
          count(DISTINCT fp) AS n_distinct_fp,
