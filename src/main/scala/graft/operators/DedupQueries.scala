@@ -74,6 +74,17 @@ object DedupQueries extends QueryPack {
         .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
     }),
 
+    // Vocabulary statistics: top-100 shingles by document frequency
+    // with a deterministic tie-break — the df scan behind stopword
+    // lists, hot-shingle caps (q58) and BPE vocab prep. Partial-agg
+    // group-by + bounded TakeOrderedAndProject: no full sort at scale.
+    "q84_vocab_topk" -> ((s, d) => {
+      Dedup.shingleTable(Tables.documents(s, d), "text", "doc_id", 3)
+        .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("shingle"))
+        .limit(100)
+    }),
+
     // Benchmark decontamination: training docs sharing >= 3 distinct
     // 3-gram shingles with the 'src0' slice (standing in for an eval
     // benchmark) are flagged with their overlap count. The eval shingle
@@ -250,6 +261,10 @@ object DedupQueries extends QueryPack {
        SELECT cc.doc_id, cc.cluster_id, sz.cluster_size
        FROM cc JOIN (SELECT cluster_id, count(*) AS cluster_size
                      FROM cc GROUP BY 1) sz USING (cluster_id)""",
+    "q84_vocab_topk" ->
+      s"""WITH $shinglesCte
+         SELECT shingle, count(*) AS df FROM sh
+         GROUP BY shingle ORDER BY df DESC, shingle LIMIT 100""",
     "q83_decontaminate" ->
       s"""WITH $shinglesCte,
          ev AS (SELECT DISTINCT shingle FROM sh
