@@ -17,6 +17,28 @@ object MultimodalQueries extends QueryPack {
   import Multimodal.FakeCodec.{DimBase, DimMod, HeightMul}
 
   val queries: Map[String, Q] = Map(
+    // The full multimodal pipeline through the correctness gate: REAL
+    // mapPartitions decode (Multimodal.decodeImages — the batched-codec
+    // shape) → aspect-preserving resize plan → frame sampling rollup.
+    // The fake codec's dims are pure byte-length arithmetic, so the
+    // oracle re-derives everything relationally; what the hash check
+    // proves is that the partition-batched decode path and the
+    // explode-based frame splitter produce exactly the declared rows.
+    "q85_decode_resize" -> ((s, d) => {
+      val payload = Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      val planned = Multimodal.resizePlan(
+        Multimodal.decodeImages(payload), maxW = 32, maxH = 32)
+      val frames = Multimodal.sampleFrames(payload, frameBytes = 256, stride = 2)
+        .groupBy(col("doc_id")).agg(
+          count(lit(1)).as("n_frames"),
+          sum(length(col("frame_bytes"))).as("frame_bytes_sum"))
+      planned
+        .select(col("doc_id"), col("width"), col("height"), col("scale"),
+          col("out_width"), col("out_height"))
+        .join(frames, Seq("doc_id"), "left")
+    }),
+
     // Binary payload + metadata extraction ("image header parse" stand-in):
     // byte length, fake dims derived from the bytes, content address.
     "q56_binary_meta" -> ((s, d) => {
@@ -34,6 +56,28 @@ object MultimodalQueries extends QueryPack {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q85_decode_resize" ->
+      s"""WITH p AS (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents),
+         dims AS (SELECT doc_id,
+                    CAST(nb % $DimMod + $DimBase AS INT) AS width,
+                    CAST(nb * $HeightMul % $DimMod + $DimBase AS INT) AS height
+                  FROM p),
+         planned AS (SELECT doc_id, width, height,
+                       LEAST(1.0, LEAST(CAST(32 AS DOUBLE) / width,
+                                        CAST(32 AS DOUBLE) / height)) AS scale
+                     FROM dims),
+         frames AS (SELECT doc_id, count(*) AS n_frames,
+                      CAST(SUM(LEAST(256, nb - i * 256)) AS BIGINT) AS frame_bytes_sum
+                    FROM (SELECT doc_id, nb,
+                            unnest(generate_series(0,
+                              CAST(ceil(nb / 256.0) AS INT) - 1)) AS i
+                          FROM p)
+                    WHERE i % 2 = 0 GROUP BY doc_id)
+       SELECT pl.doc_id, pl.width, pl.height, pl.scale,
+              CAST(floor(pl.width * pl.scale) AS INT) AS out_width,
+              CAST(floor(pl.height * pl.scale) AS INT) AS out_height,
+              f.n_frames, f.frame_bytes_sum
+       FROM planned pl LEFT JOIN frames f USING (doc_id)""",
     "q56_binary_meta" ->
       s"""SELECT doc_id,
          CAST(octet_length(encode(text)) AS INT) AS n_bytes,
