@@ -44,6 +44,25 @@ object Staging {
     target.unionByName(
       newRowsOnly(src, target, keys).select(target.columns.toIndexedSeq.map(col): _*))
 
+  /** [[antiJoinAppend]] with additive schema evolution — shared by the
+    * staging loaders and the 3NF insert-only path. Same columns →
+    * plain append. Target columns a subset of src's → the target's
+    * history is padded with typed NULLs and kept (the reference's
+    * CREATE TABLE IF NOT EXISTS + INSERT tolerance; antiJoinAppend
+    * alone would silently project the new column away). Any
+    * non-additive mismatch (removed/renamed column) → rebuild from
+    * src: appending would silently drop data instead.
+    */
+  def evolveAppend(src: DataFrame, target: DataFrame, keys: Seq[String]): DataFrame =
+    if (target.columns.sameElements(src.columns)) antiJoinAppend(src, target, keys)
+    else if (target.columns.toSet.subsetOf(src.columns.toSet)) {
+      val padded = src.columns.foldLeft(target) { (df, c) =>
+        if (df.columns.contains(c)) df
+        else df.withColumn(c, lit(null).cast(src.schema(c).dataType))
+      }.select(src.columns.toIndexedSeq.map(col): _*)
+      antiJoinAppend(src, padded, keys)
+    } else src
+
   /** First-row-wins within a batch (SURVEY §3.4.1): deterministic
     * tie-break instead of the reference's arbitrary loop order.
     */

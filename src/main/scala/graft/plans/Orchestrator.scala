@@ -57,27 +57,13 @@ class Orchestrator(spark: SparkSession, sfDir: String, whRoot: String) {
   def stageStaging(): Map[String, Long] = {
     def load(name: String, src: DataFrame, cols: Seq[String], keys: Seq[String]): (String, Long) = {
       val cleaned = Staging.clean(src, cols)
-      // same columns → plain anti-join append. New ADDITIVE columns →
-      // pad the existing history with NULLs and keep its rows (the
-      // reference's CREATE TABLE IF NOT EXISTS + INSERT tolerance,
-      // load_staging_sales_table.sql:52-73) — at 100 TB a one-column
-      // extract change must not trigger a full staging reload. A
-      // removed/renamed column still falls back to the full reload:
-      // antiJoinAppend would otherwise silently project data away.
+      // additive schema evolution (pad-with-NULL, keep history) or full
+      // reload on a non-additive change — at 100 TB a one-column
+      // extract change must not trigger a full staging reload
+      // (reference: load_staging_sales_table.sql:52-73)
       val merged =
         if (!wh.exists("staging", name)) cleaned
-        else {
-          val existing = wh.read("staging", name)
-          if (existing.columns.sameElements(cleaned.columns))
-            Staging.antiJoinAppend(cleaned, existing, keys)
-          else if (existing.columns.toSet.subsetOf(cleaned.columns.toSet)) {
-            val padded = cleaned.columns.foldLeft(existing) { (df, c) =>
-              if (df.columns.contains(c)) df
-              else df.withColumn(c, lit(null).cast(StringType))
-            }.select(cleaned.columns.map(col).toIndexedSeq: _*)
-            Staging.antiJoinAppend(cleaned, padded, keys)
-          } else cleaned
-        }
+        else Staging.evolveAppend(cleaned, wh.read("staging", name), keys)
       name -> log.logged(s"load_staging_$name")(wh.overwrite(merged, "staging", name))
     }
     inParallel(Seq(
@@ -328,20 +314,30 @@ class Orchestrator(spark: SparkSession, sfDir: String, whRoot: String) {
     // months — fresh rows are strictly newer than the watermark and
     // order_dt is otherwise immutable, so every other month is
     // collision-free and the existing-side read stays partition-pruned.
-    val boundary = existing.filter(col("order_month") >= wmMonth)
+    // Boundary NEVER includes 190001: a fresh row colliding with the
+    // fallback partition is a CORRECTION to move, not a duplicate to
+    // drop (and with a degenerate all-orphan table, wmMonth itself is
+    // "190001" — including it would pin every orphan forever).
+    val boundary = existing.filter(
+      col("order_month") >= wmMonth && col("order_month") =!= "190001")
     val fallback = existing.filter(col("order_month") === "190001")
-    // A src row whose order is still missing maps to 1900-01-01 — below
-    // any watermark, so the date filter alone would drop it forever.
-    // Orphans are NEW iff absent from the fallback partition: staged
-    // orders are insert-only, so a sale that ever resolved to a real
-    // month keeps resolving there and can't hide an orphan twin.
-    val freshOrphans = src.filter(col("order_month") === "190001")
-      .join(fallback.select("sale_src_id"), Seq("sale_src_id"), "left_anti")
-    val fresh = src.filter(col("order_dt") > lit(wm))
-      .join(boundary.select("sale_src_id"), Seq("sale_src_id"), "left_anti")
-      .unionByName(freshOrphans)
-      .persist()
+    // ONE scan of the derived fact feeds both fresh branches: the
+    // watermark rows and the candidate orphans (order still missing →
+    // order_dt 1900-01-01, below any watermark — a date filter alone
+    // would drop them forever). The candidate set is O(new data +
+    // current orphans), cheap to persist; without it each union branch
+    // would re-run the staged-sales scan + dim-join tree.
+    val candidates = src.filter(
+      col("order_dt") > lit(wm) || col("order_month") === "190001").persist()
     try {
+      val freshWm = candidates.filter(col("order_dt") > lit(wm))
+        .join(boundary.select("sale_src_id"), Seq("sale_src_id"), "left_anti")
+      // orphans are NEW iff absent from the fallback partition: staged
+      // orders are insert-only, so a sale that ever resolved to a real
+      // month keeps resolving there and can't hide an orphan twin
+      val freshOrphans = candidates.filter(col("order_month") === "190001")
+        .join(fallback.select("sale_src_id"), Seq("sale_src_id"), "left_anti")
+      val fresh = freshWm.unionByName(freshOrphans).persist()
       // Fallback re-map: a sale first loaded before its order arrived
       // sits in the 190001 partition; when the order lands with a
       // post-watermark date, the src row re-enters `fresh` — MOVE it:
@@ -364,26 +360,30 @@ class Orchestrator(spark: SparkSession, sfDir: String, whRoot: String) {
           val hasFreshFb = affected.contains("190001")
           val nFallback =
             if (nCorrected > 0 || hasFreshFb) fallback.count() else 0L
+          val emptiedFb = nCorrected > 0 && nCorrected == nFallback && !hasFreshFb
           val carryFb: Option[DataFrame] =
             if (nCorrected == 0 && !hasFreshFb) None // 190001 untouched
-            else if (nCorrected == nFallback && !hasFreshFb) {
-              // fully corrected, nothing incoming: drop BEFORE the month
-              // swaps (see Warehouse.dropPartition for why remove-then-
-              // add is the crash-safe order); the slice below must not
-              // reference the dropped files
-              wh.dropPartition(layer, table, "order_month", "190001")
-              None
-            }
+            else if (emptiedFb) None
             else if (nCorrected == 0) Some(fallback)
             else Some(fallback.join(correctedIds, Seq("sale_src_id"), "left_anti"))
+          // the slice must not reference files the drop below removes:
+          // with !hasFreshFb the orphan branch is empty, so rebuild the
+          // slice from the watermark branch only — its lineage touches
+          // src and the non-fallback boundary months, never 190001
+          val freshForSlice = if (hasFreshFb) fresh else freshWm
+          if (emptiedFb) {
+            // drop BEFORE the month swaps (see Warehouse.dropPartition
+            // for why remove-then-add is the crash-safe order)
+            wh.dropPartition(layer, table, "order_month", "190001")
+          }
           val slice0 = boundary.filter(col("order_month").isin(affected.toIndexedSeq: _*))
-            .unionByName(fresh.select(existing.columns.toIndexedSeq.map(col): _*))
+            .unionByName(freshForSlice.select(existing.columns.toIndexedSeq.map(col): _*))
           val slice = carryFb.fold(slice0)(slice0.unionByName(_))
           wh.overwritePartitions(slice, layer, table, "order_month")
           wh.read(layer, table).count() // zero-column footer scan
         }
-      } finally { correctedIds.unpersist(); () }
-    } finally { fresh.unpersist(); () }
+      } finally { correctedIds.unpersist(); fresh.unpersist(); () }
+    } finally { candidates.unpersist(); () }
   }
 
   /** DM-side month sync: rebuild only the months whose 3NF rows are
@@ -509,28 +509,15 @@ class Orchestrator(spark: SparkSession, sfDir: String, whRoot: String) {
         syncFactMonths(fact3nf, "bl_dm", "fct_sales"))))
   }
 
-  /** C3 insert-only append against the existing warehouse table.
-    * Additive schema evolution mirrors the staging layer's: a target
-    * written before a new source column exists is padded with typed
-    * NULLs and keeps its history (antiJoinAppend would otherwise
-    * silently project the new column away and downstream readers of it
-    * would fail); any non-additive mismatch rebuilds from source.
+  /** C3 insert-only append against the existing warehouse table, with
+    * the same additive schema evolution as the staging layer (a target
+    * written before a new source column exists is padded and keeps its
+    * history — see [[Staging.evolveAppend]]).
     */
   private def insertOnly(src: DataFrame, layer: String, table: String,
                          keys: Seq[String]): DataFrame =
     if (!wh.exists(layer, table)) src
-    else {
-      val target = wh.read(layer, table)
-      if (target.columns.sameElements(src.columns))
-        Staging.antiJoinAppend(src, target, keys)
-      else if (target.columns.toSet.subsetOf(src.columns.toSet)) {
-        val padded = src.columns.foldLeft(target) { (df, c) =>
-          if (df.columns.contains(c)) df
-          else df.withColumn(c, lit(null).cast(src.schema(c).dataType))
-        }.select(src.columns.toIndexedSeq.map(col): _*)
-        Staging.antiJoinAppend(src, padded, keys)
-      } else src
-    }
+    else Staging.evolveAppend(src, wh.read(layer, table), keys)
 
   /** The reference's −1 default row ('n.a.', SURVEY §1.4). */
   private def withDefaultRow(df: DataFrame, defaults: Seq[org.apache.spark.sql.Column]): DataFrame = {

@@ -267,6 +267,39 @@ class OrchestratorSpec extends SparkSpec {
       src.filter($"s_suppkey" % 2 =!= 0).count())
   }
 
+  test("an all-orphan fact (degenerate 190001 watermark) fully drains when orders arrive") {
+    val whRoot5 = java.nio.file.Files.createTempDirectory("graft-wh5").toString
+    val orch5 = new Orchestrator(spark, sf, whRoot5)
+    val wh5 = orch5.wh
+    val oCols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate")
+    val lCols = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+      "l_quantity", "l_extendedprice", "l_shipdate")
+    val orders = Tables.orders(spark, sf)
+    val li = Tables.lineitem(spark, sf)
+    def stage5(name: String, df: org.apache.spark.sql.DataFrame, cols: Seq[String]): Unit = {
+      wh5.overwrite(Staging.clean(df, cols), "staging", name): Unit
+    }
+    stage5("customers", Tables.customer(spark, sf),
+      Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
+    stage5("products", Tables.part(spark, sf),
+      Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"))
+    stage5("suppliers", Tables.supplier(spark, sf),
+      Seq("s_suppkey", "s_name", "s_acctbal", "s_nationkey"))
+    // run 1: sales land before ANY order — wm itself is 1900-01-01
+    stage5("orders", orders.limit(0), oCols)
+    stage5("sales", li, lCols)
+    orch5.stage3nf()
+    val ce1 = wh5.readPartitioned("bl_3nf", "ce_sales", "order_month")
+    assert(ce1.filter($"order_month" === "190001").count() == li.count())
+    // run 2: every order arrives — the fallback must drain completely
+    stage5("orders", orders, oCols)
+    orch5.stage3nf()
+    val ce2 = wh5.readPartitioned("bl_3nf", "ce_sales", "order_month")
+    assert(ce2.filter($"order_month" === "190001").count() == 0,
+      "degenerate watermark pinned the orphans")
+    assert(ce2.count() == li.count())
+  }
+
   test("a 3NF insert-only table written before a new column upgrades in place") {
     val whRoot4 = java.nio.file.Files.createTempDirectory("graft-wh4").toString
     val orch4 = new Orchestrator(spark, sf, whRoot4)
