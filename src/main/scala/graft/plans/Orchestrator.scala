@@ -637,15 +637,19 @@ object EtlQueries extends graft.QueryPack {
     "q79_compact" -> ((s, d) => {
       import graft.sources.Tables
       val wh = new graft.sources.Warehouse(tmpWarehouse(), s)
-      val li = Tables.lineitem(s, d).select(
-        col("l_orderkey"), col("l_linenumber"),
-        col("l_quantity").cast(DecimalType(18, 2)).as("qty"),
-        date_format(to_date(col("l_shipdate")), "yyyyMM").as("ship_month"))
+      // one ship-year is enough to prove the machinery (fragment →
+      // checksum → compact → identical + collapsed); the full table
+      // would only add bench weight, not coverage
+      val li = Tables.lineitem(s, d)
+        .filter(year(to_date(col("l_shipdate"))) === 1997)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast(DecimalType(18, 2)).as("qty"),
+          date_format(to_date(col("l_shipdate")), "yyyyMM").as("ship_month"))
       wh.overwrite(li.repartition(8), "bl_dm", "li_frag",
         partitionBy = Seq("ship_month"), preClustered = true): Unit
       def fileCount(month: String): Int =
-        new java.io.File(s"${wh.path("bl_dm", "li_frag")}/ship_month=$month")
-          .listFiles().count(_.getName.endsWith(".parquet"))
+        wh.partitionFileCount("bl_dm", "li_frag", "ship_month", month)
       def chk(df: DataFrame) = df.groupBy(col("ship_month")).agg(
         bit_xor(xxhash64(col("l_orderkey"), col("l_linenumber"), col("qty"))).as("chk"),
         count(lit(1)).as("n"))
@@ -718,7 +722,9 @@ object EtlQueries extends graft.QueryPack {
               count(*) AS n_rows,
               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
               TRUE AS identical, TRUE AS compacted_ok
-         FROM lineitem GROUP BY 1""",
+         FROM lineitem
+         WHERE date_part('year', CAST(l_shipdate AS DATE)) = 1997
+         GROUP BY 1""",
     "q60_full_etl" ->
       """WITH active_price AS (
            SELECT p_partkey, max(CAST(p_retailprice AS DECIMAL(9,2))) AS unit_price

@@ -111,6 +111,16 @@ class Warehouse(val root: String, spark: SparkSession) {
     n
   }
 
+  /** Data files inside one partition dir — the compaction observable
+    * (counted through the table's own FileSystem, so it works on any
+    * Hadoop-compatible store, not just local disk).
+    */
+  def partitionFileCount(layer: String, table: String, partCol: String, value: String): Int = {
+    val dir = new Path(path(layer, table), s"$partCol=$value")
+    if (!fs.exists(dir)) 0
+    else fs.listStatus(dir).count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+  }
+
   /** Drop ONE partition dir — the partition analog of an empty
     * overwrite, for when an incremental correction empties a partition
     * (overwritePartitions can only replace dirs that have rows). Callers
