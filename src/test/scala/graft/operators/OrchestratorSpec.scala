@@ -237,6 +237,13 @@ class OrchestratorSpec extends SparkSpec {
         $"sale_src_id".startsWith(s"$lateKey-")).count() == nOrphan)
       assert(t.count() == li.count()) // moved, not duplicated or dropped
     }
+    // run 4: nothing new — the corrected state must be a fixpoint
+    orch3.stage3nf(); orch3.stageDm()
+    for ((layer, table) <- Seq("bl_3nf" -> "ce_sales", "bl_dm" -> "fct_sales")) {
+      val t = wh3.readPartitioned(layer, table, "order_month")
+      assert(t.count() == li.count())
+      assert(t.filter($"order_month" === "190001").count() == 0)
+    }
   }
 
   test("additive staging column pads history instead of reloading") {
