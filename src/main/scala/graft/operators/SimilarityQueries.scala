@@ -52,7 +52,27 @@ object SimilarityQueries extends QueryPack {
     // from the fixture label; here they come from the quantizer itself.
     "q76_ivf_trained" -> ((s, d) =>
       Similarity.ivfTrainedKnn(Tables.embeddings(s, d), "vec_id", "embedding",
-        k = KM_K, rounds = KM_ROUNDS, kNeighbors = 3))
+        k = KM_K, rounds = KM_ROUNDS, kNeighbors = 3)),
+
+    // MEASURED recall of the trained IVF index against the exact
+    // brute-force top-3 — the eval every ANN deployment needs before
+    // trusting its quantizer. Integer outputs only (pair counts and a
+    // basis-point floor), so the hash check is exact: recall claims are
+    // numbers here, not vibes.
+    "q86_ann_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val exact = Similarity.bruteForceKnn(emb, "vec_id", "embedding", 3)
+        .select(col("vec_id"), col("nn_id"))
+      val ivf = Similarity.ivfTrainedKnn(emb, "vec_id", "embedding",
+        KM_K, KM_ROUNDS, 3).select(col("vec_id"), col("nn_id"))
+      val nExact = exact.count()
+      val overlap = exact.join(ivf, Seq("vec_id", "nn_id")).count()
+      val r = emb.sparkSession.range(1).select(
+        lit(nExact).as("n_exact_pairs"),
+        lit(overlap).as("n_overlap_pairs"),
+        floor(lit(10000.0) * overlap / nExact).cast("long").as("recall_bps"))
+      r
+    })
   )
 
   private val KM_K = 8
@@ -116,6 +136,27 @@ object SimilarityQueries extends QueryPack {
          |  FROM a${KM_ROUNDS + 1} a JOIN a${KM_ROUNDS + 1} b
          |    ON a.cid = b.cid AND a.vec_id != b.vec_id)
          |WHERE rn <= 3""".stripMargin,
+    "q86_ann_recall" ->
+      s"""${kmeansWith(KM_K, KM_ROUNDS)},
+         |exact AS (SELECT vec_id, nn_id FROM (
+         |  SELECT a.vec_id, b.vec_id AS nn_id,
+         |         row_number() OVER (PARTITION BY a.vec_id
+         |              ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id) AS rn
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id)
+         |  WHERE rn <= 3),
+         |ivf AS (SELECT vec_id, nn_id FROM (
+         |  SELECT a.vec_id, b.vec_id AS nn_id,
+         |         row_number() OVER (PARTITION BY a.vec_id
+         |              ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id) AS rn
+         |  FROM a${KM_ROUNDS + 1} a JOIN a${KM_ROUNDS + 1} b
+         |    ON a.cid = b.cid AND a.vec_id != b.vec_id)
+         |  WHERE rn <= 3),
+         |stats AS (SELECT (SELECT count(*) FROM exact) AS n_exact_pairs,
+         |                 (SELECT count(*) FROM exact JOIN ivf USING (vec_id, nn_id)) AS n_overlap_pairs)
+         |SELECT CAST(n_exact_pairs AS BIGINT) AS n_exact_pairs,
+         |       CAST(n_overlap_pairs AS BIGINT) AS n_overlap_pairs,
+         |       CAST(floor(10000.0 * n_overlap_pairs / n_exact_pairs) AS BIGINT) AS recall_bps
+         |FROM stats""".stripMargin,
     "q50_cosine_knn" ->
       s"""SELECT vec_id, nn_id, cos, rn FROM (
            SELECT a.vec_id, b.vec_id AS nn_id,
