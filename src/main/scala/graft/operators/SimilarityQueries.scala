@@ -65,13 +65,20 @@ object SimilarityQueries extends QueryPack {
         .select(col("vec_id"), col("nn_id"))
       val ivf = Similarity.ivfTrainedKnn(emb, "vec_id", "embedding",
         KM_K, KM_ROUNDS, 3).select(col("vec_id"), col("nn_id"))
-      val nExact = exact.count()
-      val overlap = exact.join(ivf, Seq("vec_id", "nn_id")).count()
-      val r = emb.sparkSession.range(1).select(
+      // one pass over the exact side: left-join indicator gives the
+      // pair total AND the overlap without running the quadratic
+      // kernel twice
+      val r = exact
+        .join(ivf.withColumn("hit", lit(1)), Seq("vec_id", "nn_id"), "left")
+        .agg(count(lit(1)).as("n"), sum(coalesce(col("hit"), lit(0))).as("o"))
+        .head()
+      val (nExact, overlap) = (r.getLong(0), r.getLong(1))
+      val recallBps =
+        if (nExact == 0) 0L else math.floor(10000.0 * overlap / nExact).toLong
+      emb.sparkSession.range(1).select(
         lit(nExact).as("n_exact_pairs"),
         lit(overlap).as("n_overlap_pairs"),
-        floor(lit(10000.0) * overlap / nExact).cast("long").as("recall_bps"))
-      r
+        lit(recallBps).as("recall_bps"))
     })
   )
 
@@ -155,7 +162,9 @@ object SimilarityQueries extends QueryPack {
          |                 (SELECT count(*) FROM exact JOIN ivf USING (vec_id, nn_id)) AS n_overlap_pairs)
          |SELECT CAST(n_exact_pairs AS BIGINT) AS n_exact_pairs,
          |       CAST(n_overlap_pairs AS BIGINT) AS n_overlap_pairs,
-         |       CAST(floor(10000.0 * n_overlap_pairs / n_exact_pairs) AS BIGINT) AS recall_bps
+         |       CASE WHEN n_exact_pairs = 0 THEN CAST(0 AS BIGINT)
+         |            ELSE CAST(floor(10000.0 * n_overlap_pairs / n_exact_pairs) AS BIGINT)
+         |       END AS recall_bps
          |FROM stats""".stripMargin,
     "q50_cosine_knn" ->
       s"""SELECT vec_id, nn_id, cos, rn FROM (

@@ -116,6 +116,7 @@ class Warehouse(val root: String, spark: SparkSession) {
     * Hadoop-compatible store, not just local disk).
     */
   def partitionFileCount(layer: String, table: String, partCol: String, value: String): Int = {
+    recover(layer, table) // repair a crashed swap before observing, like every reader
     val dir = new Path(path(layer, table), s"$partCol=$value")
     if (!fs.exists(dir)) 0
     else fs.listStatus(dir).count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))

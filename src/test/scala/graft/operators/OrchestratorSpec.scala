@@ -77,9 +77,12 @@ class OrchestratorSpec extends SparkSpec {
     assert(dates.columns.length == 18) // date_id + 17 attributes
   }
 
-  private def partFiles(layer: String, table: String): Set[(String, Long, Long)] = {
+  private def partFiles(layer: String, table: String): Set[(String, Long, Long)] =
+    partFilesAt(whRoot, layer, table)
+
+  private def partFilesAt(root0: String, layer: String, table: String): Set[(String, Long, Long)] = {
     import scala.jdk.CollectionConverters._
-    val root = java.nio.file.Path.of(whRoot, layer, table)
+    val root = java.nio.file.Path.of(root0, layer, table)
     java.nio.file.Files.walk(root).iterator().asScala
       .filter(java.nio.file.Files.isRegularFile(_))
       .map(p => (p.toString, java.nio.file.Files.size(p),
@@ -237,8 +240,14 @@ class OrchestratorSpec extends SparkSpec {
         $"sale_src_id".startsWith(s"$lateKey-")).count() == nOrphan)
       assert(t.count() == li.count()) // moved, not duplicated or dropped
     }
-    // run 4: nothing new — the corrected state must be a fixpoint
+    // run 4: nothing new — the corrected state must be a BYTE-level
+    // fixpoint (a no-op run that rewrote every partition would keep the
+    // counts identical but lose the O(affected partitions) property)
+    val before4 = partFilesAt(whRoot3, "bl_3nf", "ce_sales")
+    val before4Dm = partFilesAt(whRoot3, "bl_dm", "fct_sales")
     orch3.stage3nf(); orch3.stageDm()
+    assert(partFilesAt(whRoot3, "bl_3nf", "ce_sales") == before4)
+    assert(partFilesAt(whRoot3, "bl_dm", "fct_sales") == before4Dm)
     for ((layer, table) <- Seq("bl_3nf" -> "ce_sales", "bl_dm" -> "fct_sales")) {
       val t = wh3.readPartitioned(layer, table, "order_month")
       assert(t.count() == li.count())
