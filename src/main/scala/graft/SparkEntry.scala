@@ -18,6 +18,7 @@ object SparkEntry {
     SimilarityQueries,
     EventsQueries,
     MultimodalQueries,
+    CurationQueries,
     EtlQueries
   )
 

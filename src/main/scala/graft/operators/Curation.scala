@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.functions.TextFunctions.hexNibble
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation primitives a large-scale training-data pipeline runs
+  * between raw ingest and tokenization: PII redaction, passage-level
+  * dedup chunking, deterministic sampling, Morton (Z-order) clustering
+  * keys. All pure `Column` expressions over codegen'd builtins — no
+  * UDFs — so they run at scan speed and stay inside WholeStageCodegen.
+  *
+  * Everything here is deterministic BY CONSTRUCTION (md5-derived
+  * uniforms, integer arithmetic): at 100 TB a curation pass must be
+  * re-runnable to the byte — `rand()` and row-order-dependent ids
+  * break resumability and make audits impossible.
+  */
+object Curation {
+
+  /** Email / phone patterns shared verbatim with the SQL oracles —
+    * restricted to syntax both Java regex and RE2 read identically
+    * (character classes, `{m,}` counted repetition; no backrefs or
+    * lookarounds, which RE2 lacks).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+  /** Redact PII in place: emails first (a phone-looking suffix inside an
+    * address must not survive as a partial match), then phone numbers.
+    * Single projection, two codegen'd regex passes.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+
+  def emailCount(text: Column): Column = regexp_count(text, lit(EmailRe))
+  def phoneCount(text: Column): Column = regexp_count(text, lit(PhoneRe))
+
+  /** Fixed-size token chunks ("pseudo-paragraphs") from a STAGED token
+    * array (same re-inlining hazard as shinglesOfTokens: pass a column,
+    * not `split(...)` inline). Chunk i covers tokens [i·n+1, i·n+n]
+    * 1-based; the last chunk may be short. Empty array for an empty
+    * token list — the `when` guard matters because Spark's
+    * `sequence(0, -1)` counts DOWN ([0, -1]), it is not empty.
+    */
+  def chunksOfTokens(ts: Column, n: Int): Column = {
+    val make = transform(
+      sequence(lit(0), ceil(size(ts).cast("double") / n).cast("int") - 1),
+      i => concat_ws(" ", slice(ts, i * n + 1, lit(n))))
+    when(size(ts) > 0, make).otherwise(array().cast("array<string>"))
+  }
+
+  /** Deterministic uniform in [0, 65536): the first four md5 nibbles of
+    * salt‖id. Stable across runs, engines, cluster sizes and data
+    * order — the reproducible replacement for `rand()` in sampling.
+    * Change the salt to draw an independent sample.
+    */
+  def hashU16(id: Column, salt: String): Column = {
+    // The four nibble references share one md5 subtree; whole-stage
+    // codegen's subexpression elimination evaluates the digest once.
+    val h = md5(concat(lit(salt), id.cast("string")))
+    (hexNibble(substring(h, 1, 1)) * 4096 + hexNibble(substring(h, 2, 1)) * 256 +
+      hexNibble(substring(h, 3, 1)) * 16 + hexNibble(substring(h, 4, 1))).cast("int")
+  }
+
+  /** Morton (Z-order) interleave of the low `bits` bits of x and y:
+    * bit i of x lands at position 2i, bit i of y at 2i+1. Sorting /
+    * range-partitioning by this key clusters BOTH dimensions at once,
+    * so per-file min/max stats prune 2-D predicates — the standard
+    * multi-dimensional layout trick for 100 TB scan pruning. The terms
+    * touch disjoint bit positions, so `+` is exact (no carries) and
+    * compiles to a flat codegen'd expression.
+    */
+  def zValue(x: Column, y: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      shiftright(x, i).bitwiseAND(lit(1)).cast("long") * lit(1L << (2 * i)) +
+        shiftright(y, i).bitwiseAND(lit(1)).cast("long") * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+
+  /** SQL text of [[zValue]] for the DuckDB oracle — same bit terms,
+    * dialect-portable `>>`/`&` plus exact integer multiplies.
+    */
+  def zValueSql(x: String, y: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"((($x >> $i) & 1) * ${1L << (2 * i)} + (($y >> $i) & 1) * ${1L << (2 * i + 1)})"
+    }.mkString(" + ")
+}

@@ -1,0 +1,201 @@
+package graft.operators
+
+import graft.QueryPack
+import graft.operators.Curation._
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation query surface: PII redaction, passage-level corpus
+  * dedup, deterministic stratified sampling, within-document repetition
+  * scoring (Gopher-style quality rule), and Z-order clustering keys.
+  * These are the passes a training-data pipeline runs between raw
+  * ingest and tokenization; each is a scan-speed map or a single
+  * partial-aggregated shuffle, so the plans hold at 100 TB.
+  */
+object CurationQueries extends QueryPack {
+
+  val queries: Map[String, Q] = Map(
+    // PII redaction: regex scrub of emails and phone numbers + match
+    // counts for the removal audit log. Pure per-row projection — at
+    // 100 TB this is a scan-speed pass with no shuffle at all. The raw
+    // corpus has no PII, so the query appends synthetic PII
+    // deterministically from doc_id (email on every 3rd doc, phone on
+    // every 2nd); the derivation lives in the query so the oracle
+    // reproduces it exactly.
+    "q87_pii_redact" -> ((s, d) => {
+      val raw = concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 2 === 0,
+          concat(lit(" call +1-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")))
+      Tables.documents(s, d).select(col("doc_id"), raw.as("raw"))
+        .select(
+          col("doc_id"),
+          emailCount(col("raw")).as("n_emails"),
+          phoneCount(col("raw")).as("n_phones"),
+          redactPii(col("raw")).as("clean"))
+    }),
+
+    // Passage-level corpus dedup (the CCNet/C4 paragraph-dedup shape):
+    // split every document into 10-token chunks, keep only the FIRST
+    // occurrence of each distinct chunk corpus-wide (first = smallest
+    // (doc_id, pos)), and reassemble documents from their surviving
+    // chunks. One explode + one hash-partitioned window + one group-by:
+    // the window partitions by chunk hash, so dedup state never
+    // concentrates — it shards across the cluster by content.
+    "q88_chunk_dedup" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      val chunks = toks
+        .select(col("doc_id"), posexplode(chunksOfTokens(col("ts"), 10)))
+        .withColumnRenamed("col", "chunk")
+      val firstSeen = Window.partitionBy(md5(col("chunk")))
+        .orderBy(col("doc_id"), col("pos"))
+      chunks
+        .withColumn("rn", row_number().over(firstSeen))
+        .where(col("rn") === 1)
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_kept"),
+          concat_ws(" ",
+            transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),
+              x => x.getField("chunk"))).as("clean_text"))
+    }),
+
+    // Deterministic stratified sampling: per-source keep rates (75% for
+    // even source ids, 25% for odd) applied via an md5-derived uniform —
+    // reproducible across runs, engines, and cluster sizes, unlike
+    // rand()/TABLESAMPLE. The mixing pass every multi-source training
+    // corpus runs; scan-speed, no shuffle, and re-runnable to the byte.
+    "q89_stratified_sample" -> ((s, d) => {
+      val srcNum = substring(col("source"), 4, 8).cast("int")
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"), col("source"),
+          hashU16(col("doc_id"), "seed42-").as("u16"),
+          when(srcNum % 2 === 0, 49152).otherwise(16384).as("cut"))
+        .where(col("u16") < col("cut"))
+    }),
+
+    // Within-document repetition (the Gopher "top n-gram share" quality
+    // rule): the most frequent word bigram's share of all bigrams,
+    // flagged when it exceeds 10%. Non-distinct bigrams by construction
+    // (frequency is the point — shinglesOfTokens dedups, so it doesn't
+    // apply). Share is floor-quantized to 1e-6 before the compare so the
+    // flag can't straddle engines on a representation edge. Per-doc
+    // group-by with map-side partials — scan-bound at corpus scale.
+    "q90_repetition" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      val grams = toks.select(
+        col("doc_id"),
+        explode(
+          when(size(col("ts")) >= 2,
+            transform(sequence(lit(1), size(col("ts")) - 1),
+              i => concat(element_at(col("ts"), i), lit(" "), element_at(col("ts"), i + 1))))
+            .otherwise(array().cast("array<string>"))).as("gram"))
+      val perGram = grams.groupBy(col("doc_id"), col("gram"))
+        .agg(count(lit(1)).as("c"))
+      perGram.groupBy(col("doc_id"))
+        .agg(
+          sum(col("c")).as("n_grams"),
+          max(col("c")).as("top_gram_count"),
+          floor(max(col("c")).cast("double") / sum(col("c")).cast("double") * 1e6)
+            .cast("long").as("top_share_q6"))
+        .withColumn("is_repetitive", col("top_share_q6") > 100000L)
+    }),
+
+    // Z-order clustering key over two event dimensions + per-cell
+    // profile. Writing the table sorted by this key gives every file a
+    // tight bounding box in BOTH user and value, so min/max stats prune
+    // 2-D predicates — the data-layout half of scan performance at
+    // 100 TB (CurationSpec asserts the bounding-box property).
+    "q91_zorder" -> ((s, d) => {
+      val pts = Tables.events(s, d).select(
+        col("event_id"),
+        (col("user_id") % 256).cast("int").as("x"),
+        (floor(col("value")).cast("int") % 256).as("y"))
+      pts.select(col("event_id"), zValue(col("x"), col("y"), 8).as("z"))
+        .groupBy(shiftright(col("z"), 6).cast("int").as("z_cell"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("z")).as("z_min"),
+          max(col("z")).as("z_max"),
+          sum(col("event_id")).as("sum_event_id"))
+    })
+  )
+
+  private val rawSql =
+    """text
+      || CASE WHEN doc_id % 3 = 0
+              THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+              ELSE '' END
+      || CASE WHEN doc_id % 2 = 0
+              THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE '' END"""
+
+  private val u16Sql = {
+    def nib(i: Int) =
+      s"strpos('123456789abcdef', substr(md5('seed42-' || CAST(doc_id AS VARCHAR)), $i, 1))"
+    s"CAST(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)} AS INT)"
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "q87_pii_redact" ->
+      s"""SELECT doc_id,
+         CAST(len(regexp_extract_all(raw, '$EmailRe')) AS INT) AS n_emails,
+         CAST(len(regexp_extract_all(raw, '$PhoneRe')) AS INT) AS n_phones,
+         regexp_replace(regexp_replace(raw, '$EmailRe', '<EMAIL>', 'g'),
+                        '$PhoneRe', '<PHONE>', 'g') AS clean
+         FROM (SELECT doc_id, $rawSql AS raw FROM documents)""",
+    "q88_chunk_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         raw AS (SELECT doc_id,
+                   unnest(generate_series(0, CAST(ceil(len(ts) / 10.0) AS INT) - 1)) AS pos,
+                   unnest(list_transform(generate_series(0, CAST(ceil(len(ts) / 10.0) AS INT) - 1),
+                          i -> array_to_string(ts[(i*10+1):(i*10+10)], ' '))) AS chunk
+                 FROM toks),
+         kept AS (SELECT doc_id, pos, chunk,
+                    row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, pos) AS rn
+                  FROM raw)
+         SELECT doc_id, count(*) AS n_kept,
+                string_agg(chunk, ' ' ORDER BY pos) AS clean_text
+         FROM kept WHERE rn = 1 GROUP BY doc_id""",
+    "q89_stratified_sample" ->
+      s"""SELECT doc_id, source, u16, cut FROM (
+           SELECT doc_id, source, $u16Sql AS u16,
+             CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                  THEN 49152 ELSE 16384 END AS cut
+           FROM documents)
+         WHERE u16 < cut""",
+    "q90_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         grams AS (SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(ts) - 1),
+                            i -> ts[i] || ' ' || ts[i+1])) AS gram
+                   FROM toks),
+         per_gram AS (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2)
+         SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_grams,
+           CAST(MAX(c) AS BIGINT) AS top_gram_count,
+           CAST(floor(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) * 1000000.0) AS BIGINT)
+             AS top_share_q6,
+           CAST(floor(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) * 1000000.0) AS BIGINT)
+             > 100000 AS is_repetitive
+         FROM per_gram GROUP BY doc_id""",
+    "q91_zorder" ->
+      s"""WITH pts AS (SELECT event_id,
+                        CAST(user_id % 256 AS INT) AS x,
+                        CAST(floor(value) AS INT) % 256 AS y
+                      FROM events),
+         zv AS (SELECT event_id, CAST(${zValueSql("x", "y", 8)} AS BIGINT) AS z FROM pts)
+         SELECT CAST(z >> 6 AS INT) AS z_cell, count(*) AS n_events,
+           MIN(z) AS z_min, MAX(z) AS z_max,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+         FROM zv GROUP BY 1"""
+  )
+}

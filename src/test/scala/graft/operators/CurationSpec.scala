@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.operators.Curation._
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("redactPii scrubs emails and phones, leaves clean text alone") {
+    val df = Seq(
+      ("mail me at bob.smith+x@sub.example.org today", 1L),
+      ("call +1-555-0134 or +44-202-7946", 2L),
+      ("no pii here", 3L)
+    ).toDF("t", "id")
+    val out = df.select($"id", redactPii($"t").as("c"),
+      emailCount($"t").as("ne"), phoneCount($"t").as("np"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+      .sortBy(_._1)
+    assert(out(0) == ((1L, "mail me at <EMAIL> today", 1, 0)))
+    assert(out(1) == ((2L, "call <PHONE> or <PHONE>", 0, 2)))
+    assert(out(2) == ((3L, "no pii here", 0, 0)))
+  }
+
+  test("chunksOfTokens: empty, short, exact-multiple, ragged") {
+    val df = Seq(
+      (0L, Seq.empty[String]),
+      (1L, Seq("a", "b")),
+      (2L, Seq("a", "b", "c", "d")),
+      (3L, Seq("a", "b", "c", "d", "e"))
+    ).toDF("id", "ts")
+    val got = df.select($"id", chunksOfTokens($"ts", 2).as("cs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(0L) == Seq())
+    assert(got(1L) == Seq("a b"))
+    assert(got(2L) == Seq("a b", "c d"))
+    assert(got(3L) == Seq("a b", "c d", "e"))
+  }
+
+  test("chunk dedup keeps the first corpus-wide occurrence only") {
+    // doc 1 owns both chunks; doc 2 repeats doc 1's first chunk then
+    // adds a fresh one; doc 3 is entirely doc 1 — it must vanish.
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a b x y"),
+      (3L, "a b c d")
+    ).toDF("doc_id", "text")
+    import org.apache.spark.sql.expressions.Window
+    val chunks = docs.select($"doc_id", posexplode(chunksOfTokens(split($"text", " "), 2)))
+      .withColumnRenamed("col", "chunk")
+    val w = Window.partitionBy(md5($"chunk")).orderBy($"doc_id", $"pos")
+    val kept = chunks.withColumn("rn", row_number().over(w)).where($"rn" === 1)
+      .groupBy($"doc_id")
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct($"pos", $"chunk"))),
+          x => x.getField("chunk"))).as("clean"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kept == Map(1L -> "a b c d", 2L -> "x y"))
+  }
+
+  test("hashU16 is deterministic, in range, and salt-sensitive") {
+    val ids = spark.range(0, 2000).toDF("id")
+    val a = ids.select(hashU16($"id", "s1-").as("u")).as[Int].collect()
+    val b = ids.select(hashU16($"id", "s1-").as("u")).as[Int].collect()
+    val c = ids.select(hashU16($"id", "s2-").as("u")).as[Int].collect()
+    assert(a.sameElements(b))                       // re-runnable to the byte
+    assert(a.forall(u => u >= 0 && u < 65536))
+    assert(!a.sameElements(c))                      // independent draw per salt
+    // md5 uniforms: quartile counts of 2000 draws stay near 500 each
+    val q = a.groupBy(_ / 16384).view.mapValues(_.length).toMap
+    assert((0 to 3).forall(i => math.abs(q.getOrElse(i, 0) - 500) < 150))
+  }
+
+  test("zValue interleaves bits and bounds 2-D boxes per key range") {
+    val pts = Seq((3, 0), (0, 3), (255, 255), (0, 0), (1, 1)).toDF("x", "y")
+    val zs = pts.select(zValue($"x", $"y", 8).as("z")).as[Long].collect()
+    assert(zs.sameElements(Array(5L, 10L, 65535L, 0L, 3L)))
+    // The layout property q91 sells: fixing the top 4 z bits (top 2 of
+    // each dimension) confines BOTH x and y to a 64-wide range, so any
+    // file holding one z range carries tight min/max stats on both
+    // columns — that is what makes 2-D predicate pruning work.
+    val grid = spark.range(0, 4096).toDF("i")
+      .select((($"i" % 256) % 256).cast("int").as("x"),
+        (($"i" * 37) % 256).cast("int").as("y"))
+    val boxes = grid.select(zValue($"x", $"y", 8).as("z"), $"x", $"y")
+      .groupBy(shiftright($"z", 12).as("cell"))
+      .agg((max($"x") - min($"x")).as("dx"), (max($"y") - min($"y")).as("dy"))
+      .select(max($"dx"), max($"dy")).as[(Int, Int)].head()
+    assert(boxes._1 <= 63 && boxes._2 <= 63)
+  }
+}
