@@ -133,10 +133,54 @@ object AnalyticsQueries extends QueryPack {
         .pivot("c_mktsegment",
           Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"))
         .agg(sum(col("total")).cast(DoubleType))
+    }),
+
+    // §2.5 range-frame window: per-nation daily revenue with a 7-day
+    // rolling sum (RANGE, so missing days shrink the window rather than
+    // silently widening it the way a 7-ROW frame would) and the
+    // previous-active-day revenue via lag. Money is quantized to cent
+    // longs BEFORE the windows so every rolling sum is exact integer
+    // arithmetic — order-independent across engines. Scale: the window
+    // partitions by nation key, so state per task is one nation's
+    // day-series — no global sort anywhere.
+    "q93_rolling_revenue" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.orders(s, d).select(
+        col("o_custkey"),
+        to_date(col("o_orderdate")).as("dt"),
+        (col("o_totalprice").cast(dec) * 100).cast(LongType).as("cents"))
+      val c = Tables.customer(s, d).select(
+        col("c_custkey").as("o_custkey"), col("c_nationkey"))
+      val daily = o.join(broadcast(c), Seq("o_custkey"))
+        .groupBy(col("c_nationkey"), col("dt"))
+        .agg(sum(col("cents")).as("rev_cents"), count(lit(1)).as("n_orders"))
+      val rolling = Window.partitionBy(col("c_nationkey"))
+        .orderBy(datediff(col("dt"), lit("1992-01-01")))
+        .rangeBetween(-6, Window.currentRow)
+      val byDay = Window.partitionBy(col("c_nationkey")).orderBy(col("dt"))
+      daily.select(
+        col("c_nationkey"), col("dt"), col("rev_cents"), col("n_orders"),
+        sum(col("rev_cents")).over(rolling).as("rev_7d_cents"),
+        coalesce(lag(col("rev_cents"), 1).over(byDay), lit(0L)).as("prev_day_cents"))
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q93_rolling_revenue" ->
+      """WITH daily AS (
+           SELECT c_nationkey, CAST(o_orderdate AS DATE) AS dt,
+                  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+                    AS rev_cents,
+                  count(*) AS n_orders
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1, 2)
+         SELECT c_nationkey, dt, rev_cents, n_orders,
+           CAST(SUM(rev_cents) OVER (PARTITION BY c_nationkey ORDER BY dt
+                RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS rev_7d_cents,
+           COALESCE(LAG(rev_cents, 1) OVER (PARTITION BY c_nationkey ORDER BY dt), 0)
+             AS prev_day_cents
+         FROM daily""",
     "q09_sales_pivot" -> {
       val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
       val cols = segs.map(g =>

@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.TextFunctions
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.BloomFunctions
 
 /** Document deduplication operators for training-data pipelines:
   * exact (fingerprint group-by), n-gram Jaccard, MinHash+LSH, SimHash.
@@ -246,6 +247,40 @@ object Dedup {
       .select(col("shingle")).distinct()
     shingleTable(train, textCol, idCol, n)
       .join(broadcast(evalShingles), Seq("shingle"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** [[contaminatedDocs]] with a bloom-filter prefilter — the 100 TB
+    * form. Broadcasting the eval shingle SET (above) grows without
+    * bound with the benchmark suite; a bloom filter over
+    * xxhash64(shingle) stays a few MB at any cardinality, and the probe
+    * runs inside the train-side scan, so ~every clean shingle dies at
+    * scan speed BEFORE the join shuffle. The exact confirm join then
+    * touches only survivors, so false positives never reach the output:
+    * the result is bit-identical to the exact operator regardless of
+    * FPP (asserted in TextDedupSpec, oracle-checked as q92).
+    *
+    * The filter build is one tiny aggregate collected to the driver and
+    * re-shipped as a literal — exactly how Catalyst's own
+    * InjectRuntimeFilter moves its bloom from build side to probe side
+    * (via a reused subquery broadcast).
+    */
+  def contaminatedDocsBloom(train: DataFrame, evalDocs: DataFrame, textCol: String,
+                            idCol: String, n: Int, minShared: Int,
+                            expectedItems: Long = 4_000_000L): DataFrame = {
+    val evalShingles = shingleTable(evalDocs, textCol, idCol, n)
+      .select(col("shingle")).distinct()
+    val bloom = evalShingles
+      .agg(BloomFunctions.bloomAgg(xxhash64(col("shingle")), expectedItems).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val trainShingles = shingleTable(train, textCol, idCol, n)
+    // NULL filter = empty eval set: nothing can be contaminated.
+    val prefiltered =
+      if (bloom == null) trainShingles.where(lit(false))
+      else trainShingles.where(BloomFunctions.mightContain(lit(bloom), xxhash64(col("shingle"))))
+    prefiltered
+      .join(evalShingles, Seq("shingle"))
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }

@@ -98,6 +98,19 @@ object DedupQueries extends QueryPack {
         "text", "doc_id", n = 3, minShared = 3)
     }),
 
+    // q83's 100 TB form: bloom-filter prefilter on the train-side scan
+    // (few MB at any eval-set cardinality, vs an unbounded broadcast
+    // set) + exact confirm join, so the answer is identical to the
+    // exact operator — the oracle is the SAME exact SQL. minShared=2
+    // keeps the two queries' outputs distinct.
+    "q92_bloom_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contaminatedDocsBloom(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "text", "doc_id", n = 3, minShared = 2)
+    }),
+
     // The dedup pipeline's final act: near-dup pairs → clusters →
     // keep min-id per cluster → the FILTERED corpus (what actually
     // ships to training). Composes q46's pair generation with q68's
@@ -275,6 +288,16 @@ object DedupQueries extends QueryPack {
        FROM tr JOIN ev USING (shingle)
        GROUP BY doc_id
        HAVING count(*) >= 3""",
+    "q92_bloom_decontaminate" ->
+      s"""WITH $shinglesCte,
+         ev AS (SELECT DISTINCT shingle FROM sh
+                JOIN documents USING (doc_id) WHERE source = 'src0'),
+         tr AS (SELECT sh.doc_id, sh.shingle FROM sh
+                JOIN documents USING (doc_id) WHERE source != 'src0')
+       SELECT doc_id, count(*) AS n_shared
+       FROM tr JOIN ev USING (shingle)
+       GROUP BY doc_id
+       HAVING count(*) >= 2""",
     "q80_dedup_filter" ->
       s"""WITH RECURSIVE $shinglesCte,
          mh AS (SELECT doc_id, $minhashCols FROM sh GROUP BY doc_id),

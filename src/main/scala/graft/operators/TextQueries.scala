@@ -158,6 +158,25 @@ object TextQueries extends QueryPack {
         col("doc_id"), col("source"),
         fingerprint(col("text")).as("fp"),
         rollingFingerprint(col("text")).as("rolling_fp"))
+    }),
+
+    // Quality gate: keep the top-half documents per source by quality
+    // score, via percent_rank with a fully deterministic ordering
+    // (quality desc, doc_id). The rank is floor-quantized to 1e-6 and
+    // BOTH the filter and the output use the quantized value, so the
+    // keep/drop boundary can't straddle engines. The curation pass that
+    // turns q41's scores into an actual filtered corpus; one window
+    // shuffle partitioned by source.
+    "q94_quality_gate" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = Tables.documents(s, d).select(
+        col("doc_id"), col("source"), qualityScore(col("text"), EN).as("quality"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      scored
+        .withColumn("pr_q6",
+          floor(percent_rank().over(w) * 1e6).cast(LongType))
+        .where(col("pr_q6") <= 500000L)
     })
   )
 
@@ -168,6 +187,17 @@ object TextQueries extends QueryPack {
     s"CAST(${stopHitsSql(EN)} AS DOUBLE) / CAST($nTokensSql AS DOUBLE)"
 
   val oracleSql: Map[String, String] = Map(
+    "q94_quality_gate" ->
+      s"""WITH scored AS (
+           SELECT doc_id, source,
+             least(1.0, CAST($nTokensSql AS DOUBLE) / 50.0) * (1.0 - $stopRatioSql) AS quality
+           FROM documents),
+         ranked AS (
+           SELECT doc_id, source, quality,
+             CAST(floor(percent_rank() OVER (PARTITION BY source
+                  ORDER BY quality DESC, doc_id) * 1000000.0) AS BIGINT) AS pr_q6
+           FROM scored)
+         SELECT doc_id, source, quality, pr_q6 FROM ranked WHERE pr_q6 <= 500000""",
     "q40_token_stats" ->
       s"""SELECT doc_id, $nTokensSql AS n_tokens,
          CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INT) AS n_subwords,

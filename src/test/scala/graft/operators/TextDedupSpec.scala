@@ -178,4 +178,23 @@ class TextDedupSpec extends SparkSpec {
     assert(math.abs(r(1L)._2 - 3.0 / 9.0) < 1e-12)
     assert(r.values.forall(v => v._3 >= 0.0 && v._3 <= 1.0))
   }
+
+  test("bloom decontamination is exact (≡ broadcast-set operator) and guards empty eval") {
+    val train = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"),
+      (11L, "spark engines shuffle data across the cluster"),
+      (12L, "the quick brown fox naps")
+    ).toDF("doc_id", "text")
+    val eval_ = Seq((90L, "the quick brown fox jumps again")).toDF("doc_id", "text")
+    val exact = Dedup.contaminatedDocs(train, eval_, "text", "doc_id", n = 3, minShared = 1)
+      .as[(Long, Long)].collect().toSet
+    val bloom = Dedup.contaminatedDocsBloom(train, eval_, "text", "doc_id",
+      n = 3, minShared = 1, expectedItems = 100L)
+      .as[(Long, Long)].collect().toSet
+    assert(bloom == exact)
+    assert(exact.map(_._1) == Set(10L, 12L)) // 11 shares no shingle
+    val none = Dedup.contaminatedDocsBloom(train, eval_.limit(0), "text", "doc_id",
+      n = 3, minShared = 1)
+    assert(none.count() == 0) // NULL bloom = nothing matches, not everything
+  }
 }
