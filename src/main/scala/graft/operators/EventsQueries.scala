@@ -113,6 +113,27 @@ object EventsQueries extends QueryPack {
             (unix_micros(col("ts")) - col("prev_us")) > GAP_US, 1).otherwise(0))
         .groupBy(col("user_id"))
         .agg(sum(col("is_new")).as("n_sessions"), count(lit(1)).as("n_events"))
+    }),
+
+    // Stream-stream interval join, batch twin (streaming:
+    // EventPipelines.viewPurchaseJoin — watermarked both sides, the
+    // time-range predicate bounds join state). Attribution shape: every
+    // purchase within an hour of the same user's view. All time math in
+    // exact microsecond longs (unix_micros ↔ epoch_us parity).
+    "q95_stream_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val views = e.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+          unix_micros(col("ts")).as("v_us"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+          unix_micros(col("ts")).as("p_us"))
+      views.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("p_us") >= col("v_us") &&
+          col("p_us") - col("v_us") <= 3600000000L)
+        .select(col("user_id"), col("view_id"), col("purchase_id"),
+          (col("p_us") - col("v_us")).as("lag_us"))
     })
   )
 
@@ -156,6 +177,14 @@ object EventsQueries extends QueryPack {
                        lag(epoch_us(ts)) OVER (PARTITION BY user_id
                             ORDER BY ts, event_id) AS prev_us
                      FROM events))
-         GROUP BY user_id"""
+         GROUP BY user_id""",
+    "q95_stream_join" ->
+      """SELECT v.user_id, v.view_id, p.purchase_id, p.p_us - v.v_us AS lag_us
+         FROM (SELECT event_id AS view_id, user_id, epoch_us(ts) AS v_us
+               FROM events WHERE event_type = 'view') v
+         JOIN (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_us
+               FROM events WHERE event_type = 'purchase') p
+           ON v.user_id = p.user_id
+          AND p.p_us >= v.v_us AND p.p_us - v.v_us <= 3600000000"""
   )
 }

@@ -63,6 +63,33 @@ object EventPipelines {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"))
 
+  /** Stream-stream interval join: each view event pairs with the same
+    * user's purchase events landing within [view_ts, view_ts + 1 hour].
+    * Both sides carry watermarks AND the join predicate bounds
+    * purchase_ts relative to view_ts, so Spark can prove when buffered
+    * state is safe to evict: a view row dies once the purchase
+    * watermark passes view_ts + 1 h, a purchase row once the view
+    * watermark passes purchase_ts. Without the time-range condition
+    * stream-stream join state grows forever — the predicate IS the
+    * state bound. Works identically over batch frames (q95's oracle
+    * twin drives the same plan).
+    */
+  def viewPurchaseJoin(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "2 hours")
+    views.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts"))).as("lag_us"))
+  }
+
   /** Stream-static dimension enrichment — the streaming form of J10
     * fact→dim key resolution: each micro-batch left-joins a STATIC
     * dimension snapshot (Spark re-plans the static side per batch, so a

@@ -137,4 +137,25 @@ class StreamingSpec extends SparkSpec {
     val nUsers = sessions.select($"user_id").distinct().count()
     assert(streamed.size >= all.size - nUsers)
   }
+
+  test("stream-stream interval join matches the batch twin") {
+    EventPipelines.runToMemory(
+      EventPipelines.viewPurchaseJoin(EventPipelines.readEventStream(spark, streamDir)),
+      "vpjoin")
+    val streamed = spark.table("vpjoin")
+      .select($"user_id", $"view_id", $"purchase_id", $"lag_us")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val views = batchEvents.filter($"event_type" === "view")
+      .select($"event_id".as("view_id"), $"user_id", unix_micros($"ts").as("v_us"))
+    val purchases = batchEvents.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id".as("p_user_id"),
+        unix_micros($"ts").as("p_us"))
+    val batch = views.join(purchases,
+      $"user_id" === $"p_user_id" && $"p_us" >= $"v_us" &&
+        $"p_us" - $"v_us" <= 3600000000L)
+      .select($"user_id", $"view_id", $"purchase_id", ($"p_us" - $"v_us").as("lag_us"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty)       // the fixture must actually exercise the join
+    assert(streamed == batch)    // inner interval join: no watermark hold-back
+  }
 }
