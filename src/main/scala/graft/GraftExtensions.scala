@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.DotProductFloat
+import org.apache.spark.sql.graft.{AsOfJoinStrategy, DotProductFloat}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions, so `spark.sql("SELECT vec_dot(a, b)")`
@@ -17,5 +17,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProductFloat].getName, "vec_dot"),
       (children: Seq[Expression]) => DotProductFloat(children(0), children(1))))
+    // Whole-operator extension: plans AsOfJoinNode as the native
+    // streaming-merge AsOfJoinExec (see AsOfJoinPlan.scala).
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

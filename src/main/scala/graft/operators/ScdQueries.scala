@@ -144,6 +144,30 @@ object ScdQueries extends QueryPack {
       Relational.asOfJoin(li, versions, Seq("p_partkey"), "ship_dt", "price_dt")
     }),
 
+    // q27 driven through the NATIVE as-of join operator instead of the
+    // composed union-carry-forward form: AsOfJoinNode → AsOfJoinStrategy
+    // (injected via GraftExtensions) → AsOfJoinExec, a declared-
+    // requirement streaming merge (one shuffle + sort per side, one
+    // buffered row of carry state). Checked against DuckDB's native
+    // ASOF LEFT JOIN.
+    "q96_asof_native" -> ((s, d) => {
+      val versions = Tables.part(s, d).select(col("p_partkey"), explode(array(
+        struct(lit("1993-01-01").cast(DateType).as("price_dt"),
+          (col("p_retailprice") - 10.0).as("price")),
+        struct(lit("1995-01-01").cast(DateType).as("price_dt"),
+          col("p_retailprice").as("price")),
+        struct(lit("1997-01-01").cast(DateType).as("price_dt"),
+          (col("p_retailprice") + 10.0).as("price")))).as("v"))
+        .select(col("p_partkey"), col("v.price_dt"), col("v.price"))
+      val li = Tables.lineitem(s, d).select(
+        concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("sale_id"),
+        col("l_partkey").as("p_partkey"),
+        to_date(col("l_shipdate")).as("ship_dt"))
+      org.apache.spark.sql.graft.AsOfJoinPlan.asOfJoinNative(
+        li, versions, Seq("p_partkey"), "ship_dt", "price_dt")
+        .select(col("p_partkey"), col("ship_dt"), col("sale_id"), col("price"))
+    }),
+
     // C2 at the DM layer: the reference re-runs an INDEPENDENT SCD2
     // merge over the 3NF active slice when building the dimensional
     // product dim — its own change detection, closing, and versioning
@@ -209,6 +233,19 @@ object ScdQueries extends QueryPack {
 
   val oracleSql: Map[String, String] = Map(
     "q27_asof_price" ->
+      """WITH versions AS (
+           SELECT p_partkey, CAST(v.dt AS DATE) AS price_dt,
+                  p_retailprice + CAST(v.off AS DOUBLE) AS price
+           FROM part, (VALUES ('1993-01-01', -10.0), ('1995-01-01', 0.0),
+                              ('1997-01-01', 10.0)) v(dt, off)),
+         li AS (
+           SELECT l_orderkey || '-' || l_linenumber AS sale_id,
+                  l_partkey AS p_partkey, CAST(l_shipdate AS DATE) AS ship_dt
+           FROM lineitem)
+       SELECT li.p_partkey, li.ship_dt, li.sale_id, v.price
+       FROM li ASOF LEFT JOIN versions v
+         ON li.p_partkey = v.p_partkey AND li.ship_dt >= v.price_dt""",
+    "q96_asof_native" ->
       """WITH versions AS (
            SELECT p_partkey, CAST(v.dt AS DATE) AS price_dt,
                   p_retailprice + CAST(v.off AS DOUBLE) AS price

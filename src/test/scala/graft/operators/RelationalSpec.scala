@@ -113,6 +113,31 @@ class RelationalSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("note"))) // matched version's NULL survives
   }
 
+  test("asOfJoinNative: same semantics as the composed form, planned as AsOfJoinExec") {
+    import org.apache.spark.sql.graft.AsOfJoinPlan
+    val prices = Seq((1L, "2024-01-01", 10.0), (1L, "2024-03-01", 20.0), (2L, "2024-02-01", 5.0))
+      .toDF("k", "dt", "price").select($"k", $"dt".cast("date").as("dt"), $"price")
+    val events = Seq(
+      (1L, "2023-12-31", "before-any"), (1L, "2024-01-01", "same-day"),
+      (1L, "2024-02-15", "mid"), (1L, "2024-03-01", "at-v2"), (1L, "2024-12-31", "after-all"),
+      (2L, "2024-02-02", "other-key"), (3L, "2024-05-05", "no-right-group"))
+      .toDF("k", "ts", "tag").select($"k", $"ts".cast("date").as("ts"), $"tag")
+    val native = AsOfJoinPlan.asOfJoinNative(events, prices, Seq("k"), "ts", "dt")
+    // planned as the custom exec, with declared-requirement shuffles/sorts
+    val physical = native.queryExecution.executedPlan.toString
+    assert(physical.contains("AsOfJoin"), physical)
+    val out = native.select($"tag", $"price").as[(String, Option[Double])].collect().toMap
+    assert(out("before-any").isEmpty && out("no-right-group").isEmpty)
+    assert(out("same-day").contains(10.0)) // inclusive >=
+    assert(out("mid").contains(10.0) && out("at-v2").contains(20.0))
+    assert(out("after-all").contains(20.0) && out("other-key").contains(5.0))
+    // full-frame equivalence with the composed operator
+    val composed = Relational.asOfJoin(events, prices, Seq("k"), "ts", "dt")
+      .select($"k", $"ts", $"tag", $"price")
+    val nativeSel = native.select($"k", $"ts", $"tag", $"price")
+    assert(nativeSel.exceptAll(composed).isEmpty && composed.exceptAll(nativeSel).isEmpty)
+  }
+
   test("rangeJoinBinned equals a plain inequality join") {
     val points = Seq((1, "2024-01-05"), (2, "2024-02-20"), (3, "2024-06-01"))
       .toDF("id", "ts").select($"id", $"ts".cast("date").as("ts"))
