@@ -1,7 +1,8 @@
 package graft.operators
 
 import graft.functions.TextFunctions.hexNibble
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation primitives a large-scale training-data pipeline runs
@@ -47,6 +48,35 @@ object Curation {
       sequence(lit(0), ceil(size(ts).cast("double") / n).cast("int") - 1),
       i => concat_ws(" ", slice(ts, i * n + 1, lit(n))))
     when(size(ts) > 0, make).otherwise(array().cast("array<string>"))
+  }
+
+  /** Passage-level first-occurrence dedup (the CCNet/C4 paragraph-dedup
+    * shape): split each document into `n`-token chunks, keep only the
+    * FIRST corpus-wide occurrence of each distinct chunk (first =
+    * smallest (id, pos)), reassemble documents from their surviving
+    * chunks. One explode + one window partitioned by the chunk HASH —
+    * dedup state shards across the cluster by content, never
+    * concentrating — + one group-by. Tokenizes in its own projection
+    * (the staged-array contract of [[chunksOfTokens]]). Returns
+    * (idCol, n_kept, clean_text); fully-duplicate documents vanish.
+    */
+  def firstOccurrenceChunks(docs: DataFrame, textCol: String, idCol: String,
+                            n: Int): DataFrame = {
+    val toks = docs.select(col(idCol), split(col(textCol), " ").as("__ts"))
+    val chunks = toks
+      .select(col(idCol), posexplode(chunksOfTokens(col("__ts"), n)))
+      .withColumnRenamed("col", "chunk")
+    val firstSeen = Window.partitionBy(md5(col("chunk")))
+      .orderBy(col(idCol), col("pos"))
+    chunks
+      .withColumn("rn", row_number().over(firstSeen))
+      .where(col("rn") === 1)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),
+            x => x.getField("chunk"))).as("clean_text"))
   }
 
   /** Deterministic uniform in [0, 65536): the first four md5 nibbles of

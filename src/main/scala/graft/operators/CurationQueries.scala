@@ -40,31 +40,10 @@ object CurationQueries extends QueryPack {
           redactPii(col("raw")).as("clean"))
     }),
 
-    // Passage-level corpus dedup (the CCNet/C4 paragraph-dedup shape):
-    // split every document into 10-token chunks, keep only the FIRST
-    // occurrence of each distinct chunk corpus-wide (first = smallest
-    // (doc_id, pos)), and reassemble documents from their surviving
-    // chunks. One explode + one hash-partitioned window + one group-by:
-    // the window partitions by chunk hash, so dedup state never
-    // concentrates — it shards across the cluster by content.
-    "q88_chunk_dedup" -> ((s, d) => {
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("ts"))
-      val chunks = toks
-        .select(col("doc_id"), posexplode(chunksOfTokens(col("ts"), 10)))
-        .withColumnRenamed("col", "chunk")
-      val firstSeen = Window.partitionBy(md5(col("chunk")))
-        .orderBy(col("doc_id"), col("pos"))
-      chunks
-        .withColumn("rn", row_number().over(firstSeen))
-        .where(col("rn") === 1)
-        .groupBy(col("doc_id"))
-        .agg(
-          count(lit(1)).as("n_kept"),
-          concat_ws(" ",
-            transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),
-              x => x.getField("chunk"))).as("clean_text"))
-    }),
+    // Passage-level corpus dedup (Curation.firstOccurrenceChunks —
+    // see its doc for the shape and scale notes).
+    "q88_chunk_dedup" -> ((s, d) =>
+      firstOccurrenceChunks(Tables.documents(s, d), "text", "doc_id", 10)),
 
     // Deterministic stratified sampling: per-source keep rates (75% for
     // even source ids, 25% for odd) applied via an md5-derived uniform —

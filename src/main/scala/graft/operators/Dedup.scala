@@ -252,14 +252,17 @@ object Dedup {
   }
 
   /** [[contaminatedDocs]] with a bloom-filter prefilter — the 100 TB
-    * form. Broadcasting the eval shingle SET (above) grows without
-    * bound with the benchmark suite; a bloom filter over
-    * xxhash64(shingle) stays a few MB at any cardinality, and the probe
-    * runs inside the train-side scan, so ~every clean shingle dies at
-    * scan speed BEFORE the join shuffle. The exact confirm join then
-    * touches only survivors, so false positives never reach the output:
-    * the result is bit-identical to the exact operator regardless of
-    * FPP (asserted in TextDedupSpec, oracle-checked as q92).
+    * form. The bloom over xxhash64(shingle) stays a few MB at any eval
+    * cardinality and its probe runs inside the train-side scan, so
+    * ~every clean shingle dies at scan speed BEFORE any join — that
+    * scan-speed kill is the win over the exact operator, whose
+    * broadcast join still reads and hashes every train shingle. The
+    * exact confirm join (broadcast, like the exact operator — swap the
+    * hint for a shuffle if the eval set outgrows broadcast; the
+    * survivor side is tiny either way) touches only prefilter
+    * survivors, so false positives never reach the output: the result
+    * is bit-identical to the exact operator regardless of FPP
+    * (asserted in TextDedupSpec, oracle-checked as q92).
     *
     * The filter build is one tiny aggregate collected to the driver and
     * re-shipped as a literal — exactly how Catalyst's own
@@ -269,8 +272,12 @@ object Dedup {
   def contaminatedDocsBloom(train: DataFrame, evalDocs: DataFrame, textCol: String,
                             idCol: String, n: Int, minShared: Int,
                             expectedItems: Long = 4_000_000L): DataFrame = {
+    // Materialized once (localCheckpoint): the bloom build is an action
+    // and the confirm join reads it again — without the cut, the eval
+    // scan + shingle explosion + distinct would run twice. The set is
+    // bounded (eval suites are), so local blocks are fine.
     val evalShingles = shingleTable(evalDocs, textCol, idCol, n)
-      .select(col("shingle")).distinct()
+      .select(col("shingle")).distinct().localCheckpoint(true)
     val bloom = evalShingles
       .agg(BloomFunctions.bloomAgg(xxhash64(col("shingle")), expectedItems).as("bf"))
       .head().getAs[Array[Byte]](0)
@@ -280,7 +287,7 @@ object Dedup {
       if (bloom == null) trainShingles.where(lit(false))
       else trainShingles.where(BloomFunctions.mightContain(lit(bloom), xxhash64(col("shingle"))))
     prefiltered
-      .join(evalShingles, Seq("shingle"))
+      .join(broadcast(evalShingles), Seq("shingle"))
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }

@@ -164,15 +164,32 @@ object AsOfJoinPlan {
       df.queryExecution.analyzed.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"asOfJoinNative: no column '$name' in [${df.columns.mkString(",")}]"))
+    // SQL join semantics: a NULL key or NULL version timestamp never
+    // matches anything. Dropping those right rows up front also keeps
+    // the merge's NULLS-FIRST orderings from electing a NULL-ts row as
+    // a carry for every left row.
+    val rightClean = keys.foldLeft(
+      right.where(org.apache.spark.sql.functions.col(rightTs).isNotNull)) {
+      (df, k) => df.where(org.apache.spark.sql.functions.col(k).isNotNull)
+    }
     val lPlan = left.queryExecution.analyzed
-    val rPlan = right.queryExecution.analyzed
+    val rPlan = rightClean.queryExecution.analyzed
     val rightAttrs = rPlan.output.filterNot(a => keys.contains(a.name) || a.name == rightTs)
     val collide = left.columns.toSet.intersect(rightAttrs.map(_.name).toSet)
     require(collide.isEmpty,
       s"asOfJoinNative: colliding attribute names ${collide.mkString(",")} — rename one side first")
-    val node = AsOfJoinNode(lPlan, rPlan,
-      keys.map(attr(left, _)), keys.map(attr(right, _)),
-      attr(left, leftTs), attr(right, rightTs), rightAttrs)
+    val (lKeys, rKeys) = (keys.map(attr(left, _)), keys.map(attr(rightClean, _)))
+    val (lTsA, rTsA) = (attr(left, leftTs), attr(rightClean, rightTs))
+    // Mismatched types would hash-partition each side differently
+    // (equal keys land in different partitions → silent all-NULL
+    // output) and make the ts ordering compare unlike units.
+    lKeys.zip(rKeys).foreach { case (l, r) =>
+      require(l.dataType == r.dataType,
+        s"asOfJoinNative: key type mismatch ${l.name}: ${l.dataType} vs ${r.name}: ${r.dataType}")
+    }
+    require(lTsA.dataType == rTsA.dataType,
+      s"asOfJoinNative: ts type mismatch $leftTs: ${lTsA.dataType} vs $rightTs: ${rTsA.dataType}")
+    val node = AsOfJoinNode(lPlan, rPlan, lKeys, rKeys, lTsA, rTsA, rightAttrs)
     classic.Dataset.ofRows(
       left.sparkSession.asInstanceOf[classic.SparkSession], node)
   }

@@ -45,17 +45,10 @@ class CurationSpec extends SparkSpec {
       (2L, "a b x y"),
       (3L, "a b c d")
     ).toDF("doc_id", "text")
-    import org.apache.spark.sql.expressions.Window
-    val chunks = docs.select($"doc_id", posexplode(chunksOfTokens(split($"text", " "), 2)))
-      .withColumnRenamed("col", "chunk")
-    val w = Window.partitionBy(md5($"chunk")).orderBy($"doc_id", $"pos")
-    val kept = chunks.withColumn("rn", row_number().over(w)).where($"rn" === 1)
-      .groupBy($"doc_id")
-      .agg(concat_ws(" ",
-        transform(array_sort(collect_list(struct($"pos", $"chunk"))),
-          x => x.getField("chunk"))).as("clean"))
-      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(kept == Map(1L -> "a b c d", 2L -> "x y"))
+    val kept = firstOccurrenceChunks(docs, "text", "doc_id", 2)
+      .select($"doc_id", $"n_kept", $"clean_text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(kept == Map(1L -> ((2L, "a b c d")), 2L -> ((1L, "x y"))))
   }
 
   test("hashU16 is deterministic, in range, and salt-sensitive") {

@@ -138,6 +138,29 @@ class RelationalSpec extends SparkSpec {
     assert(nativeSel.exceptAll(composed).isEmpty && composed.exceptAll(nativeSel).isEmpty)
   }
 
+  test("asOfJoinNative: NULL keys/ts never match; type mismatches fail fast") {
+    import org.apache.spark.sql.graft.AsOfJoinPlan
+    val prices = Seq(
+      (Option(1L), Option("2024-01-01"), 10.0),
+      (Option(1L), Option.empty[String], 99.0), // NULL version ts: invisible
+      (Option.empty[Long], Option("2024-01-01"), 77.0)) // NULL key: invisible
+      .toDF("k", "dt", "price").select($"k", $"dt".cast("date").as("dt"), $"price")
+    val events = Seq((1L, "2023-06-01", "pre"), (1L, "2024-06-01", "post"))
+      .toDF("k", "ts", "tag").select($"k", $"ts".cast("date").as("ts"), $"tag")
+    val out = AsOfJoinPlan.asOfJoinNative(events, prices, Seq("k"), "ts", "dt")
+      .select($"tag", $"price").as[(String, Option[Double])].collect().toMap
+    assert(out("pre").isEmpty)           // NULL-ts row must not carry
+    assert(out("post").contains(10.0))
+    intercept[IllegalArgumentException] { // int vs long key would mis-hash
+      AsOfJoinPlan.asOfJoinNative(
+        events, prices.withColumn("k", $"k".cast("int")), Seq("k"), "ts", "dt")
+    }
+    intercept[IllegalArgumentException] { // date vs timestamp ts: unlike units
+      AsOfJoinPlan.asOfJoinNative(
+        events, prices.withColumn("dt", $"dt".cast("timestamp")), Seq("k"), "ts", "dt")
+    }
+  }
+
   test("rangeJoinBinned equals a plain inequality join") {
     val points = Seq((1, "2024-01-05"), (2, "2024-02-20"), (3, "2024-06-01"))
       .toDF("id", "ts").select($"id", $"ts".cast("date").as("ts"))
