@@ -47,6 +47,15 @@ object SimilarityQueries extends QueryPack {
       Similarity.kmeansAssignStep(Tables.embeddings(s, d), "vec_id", "embedding", k = 8)
         .withColumnRenamed("cid", "cluster")),
 
+    // Product-quantization encoder: 4 independent sub-quantizers over
+    // 16-dim slices compress each 64-dim vector to 4 3-bit codes
+    // (Similarity.pqEncode) — the memory-side half of large-scale ANN
+    // (IVF above is the routing half). Codes + per-subspace assignment
+    // cosines, all oracle-exact.
+    "q97_pq_encode" -> ((s, d) =>
+      Similarity.pqEncode(Tables.embeddings(s, d), "vec_id", "embedding",
+        dim = 64, m = PQ_M, k = PQ_K, rounds = PQ_ROUNDS)),
+
     // The closed ANN loop: 2 Lloyd training rounds → assign to trained
     // cells → exact top-3 within each learned cell. q57's cells come
     // from the fixture label; here they come from the quantizer itself.
@@ -84,6 +93,10 @@ object SimilarityQueries extends QueryPack {
 
   private val KM_K = 8
   private val KM_ROUNDS = 2
+  private val PQ_M = 4       // subspaces
+  private val PQ_SUB = 16    // dims per subspace (4 × 16 = 64)
+  private val PQ_K = 8       // codebook size per subspace
+  private val PQ_ROUNDS = 1
 
   /** cosine(a,b) with strict left-fold double arithmetic. */
   private[operators] def cosSql(a: String, b: String) =
@@ -129,7 +142,58 @@ object SimilarityQueries extends QueryPack {
     (head +: steps).mkString(",\n")
   }
 
+  /** [[kmeansWith]] generalized to a vector SLICE `[lo:hi]` with
+    * suffix-disambiguated CTE names (no leading WITH), so several
+    * independent sub-quantizer chains compose into one statement — the
+    * per-subspace training of product quantization. Final assignment
+    * relation: `a$sfx${rounds + 1}`.
+    */
+  private def kmeansWithSub(k: Int, rounds: Int, lo: Int, hi: Int, sfx: String): String = {
+    def argmin(cents: String) =
+      s"""SELECT vec_id, embedding, cid, cos FROM (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |         ${cosSql("e.embedding", "c.centroid")} AS cos,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY ${cosSql("e.embedding", "c.centroid")} DESC, c.cid) AS rn
+         |  FROM emb$sfx e CROSS JOIN $cents c
+         |  WHERE ${cosSql("e.embedding", "c.centroid")} IS NOT NULL)
+         |WHERE rn = 1""".stripMargin
+    val head =
+      s"""emb$sfx AS (SELECT vec_id, embedding[$lo:$hi] AS embedding FROM embeddings),
+         |seeds$sfx AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cid,
+         |                 embedding AS centroid
+         |          FROM (SELECT vec_id, embedding[$lo:$hi] AS embedding
+         |                FROM embeddings ORDER BY vec_id LIMIT $k)),
+         |a$sfx${1} AS (${argmin(s"seeds$sfx")})""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s"""sums$sfx$r AS (
+         |  SELECT cid, r.i AS pos,
+         |         SUM(CAST(floor(CAST(embedding[r.i] AS DOUBLE) * 1e7) AS BIGINT)) AS s
+         |  FROM a$sfx$r, range(1, ${hi - lo + 2}) r(i) GROUP BY 1, 2),
+         |cents$sfx$r AS (
+         |  SELECT cid, list(CAST(CAST(s AS DOUBLE) AS FLOAT) ORDER BY pos) AS centroid
+         |  FROM sums$sfx$r GROUP BY cid),
+         |a$sfx${r + 1} AS (${argmin(s"cents$sfx$r")})""".stripMargin
+    }
+    (head +: steps).mkString(",\n")
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q97_pq_encode" -> {
+      val chains = (0 until PQ_M).map { i =>
+        kmeansWithSub(PQ_K, PQ_ROUNDS, i * PQ_SUB + 1, (i + 1) * PQ_SUB, s"_s${i}_")
+      }.mkString(",\n")
+      val cols = (0 until PQ_M).map { i =>
+        s"s$i.cid AS code$i, s$i.cos AS cos$i"
+      }.mkString(",\n           ")
+      val joins = (1 until PQ_M).map { i =>
+        s"JOIN a_s${i}_${PQ_ROUNDS + 1} s$i USING (vec_id)"
+      }.mkString("\n         ")
+      s"""WITH $chains
+         |SELECT vec_id, $cols
+         |FROM a_s0_${PQ_ROUNDS + 1} s0
+         |$joins""".stripMargin
+    },
     "q72_kmeans_assign" ->
       s"""${kmeansWith(8, 1)}
          |SELECT vec_id, cid AS cluster, cos FROM a2""".stripMargin,

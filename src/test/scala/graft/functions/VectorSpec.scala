@@ -102,4 +102,28 @@ class VectorSpec extends SparkSpec {
     assert(r(1L) == "111")
     assert(r(3L) == "101")
   }
+
+  test("pqEncode: valid codes per subspace, deterministic, subspaces independent") {
+    import graft.operators.Similarity
+    // dim 4 → m=2 subspaces of 2 dims, k=2 codes each. The two seed
+    // vectors (smallest ids 0, 1) differ in BOTH subspaces, so each
+    // sub-codebook separates on its own sign axis; ids 2 and 3 mix the
+    // signs, proving the subspaces quantize independently (a single
+    // coarse quantizer could not give id2/id3 their crossed codes).
+    val emb = Seq(
+      (0L, Array(1f, 0.1f, 1f, 0.1f)),
+      (1L, Array(-1f, 0.1f, -1f, 0.1f)),
+      (2L, Array(1f, 0.1f, -1f, 0.1f)),
+      (3L, Array(-1f, 0.1f, 1f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val enc = Similarity.pqEncode(emb, "vec_id", "embedding", dim = 4, m = 2, k = 2, rounds = 1)
+    val rows = enc.select($"vec_id", $"code0", $"code1")
+      .as[(Long, Int, Int)].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq((0L, 1, 1), (1L, 2, 2), (2L, 1, 2), (3L, 2, 1)))
+    val again = Similarity.pqEncode(emb, "vec_id", "embedding", 4, 2, 2, 1)
+      .select($"vec_id", $"code0", $"code1").as[(Long, Int, Int)].collect().sortBy(_._1)
+    assert(rows.sameElements(again))
+    intercept[IllegalArgumentException](
+      Similarity.pqEncode(emb, "vec_id", "embedding", dim = 4, m = 3, k = 2, rounds = 1))
+  }
 }
