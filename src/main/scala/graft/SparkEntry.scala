@@ -14,6 +14,7 @@ object SparkEntry {
     HierarchyQueries,
     DatesQueries,
     TextQueries,
+    RetrievalQueries,
     DedupQueries,
     SimilarityQueries,
     EventsQueries,

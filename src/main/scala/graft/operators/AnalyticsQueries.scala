@@ -162,10 +162,30 @@ object AnalyticsQueries extends QueryPack {
         col("c_nationkey"), col("dt"), col("rev_cents"), col("n_orders"),
         sum(col("rev_cents")).over(rolling).as("rev_7d_cents"),
         coalesce(lag(col("rev_cents"), 1).over(byDay), lit(0L)).as("prev_day_cents"))
+    }),
+
+    // §2.4 grouping-sets, CUBE form — completes the family next to
+    // ROLLUP (q73) and PIVOT (q09): every (priority, year) cell plus
+    // both one-dimension margins plus the grand total in ONE pass.
+    // Catalyst plans Expand + a single partial-aggregated shuffle, so
+    // the 4 grouping sets cost one scan, not four.
+    "q100_sales_cube" -> ((s, d) => {
+      Tables.orders(s, d).select(
+          col("o_orderpriority").as("priority"),
+          year(col("o_orderdate")).as("yr"),
+          col("o_totalprice").cast(dec).as("total"))
+        .cube(col("priority"), col("yr"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("total")).cast(DoubleType).as("revenue"))
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q100_sales_cube" ->
+      """SELECT o_orderpriority AS priority, CAST(year(o_orderdate) AS INT) AS yr,
+         count(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM orders GROUP BY CUBE (priority, yr)""",
     "q93_rolling_revenue" ->
       """WITH daily AS (
            SELECT c_nationkey, CAST(o_orderdate AS DATE) AS dt,

@@ -134,6 +134,75 @@ object EventsQueries extends QueryPack {
           col("p_us") - col("v_us") <= 3600000000L)
         .select(col("user_id"), col("view_id"), col("purchase_id"),
           (col("p_us") - col("v_us")).as("lag_us"))
+    }),
+
+    // SLIDING windows (overlap 2): every event lands in two 2-hour
+    // windows stepped hourly — the streaming `window(ts, 2h, 1h)`
+    // shape, batch twin. Catalyst plans the window expansion as a
+    // 2-row Expand before the partial agg, so the overlap costs ×2 in
+    // the combine, not a second scan.
+    "q101_sliding_window" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(dec)).cast(DoubleType).as("sum_value"))
+        .select(col("window.start").cast(TimestampNTZType).as("win_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+    }),
+
+    // Per-group z-score outliers (|z| > 2) with ENTIRELY exact
+    // arithmetic: values quantize to cent longs, per-type moments are
+    // integer sums, and the z² > 4 test is the cross-multiplied
+    // (q·n − S)² > 4·(n·SS − S²) — no float mean/stddev anywhere, so
+    // both engines agree bit-for-bit even at the threshold boundary.
+    // The squared terms run in bounded DECIMAL precisions (DuckDB's
+    // multiply rule p1+p2 ≤ 38 is the binding constraint): exact up to
+    // ~1e17 per |deviation·n| — beyond that re-center on a first-pass
+    // approximate mean before quantizing. Scale shape: one partial-agg
+    // groupBy for the moments (5 rows), broadcast back, flag in a
+    // codegen'd projection.
+    "q102_outliers" -> ((s, d) => {
+      val d9 = DecimalType(9, 0); val d10 = DecimalType(10, 0)
+      val d17 = DecimalType(17, 0); val d18 = DecimalType(18, 0)
+      val e = Tables.events(s, d).select(col("event_id"), col("event_type"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast(LongType).as("cents"))
+      val st = e.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(col("cents")).as("s"),
+        sum(col("cents") * col("cents")).as("ss"))
+      val dev = col("cents").cast(d9) * col("n").cast(d10) - col("s").cast(d18)
+      val dev2 = dev.cast(d17) * dev.cast(d17)
+      val varn2 = col("n").cast(d10) * col("ss").cast(d18) -
+        col("s").cast(d18) * col("s").cast(d18)
+      val thr = varn2.cast(DecimalType(36, 0)) * lit(4).cast(DecimalType(1, 0))
+      e.join(broadcast(st), Seq("event_type"))
+        .filter(dev2 > thr)
+        .select(col("event_id"), col("event_type"), col("cents"),
+          (dev > lit(0).cast(d18)).as("is_high"))
+    }),
+
+    // Ordered 3-step funnel (view → click → purchase): the earliest
+    // view, the earliest click AFTER it, the earliest purchase after
+    // THAT, per user — strict sequencing, not mere co-occurrence. All
+    // time math in exact microsecond longs. Scale shape: three
+    // user-keyed partial-agg groupBys and user-keyed joins — every
+    // stage co-partitions on user_id, so at 100 TB this is one shuffle
+    // key end-to-end (and the per-stage survivor sets only shrink).
+    "q103_funnel" -> ((s, d) => {
+      val e = Tables.events(s, d).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t_view"))
+      val c = e.filter(col("event_type") === "click").join(v, Seq("user_id"))
+        .filter(col("us") > col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("t_click"))
+      val p = e.filter(col("event_type") === "purchase").join(c, Seq("user_id"))
+        .filter(col("us") > col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("t_purchase"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+          (lit(1) + when(col("t_click").isNotNull, 1).otherwise(0)
+            + when(col("t_purchase").isNotNull, 1).otherwise(0)).as("stage"))
     })
   )
 
@@ -185,6 +254,42 @@ object EventsQueries extends QueryPack {
          JOIN (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_us
                FROM events WHERE event_type = 'purchase') p
            ON v.user_id = p.user_id
-          AND p.p_us >= v.v_us AND p.p_us - v.v_us <= 3600000000"""
+          AND p.p_us >= v.v_us AND p.p_us - v.v_us <= 3600000000""",
+    "q101_sliding_window" ->
+      """SELECT date_trunc('hour', ts) - k.k * INTERVAL 1 HOUR AS win_start,
+         event_type, count(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) k
+         GROUP BY 1, 2""",
+    "q102_outliers" ->
+      """WITH e AS (SELECT event_id, event_type,
+                      CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+                    FROM events),
+         st AS (SELECT event_type, count(*) AS n, SUM(cents) AS s,
+                       SUM(cents * cents) AS ss
+                FROM e GROUP BY event_type)
+         SELECT event_id, e.event_type, cents,
+                (CAST(cents AS DECIMAL(9,0)) * CAST(n AS DECIMAL(10,0))
+                   - CAST(s AS DECIMAL(18,0))) > CAST(0 AS DECIMAL(18,0)) AS is_high
+         FROM e JOIN st ON e.event_type = st.event_type
+         WHERE CAST(CAST(cents AS DECIMAL(9,0)) * CAST(n AS DECIMAL(10,0))
+                      - CAST(s AS DECIMAL(18,0)) AS DECIMAL(17,0))
+               * CAST(CAST(cents AS DECIMAL(9,0)) * CAST(n AS DECIMAL(10,0))
+                        - CAST(s AS DECIMAL(18,0)) AS DECIMAL(17,0))
+             > CAST(CAST(n AS DECIMAL(10,0)) * CAST(ss AS DECIMAL(18,0))
+                      - CAST(s AS DECIMAL(18,0)) * CAST(s AS DECIMAL(18,0))
+                    AS DECIMAL(36,0)) * CAST(4 AS DECIMAL(1,0))""",
+    "q103_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         v AS (SELECT user_id, MIN(us) AS t_view FROM e
+               WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, MIN(us) AS t_click FROM e JOIN v USING (user_id)
+               WHERE event_type = 'click' AND us > t_view GROUP BY e.user_id),
+         p AS (SELECT e.user_id, MIN(us) AS t_purchase FROM e JOIN c USING (user_id)
+               WHERE event_type = 'purchase' AND us > t_click GROUP BY e.user_id)
+         SELECT v.user_id, t_view, t_click, t_purchase,
+                1 + (CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END)
+                  + (CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS stage
+         FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)"""
   )
 }

@@ -1,0 +1,129 @@
+package graft.operators
+
+import graft.QueryPack
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-retrieval surface over `documents`: BM25 relevance ranking and
+  * corpus-wide heavy-hitter token statistics — the query-side and
+  * profiling-side primitives a training-data pipeline needs once a
+  * corpus is big enough that "grep" is a distributed job.
+  *
+  * Numeric contract: every double in the BM25 score is derived from
+  * exact integer aggregates (tf, df, N, Σlen) through +,-,*,/ only, in
+  * a FIXED association order mirrored literally by the oracle SQL —
+  * IEEE 754 rounds those identically in every engine, where log()-based
+  * idf would not be bit-stable. The classic `ln` idf is monotone in the
+  * rational (N − df + ½)/(df + ½) used here, so rankings are identical.
+  */
+object RetrievalQueries extends QueryPack {
+
+  /** Fixed query terms (the reference corpus is synthetic word-salad;
+    * any real deployment parameterizes these).
+    */
+  private val TERMS = Seq("spark", "join", "fast")
+  private val K1 = 1.2   // term-frequency saturation
+  private val B = 0.75   // length normalization strength
+  private val K1P1 = 2.2 // k1 + 1 as a literal: 1.2+1 in doubles is a
+                         // round-to-even tie, so both engines parse the
+                         // SAME literal instead of computing it
+  private val TOPK = 20
+
+  val queries: Map[String, Q] = Map(
+    // BM25 top-20 documents for a fixed 3-term query. Shape at 100 TB:
+    // one scan computes per-doc (len, tf...) map-side; the corpus
+    // stats (N, Σlen, df per term) partial-aggregate to ONE row that
+    // broadcasts back; scoring is a codegen'd projection; the top-k is
+    // TakeOrderedAndProject (no global sort materialization).
+    "q98_bm25" -> ((s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id") +: size(col("toks")).as("len") +:
+          TERMS.map(t =>
+            size(filter(col("toks"), x => x === t)).as(s"tf_$t")): _*)
+      val statCols =
+        count(lit(1)).as("n") +: sum(col("len")).as("sumlen") +:
+          TERMS.map(t =>
+            sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+      val stats = tf.agg(statCols.head, statCols.tail: _*)
+      val nd = col("n").cast(DoubleType)
+      val avgdl = col("sumlen").cast(DoubleType) / nd
+      val bnorm = lit(1.0 - B) + lit(B) * (col("len").cast(DoubleType) / avgdl)
+      val score = TERMS.map { t =>
+        val tfd = col(s"tf_$t").cast(DoubleType)
+        val dfd = col(s"df_$t").cast(DoubleType)
+        ((nd - dfd + lit(0.5)) / (dfd + lit(0.5))) *
+          ((tfd * lit(K1P1)) / (tfd + lit(K1) * bnorm))
+      }.reduce(_ + _)
+      tf.crossJoin(broadcast(stats))
+        .select(col("doc_id") +: TERMS.map(t => col(s"tf_$t")) :+
+          score.as("score"): _*)
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(TOPK)
+    }),
+
+    // Corpus heavy hitters: top-20 tokens by total occurrences, with
+    // document frequency. explode → partial-aggregated groupBy →
+    // TakeOrderedAndProject; at 100 TB the map-side combine collapses
+    // each task's token stream before the single narrow shuffle.
+    // (q84_vocab_topk ranks shingles by DOC frequency; this is the
+    // occurrence-count twin over raw tokens.) The exact groupBy is the
+    // oracle-checkable path; CountMinSketchSpec proves the sketch twin
+    // for streams/one-pass settings against its ε·N error contract.
+    "q99_token_topk" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          count_distinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("n_occurrences").desc, col("token"))
+        .limit(TOPK)
+    })
+  )
+
+  /** The BM25 score as oracle SQL — the SAME association order as the
+    * Column expression above, term by term.
+    */
+  private def scoreSql: String = {
+    val bnorm =
+      s"(0.25 + 0.75 * (CAST(len AS DOUBLE) / (CAST(sumlen AS DOUBLE) / CAST(n AS DOUBLE))))"
+    TERMS.map { t =>
+      s"""((CAST(n AS DOUBLE) - CAST(df_$t AS DOUBLE) + 0.5) / (CAST(df_$t AS DOUBLE) + 0.5)) *
+         |   ((CAST(tf_$t AS DOUBLE) * $K1P1) / (CAST(tf_$t AS DOUBLE) + $K1 * $bnorm))""".stripMargin
+    }.mkString("(", " + ", ")")
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "q98_bm25" -> {
+      val tfCols = TERMS.map(t =>
+        s"CAST(len(list_filter(toks, x -> x = '$t')) AS INT) AS tf_$t").mkString(",\n           ")
+      val dfCols = TERMS.map(t =>
+        s"SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t").mkString(",\n           ")
+      val tfOut = TERMS.map(t => s"tf_$t").mkString(", ")
+      s"""WITH tf AS (
+         |  SELECT doc_id, CAST(len(toks) AS INT) AS len,
+         |           $tfCols
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+         |st AS (
+         |  SELECT count(*) AS n, SUM(len) AS sumlen,
+         |           $dfCols
+         |  FROM tf)
+         |SELECT doc_id, $tfOut, score FROM (
+         |  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rn FROM (
+         |    SELECT doc_id, $tfOut, $scoreSql AS score
+         |    FROM tf CROSS JOIN st))
+         |WHERE rn <= $TOPK""".stripMargin
+    },
+    "q99_token_topk" ->
+      s"""SELECT token, count(*) AS n_occurrences,
+         |       count(DISTINCT doc_id) AS n_docs
+         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |      FROM documents)
+         |GROUP BY token
+         |ORDER BY n_occurrences DESC, token
+         |LIMIT $TOPK""".stripMargin
+  )
+}

@@ -281,6 +281,60 @@ object Similarity {
       }.toDF("bucket", "vec_id", "nn_id", "cos", "rn")
   }
 
+  /** PQ asymmetric-distance (ADC) search: queries score against the
+    * COMPRESSED index — each database vector is represented only by its
+    * m per-subspace codes, reconstructed as the concatenation of its m
+    * assigned centroids ([[pqEncode]] trains/assigns them). The score
+    * is cosine(query, reconstruction), decomposed the way a real ADC
+    * kernel computes it: per-subspace dot products dot(q_i, c_i[code])
+    * summed in fixed subspace order (so doubles are bit-stable), query
+    * norm exact, reconstruction norm from the same per-subspace
+    * partials. At 100 TB the m·k centroid tables and the code relation
+    * are the broadcast side (codes are m·log2(k) bits per vector — the
+    * entire index fits in executor memory, which is PQ's point); the
+    * query scan streams against it with no shuffle. Returns
+    * (vec_id, nn_id, adc, rn) — top kNeighbors per query by
+    * (adc desc, nn_id asc), self excluded, rank via the bounded
+    * [[graft.functions.TopKByScore]] partial agg (no window sort over
+    * the candidate relation).
+    */
+  def pqAdcKnn(emb: DataFrame, idCol: String, vecCol: String,
+               dim: Int, m: Int, k: Int, rounds: Int, kNeighbors: Int): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must split evenly into m=$m subspaces")
+    require(kNeighbors >= 1, s"kNeighbors=$kNeighbors must be >= 1")
+    val sub = dim / m
+    // compressed index: per vector the m reconstruction centroids
+    val db = (0 until m).map { i =>
+      val sliced = emb.select(col(idCol), slice(col(vecCol), i * sub + 1, sub).as(vecCol))
+      val cents = kmeansCentroids(sliced, idCol, vecCol, k, rounds)
+      kmeansAssign(sliced, idCol, vecCol, cents)
+        .select(col(idCol), col("cid"))
+        .join(broadcast(cents), Seq("cid"))
+        .select(col(idCol), col("centroid").as(s"c$i"))
+    }.reduce(_.join(_, Seq(idCol))).withColumnRenamed(idCol, "nn_id")
+      // reconstruction norm² is a per-INDEX-row quantity: fold it into
+      // the compressed index once, not once per candidate pair
+      .withColumn("cn2",
+        (0 until m).map(i => dot(col(s"c$i"), col(s"c$i"))).reduce(_ + _))
+    // pre-split each query into its m subspace slices (and its norm)
+    // BEFORE the pair join — per-pair slicing would allocate m arrays
+    // per candidate, the dominant cost of the naive form
+    val queries = emb.select(col(idCol).as("vec_id") +: norm(col(vecCol)).as("qn") +:
+      (0 until m).map(i => slice(col(vecCol), i * sub + 1, sub).as(s"q$i")): _*)
+    // fixed-order partial sums: ((d0+d1)+d2)+d3 — same association in
+    // the oracle, so the double is bit-identical across engines
+    val dots = (0 until m).map(i => dot(col(s"q$i"), col(s"c$i"))).reduce(_ + _)
+    val topk = udaf(new graft.functions.TopKByScore(kNeighbors))
+    queries.join(broadcast(db), col("vec_id") =!= col("nn_id"))
+      .withColumn("adc", dots / (col("qn") * sqrt(col("cn2"))))
+      .filter(col("adc").isNotNull) // zero-norm query or reconstruction
+      .groupBy(col("vec_id"))
+      .agg(topk(col("adc"), col("nn_id")).as("nns"))
+      .select(col("vec_id"), posexplode(col("nns")))
+      .select(col("vec_id"), col("col._2").as("nn_id"),
+        col("col._1").as("adc"), (col("pos") + 1).cast("int").as("rn"))
+  }
+
   /** Near pairs: same bucket AND exact cosine ≥ minCos. */
   def lshNearPairs(emb: DataFrame, idCol: String, vecCol: String,
                    bits: Int, minCos: Double): DataFrame = {

@@ -63,6 +63,15 @@ object SimilarityQueries extends QueryPack {
       Similarity.ivfTrainedKnn(Tables.embeddings(s, d), "vec_id", "embedding",
         k = KM_K, rounds = KM_ROUNDS, kNeighbors = 3)),
 
+    // PQ asymmetric-distance search: queries rank the COMPRESSED index
+    // (each database vector = its m per-subspace codes, reconstructed
+    // from the trained codebooks) — the memory-side half of large-scale
+    // ANN actually answering queries. Per-subspace dots sum in fixed
+    // order; scores are bit-exact vs the oracle's mirrored fold.
+    "q104_pq_adc" -> ((s, d) =>
+      Similarity.pqAdcKnn(Tables.embeddings(s, d), "vec_id", "embedding",
+        dim = 64, m = PQ_M, k = PQ_K, rounds = PQ_ROUNDS, kNeighbors = 3)),
+
     // MEASURED recall of the trained IVF index against the exact
     // brute-force top-3 — the eval every ANN deployment needs before
     // trusting its quantizer. Integer outputs only (pair counts and a
@@ -178,7 +187,41 @@ object SimilarityQueries extends QueryPack {
     (head +: steps).mkString(",\n")
   }
 
+  /** Strict left-fold dot product — the numerator of [[cosSql]] alone. */
+  private def dotSql(a: String, b: String) =
+    s"""list_reduce(list_transform(list_zip($a, $b),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"""
+
   val oracleSql: Map[String, String] = Map(
+    "q104_pq_adc" -> {
+      val chains = (0 until PQ_M).map { i =>
+        kmeansWithSub(PQ_K, PQ_ROUNDS, i * PQ_SUB + 1, (i + 1) * PQ_SUB, s"_s${i}_")
+      }.mkString(",\n")
+      val reconJoins = (0 until PQ_M).map { i =>
+        val base = if (i == 0) s"FROM a_s0_${PQ_ROUNDS + 1} a0"
+        else s"JOIN a_s${i}_${PQ_ROUNDS + 1} a$i ON a$i.vec_id = a0.vec_id"
+        s"$base\n  JOIN cents_s${i}_$PQ_ROUNDS c$i ON a$i.cid = c$i.cid"
+      }.mkString("\n  ")
+      val reconCols = (0 until PQ_M).map(i => s"c$i.centroid AS c$i").mkString(", ")
+      val num = (0 until PQ_M).map { i =>
+        dotSql(s"q.embedding[${i * PQ_SUB + 1}:${(i + 1) * PQ_SUB}]", s"r.c$i")
+      }.reduce((a, b) => s"($a + $b)")
+      val cn2 = (0 until PQ_M).map(i => dotSql(s"r.c$i", s"r.c$i"))
+        .reduce((a, b) => s"($a + $b)")
+      val adc =
+        s"""($num / (sqrt(${dotSql("q.embedding", "q.embedding")}) * sqrt($cn2)))"""
+      s"""WITH $chains,
+         |recon AS (
+         |  SELECT a0.vec_id, $reconCols
+         |  $reconJoins)
+         |SELECT vec_id, nn_id, adc, rn FROM (
+         |  SELECT q.vec_id, r.vec_id AS nn_id, $adc AS adc,
+         |         CAST(row_number() OVER (PARTITION BY q.vec_id
+         |              ORDER BY $adc DESC, r.vec_id) AS INT) AS rn
+         |  FROM embeddings q JOIN recon r ON q.vec_id != r.vec_id
+         |  WHERE $adc IS NOT NULL)
+         |WHERE rn <= 3""".stripMargin
+    },
     "q97_pq_encode" -> {
       val chains = (0 until PQ_M).map { i =>
         kmeansWithSub(PQ_K, PQ_ROUNDS, i * PQ_SUB + 1, (i + 1) * PQ_SUB, s"_s${i}_")
