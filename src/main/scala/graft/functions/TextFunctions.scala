@@ -28,6 +28,14 @@ object TextFunctions {
   def tokensNormalized(text: Column): Column =
     filter(split(trim(text), "\\s+"), t => t =!= "")
 
+  /** Canonical normalization (Unicode NFC + accent strip + lowercase)
+    * as one codegen'd native expression — the pre-dedup pass that makes
+    * NFC/NFD encodings of the same visible text hash identically
+    * ([[org.apache.spark.sql.graft.NormalizeText]]).
+    */
+  def normText(text: Column): Column =
+    org.apache.spark.sql.graft.TextNormalize.normText(text)
+
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** BPE-ish subword count: alpha runs + digit runs + punct as one token

@@ -177,10 +177,45 @@ object AnalyticsQueries extends QueryPack {
         .cube(col("priority"), col("yr"))
         .agg(count(lit(1)).as("n_orders"),
           sum(col("total")).cast(DoubleType).as("revenue"))
+    }),
+
+    // Incremental aggregate maintenance (materialized-view pattern): a
+    // monthly sales summary kept current by RE-AGGREGATING stored
+    // partials with the delta's partials — count/sum partials are
+    // mergeable, and decimal addition is associative, so the merged
+    // summary equals the full recompute bit-for-bit (the oracle IS the
+    // full recompute). Here the stored summary is simulated by
+    // aggregating the pre-watermark slice; in the warehouse it would be
+    // read back as k rows. At 100 TB the payoff is the whole point:
+    // refresh cost is O(delta + summary), never a rescan of history —
+    // the same economics as loadFactIncremental's partition-wise swap
+    // but for the aggregate layer.
+    "q107_incremental_agg" -> ((s, d) => {
+      val wm = lit(java.sql.Date.valueOf("1997-06-01"))
+      def partial(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(date_format(col("l_shipdate"), "yyyyMM").as("ship_month"),
+            col("l_returnflag"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("l_quantity").cast(dec)).as("sum_qty"),
+            sum(revenue).as("sum_revenue"))
+      val li = Tables.lineitem(s, d)
+      val base = partial(li.filter(col("l_shipdate") <= wm))
+      val delta = partial(li.filter(col("l_shipdate") > wm))
+      base.unionByName(delta)
+        .groupBy(col("ship_month"), col("l_returnflag"))
+        .agg(sum(col("n_rows")).as("n_rows"),
+          sum(col("sum_qty")).cast(DoubleType).as("sum_qty"),
+          sum(col("sum_revenue")).cast(DoubleType).as("sum_revenue"))
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q107_incremental_agg" ->
+      s"""SELECT strftime(l_shipdate, '%Y%m') AS ship_month, l_returnflag,
+         count(*) AS n_rows,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM($revenueSql) AS DOUBLE) AS sum_revenue
+         FROM lineitem GROUP BY 1, 2""",
     "q100_sales_cube" ->
       """SELECT o_orderpriority AS priority, CAST(year(o_orderdate) AS INT) AS yr,
          count(*) AS n_orders,

@@ -203,10 +203,38 @@ object EventsQueries extends QueryPack {
         .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
           (lit(1) + when(col("t_click").isNotNull, 1).otherwise(0)
             + when(col("t_purchase").isNotNull, 1).otherwise(0)).as("stage"))
+    }),
+
+    // Weekly cohort retention: cohort = ISO week (Monday-truncated,
+    // identical in both engines) of a user's first activity; n_users =
+    // users from that cohort active again week_no weeks later. Week
+    // arithmetic stays integral (Monday − Monday is an exact multiple
+    // of 7 days) so no date float hazards. Scale shape: the distinct
+    // and the first-week groupBy both shuffle on user_id — one
+    // co-partitioned chain — and the final rollup is
+    // cohorts × weeks ≈ tiny.
+    "q105_cohort_retention" -> ((s, d) => {
+      val wk = Tables.events(s, d)
+        .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
+        .distinct()
+      val first = wk.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+      // wk is (user_id, wk)-distinct, so plain count == distinct users
+      wk.join(first, Seq("user_id"))
+        .groupBy(col("cohort"),
+          (datediff(col("wk"), col("cohort")) / 7).cast(IntegerType).as("week_no"))
+        .agg(count(lit(1)).as("n_users"))
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q105_cohort_retention" ->
+      """WITH wk AS (SELECT DISTINCT user_id,
+                       CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+         f AS (SELECT user_id, MIN(wk) AS cohort FROM wk GROUP BY user_id)
+         SELECT cohort, CAST((wk.wk - f.cohort) // 7 AS INT) AS week_no,
+                count(*) AS n_users
+         FROM wk JOIN f USING (user_id)
+         GROUP BY 1, 2""",
     "q53_event_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
          count(*) AS n_events,

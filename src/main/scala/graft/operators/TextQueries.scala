@@ -177,6 +177,23 @@ object TextQueries extends QueryPack {
         .withColumn("pr_q6",
           floor(percent_rank().over(w) * 1e6).cast(LongType))
         .where(col("pr_q6") <= 500000L)
+    }),
+
+    // Normalize-then-dedup: exact dedup keyed on the canonical text form
+    // (NFC + accent strip + lowercase — the native NormalizeText
+    // expression) instead of the raw bytes, so NFD/NFC/case variants of
+    // the same visible text collapse into one group. One projection +
+    // one partial-agg groupBy on a 128-bit digest of the normalized
+    // form — same scale shape as q44's exact dedup. The corpus is
+    // ASCII, so the oracle reduces to lower(text); the non-ASCII paths
+    // (composed/decomposed accents) are pinned by TextDedupSpec.
+    "q108_normalized_dedup" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), normText(col("text")).as("norm"))
+        .groupBy(md5(col("norm")).as("norm_md5"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_docs"),
+          min(length(col("norm"))).as("n_chars"))
     })
   )
 
@@ -187,6 +204,10 @@ object TextQueries extends QueryPack {
     s"CAST(${stopHitsSql(EN)} AS DOUBLE) / CAST($nTokensSql AS DOUBLE)"
 
   val oracleSql: Map[String, String] = Map(
+    "q108_normalized_dedup" ->
+      """SELECT md5(lower(text)) AS norm_md5, MIN(doc_id) AS keep_id,
+         count(*) AS n_docs, CAST(MIN(len(lower(text))) AS INT) AS n_chars
+         FROM documents GROUP BY 1""",
     "q94_quality_gate" ->
       s"""WITH scored AS (
            SELECT doc_id, source,

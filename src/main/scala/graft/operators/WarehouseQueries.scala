@@ -108,10 +108,66 @@ object WarehouseQueries extends QueryPack {
         col("o_orderkey"),
         date_format(col("o_orderdate"), "MM/dd/yyyy").as("date_str"))
         .withColumn("parsed_dt", to_date(col("date_str"), "MM/dd/yyyy"))
+    }),
+
+    // P6/A7: the post-load data-quality gate as one queryable report
+    // (reference: python/dw_etl_tests.py:274-305 runs FK / UNIQUE /
+    // NOT-NULL assertions after every ETL). Each FK check is a left-anti
+    // join whose dim side AQE broadcasts while it fits; the dup check is
+    // a partial-agg groupBy. Every check reduces to one row before the
+    // union, so at 100 TB this is k independent scans and nothing else —
+    // no driver-side looping over assertion results.
+    "q106_integrity_check" -> ((s, d) => {
+      val cust = Tables.customer(s, d).select("c_custkey")
+      val orders = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      def one(name: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n_violations"))
+          .select(lit(name).as("check_name"), col("n_violations"))
+      one("orders_custkey_fk",
+        orders.join(cust, col("o_custkey") === col("c_custkey"), "left_anti"))
+        .unionByName(one("lineitem_orderkey_fk",
+          li.join(orders.select("o_orderkey"),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")))
+        .unionByName(one("lineitem_partkey_fk",
+          li.join(Tables.part(s, d).select("p_partkey"),
+            col("l_partkey") === col("p_partkey"), "left_anti")))
+        .unionByName(one("events_user_fk",
+          Tables.events(s, d).join(cust,
+            col("user_id") === col("c_custkey"), "left_anti")))
+        .unionByName(one("customer_custkey_dup",
+          Tables.customer(s, d).groupBy(col("c_custkey"))
+            .agg(count(lit(1)).as("c")).filter(col("c") > 1)))
+        .unionByName(one("orders_orderdate_null",
+          orders.filter(col("o_orderdate").isNull)))
+        .unionByName(one("documents_dup_text",
+          Tables.documents(s, d).groupBy(col("text"))
+            .agg(count(lit(1)).as("c")).filter(col("c") > 1)))
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q106_integrity_check" ->
+      """SELECT 'orders_custkey_fk' AS check_name,
+           (SELECT count(*) FROM orders o WHERE NOT EXISTS
+             (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS n_violations
+         UNION ALL SELECT 'lineitem_orderkey_fk',
+           (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+             (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+         UNION ALL SELECT 'lineitem_partkey_fk',
+           (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+             (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+         UNION ALL SELECT 'events_user_fk',
+           (SELECT count(*) FROM events e WHERE NOT EXISTS
+             (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id))
+         UNION ALL SELECT 'customer_custkey_dup',
+           (SELECT count(*) FROM (SELECT c_custkey FROM customer
+                                  GROUP BY c_custkey HAVING count(*) > 1))
+         UNION ALL SELECT 'orders_orderdate_null',
+           (SELECT count(*) FROM orders WHERE o_orderdate IS NULL)
+         UNION ALL SELECT 'documents_dup_text',
+           (SELECT count(*) FROM (SELECT text FROM documents
+                                  GROUP BY text HAVING count(*) > 1))""",
     "q10_staging_clean" ->
       """SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS c_custkey,
          CAST(c_name AS VARCHAR) AS c_name,

@@ -21,6 +21,30 @@ class TextDedupSpec extends SparkSpec {
     assert(fps(1L) != fps(2L))
   }
 
+  test("normText canonicalizes NFC/NFD, accents, and case — codegen ≡ interpreted") {
+    val variants = Seq(
+      (1L, "Café RESUMÉ"),          // composed é, upper
+      (2L, "Café Resumé"),        // decomposed e + combining acute
+      (3L, "cafe resume"),                    // accent-stripped target form
+      (4L, "plain ascii STAYS lowercased")
+    ).toDF("doc_id", "text")
+    val out = variants.select($"doc_id", TextFunctions.normText($"text").as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "cafe resume" && out(2L) == "cafe resume" && out(3L) == "cafe resume")
+    assert(out(4L) == "plain ascii stays lowercased")
+    // interpreted path (eval without codegen) agrees with the df result
+    import org.apache.spark.sql.graft.TextNormalize
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(TextNormalize.normalize(UTF8String.fromString("Café Resumé")).toString
+      == "cafe resume")
+    // normalized exact-dedup collapses all three variants into one group
+    val g = Dedup.exactGroups(
+      variants.select($"doc_id", TextFunctions.normText($"text").as("text")),
+      "text", "doc_id")
+      .as[(String, Long, Long)].collect().map(t => t._2 -> t._3).toMap
+    assert(g(1L) == 3 && g(4L) == 1)
+  }
+
   test("exactGroups keeps min id and counts duplicates") {
     val g = Dedup.exactGroups(docs, "text", "doc_id")
       .as[(String, Long, Long)].collect().map(t => t._2 -> t._3).toMap
