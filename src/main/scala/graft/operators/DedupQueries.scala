@@ -139,6 +139,33 @@ object DedupQueries extends QueryPack {
         .join(docs.toDF("id_2", "source_2"), "id_2")
         .select(col("id_1").as("keep_id"), col("id_2").as("dup_id"),
           col("cos"), (col("source_1") === col("source_2")).as("same_source"))
+    }),
+
+    // Fuzzy entity matching (edit distance ≤ 2 on part names), the
+    // string-metric sibling of the shingle/minhash family. Scale design
+    // in two moves: (1) collapse to DISTINCT names first — the pair
+    // space is then bounded by the VOCABULARY, not the corpus, so the
+    // output is constant-size as data grows (24 pairs at every sf);
+    // (2) block on the name's last token, so levenshtein only runs
+    // inside blocks — never a cross product. Group sizes ride along to
+    // re-expand matches to row counts.
+    "q112_fuzzy_match" -> ((s, d) => {
+      val g = Tables.part(s, d)
+        .groupBy(col("p_name"))
+        .agg(min(col("p_partkey")).as("rep"), count(lit(1)).as("cnt"))
+        .withColumn("ts", split(col("p_name"), " "))
+        .withColumn("noun", element_at(col("ts"), size(col("ts"))))
+        .drop("ts")
+      val a = g.select(col("noun"), col("p_name").as("name_a"),
+        col("rep").as("rep_a"), col("cnt").as("n_a"))
+      val b = g.select(col("noun"), col("p_name").as("name_b"),
+        col("rep").as("rep_b"), col("cnt").as("n_b"))
+      a.join(b, Seq("noun"))
+        .where(col("name_a") < col("name_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .where(col("dist") <= 2)
+        .select(col("name_a"), col("name_b"), col("dist"),
+          col("rep_a"), col("rep_b"), col("n_a"), col("n_b"))
     })
   )
 
@@ -210,6 +237,19 @@ object DedupQueries extends QueryPack {
         simh AS (SELECT doc_id, CAST($simhashWideValue AS BIGINT) AS simhash FROM sums)"""
 
   val oracleSql: Map[String, String] = Map(
+    "q112_fuzzy_match" ->
+      """WITH g AS (
+           SELECT p_name, MIN(p_partkey) AS rep, count(*) AS cnt,
+             string_split(p_name, ' ')[len(string_split(p_name, ' '))] AS noun
+           FROM part GROUP BY p_name),
+         pairs AS (
+           SELECT a.p_name AS name_a, b.p_name AS name_b,
+             levenshtein(a.p_name, b.p_name) AS dist,
+             a.rep AS rep_a, b.rep AS rep_b, a.cnt AS n_a, b.cnt AS n_b
+           FROM g a JOIN g b ON a.noun = b.noun AND a.p_name < b.p_name)
+         SELECT name_a, name_b, CAST(dist AS INT) AS dist,
+                rep_a, rep_b, n_a, n_b
+         FROM pairs WHERE dist <= 2""",
     "q65_simhash_wide_pairs" ->
       s"""WITH $simhashWideCte
        SELECT a.doc_id AS id_1, b.doc_id AS id_2,

@@ -228,10 +228,116 @@ object ScdQueries extends QueryPack {
         .groupBy(col("camp_id"))
         .agg(count(lit(1)).as("n_orders"),
           sum(col("total")).cast(DoubleType).as("sum_total"))
+    }),
+
+    // CDC merge: apply an insert/update/DELETE change feed to a
+    // dimension snapshot with last-writer-wins per key — the missing
+    // third verb next to scd1Merge (no deletes) and scd2Merge. The
+    // feed is synthesized deterministically from the snapshot (update
+    // every 7th key, delete every 11th — overlapping keys exercise the
+    // ordering — insert brand-new keys for every 13th) with explicit
+    // seq numbers, as a CDC source would carry offsets. Scale shape:
+    // ONE key-partitioned window over base ∪ feed picks the winning
+    // version, no full-outer juggling; balances are cent longs so every
+    // output is integral.
+    "q109_cdc_merge" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.customer(s, d).select(
+        col("c_custkey").as("k"), col("c_name").as("name"),
+        (col("c_acctbal").cast(dec) * 100).cast(LongType).as("bal_cents"),
+        lit(0L).as("seq"), lit("U").as("op"))
+      val src = Tables.customer(s, d)
+      val updates = src.filter(col("c_custkey") % 7 === 0).select(
+        col("c_custkey").as("k"), col("c_name").as("name"),
+        ((col("c_acctbal").cast(dec) * 100).cast(LongType) + 10000L).as("bal_cents"),
+        lit(1L).as("seq"), lit("U").as("op"))
+      val deletes = src.filter(col("c_custkey") % 11 === 0).select(
+        col("c_custkey").as("k"), col("c_name").as("name"),
+        lit(0L).as("bal_cents"), lit(2L).as("seq"), lit("D").as("op"))
+      val inserts = src.filter(col("c_custkey") % 13 === 0).select(
+        (col("c_custkey") + 10000000L).as("k"),
+        concat(lit("new-"), col("c_name")).as("name"),
+        lit(0L).as("bal_cents"), lit(1L).as("seq"), lit("U").as("op"))
+      val all = base.unionByName(updates).unionByName(deletes).unionByName(inserts)
+      val w = Window.partitionBy(col("k")).orderBy(col("seq").desc)
+      all.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1 && col("op") === "U")
+        .select(col("k"), col("name"), col("bal_cents"), col("seq").as("last_seq"))
+    }),
+
+    // Snapshot diff: full-outer compare of two table versions into an
+    // added/removed/changed report — the regression gate a warehouse
+    // runs after every load (and the byte-level cousin of q74's
+    // incremental ≡ from-scratch proof). The next version is derived
+    // deterministically (bump every 5th key's balance, drop every 13th,
+    // add a shifted key for every 17th). One co-partitioned full-outer
+    // join on the key; unchanged rows — the overwhelming mass at
+    // 100 TB — are filtered before anything is materialized.
+    "q111_snapshot_diff" -> ((s, d) => {
+      val cust = Tables.customer(s, d).select(
+        col("c_custkey").as("k"), col("c_name").as("name"),
+        (col("c_acctbal").cast(dec) * 100).cast(LongType).as("cents"))
+      val next = cust.filter(col("k") % 13 =!= 0)
+        .select(col("k"), col("name"),
+          (col("cents") + when(col("k") % 5 === 0, 500L).otherwise(0L)).as("cents"))
+        .unionByName(cust.filter(col("k") % 17 === 0)
+          .select((col("k") + 10000000L).as("k"), col("name"), lit(0L).as("cents")))
+      val b = cust.select(col("k"), col("name").as("b_name"), col("cents").as("b_cents"))
+      val n = next.select(col("k"), col("name").as("n_name"), col("cents").as("n_cents"))
+      b.join(n, Seq("k"), "full_outer")
+        .withColumn("op",
+          when(col("b_cents").isNull, "A")
+            .when(col("n_cents").isNull, "R")
+            .when(!(col("b_name") <=> col("n_name")) ||
+              !(col("b_cents") <=> col("n_cents")), "C"))
+        .where(col("op").isNotNull)
+        .select(col("k"), col("op"), col("b_cents"), col("n_cents"))
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q109_cdc_merge" ->
+      """WITH base AS (
+           SELECT c_custkey AS k, c_name AS name,
+                  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_cents,
+                  CAST(0 AS BIGINT) AS seq, 'U' AS op FROM customer),
+         upd AS (
+           SELECT c_custkey, c_name,
+                  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) + 10000,
+                  CAST(1 AS BIGINT), 'U' FROM customer WHERE c_custkey % 7 = 0),
+         del AS (
+           SELECT c_custkey, c_name, CAST(0 AS BIGINT), CAST(2 AS BIGINT), 'D'
+           FROM customer WHERE c_custkey % 11 = 0),
+         ins AS (
+           SELECT c_custkey + 10000000, 'new-' || c_name, CAST(0 AS BIGINT),
+                  CAST(1 AS BIGINT), 'U' FROM customer WHERE c_custkey % 13 = 0),
+         allops AS (SELECT * FROM base UNION ALL SELECT * FROM upd
+                    UNION ALL SELECT * FROM del UNION ALL SELECT * FROM ins),
+         ranked AS (SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+                    FROM allops)
+         SELECT k, name, bal_cents, seq AS last_seq
+         FROM ranked WHERE rn = 1 AND op = 'U'""",
+    "q111_snapshot_diff" ->
+      """WITH cust AS (
+           SELECT c_custkey AS k, c_name AS name,
+                  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           FROM customer),
+         nxt AS (
+           SELECT k, name, cents + CASE WHEN k % 5 = 0 THEN 500 ELSE 0 END AS cents
+           FROM cust WHERE k % 13 != 0
+           UNION ALL
+           SELECT k + 10000000, name, CAST(0 AS BIGINT) FROM cust WHERE k % 17 = 0)
+         SELECT COALESCE(b.k, n.k) AS k,
+           CASE WHEN b.cents IS NULL THEN 'A'
+                WHEN n.cents IS NULL THEN 'R'
+                WHEN b.name IS DISTINCT FROM n.name
+                  OR b.cents IS DISTINCT FROM n.cents THEN 'C' END AS op,
+           b.cents AS b_cents, n.cents AS n_cents
+         FROM cust b FULL OUTER JOIN nxt n ON b.k = n.k
+         WHERE CASE WHEN b.cents IS NULL THEN 'A'
+                    WHEN n.cents IS NULL THEN 'R'
+                    WHEN b.name IS DISTINCT FROM n.name
+                      OR b.cents IS DISTINCT FROM n.cents THEN 'C' END IS NOT NULL""",
     "q27_asof_price" ->
       """WITH versions AS (
            SELECT p_partkey, CAST(v.dt AS DATE) AS price_dt,

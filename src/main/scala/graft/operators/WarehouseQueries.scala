@@ -143,10 +143,45 @@ object WarehouseQueries extends QueryPack {
         .unionByName(one("documents_dup_text",
           Tables.documents(s, d).groupBy(col("text"))
             .agg(count(lit(1)).as("c")).filter(col("c") > 1)))
+    }),
+
+    // Column profiling (the ANALYZE/summarize every warehouse exposes):
+    // null count, distinct count, lexical min/max per column, computed
+    // in ONE scan via unpivot — Catalyst plans an Expand (×k columns)
+    // feeding a single partial-agg shuffle keyed on column name, instead
+    // of k separate scans. Doubles are excluded by policy (double→string
+    // is engine-specific); ints and dates profile through stable casts.
+    "q110_profile" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(
+        col("o_orderstatus"),
+        col("o_orderpriority"),
+        col("o_custkey").cast(StringType).as("o_custkey_s"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate_s"))
+      o.unpivot(Array.empty[org.apache.spark.sql.Column], "col_name", "val")
+        .groupBy(col("col_name"))
+        .agg(count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count(col("val"))).as("n_null"),
+          countDistinct(col("val")).as("n_distinct"),
+          min(col("val")).as("min_val"),
+          max(col("val")).as("max_val"))
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q110_profile" ->
+      """WITH up AS (
+           SELECT 'o_orderstatus' AS col_name, o_orderstatus AS val FROM orders
+           UNION ALL
+           SELECT 'o_orderpriority', o_orderpriority FROM orders
+           UNION ALL
+           SELECT 'o_custkey_s', CAST(o_custkey AS VARCHAR) FROM orders
+           UNION ALL
+           SELECT 'o_orderdate_s', strftime(o_orderdate, '%Y-%m-%d') FROM orders)
+         SELECT col_name, count(*) AS n_rows,
+           count(*) - count(val) AS n_null,
+           count(DISTINCT val) AS n_distinct,
+           MIN(val) AS min_val, MAX(val) AS max_val
+         FROM up GROUP BY col_name""",
     "q106_integrity_check" ->
       """SELECT 'orders_custkey_fk' AS check_name,
            (SELECT count(*) FROM orders o WHERE NOT EXISTS
