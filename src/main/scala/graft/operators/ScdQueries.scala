@@ -292,10 +292,50 @@ object ScdQueries extends QueryPack {
               !(col("b_cents") <=> col("n_cents")), "C"))
         .where(col("op").isNotNull)
         .select(col("k"), col("op"), col("b_cents"), col("n_cents"))
+    }),
+
+    // Time travel: two snapshot versions committed to the warehouse
+    // (immutable `v=N` dirs — Warehouse.writeVersion), then BOTH read
+    // back — v1 as-of-read AFTER v2 was committed, so a green hash
+    // proves snapshot isolation: later commits never disturb earlier
+    // readers. v2 applies q111's mutation set, which makes q111 the
+    // derived CHANGE view of exactly these two versions. Full-copy
+    // versioning is the dimension-table path; facts version
+    // per-partition (q74/q79).
+    "q114_time_travel" -> ((s, d) => {
+      val wh = new graft.sources.Warehouse(graft.plans.EtlQueries.tmpWarehouse(), s)
+      val v1 = Tables.customer(s, d).select(
+        col("c_custkey").as("k"), col("c_name").as("name"),
+        (col("c_acctbal").cast(dec) * 100).cast(LongType).as("cents"))
+      val v2 = v1.filter(col("k") % 13 =!= 0)
+        .select(col("k"), col("name"),
+          (col("cents") + when(col("k") % 5 === 0, 500L).otherwise(0L)).as("cents"))
+        .unionByName(v1.filter(col("k") % 17 === 0)
+          .select((col("k") + 10000000L).as("k"), col("name"), lit(0L).as("cents")))
+      wh.writeVersion(v1, "bl_3nf", "dim_customers"): Unit
+      wh.writeVersion(v2, "bl_3nf", "dim_customers"): Unit
+      val asOf1 = wh.readVersion("bl_3nf", "dim_customers", 1)
+      val asOf2 = wh.readVersion("bl_3nf", "dim_customers", 2)
+      asOf1.withColumn("version", lit(1))
+        .unionByName(asOf2.withColumn("version", lit(2)))
+        .select(col("version"), col("k"), col("name"), col("cents"))
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q114_time_travel" ->
+      """WITH v1 AS (
+           SELECT c_custkey AS k, c_name AS name,
+                  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           FROM customer),
+         v2 AS (
+           SELECT k, name, cents + CASE WHEN k % 5 = 0 THEN 500 ELSE 0 END AS cents
+           FROM v1 WHERE k % 13 != 0
+           UNION ALL
+           SELECT k + 10000000, name, CAST(0 AS BIGINT) FROM v1 WHERE k % 17 = 0)
+         SELECT 1 AS version, * FROM v1
+         UNION ALL
+         SELECT 2 AS version, * FROM v2""",
     "q109_cdc_merge" ->
       """WITH base AS (
            SELECT c_custkey AS k, c_name AS name,

@@ -164,10 +164,48 @@ object WarehouseQueries extends QueryPack {
           countDistinct(col("val")).as("n_distinct"),
           min(col("val")).as("min_val"),
           max(col("val")).as("max_val"))
+    }),
+
+    // S1 promoted to the hash gate: the full CSV ingest path —
+    // windows-1252 file with smart-quote punctuation (0x93/0x94), the
+    // encoding PROBE (utf-8 decodes them to U+FFFD → rejected;
+    // ISO-8859-1 to C1 controls → rejected; cp1252 wins), header read,
+    // then the staging parses (money F6, MM/dd/yyyy date F7) — proven
+    // value-exact against the oracle computing straight from parquet.
+    // Every decorated name hashes right only if the detected encoding
+    // was correct, so the fallback itself is under the hash check.
+    "q113_csv_roundtrip" -> ((s, d) => {
+      val dir = graft.plans.EtlQueries.tmpWarehouse() + "/cust_csv"
+      val money = concat(lit("$"), (col("c_custkey") % 90 + 1).cast(StringType),
+        lit(","), lpad(((col("c_custkey") * 7) % 1000).cast(StringType), 3, "0"),
+        lit("."), lpad((col("c_custkey") % 100).cast(StringType), 2, "0"))
+      val name = when(col("c_custkey") % 10 === 0,
+        concat(col("c_name"), lit(" “vip”"))).otherwise(col("c_name"))
+      val dateStr = date_format(
+        date_add(lit("1992-01-01").cast(DateType), (col("c_custkey") % 2000).cast("int")),
+        "MM/dd/yyyy")
+      Tables.customer(s, d)
+        .select(col("c_custkey"), name.as("name"), money.as("bal_str"),
+          dateStr.as("joined_str"))
+        .coalesce(1)
+        .write.mode("overwrite").option("header", "true")
+        .option("encoding", "windows-1252").csv(dir)
+      graft.sources.Csv.readWithEncodingFallback(s, dir)
+        .select(col("c_custkey").cast(LongType).as("c_custkey"), col("name"),
+          regexp_replace(trim(col("bal_str")), "[$,]", "")
+            .cast(DecimalType(9, 2)).cast(DoubleType).as("amount"),
+          to_date(col("joined_str"), "MM/dd/yyyy").as("joined_dt"))
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q113_csv_roundtrip" ->
+      """SELECT c_custkey,
+         c_name || CASE WHEN c_custkey % 10 = 0 THEN ' “vip”' ELSE '' END AS name,
+         CAST(CAST((c_custkey % 90 + 1) * 1000 + (c_custkey * 7) % 1000 AS DECIMAL(9,2))
+              + CAST(c_custkey % 100 AS DECIMAL(9,2)) / 100 AS DOUBLE) AS amount,
+         DATE '1992-01-01' + CAST(c_custkey % 2000 AS INT) AS joined_dt
+         FROM customer""",
     "q110_profile" ->
       """WITH up AS (
            SELECT 'o_orderstatus' AS col_name, o_orderstatus AS val FROM orders

@@ -227,4 +227,53 @@ class Warehouse(val root: String, spark: SparkSession) {
     fs.delete(old, true)
     n
   }
+
+  // ---- versioned snapshots (time travel) ----
+  //
+  // Layout: `<layer>/<table>__versions/v=N/`, each an IMMUTABLE parquet
+  // snapshot. Commit = write the next `v=N` dir; visibility = presence
+  // of `_SUCCESS`, so a torn write is simply invisible and no swap or
+  // pointer file is needed — readers of older versions are never
+  // disturbed (snapshot isolation on an object store for free). At
+  // 100 TB full-copy versioning is for DIMENSIONS; facts version
+  // per-partition via overwritePartitions + compact instead.
+
+  private def versionsDir(layer: String, table: String) =
+    new Path(path(layer, table + "__versions"))
+
+  private def versionList(layer: String, table: String): Seq[Int] = {
+    val dir = versionsDir(layer, table)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("v="))
+      .map(_.stripPrefix("v=").toInt).sorted
+      .filter(v => fs.exists(new Path(dir, s"v=$v/_SUCCESS")))
+  }
+
+  /** Commit `df` as the next snapshot version; returns its number. */
+  def writeVersion(df: DataFrame, layer: String, table: String): Int = {
+    val next = versionList(layer, table).lastOption.getOrElse(0) + 1
+    df.write.mode("overwrite")
+      .parquet(new Path(versionsDir(layer, table), s"v=$next").toString)
+    next
+  }
+
+  def latestVersion(layer: String, table: String): Option[Int] =
+    versionList(layer, table).lastOption
+
+  /** Read a specific committed snapshot (time travel). */
+  def readVersion(layer: String, table: String, version: Int): DataFrame = {
+    val p = new Path(versionsDir(layer, table), s"v=$version")
+    require(fs.exists(new Path(p, "_SUCCESS")),
+      s"$layer.$table has no committed version $version")
+    spark.read.parquet(p.toString)
+  }
+
+  /** Retention: drop all but the newest `keep` committed versions. */
+  def vacuumVersions(layer: String, table: String, keep: Int): Seq[Int] = {
+    val drop = versionList(layer, table).dropRight(keep)
+    drop.foreach(v =>
+      fs.delete(new Path(versionsDir(layer, table), s"v=$v"), true): Unit)
+    drop
+  }
 }

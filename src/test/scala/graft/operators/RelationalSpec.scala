@@ -64,6 +64,25 @@ class RelationalSpec extends SparkSpec {
     assert(wh.read("l", "t").as[Int].collect().sameElements(Array(4)))
   }
 
+  test("versioned snapshots: isolation, latest pointer, vacuum retention") {
+    val root = java.nio.file.Files.createTempDirectory("graft-verspec").toString
+    val wh = new Warehouse(root, spark)
+    assert(wh.latestVersion("l", "t").isEmpty)
+    assert(wh.writeVersion(Seq(1, 2).toDF("x"), "l", "t") == 1)
+    assert(wh.writeVersion(Seq(3).toDF("x"), "l", "t") == 2)
+    assert(wh.writeVersion(Seq(4, 5, 6).toDF("x"), "l", "t") == 3)
+    assert(wh.latestVersion("l", "t").contains(3))
+    // as-of read of v1 is untouched by later commits (snapshot isolation)
+    assert(wh.readVersion("l", "t", 1).as[Int].collect().sorted.sameElements(Array(1, 2)))
+    // vacuum keeps the newest `keep`, reports what it dropped
+    assert(wh.vacuumVersions("l", "t", keep = 2) == Seq(1))
+    assert(intercept[IllegalArgumentException](
+      wh.readVersion("l", "t", 1)).getMessage.contains("no committed version"))
+    assert(wh.readVersion("l", "t", 3).as[Int].collect().sorted.sameElements(Array(4, 5, 6)))
+    // version numbers never reuse a vacuumed slot
+    assert(wh.writeVersion(Seq(7).toDF("x"), "l", "t") == 4)
+  }
+
   test("warehouse compact collapses small files without changing a row") {
     val root = java.nio.file.Files.createTempDirectory("graft-whspec").toString
     val wh = new Warehouse(root, spark)
