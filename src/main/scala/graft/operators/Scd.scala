@@ -95,4 +95,26 @@ object Scd {
     val merged = j.select(explode(rows).as("r")).select(col("r.*"))
     inactive.unionByName(merged)
   }
+
+  /** CDC apply — the third merge verb: an insert/update/DELETE change
+    * feed folded into a snapshot with last-writer-wins per key. Both
+    * inputs carry a monotonic `seqCol` (CDC offset; give base rows the
+    * lowest) and an `opCol` ('U' upsert / 'D' delete); (key, seq) must
+    * be unique — ties break on op for determinism, but a feed with
+    * duplicate offsets per key is a broken CDC source. The winning
+    * version is picked by ONE key-partitioned window over base ∪ feed
+    * (no full-outer juggling, no driver state); deletes win by
+    * vanishing. At 100 TB: a single shuffle on the key — bucket base
+    * and feed on it to make the pick co-located.
+    */
+  def cdcMerge(base: DataFrame, feed: DataFrame, keys: Seq[String],
+               seqCol: String = "seq", opCol: String = "op"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(seqCol).desc, col(opCol).desc)
+    base.unionByName(feed)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1 && col(opCol) =!= "D")
+      .drop("__rn", opCol)
+  }
 }

@@ -241,7 +241,6 @@ object ScdQueries extends QueryPack {
     // version, no full-outer juggling; balances are cent longs so every
     // output is integral.
     "q109_cdc_merge" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val base = Tables.customer(s, d).select(
         col("c_custkey").as("k"), col("c_name").as("name"),
         (col("c_acctbal").cast(dec) * 100).cast(LongType).as("bal_cents"),
@@ -258,10 +257,8 @@ object ScdQueries extends QueryPack {
         (col("c_custkey") + 10000000L).as("k"),
         concat(lit("new-"), col("c_name")).as("name"),
         lit(0L).as("bal_cents"), lit(1L).as("seq"), lit("U").as("op"))
-      val all = base.unionByName(updates).unionByName(deletes).unionByName(inserts)
-      val w = Window.partitionBy(col("k")).orderBy(col("seq").desc)
-      all.withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1 && col("op") === "U")
+      val feed = updates.unionByName(deletes).unionByName(inserts)
+      Scd.cdcMerge(base, feed, Seq("k"))
         .select(col("k"), col("name"), col("bal_cents"), col("seq").as("last_seq"))
     }),
 

@@ -74,6 +74,40 @@ class ScdPropertySpec extends SparkSpec {
     }
   }
 
+  test("cdcMerge equals the sequential fold of ops by offset; replay is a no-op") {
+    // feed: globally unique seqs (CDC offsets), random key/op/value
+    val feedGen: Gen[List[(Long, Long, String, String)]] = for {
+      n <- Gen.choose(0, 14)
+      keys <- Gen.listOfN(n, Gen.choose(1L, 6L))
+      ops <- Gen.listOfN(n, Gen.oneOf("U", "U", "D")) // updates twice as likely
+      vals <- Gen.listOfN(n, Gen.oneOf("x", "y", "z"))
+    } yield keys.lazyZip(1L to n.toLong).lazyZip(ops).lazyZip(vals)
+      .map((k, s, o, v) => (k, s, o, v)).toList
+    forAll(rowsGen, feedGen, n = 20) { (b, f) =>
+      val base = b.toDF("k", "v").select($"k", $"v", lit(0L).as("seq"), lit("U").as("op"))
+      val feed = f.toDF("k", "seq", "op", "v").select($"k", $"v", $"seq", $"op")
+      val out = Scd.cdcMerge(base, feed, Seq("k"))
+        .select($"k", $"v", $"seq").as[(Long, String, Long)]
+        .collect().map(r => r._1 -> (r._2, r._3)).toMap
+      // reference: fold base+feed sequentially by seq per key
+      val expected = (b.map { case (k, v) => (k, 0L, "U", v) } ++ f.map {
+        case (k, s, o, v) => (k, s, o, v)
+      }).groupBy(_._1).flatMap { case (k, rows) =>
+        val (_, s, o, v) = rows.maxBy(_._2)
+        if (o == "D") None else Some(k -> (v, s))
+      }
+      assert(out == expected)
+      // replay idempotency: applying the same feed onto the merged state
+      // reproduces it (deleted keys stay deleted, winners keep winning)
+      val replay = Scd.cdcMerge(
+        Scd.cdcMerge(base, feed, Seq("k")).withColumn("op", lit("U")),
+        feed, Seq("k"))
+        .select($"k", $"v", $"seq").as[(Long, String, Long)]
+        .collect().map(r => r._1 -> (r._2, r._3)).toMap
+      assert(replay == expected)
+    }
+  }
+
   test("TopKByScore equals sort-take for any input and any split") {
     val itemsGen = Gen.listOf(Gen.zip(Gen.chooseNum(-1.0, 1.0), Gen.choose(0L, 50L)))
     forAll(itemsGen, Gen.choose(1, 5), n = 30) { (items, k) =>
