@@ -16,6 +16,35 @@ object ScdQueries extends QueryPack {
   private val dec = DecimalType(18, 2)
   private def ntz(s: String) = lit(s).cast(TimestampNTZType)
 
+  /** Customer snapshot pair shared by q111 (the diff view) and q114
+    * (time travel) — q111 is, by construction, the change view of
+    * exactly q114's two versions. v2 = bump every 5th key's balance,
+    * drop every 13th, add a shifted key for every 17th.
+    */
+  private def custV1(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.customer(s, d).select(
+      col("c_custkey").as("k"), col("c_name").as("name"),
+      (col("c_acctbal").cast(dec) * 100).cast(LongType).as("cents"))
+
+  private def custV2(v1: org.apache.spark.sql.DataFrame) =
+    v1.filter(col("k") % 13 =!= 0)
+      .select(col("k"), col("name"),
+        (col("cents") + when(col("k") % 5 === 0, 500L).otherwise(0L)).as("cents"))
+      .unionByName(v1.filter(col("k") % 17 === 0)
+        .select((col("k") + 10000000L).as("k"), col("name"), lit(0L).as("cents")))
+
+  /** The same two snapshots as DuckDB CTEs (`cust` = v1, `nxt` = v2). */
+  private val custSnapshotsCte =
+    """cust AS (
+         SELECT c_custkey AS k, c_name AS name,
+                CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         FROM customer),
+       nxt AS (
+         SELECT k, name, cents + CASE WHEN k % 5 = 0 THEN 500 ELSE 0 END AS cents
+         FROM cust WHERE k % 13 != 0
+         UNION ALL
+         SELECT k + 10000000, name, CAST(0 AS BIGINT) FROM cust WHERE k % 17 = 0)"""
+
   val queries: Map[String, Q] = Map(
     // C1: SCD Type 1 upsert — full-outer merge with null-safe change
     // detection (reference: load_3nf_ce_customers_scd_table_type1.sql:98-144).
@@ -271,14 +300,8 @@ object ScdQueries extends QueryPack {
     // join on the key; unchanged rows — the overwhelming mass at
     // 100 TB — are filtered before anything is materialized.
     "q111_snapshot_diff" -> ((s, d) => {
-      val cust = Tables.customer(s, d).select(
-        col("c_custkey").as("k"), col("c_name").as("name"),
-        (col("c_acctbal").cast(dec) * 100).cast(LongType).as("cents"))
-      val next = cust.filter(col("k") % 13 =!= 0)
-        .select(col("k"), col("name"),
-          (col("cents") + when(col("k") % 5 === 0, 500L).otherwise(0L)).as("cents"))
-        .unionByName(cust.filter(col("k") % 17 === 0)
-          .select((col("k") + 10000000L).as("k"), col("name"), lit(0L).as("cents")))
+      val cust = custV1(s, d)
+      val next = custV2(cust)
       val b = cust.select(col("k"), col("name").as("b_name"), col("cents").as("b_cents"))
       val n = next.select(col("k"), col("name").as("n_name"), col("cents").as("n_cents"))
       b.join(n, Seq("k"), "full_outer")
@@ -301,14 +324,8 @@ object ScdQueries extends QueryPack {
     // per-partition (q74/q79).
     "q114_time_travel" -> ((s, d) => {
       val wh = new graft.sources.Warehouse(graft.plans.EtlQueries.tmpWarehouse(), s)
-      val v1 = Tables.customer(s, d).select(
-        col("c_custkey").as("k"), col("c_name").as("name"),
-        (col("c_acctbal").cast(dec) * 100).cast(LongType).as("cents"))
-      val v2 = v1.filter(col("k") % 13 =!= 0)
-        .select(col("k"), col("name"),
-          (col("cents") + when(col("k") % 5 === 0, 500L).otherwise(0L)).as("cents"))
-        .unionByName(v1.filter(col("k") % 17 === 0)
-          .select((col("k") + 10000000L).as("k"), col("name"), lit(0L).as("cents")))
+      val v1 = custV1(s, d)
+      val v2 = custV2(v1)
       wh.writeVersion(v1, "bl_3nf", "dim_customers"): Unit
       wh.writeVersion(v2, "bl_3nf", "dim_customers"): Unit
       val asOf1 = wh.readVersion("bl_3nf", "dim_customers", 1)
@@ -321,18 +338,10 @@ object ScdQueries extends QueryPack {
 
   val oracleSql: Map[String, String] = Map(
     "q114_time_travel" ->
-      """WITH v1 AS (
-           SELECT c_custkey AS k, c_name AS name,
-                  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-           FROM customer),
-         v2 AS (
-           SELECT k, name, cents + CASE WHEN k % 5 = 0 THEN 500 ELSE 0 END AS cents
-           FROM v1 WHERE k % 13 != 0
-           UNION ALL
-           SELECT k + 10000000, name, CAST(0 AS BIGINT) FROM v1 WHERE k % 17 = 0)
-         SELECT 1 AS version, * FROM v1
+      s"""WITH $custSnapshotsCte
+         SELECT 1 AS version, * FROM cust
          UNION ALL
-         SELECT 2 AS version, * FROM v2""",
+         SELECT 2 AS version, * FROM nxt""",
     "q109_cdc_merge" ->
       """WITH base AS (
            SELECT c_custkey AS k, c_name AS name,
@@ -350,20 +359,12 @@ object ScdQueries extends QueryPack {
                   CAST(1 AS BIGINT), 'U' FROM customer WHERE c_custkey % 13 = 0),
          allops AS (SELECT * FROM base UNION ALL SELECT * FROM upd
                     UNION ALL SELECT * FROM del UNION ALL SELECT * FROM ins),
-         ranked AS (SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+         ranked AS (SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC, op DESC) AS rn
                     FROM allops)
          SELECT k, name, bal_cents, seq AS last_seq
          FROM ranked WHERE rn = 1 AND op = 'U'""",
     "q111_snapshot_diff" ->
-      """WITH cust AS (
-           SELECT c_custkey AS k, c_name AS name,
-                  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-           FROM customer),
-         nxt AS (
-           SELECT k, name, cents + CASE WHEN k % 5 = 0 THEN 500 ELSE 0 END AS cents
-           FROM cust WHERE k % 13 != 0
-           UNION ALL
-           SELECT k + 10000000, name, CAST(0 AS BIGINT) FROM cust WHERE k % 17 = 0)
+      s"""WITH $custSnapshotsCte
          SELECT COALESCE(b.k, n.k) AS k,
            CASE WHEN b.cents IS NULL THEN 'A'
                 WHEN n.cents IS NULL THEN 'R'

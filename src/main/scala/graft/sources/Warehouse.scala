@@ -269,8 +269,13 @@ class Warehouse(val root: String, spark: SparkSession) {
     spark.read.parquet(p.toString)
   }
 
-  /** Retention: drop all but the newest `keep` committed versions. */
+  /** Retention: drop all but the newest `keep` committed versions.
+    * `keep` must be ≥ 1 — the live snapshot can never be vacuumed, which
+    * also guarantees version numbers are never reused (the next number
+    * is derived from the surviving latest).
+    */
   def vacuumVersions(layer: String, table: String, keep: Int): Seq[Int] = {
+    require(keep >= 1, s"vacuumVersions(keep=$keep): must keep the live snapshot")
     val drop = versionList(layer, table).dropRight(keep)
     drop.foreach(v =>
       fs.delete(new Path(versionsDir(layer, table), s"v=$v"), true): Unit)

@@ -74,7 +74,10 @@ class RelationalSpec extends SparkSpec {
     assert(wh.latestVersion("l", "t").contains(3))
     // as-of read of v1 is untouched by later commits (snapshot isolation)
     assert(wh.readVersion("l", "t", 1).as[Int].collect().sorted.sameElements(Array(1, 2)))
-    // vacuum keeps the newest `keep`, reports what it dropped
+    // vacuum keeps the newest `keep`, reports what it dropped; the live
+    // snapshot is never vacuumable (guards version-number reuse too)
+    assert(intercept[IllegalArgumentException](
+      wh.vacuumVersions("l", "t", keep = 0)).getMessage.contains("live snapshot"))
     assert(wh.vacuumVersions("l", "t", keep = 2) == Seq(1))
     assert(intercept[IllegalArgumentException](
       wh.readVersion("l", "t", 1)).getMessage.contains("no committed version"))
