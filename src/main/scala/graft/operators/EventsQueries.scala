@@ -213,6 +213,28 @@ object EventsQueries extends QueryPack {
     // and the first-week groupBy both shuffle on user_id — one
     // co-partitioned chain — and the final rollup is
     // cohorts × weeks ≈ tiny.
+    // Inter-event gap distribution: per-user lead() gives the time to
+    // the NEXT event; gaps bucket into a log₂ histogram of seconds —
+    // the arrival-process profile that sizes session-gap and watermark
+    // thresholds (q55's 30-min gap, the streaming watermarks) from
+    // data instead of folklore. Exact microsecond longs end-to-end;
+    // one user-partitioned window then a tiny histogram rollup.
+    "q116_event_gaps" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("gap_us", lead(col("us"), 1).over(w) - col("us"))
+        .where(col("gap_us").isNotNull)
+        // floor(log2(s+1)) computed INTEGRALLY as binary-digit count —
+        // libm log2 rounds differently across engines at power-of-two
+        // boundaries, a hash hazard bit math doesn't have
+        .groupBy((length(bin(expr("gap_us div 1000000") + 1)) - 1)
+          .cast(IntegerType).as("gap_bucket_log2s"))
+        .agg(count(lit(1)).as("n_gaps"),
+          min(col("gap_us")).as("min_gap_us"),
+          max(col("gap_us")).as("max_gap_us"))
+    }),
+
     "q105_cohort_retention" -> ((s, d) => {
       val wk = Tables.events(s, d)
         .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
@@ -227,6 +249,16 @@ object EventsQueries extends QueryPack {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q116_event_gaps" ->
+      """WITH g AS (
+           SELECT lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) - epoch_us(ts) AS gap_us
+           FROM events)
+         SELECT CAST(length(bin(gap_us // 1000000 + 1)) - 1 AS INT) AS gap_bucket_log2s,
+                count(*) AS n_gaps,
+                MIN(gap_us) AS min_gap_us, MAX(gap_us) AS max_gap_us
+         FROM g WHERE gap_us IS NOT NULL
+         GROUP BY 1""",
     "q105_cohort_retention" ->
       """WITH wk AS (SELECT DISTINCT user_id,
                        CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),

@@ -194,6 +194,27 @@ object TextQueries extends QueryPack {
         .agg(min(col("doc_id")).as("keep_id"),
           count(lit(1)).as("n_docs"),
           min(length(col("norm"))).as("n_chars"))
+    }),
+
+    // Quality DECILES per source (ntile) + per-decile profile: the
+    // binning step of curriculum ordering — train on high deciles
+    // first, or mix deciles at fixed rates. ntile is deterministic
+    // given a total order, so the ordering carries the doc_id
+    // tie-break; token mass stays integral. Same one-window shuffle
+    // shape as q94's percent_rank gate.
+    "q115_quality_deciles" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          qualityScore(col("text"), EN).as("quality"),
+          tokenCount(col("text")).as("n_tokens"))
+        .withColumn("decile", ntile(10).over(w))
+        .groupBy(col("source"), col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast(LongType).as("sum_tokens"),
+          min(col("doc_id")).as("first_doc"))
     })
   )
 
@@ -204,6 +225,21 @@ object TextQueries extends QueryPack {
     s"CAST(${stopHitsSql(EN)} AS DOUBLE) / CAST($nTokensSql AS DOUBLE)"
 
   val oracleSql: Map[String, String] = Map(
+    "q115_quality_deciles" ->
+      s"""WITH scored AS (
+           SELECT doc_id, source,
+             least(1.0, CAST($nTokensSql AS DOUBLE) / 50.0) * (1.0 - $stopRatioSql) AS quality,
+             $nTokensSql AS n_tokens
+           FROM documents),
+         binned AS (
+           SELECT doc_id, source, n_tokens,
+             CAST(ntile(10) OVER (PARTITION BY source
+                  ORDER BY quality DESC, doc_id) AS INT) AS decile
+           FROM scored)
+         SELECT source, decile, count(*) AS n_docs,
+                CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+                MIN(doc_id) AS first_doc
+         FROM binned GROUP BY 1, 2""",
     "q108_normalized_dedup" ->
       """SELECT md5(lower(text)) AS norm_md5, MIN(doc_id) AS keep_id,
          count(*) AS n_docs, CAST(MIN(len(lower(text))) AS INT) AS n_chars
