@@ -155,12 +155,13 @@ object EventsQueries extends QueryPack {
     // integer sums, and the z² > 4 test is the cross-multiplied
     // (q·n − S)² > 4·(n·SS − S²) — no float mean/stddev anywhere, so
     // both engines agree bit-for-bit even at the threshold boundary.
-    // The squared terms run in bounded DECIMAL precisions (DuckDB's
-    // multiply rule p1+p2 ≤ 38 is the binding constraint): exact up to
-    // ~1e17 per |deviation·n| — beyond that re-center on a first-pass
-    // approximate mean before quantizing. Scale shape: one partial-agg
-    // groupBy for the moments (5 rows), broadcast back, flag in a
-    // codegen'd projection.
+    // The squared terms run in bounded DECIMAL precisions (the oracle
+    // mirrors them in HUGEINT, exact to 1.7e38): the binding constraint
+    // is this side's DECIMAL(17) squaring, exact up to ~1e17 per
+    // |deviation·n| — beyond that re-center on a first-pass approximate
+    // mean before quantizing. Scale shape: one partial-agg groupBy for
+    // the moments (5 rows), broadcast back, flag in a codegen'd
+    // projection.
     "q102_outliers" -> ((s, d) => {
       val d9 = DecimalType(9, 0); val d10 = DecimalType(10, 0)
       val d17 = DecimalType(17, 0); val d18 = DecimalType(18, 0)
@@ -327,18 +328,15 @@ object EventsQueries extends QueryPack {
                     FROM events),
          st AS (SELECT event_type, count(*) AS n, SUM(cents) AS s,
                        SUM(cents * cents) AS ss
-                FROM e GROUP BY event_type)
-         SELECT event_id, e.event_type, cents,
-                (CAST(cents AS DECIMAL(9,0)) * CAST(n AS DECIMAL(10,0))
-                   - CAST(s AS DECIMAL(18,0))) > CAST(0 AS DECIMAL(18,0)) AS is_high
-         FROM e JOIN st ON e.event_type = st.event_type
-         WHERE CAST(CAST(cents AS DECIMAL(9,0)) * CAST(n AS DECIMAL(10,0))
-                      - CAST(s AS DECIMAL(18,0)) AS DECIMAL(17,0))
-               * CAST(CAST(cents AS DECIMAL(9,0)) * CAST(n AS DECIMAL(10,0))
-                        - CAST(s AS DECIMAL(18,0)) AS DECIMAL(17,0))
-             > CAST(CAST(n AS DECIMAL(10,0)) * CAST(ss AS DECIMAL(18,0))
-                      - CAST(s AS DECIMAL(18,0)) * CAST(s AS DECIMAL(18,0))
-                    AS DECIMAL(36,0)) * CAST(4 AS DECIMAL(1,0))""",
+                FROM e GROUP BY event_type),
+         j AS (SELECT event_id, e.event_type, cents,
+                 CAST(cents AS HUGEINT) * CAST(n AS HUGEINT)
+                   - CAST(s AS HUGEINT) AS dev,
+                 CAST(n AS HUGEINT) * CAST(ss AS HUGEINT)
+                   - CAST(s AS HUGEINT) * CAST(s AS HUGEINT) AS varn2
+               FROM e JOIN st ON e.event_type = st.event_type)
+         SELECT event_id, event_type, cents, dev > 0 AS is_high
+         FROM j WHERE dev * dev > 4 * varn2""",
     "q103_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
          v AS (SELECT user_id, MIN(us) AS t_view FROM e
