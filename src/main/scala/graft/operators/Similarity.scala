@@ -285,45 +285,73 @@ object Similarity {
     * COMPRESSED index — each database vector is represented only by its
     * m per-subspace codes, reconstructed as the concatenation of its m
     * assigned centroids ([[pqEncode]] trains/assigns them). The score
-    * is cosine(query, reconstruction), decomposed the way a real ADC
-    * kernel computes it: per-subspace dot products dot(q_i, c_i[code])
-    * summed in fixed subspace order (so doubles are bit-stable), query
-    * norm exact, reconstruction norm from the same per-subspace
-    * partials. At 100 TB the m·k centroid tables and the code relation
-    * are the broadcast side (codes are m·log2(k) bits per vector — the
-    * entire index fits in executor memory, which is PQ's point); the
-    * query scan streams against it with no shuffle. Returns
-    * (vec_id, nn_id, adc, rn) — top kNeighbors per query by
-    * (adc desc, nn_id asc), self excluded, rank via the bounded
-    * [[graft.functions.TopKByScore]] partial agg (no window sort over
-    * the candidate relation).
+    * is cosine(query, reconstruction), computed the way a real ADC
+    * kernel computes it: each query first builds an m×k LOOKUP TABLE of
+    * per-subspace dots dot(q_i, centroid_c) (m·k small dots per QUERY),
+    * and every candidate then costs m table lookups summed in fixed
+    * subspace order — not m sub-dim dot products per PAIR. The LUT
+    * entries are the identical doubles the per-pair form would compute,
+    * so results are bit-stable and the oracle is unchanged. At 100 TB
+    * the m·k centroid tables and the code relation are the broadcast
+    * side (codes are m·log2(k) bits per vector — the entire index fits
+    * in executor memory, which is PQ's point); the query scan streams
+    * against it with no shuffle. Returns (vec_id, nn_id, adc, rn) —
+    * top kNeighbors per query by (adc desc, nn_id asc), self excluded,
+    * rank via the bounded [[graft.functions.TopKByScore]] partial agg
+    * (no window sort over the candidate relation).
     */
   def pqAdcKnn(emb: DataFrame, idCol: String, vecCol: String,
                dim: Int, m: Int, k: Int, rounds: Int, kNeighbors: Int): DataFrame = {
     require(dim % m == 0, s"dim=$dim must split evenly into m=$m subspaces")
     require(kNeighbors >= 1, s"kNeighbors=$kNeighbors must be >= 1")
     val sub = dim / m
-    // compressed index: per vector the m reconstruction centroids
-    val db = (0 until m).map { i =>
+    // per subspace: the code relation (compressed index) + the trained
+    // centroids, COLLECTED — bounded by the algorithm constant m·k rows
+    // (32 here), the same localize pattern as the hierarchy dims
+    val subspaces = (0 until m).map { i =>
       val sliced = emb.select(col(idCol), slice(col(vecCol), i * sub + 1, sub).as(vecCol))
       val cents = kmeansCentroids(sliced, idCol, vecCol, k, rounds)
-      kmeansAssign(sliced, idCol, vecCol, cents)
-        .select(col(idCol), col("cid"))
-        .join(broadcast(cents), Seq("cid"))
-        .select(col(idCol), col("centroid").as(s"c$i"))
-    }.reduce(_.join(_, Seq(idCol))).withColumnRenamed(idCol, "nn_id")
-      // reconstruction norm² is a per-INDEX-row quantity: fold it into
-      // the compressed index once, not once per candidate pair
-      .withColumn("cn2",
-        (0 until m).map(i => dot(col(s"c$i"), col(s"c$i"))).reduce(_ + _))
-    // pre-split each query into its m subspace slices (and its norm)
-    // BEFORE the pair join — per-pair slicing would allocate m arrays
-    // per candidate, the dominant cost of the naive form
+      val codes = kmeansAssign(sliced, idCol, vecCol, cents)
+        .select(col(idCol), col("cid").as(s"code$i"))
+      val byCid = cents.collect()
+        .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
+      (codes, byCid)
+    }
+    // replicate DotProductFloat's fold exactly (widen-then-multiply,
+    // strict left-to-right) so driver-computed LUT constants are
+    // bit-identical to what the per-pair expression produced
+    def dotD(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    // cid slots a Lloyd round emptied stay null — no code references them
+    def cidSlots[T](f: Array[Float] => T)(byCid: Map[Int, Array[Float]]) =
+      (1 to k).map(c => byCid.get(c).map(f))
+    val db = subspaces.map(_._1).reduce(_.join(_, Seq(idCol)))
+      .withColumnRenamed(idCol, "nn_id")
+      // reconstruction norm² is a per-INDEX-row quantity: a driver-built
+      // k-slot constant per subspace, folded in once via code lookup
+      .withColumn("cn2", (0 until m).map { i =>
+        val cn2Arr = cidSlots(c => dotD(c, c))(subspaces(i)._2)
+        element_at(typedLit(cn2Arr), col(s"code$i"))
+      }.reduce(_ + _))
+    // per-query LUT: lut$i[c] = dot(q_i, centroid_c) — m·k dots per
+    // query row, built in one projection before the pair join
     val queries = emb.select(col(idCol).as("vec_id") +: norm(col(vecCol)).as("qn") +:
       (0 until m).map(i => slice(col(vecCol), i * sub + 1, sub).as(s"q$i")): _*)
+      .select(col("vec_id") +: col("qn") +: (0 until m).map { i =>
+        val slots = cidSlots(identity)(subspaces(i)._2)
+        array(slots.map {
+          case Some(c) => dot(col(s"q$i"), typedLit(c))
+          case None => lit(null).cast("double")
+        }: _*).as(s"lut$i")
+      }: _*)
     // fixed-order partial sums: ((d0+d1)+d2)+d3 — same association in
     // the oracle, so the double is bit-identical across engines
-    val dots = (0 until m).map(i => dot(col(s"q$i"), col(s"c$i"))).reduce(_ + _)
+    val dots = (0 until m).map(i =>
+      element_at(col(s"lut$i"), col(s"code$i"))).reduce(_ + _)
     val topk = udaf(new graft.functions.TopKByScore(kNeighbors))
     queries.join(broadcast(db), col("vec_id") =!= col("nn_id"))
       .withColumn("adc", dots / (col("qn") * sqrt(col("cn2"))))
