@@ -156,12 +156,13 @@ object EventsQueries extends QueryPack {
     // (q·n − S)² > 4·(n·SS − S²) — no float mean/stddev anywhere, so
     // both engines agree bit-for-bit even at the threshold boundary.
     // The squared terms run in bounded DECIMAL precisions (the oracle
-    // mirrors them in HUGEINT, exact to 1.7e38): the binding constraint
-    // is this side's DECIMAL(17) squaring, exact up to ~1e17 per
-    // |deviation·n| — beyond that re-center on a first-pass approximate
-    // mean before quantizing. Scale shape: one partial-agg groupBy for
-    // the moments (5 rows), broadcast back, flag in a codegen'd
-    // projection.
+    // mirrors them in HUGEINT, exact to 1.7e38): the BINDING constraint
+    // on this side is the DECIMAL(18) cast of SS = Σcents², which caps
+    // out at n·C² ≥ 1e18 (C = typical |cents|) — well before the
+    // DECIMAL(17) dev bound of n·C ≥ 1e17 for any C > 10. Beyond that,
+    // re-center on a first-pass approximate mean (shrinks C) before
+    // quantizing. Scale shape: one partial-agg groupBy for the moments
+    // (5 rows), broadcast back, flag in a codegen'd projection.
     "q102_outliers" -> ((s, d) => {
       val d9 = DecimalType(9, 0); val d10 = DecimalType(10, 0)
       val d17 = DecimalType(17, 0); val d18 = DecimalType(18, 0)
@@ -206,14 +207,6 @@ object EventsQueries extends QueryPack {
             + when(col("t_purchase").isNotNull, 1).otherwise(0)).as("stage"))
     }),
 
-    // Weekly cohort retention: cohort = ISO week (Monday-truncated,
-    // identical in both engines) of a user's first activity; n_users =
-    // users from that cohort active again week_no weeks later. Week
-    // arithmetic stays integral (Monday − Monday is an exact multiple
-    // of 7 days) so no date float hazards. Scale shape: the distinct
-    // and the first-week groupBy both shuffle on user_id — one
-    // co-partitioned chain — and the final rollup is
-    // cohorts × weeks ≈ tiny.
     // Inter-event gap distribution: per-user lead() gives the time to
     // the NEXT event; gaps bucket into a log₂ histogram of seconds —
     // the arrival-process profile that sizes session-gap and watermark
@@ -236,6 +229,14 @@ object EventsQueries extends QueryPack {
           max(col("gap_us")).as("max_gap_us"))
     }),
 
+    // Weekly cohort retention: cohort = ISO week (Monday-truncated,
+    // identical in both engines) of a user's first activity; n_users =
+    // users from that cohort active again week_no weeks later. Week
+    // arithmetic stays integral (Monday − Monday is an exact multiple
+    // of 7 days) so no date float hazards. Scale shape: the distinct
+    // and the first-week groupBy both shuffle on user_id — one
+    // co-partitioned chain — and the final rollup is
+    // cohorts × weeks ≈ tiny.
     "q105_cohort_retention" -> ((s, d) => {
       val wk = Tables.events(s, d)
         .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))

@@ -24,6 +24,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Driver/kernel-side float dot product — replicates
+    * [[org.apache.spark.sql.graft.DotProductFloat]]'s fold EXACTLY
+    * (min length, widen-then-multiply, strict left-to-right) so every
+    * Scala-computed value is bit-identical to the codegen'd expression
+    * and the oracle. The single copy all kernels share.
+    */
+  private def dotf(x: Array[Float], y: Array[Float]): Double = {
+    val n = math.min(x.length, y.length)
+    var acc = 0.0; var i = 0
+    while (i < n) { acc += x(i).toDouble * y(i).toDouble; i += 1 }
+    acc
+  }
+
   /** Exact cosine top-k, broadcast block kernel: the query side is
     * broadcast once per executor (an exact KNN baseline is only ever run
     * on sets that fit — at scale the blocked variants below bound the
@@ -41,12 +54,6 @@ object Similarity {
     import spark.implicits._
     val rows = emb.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
-    def dotf(x: Array[Float], y: Array[Float]): Double = {
-      val n = math.min(x.length, y.length)
-      var acc = 0.0; var i = 0
-      while (i < n) { acc += x(i).toDouble * y(i).toDouble; i += 1 }
-      acc
-    }
     val side = spark.sparkContext.broadcast(
       rows.collect().map { case (id, v) => (id, v, math.sqrt(dotf(v, v))) })
     rows.mapPartitions { it =>
@@ -246,12 +253,6 @@ object Similarity {
     require(k >= 1, s"k=$k must be >= 1")
     val spark = emb.sparkSession
     import spark.implicits._
-    def dotf(x: Array[Float], y: Array[Float]): Double = {
-      val n = math.min(x.length, y.length)
-      var acc = 0.0; var i = 0
-      while (i < n) { acc += x(i).toDouble * y(i).toDouble; i += 1 }
-      acc
-    }
     buckets(emb, idCol, vecCol, bits)
       .select(col("bucket"), col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .as[(String, Long, Array[Float])]
@@ -317,15 +318,6 @@ object Similarity {
         .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
       (codes, byCid)
     }
-    // replicate DotProductFloat's fold exactly (widen-then-multiply,
-    // strict left-to-right) so driver-computed LUT constants are
-    // bit-identical to what the per-pair expression produced
-    def dotD(a: Array[Float], b: Array[Float]): Double = {
-      var s = 0.0; var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-      s
-    }
     // cid slots a Lloyd round emptied stay null — no code references them
     def cidSlots[T](f: Array[Float] => T)(byCid: Map[Int, Array[Float]]) =
       (1 to k).map(c => byCid.get(c).map(f))
@@ -334,7 +326,7 @@ object Similarity {
       // reconstruction norm² is a per-INDEX-row quantity: a driver-built
       // k-slot constant per subspace, folded in once via code lookup
       .withColumn("cn2", (0 until m).map { i =>
-        val cn2Arr = cidSlots(c => dotD(c, c))(subspaces(i)._2)
+        val cn2Arr = cidSlots(c => dotf(c, c))(subspaces(i)._2)
         element_at(typedLit(cn2Arr), col(s"code$i"))
       }.reduce(_ + _))
     // per-query LUT: lut$i[c] = dot(q_i, centroid_c) — m·k dots per
