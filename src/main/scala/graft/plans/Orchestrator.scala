@@ -682,9 +682,39 @@ object EtlQueries extends graft.QueryPack {
         .groupBy(col("order_month"))
         .agg(count(lit(1)).as("n_sales"),
           sum(col("sale_total")).cast("double").as("sum_total"))
+    }),
+
+    // Bucketed co-located join through the warehouse, promoted from the
+    // spec-only no-Exchange assert to the hash gate: fact and orders
+    // are written bucketBy(orderkey) + sortBy, read back through the
+    // catalog, joined on the bucket key, and rolled up. The RESULT is
+    // what's hash-checked here; the plan property (bucketed scans join
+    // with zero Exchange) stays pinned by RelationalSpec. At 100 TB
+    // this is THE shape for repeated fact⋈fact joins: the shuffle is
+    // paid once at write time, every subsequent join is co-located.
+    "q117_bucketed_join" -> ((s, d) => {
+      import graft.sources.Tables
+      val wh = new graft.sources.Warehouse(tmpWarehouse(), s)
+      val dec = DecimalType(18, 2)
+      val li = Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_quantity").cast(dec).as("qty"))
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      wh.overwriteBucketed(li, "bl_3nf", "bk_lines", Seq("l_orderkey"), 8): Unit
+      wh.overwriteBucketed(o, "bl_3nf", "bk_orders", Seq("l_orderkey"), 8): Unit
+      wh.readBucketed("bl_3nf", "bk_lines")
+        .join(wh.readBucketed("bl_3nf", "bk_orders"), Seq("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("qty")).cast(DoubleType).as("sum_qty"))
     })
   )
   val oracleSql: Map[String, String] = Map(
+    "q117_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority""",
     "q74_incremental_etl" ->
       """WITH o0 AS (SELECT * FROM orders WHERE o_orderkey % 5 = 0),
          li0 AS (SELECT * FROM lineitem WHERE l_orderkey % 5 = 0),
