@@ -108,6 +108,33 @@ class ScdPropertySpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents equals union-find on random graphs (incl. dangling endpoints)") {
+    val graphGen: Gen[(List[Long], List[(Long, Long)])] = for {
+      nNodes <- Gen.choose(1, 18)
+      nEdges <- Gen.choose(0, 22)
+      // edge ids range past nNodes: some endpoints are dangling
+      edges <- Gen.listOfN(nEdges, Gen.zip(Gen.choose(1L, 24L), Gen.choose(1L, 24L)))
+    } yield ((1L to nNodes.toLong).toList, edges)
+    forAll(graphGen, Gen.const(()), n = 10) { (g, _) =>
+      val (nodeIds, edges) = g
+      val out = Dedup.connectedComponents(
+        edges.toDF("src", "dst"), nodeIds.toDF("id"), "id")
+        .as[(Long, Long)].collect().toMap
+      // reference: plain union-find over nodes ∪ edge endpoints,
+      // min-id as the canonical label
+      val all = (nodeIds ++ edges.flatMap(e => Seq(e._1, e._2))).distinct
+      val parent = scala.collection.mutable.Map(all.map(x => x -> x): _*)
+      def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val canon = all.groupBy(find).flatMap { case (_, m) => m.map(_ -> m.min) }
+      assert(out.keySet == nodeIds.toSet) // restricted back to nodes
+      nodeIds.foreach(id => assert(out(id) == canon(id),
+        s"node $id: got ${out(id)}, expected ${canon(id)} (edges=$edges)"))
+    }
+  }
+
   test("TopKByScore equals sort-take for any input and any split") {
     val itemsGen = Gen.listOf(Gen.zip(Gen.chooseNum(-1.0, 1.0), Gen.choose(0L, 50L)))
     forAll(itemsGen, Gen.choose(1, 5), n = 30) { (items, k) =>
