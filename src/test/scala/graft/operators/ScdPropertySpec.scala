@@ -108,6 +108,39 @@ class ScdPropertySpec extends SparkSpec {
     }
   }
 
+  test("asOfJoin — composed and native — equals the per-key scala reference") {
+    val leftGen: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(0, 15)
+      ks <- Gen.listOfN(n, Gen.choose(1L, 4L))
+      ts <- Gen.listOfN(n, Gen.choose(0L, 30L))
+    } yield ks.zip(ts)
+    val rightGen: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(0, 15)
+      ks <- Gen.listOfN(n, Gen.choose(1L, 4L))
+      ts <- Gen.listOfN(n, Gen.choose(0L, 30L))
+    } yield ks.zip(ts).distinct // (key, ts) unique: the match is well-defined
+    forAll(leftGen, rightGen, n = 12) { (l, r) =>
+      val left = l.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+        .toDF("k", "lts", "lv")
+      val right = r.map { case (k, t) => (k, t, k * 1000 + t) }.toDF("k", "rts", "rv")
+      // reference: latest right row at or before each left ts, same key
+      val expected = l.zipWithIndex.map { case ((k, t), i) =>
+        val m = r.filter(p => p._1 == k && p._2 <= t)
+        (k, t, i.toLong,
+          if (m.isEmpty) None else { val (mk, mt) = m.maxBy(_._2); Some(mk * 1000 + mt) })
+      }.sorted
+      def run(df: org.apache.spark.sql.DataFrame) =
+        df.select($"k", $"lts", $"lv", $"rv").as[(Long, Long, Long, Option[Long])]
+          .collect().toList.sorted
+      if (r.nonEmpty) { // both forms require a non-empty right attribute set;
+        // an empty right RELATION is fine — carry-forward just never fires
+        assert(run(Relational.asOfJoin(left, right, Seq("k"), "lts", "rts")) == expected)
+        assert(run(org.apache.spark.sql.graft.AsOfJoinPlan
+          .asOfJoinNative(left, right, Seq("k"), "lts", "rts")) == expected)
+      }
+    }
+  }
+
   test("connectedComponents equals union-find on random graphs (incl. dangling endpoints)") {
     val graphGen: Gen[(List[Long], List[(Long, Long)])] = for {
       nNodes <- Gen.choose(1, 18)
