@@ -693,8 +693,12 @@ object EtlQueries extends graft.QueryPack {
     // this is THE shape for repeated fact⋈fact joins: the shuffle is
     // paid once at write time, every subsequent join is co-located.
     "q117_bucketed_join" -> ((s, d) => {
-      import graft.sources.Tables
-      val wh = new graft.sources.Warehouse(tmpWarehouse(), s)
+      // bucketed writes register session-global catalog names
+      // (bl_3nf_bk_*): drop any stale registration first so the query
+      // is self-contained and order-independent within a driver run
+      Seq("bl_3nf_bk_lines", "bl_3nf_bk_orders")
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"): Unit)
+      val wh = new Warehouse(tmpWarehouse(), s)
       val dec = DecimalType(18, 2)
       val li = Tables.lineitem(s, d).select(
         col("l_orderkey"), col("l_quantity").cast(dec).as("qty"))

@@ -132,12 +132,11 @@ class ScdPropertySpec extends SparkSpec {
       def run(df: org.apache.spark.sql.DataFrame) =
         df.select($"k", $"lts", $"lv", $"rv").as[(Long, Long, Long, Option[Long])]
           .collect().toList.sorted
-      if (r.nonEmpty) { // both forms require a non-empty right attribute set;
-        // an empty right RELATION is fine — carry-forward just never fires
-        assert(run(Relational.asOfJoin(left, right, Seq("k"), "lts", "rts")) == expected)
-        assert(run(org.apache.spark.sql.graft.AsOfJoinPlan
-          .asOfJoinNative(left, right, Seq("k"), "lts", "rts")) == expected)
-      }
+      // an empty right RELATION is a valid draw (~1 in 16): every left
+      // row must come back with a null carry-in, not crash
+      assert(run(Relational.asOfJoin(left, right, Seq("k"), "lts", "rts")) == expected)
+      assert(run(org.apache.spark.sql.graft.AsOfJoinPlan
+        .asOfJoinNative(left, right, Seq("k"), "lts", "rts")) == expected)
     }
   }
 
@@ -150,8 +149,11 @@ class ScdPropertySpec extends SparkSpec {
     } yield ((1L to nNodes.toLong).toList, edges)
     forAll(graphGen, Gen.const(()), n = 10) { (g, _) =>
       val (nodeIds, edges) = g
+      // maxIters must exceed the worst-case diameter the generator can
+      // draw (a 22-edge path) plus the no-change detection round —
+      // keep it tied to the nEdges bound, not the operator default
       val out = Dedup.connectedComponents(
-        edges.toDF("src", "dst"), nodeIds.toDF("id"), "id")
+        edges.toDF("src", "dst"), nodeIds.toDF("id"), "id", maxIters = 50)
         .as[(Long, Long)].collect().toMap
       // reference: plain union-find over nodes ∪ edge endpoints,
       // min-id as the canonical label
