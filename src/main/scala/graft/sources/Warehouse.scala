@@ -269,6 +269,32 @@ class Warehouse(val root: String, spark: SparkSession) {
     spark.read.parquet(p.toString)
   }
 
+  // ---- streaming batch-commit ledger ----
+  //
+  // One empty marker file per committed (table, batchId) under
+  // `<layer>/<table>__ledger/b=N`. foreachBatch replays a micro-batch
+  // when the JVM dies between the user function and the offset commit;
+  // the marker turns that replay into a metadata-only skip. The inverse
+  // crash window (work landed, marker not yet written) re-runs the
+  // batch — safe because every landing path here is idempotent
+  // (anti-join + partition swap) — so the combination is exactly-once
+  // effect with at-least-once cost only on the crash boundary itself.
+  // Only meaningful under a durable checkpointLocation: batch ids
+  // restart from 0 without one, and a stale marker would silently
+  // swallow NEW data.
+
+  private def ledgerMarker(layer: String, table: String, batchId: Long) =
+    new Path(path(layer, table + "__ledger"), s"b=$batchId")
+
+  def batchCommitted(layer: String, table: String, batchId: Long): Boolean =
+    fs.exists(ledgerMarker(layer, table, batchId))
+
+  def markBatchCommitted(layer: String, table: String, batchId: Long): Unit = {
+    val m = ledgerMarker(layer, table, batchId)
+    fs.mkdirs(m.getParent): Unit
+    fs.create(m, true).close()
+  }
+
   /** Retention: drop all but the newest `keep` committed versions.
     * `keep` must be ≥ 1 — the live snapshot can never be vacuumed, which
     * also guarantees version numbers are never reused (the next number

@@ -205,26 +205,48 @@ object EventPipelines {
     * foreachBatch), so the read→merge→swap is single-writer by
     * construction; the trigger drains everything available, then stops.
     */
+  /** Land ONE micro-batch into the day-partitioned table: dedup within
+    * the batch and against the target, then swap only the day
+    * partitions that gained rows. With `useLedger`, an already-committed
+    * batchId is a metadata-only skip (see Warehouse's ledger doc — the
+    * exactly-once pattern for foreachBatch replays after a crash).
+    * Returns whether the batch actually landed.
+    */
+  def landBatch(wh: graft.sources.Warehouse, layer: String, table: String,
+                keys: Seq[String], partCol: String, batch: DataFrame,
+                batchId: Long, useLedger: Boolean): Boolean = {
+    if (useLedger && wh.batchCommitted(layer, table, batchId)) return false
+    val deduped = withEventDay(dedupBatch(batch, keys), partCol)
+    if (!wh.exists(layer, table))
+      wh.overwrite(deduped, layer, table, partitionBy = Seq(partCol)): Unit
+    else {
+      val existing = wh.readPartitioned(layer, table, partCol)
+      val fresh = deduped.join(existing, keys, "left_anti")
+      // rewrite ONLY the days that gained rows, carrying each such
+      // day's existing rows through the swap
+      val affectedExisting = existing.join(
+        fresh.select(partCol).distinct(), Seq(partCol), "left_semi")
+      wh.overwritePartitions(affectedExisting.unionByName(fresh),
+        layer, table, partCol): Unit
+    }
+    if (useLedger) wh.markBatchCommitted(layer, table, batchId)
+    true
+  }
+
   def ingestAvailableNow(events: DataFrame, wh: graft.sources.Warehouse,
                          layer: String, table: String, keys: Seq[String],
-                         partCol: String = "event_day"): Unit = {
-    val q = events.writeStream
+                         partCol: String = "event_day",
+                         checkpointDir: Option[String] = None): Unit = {
+    val writer = events.writeStream
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val deduped = withEventDay(dedupBatch(batch, keys), partCol)
-        if (!wh.exists(layer, table))
-          wh.overwrite(deduped, layer, table, partitionBy = Seq(partCol)): Unit
-        else {
-          val existing = wh.readPartitioned(layer, table, partCol)
-          val fresh = deduped.join(existing, keys, "left_anti")
-          // rewrite ONLY the days that gained rows, carrying each such
-          // day's existing rows through the swap
-          val affectedExisting = existing.join(
-            fresh.select(partCol).distinct(), Seq(partCol), "left_semi")
-          wh.overwritePartitions(affectedExisting.unionByName(fresh),
-            layer, table, partCol): Unit
-        }
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        // the ledger is only sound under a durable checkpoint: without
+        // one, batch ids restart at 0 per run and a stale marker would
+        // swallow new data — so it activates with checkpointDir only
+        landBatch(wh, layer, table, keys, partCol, batch.toDF(), bid,
+          useLedger = checkpointDir.isDefined): Unit
       }
+    val q = checkpointDir.fold(writer)(c => writer.option("checkpointLocation", c))
       .start()
     q.awaitTermination()
   }

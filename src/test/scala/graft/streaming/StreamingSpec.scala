@@ -110,6 +110,31 @@ class StreamingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("batch ledger: a replayed batchId is a metadata-only skip, not a re-land") {
+    val whRoot = java.nio.file.Files.createTempDirectory("graft-ledger-wh").toString
+    val wh = new graft.sources.Warehouse(whRoot, spark)
+    def batchOf(ids: Long*) = ids.toDF("event_id")
+      .withColumn("ts", expr("timestamp_micros(1704067200000000 + event_id)"))
+      .withColumn("user_id", lit(1L)).withColumn("event_type", lit("x"))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    def land(b: org.apache.spark.sql.DataFrame, bid: Long, ledger: Boolean = true) =
+      EventPipelines.landBatch(wh, "bl_3nf", "lev", Seq("event_id"),
+        "event_day", b, bid, useLedger = ledger)
+    assert(land(batchOf(1L, 2L), bid = 0))
+    assert(wh.batchCommitted("bl_3nf", "lev", 0))
+    // crash-replay of bid 0 — even carrying rows the first delivery
+    // lacked, it must SKIP entirely (the ledger, not the anti-join)
+    assert(!land(batchOf(1L, 2L, 99L), bid = 0))
+    assert(wh.read("bl_3nf", "lev").count() == 2)
+    // the next bid lands; value-level dedup still applies inside it
+    assert(land(batchOf(2L, 3L), bid = 1))
+    assert(wh.read("bl_3nf", "lev").count() == 3)
+    // without the ledger the same bid re-lands and the anti-join alone
+    // decides — new keys slip in (why the ledger needs the checkpoint)
+    assert(land(batchOf(99L), bid = 1, ledger = false))
+    assert(wh.read("bl_3nf", "lev").count() == 4)
+  }
+
   test("sessionize emits closed sessions that match the batch gap logic") {
     EventPipelines.runToMemory(
       EventPipelines.sessionize(spark, EventPipelines.readEventStream(spark, streamDir)).toDF(),
