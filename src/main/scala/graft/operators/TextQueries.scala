@@ -60,24 +60,39 @@ object TextQueries extends QueryPack {
 
     // Corpus statistics: the pre-filter profiling pass of a training
     // pipeline — per-source doc/token totals, exact token-count
-    // quantiles, quality mass. The quality score is quantized to a
-    // LONG (floor(q*1e7), same trick as the k-means step) before
-    // summing: exact integer sums are order-independent AND engine-
-    // independent, where double partial sums and double→DECIMAL casts
-    // both diverge across engines at representation/halfway cases.
-    // One partial-aggregated group-by, quantiles via exact percentile
-    // (q75 is the approx_percentile / HLL scale twin for 100 TB).
+    // quantiles, quality mass. EVERY output cell is integral: the
+    // quality score is quantized to a LONG (floor(q*1e7), same trick
+    // as the k-means step) and emitted AS that LONG (consumers divide
+    // by 1e7 themselves), and the quantiles are DISCRETE — the actual
+    // dataset element at rank ceil(p·n), located by row_number with
+    // pure integer rank arithmetic ((n+1) div 2, (9n+9) div 10). No
+    // interpolation, no re-floating division: interpolated
+    // quantile_cont results and long/1e7 floats are raw IEEE doubles
+    // whose bit pattern varies across engines and engine VERSIONS
+    // (the lo + (hi−lo)·g association is not standardized), which is
+    // exactly what cost two rounds of driver-side hash mismatches.
+    // Exact quantiles inherently sort, so this costs one extra
+    // window shuffle co-partitioned with the group-by; q75 is the
+    // sketch (approx_percentile / HLL) scale twin for 100 TB, where
+    // you'd skip the sort entirely.
     "q69_corpus_stats" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
       val t = Tables.documents(s, d).select(
         col("source"),
         tokenCount(col("text")).as("n_tokens"),
         floor(qualityScore(col("text"), EN) * lit(1e7)).cast(LongType).as("ql"))
-      t.groupBy(col("source")).agg(
+      val ranked = t
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("n_tokens"))).cast(LongType))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+        .withColumn("r50", expr("(n + 1) div 2"))
+        .withColumn("r90", expr("(9 * n + 9) div 10"))
+      ranked.groupBy(col("source")).agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("sum_tokens"),
-        percentile(col("n_tokens"), lit(0.5)).as("p50_tokens"),
-        percentile(col("n_tokens"), lit(0.9)).as("p90_tokens"),
-        (sum(col("ql")).cast(DoubleType) / lit(1e7)).as("sum_quality"),
+        max(when(col("rn") === col("r50"), col("n_tokens"))).as("p50_tokens"),
+        max(when(col("rn") === col("r90"), col("n_tokens"))).as("p90_tokens"),
+        sum(col("ql")).as("sum_quality_q7"),
         sum(when(col("ql") >= 5000000L, 1L).otherwise(0L)).as("n_high_quality"))
     }),
 
@@ -91,18 +106,27 @@ object TextQueries extends QueryPack {
     // returned element must bracket p ± 5% — value-distance bounds
     // are meaningless across an element gap at small N). The exact
     // columns exist to power the bounds; at scale you'd drop them and
-    // keep the identical sketch plan.
+    // keep the identical sketch plan. Exact quantiles are the same
+    // rank-located discrete elements as q69 (integral output — no
+    // engine-sensitive interpolation doubles).
     "q75_corpus_stats_approx" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
       val t = Tables.documents(s, d).select(
         col("source"),
         tokenCount(col("text")).as("n_tokens"),
         fingerprint(col("text")).as("fp"))
-      val sk = t.groupBy(col("source")).agg(
+      val ranked = t
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("n_tokens"))).cast(LongType))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+        .withColumn("r50", expr("(n + 1) div 2"))
+        .withColumn("r90", expr("(9 * n + 9) div 10"))
+      val sk = ranked.groupBy(col("source")).agg(
         count(lit(1)).as("n_docs"),
         count_distinct(col("fp")).as("n_distinct_fp"),
         approx_count_distinct(col("fp")).as("apx_fp"),
-        percentile(col("n_tokens"), lit(0.5)).as("p50_tokens"),
-        percentile(col("n_tokens"), lit(0.9)).as("p90_tokens"),
+        max(when(col("rn") === col("r50"), col("n_tokens"))).as("p50_tokens"),
+        max(when(col("rn") === col("r90"), col("n_tokens"))).as("p90_tokens"),
         percentile_approx(col("n_tokens"), lit(0.5), lit(1000)).as("apx_p50"),
         percentile_approx(col("n_tokens"), lit(0.9), lit(1000)).as("apx_p90"))
       val ranks = t.join(sk.select("source", "apx_p50", "apx_p90"), Seq("source"))
@@ -306,26 +330,40 @@ object TextQueries extends QueryPack {
                FROM (SELECT doc_id, source, $nTokensSql AS n_tokens FROM documents))
          GROUP BY 1, 2""",
     "q75_corpus_stats_approx" ->
-      s"""SELECT source, count(*) AS n_docs,
-         count(DISTINCT fp) AS n_distinct_fp,
-         TRUE AS hll_ok,
-         quantile_cont(n_tokens, 0.5) AS p50_tokens, TRUE AS p50_ok,
-         quantile_cont(n_tokens, 0.9) AS p90_tokens, TRUE AS p90_ok
-         FROM (SELECT source, $nTokensSql AS n_tokens,
-                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
-               FROM documents)
-         GROUP BY source""",
+      s"""WITH t AS (
+           SELECT source, $nTokensSql AS n_tokens,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+           FROM documents),
+         ranked AS (
+           SELECT source, n_tokens, fp,
+             row_number() OVER (PARTITION BY source ORDER BY n_tokens) AS rn,
+             count(*) OVER (PARTITION BY source) AS n
+           FROM t)
+         SELECT source, count(*) AS n_docs,
+           count(DISTINCT fp) AS n_distinct_fp,
+           TRUE AS hll_ok,
+           MAX(CASE WHEN rn = (n + 1) // 2 THEN n_tokens END) AS p50_tokens,
+           TRUE AS p50_ok,
+           MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN n_tokens END) AS p90_tokens,
+           TRUE AS p90_ok
+         FROM ranked GROUP BY source""",
     "q69_corpus_stats" ->
-      s"""SELECT source, count(*) AS n_docs,
-         SUM(n_tokens) AS sum_tokens,
-         quantile_cont(n_tokens, 0.5) AS p50_tokens,
-         quantile_cont(n_tokens, 0.9) AS p90_tokens,
-         CAST(CAST(SUM(ql) AS DOUBLE) / 10000000.0 AS DOUBLE) AS sum_quality,
-         CAST(SUM(CASE WHEN ql >= 5000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_quality
-         FROM (SELECT source, $nTokensSql AS n_tokens,
-                 CAST(floor(least(1.0, CAST($nTokensSql AS DOUBLE) / 50.0) * (1.0 - $stopRatioSql)
-                      * 10000000.0) AS BIGINT) AS ql
-               FROM documents)
-         GROUP BY source"""
+      s"""WITH t AS (
+           SELECT source, $nTokensSql AS n_tokens,
+             CAST(floor(least(1.0, CAST($nTokensSql AS DOUBLE) / 50.0) * (1.0 - $stopRatioSql)
+                  * 10000000.0) AS BIGINT) AS ql
+           FROM documents),
+         ranked AS (
+           SELECT source, n_tokens, ql,
+             row_number() OVER (PARTITION BY source ORDER BY n_tokens) AS rn,
+             count(*) OVER (PARTITION BY source) AS n
+           FROM t)
+         SELECT source, count(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           MAX(CASE WHEN rn = (n + 1) // 2 THEN n_tokens END) AS p50_tokens,
+           MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN n_tokens END) AS p90_tokens,
+           CAST(SUM(ql) AS BIGINT) AS sum_quality_q7,
+           CAST(SUM(CASE WHEN ql >= 5000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_quality
+         FROM ranked GROUP BY source"""
   )
 }
