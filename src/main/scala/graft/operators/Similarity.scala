@@ -197,12 +197,16 @@ object Similarity {
   }
 
   /** Train-once IVF index: the trained centroid table plus the full
-    * cell assignment, both eagerly materialized (`localCheckpoint`) so
-    * every query over the same corpus reuses ONE training run — a real
-    * ANN index is built once and served many times, and re-training it
-    * per query was the single biggest waste in the bench (q86 redoing
-    * q76's Lloyd rounds). Centroids are k rows; the assignment is one
-    * narrow (id, cid) relation.
+    * cell assignment, both eagerly materialized (`localCheckpoint`, so
+    * CONSTRUCTION runs the Lloyd rounds as Spark jobs — callers building
+    * plans without executing them still pay the training here). Within
+    * one query's DAG the checkpoint dedups the train work; reuse ACROSS
+    * queries is the caller's job — [[graft.operators.SimilarityQueries]]
+    * caches the (cents, cells) pair per (session, corpus dir), the way a
+    * real ANN index is built once and served many times. Centroids are
+    * k rows; the assignment is one narrow (id, cid) relation with
+    * exactly one row per id (the precondition [[ivfProbedKnn]] /
+    * [[ivfAdcKnn]] rely on).
     */
   def trainedIndex(emb: DataFrame, idCol: String, vecCol: String,
                    k: Int, rounds: Int): (DataFrame, DataFrame) = {
@@ -252,12 +256,14 @@ object Similarity {
 
   /** IVF search with multi-cell probing: exact cosine against the
     * members of each query's top-`nprobe` cells ([[probedCells]]).
-    * Every candidate lives in exactly ONE cell, so the per-cell
-    * searches union without any dedup, and the global top-k falls out
-    * of one bounded partial aggregation. The join shuffles on the cell
-    * id only — each cell's work is independent, so the shape
-    * parallelizes across cells at 100 TB exactly like [[ivfKnn]], just
-    * with p× the probe-side rows.
+    * PRECONDITION: `cells` has exactly ONE row per id (what
+    * [[trainedIndex]] returns) — each candidate then lives in exactly
+    * one cell, the per-cell searches union without any dedup, and the
+    * global top-k falls out of one bounded partial aggregation. A
+    * multi-row assignment would duplicate candidate pairs and inflate
+    * ranks. The join shuffles on the cell id only — each cell's work is
+    * independent, so the shape parallelizes across cells at 100 TB
+    * exactly like [[ivfKnn]], just with p× the probe-side rows.
     */
   def ivfProbedKnn(emb: DataFrame, idCol: String, vecCol: String,
                    cents: DataFrame, cells: DataFrame,
@@ -294,8 +300,14 @@ object Similarity {
     */
   def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
                dim: Int, m: Int, k: Int, rounds: Int): DataFrame =
-    pqTrain(emb, idCol, vecCol, dim, m, k, rounds).parts.map(_._1)
-      .reduce(_.join(_, Seq(idCol)))
+    pqCodes(pqTrain(emb, idCol, vecCol, dim, m, k, rounds), idCol)
+
+  /** The code relation of a trained [[PqModel]]:
+    * (idCol, code0..codeM-1, cos0..cosM-1) — m narrow equi-joins on the
+    * id, each side already materialized by [[pqTrain]].
+    */
+  def pqCodes(pq: PqModel, idCol: String): DataFrame =
+    pq.parts.map(_._1).reduce(_.join(_, Seq(idCol)))
 
   /** A trained PQ model: per-subspace code relations
     * (idCol, code_i, cos_i) plus the COLLECTED m·k-row codebooks
@@ -313,6 +325,12 @@ object Similarity {
   /** Train the PQ codebooks: split into m subspaces, one independent
     * deterministic quantizer each ([[kmeansCentroids]]); see
     * [[pqEncode]] for why the product structure wins at equal bits.
+    * EAGER: construction runs the m Lloyd trainings as Spark jobs (the
+    * code relations are localCheckpointed, the codebooks collected) —
+    * building a plan over the model is free afterwards, but the build
+    * itself is where the training cost lands. Train once, serve many:
+    * [[graft.operators.SimilarityQueries]] caches the model per
+    * (session, corpus dir) so encode / flat ADC / IVFADC share one run.
     */
   def pqTrain(emb: DataFrame, idCol: String, vecCol: String,
               dim: Int, m: Int, k: Int, rounds: Int): PqModel = {
@@ -421,12 +439,12 @@ object Similarity {
       }.toDF("bucket", "vec_id", "nn_id", "cos", "rn")
   }
 
-  /** PQ asymmetric-distance (ADC) search: queries score against the
-    * COMPRESSED index — each database vector is represented only by its
-    * m per-subspace codes, reconstructed as the concatenation of its m
-    * assigned centroids ([[pqEncode]] trains/assigns them). The score
-    * is cosine(query, reconstruction), computed the way a real ADC
-    * kernel computes it: each query first builds an m×k LOOKUP TABLE of
+  /** PQ asymmetric-distance (ADC) search, flat scan: queries score
+    * against the COMPRESSED index — each database vector is represented
+    * only by its m per-subspace codes, reconstructed as the
+    * concatenation of its m assigned centroids. The score is
+    * cosine(query, reconstruction), computed the way a real ADC kernel
+    * computes it: each query first builds an m×k LOOKUP TABLE of
     * per-subspace dots dot(q_i, centroid_c) (m·k small dots per QUERY),
     * and every candidate then costs m table lookups summed in fixed
     * subspace order — not m sub-dim dot products per PAIR. The LUT
@@ -437,20 +455,10 @@ object Similarity {
     * [[graft.functions.TopKByScore]] partial agg (no window sort over
     * the candidate relation).
     *
-    * NOTE: this trains a fresh model and FLAT-SCANS it — every query
-    * scores every index row. Kept as the exhaustive-ADC correctness
-    * baseline; [[ivfAdcKnn]] is the 100 TB serving path.
-    */
-  def pqAdcKnn(emb: DataFrame, idCol: String, vecCol: String,
-               dim: Int, m: Int, k: Int, rounds: Int, kNeighbors: Int): DataFrame =
-    pqAdcKnnFlat(emb, idCol, vecCol, pqTrain(emb, idCol, vecCol, dim, m, k, rounds),
-      kNeighbors)
-
-  /** Flat-scan ADC over a trained [[PqModel]]: every query scores every
-    * index row. This is the documented QUADRATIC BASELINE — correct and
-    * bit-stable, but O(queries × index) when the query side is the
-    * corpus itself; [[ivfAdcKnn]] is the scale path (same LUT kernel,
-    * candidates restricted to probed IVF cells).
+    * FLAT SCAN = the documented QUADRATIC BASELINE — every query scores
+    * every index row, O(queries × index) when the query side is the
+    * corpus itself; [[ivfAdcKnn]] is the 100 TB serving path (same LUT
+    * kernel, candidates restricted to probed IVF cells).
     */
   def pqAdcKnnFlat(emb: DataFrame, idCol: String, vecCol: String,
                    pq: PqModel, kNeighbors: Int): DataFrame = {
@@ -475,10 +483,12 @@ object Similarity {
     * kernel as [[pqAdcKnnFlat]]). The candidate set shrinks from the
     * whole index to the probed cells' members, and the join becomes a
     * cid equi-join — shuffle on the cell key, per-cell work
-    * independent, no unbounded broadcast of the code relation. Each
-    * candidate appears in exactly one cell, so no dedup is needed;
-    * recall is the coarse quantizer's, tunable by nprobe and measured
-    * by the q86-style harness. Returns (vec_id, nn_id, adc, rn).
+    * independent, no unbounded broadcast of the code relation.
+    * PRECONDITION (as in [[ivfProbedKnn]]): `cells` has exactly one row
+    * per id — each candidate then appears in exactly one probed cell and
+    * no dedup is needed; recall is the coarse quantizer's, tunable by
+    * nprobe and measured by the q119 harness. Returns
+    * (vec_id, nn_id, adc, rn).
     */
   def ivfAdcKnn(emb: DataFrame, idCol: String, vecCol: String, pq: PqModel,
                 cents: DataFrame, cells: DataFrame,

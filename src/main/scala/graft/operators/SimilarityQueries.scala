@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.QueryPack
 import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity-search surface over `embeddings` (64-dim float vectors).
@@ -12,6 +13,32 @@ object SimilarityQueries extends QueryPack {
 
   private val BITS = 8
   private val MIN_COS = 0.3
+
+  /** Train-once caches: a production ANN index separates build time
+    * from query time, so every query over the same (session, corpus)
+    * serves from ONE trained model — q76/q86/q118/q119 share the coarse
+    * IVF index, q97/q104/q118 the PQ codebooks. Keyed by the session
+    * instance because the materialized (localCheckpointed) relations
+    * die with it; a fresh session retrains rather than serving a stale
+    * handle. Both trainings are deterministic, so caching cannot change
+    * any result — only how often the Lloyd rounds run.
+    */
+  private val ivfCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Similarity.PqModel]
+
+  /** Cached (cents, cells) of the trained coarse quantizer. */
+  private def ivfIndex(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    ivfCache.computeIfAbsent((s, d), _ =>
+      Similarity.trainedIndex(Tables.embeddings(s, d), "vec_id", "embedding",
+        KM_K, KM_ROUNDS))
+
+  /** Cached trained PQ codebooks. */
+  private def pqModel(s: SparkSession, d: String): Similarity.PqModel =
+    pqCache.computeIfAbsent((s, d), _ =>
+      Similarity.pqTrain(Tables.embeddings(s, d), "vec_id", "embedding",
+        dim = 64, m = PQ_M, k = PQ_K, rounds = PQ_ROUNDS))
 
   val queries: Map[String, Q] = Map(
     // Exact brute-force cosine top-3 neighbors (baseline ANN).
@@ -48,29 +75,68 @@ object SimilarityQueries extends QueryPack {
         .withColumnRenamed("cid", "cluster")),
 
     // Product-quantization encoder: 4 independent sub-quantizers over
-    // 16-dim slices compress each 64-dim vector to 4 3-bit codes
-    // (Similarity.pqEncode) — the memory-side half of large-scale ANN
-    // (IVF above is the routing half). Codes + per-subspace assignment
-    // cosines, all oracle-exact.
+    // 16-dim slices compress each 64-dim vector to 4 3-bit codes — the
+    // memory-side half of large-scale ANN (IVF above is the routing
+    // half). Codes + per-subspace assignment cosines, all oracle-exact;
+    // the codebooks come from the shared train-once model.
     "q97_pq_encode" -> ((s, d) =>
-      Similarity.pqEncode(Tables.embeddings(s, d), "vec_id", "embedding",
-        dim = 64, m = PQ_M, k = PQ_K, rounds = PQ_ROUNDS)),
+      Similarity.pqCodes(pqModel(s, d), "vec_id")),
 
     // The closed ANN loop: 2 Lloyd training rounds → assign to trained
     // cells → exact top-3 within each learned cell. q57's cells come
-    // from the fixture label; here they come from the quantizer itself.
+    // from the fixture label; here they come from the quantizer itself
+    // (the shared train-once index).
     "q76_ivf_trained" -> ((s, d) =>
-      Similarity.ivfTrainedKnn(Tables.embeddings(s, d), "vec_id", "embedding",
-        k = KM_K, rounds = KM_ROUNDS, kNeighbors = 3)),
+      Similarity.ivfKnn(Tables.embeddings(s, d).join(ivfIndex(s, d)._2, "vec_id"),
+        "vec_id", "embedding", "cid", 3)),
 
-    // PQ asymmetric-distance search: queries rank the COMPRESSED index
-    // (each database vector = its m per-subspace codes, reconstructed
-    // from the trained codebooks) — the memory-side half of large-scale
-    // ANN actually answering queries. Per-subspace dots sum in fixed
-    // order; scores are bit-exact vs the oracle's mirrored fold.
+    // PQ asymmetric-distance search, FLAT SCAN: queries rank the
+    // COMPRESSED index (each database vector = its m per-subspace
+    // codes, reconstructed from the trained codebooks). Per-subspace
+    // dots sum in fixed order; scores are bit-exact vs the oracle's
+    // mirrored fold. Kept as the exhaustive-ADC correctness baseline —
+    // q118 is the same LUT kernel on the IVF-routed candidate set, the
+    // shape that actually serves at 100 TB.
     "q104_pq_adc" -> ((s, d) =>
-      Similarity.pqAdcKnn(Tables.embeddings(s, d), "vec_id", "embedding",
-        dim = 64, m = PQ_M, k = PQ_K, rounds = PQ_ROUNDS, kNeighbors = 3)),
+      Similarity.pqAdcKnnFlat(Tables.embeddings(s, d), "vec_id", "embedding",
+        pqModel(s, d), kNeighbors = 3)),
+
+    // IVFADC — the composed serving path (coarse quantizer ROUTES each
+    // query to its top-nprobe trained cells, PQ codes SCORE via the
+    // per-query LUT kernel): the candidate set shrinks from the whole
+    // index to the probed cells' members and the join becomes a cid
+    // equi-join — no unbounded broadcast, no quadratic scan. Same
+    // hash-checked contract as q104, over the same shared models.
+    "q118_ivfadc" -> ((s, d) => {
+      val (cents, cells) = ivfIndex(s, d)
+      Similarity.ivfAdcKnn(Tables.embeddings(s, d), "vec_id", "embedding",
+        pqModel(s, d), cents, cells, nprobe = NPROBE, kNeighbors = 3)
+    }),
+
+    // Recall-vs-nprobe: THE knob every IVF deployment turns first,
+    // measured — ivfProbedKnn at p = 1, 2, 4 against the exact
+    // brute-force top-3, one integral row per p (pair counts + a
+    // basis-point floor), so the hash check pins the whole curve.
+    "q119_ivf_nprobe_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val (cents, cells) = ivfIndex(s, d)
+      // materialize the exact baseline once; three probe settings
+      // compare against the same relation
+      val exact = Similarity.bruteForceKnn(emb, "vec_id", "embedding", 3)
+        .select(col("vec_id"), col("nn_id")).localCheckpoint(true)
+      import s.implicits._
+      NPROBES.map { p =>
+        val probed = Similarity
+          .ivfProbedKnn(emb, "vec_id", "embedding", cents, cells, p, 3)
+          .select(col("vec_id"), col("nn_id"))
+        val r = exact
+          .join(probed.withColumn("hit", lit(1)), Seq("vec_id", "nn_id"), "left")
+          .agg(count(lit(1)).as("n"), sum(coalesce(col("hit"), lit(0))).as("o"))
+          .head()
+        val (n, o) = (r.getLong(0), r.getLong(1))
+        (p, n, o, if (n == 0) 0L else math.floor(10000.0 * o / n).toLong)
+      }.toDF("nprobe", "n_exact_pairs", "n_overlap_pairs", "recall_bps")
+    }),
 
     // MEASURED recall of the trained IVF index against the exact
     // brute-force top-3 — the eval every ANN deployment needs before
@@ -81,8 +147,8 @@ object SimilarityQueries extends QueryPack {
       val emb = Tables.embeddings(s, d)
       val exact = Similarity.bruteForceKnn(emb, "vec_id", "embedding", 3)
         .select(col("vec_id"), col("nn_id"))
-      val ivf = Similarity.ivfTrainedKnn(emb, "vec_id", "embedding",
-        KM_K, KM_ROUNDS, 3).select(col("vec_id"), col("nn_id"))
+      val ivf = Similarity.ivfKnn(emb.join(ivfIndex(s, d)._2, "vec_id"),
+        "vec_id", "embedding", "cid", 3).select(col("vec_id"), col("nn_id"))
       // one pass over the exact side: left-join indicator gives the
       // pair total AND the overlap without running the quadratic
       // kernel twice
@@ -106,6 +172,8 @@ object SimilarityQueries extends QueryPack {
   private val PQ_SUB = 16    // dims per subspace (4 × 16 = 64)
   private val PQ_K = 8       // codebook size per subspace
   private val PQ_ROUNDS = 1
+  private val NPROBE = 2           // q118's routing width
+  private val NPROBES = Seq(1, 2, 4) // q119's measured recall curve
 
   /** cosine(a,b) with strict left-fold double arithmetic. */
   private[operators] def cosSql(a: String, b: String) =
@@ -192,28 +260,54 @@ object SimilarityQueries extends QueryPack {
     s"""list_reduce(list_transform(list_zip($a, $b),
           x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"""
 
+  // ---- shared PQ-oracle fragments (q104 flat scan, q118 IVFADC) ----
+
+  /** The m sub-quantizer training chains, suffix-disambiguated. */
+  private def pqChainsSql: String = (0 until PQ_M).map { i =>
+    kmeansWithSub(PQ_K, PQ_ROUNDS, i * PQ_SUB + 1, (i + 1) * PQ_SUB, s"_s${i}_")
+  }.mkString(",\n")
+
+  /** recon CTE: each vector's m assigned centroids c0..cM-1. */
+  private def pqReconSql: String = {
+    val joins = (0 until PQ_M).map { i =>
+      val base = if (i == 0) s"FROM a_s0_${PQ_ROUNDS + 1} a0"
+      else s"JOIN a_s${i}_${PQ_ROUNDS + 1} a$i ON a$i.vec_id = a0.vec_id"
+      s"$base\n  JOIN cents_s${i}_$PQ_ROUNDS c$i ON a$i.cid = c$i.cid"
+    }.mkString("\n  ")
+    val cols = (0 until PQ_M).map(i => s"c$i.centroid AS c$i").mkString(", ")
+    s"""recon AS (
+       |  SELECT a0.vec_id, $cols
+       |  $joins)""".stripMargin
+  }
+
+  /** The fixed-order ADC fold over query q and reconstruction r —
+    * mirrors [[Similarity]]'s ((d0+d1)+d2)+d3 association exactly. */
+  private def pqAdcSql: String = {
+    val num = (0 until PQ_M).map { i =>
+      dotSql(s"q.embedding[${i * PQ_SUB + 1}:${(i + 1) * PQ_SUB}]", s"r.c$i")
+    }.reduce((a, b) => s"($a + $b)")
+    val cn2 = (0 until PQ_M).map(i => dotSql(s"r.c$i", s"r.c$i"))
+      .reduce((a, b) => s"($a + $b)")
+    s"""($num / (sqrt(${dotSql("q.embedding", "q.embedding")}) * sqrt($cn2)))"""
+  }
+
+  /** probes$sfx CTE: each query's top-`nprobe` trained coarse cells by
+    * centroid cosine, ties cid asc — mirrors [[Similarity.probedCells]]. */
+  private def probesSql(nprobe: Int, sfx: String): String =
+    s"""probes$sfx AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosSql("e.embedding", "c.centroid")} DESC, c.cid) AS rn
+       |    FROM emb e CROSS JOIN cents$KM_ROUNDS c
+       |    WHERE ${cosSql("e.embedding", "c.centroid")} IS NOT NULL)
+       |  WHERE rn <= $nprobe)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q104_pq_adc" -> {
-      val chains = (0 until PQ_M).map { i =>
-        kmeansWithSub(PQ_K, PQ_ROUNDS, i * PQ_SUB + 1, (i + 1) * PQ_SUB, s"_s${i}_")
-      }.mkString(",\n")
-      val reconJoins = (0 until PQ_M).map { i =>
-        val base = if (i == 0) s"FROM a_s0_${PQ_ROUNDS + 1} a0"
-        else s"JOIN a_s${i}_${PQ_ROUNDS + 1} a$i ON a$i.vec_id = a0.vec_id"
-        s"$base\n  JOIN cents_s${i}_$PQ_ROUNDS c$i ON a$i.cid = c$i.cid"
-      }.mkString("\n  ")
-      val reconCols = (0 until PQ_M).map(i => s"c$i.centroid AS c$i").mkString(", ")
-      val num = (0 until PQ_M).map { i =>
-        dotSql(s"q.embedding[${i * PQ_SUB + 1}:${(i + 1) * PQ_SUB}]", s"r.c$i")
-      }.reduce((a, b) => s"($a + $b)")
-      val cn2 = (0 until PQ_M).map(i => dotSql(s"r.c$i", s"r.c$i"))
-        .reduce((a, b) => s"($a + $b)")
-      val adc =
-        s"""($num / (sqrt(${dotSql("q.embedding", "q.embedding")}) * sqrt($cn2)))"""
-      s"""WITH $chains,
-         |recon AS (
-         |  SELECT a0.vec_id, $reconCols
-         |  $reconJoins)
+      val adc = pqAdcSql
+      s"""WITH $pqChainsSql,
+         |$pqReconSql
          |SELECT vec_id, nn_id, adc, rn FROM (
          |  SELECT q.vec_id, r.vec_id AS nn_id, $adc AS adc,
          |         CAST(row_number() OVER (PARTITION BY q.vec_id
@@ -221,6 +315,61 @@ object SimilarityQueries extends QueryPack {
          |  FROM embeddings q JOIN recon r ON q.vec_id != r.vec_id
          |  WHERE $adc IS NOT NULL)
          |WHERE rn <= 3""".stripMargin
+    },
+    // IVFADC: the coarse chain routes (probes = top-NPROBE cells per
+    // query), the PQ chains score (same recon + fixed-order fold as
+    // q104) — candidates are exactly the probed cells' members.
+    "q118_ivfadc" -> {
+      val adc = pqAdcSql
+      s"""${kmeansWith(KM_K, KM_ROUNDS)},
+         |$pqChainsSql,
+         |$pqReconSql,
+         |${probesSql(NPROBE, "")}
+         |SELECT vec_id, nn_id, adc, rn FROM (
+         |  SELECT q.vec_id, r.vec_id AS nn_id, $adc AS adc,
+         |         CAST(row_number() OVER (PARTITION BY q.vec_id
+         |              ORDER BY $adc DESC, r.vec_id) AS INT) AS rn
+         |  FROM embeddings q
+         |  JOIN probes p ON p.vec_id = q.vec_id
+         |  JOIN a${KM_ROUNDS + 1} ce ON ce.cid = p.cid
+         |  JOIN recon r ON r.vec_id = ce.vec_id AND r.vec_id != q.vec_id
+         |  WHERE $adc IS NOT NULL)
+         |WHERE rn <= 3""".stripMargin
+    },
+    // Recall-vs-nprobe curve: for each p, probed-IVF top-3 within the
+    // probed cells' members vs the exact top-3; integral stats per p.
+    "q119_ivf_nprobe_recall" -> {
+      val perP = NPROBES.map { p =>
+        s"""${probesSql(p, s"$p")},
+           |ivf$p AS (SELECT vec_id, nn_id FROM (
+           |  SELECT q.vec_id, b.vec_id AS nn_id,
+           |         row_number() OVER (PARTITION BY q.vec_id
+           |           ORDER BY ${cosSql("q.embedding", "b.embedding")} DESC, b.vec_id) AS rn
+           |  FROM emb q JOIN probes$p pr ON pr.vec_id = q.vec_id
+           |       JOIN a${KM_ROUNDS + 1} b ON b.cid = pr.cid AND b.vec_id != q.vec_id
+           |  WHERE ${cosSql("q.embedding", "b.embedding")} IS NOT NULL)
+           |  WHERE rn <= 3),
+           |stats$p AS (SELECT (SELECT count(*) FROM exact) AS n_exact_pairs,
+           |                   (SELECT count(*) FROM exact JOIN ivf$p USING (vec_id, nn_id)) AS n_overlap_pairs)""".stripMargin
+      }.mkString(",\n")
+      val rows = NPROBES.map { p =>
+        s"""SELECT CAST($p AS INT) AS nprobe,
+           |       CAST(n_exact_pairs AS BIGINT) AS n_exact_pairs,
+           |       CAST(n_overlap_pairs AS BIGINT) AS n_overlap_pairs,
+           |       CASE WHEN n_exact_pairs = 0 THEN CAST(0 AS BIGINT)
+           |            ELSE CAST(floor(10000.0 * n_overlap_pairs / n_exact_pairs) AS BIGINT)
+           |       END AS recall_bps
+           |FROM stats$p""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""${kmeansWith(KM_K, KM_ROUNDS)},
+         |exact AS (SELECT vec_id, nn_id FROM (
+         |  SELECT a.vec_id, b.vec_id AS nn_id,
+         |         row_number() OVER (PARTITION BY a.vec_id
+         |              ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id) AS rn
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id)
+         |  WHERE rn <= 3),
+         |$perP
+         |$rows""".stripMargin
     },
     "q97_pq_encode" -> {
       val chains = (0 until PQ_M).map { i =>

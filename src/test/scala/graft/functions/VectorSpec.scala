@@ -96,6 +96,43 @@ class VectorSpec extends SparkSpec {
     assert(knn(3L) == 4L && knn(4L) == 3L)
   }
 
+  test("probedCells: probe #1 is the assigned cell; recall monotone in nprobe; full-width probing is exact") {
+    import graft.operators.Similarity
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val (cents, cells) = Similarity.trainedIndex(emb, "vec_id", "embedding", k = 4, rounds = 2)
+    // probe #1 = the assignment (same cosine, same cid-asc tie-break)
+    val p1 = Similarity.probedCells(emb, "vec_id", "embedding", cents, 1)
+      .as[(Long, Int)].collect().toSet
+    val assigned = cells.as[(Long, Int)].collect().toSet
+    assert(p1 == assigned)
+    // ivfProbedKnn at p=1 ≡ searching the assigned cells directly
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select($"vec_id", $"nn_id", $"rn").as[(Long, Long, Int)].collect().toSet
+    val probed1 = pairs(Similarity.ivfProbedKnn(emb, "vec_id", "embedding", cents, cells, 1, 3))
+    val direct = pairs(Similarity.ivfKnn(emb.join(cells, "vec_id"), "vec_id", "embedding", "cid", 3))
+    assert(probed1 == direct)
+    // recall climbs with nprobe, and probing every cell IS the exact search
+    val exact = pairs(Similarity.bruteForceKnn(emb, "vec_id", "embedding", 3))
+    def recall(p: Int) =
+      (pairs(Similarity.ivfProbedKnn(emb, "vec_id", "embedding", cents, cells, p, 3))
+        intersect exact).size
+    val (r1, r2, r4) = (recall(1), recall(2), recall(4))
+    assert(r1 <= r2 && r2 <= r4)
+    assert(pairs(Similarity.ivfProbedKnn(emb, "vec_id", "embedding", cents, cells, 4, 3)) == exact)
+  }
+
+  test("ivfAdcKnn at full probe width equals the flat ADC scan") {
+    import graft.operators.Similarity
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val pq = Similarity.pqTrain(emb, "vec_id", "embedding", dim = 64, m = 4, k = 4, rounds = 1)
+    val (cents, cells) = Similarity.trainedIndex(emb, "vec_id", "embedding", k = 4, rounds = 1)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"vec_id", $"nn_id", $"adc", $"rn").as[(Long, Long, Double, Int)].collect().toSet
+    val flat = rows(Similarity.pqAdcKnnFlat(emb, "vec_id", "embedding", pq, 3))
+    val ivf = rows(Similarity.ivfAdcKnn(emb, "vec_id", "embedding", pq, cents, cells, 4, 3))
+    assert(ivf == flat) // bit-identical scores: same LUT doubles, same fold
+  }
+
   test("signBucket maps sign pattern of leading dims") {
     val r = df.select($"id", VectorFunctions.signBucket($"a", 3).as("bk"))
       .as[(Long, String)].collect().toMap
