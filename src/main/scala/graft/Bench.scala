@@ -27,12 +27,23 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
       name -> t
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal timings, locale-fixed: full-precision doubles made the
+    // JSON line long enough to be truncated by line-capped log capture,
+    // losing the round's per-query evidence — ms resolution is all a
+    // seconds-scale bench can claim anyway.
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("\"" + sfDir + "\"")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sf}""")
+    val json =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":$sf}"""
+    println(json)
+    // belt and braces: also persist to a file so the numbers survive any
+    // stdout truncation
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/bench.json"), json): Unit
     spark.stop()
   }
 }

@@ -199,11 +199,14 @@ object WarehouseQueries extends QueryPack {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // amount: build the EXACT integer cent count first, divide once —
+    // two divisions (decimal / then sum) round twice and can flip the
+    // last ulp near a midpoint vs Spark's single decimal→double cast
     "q113_csv_roundtrip" ->
       """SELECT c_custkey,
          c_name || CASE WHEN c_custkey % 10 = 0 THEN ' “vip”' ELSE '' END AS name,
-         CAST(CAST((c_custkey % 90 + 1) * 1000 + (c_custkey * 7) % 1000 AS DECIMAL(9,2))
-              + CAST(c_custkey % 100 AS DECIMAL(9,2)) / 100 AS DOUBLE) AS amount,
+         CAST(((c_custkey % 90 + 1) * 1000 + (c_custkey * 7) % 1000) * 100
+              + c_custkey % 100 AS DOUBLE) / 100 AS amount,
          DATE '1992-01-01' + CAST(c_custkey % 2000 AS INT) AS joined_dt
          FROM customer""",
     "q110_profile" ->

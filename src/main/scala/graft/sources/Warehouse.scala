@@ -250,11 +250,17 @@ class Warehouse(val root: String, spark: SparkSession) {
       .filter(v => fs.exists(new Path(dir, s"v=$v/_SUCCESS")))
   }
 
-  /** Commit `df` as the next snapshot version; returns its number. */
+  /** Commit `df` as the next snapshot version; returns its number.
+    * Never clobbers a COMMITTED slot: if another writer landed `v=N`
+    * (its `_SUCCESS` exists) between our listing and our write, advance
+    * past it — overwrite-mode only ever hits uncommitted leftovers
+    * (torn writes), which are invisible to readers by construction.
+    */
   def writeVersion(df: DataFrame, layer: String, table: String): Int = {
-    val next = versionList(layer, table).lastOption.getOrElse(0) + 1
-    df.write.mode("overwrite")
-      .parquet(new Path(versionsDir(layer, table), s"v=$next").toString)
+    val dir = versionsDir(layer, table)
+    var next = versionList(layer, table).lastOption.getOrElse(0) + 1
+    while (fs.exists(new Path(dir, s"v=$next/_SUCCESS"))) next += 1
+    df.write.mode("overwrite").parquet(new Path(dir, s"v=$next").toString)
     next
   }
 
@@ -271,28 +277,45 @@ class Warehouse(val root: String, spark: SparkSession) {
 
   // ---- streaming batch-commit ledger ----
   //
-  // One empty marker file per committed (table, batchId) under
-  // `<layer>/<table>__ledger/b=N`. foreachBatch replays a micro-batch
-  // when the JVM dies between the user function and the offset commit;
-  // the marker turns that replay into a metadata-only skip. The inverse
-  // crash window (work landed, marker not yet written) re-runs the
-  // batch — safe because every landing path here is idempotent
-  // (anti-join + partition swap) — so the combination is exactly-once
-  // effect with at-least-once cost only on the crash boundary itself.
-  // Only meaningful under a durable checkpointLocation: batch ids
-  // restart from 0 without one, and a stale marker would silently
-  // swallow NEW data.
+  // One empty marker file per committed (table, checkpoint, batchId)
+  // under `<layer>/<table>__ledger/[ns=H/]b=N`, where H identifies the
+  // CHECKPOINT the batch ids belong to. foreachBatch replays a
+  // micro-batch when the JVM dies between the user function and the
+  // offset commit; the marker turns that replay into a metadata-only
+  // skip. The inverse crash window (work landed, marker not yet
+  // written) re-runs the batch — safe because every landing path here
+  // is idempotent (anti-join + partition swap) — so the combination is
+  // exactly-once effect with at-least-once cost only on the crash
+  // boundary itself. Batch ids are only unique WITHIN one checkpoint
+  // lineage — they restart from 0 on a fresh or relocated checkpoint —
+  // so markers must never outlive their checkpoint: the namespace keeps
+  // different checkpoint locations apart, and [[clearLedger]] wipes a
+  // namespace when its checkpoint is re-initialized
+  // (EventPipelines.ingestAvailableNow does both).
 
-  private def ledgerMarker(layer: String, table: String, batchId: Long) =
-    new Path(path(layer, table + "__ledger"), s"b=$batchId")
+  private def ledgerMarker(layer: String, table: String, batchId: Long, ns: String) =
+    new Path(path(layer, table + "__ledger"),
+      (if (ns.isEmpty) "" else s"ns=$ns/") + s"b=$batchId")
 
-  def batchCommitted(layer: String, table: String, batchId: Long): Boolean =
-    fs.exists(ledgerMarker(layer, table, batchId))
+  def batchCommitted(layer: String, table: String, batchId: Long,
+                     ns: String = ""): Boolean =
+    fs.exists(ledgerMarker(layer, table, batchId, ns))
 
-  def markBatchCommitted(layer: String, table: String, batchId: Long): Unit = {
-    val m = ledgerMarker(layer, table, batchId)
+  def markBatchCommitted(layer: String, table: String, batchId: Long,
+                         ns: String = ""): Unit = {
+    val m = ledgerMarker(layer, table, batchId, ns)
     fs.mkdirs(m.getParent): Unit
     fs.create(m, true).close()
+  }
+
+  /** Drop one checkpoint's committed-batch markers (or, with ns="", the
+    * whole ledger). Called when a checkpoint is freshly initialized:
+    * its batch ids restart at 0, and a stale marker from the previous
+    * lineage would silently swallow the first new batches.
+    */
+  def clearLedger(layer: String, table: String, ns: String = ""): Unit = {
+    val dir = new Path(path(layer, table + "__ledger"))
+    fs.delete(if (ns.isEmpty) dir else new Path(dir, s"ns=$ns"), true): Unit
   }
 
   /** Retention: drop all but the newest `keep` committed versions.

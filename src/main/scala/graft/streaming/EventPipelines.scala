@@ -214,8 +214,8 @@ object EventPipelines {
     */
   def landBatch(wh: graft.sources.Warehouse, layer: String, table: String,
                 keys: Seq[String], partCol: String, batch: DataFrame,
-                batchId: Long, useLedger: Boolean): Boolean = {
-    if (useLedger && wh.batchCommitted(layer, table, batchId)) return false
+                batchId: Long, useLedger: Boolean, ledgerNs: String = ""): Boolean = {
+    if (useLedger && wh.batchCommitted(layer, table, batchId, ledgerNs)) return false
     val deduped = withEventDay(dedupBatch(batch, keys), partCol)
     if (!wh.exists(layer, table))
       wh.overwrite(deduped, layer, table, partitionBy = Seq(partCol)): Unit
@@ -229,14 +229,38 @@ object EventPipelines {
       wh.overwritePartitions(affectedExisting.unionByName(fresh),
         layer, table, partCol): Unit
     }
-    if (useLedger) wh.markBatchCommitted(layer, table, batchId)
+    if (useLedger) wh.markBatchCommitted(layer, table, batchId, ledgerNs)
     true
+  }
+
+  /** Ledger namespace of a checkpoint location: batch ids are only
+    * unique within one checkpoint lineage, so its markers live under a
+    * location-derived prefix — a RELOCATED checkpoint can never collide
+    * with the old one's markers.
+    */
+  def ledgerNamespace(checkpointDir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(new org.apache.hadoop.fs.Path(checkpointDir).toString.getBytes("UTF-8"))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
   }
 
   def ingestAvailableNow(events: DataFrame, wh: graft.sources.Warehouse,
                          layer: String, table: String, keys: Seq[String],
                          partCol: String = "event_day",
                          checkpointDir: Option[String] = None): Unit = {
+    val ns = checkpointDir.map(ledgerNamespace).getOrElse("")
+    checkpointDir.foreach { c =>
+      // Fresh checkpoint (no committed offsets yet) ⇒ this run's batch
+      // ids start at 0: markers left by a DELETED/RESET checkpoint at
+      // the same path would silently swallow the first new batches, so
+      // wipe this location's namespace before starting. (A relocated
+      // checkpoint is covered by the namespace itself.)
+      val off = new org.apache.hadoop.fs.Path(c, "offsets")
+      val cfs = off.getFileSystem(
+        events.sparkSession.sessionState.newHadoopConf())
+      if (!cfs.exists(off) || cfs.listStatus(off).isEmpty)
+        wh.clearLedger(layer, table, ns)
+    }
     val writer = events.writeStream
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
@@ -244,7 +268,7 @@ object EventPipelines {
         // one, batch ids restart at 0 per run and a stale marker would
         // swallow new data — so it activates with checkpointDir only
         landBatch(wh, layer, table, keys, partCol, batch.toDF(), bid,
-          useLedger = checkpointDir.isDefined): Unit
+          useLedger = checkpointDir.isDefined, ledgerNs = ns): Unit
       }
     val q = checkpointDir.fold(writer)(c => writer.option("checkpointLocation", c))
       .start()

@@ -86,6 +86,27 @@ class RelationalSpec extends SparkSpec {
     assert(wh.writeVersion(Seq(7).toDF("x"), "l", "t") == 4)
   }
 
+  test("writeVersion never clobbers a committed slot; torn leftovers are reclaimed") {
+    val root = java.nio.file.Files.createTempDirectory("graft-verclobber").toString
+    val wh = new Warehouse(root, spark)
+    assert(wh.writeVersion(Seq(1).toDF("x"), "l", "t") == 1)
+    // a foreign writer lands a COMMITTED v=2 out-of-band (the
+    // concurrent-duplicate-writer shape): our next write must advance
+    // past it, leaving its content untouched
+    Seq(42).toDF("x").write.parquet(s"$root/l/t__versions/v=2")
+    assert(wh.writeVersion(Seq(3).toDF("x"), "l", "t") == 3)
+    assert(wh.readVersion("l", "t", 2).as[Int].collect().sameElements(Array(42)))
+    assert(wh.readVersion("l", "t", 3).as[Int].collect().sameElements(Array(3)))
+    // a TORN write (no _SUCCESS) at the next slot is invisible to
+    // readers and safe to reclaim — numbering does not skip it
+    val torn = new java.io.File(s"$root/l/t__versions/v=4")
+    assert(torn.mkdirs())
+    java.nio.file.Files.writeString(torn.toPath.resolve("part-junk.parquet"), "torn"): Unit
+    assert(wh.latestVersion("l", "t").contains(3)) // torn slot not visible
+    assert(wh.writeVersion(Seq(5).toDF("x"), "l", "t") == 4)
+    assert(wh.readVersion("l", "t", 4).as[Int].collect().sameElements(Array(5)))
+  }
+
   test("warehouse compact collapses small files without changing a row") {
     val root = java.nio.file.Files.createTempDirectory("graft-whspec").toString
     val wh = new Warehouse(root, spark)

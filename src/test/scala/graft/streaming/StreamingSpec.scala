@@ -135,6 +135,43 @@ class StreamingSpec extends SparkSpec {
     assert(wh.read("bl_3nf", "lev").count() == 4)
   }
 
+  test("ledger survives a checkpoint reset: fresh checkpoint wipes stale markers, no batch swallowed") {
+    // run 1 ingests the feed under a durable checkpoint (ledger marker
+    // b=0 written); then the checkpoint is DELETED, new events arrive,
+    // and run 2 starts from a fresh checkpoint at the same path — its
+    // batch ids restart at 0, so without the fresh-init wipe the stale
+    // b=0 marker would skip the whole batch and silently swallow the
+    // new events
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-ckreset-src")
+    java.nio.file.Files.copy(new java.io.File(s"$sf/events.parquet").toPath,
+      srcDir.resolve("feed-0.parquet"))
+    val whRoot = java.nio.file.Files.createTempDirectory("graft-ckreset-wh").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft-ckreset-ck")
+    val wh = new graft.sources.Warehouse(whRoot, spark)
+    def ingest(): Unit = EventPipelines.ingestAvailableNow(
+      spark.readStream.schema(EventPipelines.rawSchema).parquet(srcDir.toString)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)")),
+      wh, "bl_3nf", "ckev", Seq("event_id"), checkpointDir = Some(ck.toString))
+    ingest()
+    val n1 = wh.readPartitioned("bl_3nf", "ckev", "event_day").count()
+    assert(n1 == batchEvents.count())
+    // reset: drop the checkpoint, add genuinely new events to the feed
+    def rmRf(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    rmRf(ck)
+    java.nio.file.Files.createDirectories(ck): Unit
+    val fresh = Seq((900001L, 1704067200L * 1000000000L, 7L, "reset", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    fresh.coalesce(1).write.mode("append").parquet(srcDir.toString)
+    ingest() // re-reads everything as batch 0 of the NEW lineage
+    val after = wh.readPartitioned("bl_3nf", "ckev", "event_day")
+    assert(after.count() == n1 + 1) // the new event landed, dups collapsed
+    assert(after.filter($"event_id" === 900001L).count() == 1)
+  }
+
   test("sessionize emits closed sessions that match the batch gap logic") {
     EventPipelines.runToMemory(
       EventPipelines.sessionize(spark, EventPipelines.readEventStream(spark, streamDir)).toDF(),
