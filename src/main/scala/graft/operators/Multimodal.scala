@@ -8,25 +8,40 @@ import org.apache.spark.sql.types._
 /** Multimodal column handling: image/audio/video as opaque `binary`
   * columns plus typed metadata, processed per-partition in batches.
   *
-  * The actual codec is STUBBED (this environment has no image/audio
-  * libraries): [[FakeCodec.decode]] derives deterministic "pixels" from
-  * the bytes. Everything around it is the real 100 TB-shape plumbing:
+  * The decode step is a pluggable [[Codec]] seam: [[FakeCodec]] (the
+  * default — deterministic "pixels" from the bytes, for fixture data
+  * that isn't real media) and [[ImageIoCodec]] (a REAL image decoder on
+  * `javax.imageio`, which ships with the JDK — no native libraries
+  * needed). Everything around the seam is the real 100 TB-shape
+  * plumbing, identical for both:
   *
   *  - payloads stay in `BinaryType` columns (columnar parquet, never
   *    stringified);
   *  - decode runs via `mapPartitions` over row batches — the Scala
-  *    analog of `mapInPandas`: one codec init per partition, streaming
-  *    iterator (no materialized partition), output schema declared
-  *    up-front;
+  *    analog of `mapInPandas`: one codec instance per partition,
+  *    streaming iterator (no materialized partition), output schema
+  *    declared up-front;
   *  - partition sizing is the caller's lever: repartition by byte budget
   *    before decoding so a partition's batch fits executor memory.
   */
 object Multimodal {
 
-  /** Stand-in codec. Swap `decode` for a real JNI/lib call; the Spark
-    * plumbing does not change.
+  /** The per-payload decode the partition kernel calls. Implementations
+    * ship to executors — keep them serializable and stateless (or
+    * lazily initialized per task).
     */
-  object FakeCodec {
+  trait Codec extends Serializable {
+    /** (width, height, pixel checksum); (-1, -1, 0) marks an
+      * undecodable payload — at corpus scale corrupt media is DATA to
+      * filter downstream, not an exception to kill the task.
+      */
+    def decode(payload: Array[Byte]): (Int, Int, Long)
+  }
+
+  /** Stand-in codec for non-media fixture payloads: derives
+    * deterministic dims + checksum from the bytes alone. Never fails.
+    */
+  object FakeCodec extends Codec {
     /** Fake-dimension formula constants — shared with the Column/SQL
       * reimplementations in [[MultimodalQueries]] so the three copies
       * can't drift.
@@ -48,6 +63,37 @@ object Multimodal {
     }
   }
 
+  /** Real image decode on the JDK's own `javax.imageio` readers
+    * (PNG/JPEG/GIF/BMP) — no external dependencies. The checksum folds
+    * every ARGB pixel row-major with the same ×31 recurrence as
+    * [[FakeCodec]], so downstream contracts (determinism, grouping,
+    * schema) are identical whichever codec is plugged in. Undecodable
+    * bytes yield the (-1, -1, 0) sentinel per the [[Codec]] contract.
+    * (Per-pixel `getRGB` keeps this dependency-free and obviously
+    * correct; a throughput deployment would grab the raster buffer —
+    * same seam, same schema.)
+    */
+  object ImageIoCodec extends Codec {
+    def decode(payload: Array[Byte]): (Int, Int, Long) = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException => null }
+      if (img == null) (-1, -1, 0L)
+      else {
+        var acc = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            acc = acc * 31 + (img.getRGB(x, y) & 0xffffffffL); x += 1
+          }
+          y += 1
+        }
+        (img.getWidth, img.getHeight, acc)
+      }
+    }
+  }
+
   val decodedSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("width", IntegerType),
@@ -55,13 +101,13 @@ object Multimodal {
     StructField("pixel_acc", LongType)))
 
   /** Batched decode over (doc_id: long, payload: binary) rows. */
-  def decodeImages(withPayload: DataFrame): DataFrame = {
+  def decodeImages(withPayload: DataFrame, codec: Codec = FakeCodec): DataFrame = {
     val enc = RowEncoder.encoderFor(decodedSchema)
     withPayload.select(col("doc_id"), col("payload"))
       .mapPartitions { rows =>
         // one codec "handle" per partition, rows streamed through it
         rows.map { r =>
-          val (w, h, acc) = FakeCodec.decode(r.getAs[Array[Byte]]("payload"))
+          val (w, h, acc) = codec.decode(r.getAs[Array[Byte]]("payload"))
           Row(r.getLong(0), w, h, acc)
         }
       }(enc)

@@ -21,6 +21,44 @@ class MultimodalSpec extends SparkSpec {
     assert(out.size == 3)
   }
 
+  test("ImageIoCodec decodes real PNGs through the same partition kernel") {
+    // real images, generated with the JDK alone: known dims, pixel
+    // values set by a formula the test refolds independently
+    def png(w: Int, h: Int, seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, (x * 31 + y * 7 + seed) & 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // the checksum the codec must produce: row-major ×31 fold over the
+    // ARGB values (PNG is lossless; TYPE_INT_RGB reads back alpha=FF)
+    def expectedAcc(w: Int, h: Int, seed: Int): Long = {
+      var acc = 0L
+      for (y <- 0 until h; x <- 0 until w)
+        acc = acc * 31 + ((0xff000000 | ((x * 31 + y * 7 + seed) & 0xffffff)) & 0xffffffffL)
+      acc
+    }
+    val df = Seq(
+      (1L, png(20, 10, 1)), (2L, png(5, 8, 2)),
+      (3L, "definitely not an image".getBytes("UTF-8")) // corrupt payload
+    ).toDF("doc_id", "payload")
+    val got = Multimodal.decodeImages(df, Multimodal.ImageIoCodec)
+      .as[(Long, Int, Int, Long)].collect().map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(got(1L) == ((20, 10, expectedAcc(20, 10, 1))))
+    assert(got(2L) == ((5, 8, expectedAcc(5, 8, 2))))
+    // corrupt media is data (sentinel row), never a task failure
+    assert(got(3L) == ((-1, -1, 0L)))
+    // the downstream metadata pipeline composes unchanged on real dims
+    val rp = Multimodal.resizePlan(
+      Multimodal.decodeImages(df.filter($"doc_id" === 1L), Multimodal.ImageIoCodec),
+      maxW = 10, maxH = 10)
+      .select($"out_width", $"out_height").as[(Int, Int)].head()
+    assert(rp == ((10, 5)))
+  }
+
   test("sampleFrames splits payloads into strided fixed-size frames") {
     val frames = Multimodal.sampleFrames(docs.filter($"doc_id" === 3L), frameBytes = 10, stride = 2)
       .select($"frame_idx", length($"frame_bytes").as("len"))

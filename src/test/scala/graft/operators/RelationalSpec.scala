@@ -249,6 +249,37 @@ class RelationalSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("asOfJoinNative over bucketed inputs: bucketing satisfies the declared distribution, zero Exchange") {
+    // THE case the native operator exists for: both sides already
+    // hash-distributed on the key (bucketed fact + bucketed version
+    // table) — the declared ClusteredDistribution lets
+    // EnsureRequirements reuse the bucket layout on BOTH sides, which
+    // the composed union-carry-forward form structurally cannot
+    import graft.sources.Warehouse
+    val root = java.nio.file.Files.createTempDirectory("graft-asof-bk").toString
+    val wh = new Warehouse(root, spark)
+    val events = (1 to 500).map(i => (i.toLong % 50, i.toLong * 10, s"e$i"))
+      .toDF("k", "ts", "ev")
+    val prices = (0 until 50).flatMap(k => Seq(0L, 1000L, 3000L)
+      .map(t => (k.toLong, t, k * 1000.0 + t))).toDF("k", "dt", "price")
+    wh.overwriteBucketed(events, "l", "aev", Seq("k"), 4)
+    wh.overwriteBucketed(prices, "l", "apr", Seq("k"), 4)
+    val j = org.apache.spark.sql.graft.AsOfJoinPlan.asOfJoinNative(
+      wh.readBucketed("l", "aev"), wh.readBucketed("l", "apr"), Seq("k"), "ts", "dt")
+    assert(j.count() == 500)
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan)
+    assert(!plan.contains("Exchange"), s"bucketed as-of still shuffles:\n$plan")
+    // and the merge's answers are the latest dt <= ts, per row
+    val got = j.select($"k", $"ts", $"ev", $"price")
+      .as[(Long, Long, String, Double)].collect().toSet
+    val exp = events.as[(Long, Long, String)].collect().map { case (k, ts, ev) =>
+      val dt = Seq(0L, 1000L, 3000L).filter(_ <= ts).max
+      (k, ts, ev, k * 1000.0 + dt)
+    }.toSet
+    assert(got == exp)
+  }
+
   test("hashed surrogate keys are deterministic across runs") {
     val df = Seq("k1", "k2").toDF("bk")
     val a = Relational.surrogateKeysHashed(df, Seq("bk"), "id").as[(String, Long)].collect().toMap
