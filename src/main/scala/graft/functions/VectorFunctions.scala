@@ -23,7 +23,17 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** cos = dot/(‖a‖·‖b‖), NULL when either norm is 0. The guard is
+    * load-bearing: under Spark 4's default ANSI mode a raw `/` THROWS
+    * DIVIDE_BY_ZERO the moment a corpus contains a zero vector, killing
+    * the whole job — while the DuckDB oracle's `/` yields NULL. NULL is
+    * both the cross-engine contract and the right semantics (a zero
+    * vector has no direction, hence no cosine).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d =!= 0, dot(a, b) / d)
+  }
 
   /** Sign-bit LSH bucket over the first `bits` dimensions: projection
     * onto the standard basis (a degenerate but deterministic random-

@@ -19,10 +19,21 @@ import org.apache.spark.sql.functions._
   *    bucket key.
   *
   * Zero vectors have no defined cosine: every path drops pairs where
-  * either norm is 0 (the SQL division yields NULL there; the kernel
-  * skips them explicitly — same result).
+  * either norm is 0 — the column paths guard the division explicitly
+  * (NULL, matching the oracle; under Spark's default ANSI mode an
+  * unguarded `/` would THROW on the first zero vector), and the
+  * kernels skip them with the same result.
   */
 object Similarity {
+
+  /** cos = dot/(na·nb) over precomputed norms, NULL when either norm is
+    * 0 — see [[graft.functions.VectorFunctions.cosine]] for why the
+    * guard is load-bearing under ANSI mode.
+    */
+  private def safeCos(d: org.apache.spark.sql.Column,
+                      na: org.apache.spark.sql.Column,
+                      nb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(na * nb =!= 0, d / (na * nb))
 
   /** Driver/kernel-side float dot product — replicates
     * [[org.apache.spark.sql.graft.DotProductFloat]]'s fold EXACTLY
@@ -107,7 +118,7 @@ object Similarity {
     // window shuffling the whole candidate relation.
     val topk = udaf(new graft.functions.TopKByScore(k))
     a.join(b, "cluster").filter(col("vec_id") =!= col("nn_id"))
-      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .withColumn("cos", safeCos(dot(col("va"), col("vb")), col("na"), col("nb")))
       .filter(col("cos").isNotNull) // zero-norm vectors have no cosine
       .groupBy(col("cluster"), col("vec_id"))
       .agg(topk(col("cos"), col("nn_id")).as("nns"))
@@ -228,6 +239,23 @@ object Similarity {
     ivfKnn(emb.join(cells, idCol), idCol, vecCol, "cid", kNeighbors)
   }
 
+  /** Incremental index maintenance: route NEW vectors onto an EXISTING
+    * trained index without retraining — the daily operation of a
+    * production ANN deployment (the corpus grows continuously; the
+    * quantizer retrains on a schedule, not per arrival). Same
+    * assignment kernel as training-time ([[kmeansCentroids]]'s
+    * argmax-cosine, ties cid asc, zero-norm dropped), so appending
+    * these rows to the index's `cells` preserves the one-row-per-id
+    * precondition and new vectors are immediately searchable by
+    * [[ivfProbedKnn]] / [[ivfAdcKnn]]. Broadcast of the k-row centroid
+    * table + bounded top-1 partial agg — O(new rows), never O(index).
+    * Returns (idCol, cid, cos).
+    */
+  def assignToCells(emb: DataFrame, idCol: String, vecCol: String,
+                    cents: DataFrame): DataFrame =
+    kmeansAssign(emb, idCol, vecCol, cents)
+      .select(col(idCol), col("cid"), col("cos"))
+
   /** Query-side cell routing: each vector's top-`nprobe` trained cells
     * by centroid cosine — THE recall knob every IVF deployment turns
     * first. nprobe=1 is the plain nearest-cell assignment; higher p
@@ -275,7 +303,7 @@ object Similarity {
       col(vecCol).as("vb"), norm(col(vecCol)).as("nb"))
     val topk = udaf(new graft.functions.TopKByScore(kNeighbors))
     a.join(b, "cid").filter(col("vec_id") =!= col("nn_id"))
-      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .withColumn("cos", safeCos(dot(col("va"), col("vb")), col("na"), col("nb")))
       .filter(col("cos").isNotNull)
       .groupBy(col("vec_id"))
       .agg(topk(col("cos"), col("nn_id")).as("nns"))
@@ -387,11 +415,14 @@ object Similarity {
 
   /** ADC score: fixed-order partial sums ((d0+d1)+d2)+d3 of the LUT
     * entries — same association in the oracle, so the double is
-    * bit-identical across engines.
+    * bit-identical across engines. Same ANSI-safe division guard as
+    * [[safeCos]] (a zero-norm query or reconstruction has no cosine).
     */
-  private def pqAdcScore(pq: PqModel): org.apache.spark.sql.Column =
-    (0 until pq.m).map(i => element_at(col(s"lut$i"), col(s"code$i"))).reduce(_ + _) /
-      (col("qn") * sqrt(col("cn2")))
+  private def pqAdcScore(pq: PqModel): org.apache.spark.sql.Column = {
+    val num = (0 until pq.m).map(i => element_at(col(s"lut$i"), col(s"code$i"))).reduce(_ + _)
+    val denom = col("qn") * sqrt(col("cn2"))
+    when(denom =!= 0, num / denom)
+  }
 
   /** Blocked exact KNN: the [[bruteForceKnn]] insertion-buffer kernel
     * composed per LSH bucket, with NO driver collect — buckets shuffle
@@ -520,7 +551,7 @@ object Similarity {
     val b = bk.select(col(idCol).as("id_2"), col(vecCol).as("vb"),
       norm(col(vecCol)).as("nb"), col("bucket"))
     a.join(b, "bucket").filter(col("id_1") < col("id_2"))
-      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .withColumn("cos", safeCos(dot(col("va"), col("vb")), col("na"), col("nb")))
       .filter(col("cos") >= minCos)
       .select(col("id_1"), col("id_2"), col("cos"))
   }

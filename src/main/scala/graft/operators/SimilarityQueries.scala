@@ -113,6 +113,32 @@ object SimilarityQueries extends QueryPack {
         pqModel(s, d), cents, cells, nprobe = NPROBE, kNeighbors = 3)
     }),
 
+    // Incremental index maintenance: the corpus grows daily but the
+    // quantizer retrains on a schedule — new arrivals (held-out 10%)
+    // are argmax-routed onto the index trained WITHOUT them, O(new),
+    // never O(index), and immediately searchable.
+    "q120_ivf_assign_new" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.kmeansCentroids(
+        emb.filter(col("vec_id") % 10 =!= NEW_MOD), "vec_id", "embedding",
+        KM_K, KM_ROUNDS)
+      Similarity.assignToCells(
+        emb.filter(col("vec_id") % 10 === NEW_MOD), "vec_id", "embedding", cents)
+    }),
+
+    // Filtered ANN: the IVFADC serving path with a metadata predicate
+    // restricting the CANDIDATE set (here: exclude one label class) —
+    // the filter composes as a narrow semi-join on the one-row-per-id
+    // cell relation, so routing, scoring, and the no-dedup guarantee
+    // are untouched.
+    "q121_filtered_ivfadc" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val (cents, cells) = ivfIndex(s, d)
+      val allowed = emb.filter(col("label") =!= FILTER_LABEL).select(col("vec_id"))
+      Similarity.ivfAdcKnn(emb, "vec_id", "embedding", pqModel(s, d), cents,
+        cells.join(allowed, "vec_id"), nprobe = NPROBE, kNeighbors = 3)
+    }),
+
     // Recall-vs-nprobe: THE knob every IVF deployment turns first,
     // measured — ivfProbedKnn at p = 1, 2, 4 against the exact
     // brute-force top-3, one integral row per p (pair counts + a
@@ -172,8 +198,10 @@ object SimilarityQueries extends QueryPack {
   private val PQ_SUB = 16    // dims per subspace (4 × 16 = 64)
   private val PQ_K = 8       // codebook size per subspace
   private val PQ_ROUNDS = 1
-  private val NPROBE = 2           // q118's routing width
+  private val NPROBE = 2           // q118/q121's routing width
   private val NPROBES = Seq(1, 2, 4) // q119's measured recall curve
+  private val NEW_MOD = 0          // q120: vec_id % 10 == 0 are "new arrivals"
+  private val FILTER_LABEL = 0     // q121: candidate predicate label <> 0
 
   /** cosine(a,b) with strict left-fold double arithmetic. */
   private[operators] def cosSql(a: String, b: String) =
@@ -190,7 +218,8 @@ object SimilarityQueries extends QueryPack {
     * a2 → … — the final assignment relation is `a{rounds+1}`. Mirrors
     * [[Similarity.kmeansCentroids]] exactly, macro-expanded per round.
     */
-  private def kmeansWith(k: Int, rounds: Int): String = {
+  private def kmeansWith(k: Int, rounds: Int, where: String = ""): String = {
+    val pred = if (where.isEmpty) "" else s" WHERE $where"
     def argmin(cents: String) =
       s"""SELECT vec_id, embedding, cid, cos FROM (
          |  SELECT e.vec_id, e.embedding, c.cid,
@@ -201,10 +230,10 @@ object SimilarityQueries extends QueryPack {
          |  WHERE ${cosSql("e.embedding", "c.centroid")} IS NOT NULL)
          |WHERE rn = 1""".stripMargin
     val head =
-      s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+      s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings$pred),
          |seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cid,
          |                 embedding AS centroid
-         |          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $k)),
+         |          FROM (SELECT vec_id, embedding FROM embeddings$pred ORDER BY vec_id LIMIT $k)),
          |a1 AS (${argmin("seeds")})""".stripMargin
     val steps = (1 to rounds).map { r =>
       s"""sums$r AS (
@@ -291,6 +320,29 @@ object SimilarityQueries extends QueryPack {
     s"""($num / (sqrt(${dotSql("q.embedding", "q.embedding")}) * sqrt($cn2)))"""
   }
 
+  /** The full IVFADC statement (q118/q121): coarse chain routes, PQ
+    * chains score; `candFilterJoin` optionally restricts the candidate
+    * set by a metadata predicate (filtered ANN).
+    */
+  private def ivfadcSql(candFilterJoin: String): String = {
+    val adc = pqAdcSql
+    val filt = if (candFilterJoin.isEmpty) "" else s"\n  $candFilterJoin"
+    s"""${kmeansWith(KM_K, KM_ROUNDS)},
+       |$pqChainsSql,
+       |$pqReconSql,
+       |${probesSql(NPROBE, "")}
+       |SELECT vec_id, nn_id, adc, rn FROM (
+       |  SELECT q.vec_id, r.vec_id AS nn_id, $adc AS adc,
+       |         CAST(row_number() OVER (PARTITION BY q.vec_id
+       |              ORDER BY $adc DESC, r.vec_id) AS INT) AS rn
+       |  FROM embeddings q
+       |  JOIN probes p ON p.vec_id = q.vec_id
+       |  JOIN a${KM_ROUNDS + 1} ce ON ce.cid = p.cid$filt
+       |  JOIN recon r ON r.vec_id = ce.vec_id AND r.vec_id != q.vec_id
+       |  WHERE $adc IS NOT NULL)
+       |WHERE rn <= 3""".stripMargin
+  }
+
   /** probes$sfx CTE: each query's top-`nprobe` trained coarse cells by
     * centroid cosine, ties cid asc — mirrors [[Similarity.probedCells]]. */
   private def probesSql(nprobe: Int, sfx: String): String =
@@ -319,23 +371,25 @@ object SimilarityQueries extends QueryPack {
     // IVFADC: the coarse chain routes (probes = top-NPROBE cells per
     // query), the PQ chains score (same recon + fixed-order fold as
     // q104) — candidates are exactly the probed cells' members.
-    "q118_ivfadc" -> {
-      val adc = pqAdcSql
-      s"""${kmeansWith(KM_K, KM_ROUNDS)},
-         |$pqChainsSql,
-         |$pqReconSql,
-         |${probesSql(NPROBE, "")}
-         |SELECT vec_id, nn_id, adc, rn FROM (
-         |  SELECT q.vec_id, r.vec_id AS nn_id, $adc AS adc,
-         |         CAST(row_number() OVER (PARTITION BY q.vec_id
-         |              ORDER BY $adc DESC, r.vec_id) AS INT) AS rn
-         |  FROM embeddings q
-         |  JOIN probes p ON p.vec_id = q.vec_id
-         |  JOIN a${KM_ROUNDS + 1} ce ON ce.cid = p.cid
-         |  JOIN recon r ON r.vec_id = ce.vec_id AND r.vec_id != q.vec_id
-         |  WHERE $adc IS NOT NULL)
-         |WHERE rn <= 3""".stripMargin
-    },
+    "q118_ivfadc" -> ivfadcSql(""),
+    // Filtered ANN: same serving path, candidate set additionally
+    // restricted by the metadata predicate.
+    "q121_filtered_ivfadc" ->
+      ivfadcSql(s"JOIN embeddings me ON me.vec_id = ce.vec_id AND me.label <> $FILTER_LABEL"),
+    // Incremental maintenance: train on the retained 90%, argmax-assign
+    // the held-out arrivals against the FINAL centroids (top-1, ties
+    // cid asc, zero-norm dropped) — mirrors Similarity.assignToCells.
+    "q120_ivf_assign_new" ->
+      s"""${kmeansWith(KM_K, KM_ROUNDS, s"vec_id % 10 <> $NEW_MOD")},
+         |newv AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = $NEW_MOD)
+         |SELECT vec_id, cid, cos FROM (
+         |  SELECT n.vec_id, c.cid,
+         |         ${cosSql("n.embedding", "c.centroid")} AS cos,
+         |         row_number() OVER (PARTITION BY n.vec_id
+         |           ORDER BY ${cosSql("n.embedding", "c.centroid")} DESC, c.cid) AS rn
+         |  FROM newv n CROSS JOIN cents$KM_ROUNDS c
+         |  WHERE ${cosSql("n.embedding", "c.centroid")} IS NOT NULL)
+         |WHERE rn = 1""".stripMargin,
     // Recall-vs-nprobe curve: for each p, probed-IVF top-3 within the
     // probed cells' members vs the exact top-3; integral stats per p.
     "q119_ivf_nprobe_recall" -> {

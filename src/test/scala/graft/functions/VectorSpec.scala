@@ -121,6 +121,27 @@ class VectorSpec extends SparkSpec {
     assert(pairs(Similarity.ivfProbedKnn(emb, "vec_id", "embedding", cents, cells, 4, 3)) == exact)
   }
 
+  test("assignToCells routes new vectors onto an existing index without retraining") {
+    import graft.operators.Similarity
+    val idx = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0f, 1f)), (4L, Array(0.1f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(idx, "vec_id", "embedding", 2, 2)
+    val fresh = Seq(
+      (10L, Array(0.8f, 0.2f)),  // x-axis-ish → the seeds-1,2 cell
+      (11L, Array(0.2f, 0.8f)),  // y-axis-ish → the other cell
+      (12L, Array(0f, 0f))       // zero norm: no cosine, no assignment
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.assignToCells(fresh, "vec_id", "embedding", cents)
+      .select($"vec_id", $"cid").as[(Long, Int)].collect().toMap
+    val trained = Similarity.assignToCells(idx, "vec_id", "embedding", cents)
+      .select($"vec_id", $"cid").as[(Long, Int)].collect().toMap
+    assert(got(10L) == trained(1L) && got(10L) == trained(2L))
+    assert(got(11L) == trained(3L) && got(11L) == trained(4L))
+    assert(!got.contains(12L))
+  }
+
   test("ivfAdcKnn at full probe width equals the flat ADC scan") {
     import graft.operators.Similarity
     val emb = graft.sources.Tables.embeddings(spark, sf)
