@@ -58,6 +58,40 @@ object TextQueries extends QueryPack {
         .withColumn("is_match", col("pred_lang") === col("lang"))
     }),
 
+    // Model-based quality proxy: common-bigram coverage — the share of
+    // a document's distinct bigrams that are corpus-common (df ≥ 5% of
+    // docs, floor 3), a cheap stand-in for LM perplexity filtering
+    // (gibberish and boilerplate-free text scores low; formulaic text
+    // scores high). Integral outputs only; the threshold is PURE
+    // INTEGER arithmetic (ceil(n/20) as (n+19) div 20 — a float 0.05·n
+    // rounds differently across engines at exact multiples). 100 TB
+    // shape: the "LM" (common set) is NEVER broadcast or collected —
+    // one df partial-agg shuffle, one bigram equi-join, one per-doc
+    // partial agg; the one driver scalar is the doc count.
+    "q122_bigram_coverage" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val dfMin = math.max(3L, (docs.count() + 19L) / 20L)
+      val bg = docs
+        .select(col("doc_id"), tokens(col("text")).as("ts"))
+        .select(col("doc_id"), explode(shinglesOfTokens(col("ts"), 2)).as("bigram"))
+      // bg is per-doc DISTINCT (shinglesOfTokens dedups), so count(*) = df
+      val common = bg.groupBy(col("bigram")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= dfMin).select(col("bigram"))
+      val perDoc = bg
+        .join(common.withColumn("hit", lit(1)), Seq("bigram"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(coalesce(col("hit"), lit(0))).as("n_common"))
+      docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("n_common"), lit(0L)).as("n_common"))
+        .withColumn("coverage_bps",
+          when(col("n_bigrams") === 0, lit(0L))
+            .otherwise(floor(lit(10000.0) * col("n_common") / col("n_bigrams"))
+              .cast(LongType)))
+    }),
+
     // Corpus statistics: the pre-filter profiling pass of a training
     // pipeline — per-source doc/token totals, exact token-count
     // quantiles, quality mass. EVERY output cell is integral: the
@@ -249,6 +283,25 @@ object TextQueries extends QueryPack {
     s"CAST(${stopHitsSql(EN)} AS DOUBLE) / CAST($nTokensSql AS DOUBLE)"
 
   val oracleSql: Map[String, String] = Map(
+    "q122_bigram_coverage" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |raw AS (SELECT doc_id,
+         |          unnest(list_transform(generate_series(1, len(ts) - 1),
+         |                 i -> ts[i] || ' ' || ts[i+1])) AS bigram
+         |        FROM toks),
+         |bg AS (SELECT DISTINCT doc_id, bigram FROM raw),
+         |cm AS (SELECT bigram FROM (SELECT bigram, count(*) AS df FROM bg GROUP BY 1)
+         |       WHERE df >= greatest(3, ((SELECT count(*) FROM documents) + 19) // 20)),
+         |pd AS (SELECT b.doc_id, count(*) AS n_bigrams,
+         |              sum(CASE WHEN c.bigram IS NOT NULL THEN 1 ELSE 0 END) AS n_common
+         |       FROM bg b LEFT JOIN cm c ON b.bigram = c.bigram GROUP BY 1)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |       CAST(coalesce(n_common, 0) AS BIGINT) AS n_common,
+         |       CASE WHEN coalesce(n_bigrams, 0) = 0 THEN CAST(0 AS BIGINT)
+         |            ELSE CAST(floor(10000.0 * n_common / n_bigrams) AS BIGINT)
+         |       END AS coverage_bps
+         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id""".stripMargin,
     "q115_quality_deciles" ->
       s"""WITH scored AS (
            SELECT doc_id, source,
