@@ -27,6 +27,17 @@ object SimilarityQueries extends QueryPack {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]
   private val pqCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Similarity.PqModel]
+  private val exactCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
+  /** Cached exact top-3 (the recall ground truth): q50 publishes it,
+    * q86/q119 measure against it — one quadratic kernel run per
+    * (session, corpus), not three.
+    */
+  private def exactKnn(s: SparkSession, d: String): DataFrame =
+    exactCache.computeIfAbsent((s, d), _ =>
+      Similarity.bruteForceKnn(Tables.embeddings(s, d), "vec_id", "embedding", 3)
+        .localCheckpoint(true))
 
   /** Cached (cents, cells) of the trained coarse quantizer. */
   private def ivfIndex(s: SparkSession, d: String): (DataFrame, DataFrame) =
@@ -41,9 +52,9 @@ object SimilarityQueries extends QueryPack {
         dim = 64, m = PQ_M, k = PQ_K, rounds = PQ_ROUNDS))
 
   val queries: Map[String, Q] = Map(
-    // Exact brute-force cosine top-3 neighbors (baseline ANN).
-    "q50_cosine_knn" -> ((s, d) =>
-      Similarity.bruteForceKnn(Tables.embeddings(s, d), "vec_id", "embedding", 3)),
+    // Exact brute-force cosine top-3 neighbors (baseline ANN), served
+    // from the shared cache q86/q119 also measure against.
+    "q50_cosine_knn" -> ((s, d) => exactKnn(s, d)),
 
     // Sign-bit LSH bucketed ANN: candidates share an 8-bit bucket,
     // verified with exact cosine ≥ 0.3 (the scale path).
@@ -146,10 +157,9 @@ object SimilarityQueries extends QueryPack {
     "q119_ivf_nprobe_recall" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val (cents, cells) = ivfIndex(s, d)
-      // materialize the exact baseline once; three probe settings
-      // compare against the same relation
-      val exact = Similarity.bruteForceKnn(emb, "vec_id", "embedding", 3)
-        .select(col("vec_id"), col("nn_id")).localCheckpoint(true)
+      // the shared exact baseline; three probe settings compare
+      // against the same materialized relation
+      val exact = exactKnn(s, d).select(col("vec_id"), col("nn_id"))
       import s.implicits._
       NPROBES.map { p =>
         val probed = Similarity
@@ -171,8 +181,7 @@ object SimilarityQueries extends QueryPack {
     // numbers here, not vibes.
     "q86_ann_recall" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val exact = Similarity.bruteForceKnn(emb, "vec_id", "embedding", 3)
-        .select(col("vec_id"), col("nn_id"))
+      val exact = exactKnn(s, d).select(col("vec_id"), col("nn_id"))
       val ivf = Similarity.ivfKnn(emb.join(ivfIndex(s, d)._2, "vec_id"),
         "vec_id", "embedding", "cid", 3).select(col("vec_id"), col("nn_id"))
       // one pass over the exact side: left-join indicator gives the
