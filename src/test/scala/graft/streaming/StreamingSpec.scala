@@ -172,6 +172,27 @@ class StreamingSpec extends SparkSpec {
     assert(after.filter($"event_id" === 900001L).count() == 1)
   }
 
+  test("ledger namespaces: a relocated checkpoint never collides with the old one's markers") {
+    // same table, two different checkpoint locations: markers written
+    // under ck A's namespace must be invisible to a run under ck B —
+    // without the namespace, B's batch 0 would hit A's b=0 marker and
+    // be swallowed
+    val whRoot = java.nio.file.Files.createTempDirectory("graft-ns-wh").toString
+    val wh = new graft.sources.Warehouse(whRoot, spark)
+    val nsA = EventPipelines.ledgerNamespace("/tmp/ck-a")
+    val nsB = EventPipelines.ledgerNamespace("/tmp/ck-b")
+    assert(nsA != nsB)
+    wh.markBatchCommitted("bl_3nf", "nst", 0, nsA)
+    assert(wh.batchCommitted("bl_3nf", "nst", 0, nsA))
+    assert(!wh.batchCommitted("bl_3nf", "nst", 0, nsB)) // B starts clean
+    assert(!wh.batchCommitted("bl_3nf", "nst", 0))      // un-namespaced too
+    // wiping B's namespace leaves A's markers intact
+    wh.clearLedger("bl_3nf", "nst", nsB)
+    assert(wh.batchCommitted("bl_3nf", "nst", 0, nsA))
+    wh.clearLedger("bl_3nf", "nst", nsA)
+    assert(!wh.batchCommitted("bl_3nf", "nst", 0, nsA))
+  }
+
   test("sessionize emits closed sessions that match the batch gap logic") {
     EventPipelines.runToMemory(
       EventPipelines.sessionize(spark, EventPipelines.readEventStream(spark, streamDir)).toDF(),
