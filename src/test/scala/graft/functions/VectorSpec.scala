@@ -154,6 +154,29 @@ class VectorSpec extends SparkSpec {
     assert(ivf == flat) // bit-identical scores: same LUT doubles, same fold
   }
 
+  test("ivfAdcKnn serves an external query set: neighbors from the index only, batch-size invariant") {
+    import graft.operators.Similarity
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val index = emb.filter($"vec_id" % 10 =!= 0)
+    val queries = emb.filter($"vec_id" % 10 === 0)
+    val pq = Similarity.pqTrain(index, "vec_id", "embedding", dim = 64, m = 4, k = 4, rounds = 1)
+    val (cents, cells) = Similarity.trainedIndex(index, "vec_id", "embedding", k = 4, rounds = 1)
+    val served = Similarity.ivfAdcKnn(queries, "vec_id", "embedding", pq, cents, cells, 2, 3)
+      .select($"vec_id", $"nn_id", $"adc", $"rn").as[(Long, Long, Double, Int)].collect()
+    val indexIds = index.select($"vec_id").as[Long].collect().toSet
+    val queryIds = queries.select($"vec_id").as[Long].collect().toSet
+    assert(served.nonEmpty)
+    assert(served.forall(r => queryIds.contains(r._1)))
+    assert(served.forall(r => indexIds.contains(r._2))) // never another query
+    // per-query independence: a single query served alone gets the
+    // identical ranked answer it got inside the batch
+    val q0 = queryIds.min
+    val solo = Similarity.ivfAdcKnn(queries.filter($"vec_id" === q0),
+      "vec_id", "embedding", pq, cents, cells, 2, 3)
+      .select($"vec_id", $"nn_id", $"adc", $"rn").as[(Long, Long, Double, Int)].collect().toSet
+    assert(solo == served.filter(_._1 == q0).toSet)
+  }
+
   test("signBucket maps sign pattern of leading dims") {
     val r = df.select($"id", VectorFunctions.signBucket($"a", 3).as("bk"))
       .as[(Long, String)].collect().toMap
