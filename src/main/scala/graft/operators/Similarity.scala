@@ -227,11 +227,15 @@ object Similarity {
     (cents, cells)
   }
 
-  /** The closed ANN loop: train the quantizer ([[kmeansCentroids]]),
-    * assign every vector to its trained cell, then [[ivfKnn]] within
-    * those cells — index cells come from the learned centroids, not a
-    * fixture label. The train side touches k-row tables only; the
-    * search side is the partition-local IVF join.
+  /** The closed ANN loop in one call: train the quantizer
+    * ([[kmeansCentroids]]), assign every vector to its trained cell,
+    * then [[ivfKnn]] within those cells — index cells come from the
+    * learned centroids, not a fixture label. The train side touches
+    * k-row tables only; the search side is the partition-local IVF
+    * join. (The q76 query pack composes the identical
+    * `ivfKnn(emb ⋈ cells)` shape from its SHARED cached index instead
+    * of calling this, so one training run serves many queries; this
+    * one-call form is the standalone API.)
     */
   def ivfTrainedKnn(emb: DataFrame, idCol: String, vecCol: String,
                     k: Int, rounds: Int, kNeighbors: Int): DataFrame = {
@@ -324,7 +328,9 @@ object Similarity {
     * signal. Scale shape: per subspace the training/assignment work is
     * the [[kmeansAssignStep]] broadcast pattern; the m assignments
     * equi-join back on the id, and at 100 TB each is a narrow
-    * (id, int, double) relation.
+    * (id, int, double) relation. (The q97 query pack calls [[pqCodes]]
+    * on its SHARED cached model instead of this train-and-encode
+    * one-call form.)
     */
   def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
                dim: Int, m: Int, k: Int, rounds: Int): DataFrame =
