@@ -27,9 +27,7 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
       name -> t
     }
-    // 3-decimal timings, locale-fixed: full-precision doubles made the
-    // JSON line long enough to be truncated by line-capped log capture,
-    // losing the round's per-query evidence — ms resolution is all a
+    // 3-decimal timings, locale-fixed: ms resolution is all a
     // seconds-scale bench can claim anyway.
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -38,12 +36,28 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("\"" + sfDir + "\"")
-    val json =
+    // The full per-query map makes the JSON line ~2.6 KB — longer than
+    // line-capped log capture allows, which destroyed the committed perf
+    // evidence three rounds running. Stdout gets a SHORT total-only line
+    // the capture can hold whole; the full per-query map goes to a file.
+    val detail = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/tmp/bench_" + new java.io.File(sfDir).getName + ".json")
+    val full =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":$sf}"""
-    println(json)
-    // belt and braces: also persist to a file so the numbers survive any
-    // stdout truncation
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/bench.json"), json): Unit
+    val short =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":{"q60_full_etl":${f3(
+        results.getOrElse("q60_full_etl", -1.0))}},"sf":$sf,"n":${results.size},"detail":"$detail"}"""
+    println(short)
+    // Persist the full map; a read-only /tmp must not fail a bench that
+    // already ran every query — warn and keep the stdout evidence.
+    try {
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(detail), full): Unit
+      // legacy path some tooling reads; same warn-only contract
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/bench.json"), full): Unit
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] detail write failed (stdout line stands): ${e.getMessage}")
+    }
     spark.stop()
   }
 }
