@@ -74,24 +74,27 @@ object Multimodal {
     * same seam, same schema.)
     */
   object ImageIoCodec extends Codec {
-    def decode(payload: Array[Byte]): (Int, Int, Long) = {
-      val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-        catch { case _: java.io.IOException => null }
-      if (img == null) (-1, -1, 0L)
-      else {
-        var acc = 0L
-        var y = 0
-        while (y < img.getHeight) {
-          var x = 0
-          while (x < img.getWidth) {
-            acc = acc * 31 + (img.getRGB(x, y) & 0xffffffffL); x += 1
+    def decode(payload: Array[Byte]): (Int, Int, Long) =
+      // NonFatal, not just IOException: plugin readers throw unchecked
+      // exceptions on crafted/truncated headers (IllegalArgumentException,
+      // index/array errors), and the sentinel contract is that corrupt
+      // media is DATA, never a task failure.
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        if (img == null) (-1, -1, 0L)
+        else {
+          var acc = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              acc = acc * 31 + (img.getRGB(x, y) & 0xffffffffL); x += 1
+            }
+            y += 1
           }
-          y += 1
+          (img.getWidth, img.getHeight, acc)
         }
-        (img.getWidth, img.getHeight, acc)
-      }
-    }
+      } catch { case scala.util.control.NonFatal(_) => (-1, -1, 0L) }
   }
 
   val decodedSchema: StructType = StructType(Seq(
