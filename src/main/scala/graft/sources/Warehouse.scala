@@ -251,10 +251,15 @@ class Warehouse(val root: String, spark: SparkSession) {
   }
 
   /** Commit `df` as the next snapshot version; returns its number.
-    * Never clobbers a COMMITTED slot: if another writer landed `v=N`
-    * (its `_SUCCESS` exists) between our listing and our write, advance
-    * past it — overwrite-mode only ever hits uncommitted leftovers
-    * (torn writes), which are invisible to readers by construction.
+    * SINGLE-WRITER-PER-TABLE semantics: the committed-slot re-check
+    * below advances past versions another writer landed between our
+    * listing and our write, but the `_SUCCESS` probe and the overwrite
+    * write are not atomic — two writers racing the same table can both
+    * pick `v=N` and one clobbers the other. That matches the
+    * reference's one-orchestrator-per-warehouse model; multi-writer
+    * needs an external lock or a rename-based commit protocol.
+    * Overwrite-mode on the chosen slot only ever hits uncommitted
+    * leftovers (torn writes), which are invisible to readers.
     */
   def writeVersion(df: DataFrame, layer: String, table: String): Int = {
     val dir = versionsDir(layer, table)
@@ -316,6 +321,32 @@ class Warehouse(val root: String, spark: SparkSession) {
   def clearLedger(layer: String, table: String, ns: String = ""): Unit = {
     val dir = new Path(path(layer, table + "__ledger"))
     fs.delete(if (ns.isEmpty) dir else new Path(dir, s"ns=$ns"), true): Unit
+  }
+
+  /** Ledger retention: drop all but the newest `keep` committed-batch
+    * markers of one checkpoint namespace (mirrors [[vacuumVersions]]'
+    * keep-the-newest floor semantics). Safe because Structured
+    * Streaming only ever re-delivers the LAST batch of a lineage (the
+    * crash window between the user function and the offset commit) —
+    * older batch ids are behind the committed offsets and never replay,
+    * so their markers are dead weight: one empty file per micro-batch,
+    * forever, on a long-lived stream. `keep ≥ 1` retains the
+    * replay-skip for every batch that can still legally arrive.
+    * Returns the dropped batch ids.
+    */
+  def vacuumLedger(layer: String, table: String, keep: Int,
+                   ns: String = ""): Seq[Long] = {
+    require(keep >= 1, s"vacuumLedger(keep=$keep): must keep the newest marker")
+    val base = new Path(path(layer, table + "__ledger"))
+    val dir = if (ns.isEmpty) base else new Path(base, s"ns=$ns")
+    if (!fs.exists(dir)) Nil
+    else {
+      val drop = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("b=")).map(_.stripPrefix("b=").toLong)
+        .sorted.dropRight(keep)
+      drop.foreach(b => fs.delete(new Path(dir, s"b=$b"), false): Unit)
+      drop
+    }
   }
 
   /** Retention: drop all but the newest `keep` committed versions.

@@ -193,6 +193,28 @@ class StreamingSpec extends SparkSpec {
     assert(!wh.batchCommitted("bl_3nf", "nst", 0, nsA))
   }
 
+  test("ledger vacuum: old markers pruned, replay-skip intact for retained ids, namespaces isolated") {
+    val whRoot = java.nio.file.Files.createTempDirectory("graft-vac-wh").toString
+    val wh = new graft.sources.Warehouse(whRoot, spark)
+    val nsA = EventPipelines.ledgerNamespace("/tmp/ck-vac-a")
+    val nsB = EventPipelines.ledgerNamespace("/tmp/ck-vac-b")
+    (0L to 5L).foreach(b => wh.markBatchCommitted("bl_3nf", "vac", b, nsA))
+    wh.markBatchCommitted("bl_3nf", "vac", 0, nsB)
+    assert(wh.vacuumLedger("bl_3nf", "vac", keep = 2, nsA) == Seq(0L, 1L, 2L, 3L))
+    // the retained tail still skips replays; pruned ids no longer do
+    // (only the LAST batch of a lineage can legally replay, so the
+    // pruned ids can never arrive again)
+    assert(wh.batchCommitted("bl_3nf", "vac", 4, nsA))
+    assert(wh.batchCommitted("bl_3nf", "vac", 5, nsA))
+    (0L to 3L).foreach(b => assert(!wh.batchCommitted("bl_3nf", "vac", b, nsA)))
+    // the other checkpoint's namespace is untouched
+    assert(wh.batchCommitted("bl_3nf", "vac", 0, nsB))
+    // idempotent floor: re-vacuum drops nothing further
+    assert(wh.vacuumLedger("bl_3nf", "vac", keep = 2, nsA).isEmpty)
+    // keep must retain at least the newest marker
+    intercept[IllegalArgumentException](wh.vacuumLedger("bl_3nf", "vac", keep = 0, nsA))
+  }
+
   test("sessionize emits closed sessions that match the batch gap logic") {
     EventPipelines.runToMemory(
       EventPipelines.sessionize(spark, EventPipelines.readEventStream(spark, streamDir)).toDF(),
