@@ -178,17 +178,78 @@ object Similarity {
   /** Per-cell centroids from an assignment: per-dimension exact LONG
     * sums of 1e-7-quantized coordinates (see [[kmeansAssignStep]] for
     * why quantized integer sums, not double means).
+    *
+    * `mean = false` (the default) keeps the SCALED SUM as the centroid —
+    * fine wherever centroids are only ever arguments to the
+    * scale-invariant cosine (assignment, routing, cell-local search).
+    * `mean = true` divides back to the TRUE MEAN, (s/n)/1e7 — required
+    * the moment centroids enter vector ARITHMETIC: residual encoding
+    * subtracts the centroid from data vectors and adds it back at
+    * scoring time ([[residuals]]/[[ivfAdcResidualKnn]]), where a
+    * 1e7·count-scaled "centroid" would swamp the data term entirely.
+    * Both divisions are single IEEE double ops in a fixed order, so the
+    * mean is as cross-engine exact as the sum.
     */
-  private def kmeansRecenter(assigned: DataFrame, vecCol: String): DataFrame = {
+  private def kmeansRecenter(assigned: DataFrame, vecCol: String,
+                             mean: Boolean = false): DataFrame = {
     import org.apache.spark.sql.types.DoubleType
-    assigned.select(col("cid"), posexplode(col(vecCol)))
+    val sums = assigned.select(col("cid"), posexplode(col(vecCol)))
       .groupBy(col("cid"), col("pos"))
-      .agg(sum(floor(col("col").cast(DoubleType) * 1e7).cast("long")).as("s"))
-      .groupBy(col("cid"))
-      .agg(collect_list(struct(col("pos"), col("s").cast(DoubleType).as("v"))).as("xs"))
+      .agg(sum(floor(col("col").cast(DoubleType) * 1e7).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+    val v = if (mean) (col("s").cast(DoubleType) / col("n")) / lit(1e7)
+    else col("s").cast(DoubleType)
+    sums.groupBy(col("cid"))
+      .agg(collect_list(struct(col("pos"), v.as("v"))).as("xs"))
       .select(col("cid"),
         expr("transform(array_sort(xs), x -> CAST(x.v AS FLOAT))").as("centroid"))
   }
+
+  /** L2 (Euclidean) nearest-centroid assignment — the residual
+    * sub-quantizer's metric: a residual's information is mostly its
+    * MAGNITUDE, which the cosine metric throws away (and near-zero
+    * residuals get essentially random cosine cells). Score =
+    * −‖v−c‖², decomposed (vv − 2·vc) + cc with fixed association so
+    * both engines compute the identical double; ties cid asc via the
+    * same bounded top-1 partial agg as [[kmeansAssign]]. The score
+    * lands in the `cos` column so the PQ plumbing is metric-agnostic.
+    */
+  private def kmeansAssignL2(emb: DataFrame, idCol: String, vecCol: String,
+                             cents: DataFrame): DataFrame = {
+    val top1 = udaf(new graft.functions.TopKByScore(1))
+    val negd = -((dot(col(vecCol), col(vecCol)) -
+      lit(2.0) * dot(col(vecCol), col("centroid"))) +
+      dot(col("centroid"), col("centroid")))
+    emb.crossJoin(broadcast(cents))
+      .withColumn("cos", negd)
+      .groupBy(col(idCol), col(vecCol))
+      .agg(top1(col("cos"), col("cid").cast("long")).as("nns"))
+      .select(col(idCol), col(vecCol),
+        expr("nns[0]._2").cast("int").as("cid"), expr("nns[0]._1").as("cos"))
+  }
+
+  /** L2 Lloyd training: Euclidean assignment + TRUE-MEAN recentering —
+    * the textbook k-means, used where centroids are reconstruction
+    * terms (residual codebooks) rather than cosine arguments.
+    */
+  def kmeansCentroidsL2(emb: DataFrame, idCol: String, vecCol: String,
+                        k: Int, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds=$rounds must be >= 1")
+    var cents = kmeansSeeds(emb, idCol, vecCol, k)
+    for (_ <- 1 to rounds)
+      cents = kmeansRecenter(kmeansAssignL2(emb, idCol, vecCol, cents), vecCol,
+        mean = true).localCheckpoint(true)
+    cents
+  }
+
+  /** TRUE-MEAN centroids of an EXISTING cell assignment — the scoring
+    * geometry for the residual path: the shared scaled-sum index keeps
+    * doing the routing (same cells — cosine is scale-invariant), while
+    * vector arithmetic (x − c, c + r̂) uses these means.
+    */
+  def cellMeans(emb: DataFrame, idCol: String, vecCol: String,
+                cells: DataFrame): DataFrame =
+    kmeansRecenter(emb.join(cells, idCol), vecCol, mean = true)
 
   /** TRAIN the coarse quantizer: `rounds` deterministic Lloyd
     * refinements from the id-seeded start. Each round is one broadcast
@@ -540,6 +601,150 @@ object Similarity {
       .join(db, Seq("cid"))
       .filter(col("vec_id") =!= col("nn_id"))
       .withColumn("adc", pqAdcScore(pq))
+      .filter(col("adc").isNotNull) // zero-norm query or reconstruction
+      .groupBy(col("vec_id"))
+      .agg(topk(col("adc"), col("nn_id")).as("nns"))
+      .select(col("vec_id"), posexplode(col("nns")))
+      .select(col("vec_id"), col("col._2").as("nn_id"),
+        col("col._1").as("adc"), (col("pos") + 1).cast("int").as("rn"))
+  }
+
+  /** Residual relation of a trained coarse index: per id,
+    * r = x − mean(cell(x)), elementwise FLOAT subtraction (exact
+    * across engines: the difference of two binary32 values is exactly
+    * representable in binary64, so double-subtract-then-round and
+    * native float-subtract round the same exact value once). The
+    * centroids here MUST be true means ([[cellMeans]]), not the scaled
+    * sums the routing index carries — vector arithmetic is not
+    * scale-invariant. The k-row centroid table broadcasts; ids without
+    * a cell (zero-norm vectors) drop, matching every other path's
+    * no-cosine contract.
+    */
+  def residuals(emb: DataFrame, idCol: String, vecCol: String,
+                meanCents: DataFrame, cells: DataFrame): DataFrame =
+    emb.join(cells, idCol)
+      .join(broadcast(meanCents.select(col("cid"), col("centroid"))), "cid")
+      .select(col(idCol), zip_with(col(vecCol), col("centroid"),
+        (a, b) => a - b).as(vecCol))
+
+  /** Train PQ codebooks on RESIDUALS x − mean(cell(x)) — the accuracy
+    * half of the Jégou et al. IVFADC construction: residuals have far
+    * less variance than raw vectors, so the same m·log2(k) bits
+    * quantize them with much smaller reconstruction error, and
+    * [[ivfAdcResidualKnn]]'s scores track the true cosine more closely
+    * than raw-vector PQ at identical bits (measured by the q123 recall
+    * harness). The sub-quantizers are L2 Lloyd ([[kmeansCentroidsL2]]):
+    * Euclidean assignment (residual information is magnitude, not
+    * direction) and TRUE-MEAN recentering (their centroids are
+    * reconstruction terms, not just cosine arguments). Same eager
+    * train-once contract as [[pqTrain]].
+    */
+  def pqTrainResidual(emb: DataFrame, idCol: String, vecCol: String,
+                      meanCents: DataFrame, cells: DataFrame,
+                      dim: Int, m: Int, k: Int, rounds: Int): PqModel = {
+    require(dim % m == 0, s"dim=$dim must split evenly into m=$m subspaces")
+    val resid = residuals(emb, idCol, vecCol, meanCents, cells)
+    val sub = dim / m
+    val parts = (0 until m).map { i =>
+      val sliced = resid.select(col(idCol), slice(col(vecCol), i * sub + 1, sub).as(vecCol))
+      val cents = kmeansCentroidsL2(sliced, idCol, vecCol, k, rounds)
+      val codes = kmeansAssignL2(sliced, idCol, vecCol, cents)
+        .select(col(idCol), col("cid").as(s"code$i"), col("cos").as(s"cos$i"))
+        .localCheckpoint(true)
+      val byCid = cents.collect()
+        .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
+      (codes, byCid)
+    }
+    PqModel(dim, m, k, parts)
+  }
+
+  /** IVFADC with residual encoding (true IVF-PQ): candidates are scored
+    * as cosine(q, centroid(cell) + recon_residual) — the reconstruction
+    * is the cell centroid PLUS the PQ-decoded residual, a strictly
+    * better approximation of x than raw-vector PQ at the same bits.
+    * The score decomposes into the standard residual-ADC lookup form,
+    * so the per-candidate cost stays m LUT reads plus three bounded
+    * table lookups:
+    *
+    *   num  = dot(q, c) + Σ_i LUT_i[code_i]          (LUT_i from q's slices
+    *                                                  vs residual codebooks)
+    *   ‖c + r̂‖² = ‖c‖² + 2·Σ_i ccdot_i[cid][code_i] + Σ_i ‖rc_i[code_i]‖²
+    *   adc  = num / (‖q‖ · sqrt(‖c + r̂‖²))
+    *
+    * where ccdot_i[cid][code] = dot(mean-centroid slice i, residual
+    * codebook centroid) — a (cells × m × k)-entry constant table built
+    * driver-side from the already-collected codebooks (bounded by the
+    * algorithm constants, like the LUTs). dot(q, c) is computed once per
+    * (query, probed cell), not per candidate. Routing runs on the SHARED
+    * scaled-sum index (`cents` — same cells, cosine is scale-invariant);
+    * every arithmetic term uses the true means (`meanCents`,
+    * [[cellMeans]]). Same join shape, preconditions and determinism
+    * contract as [[ivfAdcKnn]]; returns (vec_id, nn_id, adc, rn).
+    */
+  def ivfAdcResidualKnn(emb: DataFrame, idCol: String, vecCol: String,
+                        pqr: PqModel, cents: DataFrame, meanCents: DataFrame,
+                        cells: DataFrame,
+                        nprobe: Int, kNeighbors: Int): DataFrame = {
+    require(kNeighbors >= 1, s"kNeighbors=$kNeighbors must be >= 1")
+    val sub = pqr.sub
+    // driver-side constant tables from the k-row MEAN centroid relation
+    // (scoring arithmetic needs true means; `cents` only routes)
+    val centArr: Map[Int, Array[Float]] = meanCents.select(col("cid"), col("centroid"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
+    val maxCid = centArr.keys.max
+    val cnorm2Slots: Seq[Option[Double]] =
+      (1 to maxCid).map(c => centArr.get(c).map(v => dotf(v, v)))
+    def ccdot2d(i: Int): Seq[Seq[Option[Double]]] =
+      (1 to maxCid).map { c =>
+        centArr.get(c) match {
+          case Some(cv) =>
+            val cs = cv.slice(i * sub, (i + 1) * sub)
+            cidSlots(pqr.k, pqr.parts(i)._2)(rc => dotf(cs, rc))
+          case None => Seq.fill(pqr.k)(Option.empty[Double])
+        }
+      }
+    // query side: per-subspace LUTs vs the RESIDUAL codebooks, plus the
+    // full vector (needed once per probed cell for dot(q, c))
+    val sliced = emb.select(col(idCol).as("vec_id") +: col(vecCol).as("qv") +:
+      norm(col(vecCol)).as("qn") +:
+      (0 until pqr.m).map(i => slice(col(vecCol), i * sub + 1, sub).as(s"q$i")): _*)
+    val qrel = sliced.select(col("vec_id") +: col("qv") +: col("qn") +:
+      (0 until pqr.m).map { i =>
+        val slots = cidSlots(pqr.k, pqr.parts(i)._2)(identity)
+        array(slots.map {
+          case Some(c) => dot(col(s"q$i"), typedLit(c))
+          case None => lit(null).cast("double")
+        }: _*).as(s"lut$i")
+      }: _*)
+    val probes = probedCells(emb, idCol, vecCol, cents, nprobe)
+      .withColumnRenamed(idCol, "vec_id")
+    val qp = qrel.join(probes, "vec_id")
+      .join(broadcast(meanCents.select(col("cid"), col("centroid"))), "cid")
+      .withColumn("qc", dot(col("qv"), col("centroid")))
+      .drop("qv", "centroid")
+    // index side: residual codes + the FULL reconstruction norm²
+    // ‖c + r̂‖² = (‖c‖² + 2·Σ ccdot_i[cid][code_i]) + Σ‖rc_i‖². The
+    // norm depends only on (cid, codes) — i.e. on the INDEX ROW — so
+    // it is projected here, once per database vector, never per
+    // (query, candidate) pair (the precomputed-table half of Jégou
+    // et al.'s ADC). Measured: folding it into the per-pair score
+    // instead put the nested constant-table lookups on the
+    // #candidates-row path and cost ~10× the whole serving query.
+    // Same ops, same association as the per-pair form, so scores stay
+    // bit-identical to the oracle's.
+    val crossterm = (0 until pqr.m).map(i =>
+      element_at(element_at(typedLit(ccdot2d(i)), col("cid")), col(s"code$i")))
+      .reduce(_ + _)
+    val db = pqDb(pqr, idCol).join(cells, idCol).withColumnRenamed(idCol, "nn_id")
+      .withColumn("cn2p", element_at(typedLit(cnorm2Slots), col("cid")) +
+        lit(2.0) * crossterm + col("cn2"))
+    val num = (col("qc") +: (0 until pqr.m).map(i =>
+      element_at(col(s"lut$i"), col(s"code$i")))).reduce(_ + _)
+    val den = col("qn") * sqrt(col("cn2p"))
+    val topk = udaf(new graft.functions.TopKByScore(kNeighbors))
+    qp.join(db, Seq("cid"))
+      .filter(col("vec_id") =!= col("nn_id"))
+      .withColumn("adc", when(den =!= 0, num / den))
       .filter(col("adc").isNotNull) // zero-norm query or reconstruction
       .groupBy(col("vec_id"))
       .agg(topk(col("adc"), col("nn_id")).as("nns"))

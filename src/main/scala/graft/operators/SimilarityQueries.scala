@@ -27,29 +27,84 @@ object SimilarityQueries extends QueryPack {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]
   private val pqCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Similarity.PqModel]
+  private val residCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (Similarity.PqModel, DataFrame)]
   private val exactCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private val allCaches: Seq[java.util.concurrent.ConcurrentHashMap[(SparkSession, String), _]] =
+    Seq(ivfCache, pqCache, residCache, exactCache)
+
+  /** Drop one session's entries from every model cache. Wired to the
+    * context's ApplicationEnd by [[cached]]; also the test seam.
+    */
+  private[graft] def evictSession(s: SparkSession): Unit =
+    allCaches.foreach(_.keySet.removeIf(k => k._1 eq s))
+
+  /** How many cached models a session currently owns (test seam). */
+  private[graft] def cachedEntries(s: SparkSession): Int =
+    allCaches.map(_.keySet.stream.filter(k => k._1 eq s).count().toInt).sum
+
+  private val hooked = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean])
+
+  /** Bounded compute-once: entries are EVICTED when their session's
+    * context stops (an ApplicationEnd listener registered on first use,
+    * plus a dead-context sweep on every access as belt-and-braces) —
+    * a long-lived JVM cycling sessions no longer pins dead sessions'
+    * localCheckpointed state. A session sharing a still-live context
+    * is only dropped via [[evictSession]]; the values strongly
+    * reference their session (DataFrames do), so weak keys alone could
+    * never collect them.
+    */
+  private def cached[V](cache: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), V],
+                        s: SparkSession, d: String)(train: => V): V = {
+    if (hooked.add(s))
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          evictSession(s)
+          hooked.remove(s): Unit
+        }
+      })
+    allCaches.foreach(_.keySet.removeIf(k => k._1.sparkContext.isStopped))
+    cache.computeIfAbsent((s, d), _ => train)
+  }
 
   /** Cached exact top-3 (the recall ground truth): q50 publishes it,
-    * q86/q119 measure against it — one quadratic kernel run per
-    * (session, corpus), not three.
+    * q86/q119/q123 measure against it — one quadratic kernel run per
+    * (session, corpus), not four.
     */
   private def exactKnn(s: SparkSession, d: String): DataFrame =
-    exactCache.computeIfAbsent((s, d), _ =>
+    cached(exactCache, s, d)(
       Similarity.bruteForceKnn(Tables.embeddings(s, d), "vec_id", "embedding", 3)
         .localCheckpoint(true))
 
   /** Cached (cents, cells) of the trained coarse quantizer. */
   private def ivfIndex(s: SparkSession, d: String): (DataFrame, DataFrame) =
-    ivfCache.computeIfAbsent((s, d), _ =>
+    cached(ivfCache, s, d)(
       Similarity.trainedIndex(Tables.embeddings(s, d), "vec_id", "embedding",
         KM_K, KM_ROUNDS))
 
-  /** Cached trained PQ codebooks. */
+  /** Cached trained PQ codebooks (raw vectors). */
   private def pqModel(s: SparkSession, d: String): Similarity.PqModel =
-    pqCache.computeIfAbsent((s, d), _ =>
+    cached(pqCache, s, d)(
       Similarity.pqTrain(Tables.embeddings(s, d), "vec_id", "embedding",
         dim = 64, m = PQ_M, k = PQ_K, rounds = PQ_ROUNDS))
+
+  /** Cached residual-PQ model + the true-mean centroid table of the
+    * shared coarse cells (the IVF-PQ construction: routing reuses the
+    * scaled-sum index; all reconstruction arithmetic uses the means).
+    */
+  private def residModel(s: SparkSession, d: String): (Similarity.PqModel, DataFrame) =
+    cached(residCache, s, d) {
+      val emb = Tables.embeddings(s, d)
+      val (_, cells) = ivfIndex(s, d)
+      val meanCents = Similarity.cellMeans(emb, "vec_id", "embedding", cells)
+        .localCheckpoint(true)
+      val pqr = Similarity.pqTrainResidual(emb, "vec_id", "embedding",
+        meanCents, cells, dim = 64, m = PQ_M, k = PQ_K, rounds = PQ_ROUNDS)
+      (pqr, meanCents)
+    }
 
   val queries: Map[String, Q] = Map(
     // Exact brute-force cosine top-3 neighbors (baseline ANN), served
@@ -174,6 +229,46 @@ object SimilarityQueries extends QueryPack {
       }.toDF("nprobe", "n_exact_pairs", "n_overlap_pairs", "recall_bps")
     }),
 
+    // Residual IVFADC (true IVF-PQ): same routing as q118, but PQ
+    // codebooks trained on residuals x − centroid(cell(x)) and
+    // candidates scored as cosine(q, centroid + decoded residual) —
+    // the Jégou construction's accuracy half: identical bits, strictly
+    // better reconstruction, measurably higher recall (q123).
+    "q124_residual_ivfadc" -> ((s, d) => {
+      val (cents, cells) = ivfIndex(s, d)
+      val (pqr, meanCents) = residModel(s, d)
+      Similarity.ivfAdcResidualKnn(Tables.embeddings(s, d), "vec_id", "embedding",
+        pqr, cents, meanCents, cells, nprobe = NPROBE, kNeighbors = 3)
+    }),
+
+    // ADC recall — the quantization-loss number a PQ deployment reports
+    // alongside nprobe: recall of the SERVED (PQ-scored) paths against
+    // the exact baseline, for raw-vector PQ (q118's scorer) and
+    // residual PQ (q124's) at each probe width. One integral row per
+    // (scorer, nprobe); the hash check pins both curves, including
+    // residual ≥ raw at equal bits.
+    "q123_adc_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val (cents, cells) = ivfIndex(s, d)
+      val exact = exactKnn(s, d).select(col("vec_id"), col("nn_id"))
+      import s.implicits._
+      val (pqr, meanCents) = residModel(s, d)
+      val scorers: Seq[(String, Int => DataFrame)] = Seq(
+        "adc_raw" -> (p => Similarity.ivfAdcKnn(emb, "vec_id", "embedding",
+          pqModel(s, d), cents, cells, p, 3)),
+        "adc_residual" -> (p => Similarity.ivfAdcResidualKnn(emb, "vec_id", "embedding",
+          pqr, cents, meanCents, cells, p, 3)))
+      (for { (name, fn) <- scorers; p <- NPROBES } yield {
+        val served = fn(p).select(col("vec_id"), col("nn_id"))
+        val r = exact
+          .join(served.withColumn("hit", lit(1)), Seq("vec_id", "nn_id"), "left")
+          .agg(count(lit(1)).as("n"), sum(coalesce(col("hit"), lit(0))).as("o"))
+          .head()
+        val (n, o) = (r.getLong(0), r.getLong(1))
+        (name, p, n, o, if (n == 0) 0L else math.floor(10000.0 * o / n).toLong)
+      }).toDF("scorer", "nprobe", "n_exact_pairs", "n_overlap_pairs", "recall_bps")
+    }),
+
     // MEASURED recall of the trained IVF index against the exact
     // brute-force top-3 — the eval every ANN deployment needs before
     // trusting its quantizer. Integer outputs only (pair counts and a
@@ -263,30 +358,48 @@ object SimilarityQueries extends QueryPack {
     * per-subspace training of product quantization. Final assignment
     * relation: `a$sfx${rounds + 1}`.
     */
-  private def kmeansWithSub(k: Int, rounds: Int, lo: Int, hi: Int, sfx: String): String = {
-    def argmin(cents: String) =
+  private def kmeansWithSub(k: Int, rounds: Int, lo: Int, hi: Int, sfx: String,
+                            from: String = "embeddings",
+                            mean: Boolean = false,
+                            l2: Boolean = false): String = {
+    // l2=true mirrors Similarity.kmeansAssignL2: score = −‖v−c‖²
+    // decomposed (vv − 2·vc) + cc in the identical association; never
+    // NULL, so no guard. Cosine argmin keeps the zero-norm guard.
+    def score(e: String, c: String) =
+      if (l2) s"(-((${dotSql(e, e)} - 2.0 * ${dotSql(e, c)}) + ${dotSql(c, c)}))"
+      else cosSql(e, c)
+    def argmin(cents: String) = {
+      val guard = if (l2) ""
+      else s"\n         |  WHERE ${cosSql("e.embedding", "c.centroid")} IS NOT NULL"
       s"""SELECT vec_id, embedding, cid, cos FROM (
          |  SELECT e.vec_id, e.embedding, c.cid,
-         |         ${cosSql("e.embedding", "c.centroid")} AS cos,
+         |         ${score("e.embedding", "c.centroid")} AS cos,
          |         row_number() OVER (PARTITION BY e.vec_id
-         |           ORDER BY ${cosSql("e.embedding", "c.centroid")} DESC, c.cid) AS rn
-         |  FROM emb$sfx e CROSS JOIN $cents c
-         |  WHERE ${cosSql("e.embedding", "c.centroid")} IS NOT NULL)
+         |           ORDER BY ${score("e.embedding", "c.centroid")} DESC, c.cid) AS rn
+         |  FROM emb$sfx e CROSS JOIN $cents c$guard)
          |WHERE rn = 1""".stripMargin
+    }
+    // mean=true mirrors Similarity.kmeansRecenter(mean = true): the
+    // centroid is (s/n)/1e7, needed when centroids enter vector
+    // arithmetic (residual chains) rather than just cosine arguments.
+    val centExpr =
+      if (mean) "CAST((CAST(s AS DOUBLE) / n) / 1e7 AS FLOAT)"
+      else "CAST(CAST(s AS DOUBLE) AS FLOAT)"
     val head =
-      s"""emb$sfx AS (SELECT vec_id, embedding[$lo:$hi] AS embedding FROM embeddings),
+      s"""emb$sfx AS (SELECT vec_id, embedding[$lo:$hi] AS embedding FROM $from),
          |seeds$sfx AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cid,
          |                 embedding AS centroid
          |          FROM (SELECT vec_id, embedding[$lo:$hi] AS embedding
-         |                FROM embeddings ORDER BY vec_id LIMIT $k)),
+         |                FROM $from ORDER BY vec_id LIMIT $k)),
          |a$sfx${1} AS (${argmin(s"seeds$sfx")})""".stripMargin
     val steps = (1 to rounds).map { r =>
       s"""sums$sfx$r AS (
          |  SELECT cid, r.i AS pos,
-         |         SUM(CAST(floor(CAST(embedding[r.i] AS DOUBLE) * 1e7) AS BIGINT)) AS s
+         |         SUM(CAST(floor(CAST(embedding[r.i] AS DOUBLE) * 1e7) AS BIGINT)) AS s,
+         |         COUNT(*) AS n
          |  FROM a$sfx$r, range(1, ${hi - lo + 2}) r(i) GROUP BY 1, 2),
          |cents$sfx$r AS (
-         |  SELECT cid, list(CAST(CAST(s AS DOUBLE) AS FLOAT) ORDER BY pos) AS centroid
+         |  SELECT cid, list($centExpr ORDER BY pos) AS centroid
          |  FROM sums$sfx$r GROUP BY cid),
          |a$sfx${r + 1} AS (${argmin(s"cents$sfx$r")})""".stripMargin
     }
@@ -352,6 +465,71 @@ object SimilarityQueries extends QueryPack {
        |WHERE rn <= 3""".stripMargin
   }
 
+  // ---- residual-PQ oracle fragments (q123 recall, q124 IVF-PQ) ----
+
+  /** mcents CTE: TRUE-MEAN centroids of the trained coarse cells —
+    * mirrors [[Similarity.cellMeans]]: exact LONG sums of 1e-7-quantized
+    * coordinates, divided back (s/n)/1e7. The scoring geometry for the
+    * residual path; routing stays on the scaled `cents`.
+    */
+  private def meanCentsSql: String =
+    s"""mcents AS (
+       |  SELECT cid, list(CAST((CAST(s AS DOUBLE) / n) / 1e7 AS FLOAT) ORDER BY pos) AS centroid
+       |  FROM (SELECT cid, r.i AS pos,
+       |               SUM(CAST(floor(CAST(embedding[r.i] AS DOUBLE) * 1e7) AS BIGINT)) AS s,
+       |               COUNT(*) AS n
+       |        FROM a${KM_ROUNDS + 1}, range(1, 65) r(i) GROUP BY 1, 2)
+       |  GROUP BY cid)""".stripMargin
+
+  /** resid CTE: per id, embedding − mean(cell), elementwise.
+    * Subtraction in DOUBLE then cast to FLOAT is bit-identical to the
+    * engine's native float subtraction (the exact difference of two
+    * binary32 values always fits binary64, so both round it once). */
+  private def residSql: String =
+    s"""resid AS (
+       |  SELECT a.vec_id, list_transform(list_zip(a.embedding, c.centroid),
+       |    x -> CAST(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE) AS FLOAT)) AS embedding
+       |  FROM a${KM_ROUNDS + 1} a JOIN mcents c ON a.cid = c.cid)""".stripMargin
+
+  /** The m sub-quantizer chains trained over `resid` (suffix `_r`):
+    * L2 assignment + mean recentering — their centroids are
+    * reconstruction terms, and residual information is magnitude. */
+  private def pqResidChainsSql: String = (0 until PQ_M).map { i =>
+    kmeansWithSub(PQ_K, PQ_ROUNDS, i * PQ_SUB + 1, (i + 1) * PQ_SUB, s"_r${i}_",
+      "resid", mean = true, l2 = true)
+  }.mkString(",\n")
+
+  /** rrecon CTE: each vector's m assigned RESIDUAL centroids c0..cM-1. */
+  private def residReconSql: String = {
+    val joins = (0 until PQ_M).map { i =>
+      val base = if (i == 0) s"FROM a_r0_${PQ_ROUNDS + 1} a0"
+      else s"JOIN a_r${i}_${PQ_ROUNDS + 1} a$i ON a$i.vec_id = a0.vec_id"
+      s"$base\n  JOIN cents_r${i}_$PQ_ROUNDS c$i ON a$i.cid = c$i.cid"
+    }.mkString("\n  ")
+    val cols = (0 until PQ_M).map(i => s"c$i.centroid AS c$i").mkString(", ")
+    s"""rrecon AS (
+       |  SELECT a0.vec_id, $cols
+       |  $joins)""".stripMargin
+  }
+
+  /** Residual ADC score: cosine(q, cc + decoded residual), decomposed
+    * with the exact association [[Similarity.ivfAdcResidualKnn]] uses —
+    * num = ((((qc + l0) + l1) + l2) + l3, ‖c+r̂‖² = (cn2 + 2·cross) + rn2.
+    * Aliases: q = query row, cc = probed cell's MEAN centroid (mcents),
+    * r = rrecon. */
+  private def residAdcSql: String = {
+    val num = (dotSql("q.embedding", "cc.centroid") +: (0 until PQ_M).map { i =>
+      dotSql(s"q.embedding[${i * PQ_SUB + 1}:${(i + 1) * PQ_SUB}]", s"r.c$i")
+    }).reduce((a, b) => s"($a + $b)")
+    val cross = (0 until PQ_M).map { i =>
+      dotSql(s"cc.centroid[${i * PQ_SUB + 1}:${(i + 1) * PQ_SUB}]", s"r.c$i")
+    }.reduce((a, b) => s"($a + $b)")
+    val rn2 = (0 until PQ_M).map(i => dotSql(s"r.c$i", s"r.c$i"))
+      .reduce((a, b) => s"($a + $b)")
+    val cn2p = s"((${dotSql("cc.centroid", "cc.centroid")} + 2.0 * ($cross)) + ($rn2))"
+    s"""(($num) / (sqrt(${dotSql("q.embedding", "q.embedding")}) * sqrt($cn2p)))"""
+  }
+
   /** probes$sfx CTE: each query's top-`nprobe` trained coarse cells by
     * centroid cosine, ties cid asc — mirrors [[Similarity.probedCells]]. */
   private def probesSql(nprobe: Int, sfx: String): String =
@@ -385,6 +563,89 @@ object SimilarityQueries extends QueryPack {
     // restricted by the metadata predicate.
     "q121_filtered_ivfadc" ->
       ivfadcSql(s"JOIN embeddings me ON me.vec_id = ce.vec_id AND me.label <> $FILTER_LABEL"),
+    // Residual IVFADC (true IVF-PQ): coarse chain routes, residual
+    // chains score — candidates' reconstructions are cell centroid +
+    // decoded residual, the Jégou construction.
+    "q124_residual_ivfadc" -> {
+      val adc = residAdcSql
+      s"""${kmeansWith(KM_K, KM_ROUNDS)},
+         |$meanCentsSql,
+         |$residSql,
+         |$pqResidChainsSql,
+         |$residReconSql,
+         |${probesSql(NPROBE, "")}
+         |SELECT vec_id, nn_id, adc, rn FROM (
+         |  SELECT q.vec_id, r.vec_id AS nn_id, $adc AS adc,
+         |         CAST(row_number() OVER (PARTITION BY q.vec_id
+         |              ORDER BY $adc DESC, r.vec_id) AS INT) AS rn
+         |  FROM embeddings q
+         |  JOIN probes p ON p.vec_id = q.vec_id
+         |  JOIN mcents cc ON cc.cid = p.cid
+         |  JOIN a${KM_ROUNDS + 1} ce ON ce.cid = p.cid
+         |  JOIN rrecon r ON r.vec_id = ce.vec_id AND r.vec_id != q.vec_id
+         |  WHERE $adc IS NOT NULL)
+         |WHERE rn <= 3""".stripMargin
+    },
+    // ADC recall: both served scorers (raw-PQ q118, residual-PQ q124)
+    // at each probe width vs the guarded exact baseline — one integral
+    // row per (scorer, nprobe).
+    "q123_adc_recall" -> {
+      val adcRaw = pqAdcSql
+      val adcRes = residAdcSql
+      val perP = NPROBES.map { p =>
+        s"""${probesSql(p, s"$p")},
+           |praw$p AS (SELECT vec_id, nn_id FROM (
+           |  SELECT q.vec_id, r.vec_id AS nn_id,
+           |         row_number() OVER (PARTITION BY q.vec_id
+           |           ORDER BY $adcRaw DESC, r.vec_id) AS rn
+           |  FROM embeddings q
+           |  JOIN probes$p p ON p.vec_id = q.vec_id
+           |  JOIN a${KM_ROUNDS + 1} ce ON ce.cid = p.cid
+           |  JOIN recon r ON r.vec_id = ce.vec_id AND r.vec_id != q.vec_id
+           |  WHERE $adcRaw IS NOT NULL)
+           |  WHERE rn <= 3),
+           |pres$p AS (SELECT vec_id, nn_id FROM (
+           |  SELECT q.vec_id, r.vec_id AS nn_id,
+           |         row_number() OVER (PARTITION BY q.vec_id
+           |           ORDER BY $adcRes DESC, r.vec_id) AS rn
+           |  FROM embeddings q
+           |  JOIN probes$p p ON p.vec_id = q.vec_id
+           |  JOIN mcents cc ON cc.cid = p.cid
+           |  JOIN a${KM_ROUNDS + 1} ce ON ce.cid = p.cid
+           |  JOIN rrecon r ON r.vec_id = ce.vec_id AND r.vec_id != q.vec_id
+           |  WHERE $adcRes IS NOT NULL)
+           |  WHERE rn <= 3),
+           |sraw$p AS (SELECT (SELECT count(*) FROM exact) AS n,
+           |                  (SELECT count(*) FROM exact JOIN praw$p USING (vec_id, nn_id)) AS o),
+           |sres$p AS (SELECT (SELECT count(*) FROM exact) AS n,
+           |                  (SELECT count(*) FROM exact JOIN pres$p USING (vec_id, nn_id)) AS o)""".stripMargin
+      }.mkString(",\n")
+      val rows = (for {
+        (scorer, pre) <- Seq("adc_raw" -> "sraw", "adc_residual" -> "sres")
+        p <- NPROBES
+      } yield
+        s"""SELECT '$scorer' AS scorer, CAST($p AS INT) AS nprobe,
+           |       CAST(n AS BIGINT) AS n_exact_pairs, CAST(o AS BIGINT) AS n_overlap_pairs,
+           |       CASE WHEN n = 0 THEN CAST(0 AS BIGINT)
+           |            ELSE CAST(floor(10000.0 * o / n) AS BIGINT) END AS recall_bps
+           |FROM $pre$p""".stripMargin).mkString("\nUNION ALL\n")
+      s"""${kmeansWith(KM_K, KM_ROUNDS)},
+         |$pqChainsSql,
+         |$pqReconSql,
+         |$meanCentsSql,
+         |$residSql,
+         |$pqResidChainsSql,
+         |$residReconSql,
+         |exact AS (SELECT vec_id, nn_id FROM (
+         |  SELECT a.vec_id, b.vec_id AS nn_id,
+         |         row_number() OVER (PARTITION BY a.vec_id
+         |              ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id) AS rn
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+         |  WHERE ${cosSql("a.embedding", "b.embedding")} IS NOT NULL)
+         |  WHERE rn <= 3),
+         |$perP
+         |$rows""".stripMargin
+    },
     // Incremental maintenance: train on the retained 90%, argmax-assign
     // the held-out arrivals against the FINAL centroids (top-1, ties
     // cid asc, zero-norm dropped) — mirrors Similarity.assignToCells.
@@ -429,7 +690,8 @@ object SimilarityQueries extends QueryPack {
          |  SELECT a.vec_id, b.vec_id AS nn_id,
          |         row_number() OVER (PARTITION BY a.vec_id
          |              ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id) AS rn
-         |  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id)
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+         |  WHERE ${cosSql("a.embedding", "b.embedding")} IS NOT NULL)
          |  WHERE rn <= 3),
          |$perP
          |$rows""".stripMargin
@@ -468,14 +730,16 @@ object SimilarityQueries extends QueryPack {
          |  SELECT a.vec_id, b.vec_id AS nn_id,
          |         row_number() OVER (PARTITION BY a.vec_id
          |              ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id) AS rn
-         |  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id)
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+         |  WHERE ${cosSql("a.embedding", "b.embedding")} IS NOT NULL)
          |  WHERE rn <= 3),
          |ivf AS (SELECT vec_id, nn_id FROM (
          |  SELECT a.vec_id, b.vec_id AS nn_id,
          |         row_number() OVER (PARTITION BY a.vec_id
          |              ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id) AS rn
          |  FROM a${KM_ROUNDS + 1} a JOIN a${KM_ROUNDS + 1} b
-         |    ON a.cid = b.cid AND a.vec_id != b.vec_id)
+         |    ON a.cid = b.cid AND a.vec_id != b.vec_id
+         |  WHERE ${cosSql("a.embedding", "b.embedding")} IS NOT NULL)
          |  WHERE rn <= 3),
          |stats AS (SELECT (SELECT count(*) FROM exact) AS n_exact_pairs,
          |                 (SELECT count(*) FROM exact JOIN ivf USING (vec_id, nn_id)) AS n_overlap_pairs)
@@ -491,7 +755,8 @@ object SimilarityQueries extends QueryPack {
                   ${cosSql("a.embedding", "b.embedding")} AS cos,
                   CAST(row_number() OVER (PARTITION BY a.vec_id
                        ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id) AS INT) AS rn
-           FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id)
+           FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+           WHERE ${cosSql("a.embedding", "b.embedding")} IS NOT NULL)
          WHERE rn <= 3""",
     "q51_ann_lsh" ->
       s"""WITH bk AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings)

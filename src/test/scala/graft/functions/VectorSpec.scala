@@ -177,6 +177,68 @@ class VectorSpec extends SparkSpec {
     assert(solo == served.filter(_._1 == q0).toSet)
   }
 
+  test("cellMeans returns true per-cell means on the 1e-7 grid") {
+    import graft.operators.Similarity
+    val emb = Seq(
+      (1L, Array(0.5f, 0.1f)), (2L, Array(0.3f, 0.3f)), // cell 1
+      (3L, Array(-0.2f, 0.4f)) // cell 2 (singleton; negative coord)
+    ).toDF("vec_id", "embedding")
+    val cells = Seq((1L, 1), (2L, 1), (3L, 2)).toDF("vec_id", "cid")
+    val got = Similarity.cellMeans(emb, "vec_id", "embedding", cells)
+      .as[(Int, Array[Float])].collect().toMap
+    // the contract: float((Σ floor(x·1e7) / n) / 1e7) — NOT a double mean
+    def m(xs: Float*) =
+      ((xs.map(x => math.floor(x.toDouble * 1e7)).sum / xs.size) / 1e7).toFloat
+    assert(got(1).toSeq == Seq(m(0.5f, 0.3f), m(0.1f, 0.3f)))
+    assert(got(2).toSeq == Seq(m(-0.2f), m(0.4f)))
+    assert(got(1).toSeq == Seq(0.4f, 0.2f)) // exact on-grid values divide back
+  }
+
+  test("ivfAdcResidualKnn with per-vector codebooks reproduces the exact ranking") {
+    import graft.operators.Similarity
+    // k = corpus size → every residual slice is its own (1e-7-quantized)
+    // codebook entry, so mean + decoded residual ≈ the original vector
+    // and the decomposed ADC score collapses to cosine(q, x): the
+    // residual scoring formula is proven against brute force end-to-end.
+    val emb = Seq(
+      (1L, Array(1f, 0.1f, 0.2f, 0f)), (2L, Array(0.9f, 0.2f, 0.1f, 0.1f)),
+      (3L, Array(0.8f, 0f, 0.3f, 0.2f)),
+      (4L, Array(0.1f, 1f, 0f, 0.3f)), (5L, Array(0.2f, 0.9f, 0.1f, 0.2f)),
+      (6L, Array(0f, 0.8f, 0.2f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val (cents, cells) = Similarity.trainedIndex(emb, "vec_id", "embedding", k = 2, rounds = 1)
+    val mc = Similarity.cellMeans(emb, "vec_id", "embedding", cells)
+    val pqr = Similarity.pqTrainResidual(emb, "vec_id", "embedding", mc, cells,
+      dim = 4, m = 2, k = 6, rounds = 1)
+    val got = Similarity
+      .ivfAdcResidualKnn(emb, "vec_id", "embedding", pqr, cents, mc, cells,
+        nprobe = 2, kNeighbors = 3)
+      .select($"vec_id", $"nn_id", $"rn").as[(Long, Long, Int)].collect().toSet
+    val exact = Similarity.bruteForceKnn(emb, "vec_id", "embedding", 3)
+      .select($"vec_id", $"nn_id", $"rn").as[(Long, Long, Int)].collect().toSet
+    assert(got == exact)
+  }
+
+  test("residual PQ lifts ADC recall over raw PQ at the serving probe width") {
+    import graft.operators.Similarity
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val (cents, cells) = Similarity.trainedIndex(emb, "vec_id", "embedding", k = 8, rounds = 2)
+    val mc = Similarity.cellMeans(emb, "vec_id", "embedding", cells)
+    val raw = Similarity.pqTrain(emb, "vec_id", "embedding", dim = 64, m = 4, k = 8, rounds = 1)
+    val res = Similarity.pqTrainResidual(emb, "vec_id", "embedding", mc, cells,
+      dim = 64, m = 4, k = 8, rounds = 1)
+    val exact = Similarity.bruteForceKnn(emb, "vec_id", "embedding", 3)
+      .select($"vec_id", $"nn_id").as[(Long, Long)].collect().toSet
+    def recall(df: org.apache.spark.sql.DataFrame) =
+      (df.select($"vec_id", $"nn_id").as[(Long, Long)].collect().toSet
+        intersect exact).size
+    // p=2 is q118/q124's operating width; on this fixture the L2-trained
+    // residual codebooks win with a comfortable margin (~5% absolute)
+    val rRaw = recall(Similarity.ivfAdcKnn(emb, "vec_id", "embedding", raw, cents, cells, 2, 3))
+    val rRes = recall(Similarity.ivfAdcResidualKnn(emb, "vec_id", "embedding", res, cents, mc, cells, 2, 3))
+    assert(rRes >= rRaw, s"residual recall $rRes < raw recall $rRaw")
+  }
+
   test("signBucket maps sign pattern of leading dims") {
     val r = df.select($"id", VectorFunctions.signBucket($"a", 3).as("bk"))
       .as[(Long, String)].collect().toMap
