@@ -92,25 +92,45 @@ object Curation {
       hexNibble(substring(h, 3, 1)) * 16 + hexNibble(substring(h, 4, 1))).cast("int")
   }
 
-  /** Morton (Z-order) interleave of the low `bits` bits of x and y:
-    * bit i of x lands at position 2i, bit i of y at 2i+1. Sorting /
-    * range-partitioning by this key clusters BOTH dimensions at once,
-    * so per-file min/max stats prune 2-D predicates — the standard
-    * multi-dimensional layout trick for 100 TB scan pruning. The terms
-    * touch disjoint bit positions, so `+` is exact (no carries) and
-    * compiles to a flat codegen'd expression.
+  /** Morton (Z-order) interleave of the low `bits` bits of each of n
+    * dimensions: bit i of dimension j lands at position i·n + j.
+    * Sorting / range-partitioning by this key clusters ALL dimensions
+    * at once, so per-file min/max stats prune n-D predicates — the
+    * standard multi-dimensional layout trick for 100 TB scan pruning.
+    * A training-data layout key is usually at least 3-D — (source,
+    * quality, length) — which is why this is not hard-wired to two
+    * dimensions. The terms touch disjoint bit positions, so `+` is
+    * exact (no carries, any association) and compiles to a flat
+    * codegen'd expression.
     */
-  def zValue(x: Column, y: Column, bits: Int): Column =
-    (0 until bits).map { i =>
-      shiftright(x, i).bitwiseAND(lit(1)).cast("long") * lit(1L << (2 * i)) +
-        shiftright(y, i).bitwiseAND(lit(1)).cast("long") * lit(1L << (2 * i + 1))
+  def zValueN(dims: Seq[Column], bits: Int): Column = {
+    val n = dims.length
+    require(n >= 2, s"zValueN needs >= 2 dimensions, got $n")
+    require(n * bits <= 63, s"$n dims x $bits bits overflows a signed long key")
+    (0 until bits).flatMap { i =>
+      dims.zipWithIndex.map { case (d, j) =>
+        shiftright(d, i).bitwiseAND(lit(1)).cast("long") * lit(1L << (i * n + j))
+      }
     }.reduce(_ + _)
+  }
 
-  /** SQL text of [[zValue]] for the DuckDB oracle — same bit terms,
+  /** 2-D [[zValueN]] (bit i of x at 2i, of y at 2i+1) — the common case. */
+  def zValue(x: Column, y: Column, bits: Int): Column =
+    zValueN(Seq(x, y), bits)
+
+  /** SQL text of [[zValueN]] for the DuckDB oracle — same bit terms,
     * dialect-portable `>>`/`&` plus exact integer multiplies.
     */
-  def zValueSql(x: String, y: String, bits: Int): String =
-    (0 until bits).map { i =>
-      s"((($x >> $i) & 1) * ${1L << (2 * i)} + (($y >> $i) & 1) * ${1L << (2 * i + 1)})"
+  def zValueSqlN(dims: Seq[String], bits: Int): String = {
+    val n = dims.length
+    (0 until bits).flatMap { i =>
+      dims.zipWithIndex.map { case (d, j) =>
+        s"((($d >> $i) & 1) * ${1L << (i * n + j)})"
+      }
     }.mkString(" + ")
+  }
+
+  /** SQL text of the 2-D [[zValue]]. */
+  def zValueSql(x: String, y: String, bits: Int): String =
+    zValueSqlN(Seq(x, y), bits)
 }

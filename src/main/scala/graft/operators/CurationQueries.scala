@@ -105,6 +105,28 @@ object CurationQueries extends QueryPack {
           min(col("z")).as("z_min"),
           max(col("z")).as("z_max"),
           sum(col("event_id")).as("sum_event_id"))
+    }),
+
+    // 3-D Z-order over the layout key a training corpus actually
+    // partitions by — (source, length, token count) — interleaved into
+    // one 24-bit key. Files written sorted by this key carry tight
+    // min/max stats on ALL THREE columns, so predicates on any
+    // combination prune; the cell profile (top 4 bits per dimension)
+    // is the audit of that layout. Same scan-speed shape as q91.
+    "q125_zorder3d" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"),
+        (substring(col("source"), 4, 8).cast("int") % 256).as("src"),
+        (col("n_chars") % 256).cast("int").as("len"),
+        (size(split(col("text"), " ")) % 256).cast("int").as("tok"))
+      docs.select(col("doc_id"),
+          zValueN(Seq(col("src"), col("len"), col("tok")), 8).as("z"))
+        .groupBy(shiftright(col("z"), 12).cast("int").as("z_cell"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          min(col("z")).as("z_min"),
+          max(col("z")).as("z_max"),
+          sum(col("doc_id")).as("sum_doc_id"))
     })
   )
 
@@ -175,6 +197,19 @@ object CurationQueries extends QueryPack {
          SELECT CAST(z >> 6 AS INT) AS z_cell, count(*) AS n_events,
            MIN(z) AS z_min, MAX(z) AS z_max,
            CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+         FROM zv GROUP BY 1""",
+    "q125_zorder3d" ->
+      s"""WITH dims AS (SELECT doc_id,
+                          CAST(substr(source, 4) AS INT) % 256 AS src,
+                          CAST(n_chars % 256 AS INT) AS len,
+                          CAST(len(string_split(text, ' ')) % 256 AS INT) AS tok
+                        FROM documents),
+         zv AS (SELECT doc_id,
+                  CAST(${zValueSqlN(Seq("src", "len", "tok"), 8)} AS BIGINT) AS z
+                FROM dims)
+         SELECT CAST(z >> 12 AS INT) AS z_cell, count(*) AS n_docs,
+           MIN(z) AS z_min, MAX(z) AS z_max,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
          FROM zv GROUP BY 1"""
   )
 }

@@ -81,4 +81,34 @@ class CurationSpec extends SparkSpec {
       .select(max($"dx"), max($"dy")).as[(Int, Int)].head()
     assert(boxes._1 <= 63 && boxes._2 <= 63)
   }
+
+  test("zValueN interleaves n dimensions and bounds 3-D boxes per key range") {
+    // bit i of dim j lands at i*n + j: known 3-D values first
+    val pts = Seq((1, 0, 0), (0, 1, 0), (0, 0, 1), (3, 0, 0), (7, 7, 7))
+      .toDF("x", "y", "w")
+    val zs = pts.select(zValueN(Seq($"x", $"y", $"w"), 8).as("z")).as[Long].collect()
+    assert(zs.sameElements(Array(1L, 2L, 4L, 9L, 511L)))
+    // 2-D zValue is exactly zValueN over two dims — one interleave law
+    val two = Seq((3, 0), (0, 3), (255, 255)).toDF("x", "y")
+    assert(two.select(zValue($"x", $"y", 8).as("a"),
+        zValueN(Seq($"x", $"y"), 8).as("b"))
+      .where($"a" =!= $"b").isEmpty)
+    // The layout property q125 sells: fixing the top 2 bits of EACH of
+    // three dimensions (z >> 18) confines all three to 64-wide ranges —
+    // per-file min/max stats stay tight on every key column at once.
+    val grid = spark.range(0, 8192).toDF("i")
+      .select(($"i" % 256).cast("int").as("x"),
+        (($"i" * 37) % 256).cast("int").as("y"),
+        (($"i" * 101) % 256).cast("int").as("w"))
+    val boxes = grid.select(zValueN(Seq($"x", $"y", $"w"), 8).as("z"), $"x", $"y", $"w")
+      .groupBy(shiftright($"z", 18).as("cell"))
+      .agg((max($"x") - min($"x")).as("dx"), (max($"y") - min($"y")).as("dy"),
+        (max($"w") - min($"w")).as("dw"))
+      .select(max($"dx"), max($"dy"), max($"dw")).as[(Int, Int, Int)].head()
+    assert(boxes._1 <= 63 && boxes._2 <= 63 && boxes._3 <= 63)
+    // guard rails: a 1-D "interleave" and a key wider than 63 bits are
+    // construction errors, not silent truncations
+    intercept[IllegalArgumentException](zValueN(Seq($"x"), 8))
+    intercept[IllegalArgumentException](zValueN(Seq($"x", $"y", $"w"), 22))
+  }
 }
