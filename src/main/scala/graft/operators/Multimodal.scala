@@ -73,6 +73,23 @@ object Multimodal {
     * correct; a throughput deployment would grab the raster buffer —
     * same seam, same schema.)
     */
+  /** Row-major ×31 fold over the ARGB values — the one pixel-checksum
+    * recurrence every real codec here shares (single- and multi-frame),
+    * so their outputs group/join interchangeably.
+    */
+  private def pixelFold(img: java.awt.image.BufferedImage): Long = {
+    var acc = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        acc = acc * 31 + (img.getRGB(x, y) & 0xffffffffL); x += 1
+      }
+      y += 1
+    }
+    acc
+  }
+
   object ImageIoCodec extends Codec {
     def decode(payload: Array[Byte]): (Int, Int, Long) =
       // NonFatal, not just IOException: plugin readers throw unchecked
@@ -82,19 +99,56 @@ object Multimodal {
       try {
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
         if (img == null) (-1, -1, 0L)
-        else {
-          var acc = 0L
-          var y = 0
-          while (y < img.getHeight) {
-            var x = 0
-            while (x < img.getWidth) {
-              acc = acc * 31 + (img.getRGB(x, y) & 0xffffffffL); x += 1
-            }
-            y += 1
-          }
-          (img.getWidth, img.getHeight, acc)
-        }
+        else (img.getWidth, img.getHeight, pixelFold(img))
       } catch { case scala.util.control.NonFatal(_) => (-1, -1, 0L) }
+  }
+
+  /** Multi-frame decode seam — the "video" twin of [[Codec]]: one
+    * payload yields an ordered frame sequence. Same contract: corrupt
+    * media is DATA — a single (-1, -1, -1, 0) row, never a task
+    * failure — and implementations ship to executors.
+    */
+  trait FrameCodec extends Serializable {
+    /** (frame_idx, width, height, pixel checksum) per container frame,
+      * frame_idx 0-based in container order; Seq((-1, -1, -1, 0))
+      * marks an undecodable payload.
+      */
+    def frames(payload: Array[Byte]): Seq[(Int, Int, Int, Long)]
+  }
+
+  /** Real multi-frame decode on the JDK's `javax.imageio` sequence
+    * readers (animated GIF ships in every JDK — no native libraries):
+    * one reader per payload, frames read in container order, each
+    * folded with the same ×31 recurrence as [[ImageIoCodec]] — so a
+    * frame's (width, height, pixel_acc) is identical whether it arrives
+    * through this seam or as a standalone image. This is the real-media
+    * counterpart of the byte-slicing [[sampleFrames]]: that one fakes
+    * frames from offsets; this one asks the container.
+    */
+  object ImageIoFrameCodec extends FrameCodec {
+    private val Undecodable = Seq((-1, -1, -1, 0L))
+    def frames(payload: Array[Byte]): Seq[(Int, Int, Int, Long)] =
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) Undecodable
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis)
+              // allowSearch: GIF doesn't index its frames, the reader
+              // must walk the stream — fine, the payload is in memory
+              val n = reader.getNumImages(true)
+              (0 until n).map { i =>
+                val img = reader.read(i)
+                (i, img.getWidth, img.getHeight, pixelFold(img))
+              }
+            } finally reader.dispose()
+          }
+        } finally iis.close()
+      } catch { case scala.util.control.NonFatal(_) => Undecodable }
   }
 
   val decodedSchema: StructType = StructType(Seq(
@@ -129,6 +183,33 @@ object Multimodal {
       .withColumn("scale", scale)
       .withColumn("out_width", floor(col("width") * col("scale")).cast(IntegerType))
       .withColumn("out_height", floor(col("height") * col("scale")).cast(IntegerType))
+  }
+
+  val frameSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("pixel_acc", LongType)))
+
+  /** Batched multi-frame decode over (doc_id: long, payload: binary)
+    * rows: one frame row per container frame, same partition-kernel
+    * shape as [[decodeImages]] (streaming iterator, schema up-front,
+    * one codec per partition). Frame sampling composes set-based on the
+    * result — `.filter(col("frame_idx") % stride === 0)` — so the
+    * stride is a plan predicate, not a codec parameter.
+    */
+  def decodeFrames(withPayload: DataFrame,
+                   codec: FrameCodec = ImageIoFrameCodec): DataFrame = {
+    val enc = RowEncoder.encoderFor(frameSchema)
+    withPayload.select(col("doc_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          codec.frames(r.getAs[Array[Byte]]("payload")).iterator
+            .map { case (i, w, h, acc) => Row(id, i, w, h, acc) }
+        }
+      }(enc)
   }
 
   /** "Video" frame sampling: split the payload into fixed-size frames

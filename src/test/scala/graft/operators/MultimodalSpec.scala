@@ -59,6 +59,71 @@ class MultimodalSpec extends SparkSpec {
     assert(rp == ((10, 5)))
   }
 
+  test("ImageIoFrameCodec samples real animated-GIF frames through the partition kernel") {
+    // real multi-frame media, generated with the JDK alone: <= 4
+    // distinct colors per frame, so GIF's palette round-trips pixels
+    // exactly and the checksum is refoldable from the formula
+    def frame(w: Int, h: Int, seed: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, ((x + y + seed) % 4) * 0x204080)
+      img
+    }
+    def gif(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      // interlace off: the JDK GIF writer's default interlaced encoding
+      // does not round-trip row order through its own reader
+      val p = writer.getDefaultWriteParam
+      p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+      frames.foreach(f =>
+        writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), p))
+      writer.endWriteSequence()
+      writer.dispose(); ios.close()
+      bos.toByteArray
+    }
+    def expectedAcc(w: Int, h: Int, seed: Int): Long = {
+      var acc = 0L
+      for (y <- 0 until h; x <- 0 until w)
+        acc = acc * 31 + ((0xff000000 | (((x + y + seed) % 4) * 0x204080)) & 0xffffffffL)
+      acc
+    }
+    val df = Seq(
+      (1L, gif(Seq(frame(8, 6, 0), frame(8, 6, 1)))), // 2-frame animation
+      (2L, gif(Seq(frame(5, 5, 2)))),                 // single-frame container
+      (3L, "not a gif at all".getBytes("UTF-8"))      // corrupt payload
+    ).toDF("doc_id", "payload")
+    val got = Multimodal.decodeFrames(df)
+      .as[(Long, Int, Int, Int, Long)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4, t._5))).toMap
+    assert(got((1L, 0)) == ((8, 6, expectedAcc(8, 6, 0))))
+    assert(got((1L, 1)) == ((8, 6, expectedAcc(8, 6, 1))))
+    assert(got((2L, 0)) == ((5, 5, expectedAcc(5, 5, 2))))
+    // corrupt media is data (one sentinel row), never a task failure
+    assert(got((3L, -1)) == ((-1, -1, 0L)))
+    assert(got.size == 4)
+    // a sequence frame is bit-identical to the same image decoded
+    // standalone — one pixel-fold law across both codec seams
+    val solo = Multimodal.ImageIoCodec.decode {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(frame(8, 6, 1), "gif", bos)
+      bos.toByteArray
+    }
+    assert(solo == ((8, 6, got((1L, 1))._3)))
+    // stride sampling composes as a plan predicate on the frame relation
+    val sampled = Multimodal.decodeFrames(
+      Seq((9L, gif(Seq(frame(4, 4, 0), frame(4, 4, 1), frame(4, 4, 2), frame(4, 4, 3)))))
+        .toDF("doc_id", "payload"))
+      .filter($"frame_idx" % 2 === 0)
+      .select($"frame_idx", $"pixel_acc").as[(Int, Long)].collect().sortBy(_._1)
+    assert(sampled.map(_._1).sameElements(Array(0, 2)))
+    assert(sampled.map(_._2).sameElements(Array(expectedAcc(4, 4, 0), expectedAcc(4, 4, 2))))
+  }
+
   test("sampleFrames splits payloads into strided fixed-size frames") {
     val frames = Multimodal.sampleFrames(docs.filter($"doc_id" === 3L), frameBytes = 10, stride = 2)
       .select($"frame_idx", length($"frame_bytes").as("len"))
