@@ -753,6 +753,43 @@ object Similarity {
         col("col._1").as("adc"), (col("pos") + 1).cast("int").as("rn"))
   }
 
+  /** Two-stage serving: ADC shortlist → exact re-rank — the standard
+    * production recipe on top of [[ivfAdcResidualKnn]]. Stage 1 takes
+    * the top-`shortlist` candidates per query under compressed
+    * (residual-ADC) scoring, probed cells only; stage 2 rescores ONLY
+    * those candidates with the TRUE cosine — two id equi-joins back to
+    * the vector relation, shortlist rows per query, never |cell| — and
+    * keeps the exact top-k. PQ error therefore never reaches the final
+    * ranking; what remains is pure routing error (the nprobe knob).
+    *
+    * Monotone by construction at equal (nprobe, k): the ADC top-k is a
+    * prefix of the shortlist ranking, and a true top-k member in the
+    * shortlist can be outranked by at most k−1 corpus vectors — so
+    * every exact-top-k hit the ADC answer contains survives re-ranking
+    * (asserted by VectorSpec; measured with the q123 harness as q126).
+    * Returns (vec_id, nn_id, cos, rn), ties nn_id asc.
+    */
+  def ivfAdcRerankKnn(emb: DataFrame, idCol: String, vecCol: String,
+                      pqr: PqModel, cents: DataFrame, meanCents: DataFrame,
+                      cells: DataFrame,
+                      nprobe: Int, shortlist: Int, kNeighbors: Int): DataFrame = {
+    require(shortlist >= kNeighbors,
+      s"shortlist=$shortlist must cover kNeighbors=$kNeighbors")
+    val cand = ivfAdcResidualKnn(emb, idCol, vecCol, pqr, cents, meanCents,
+      cells, nprobe, shortlist).select(col("vec_id"), col("nn_id"))
+    val qv = emb.select(col(idCol).as("vec_id"), col(vecCol).as("__qv"))
+    val cv = emb.select(col(idCol).as("nn_id"), col(vecCol).as("__cv"))
+    val topk = udaf(new graft.functions.TopKByScore(kNeighbors))
+    cand.join(qv, "vec_id").join(cv, "nn_id")
+      .withColumn("cos", graft.functions.VectorFunctions.cosine(col("__qv"), col("__cv")))
+      .filter(col("cos").isNotNull) // zero-norm endpoints drop, as everywhere
+      .groupBy(col("vec_id"))
+      .agg(topk(col("cos"), col("nn_id")).as("nns"))
+      .select(col("vec_id"), posexplode(col("nns")))
+      .select(col("vec_id"), col("col._2").as("nn_id"),
+        col("col._1").as("cos"), (col("pos") + 1).cast("int").as("rn"))
+  }
+
   /** Near pairs: same bucket AND exact cosine ≥ minCos. */
   def lshNearPairs(emb: DataFrame, idCol: String, vecCol: String,
                    bits: Int, minCos: Double): DataFrame = {

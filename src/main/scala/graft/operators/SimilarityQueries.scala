@@ -241,12 +241,26 @@ object SimilarityQueries extends QueryPack {
         pqr, cents, meanCents, cells, nprobe = NPROBE, kNeighbors = 3)
     }),
 
+    // Two-stage serving: residual-ADC shortlist (top-10 compressed
+    // scores, probed cells only) exactly re-ranked by true cosine —
+    // PQ error never reaches the final ranking, leaving only routing
+    // error. The per-query cost is RERANK_R exact dots via two id
+    // equi-joins, never |cell|.
+    "q126_adc_rerank" -> ((s, d) => {
+      val (cents, cells) = ivfIndex(s, d)
+      val (pqr, meanCents) = residModel(s, d)
+      Similarity.ivfAdcRerankKnn(Tables.embeddings(s, d), "vec_id", "embedding",
+        pqr, cents, meanCents, cells,
+        nprobe = NPROBE, shortlist = RERANK_R, kNeighbors = 3)
+    }),
+
     // ADC recall — the quantization-loss number a PQ deployment reports
     // alongside nprobe: recall of the SERVED (PQ-scored) paths against
-    // the exact baseline, for raw-vector PQ (q118's scorer) and
-    // residual PQ (q124's) at each probe width. One integral row per
-    // (scorer, nprobe); the hash check pins both curves, including
-    // residual ≥ raw at equal bits.
+    // the exact baseline, for raw-vector PQ (q118's scorer), residual
+    // PQ (q124's), and the exactly-re-ranked shortlist (q126's) at each
+    // probe width. One integral row per (scorer, nprobe); the hash
+    // check pins all three curves — residual ≥ raw at equal bits, and
+    // re-rank ≥ residual at equal routing (quantization loss removed).
     "q123_adc_recall" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val (cents, cells) = ivfIndex(s, d)
@@ -257,7 +271,9 @@ object SimilarityQueries extends QueryPack {
         "adc_raw" -> (p => Similarity.ivfAdcKnn(emb, "vec_id", "embedding",
           pqModel(s, d), cents, cells, p, 3)),
         "adc_residual" -> (p => Similarity.ivfAdcResidualKnn(emb, "vec_id", "embedding",
-          pqr, cents, meanCents, cells, p, 3)))
+          pqr, cents, meanCents, cells, p, 3)),
+        "adc_rerank" -> (p => Similarity.ivfAdcRerankKnn(emb, "vec_id", "embedding",
+          pqr, cents, meanCents, cells, p, RERANK_R, 3)))
       (for { (name, fn) <- scorers; p <- NPROBES } yield {
         val served = fn(p).select(col("vec_id"), col("nn_id"))
         val r = exact
@@ -304,6 +320,7 @@ object SimilarityQueries extends QueryPack {
   private val PQ_ROUNDS = 1
   private val NPROBE = 2           // q118/q121's routing width
   private val NPROBES = Seq(1, 2, 4) // q119's measured recall curve
+  private val RERANK_R = 10        // q126: exact-rescored shortlist size
   private val NEW_MOD = 0          // q120: vec_id % 10 == 0 are "new arrivals"
   private val FILTER_LABEL = 0     // q121: candidate predicate label <> 0
 
@@ -530,6 +547,24 @@ object SimilarityQueries extends QueryPack {
     s"""(($num) / (sqrt(${dotSql("q.embedding", "q.embedding")}) * sqrt($cn2p)))"""
   }
 
+  /** short$sfx CTE: the residual-ADC top-[[RERANK_R]] shortlist per
+    * query within probes$sfx — q124's ranking with a wider cut, the
+    * compressed half of the two-stage q126 serving path. */
+  private def residShortSql(sfx: String): String = {
+    val adc = residAdcSql
+    s"""short$sfx AS (SELECT vec_id, nn_id FROM (
+       |  SELECT q.vec_id, r.vec_id AS nn_id,
+       |         row_number() OVER (PARTITION BY q.vec_id
+       |           ORDER BY $adc DESC, r.vec_id) AS rn
+       |  FROM embeddings q
+       |  JOIN probes$sfx p ON p.vec_id = q.vec_id
+       |  JOIN mcents cc ON cc.cid = p.cid
+       |  JOIN a${KM_ROUNDS + 1} ce ON ce.cid = p.cid
+       |  JOIN rrecon r ON r.vec_id = ce.vec_id AND r.vec_id != q.vec_id
+       |  WHERE $adc IS NOT NULL)
+       |  WHERE rn <= $RERANK_R)""".stripMargin
+  }
+
   /** probes$sfx CTE: each query's top-`nprobe` trained coarse cells by
     * centroid cosine, ties cid asc — mirrors [[Similarity.probedCells]]. */
   private def probesSql(nprobe: Int, sfx: String): String =
@@ -586,9 +621,33 @@ object SimilarityQueries extends QueryPack {
          |  WHERE $adc IS NOT NULL)
          |WHERE rn <= 3""".stripMargin
     },
-    // ADC recall: both served scorers (raw-PQ q118, residual-PQ q124)
-    // at each probe width vs the guarded exact baseline — one integral
-    // row per (scorer, nprobe).
+    // Two-stage serving: residual-ADC shortlist exactly re-ranked by
+    // true cosine — mirrors Similarity.ivfAdcRerankKnn (same shortlist
+    // ranking as q124 with rn <= RERANK_R, then exact rescoring, ties
+    // nn_id asc).
+    "q126_adc_rerank" -> {
+      val cos = cosSql("q.embedding", "c.embedding")
+      s"""${kmeansWith(KM_K, KM_ROUNDS)},
+         |$meanCentsSql,
+         |$residSql,
+         |$pqResidChainsSql,
+         |$residReconSql,
+         |${probesSql(NPROBE, "")},
+         |${residShortSql("")}
+         |SELECT vec_id, nn_id, cos, rn FROM (
+         |  SELECT s.vec_id, s.nn_id, $cos AS cos,
+         |         CAST(row_number() OVER (PARTITION BY s.vec_id
+         |              ORDER BY $cos DESC, s.nn_id) AS INT) AS rn
+         |  FROM short s
+         |  JOIN embeddings q ON q.vec_id = s.vec_id
+         |  JOIN embeddings c ON c.vec_id = s.nn_id
+         |  WHERE $cos IS NOT NULL)
+         |WHERE rn <= 3""".stripMargin
+    },
+    // ADC recall: all three served scorers (raw-PQ q118, residual-PQ
+    // q124, exactly-re-ranked shortlist q126) at each probe width vs
+    // the guarded exact baseline — one integral row per (scorer,
+    // nprobe).
     "q123_adc_recall" -> {
       val adcRaw = pqAdcSql
       val adcRes = residAdcSql
@@ -615,13 +674,26 @@ object SimilarityQueries extends QueryPack {
            |  JOIN rrecon r ON r.vec_id = ce.vec_id AND r.vec_id != q.vec_id
            |  WHERE $adcRes IS NOT NULL)
            |  WHERE rn <= 3),
+           |${residShortSql(s"$p")},
+           |prer$p AS (SELECT vec_id, nn_id FROM (
+           |  SELECT s.vec_id, s.nn_id,
+           |         row_number() OVER (PARTITION BY s.vec_id
+           |           ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC, s.nn_id) AS rn
+           |  FROM short$p s
+           |  JOIN embeddings q ON q.vec_id = s.vec_id
+           |  JOIN embeddings c ON c.vec_id = s.nn_id
+           |  WHERE ${cosSql("q.embedding", "c.embedding")} IS NOT NULL)
+           |  WHERE rn <= 3),
            |sraw$p AS (SELECT (SELECT count(*) FROM exact) AS n,
            |                  (SELECT count(*) FROM exact JOIN praw$p USING (vec_id, nn_id)) AS o),
            |sres$p AS (SELECT (SELECT count(*) FROM exact) AS n,
-           |                  (SELECT count(*) FROM exact JOIN pres$p USING (vec_id, nn_id)) AS o)""".stripMargin
+           |                  (SELECT count(*) FROM exact JOIN pres$p USING (vec_id, nn_id)) AS o),
+           |srer$p AS (SELECT (SELECT count(*) FROM exact) AS n,
+           |                  (SELECT count(*) FROM exact JOIN prer$p USING (vec_id, nn_id)) AS o)""".stripMargin
       }.mkString(",\n")
       val rows = (for {
-        (scorer, pre) <- Seq("adc_raw" -> "sraw", "adc_residual" -> "sres")
+        (scorer, pre) <- Seq("adc_raw" -> "sraw", "adc_residual" -> "sres",
+          "adc_rerank" -> "srer")
         p <- NPROBES
       } yield
         s"""SELECT '$scorer' AS scorer, CAST($p AS INT) AS nprobe,

@@ -239,6 +239,37 @@ class VectorSpec extends SparkSpec {
     assert(rRes >= rRaw, s"residual recall $rRes < raw recall $rRaw")
   }
 
+  test("exact re-rank of the ADC shortlist is monotone over ADC and exact at full width") {
+    import graft.operators.Similarity
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val (cents, cells) = Similarity.trainedIndex(emb, "vec_id", "embedding", k = 8, rounds = 2)
+    val mc = Similarity.cellMeans(emb, "vec_id", "embedding", cells)
+    val res = Similarity.pqTrainResidual(emb, "vec_id", "embedding", mc, cells,
+      dim = 64, m = 4, k = 8, rounds = 1)
+    val exact = Similarity.bruteForceKnn(emb, "vec_id", "embedding", 3)
+      .select($"vec_id", $"nn_id").as[(Long, Long)].collect().toSet
+    val adc = Similarity
+      .ivfAdcResidualKnn(emb, "vec_id", "embedding", res, cents, mc, cells, 2, 3)
+      .select($"vec_id", $"nn_id").as[(Long, Long)].collect().toSet
+    val rer = Similarity
+      .ivfAdcRerankKnn(emb, "vec_id", "embedding", res, cents, mc, cells, 2, 10, 3)
+      .select($"vec_id", $"nn_id").as[(Long, Long)].collect().toSet
+    // the provable half: the shortlist is a prefix-superset of the ADC
+    // top-3, and at most 2 corpus vectors outrank a true top-3 member —
+    // so every exact hit the ADC answer contains survives re-ranking
+    assert((adc intersect exact).subsetOf(rer))
+    assert((rer intersect exact).size >= (adc intersect exact).size)
+    // full routing width + corpus-wide shortlist collapses to brute
+    // force exactly (same scores, same tie-breaks, same ranks)
+    val n = emb.count().toInt
+    val full = Similarity
+      .ivfAdcRerankKnn(emb, "vec_id", "embedding", res, cents, mc, cells, 8, n, 3)
+      .select($"vec_id", $"nn_id", $"rn").as[(Long, Long, Int)].collect().toSet
+    val bf = Similarity.bruteForceKnn(emb, "vec_id", "embedding", 3)
+      .select($"vec_id", $"nn_id", $"rn").as[(Long, Long, Int)].collect().toSet
+    assert(full == bf)
+  }
+
   test("signBucket maps sign pattern of leading dims") {
     val r = df.select($"id", VectorFunctions.signBucket($"a", 3).as("bk"))
       .as[(Long, String)].collect().toMap
