@@ -92,6 +92,52 @@ object Curation {
       hexNibble(substring(h, 3, 1)) * 16 + hexNibble(substring(h, 4, 1))).cast("int")
   }
 
+  /** Temperature-weighted (α = 1/2) mixing quotas per document group —
+    * the multilingual-corpus sampling recipe (α-smoothed source
+    * weights, as in XLM-R / mT5 data mixing): a source's share of the
+    * training budget is proportional to n^α rather than n, so
+    * long-tail sources are up-weighted relative to their raw counts
+    * and head sources down-weighted. All the derivation is INTEGER
+    * arithmetic so both engines agree bit-for-bit: the α = 1/2 weight
+    * is `floor(sqrt(n_docs))` (IEEE sqrt is correctly rounded, floor
+    * is exact), the budget is `n_total div budgetDenom` docs, and a
+    * group's quota is its integer pro-rata share of that budget.
+    * `rate_u16` re-expresses the quota as a keep-threshold against
+    * [[hashU16]]'s 16-bit uniform — the whole mix then applies as a
+    * STATELESS per-row filter (no window, no per-group rank), which
+    * is the only shape that survives 100 TB: a global per-source rank
+    * would funnel each source through one partition.
+    *
+    * Returns one row per group: (groupCol, n_docs, quota, rate_u16).
+    * The aggregate input is one map-side-combined count per group;
+    * everything downstream is a |groups|-row relation.
+    */
+  def temperatureQuotas(docs: DataFrame, groupCol: String,
+                        budgetDenom: Int = 2): DataFrame = {
+    val counts = docs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("isq", floor(sqrt(col("n_docs").cast("double"))).cast("long"))
+    val totals = counts.agg(
+      sum(col("n_docs")).as("n_total"), sum(col("isq")).as("sum_isq"))
+    counts.crossJoin(broadcast(totals)) // one-row totals — broadcast literal
+      .withColumn("quota",
+        expr(s"((n_total div $budgetDenom) * isq) div sum_isq"))
+      .withColumn("rate_u16",
+        least(lit(65536L), expr("(quota * 65536) div n_docs")))
+      .select(col(groupCol), col("n_docs"), col("quota"), col("rate_u16"))
+  }
+
+  /** Materialize the α-mixed corpus: keep a row iff its salted 16-bit
+    * hash uniform falls under its group's [[temperatureQuotas]] rate.
+    * The quota relation broadcasts (|groups| rows); the data side is a
+    * pure scan-speed filter — deterministic, resumable, and identical
+    * on any cluster size. Change the salt for an independent draw.
+    */
+  def temperatureMix(docs: DataFrame, groupCol: String, idCol: String,
+                     salt: String, budgetDenom: Int = 2): DataFrame =
+    docs.join(broadcast(temperatureQuotas(docs, groupCol, budgetDenom)), groupCol)
+      .where(hashU16(col(idCol), salt).cast("long") < col("rate_u16"))
+
   /** Morton (Z-order) interleave of the low `bits` bits of each of n
     * dimensions: bit i of dimension j lands at position i·n + j.
     * Sorting / range-partitioning by this key clusters ALL dimensions

@@ -127,8 +127,32 @@ object CurationQueries extends QueryPack {
           min(col("z")).as("z_min"),
           max(col("z")).as("z_max"),
           sum(col("doc_id")).as("sum_doc_id"))
+    }),
+
+    // Temperature-weighted source mixing (α = 1/2, the XLM-R/mT5
+    // multilingual sampling recipe): per-source quotas ∝ sqrt(n_docs)
+    // over a half-corpus budget, derived in pure integer arithmetic
+    // (Curation.temperatureQuotas), applied as a stateless md5-uniform
+    // threshold filter (temperatureMix — no window, no per-source
+    // rank, scan-speed at 100 TB). Output is the mixing audit: the
+    // derivation (n_docs → quota → rate_u16) plus what the filter
+    // actually kept (count + id-sum pins the selected SET, not just
+    // its size).
+    "q127_source_mixing" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val quotas = temperatureQuotas(docs, "source")
+      val sel = temperatureMix(docs, "source", "doc_id", MixSalt)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_selected"),
+          sum(col("doc_id")).as("sum_selected_ids"))
+      quotas.join(sel, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("quota"), col("rate_u16"),
+          coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+          coalesce(col("sum_selected_ids"), lit(0L)).as("sum_selected_ids"))
     })
   )
+
+  private val MixSalt = "mix1-"
 
   private val rawSql =
     """text
@@ -138,6 +162,13 @@ object CurationQueries extends QueryPack {
       || CASE WHEN doc_id % 2 = 0
               THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
               ELSE '' END"""
+
+  /** hashU16's oracle twin for an arbitrary salt over d.doc_id. */
+  private def u16SqlWith(salt: String): String = {
+    def nib(i: Int) =
+      s"strpos('123456789abcdef', substr(md5('$salt' || CAST(d.doc_id AS VARCHAR)), $i, 1))"
+    s"CAST(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)} AS INT)"
+  }
 
   private val u16Sql = {
     def nib(i: Int) =
@@ -210,6 +241,32 @@ object CurationQueries extends QueryPack {
          SELECT CAST(z >> 12 AS INT) AS z_cell, count(*) AS n_docs,
            MIN(z) AS z_min, MAX(z) AS z_max,
            CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
-         FROM zv GROUP BY 1"""
+         FROM zv GROUP BY 1""",
+    // Mirrors Curation.temperatureQuotas/temperatureMix: α = 1/2 weight
+    // floor(sqrt(n)) (IEEE sqrt correctly rounded on both engines),
+    // half-corpus budget, integer pro-rata quota, 16-bit keep threshold
+    // against the salted md5 uniform.
+    "q127_source_mixing" ->
+      s"""WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+         w AS (SELECT source, n_docs,
+                 CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS isq
+               FROM c),
+         t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+                      CAST(SUM(isq) AS BIGINT) AS sum_isq FROM w),
+         r AS (SELECT source, n_docs,
+                 ((n_total // 2) * isq) // sum_isq AS quota,
+                 LEAST(65536, ((((n_total // 2) * isq) // sum_isq) * 65536) // n_docs)
+                   AS rate_u16
+               FROM w, t),
+         sel AS (SELECT d.source, count(*) AS n_selected,
+                   CAST(SUM(d.doc_id) AS BIGINT) AS sum_selected_ids
+                 FROM documents d JOIN r USING (source)
+                 WHERE ${u16SqlWith(MixSalt)} < rate_u16
+                 GROUP BY 1)
+         SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(quota AS BIGINT) AS quota, CAST(rate_u16 AS BIGINT) AS rate_u16,
+           COALESCE(n_selected, 0) AS n_selected,
+           COALESCE(sum_selected_ids, 0) AS sum_selected_ids
+         FROM r LEFT JOIN sel USING (source)"""
   )
 }

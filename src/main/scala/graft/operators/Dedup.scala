@@ -84,6 +84,53 @@ object Dedup {
       .select(col("id_1"), col("id_2"), col("jaccard"))
   }
 
+  /** Pairwise shingle-overlap (Jaccard) matrix BETWEEN document groups
+    * (sources) — the corpus-curation analytic that tells you which
+    * sources are crawling the same underlying content before you spend
+    * a dedup pass on them, and which eval source is contaminated by
+    * which train source. Distinct (group, shingle) is one shuffle;
+    * intersections use [[jaccardPairs]]' grouped-pairs form (collect
+    * the ≤|groups| group list per shingle, emit ordered pairs — never
+    * a self-join fan-out). The full matrix including zero-overlap
+    * pairs comes from a |groups|²-row broadcast cross of the size
+    * relation — bounded by construction.
+    *
+    * Returns (grp_1, grp_2, m1, m2, n_shared, jaccard_bps) for every
+    * unordered group pair, jaccard floor-quantized to basis points
+    * (NULL only if both groups have zero shingles).
+    */
+  def groupOverlapMatrix(docs: DataFrame, textCol: String, groupCol: String,
+                         n: Int): DataFrame = {
+    val sh = docs
+      .select(col(groupCol).as("grp"), TextFunctions.tokens(col(textCol)).as("__ts"))
+      .select(col("grp"), explode(TextFunctions.shinglesOfTokens(col("__ts"), n)).as("shingle"))
+      .distinct()
+    val sizes = sh.groupBy(col("grp")).agg(count(lit(1)).as("m"))
+    val grouped = sh.groupBy(col("shingle"))
+      .agg(sort_array(collect_set(col("grp"))).as("grps"))
+    val pairsOfGrps = {
+      val gs = col("grps")
+      flatten(transform(gs, (x, i) =>
+        transform(slice(gs, i + lit(2), size(gs)),
+          y => struct(x.as("grp_1"), y.as("grp_2")))))
+    }
+    val inter = grouped
+      .filter(size(col("grps")) > 1)
+      .select(explode(pairsOfGrps).as("p"))
+      .groupBy(col("p.grp_1").as("grp_1"), col("p.grp_2").as("grp_2"))
+      .agg(count(lit(1)).as("n_shared"))
+    val allPairs = sizes.toDF("grp_1", "m1")
+      .crossJoin(broadcast(sizes.toDF("grp_2", "m2"))) // |groups| rows
+      .where(col("grp_1") < col("grp_2"))
+    allPairs.join(inter, Seq("grp_1", "grp_2"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("jaccard_bps", // ANSI guard: both-empty pair → NULL
+        when(col("m1") + col("m2") - col("n_shared") =!= 0,
+          expr("(10000 * n_shared) div (m1 + m2 - n_shared)")))
+      .select(col("grp_1"), col("grp_2"), col("m1"), col("m2"),
+        col("n_shared"), col("jaccard_bps"))
+  }
+
   /** MinHash signatures: mh_i = min over shingles of md5(i || '|' || s).
     * md5-as-permutation gives a uniform, engine-portable hash family;
     * lexicographic min over the hex strings is a valid min-hash.

@@ -111,6 +111,15 @@ object DedupQueries extends QueryPack {
         "text", "doc_id", n = 3, minShared = 2)
     }),
 
+    // Inter-source overlap matrix: pairwise distinct-3-gram Jaccard
+    // between sources (which crawls share content; which eval source a
+    // train source contaminates) — the curation analytic you run BEFORE
+    // spending a corpus-wide dedup pass. Grouped-pairs intersection
+    // (never a shingle self-join fan-out), full matrix incl. zero
+    // pairs, integral bps output.
+    "q128_source_overlap" -> ((s, d) =>
+      Dedup.groupOverlapMatrix(Tables.documents(s, d), "text", "source", 3)),
+
     // The dedup pipeline's final act: near-dup pairs → clusters →
     // keep min-id per cluster → the FILTERED corpus (what actually
     // ships to training). Composes q46's pair generation with q68's
@@ -358,6 +367,31 @@ object DedupQueries extends QueryPack {
          keep AS (SELECT min(doc_id) AS doc_id FROM cc GROUP BY cluster_id)
        SELECT d.doc_id, d.source, d.lang
        FROM documents d JOIN keep USING (doc_id)""",
+    // Mirrors Dedup.groupOverlapMatrix: distinct (source, shingle),
+    // pairwise intersection, full matrix from the sizes cross with
+    // zero-overlap coalesce; jaccard floor-quantized to bps in pure
+    // integer division (NULL only if both sides are shingle-free).
+    "q128_source_overlap" ->
+      s"""WITH toks AS (SELECT source, string_split(text, ' ') AS ts FROM documents),
+         raw AS (SELECT source,
+                   unnest(list_transform(generate_series(1, len(ts) - 2),
+                          i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle
+                 FROM toks),
+         gsh AS (SELECT DISTINCT source, shingle FROM raw),
+         sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS m FROM gsh GROUP BY 1),
+         inter AS (SELECT a.source AS grp_1, b.source AS grp_2,
+                     CAST(count(*) AS BIGINT) AS n_shared
+                   FROM gsh a JOIN gsh b
+                     ON a.shingle = b.shingle AND a.source < b.source
+                   GROUP BY 1, 2)
+         SELECT s1.source AS grp_1, s2.source AS grp_2, s1.m AS m1, s2.m AS m2,
+           COALESCE(n_shared, 0) AS n_shared,
+           CASE WHEN s1.m + s2.m - COALESCE(n_shared, 0) != 0
+                THEN (10000 * COALESCE(n_shared, 0))
+                     // (s1.m + s2.m - COALESCE(n_shared, 0))
+           END AS jaccard_bps
+         FROM sizes s1 JOIN sizes s2 ON s1.source < s2.source
+         LEFT JOIN inter ON inter.grp_1 = s1.source AND inter.grp_2 = s2.source""",
     "q47_simhash" ->
       s"WITH $simhashCte SELECT doc_id, simhash FROM simh",
     "q48_simhash_pairs" ->

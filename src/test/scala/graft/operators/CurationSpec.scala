@@ -64,6 +64,31 @@ class CurationSpec extends SparkSpec {
     assert((0 to 3).forall(i => math.abs(q.getOrElse(i, 0) - 500) < 150))
   }
 
+  test("temperature mixing: integer quotas, α-upweighted tail, stateless filter") {
+    import graft.operators.Curation
+    // 64/16/4 docs → isq 8/4/2, budget 42, quotas 24/12/6,
+    // rates 24576/49152/65536 (tail capped at keep-everything)
+    val docs = (0L until 64L).map(i => (i, "big")) ++
+      (100L until 116L).map(i => (i, "mid")) ++ (200L until 204L).map(i => (i, "small"))
+    val df = docs.toDF("doc_id", "source")
+    val q = Curation.temperatureQuotas(df, "source")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(q == Map("big" -> ((64L, 24L, 24576L)), "mid" -> ((16L, 12L, 49152L)),
+      "small" -> ((4L, 6L, 65536L))))
+    // α < 1 up-weights the tail: keep RATE rises as source size falls
+    assert(q("big")._3 < q("mid")._3 && q("mid")._3 <= q("small")._3)
+    // quota never exceeds the budget in total
+    assert(q.values.map(_._2).sum <= 84 / 2)
+    val mix = Curation.temperatureMix(df, "source", "doc_id", "t-")
+    val sel = mix.select($"doc_id").as[Long].collect().toSet
+    assert(sel.subsetOf(docs.map(_._1).toSet))
+    // rate 65536 keeps the whole tail source; filter is deterministic
+    assert((200L until 204L).forall(sel.contains))
+    val again = Curation.temperatureMix(df, "source", "doc_id", "t-")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(sel == again)
+  }
+
   test("zValue interleaves bits and bounds 2-D boxes per key range") {
     val pts = Seq((3, 0), (0, 3), (255, 255), (0, 0), (1, 1)).toDF("x", "y")
     val zs = pts.select(zValue($"x", $"y", 8).as("z")).as[Long].collect()

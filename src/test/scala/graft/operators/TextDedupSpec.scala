@@ -221,4 +221,21 @@ class TextDedupSpec extends SparkSpec {
       n = 3, minShared = 1)
     assert(none.count() == 0) // NULL bloom = nothing matches, not everything
   }
+
+  test("groupOverlapMatrix: identical sources at 10000 bps, disjoint at 0, full matrix") {
+    val docs = Seq(
+      (1L, "a b c d", "x"), (2L, "a b c d", "y"), // identical shingle sets
+      (3L, "e f g h", "z"), // disjoint from both
+      (4L, "a b c", "x") // extra doc, shingle already in x's set
+    ).toDF("doc_id", "text", "source")
+    val m = Dedup.groupOverlapMatrix(docs, "text", "source", 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // x/y: shingles {a b c, b c d} both sides → jaccard = 1 → 10000 bps;
+    // z never overlaps; zero-overlap pairs still present (full matrix)
+    assert(m == Map(
+      ("x", "y") -> ((2L, 2L, 2L, 10000L)),
+      ("x", "z") -> ((2L, 2L, 0L, 0L)),
+      ("y", "z") -> ((2L, 2L, 0L, 0L))))
+  }
 }
