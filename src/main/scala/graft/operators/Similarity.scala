@@ -790,6 +790,50 @@ object Similarity {
         col("col._1").as("cos"), (col("pos") + 1).cast("int").as("rn"))
   }
 
+  /** Nearest-class-mean probe — the standard cheap embedding-quality
+    * eval (NCM / prototype classifier): per-label mean vectors as
+    * class prototypes, every vector assigned to its nearest prototype
+    * by L2, reported as the label × predicted-label confusion matrix.
+    * A useful embedding space separates its labels; a collapsed one
+    * routes everything to one prototype — this measures that with one
+    * pass and no training.
+    *
+    * Engine-exact by integer discipline: vectors are quantized to
+    * 1e-6 grid longs FIRST (float→double widening and ×1e6 are both
+    * correctly rounded, floor exact), prototype means use integer
+    * division, and distances are integer sums of squared diffs — no
+    * float accumulation order can differ between engines or partition
+    * counts. Shapes: per-dim partial-aggregated shuffle (|labels|·dim
+    * rows), a |labels|-row broadcast, argmin via min-of-struct with
+    * label tie-break. Scan-speed at 100 TB; nothing all-pairs.
+    *
+    * Returns (label, pred_label, n) — the confusion matrix.
+    */
+  def classMeanProbe(emb: DataFrame, idCol: String, vecCol: String,
+                     labelCol: String): DataFrame = {
+    val qvec = transform(col(vecCol),
+      x => floor(x.cast("double") * lit(1e6)).cast("long"))
+    val vecs = emb.select(col(idCol).as("vec_id"),
+      col(labelCol).as("label"), qvec.as("qv"))
+    val perDim = vecs
+      .select(col("label"), posexplode(col("qv")).as(Seq("pos", "q")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+      .withColumn("mean_q", expr("s div n"))
+    val protos = perDim.groupBy(col("label").as("plabel"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mean_q")))),
+        s => s.getField("mean_q")).as("proto"))
+    val scored = vecs.crossJoin(broadcast(protos)) // |labels| rows
+      .withColumn("dist", aggregate(
+        zip_with(col("qv"), col("proto"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+    scored.groupBy(col("vec_id"), col("label"))
+      .agg(min(struct(col("dist"), col("plabel"))).as("m"))
+      .select(col("label"), col("m.plabel").as("pred_label"))
+      .groupBy(col("label"), col("pred_label"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Near pairs: same bucket AND exact cosine ≥ minCos. */
   def lshNearPairs(emb: DataFrame, idCol: String, vecCol: String,
                    bits: Int, minCos: Double): DataFrame = {

@@ -309,7 +309,16 @@ object SimilarityQueries extends QueryPack {
         lit(nExact).as("n_exact_pairs"),
         lit(overlap).as("n_overlap_pairs"),
         lit(recallBps).as("recall_bps"))
-    })
+    }),
+
+    // Nearest-class-mean probe: per-label prototype vectors, every
+    // vector assigned to its nearest prototype, output as the
+    // label × pred confusion matrix — the one-pass embedding-quality
+    // eval (no trained model; integer-quantized end-to-end, so the
+    // hash check pins every assignment).
+    "q129_ncm_probe" -> ((s, d) =>
+      Similarity.classMeanProbe(Tables.embeddings(s, d),
+        "vec_id", "embedding", "label"))
   )
 
   private val KM_K = 8
@@ -821,6 +830,27 @@ object SimilarityQueries extends QueryPack {
          |            ELSE CAST(floor(10000.0 * n_overlap_pairs / n_exact_pairs) AS BIGINT)
          |       END AS recall_bps
          |FROM stats""".stripMargin,
+    // Mirrors Similarity.classMeanProbe: 1e-6-grid quantized vectors,
+    // integer-mean prototypes (// truncates toward zero, same as
+    // Spark's div), integer L2, argmin with plabel tie-break.
+    "q129_ncm_probe" ->
+      """WITH v AS (SELECT vec_id, label, pos,
+           CAST(floor(CAST(embedding[pos] AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+         FROM (SELECT vec_id, label, embedding,
+                 unnest(generate_series(1, len(embedding))) AS pos
+               FROM embeddings)),
+         p AS (SELECT label AS plabel, pos,
+                 CAST(CAST(SUM(q) AS BIGINT) // count(*) AS BIGINT) AS mean_q
+               FROM v GROUP BY 1, 2),
+         d AS (SELECT v.vec_id, v.label, p.plabel,
+                 CAST(SUM((v.q - p.mean_q) * (v.q - p.mean_q)) AS BIGINT) AS dist
+               FROM v JOIN p ON v.pos = p.pos
+               GROUP BY 1, 2, 3),
+         pr AS (SELECT vec_id, label, plabel AS pred_label,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY dist, plabel) AS rn
+                FROM d)
+         SELECT label, pred_label, count(*) AS n
+         FROM pr WHERE rn = 1 GROUP BY 1, 2""",
     "q50_cosine_knn" ->
       s"""SELECT vec_id, nn_id, cos, rn FROM (
            SELECT a.vec_id, b.vec_id AS nn_id,

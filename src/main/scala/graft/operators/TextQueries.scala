@@ -92,6 +92,44 @@ object TextQueries extends QueryPack {
               .cast(LongType)))
     }),
 
+    // One BPE merge-selection round — the statistic a distributed
+    // tokenizer trainer computes per iteration: corpus-wide adjacent
+    // token-pair counts (non-distinct — frequency IS the statistic),
+    // the winning pair by (count desc, pair asc), and the effect of
+    // applying that merge greedily left-to-right (regexp_count's
+    // non-overlapping scan = BPE's application order) per source.
+    // The top-pair selection is the one driver scalar (bounded: one
+    // row, same class as the q122 doc count); the pair-count pass is
+    // one partial-aggregated shuffle — the same shape full BPE
+    // training loops N times at 100 TB.
+    "q130_bpe_merge" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(split(col("text"), " ").as("ts"))
+      val grams = toks.select(
+        explode(when(size(col("ts")) >= 2,
+          transform(sequence(lit(1), size(col("ts")) - 1),
+            i => concat(element_at(col("ts"), i), lit(" "), element_at(col("ts"), i + 1))))
+          .otherwise(array().cast("array<string>"))).as("pair"))
+      val top = grams.groupBy(col("pair")).agg(count(lit(1)).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("pair")).limit(1).head()
+      val (pair, pcount) = (top.getString(0), top.getLong(1))
+      // tokens in this corpus are alnum; refuse regex metacharacters
+      // rather than risk engine-divergent escaping
+      require(pair.matches("[A-Za-z0-9 ]+"), s"unsafe merge pair: $pair")
+      val pat = "\\b" + pair + "\\b"
+      docs.select(col("source"),
+          size(split(col("text"), " ")).as("n_toks"),
+          regexp_count(col("text"), lit(pat)).as("n_merges"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_tokens_before"),
+          sum(col("n_merges").cast(LongType)).as("n_merges"))
+        .select(col("source"), col("n_docs"), col("n_tokens_before"),
+          col("n_merges"),
+          (col("n_tokens_before") - col("n_merges")).as("n_tokens_after"),
+          lit(pair).as("pair"), lit(pcount).as("pair_count"))
+    }),
+
     // Corpus statistics: the pre-filter profiling pass of a training
     // pipeline — per-source doc/token totals, exact token-count
     // quantiles, quality mass. EVERY output cell is integral: the
@@ -302,6 +340,26 @@ object TextQueries extends QueryPack {
          |            ELSE CAST(floor(10000.0 * n_common / n_bigrams) AS BIGINT)
          |       END AS coverage_bps
          |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id""".stripMargin,
+    // Mirrors q130's Spark plan: top adjacent pair by (count desc,
+    // pair asc), then greedy non-overlapping application counts
+    // (regexp_extract_all scans left-to-right like Java's regexp_count).
+    "q130_bpe_merge" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS ts FROM documents),
+         grams AS (SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+                          i -> ts[i] || ' ' || ts[i+1])) AS pair
+                   FROM toks),
+         top1 AS (SELECT pair, CAST(count(*) AS BIGINT) AS pair_count
+                  FROM grams GROUP BY 1
+                  ORDER BY count(*) DESC, pair LIMIT 1),
+         per AS (SELECT d.source, count(*) AS n_docs,
+                   CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS n_tokens_before,
+                   CAST(SUM(len(regexp_extract_all(d.text, '\b' || t.pair || '\b'))) AS BIGINT)
+                     AS n_merges
+                 FROM documents d, top1 t GROUP BY 1)
+         SELECT p.source, p.n_docs, p.n_tokens_before, p.n_merges,
+                p.n_tokens_before - p.n_merges AS n_tokens_after,
+                t.pair, t.pair_count
+         FROM per p, top1 t""",
     "q115_quality_deciles" ->
       s"""WITH scored AS (
            SELECT doc_id, source,

@@ -270,6 +270,22 @@ class VectorSpec extends SparkSpec {
     assert(full == bf)
   }
 
+  test("classMeanProbe separates well-separated labels into a diagonal confusion") {
+    import graft.operators.Similarity
+    // label 0 clusters near (1,0,...), label 1 near (0,1,...)
+    val vs = Seq(
+      (1L, Array(1.0f, 0.1f, 0f, 0f), 0), (2L, Array(0.9f, 0.0f, 0f, 0f), 0),
+      (3L, Array(0.1f, 1.0f, 0f, 0f), 1), (4L, Array(0.0f, 0.9f, 0f, 0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val m = Similarity.classMeanProbe(vs, "vec_id", "embedding", "label")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(m == Map((0, 0) -> 2L, (1, 1) -> 2L)) // perfect diagonal
+    // determinism: identical on re-run
+    val again = Similarity.classMeanProbe(vs, "vec_id", "embedding", "label")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(m == again)
+  }
+
   test("signBucket maps sign pattern of leading dims") {
     val r = df.select($"id", VectorFunctions.signBucket($"a", 3).as("bk"))
       .as[(Long, String)].collect().toMap

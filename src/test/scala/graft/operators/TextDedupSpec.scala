@@ -222,6 +222,19 @@ class TextDedupSpec extends SparkSpec {
     assert(none.count() == 0) // NULL bloom = nothing matches, not everything
   }
 
+  test("bpe merge round: top pair deterministic, greedy application arithmetic holds") {
+    val r = TextQueries.queries("q130_bpe_merge")(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (before, merges, after) =
+        (row.getLong(2), row.getLong(3), row.getLong(4))
+      assert(after == before - merges)
+      assert(merges >= 0 && before > 0)
+    }
+    assert(r.map(_.getString(5)).distinct.length == 1) // one winning pair
+    assert(r.head.getString(5).contains(" "))          // it's an adjacent pair
+  }
+
   test("groupOverlapMatrix: identical sources at 10000 bps, disjoint at 0, full matrix") {
     val docs = Seq(
       (1L, "a b c d", "x"), (2L, "a b c d", "y"), // identical shingle sets
