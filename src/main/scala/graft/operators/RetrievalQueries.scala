@@ -31,6 +31,8 @@ object RetrievalQueries extends QueryPack {
                          // round-to-even tie, so both engines parse the
                          // SAME literal instead of computing it
   private val TOPK = 20
+  private val RRF_K = 60 // the canonical RRF smoothing constant
+  private val RRF_R = 50 // per-leg candidate-list depth for fusion
 
   val queries: Map[String, Q] = Map(
     // BM25 top-20 documents for a fixed 3-term query. Shape at 100 TB:
@@ -38,30 +40,51 @@ object RetrievalQueries extends QueryPack {
     // stats (N, Σlen, df per term) partial-aggregate to ONE row that
     // broadcasts back; scoring is a codegen'd projection; the top-k is
     // TakeOrderedAndProject (no global sort materialization).
-    "q98_bm25" -> ((s, d) => {
-      val tf = Tables.documents(s, d)
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .select(col("doc_id") +: size(col("toks")).as("len") +:
-          TERMS.map(t =>
-            size(filter(col("toks"), x => x === t)).as(s"tf_$t")): _*)
-      val statCols =
-        count(lit(1)).as("n") +: sum(col("len")).as("sumlen") +:
-          TERMS.map(t =>
-            sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
-      val stats = tf.agg(statCols.head, statCols.tail: _*)
-      val nd = col("n").cast(DoubleType)
-      val avgdl = col("sumlen").cast(DoubleType) / nd
-      val bnorm = lit(1.0 - B) + lit(B) * (col("len").cast(DoubleType) / avgdl)
-      val score = TERMS.map { t =>
-        val tfd = col(s"tf_$t").cast(DoubleType)
-        val dfd = col(s"df_$t").cast(DoubleType)
-        ((nd - dfd + lit(0.5)) / (dfd + lit(0.5))) *
-          ((tfd * lit(K1P1)) / (tfd + lit(K1) * bnorm))
-      }.reduce(_ + _)
-      tf.crossJoin(broadcast(stats))
-        .select(col("doc_id") +: TERMS.map(t => col(s"tf_$t")) :+
-          score.as("score"): _*)
+    "q98_bm25" -> ((s, d) =>
+      bm25Scored(s, d)
         .orderBy(col("score").desc, col("doc_id"))
+        .limit(TOPK)),
+
+    // Hybrid retrieval via reciprocal-rank fusion — the standard way a
+    // modern retrieval stack combines a lexical (BM25) and a semantic
+    // (embedding-cosine) ranking without score calibration: each leg
+    // contributes 1/(60 + rank) for its top-R, summed. Here the fusion
+    // score is kept INTEGER (1e9 div (60 + rank), parts-per-billion) so
+    // the hash check pins the fused ranking exactly. The semantic leg
+    // ranks the corpus against one designated query vector (vec_id 0 —
+    // a real deployment parameterizes this): a scan + bounded top-R,
+    // never a pairwise kernel. Each leg's rank assignment is a window
+    // over its R-row candidate list (bounded — not a corpus-wide sort);
+    // the fuse is an R-row full-outer join. Absent-from-a-leg
+    // contributes rank 0 (= no score), the truncated-list RRF contract.
+    "q131_hybrid_rrf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val lexTop = bm25Scored(s, d)
+        .orderBy(col("score").desc, col("doc_id")).limit(RRF_R)
+      val lex = lexTop.select(col("doc_id"),
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+          .as("r_lex"))
+      val emb = Tables.embeddings(s, d)
+      val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qemb"))
+      val semTop = emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv)) // one-row query vector
+        .withColumn("cos",
+          graft.functions.VectorFunctions.cosine(col("embedding"), col("qemb")))
+        .filter(col("cos").isNotNull)
+        .orderBy(col("cos").desc, col("vec_id")).limit(RRF_R)
+      val sem = semTop.select(col("vec_id").as("doc_id"),
+        row_number().over(Window.orderBy(col("cos").desc, col("vec_id")))
+          .as("r_sem"))
+      lex.join(sem, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("r_lex"), lit(0)).as("r_lex"),
+          coalesce(col("r_sem"), lit(0)).as("r_sem"))
+        .withColumn("rrf_ppb",
+          (when(col("r_lex") > 0, expr(s"1000000000 div ($RRF_K + r_lex)"))
+            .otherwise(0) +
+           when(col("r_sem") > 0, expr(s"1000000000 div ($RRF_K + r_sem)"))
+             .otherwise(0)).cast(LongType))
+        .orderBy(col("rrf_ppb").desc, col("doc_id"))
         .limit(TOPK)
     }),
 
@@ -83,6 +106,37 @@ object RetrievalQueries extends QueryPack {
         .limit(TOPK)
     })
   )
+
+  /** BM25-scored corpus: (doc_id, tf_<term>..., score) for the fixed
+    * query. Shape at 100 TB: one scan computes per-doc (len, tf...)
+    * map-side; the corpus stats (N, Σlen, df per term) partial-
+    * aggregate to ONE row that broadcasts back; scoring is a codegen'd
+    * projection. Shared by q98 (top-k) and q131 (lexical RRF leg).
+    */
+  private def bm25Scored(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id") +: size(col("toks")).as("len") +:
+        TERMS.map(t =>
+          size(filter(col("toks"), x => x === t)).as(s"tf_$t")): _*)
+    val statCols =
+      count(lit(1)).as("n") +: sum(col("len")).as("sumlen") +:
+        TERMS.map(t =>
+          sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+    val stats = tf.agg(statCols.head, statCols.tail: _*)
+    val nd = col("n").cast(DoubleType)
+    val avgdl = col("sumlen").cast(DoubleType) / nd
+    val bnorm = lit(1.0 - B) + lit(B) * (col("len").cast(DoubleType) / avgdl)
+    val score = TERMS.map { t =>
+      val tfd = col(s"tf_$t").cast(DoubleType)
+      val dfd = col(s"df_$t").cast(DoubleType)
+      ((nd - dfd + lit(0.5)) / (dfd + lit(0.5))) *
+        ((tfd * lit(K1P1)) / (tfd + lit(K1) * bnorm))
+    }.reduce(_ + _)
+    tf.crossJoin(broadcast(stats))
+      .select(col("doc_id") +: TERMS.map(t => col(s"tf_$t")) :+
+        score.as("score"): _*)
+  }
 
   /** The BM25 score as oracle SQL — the SAME association order as the
     * Column expression above, term by term.
@@ -116,6 +170,43 @@ object RetrievalQueries extends QueryPack {
          |    SELECT doc_id, $tfOut, $scoreSql AS score
          |    FROM tf CROSS JOIN st))
          |WHERE rn <= $TOPK""".stripMargin
+    },
+    // Mirrors q131: per-leg rank within the top-R candidate list,
+    // integer RRF (1e9 // (60 + rank)), absent leg contributes 0.
+    "q131_hybrid_rrf" -> {
+      val tfCols = TERMS.map(t =>
+        s"CAST(len(list_filter(toks, x -> x = '$t')) AS INT) AS tf_$t").mkString(",\n           ")
+      val dfCols = TERMS.map(t =>
+        s"SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t").mkString(",\n           ")
+      val cos = SimilarityQueries.cosSql("q.embedding", "c.embedding")
+      s"""WITH tf AS (
+         |  SELECT doc_id, CAST(len(toks) AS INT) AS len,
+         |           $tfCols
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+         |st AS (
+         |  SELECT count(*) AS n, SUM(len) AS sumlen,
+         |           $dfCols
+         |  FROM tf),
+         |lex AS (SELECT doc_id, CAST(rn AS INT) AS r_lex FROM (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rn FROM (
+         |    SELECT doc_id, $scoreSql AS score
+         |    FROM tf CROSS JOIN st))
+         |  WHERE rn <= $RRF_R),
+         |sem AS (SELECT doc_id, CAST(rn AS INT) AS r_sem FROM (
+         |  SELECT vec_id AS doc_id,
+         |         row_number() OVER (ORDER BY cos DESC, vec_id) AS rn FROM (
+         |    SELECT c.vec_id, $cos AS cos
+         |    FROM embeddings q JOIN embeddings c ON c.vec_id != 0
+         |    WHERE q.vec_id = 0 AND $cos IS NOT NULL))
+         |  WHERE rn <= $RRF_R)
+         |SELECT doc_id, COALESCE(r_lex, 0) AS r_lex, COALESCE(r_sem, 0) AS r_sem,
+         |       CAST(CASE WHEN r_lex IS NULL THEN 0
+         |                 ELSE 1000000000 // ($RRF_K + r_lex) END
+         |          + CASE WHEN r_sem IS NULL THEN 0
+         |                 ELSE 1000000000 // ($RRF_K + r_sem) END AS BIGINT) AS rrf_ppb
+         |FROM lex FULL OUTER JOIN sem USING (doc_id)
+         |ORDER BY rrf_ppb DESC, doc_id
+         |LIMIT $TOPK""".stripMargin
     },
     "q99_token_topk" ->
       s"""SELECT token, count(*) AS n_occurrences,

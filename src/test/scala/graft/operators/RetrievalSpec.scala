@@ -42,6 +42,24 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("q131 hybrid RRF: integer fusion arithmetic, bounded ranks, deterministic") {
+    val rows = RetrievalQueries.queries("q131_hybrid_rrf")(spark, sf)
+      .select($"doc_id", $"r_lex", $"r_sem", $"rrf_ppb")
+      .as[(Long, Int, Int, Long)].collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { case (_, rl, rs, ppb) =>
+      assert(rl >= 0 && rl <= 50 && rs >= 0 && rs <= 50)
+      assert(rl > 0 || rs > 0) // fused docs came from at least one leg
+      val expected = (if (rl > 0) 1000000000L / (60 + rl) else 0L) +
+        (if (rs > 0) 1000000000L / (60 + rs) else 0L)
+      assert(ppb == expected) // the score IS the integer RRF definition
+    }
+    val again = RetrievalQueries.queries("q131_hybrid_rrf")(spark, sf)
+      .select($"doc_id", $"r_lex", $"r_sem", $"rrf_ppb")
+      .as[(Long, Int, Int, Long)].collect()
+    assert(rows.sameElements(again))
+  }
+
   test("q103 funnel requires strict view -> click -> purchase ordering") {
     import java.sql.Timestamp
     def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
