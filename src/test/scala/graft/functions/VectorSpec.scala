@@ -286,6 +286,20 @@ class VectorSpec extends SparkSpec {
     assert(m == again)
   }
 
+  test("classMeanProbe plan: prototypes broadcast, corpus side never shuffle-joined") {
+    import graft.operators.Similarity
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val plan = Similarity.classMeanProbe(emb, "vec_id", "embedding", "label")
+      .queryExecution.executedPlan.toString
+    // the vector × prototype cross must be a broadcast of the
+    // |labels|-row side — a shuffled cartesian would be the collapsed
+    // form that cannot scale
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"prototypes not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"shuffled cartesian in probe plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"probe shuffle-joins the corpus:\n$plan")
+  }
+
   test("signBucket maps sign pattern of leading dims") {
     val r = df.select($"id", VectorFunctions.signBucket($"a", 3).as("bk"))
       .as[(Long, String)].collect().toMap

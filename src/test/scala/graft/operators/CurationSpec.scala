@@ -89,6 +89,20 @@ class CurationSpec extends SparkSpec {
     assert(sel == again)
   }
 
+  test("temperatureMix plan: stateless filter — broadcast join only, no Window, no sort-merge") {
+    import graft.operators.Curation
+    val df = (0L until 1000L).map(i => (i, s"s${i % 7}")).toDF("doc_id", "source")
+    val plan = Curation.temperatureMix(df, "source", "doc_id", "p-")
+      .queryExecution.executedPlan.toString
+    // the 100 TB claim: the doc-side path is scan → broadcast-join →
+    // filter; a Window or a shuffled join would mean a per-source
+    // funnel that cannot scale
+    assert(!plan.contains("Window"), s"mix plan has a window:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"mix plan shuffle-joins the corpus:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"quota relation is not broadcast:\n$plan")
+  }
+
   test("zValue interleaves bits and bounds 2-D boxes per key range") {
     val pts = Seq((3, 0), (0, 3), (255, 255), (0, 0), (1, 1)).toDF("x", "y")
     val zs = pts.select(zValue($"x", $"y", 8).as("z")).as[Long].collect()
