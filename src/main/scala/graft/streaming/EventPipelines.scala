@@ -214,9 +214,13 @@ object EventPipelines {
     */
   def landBatch(wh: graft.sources.Warehouse, layer: String, table: String,
                 keys: Seq[String], partCol: String, batch: DataFrame,
-                batchId: Long, useLedger: Boolean, ledgerNs: String = ""): Boolean = {
+                batchId: Long, useLedger: Boolean, ledgerNs: String = "",
+                prep: Option[DataFrame => DataFrame] = None): Boolean = {
     if (useLedger && wh.batchCommitted(layer, table, batchId, ledgerNs)) return false
-    val deduped = withEventDay(dedupBatch(batch, keys), partCol)
+    // `prep` derives the partition column from the deduped batch;
+    // default is the event-day derivation this pipeline was built for
+    val deduped = prep.getOrElse((b: DataFrame) => withEventDay(b, partCol))
+      .apply(dedupBatch(batch, keys))
     if (!wh.exists(layer, table))
       wh.overwrite(deduped, layer, table, partitionBy = Seq(partCol)): Unit
     else {
@@ -247,7 +251,8 @@ object EventPipelines {
   def ingestAvailableNow(events: DataFrame, wh: graft.sources.Warehouse,
                          layer: String, table: String, keys: Seq[String],
                          partCol: String = "event_day",
-                         checkpointDir: Option[String] = None): Unit = {
+                         checkpointDir: Option[String] = None,
+                         prep: Option[DataFrame => DataFrame] = None): Unit = {
     val ns = checkpointDir.map(ledgerNamespace).getOrElse("")
     checkpointDir.foreach { c =>
       // Fresh checkpoint (no committed offsets yet) ⇒ this run's batch
@@ -268,7 +273,7 @@ object EventPipelines {
         // one, batch ids restart at 0 per run and a stale marker would
         // swallow new data — so it activates with checkpointDir only
         landBatch(wh, layer, table, keys, partCol, batch.toDF(), bid,
-          useLedger = checkpointDir.isDefined, ledgerNs = ns): Unit
+          useLedger = checkpointDir.isDefined, ledgerNs = ns, prep = prep): Unit
       }
     val q = checkpointDir.fold(writer)(c => writer.option("checkpointLocation", c))
       .start()

@@ -215,6 +215,37 @@ class StreamingSpec extends SparkSpec {
     intercept[IllegalArgumentException](wh.vacuumLedger("bl_3nf", "vac", keep = 0, nsA))
   }
 
+  test("streaming arrivals route onto the trained index, matching the batch operator") {
+    import graft.operators.Similarity
+    import graft.streaming.VectorPipelines
+    val emb = Tables.embeddings(spark, sf)
+    val base = emb.filter($"vec_id" % 10 =!= 0)
+    val arrivals = emb.filter($"vec_id" % 10 === 0)
+    val (cents, _) = Similarity.trainedIndex(base, "vec_id", "embedding", k = 8, rounds = 2)
+    val arrDir = java.nio.file.Files.createTempDirectory("graft-varr").toString
+    arrivals.repartition(3).write.mode("overwrite").parquet(s"$arrDir/files")
+    val root = java.nio.file.Files.createTempDirectory("graft-vwh").toString
+    val wh = new graft.sources.Warehouse(root, spark)
+    val stream = spark.readStream.schema(arrivals.schema)
+      .option("maxFilesPerTrigger", 1) // several micro-batches, not one
+      .parquet(s"$arrDir/files")
+    VectorPipelines.routeAvailableNow(stream, cents, "vec_id", "embedding",
+      wh, "idx", "cells", Some(s"$root/ckpt"))
+    val landed = wh.readPartitioned("idx", "cells", "cid")
+      .select($"vec_id", $"cid".cast("int")).as[(Long, Int)].collect()
+    val expected = Similarity.assignToCells(arrivals, "vec_id", "embedding", cents)
+      .select($"vec_id", $"cid").as[(Long, Int)].collect().toSet
+    // exactly the batch operator's routing, and one row per id — the
+    // searchable-cells contract ivfProbedKnn/ivfAdcKnn require
+    assert(landed.toSet == expected)
+    assert(landed.length == landed.map(_._1).distinct.length)
+    // a second drain of the SAME files is a ledgered no-op, not a re-land
+    val stream2 = spark.readStream.schema(arrivals.schema).parquet(s"$arrDir/files")
+    VectorPipelines.routeAvailableNow(stream2, cents, "vec_id", "embedding",
+      wh, "idx", "cells", Some(s"$root/ckpt"))
+    assert(wh.readPartitioned("idx", "cells", "cid").count() == landed.length)
+  }
+
   test("sessionize emits closed sessions that match the batch gap logic") {
     EventPipelines.runToMemory(
       EventPipelines.sessionize(spark, EventPipelines.readEventStream(spark, streamDir)).toDF(),
