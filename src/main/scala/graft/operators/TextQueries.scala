@@ -130,6 +130,63 @@ object TextQueries extends QueryPack {
           lit(pair).as("pair"), lit(pcount).as("pair_count"))
     }),
 
+    // The full curation funnel — the composed pipeline a training
+    // corpus actually ships through, with per-stage attrition
+    // accounting per source: (1) absolute quality gate (quantized
+    // q94 score ≥ 0.5), (2) repetition gate (q90's top-bigram share
+    // ≤ 10%), (3) exact dedup (q44's keep-min-per-fingerprint, within
+    // survivors), (4) decontamination vs the src0 eval slice (q83's
+    // operator at ≥ 7 shared 3-grams — the p90 of this corpus's
+    // overlap distribution; its tiny shared vocabulary makes incidental
+    // 3-gram collisions universal, so the funnel uses the
+    // high-confidence cut where q83's demo threshold would empty the
+    // corpus). Every stage reuses the gated operator's
+    // exact logic, so this query PROVES the filters compose; the
+    // output is the funnel report (n_total → n_quality → n_nonrep →
+    // n_unique → n_clean) every curation run publishes. Stages 1-2 are
+    // scan-speed filters; 3 is one fingerprint group-by; 4 broadcasts
+    // the bounded eval shingle set — the composition adds no shape a
+    // single stage didn't already have.
+    "q132_curation_funnel" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val train = docs.filter(col("source") =!= "src0")
+      val evalSlice = docs.filter(col("source") === "src0")
+      val s1 = train
+        .withColumn("q6", floor(qualityScore(col("text"), EN) * 1e6).cast(LongType))
+        .filter(col("q6") >= 500000L)
+      val grams = s1.select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .select(col("doc_id"), explode(
+          when(size(col("ts")) >= 2,
+            transform(sequence(lit(1), size(col("ts")) - 1),
+              i => concat(element_at(col("ts"), i), lit(" "), element_at(col("ts"), i + 1))))
+            .otherwise(array().cast("array<string>"))).as("gram"))
+      val rep = grams.groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(floor(max(col("c")).cast("double") / sum(col("c")).cast("double") * 1e6)
+          .cast(LongType).as("share_q6"))
+      val s2 = s1.join(rep, Seq("doc_id"), "left")
+        .filter(coalesce(col("share_q6"), lit(0L)) <= 100000L)
+      val keepers = Dedup.exactGroups(s2, "text", "doc_id")
+        .select(col("keep_id").as("doc_id"))
+      val s3 = s2.join(keepers, Seq("doc_id"), "left_semi")
+      val contaminated = Dedup
+        .contaminatedDocs(s3, evalSlice, "text", "doc_id", n = 3, minShared = 7)
+        .select("doc_id")
+      val s4 = s3.join(contaminated, Seq("doc_id"), "left_anti")
+      def cnt(df: org.apache.spark.sql.DataFrame, name: String) =
+        df.groupBy(col("source")).agg(count(lit(1)).as(name))
+      cnt(train, "n_total")
+        .join(cnt(s1, "n_quality"), Seq("source"), "left")
+        .join(cnt(s2, "n_nonrep"), Seq("source"), "left")
+        .join(cnt(s3, "n_unique"), Seq("source"), "left")
+        .join(cnt(s4, "n_clean"), Seq("source"), "left")
+        .select(col("source"), col("n_total"),
+          coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+          coalesce(col("n_nonrep"), lit(0L)).as("n_nonrep"),
+          coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+          coalesce(col("n_clean"), lit(0L)).as("n_clean"))
+    }),
+
     // Corpus statistics: the pre-filter profiling pass of a training
     // pipeline — per-source doc/token totals, exact token-count
     // quantiles, quality mass. EVERY output cell is integral: the
@@ -360,6 +417,60 @@ object TextQueries extends QueryPack {
                 p.n_tokens_before - p.n_merges AS n_tokens_after,
                 t.pair, t.pair_count
          FROM per p, top1 t""",
+    // Mirrors q132 stage by stage: quantized quality gate, top-bigram
+    // repetition gate, keep-min-per-fingerprint dedup among survivors,
+    // NOT EXISTS decontamination vs the src0 shingle set.
+    "q132_curation_funnel" ->
+      s"""WITH s1 AS (
+         |  SELECT doc_id, source, text FROM documents
+         |  WHERE source != 'src0'
+         |    AND CAST(floor((least(1.0, CAST($nTokensSql AS DOUBLE) / 50.0)
+         |          * (1.0 - $stopRatioSql)) * 1000000.0) AS BIGINT) >= 500000),
+         |gt AS (SELECT doc_id, string_split(text, ' ') AS ts FROM s1),
+         |grams AS (SELECT doc_id,
+         |            unnest(list_transform(generate_series(1, len(ts) - 1),
+         |                   i -> ts[i] || ' ' || ts[i+1])) AS gram
+         |          FROM gt),
+         |rep AS (SELECT doc_id,
+         |          CAST(floor(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+         |               * 1000000.0) AS BIGINT) AS share_q6
+         |        FROM (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2)
+         |        GROUP BY doc_id),
+         |s2 AS (SELECT s1.* FROM s1 LEFT JOIN rep USING (doc_id)
+         |       WHERE COALESCE(share_q6, 0) <= 100000),
+         |keep AS (SELECT MIN(doc_id) AS doc_id FROM (
+         |           SELECT doc_id,
+         |             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |           FROM s2) GROUP BY fp),
+         |s3 AS (SELECT s2.* FROM s2 JOIN keep USING (doc_id)),
+         |t3 AS (SELECT doc_id, string_split(text, ' ') AS ts FROM s3),
+         |sh3 AS (SELECT DISTINCT doc_id, shingle FROM (
+         |          SELECT doc_id,
+         |            unnest(list_transform(generate_series(1, len(ts) - 2),
+         |                   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle
+         |          FROM t3)),
+         |ev AS (SELECT DISTINCT shingle FROM (
+         |         SELECT unnest(list_transform(generate_series(1, len(ts) - 2),
+         |                i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle
+         |         FROM (SELECT string_split(text, ' ') AS ts FROM documents
+         |               WHERE source = 'src0'))),
+         |cont AS (SELECT doc_id FROM sh3 JOIN ev USING (shingle)
+         |         GROUP BY doc_id HAVING count(*) >= 7),
+         |s4 AS (SELECT s3.* FROM s3
+         |       WHERE NOT EXISTS (SELECT 1 FROM cont WHERE cont.doc_id = s3.doc_id)),
+         |tot AS (SELECT source, count(*) AS n_total FROM documents
+         |        WHERE source != 'src0' GROUP BY 1),
+         |c1 AS (SELECT source, count(*) AS n FROM s1 GROUP BY 1),
+         |c2 AS (SELECT source, count(*) AS n FROM s2 GROUP BY 1),
+         |c3 AS (SELECT source, count(*) AS n FROM s3 GROUP BY 1),
+         |c4 AS (SELECT source, count(*) AS n FROM s4 GROUP BY 1)
+         |SELECT t.source, CAST(n_total AS BIGINT) AS n_total,
+         |       CAST(COALESCE(c1.n, 0) AS BIGINT) AS n_quality,
+         |       CAST(COALESCE(c2.n, 0) AS BIGINT) AS n_nonrep,
+         |       CAST(COALESCE(c3.n, 0) AS BIGINT) AS n_unique,
+         |       CAST(COALESCE(c4.n, 0) AS BIGINT) AS n_clean
+         |FROM tot t LEFT JOIN c1 USING (source) LEFT JOIN c2 USING (source)
+         |LEFT JOIN c3 USING (source) LEFT JOIN c4 USING (source)""".stripMargin,
     "q115_quality_deciles" ->
       s"""WITH scored AS (
            SELECT doc_id, source,

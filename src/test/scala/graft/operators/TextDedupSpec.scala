@@ -235,6 +235,20 @@ class TextDedupSpec extends SparkSpec {
     assert(r.head.getString(5).contains(" "))          // it's an adjacent pair
   }
 
+  test("curation funnel: stagewise-monotone attrition over every train source") {
+    val rows = TextQueries.queries("q132_curation_funnel")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, total, q, nr, uniq, clean) =>
+      assert(src != "src0") // the eval slice is never in the funnel
+      assert(total >= q && q >= nr && nr >= uniq && uniq >= clean,
+        s"$src attrition not monotone: $total $q $nr $uniq $clean")
+      assert(total > 0)
+    }
+    // the funnel must not empty the corpus (threshold sanity)
+    assert(rows.map(_._6).sum > 0)
+  }
+
   test("groupOverlapMatrix: identical sources at 10000 bps, disjoint at 0, full matrix") {
     val docs = Seq(
       (1L, "a b c d", "x"), (2L, "a b c d", "y"), // identical shingle sets
