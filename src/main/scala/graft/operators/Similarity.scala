@@ -790,6 +790,42 @@ object Similarity {
         col("col._1").as("cos"), (col("pos") + 1).cast("int").as("rn"))
   }
 
+  /** Persist a trained coarse index through the versioned warehouse —
+    * the durability story the in-session model caches deliberately
+    * don't have (localCheckpointed frames die with an executor; caches
+    * die with the session). An index BUILD becomes an immutable
+    * snapshot pair — `<prefix>_cells` (vec_id → cid) and
+    * `<prefix>_centroids` (cid → centroid) — at one shared version:
+    * cells commit first, centroids last, so the centroid snapshot is
+    * the commit point readers resolve. Re-training writes the next
+    * version; serving a PREVIOUS index build is `loadIndex(v)` — the
+    * same time-travel contract as any warehouse table (q114), which is
+    * exactly what an index rollback after a bad rebuild needs.
+    * Single-writer per prefix, like all snapshot writes.
+    */
+  def saveIndex(wh: graft.sources.Warehouse, layer: String, prefix: String,
+                cents: DataFrame, cells: DataFrame): Int = {
+    val vCells = wh.writeVersion(cells, layer, s"${prefix}_cells")
+    val vCents = wh.writeVersion(cents, layer, s"${prefix}_centroids")
+    require(vCents == vCells,
+      s"index snapshots diverged (centroids v$vCents, cells v$vCells): " +
+        "write this prefix through saveIndex only")
+    vCents
+  }
+
+  /** Reload a persisted index build — latest by default, or any
+    * retained version for rollback/serving comparisons. Returns
+    * (centroids, cells, version); the pair is immutable, so serving
+    * plans built on it are stable across executor loss and restarts.
+    */
+  def loadIndex(wh: graft.sources.Warehouse, layer: String, prefix: String,
+                version: Option[Int] = None): (DataFrame, DataFrame, Int) = {
+    val v = version.orElse(wh.latestVersion(layer, s"${prefix}_centroids"))
+      .getOrElse(sys.error(s"no committed index at $layer.$prefix"))
+    (wh.readVersion(layer, s"${prefix}_centroids", v),
+      wh.readVersion(layer, s"${prefix}_cells", v), v)
+  }
+
   /** Nearest-class-mean probe — the standard cheap embedding-quality
     * eval (NCM / prototype classifier): per-label mean vectors as
     * class prototypes, every vector assigned to its nearest prototype

@@ -286,6 +286,27 @@ class VectorSpec extends SparkSpec {
     assert(m == again)
   }
 
+  test("persisted index: reload serves identically, rollback serves the OLD build") {
+    import graft.operators.Similarity
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val root = java.nio.file.Files.createTempDirectory("graft-idx").toString
+    val wh = new graft.sources.Warehouse(root, spark)
+    val (cents1, cells1) = Similarity.trainedIndex(emb, "vec_id", "embedding", k = 8, rounds = 2)
+    val v1 = Similarity.saveIndex(wh, "idx", "ann", cents1, cells1)
+    assert(v1 == 1)
+    // a retrained (different-k) build becomes the next version
+    val (cents2, cells2) = Similarity.trainedIndex(emb, "vec_id", "embedding", k = 4, rounds = 2)
+    val v2 = Similarity.saveIndex(wh, "idx", "ann", cents2, cells2)
+    assert(v2 == 2)
+    def serve(c: org.apache.spark.sql.DataFrame, l: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfProbedKnn(emb, "vec_id", "embedding", c, l, 2, 3)
+        .select($"vec_id", $"nn_id", $"rn").as[(Long, Long, Int)].collect().toSet
+    val (lc, ll, v) = Similarity.loadIndex(wh, "idx", "ann")
+    assert(v == 2 && serve(lc, ll) == serve(cents2, cells2)) // latest = new build
+    val (oc, ol, _) = Similarity.loadIndex(wh, "idx", "ann", Some(1))
+    assert(serve(oc, ol) == serve(cents1, cells1)) // rollback = old build, exactly
+  }
+
   test("classMeanProbe plan: prototypes broadcast, corpus side never shuffle-joined") {
     import graft.operators.Similarity
     val emb = graft.sources.Tables.embeddings(spark, sf)
