@@ -311,6 +311,23 @@ object SimilarityQueries extends QueryPack {
         lit(recallBps).as("recall_bps"))
     }),
 
+    // Persisted-index serving: save the shared trained build as a
+    // versioned snapshot pair, reload it from DISK, and serve the
+    // probed search from the reloaded copy ONLY. The oracle rebuilds
+    // the same index from scratch in SQL, so the hash check proves the
+    // save→load round-trip is bit-transparent to serving — the
+    // durability contract (executor loss, session death, rollback)
+    // costs zero accuracy.
+    "q133_persisted_serving" -> ((s, d) => {
+      val (cents, cells) = ivfIndex(s, d)
+      val root = java.nio.file.Files.createTempDirectory("graft-idx-q133").toString
+      val wh = new graft.sources.Warehouse(root, s)
+      val v = Similarity.saveIndex(wh, "idx", "ann", cents, cells)
+      val (lc, ll, _) = Similarity.loadIndex(wh, "idx", "ann", Some(v))
+      Similarity.ivfProbedKnn(Tables.embeddings(s, d), "vec_id", "embedding",
+        lc, ll, NPROBE, 3)
+    }),
+
     // Nearest-class-mean probe: per-label prototype vectors, every
     // vector assigned to its nearest prototype, output as the
     // label × pred confusion matrix — the one-pass embedding-quality
@@ -830,6 +847,26 @@ object SimilarityQueries extends QueryPack {
          |            ELSE CAST(floor(10000.0 * n_overlap_pairs / n_exact_pairs) AS BIGINT)
          |       END AS recall_bps
          |FROM stats""".stripMargin,
+    // Mirrors q133: the oracle has no warehouse, so it re-derives the
+    // SAME trained index (kmeans CTE chain) and runs the same probed
+    // exact-scored search — a hash match proves the persisted copy
+    // served identically to the from-scratch build.
+    "q133_persisted_serving" -> {
+      val cos = cosSql("q.embedding", "c.embedding")
+      s"""${kmeansWith(KM_K, KM_ROUNDS)},
+         |${probesSql(NPROBE, "")}
+         |SELECT vec_id, nn_id, cos, rn FROM (
+         |  SELECT q.vec_id, c.vec_id AS nn_id, $cos AS cos,
+         |         CAST(row_number() OVER (PARTITION BY q.vec_id
+         |              ORDER BY $cos DESC, c.vec_id) AS INT) AS rn
+         |  FROM embeddings q
+         |  JOIN probes p ON p.vec_id = q.vec_id
+         |  JOIN a${KM_ROUNDS + 1} ce ON ce.cid = p.cid
+         |  JOIN embeddings c ON c.vec_id = ce.vec_id AND c.vec_id != q.vec_id
+         |  WHERE $cos IS NOT NULL)
+         |WHERE rn <= 3""".stripMargin
+    },
+
     // Mirrors Similarity.classMeanProbe: 1e-6-grid quantized vectors,
     // integer-mean prototypes (// truncates toward zero, same as
     // Spark's div), integer L2, argmin with plabel tie-break.
