@@ -103,6 +103,107 @@ object Multimodal {
       } catch { case scala.util.control.NonFatal(_) => (-1, -1, 0L) }
   }
 
+  /** Audio decode seam — the third modality's twin of [[Codec]]: one
+    * payload yields (sample_rate, n_channels, n_samples, sample_acc).
+    * Same contract: corrupt audio is DATA — the (-1, -1, -1, 0)
+    * sentinel, never a task failure — and implementations ship to
+    * executors.
+    */
+  trait AudioCodec extends Serializable {
+    def decode(payload: Array[Byte]): (Int, Int, Long, Long)
+  }
+
+  /** Stand-in audio codec for non-media fixture payloads: rate /
+    * channels / sample count / checksum derived deterministically from
+    * the bytes alone. Unlike the image fakes, the checksum here is the
+    * MOD-fold (×31 mod 2^31−1, the q43 rolling-hash recurrence), so an
+    * SQL oracle can reproduce it without bigint overflow — the fake's
+    * whole OUTPUT is gate-checkable, checksum included.
+    */
+  object FakeAudioCodec extends AudioCodec {
+    val RateBase = 8000
+    val RateMod = 8
+    val RateStep = 1000
+    val AccMod = 2147483647L
+    def decode(payload: Array[Byte]): (Int, Int, Long, Long) = {
+      val rate = RateBase + (payload.length % RateMod) * RateStep
+      val channels = 1 + (payload.length % 2)
+      val nSamples = payload.length / 2L // fake 16-bit framing
+      var acc = 0L
+      var i = 0
+      while (i < payload.length) {
+        acc = (acc * 31 + (payload(i) & 0xff)) % AccMod; i += 1
+      }
+      (rate, channels, nSamples, acc)
+    }
+  }
+
+  /** Real audio decode on the JDK's own `javax.sound.sampled` readers
+    * (WAV/AU/AIFF containers ship in every JDK — no native libraries).
+    * 8/16-bit PCM only; anything else (compressed encodings the bare
+    * JDK can't deliver as PCM) is the sentinel, same as corrupt bytes.
+    * Samples fold container-order with the SAME mod recurrence as
+    * [[FakeAudioCodec]] (16-bit values folded as their unsigned low 16
+    * bits), so outputs group/join interchangeably whichever codec is
+    * plugged in; n_samples counts FRAMES (all channels of one instant
+    * = one frame), the number duration math wants.
+    */
+  object JavaSoundCodec extends AudioCodec {
+    import javax.sound.sampled.AudioFormat.Encoding
+    private val Undecodable = (-1, -1, -1L, 0L)
+    def decode(payload: Array[Byte]): (Int, Int, Long, Long) =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val fmt = in.getFormat
+          val bits = fmt.getSampleSizeInBits
+          val pcm = fmt.getEncoding == Encoding.PCM_SIGNED ||
+            fmt.getEncoding == Encoding.PCM_UNSIGNED
+          if (!pcm || (bits != 8 && bits != 16)) Undecodable
+          else {
+            val bytes = in.readAllBytes()
+            val step = bits / 8
+            var acc = 0L
+            var i = 0
+            while (i + step <= bytes.length) {
+              val v =
+                if (bits == 8) bytes(i) & 0xff
+                else if (fmt.isBigEndian)
+                  ((bytes(i) << 8) | (bytes(i + 1) & 0xff)) & 0xffff
+                else ((bytes(i + 1) << 8) | (bytes(i) & 0xff)) & 0xffff
+              acc = (acc * 31 + v) % FakeAudioCodec.AccMod
+              i += step
+            }
+            (fmt.getSampleRate.toInt, fmt.getChannels,
+              bytes.length / fmt.getFrameSize, acc)
+          }
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => Undecodable }
+  }
+
+  val audioSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("n_channels", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("sample_acc", LongType)))
+
+  /** Batched audio decode over (doc_id: long, payload: binary) rows —
+    * the same partition-kernel shape as [[decodeImages]].
+    */
+  def decodeAudio(withPayload: DataFrame,
+                  codec: AudioCodec = FakeAudioCodec): DataFrame = {
+    val enc = RowEncoder.encoderFor(audioSchema)
+    withPayload.select(col("doc_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (rate, ch, n, acc) = codec.decode(r.getAs[Array[Byte]]("payload"))
+          Row(r.getLong(0), rate, ch, n, acc)
+        }
+      }(enc)
+  }
+
   /** Multi-frame decode seam — the "video" twin of [[Codec]]: one
     * payload yields an ordered frame sequence. Same contract: corrupt
     * media is DATA — a single (-1, -1, -1, 0) row, never a task

@@ -39,6 +39,21 @@ object MultimodalQueries extends QueryPack {
         .join(frames, Seq("doc_id"), "left")
     }),
 
+    // Audio metadata through the real partition-batched decode kernel
+    // (Multimodal.decodeAudio with the fake codec) + duration math on
+    // top. The fake's checksum uses the mod-fold, so the oracle
+    // reproduces the ENTIRE output including sample_acc — stronger
+    // than q56/q85, which had to drop their wrap-fold checksums. The
+    // real-media twin (JavaSoundCodec over generated WAV bytes) is
+    // pinned by MultimodalSpec.
+    "q134_audio_meta" -> ((s, d) => {
+      val payload = Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      Multimodal.decodeAudio(payload)
+        .withColumn("duration_ms",
+          expr("(n_samples * 1000) div sample_rate"))
+    }),
+
     // Binary payload + metadata extraction ("image header parse" stand-in):
     // byte length, fake dims derived from the bytes, content address.
     "q56_binary_meta" -> ((s, d) => {
@@ -86,6 +101,25 @@ object MultimodalQueries extends QueryPack {
          substr(md5(text), 1, 8) AS content_addr,
          CAST(octet_length(encode(text)) % $DimMod + $DimBase AS DOUBLE) /
            CAST(octet_length(encode(text)) * $HeightMul % $DimMod + $DimBase AS DOUBLE) AS aspect
-         FROM documents"""
+         FROM documents""",
+    // Mirrors q134: the corpus is ASCII, so ord over characters IS the
+    // utf-8 byte sequence; the mod-fold keeps every intermediate under
+    // 2^31 so BIGINT arithmetic never overflows.
+    "q134_audio_meta" -> {
+      import Multimodal.FakeAudioCodec.{AccMod, RateBase, RateMod, RateStep}
+      s"""WITH p AS (SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents),
+         m AS (SELECT doc_id,
+                 CAST($RateBase + (nb % $RateMod) * $RateStep AS INT) AS sample_rate,
+                 CAST(1 + nb % 2 AS INT) AS n_channels,
+                 CAST(nb // 2 AS BIGINT) AS n_samples,
+                 CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(generate_series(1, len(text)),
+                          i -> CAST(ord(substr(text, i, 1)) AS BIGINT))),
+                      (h, v) -> (h * 31 + v) % $AccMod) AS BIGINT) AS sample_acc
+               FROM p)
+         SELECT doc_id, sample_rate, n_channels, n_samples, sample_acc,
+                (n_samples * 1000) // sample_rate AS duration_ms
+         FROM m"""
+    }
   )
 }

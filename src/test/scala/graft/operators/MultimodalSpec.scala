@@ -124,6 +124,43 @@ class MultimodalSpec extends SparkSpec {
     assert(sampled.map(_._2).sameElements(Array(expectedAcc(4, 4, 0), expectedAcc(4, 4, 2))))
   }
 
+  test("JavaSoundCodec decodes real WAV bytes through the partition kernel") {
+    import graft.operators.Multimodal
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+    // 16-bit signed little-endian mono PCM, 8 kHz: a 100-sample ramp
+    val samples = (0 until 100).map(i => (i * 257 - 12850).toShort)
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      pcm(2 * i) = (s & 0xff).toByte; pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val wav = baos.toByteArray
+    // direct decode: real container header honored, frames counted
+    val (rate, ch, n, acc) = Multimodal.JavaSoundCodec.decode(wav)
+    assert((rate, ch, n) == (8000, 1, 100L))
+    val expAcc = samples.foldLeft(0L)((h, s) =>
+      (h * 31 + (s & 0xffff)) % Multimodal.FakeAudioCodec.AccMod)
+    assert(acc == expAcc)
+    // same answer through the batched kernel
+    val df = Seq((1L, wav), (2L, "not audio".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val out = Multimodal.decodeAudio(df, Multimodal.JavaSoundCodec)
+      .as[(Long, Int, Int, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    assert(out(1L) == ((8000, 1, 100L, expAcc)))
+    assert(out(2L) == ((-1, -1, -1L, 0L))) // corrupt audio is data, not a crash
+    // all-zero samples fold to zero (fold identity sanity)
+    val zeros = new Array[Byte](40)
+    val zbaos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(zeros), fmt, 20),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, zbaos)
+    assert(Multimodal.JavaSoundCodec.decode(zbaos.toByteArray) == ((8000, 1, 20L, 0L)))
+  }
+
   test("sampleFrames splits payloads into strided fixed-size frames") {
     val frames = Multimodal.sampleFrames(docs.filter($"doc_id" === 3L), frameBytes = 10, stride = 2)
       .select($"frame_idx", length($"frame_bytes").as("len"))
