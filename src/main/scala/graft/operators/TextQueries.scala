@@ -110,24 +110,37 @@ object TextQueries extends QueryPack {
           transform(sequence(lit(1), size(col("ts")) - 1),
             i => concat(element_at(col("ts"), i), lit(" "), element_at(col("ts"), i + 1))))
           .otherwise(array().cast("array<string>"))).as("pair"))
-      val top = grams.groupBy(col("pair")).agg(count(lit(1)).as("pair_count"))
-        .orderBy(col("pair_count").desc, col("pair")).limit(1).head()
-      val (pair, pcount) = (top.getString(0), top.getLong(1))
-      // tokens in this corpus are alnum; refuse regex metacharacters
-      // rather than risk engine-divergent escaping
-      require(pair.matches("[A-Za-z0-9 ]+"), s"unsafe merge pair: $pair")
-      val pat = "\\b" + pair + "\\b"
-      docs.select(col("source"),
-          size(split(col("text"), " ")).as("n_toks"),
-          regexp_count(col("text"), lit(pat)).as("n_merges"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_toks")).as("n_tokens_before"),
-          sum(col("n_merges").cast(LongType)).as("n_merges"))
-        .select(col("source"), col("n_docs"), col("n_tokens_before"),
-          col("n_merges"),
-          (col("n_tokens_before") - col("n_merges")).as("n_tokens_after"),
-          lit(pair).as("pair"), lit(pcount).as("pair_count"))
+      val topOpt = grams.groupBy(col("pair")).agg(count(lit(1)).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("pair")).limit(1)
+        .collect().headOption
+      val schema = StructType(Seq(
+        StructField("source", StringType), StructField("n_docs", LongType),
+        StructField("n_tokens_before", LongType), StructField("n_merges", LongType),
+        StructField("n_tokens_after", LongType), StructField("pair", StringType),
+        StructField("pair_count", LongType)))
+      topOpt match {
+        // pairless corpus: the oracle's empty top1 CTE yields zero
+        // rows — produce the same empty relation, not a driver crash
+        case None => s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        case Some(top) =>
+          val (pair, pcount) = (top.getString(0), top.getLong(1))
+          // tokens in this corpus are alnum; refuse regex
+          // metacharacters rather than risk engine-divergent escaping
+          require(pair.matches("[A-Za-z0-9 ]+"), s"unsafe merge pair: $pair")
+          val pat = "\\b" + pair + "\\b"
+          docs.select(col("source"),
+              size(split(col("text"), " ")).as("n_toks"),
+              regexp_count(col("text"), lit(pat)).as("n_merges"))
+            .groupBy(col("source"))
+            .agg(count(lit(1)).as("n_docs"),
+              sum(col("n_toks")).as("n_tokens_before"),
+              sum(col("n_merges").cast(LongType)).as("n_merges"))
+            .select(col("source"), col("n_docs"), col("n_tokens_before"),
+              col("n_merges"),
+              (col("n_tokens_before") - col("n_merges")).as("n_tokens_after"),
+              lit(pair).as("pair"), lit(pcount).as("pair_count"))
+      }
     }),
 
     // The full curation funnel — the composed pipeline a training
