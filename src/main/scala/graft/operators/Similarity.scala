@@ -790,6 +790,59 @@ object Similarity {
         col("col._1").as("cos"), (col("pos") + 1).cast("int").as("rn"))
   }
 
+  /** Deterministic Johnson–Lindenstrauss random projection: project
+    * each vector onto `outDim` ±1 sign rows derived from md5 (the
+    * Achlioptas construction with a reproducible hash in place of
+    * rand()) — the dimension-reduction pass an embedding pipeline runs
+    * before cheaper ANN / storage. Engine-exact by construction: the
+    * sign matrix is a pure function of (i, j) both engines recompute
+    * identically, and every sum folds in fixed ascending order, so the
+    * projected doubles are bit-identical. Emits the JL quality audit
+    * per vector: `ratio_q6` = quantized ‖y‖²/(outDim·‖x‖²) (expected
+    * 1 — THE distortion number JL bounds), NULL for zero vectors, and
+    * `proj_acc`, an integer checksum of the projected coords pinning
+    * the full projection through the hash gate. Scan-speed, no
+    * shuffle; the sign matrix is outDim·dim literals baked into the
+    * codegen'd expression.
+    */
+  def jlProjectionAudit(emb: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, outDim: Int): DataFrame = {
+    val signs: Array[Array[Double]] =
+      Array.tabulate(outDim, dim)((j, i) => jlSign(i + 1, j))
+    val x = col(vecCol)
+    def foldSum(arr: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      aggregate(arr, lit(0.0), (acc, v) => acc + v)
+    val proj = array((0 until outDim).map { j =>
+      foldSum(zip_with(x, lit(signs(j)),
+        (xi, s) => xi.cast("double") * s))
+    }: _*)
+    val nx2 = foldSum(transform(x, xi => xi.cast("double") * xi.cast("double")))
+    val ny2 = foldSum(transform(col("__proj"), y => y * y))
+    val acc = aggregate(transform(col("__proj"),
+      y => floor(y * lit(1e6)).cast("long")), lit(0L), (a, v) => a + v)
+    emb.select(col(idCol).as("vec_id"), x.as(vecCol))
+      .withColumn("__proj", proj)
+      .withColumn("__nx2", nx2)
+      .select(col("vec_id"),
+        when(col("__nx2") =!= 0.0,
+          floor(lit(1e6) * ny2 / (lit(outDim).cast("double") * col("__nx2")))
+            .cast("long")).as("ratio_q6"),
+        acc.as("proj_acc"))
+  }
+
+  /** The (i, j) sign: +1 when the first md5 nibble of "rp-i-j" is odd
+    * under the hexNibble value map ('0'→0, '1'→1 … 'f'→15) — exactly
+    * `strpos('123456789abcdef', substr(md5(...), 1, 1)) % 2` on the
+    * oracle side.
+    */
+  private def jlSign(i: Int, j: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"rp-$i-$j".getBytes("UTF-8"))
+      .take(1).map(b => f"${b & 0xff}%02x").mkString
+    val nibble = "123456789abcdef".indexOf(hex.charAt(0)) + 1
+    if (nibble % 2 == 1) 1.0 else -1.0
+  }
+
   /** Persist a trained coarse index through the versioned warehouse —
     * the durability story the in-session model caches deliberately
     * don't have (localCheckpointed frames die with an executor; caches

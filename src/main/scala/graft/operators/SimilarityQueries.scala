@@ -311,6 +311,15 @@ object SimilarityQueries extends QueryPack {
         lit(recallBps).as("recall_bps"))
     }),
 
+    // Deterministic JL random projection (64 → 16 dims, md5-derived ±1
+    // signs): the dimension-reduction audit — per-vector quantized
+    // norm-distortion ratio (expected ≈ 1, the JL number) plus an
+    // integer checksum of the projected coords, so the hash gate pins
+    // the ENTIRE projection, not just its statistics.
+    "q135_jl_projection" -> ((s, d) =>
+      Similarity.jlProjectionAudit(Tables.embeddings(s, d),
+        "vec_id", "embedding", dim = 64, outDim = JL_DIM)),
+
     // Persisted-index serving: save the shared trained build as a
     // versioned snapshot pair, reload it from DISK, and serve the
     // probed search from the reloaded copy ONLY. The oracle rebuilds
@@ -347,6 +356,7 @@ object SimilarityQueries extends QueryPack {
   private val NPROBE = 2           // q118/q121's routing width
   private val NPROBES = Seq(1, 2, 4) // q119's measured recall curve
   private val RERANK_R = 10        // q126: exact-rescored shortlist size
+  private val JL_DIM = 16          // q135: projected dimensionality
   private val NEW_MOD = 0          // q120: vec_id % 10 == 0 are "new arrivals"
   private val FILTER_LABEL = 0     // q121: candidate predicate label <> 0
 
@@ -847,6 +857,44 @@ object SimilarityQueries extends QueryPack {
          |            ELSE CAST(floor(10000.0 * n_overlap_pairs / n_exact_pairs) AS BIGINT)
          |       END AS recall_bps
          |FROM stats""".stripMargin,
+    // Mirrors Similarity.jlProjectionAudit: the same md5-derived sign
+    // matrix, every fold in ascending (i, j) order via ordered list()
+    // + list_reduce, the same association in the ratio — projected
+    // doubles are bit-identical, so even the float-derived outputs
+    // quantize identically.
+    "q135_jl_projection" ->
+      s"""WITH sg AS (SELECT j, i,
+         |        CASE WHEN strpos('123456789abcdef',
+         |               substr(md5('rp-' || CAST(i AS VARCHAR) || '-' || CAST(j AS VARCHAR)), 1, 1)) % 2 = 1
+         |             THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS s
+         |      FROM generate_series(0, ${JL_DIM - 1}) t1(j),
+         |           generate_series(1, 64) t2(i)),
+         |terms AS (SELECT e.vec_id, sg.j, sg.i,
+         |            CAST(e.embedding[sg.i] AS DOUBLE) * sg.s AS t
+         |          FROM embeddings e JOIN sg ON true),
+         |yv AS (SELECT vec_id, j,
+         |         list_reduce(list_prepend(CAST(0 AS DOUBLE), list(t ORDER BY i)),
+         |           (p, q) -> p + q) AS y
+         |       FROM terms GROUP BY 1, 2),
+         |ny AS (SELECT vec_id,
+         |         list_reduce(list_prepend(CAST(0 AS DOUBLE), list(y * y ORDER BY j)),
+         |           (p, q) -> p + q) AS ny2,
+         |         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |                list(CAST(floor(y * 1000000.0) AS BIGINT) ORDER BY j)),
+         |              (p, q) -> p + q) AS BIGINT) AS proj_acc
+         |       FROM yv GROUP BY vec_id),
+         |nx AS (SELECT vec_id,
+         |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |             list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+         |           (p, q) -> p + q) AS nx2
+         |       FROM embeddings)
+         |SELECT n.vec_id,
+         |  CASE WHEN nx2 != 0
+         |       THEN CAST(floor(1000000.0 * ny2 / (CAST($JL_DIM AS DOUBLE) * nx2)) AS BIGINT)
+         |  END AS ratio_q6,
+         |  proj_acc
+         |FROM ny n JOIN nx USING (vec_id)""".stripMargin,
+
     // Mirrors q133: the oracle has no warehouse, so it re-derives the
     // SAME trained index (kmeans CTE chain) and runs the same probed
     // exact-scored search — a hash match proves the persisted copy

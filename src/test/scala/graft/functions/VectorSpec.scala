@@ -286,6 +286,27 @@ class VectorSpec extends SparkSpec {
     assert(m == again)
   }
 
+  test("JL projection audit: deterministic, scale-invariant ratio, zero vector → NULL") {
+    import graft.operators.Similarity
+    val vs = Seq(
+      (1L, Array.tabulate(64)(i => (i % 7 - 3).toFloat)),
+      (2L, Array.tabulate(64)(i => 2f * (i % 7 - 3))), // 2× vector 1
+      (3L, Array.fill(64)(0f)) // zero vector: no direction, NULL ratio
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.jlProjectionAudit(vs, "vec_id", "embedding", 64, 16)
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getLong(1))), r.getLong(2))).toMap
+    assert(out(3L)._1.isEmpty) // ANSI-guarded, not a crash
+    // projection is linear, so the distortion ratio is scale-invariant
+    assert(out(1L)._1 == out(2L)._1)
+    // JL at outDim 16: the ratio concentrates around 1e6 (loose bound)
+    assert(out(1L)._1.exists(r => r > 200000L && r < 5000000L))
+    val again = Similarity.jlProjectionAudit(vs, "vec_id", "embedding", 64, 16)
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getLong(1))), r.getLong(2))).toMap
+    assert(out == again)
+  }
+
   test("persisted index: reload serves identically, rollback serves the OLD build") {
     import graft.operators.Similarity
     val emb = graft.sources.Tables.embeddings(spark, sf)
