@@ -805,23 +805,37 @@ object Similarity {
     * shuffle; the sign matrix is outDim·dim literals baked into the
     * codegen'd expression.
     */
-  def jlProjectionAudit(emb: DataFrame, idCol: String, vecCol: String,
-                        dim: Int, outDim: Int): DataFrame = {
+  private def foldSum(arr: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(arr, lit(0.0), (acc, v) => acc + v)
+
+  /** The projection itself: (vec_id, proj array<double>), every output
+    * coordinate a fixed-ascending-order fold — see
+    * [[jlProjectionAudit]] for the construction and parity contract.
+    * Downstream search runs on `proj` exactly as it would on the raw
+    * vectors, at outDim/dim of the per-pair cost.
+    */
+  def jlProject(emb: DataFrame, idCol: String, vecCol: String,
+                dim: Int, outDim: Int): DataFrame = {
     val signs: Array[Array[Double]] =
       Array.tabulate(outDim, dim)((j, i) => jlSign(i + 1, j))
     val x = col(vecCol)
-    def foldSum(arr: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      aggregate(arr, lit(0.0), (acc, v) => acc + v)
     val proj = array((0 until outDim).map { j =>
       foldSum(zip_with(x, lit(signs(j)),
         (xi, s) => xi.cast("double") * s))
     }: _*)
-    val nx2 = foldSum(transform(x, xi => xi.cast("double") * xi.cast("double")))
-    val ny2 = foldSum(transform(col("__proj"), y => y * y))
-    val acc = aggregate(transform(col("__proj"),
-      y => floor(y * lit(1e6)).cast("long")), lit(0L), (a, v) => a + v)
     emb.select(col(idCol).as("vec_id"), x.as(vecCol))
-      .withColumn("__proj", proj)
+      .withColumn("proj", proj)
+      .select(col("vec_id"), col(vecCol), col("proj"))
+  }
+
+  def jlProjectionAudit(emb: DataFrame, idCol: String, vecCol: String,
+                       dim: Int, outDim: Int): DataFrame = {
+    val nx2 = foldSum(transform(col(vecCol),
+      xi => xi.cast("double") * xi.cast("double")))
+    val ny2 = foldSum(transform(col("proj"), y => y * y))
+    val acc = aggregate(transform(col("proj"),
+      y => floor(y * lit(1e6)).cast("long")), lit(0L), (a, v) => a + v)
+    jlProject(emb, idCol, vecCol, dim, outDim)
       .withColumn("__nx2", nx2)
       .select(col("vec_id"),
         when(col("__nx2") =!= 0.0,

@@ -320,6 +320,29 @@ object SimilarityQueries extends QueryPack {
       Similarity.jlProjectionAudit(Tables.embeddings(s, d),
         "vec_id", "embedding", dim = 64, outDim = JL_DIM)),
 
+    // Search in the PROJECTED space — the point of q135's reduction:
+    // exact KNN over the 16-dim float projections, recall measured
+    // against the shared 64-dim exact baseline. The number that tells
+    // you whether projected search (at 1/4 the per-pair cost) is good
+    // enough to serve, or belongs in a shortlist+re-rank cascade.
+    "q136_jl_search_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val projected = Similarity.jlProject(emb, "vec_id", "embedding", 64, JL_DIM)
+        .select(col("vec_id"), transform(col("proj"), y => y.cast("float")).as("pvec"))
+      val exact = exactKnn(s, d).select(col("vec_id"), col("nn_id"))
+      val projKnn = Similarity.bruteForceKnn(projected, "vec_id", "pvec", 3)
+        .select(col("vec_id"), col("nn_id"))
+      val r = exact
+        .join(projKnn.withColumn("hit", lit(1)), Seq("vec_id", "nn_id"), "left")
+        .agg(count(lit(1)).as("n"), sum(coalesce(col("hit"), lit(0))).as("o"))
+        .head()
+      val (n, o) = (r.getLong(0), r.getLong(1))
+      val bps = if (n == 0) 0L else math.floor(10000.0 * o / n).toLong
+      emb.sparkSession.range(1).select(
+        lit(n).as("n_exact_pairs"), lit(o).as("n_overlap_pairs"),
+        lit(bps).as("recall_bps"))
+    }),
+
     // Persisted-index serving: save the shared trained build as a
     // versioned snapshot pair, reload it from DISK, and serve the
     // probed search from the reloaded copy ONLY. The oracle rebuilds
@@ -460,6 +483,26 @@ object SimilarityQueries extends QueryPack {
   }
 
   /** Strict left-fold dot product — the numerator of [[cosSql]] alone. */
+  /** The q135/q136 JL CTE chain: sign matrix sg(j, i, s), per-(vec, j)
+    * terms, and yv — each projected coordinate folded in ascending i
+    * order (list(... ORDER BY i) + list_reduce), mirroring the Spark
+    * side's zip_with/aggregate fold exactly.
+    */
+  private def jlCtesSql: String =
+    s"""sg AS (SELECT j, i,
+       |        CASE WHEN strpos('123456789abcdef',
+       |               substr(md5('rp-' || CAST(i AS VARCHAR) || '-' || CAST(j AS VARCHAR)), 1, 1)) % 2 = 1
+       |             THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS s
+       |      FROM generate_series(0, ${JL_DIM - 1}) t1(j),
+       |           generate_series(1, 64) t2(i)),
+       |terms AS (SELECT e.vec_id, sg.j, sg.i,
+       |            CAST(e.embedding[sg.i] AS DOUBLE) * sg.s AS t
+       |          FROM embeddings e JOIN sg ON true),
+       |yv AS (SELECT vec_id, j,
+       |         list_reduce(list_prepend(CAST(0 AS DOUBLE), list(t ORDER BY i)),
+       |           (p, q) -> p + q) AS y
+       |       FROM terms GROUP BY 1, 2)""".stripMargin
+
   private def dotSql(a: String, b: String) =
     s"""list_reduce(list_transform(list_zip($a, $b),
           x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)"""
@@ -863,19 +906,7 @@ object SimilarityQueries extends QueryPack {
     // doubles are bit-identical, so even the float-derived outputs
     // quantize identically.
     "q135_jl_projection" ->
-      s"""WITH sg AS (SELECT j, i,
-         |        CASE WHEN strpos('123456789abcdef',
-         |               substr(md5('rp-' || CAST(i AS VARCHAR) || '-' || CAST(j AS VARCHAR)), 1, 1)) % 2 = 1
-         |             THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS s
-         |      FROM generate_series(0, ${JL_DIM - 1}) t1(j),
-         |           generate_series(1, 64) t2(i)),
-         |terms AS (SELECT e.vec_id, sg.j, sg.i,
-         |            CAST(e.embedding[sg.i] AS DOUBLE) * sg.s AS t
-         |          FROM embeddings e JOIN sg ON true),
-         |yv AS (SELECT vec_id, j,
-         |         list_reduce(list_prepend(CAST(0 AS DOUBLE), list(t ORDER BY i)),
-         |           (p, q) -> p + q) AS y
-         |       FROM terms GROUP BY 1, 2),
+      s"""WITH $jlCtesSql,
          |ny AS (SELECT vec_id,
          |         list_reduce(list_prepend(CAST(0 AS DOUBLE), list(y * y ORDER BY j)),
          |           (p, q) -> p + q) AS ny2,
@@ -894,6 +925,40 @@ object SimilarityQueries extends QueryPack {
          |  END AS ratio_q6,
          |  proj_acc
          |FROM ny n JOIN nx USING (vec_id)""".stripMargin,
+
+    // Mirrors q136: project (shared JL CTEs), round each coordinate to
+    // FLOAT (same IEEE round-to-nearest as the Spark cast), rank
+    // pairwise in projected space with the standard guarded cosine,
+    // overlap vs the exact 64-dim baseline.
+    "q136_jl_search_recall" -> {
+      val pcos = cosSql("a.pvec", "b.pvec")
+      val ecos = cosSql("a.embedding", "b.embedding")
+      s"""WITH $jlCtesSql,
+         |pv AS (SELECT vec_id, list(CAST(y AS FLOAT) ORDER BY j) AS pvec
+         |       FROM yv GROUP BY vec_id),
+         |exact AS (SELECT vec_id, nn_id FROM (
+         |  SELECT a.vec_id, b.vec_id AS nn_id,
+         |         row_number() OVER (PARTITION BY a.vec_id
+         |              ORDER BY $ecos DESC, b.vec_id) AS rn
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+         |  WHERE $ecos IS NOT NULL)
+         |  WHERE rn <= 3),
+         |pk AS (SELECT vec_id, nn_id FROM (
+         |  SELECT a.vec_id, b.vec_id AS nn_id,
+         |         row_number() OVER (PARTITION BY a.vec_id
+         |              ORDER BY $pcos DESC, b.vec_id) AS rn
+         |  FROM pv a JOIN pv b ON a.vec_id != b.vec_id
+         |  WHERE $pcos IS NOT NULL)
+         |  WHERE rn <= 3),
+         |stats AS (SELECT (SELECT count(*) FROM exact) AS n_exact_pairs,
+         |                 (SELECT count(*) FROM exact JOIN pk USING (vec_id, nn_id)) AS n_overlap_pairs)
+         |SELECT CAST(n_exact_pairs AS BIGINT) AS n_exact_pairs,
+         |       CAST(n_overlap_pairs AS BIGINT) AS n_overlap_pairs,
+         |       CASE WHEN n_exact_pairs = 0 THEN CAST(0 AS BIGINT)
+         |            ELSE CAST(floor(10000.0 * n_overlap_pairs / n_exact_pairs) AS BIGINT)
+         |       END AS recall_bps
+         |FROM stats""".stripMargin
+    },
 
     // Mirrors q133: the oracle has no warehouse, so it re-derives the
     // SAME trained index (kmeans CTE chain) and runs the same probed
