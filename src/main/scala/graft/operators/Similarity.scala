@@ -937,6 +937,40 @@ object Similarity {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication = cluster the embeddings with the coarse quantizer,
+    * then inside each cluster drop every vector that has a SAME-CELL
+    * neighbor of higher keep-priority (smaller id) at cosine ≥ minCos.
+    * Returns the per-cell attrition ledger
+    * (cid, n, n_removed, n_kept) — the number a curation run reports.
+    *
+    * Scale: this is the paper's whole point — the quadratic test runs
+    * per cell (one `cid` equi-join), never all-pairs, so cost is
+    * Σ|cell|² not N²; at 100 TB you raise k so cells stay bounded and
+    * each cell's block is an independent task. Zero-norm vectors have
+    * no cosine (NULL under the ANSI guard) and are therefore never
+    * removed. Reuses the train-once cells of [[trainedIndex]] — dedup
+    * rides the same index the ANN stack serves from.
+    */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
+               cells: DataFrame, minCos: Double): DataFrame = {
+    val e = emb.select(col(idCol), col(vecCol)).join(cells, Seq(idCol))
+    val a = e.select(col("cid"), col(idCol).as("a_id"), col(vecCol).as("va"),
+      norm(col(vecCol)).as("na"))
+    val b = e.select(col("cid"), col(idCol).as("b_id"), col(vecCol).as("vb"),
+      norm(col(vecCol)).as("nb"))
+    val removed = a.join(b, Seq("cid"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(safeCos(dot(col("va"), col("vb")), col("na"), col("nb")) >= minCos)
+      .select(col("cid"), col("b_id")).distinct()
+    cells.groupBy(col("cid")).agg(count(lit(1)).as("n"))
+      .join(removed.groupBy(col("cid")).agg(count(lit(1)).as("n_removed")),
+        Seq("cid"), "left")
+      .select(col("cid"), col("n"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        (col("n") - coalesce(col("n_removed"), lit(0L))).as("n_kept"))
+  }
+
   /** Near pairs: same bucket AND exact cosine ≥ minCos. */
   def lshNearPairs(emb: DataFrame, idCol: String, vecCol: String,
                    bits: Int, minCos: Double): DataFrame = {

@@ -360,6 +360,18 @@ object SimilarityQueries extends QueryPack {
         lc, ll, NPROBE, 3)
     }),
 
+    // SemDeDup: semantic dedup over the SHARED trained cells — inside
+    // each coarse cell, a vector with an earlier (smaller-id) neighbor
+    // at cosine ≥ 0.3 is dropped; output is the per-cell attrition
+    // ledger. The pairwise test never leaves a cell, so the cost is
+    // Σ|cell|², not N² — the SemDeDup paper's scale device, riding the
+    // same index every ANN query serves from.
+    "q137_semdedup" -> ((s, d) => {
+      val (_, cells) = ivfIndex(s, d)
+      Similarity.semDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+        cells, MIN_COS)
+    }),
+
     // Nearest-class-mean probe: per-label prototype vectors, every
     // vector assigned to its nearest prototype, output as the
     // label × pred confusion matrix — the one-pass embedding-quality
@@ -673,6 +685,23 @@ object SimilarityQueries extends QueryPack {
     // query), the PQ chains score (same recon + fixed-order fold as
     // q104) — candidates are exactly the probed cells' members.
     "q118_ivfadc" -> ivfadcSql(""),
+    // SemDeDup attrition over the trained cells: a{KM_ROUNDS+1} is the
+    // final (vec_id, embedding, cid) assignment, exactly the index the
+    // Spark side serves from.
+    "q137_semdedup" -> {
+      val aN = s"a${KM_ROUNDS + 1}"
+      s"""${kmeansWith(KM_K, KM_ROUNDS)},
+         |rem AS (SELECT DISTINCT b.cid, b.vec_id
+         |        FROM $aN a JOIN $aN b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |        WHERE ${cosSql("a.embedding", "b.embedding")} >= $MIN_COS),
+         |nrem AS (SELECT cid, count(*) AS n_removed FROM rem GROUP BY cid),
+         |tot AS (SELECT cid, count(*) AS n FROM $aN GROUP BY cid)
+         |SELECT t.cid, CAST(t.n AS BIGINT) AS n,
+         |       CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed,
+         |       CAST(t.n - COALESCE(r.n_removed, 0) AS BIGINT) AS n_kept
+         |FROM tot t LEFT JOIN nrem r USING (cid)
+         |ORDER BY t.cid""".stripMargin
+    },
     // Filtered ANN: same serving path, candidate set additionally
     // restricted by the metadata predicate.
     "q121_filtered_ivfadc" ->

@@ -372,4 +372,22 @@ class VectorSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Similarity.pqEncode(emb, "vec_id", "embedding", dim = 4, m = 3, k = 2, rounds = 1))
   }
+
+  test("semDedup removes only later same-cell near-dups; zero vectors survive") {
+    import graft.operators.Similarity
+    val emb = Seq(
+      (1L, Array(1f, 0f)),      // cell 1, kept (earliest of the dup pair)
+      (2L, Array(0.99f, 0.01f)), // cell 1, near-dup of 1 → removed
+      (3L, Array(0f, 1f)),      // cell 1, orthogonal → kept
+      (4L, Array(1f, 0f)),      // cell 2, identical direction to 1 but
+                                // OTHER cell → cell isolation keeps it
+      (5L, Array(0f, 0f))       // cell 1, zero vector: cosine is NULL
+                                // under the ANSI guard → never removed
+    ).toDF("vec_id", "embedding")
+    val cells = Seq((1L, 1), (2L, 1), (3L, 1), (4L, 2), (5L, 1))
+      .toDF("vec_id", "cid")
+    val got = Similarity.semDedup(emb, "vec_id", "embedding", cells, 0.9)
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1, 4L, 1L, 3L), (2, 1L, 0L, 1L)))
+  }
 }
