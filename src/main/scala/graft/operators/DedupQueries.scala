@@ -74,6 +74,24 @@ object DedupQueries extends QueryPack {
         .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
     }),
 
+    // Centrality over the near-dup graph: fixed-round integer PageRank
+    // on the symmetrized SimHash pair edges (q48's exact pair set) —
+    // the canonical-representative signal a curation pass uses instead
+    // of min-id (the most-linked member of a template family is its
+    // best exemplar; heavy boilerplate shows up as high-rank hubs).
+    // Integer fixed-point state makes 3 iterated rounds bit-identical
+    // across engines — iterated FLOAT PageRank never hash-matches
+    // because in-mass summation order varies with the physical plan.
+    "q139_pagerank" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.simhashPairs(
+        Dedup.simhash16(docs, "text", "doc_id"), "doc_id", maxHamming = 3)
+        .select(col("id_1").as("src"), col("id_2").as("dst"))
+      val und = pairs.unionByName(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      Graph.pageRank(docs, "doc_id", und, rounds = 3)
+    }),
+
     // Vocabulary statistics: top-100 shingles by document frequency
     // with a deterministic tie-break — the df scan behind stopword
     // lists, hot-shingle caps (q58) and BPE vocab prep. Partial-agg
@@ -245,7 +263,38 @@ object DedupQueries extends QueryPack {
         sums AS (SELECT doc_id, $simhashWideSums FROM dtoks GROUP BY doc_id),
         simh AS (SELECT doc_id, CAST($simhashWideValue AS BIGINT) AS simhash FROM sums)"""
 
+  /** One integer-PageRank round: documents LEFT JOIN the aggregated
+    * in-mass (r div deg per in-edge) of the previous round's relation.
+    */
+  private def prRound(i: Int): String =
+    s"""r$i AS (
+       |  SELECT d.doc_id,
+       |         CAST((15 * (SELECT b FROM base) + 85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS r
+       |  FROM documents d LEFT JOIN (
+       |    SELECT e.dst AS doc_id, SUM(r.r // g.deg) AS s
+       |    FROM r${i - 1} r JOIN edges e ON r.doc_id = e.src
+       |         JOIN deg g ON g.src = e.src
+       |    GROUP BY 1) s ON d.doc_id = s.doc_id)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q139_pagerank" ->
+      s"""WITH $simhashCte,
+         |prs AS (SELECT a.doc_id AS i, b.doc_id AS j
+         |        FROM simh a JOIN simh b ON a.doc_id < b.doc_id
+         |        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |edges AS (SELECT i AS src, j AS dst FROM prs
+         |          UNION ALL SELECT j AS src, i AS dst FROM prs),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         |base AS (SELECT 1000000000000 // count(*) AS b FROM documents),
+         |r0 AS (SELECT doc_id, CAST((SELECT b FROM base) AS BIGINT) AS r
+         |       FROM documents),
+         |${prRound(1)},
+         |${prRound(2)},
+         |${prRound(3)}
+         |SELECT d.doc_id, CAST(COALESCE(g.deg, 0) AS BIGINT) AS degree,
+         |       r3.r AS rank_q
+         |FROM documents d LEFT JOIN deg g ON g.src = d.doc_id
+         |JOIN r3 ON r3.doc_id = d.doc_id""".stripMargin,
     "q112_fuzzy_match" ->
       """WITH g AS (
            SELECT p_name, MIN(p_partkey) AS rep, count(*) AS cnt,

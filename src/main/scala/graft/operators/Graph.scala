@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over pair relations. The reference pipeline stops at
+  * flat dedup (keep min-id per cluster); centrality is the step a
+  * curation pipeline takes next — pick the CANONICAL representative of
+  * a near-dup cluster as its most-linked member, weight sources by how
+  * central their documents sit in the similarity graph, etc.
+  */
+object Graph {
+
+  /** Fixed-round PageRank with PURE-INTEGER state. Ranks are held at
+    * fixed-point scale `scale` (default 1e12) and every update is
+    *
+    *   r'(v) = (15·base + 85·Σ_{u→v} (r(u) div deg(u))) div 100,
+    *   base  = scale div N
+    *
+    * — integer division only, so the state after any number of rounds
+    * is bit-identical on every engine and partitioning. (Iterated IEEE
+    * float PageRank is NOT: the summation order of the in-mass varies
+    * with the physical plan.) Dangling out-mass is dropped rather than
+    * redistributed — the standard sparse simplification; the teleport
+    * term keeps every node's rank positive.
+    *
+    * Scale shape: each round is one equi-join (ranks ⋈ edges on src —
+    * shuffled, the rank relation is never assumed broadcastable) + one
+    * partial-aggregated shuffle (groupBy dst) + a left join back to the
+    * node set; `deg` is computed once. Rounds are data-independent, so
+    * at 100 TB the same plan runs with `rounds` set by convergence
+    * budget. Lineage is cut per round (localCheckpoint, as
+    * [[Dedup.connectedComponents]] does) so the plan doesn't grow with
+    * iterations; no collect beyond the bounded node count, no driver
+    * state.
+    *
+    * `edges` is directed (src, dst) — symmetrize first for undirected
+    * graphs. `nodes` is one row per id (isolated nodes allowed: they
+    * keep degree 0 and converge to the teleport-only fixpoint
+    * (15·base) div 100). Returns (idCol, degree, rank_q).
+    */
+  def pageRank(nodes: DataFrame, idCol: String, edges: DataFrame,
+               rounds: Int, scale: Long = 1000000000000L): DataFrame = {
+    require(rounds >= 1, s"pageRank needs at least 1 round, got $rounds")
+    val n = nodes.select(col(idCol).as("id"))
+    val e = edges.toDF("src", "dst")
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // bounded driver scalar (node count), same class as the watermark
+    // reads and the q122 doc count
+    val nNodes = n.count()
+    require(nNodes > 0, "pageRank over an empty node set")
+    val base = scale / nNodes
+    var r = n.select(col("id"), lit(base).as("r"))
+    for (_ <- 1 to rounds) {
+      val inMass = r.join(e, col("id") === col("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("id"), expr("r div deg").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("s"))
+      r = n.join(inMass, Seq("id"), "left")
+        .select(col("id"),
+          expr(s"(15 * ${base}L + 85 * coalesce(s, 0L)) div 100").as("r"))
+        .localCheckpoint(true)
+    }
+    n.join(deg.select(col("src").as("id"), col("deg")), Seq("id"), "left")
+      .join(r, Seq("id"))
+      .select(col("id").as(idCol),
+        coalesce(col("deg"), lit(0L)).as("degree"),
+        col("r").as("rank_q"))
+  }
+}

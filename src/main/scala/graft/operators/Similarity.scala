@@ -971,6 +971,40 @@ object Similarity {
         (col("n") - coalesce(col("n_removed"), lit(0L))).as("n_kept"))
   }
 
+  /** Hard-negative mining for contrastive training: for each vector,
+    * the top-k most-similar SAME-CELL vectors with a DIFFERENT label —
+    * the near-misses a metric-learning loss needs (easy negatives are
+    * plentiful and uninformative; the hard ones live next door in
+    * embedding space). Returns (vec_id, neg_id, rnk, cos), rnk 1..k by
+    * (cos desc, neg_id asc); vectors whose cell holds no other-label
+    * member yield no rows, zero-norm vectors have no cosine and join
+    * nothing.
+    *
+    * Scale: candidate generation rides the SAME trained coarse cells
+    * the ANN stack serves from — one cid equi-join, pairwise cosine
+    * only within a cell (Σ|cell|², never N²), one bounded top-k window
+    * co-partitioned with the join. Raising k (cells) bounds cell size
+    * at 100 TB exactly as for [[semDedup]].
+    */
+  def hardNegatives(emb: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, cells: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val e = emb.select(col(idCol), col(vecCol), col(labelCol)).join(cells, Seq(idCol))
+    val a = e.select(col("cid"), col(idCol).as("vec_id"), col(vecCol).as("va"),
+      norm(col(vecCol)).as("na"), col(labelCol).as("la"))
+    val b = e.select(col("cid"), col(idCol).as("neg_id"), col(vecCol).as("vb"),
+      norm(col(vecCol)).as("nb"), col(labelCol).as("lb"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("neg_id"))
+    a.join(b, Seq("cid"))
+      .filter(col("vec_id") =!= col("neg_id") && col("la") =!= col("lb"))
+      .withColumn("cos", safeCos(dot(col("va"), col("vb")), col("na"), col("nb")))
+      .filter(col("cos").isNotNull)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("vec_id"), col("neg_id"), col("rnk"), col("cos"))
+  }
+
   /** Near pairs: same bucket AND exact cosine ≥ minCos. */
   def lshNearPairs(emb: DataFrame, idCol: String, vecCol: String,
                    bits: Int, minCos: Double): DataFrame = {

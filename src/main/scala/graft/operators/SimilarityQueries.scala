@@ -372,6 +372,16 @@ object SimilarityQueries extends QueryPack {
         cells, MIN_COS)
     }),
 
+    // Hard-negative mining over the SHARED trained cells: per vector,
+    // the top-3 same-cell other-label neighbors by cosine — the
+    // contrastive-training sampler, riding the index every ANN query
+    // serves from (candidates per cell, never all-pairs).
+    "q141_hard_negatives" -> ((s, d) => {
+      val (_, cells) = ivfIndex(s, d)
+      Similarity.hardNegatives(Tables.embeddings(s, d), "vec_id", "embedding",
+        "label", cells, 3)
+    }),
+
     // Nearest-class-mean probe: per-label prototype vectors, every
     // vector assigned to its nearest prototype, output as the
     // label × pred confusion matrix — the one-pass embedding-quality
@@ -701,6 +711,23 @@ object SimilarityQueries extends QueryPack {
          |       CAST(t.n - COALESCE(r.n_removed, 0) AS BIGINT) AS n_kept
          |FROM tot t LEFT JOIN nrem r USING (cid)
          |ORDER BY t.cid""".stripMargin
+    },
+    // Hard negatives: same-cell, other-label top-3 by cosine; a{N} is
+    // the final assignment (vec_id, embedding, cid), labels joined in.
+    "q141_hard_negatives" -> {
+      val aN = s"a${KM_ROUNDS + 1}"
+      val cos = cosSql("a.embedding", "b.embedding")
+      s"""${kmeansWith(KM_K, KM_ROUNDS)},
+         |lab AS (SELECT c.vec_id, c.cid, c.embedding, e.label
+         |        FROM $aN c JOIN embeddings e USING (vec_id))
+         |SELECT vec_id, neg_id, CAST(rnk AS INT) AS rnk, cos FROM (
+         |  SELECT a.vec_id, b.vec_id AS neg_id, $cos AS cos,
+         |         row_number() OVER (PARTITION BY a.vec_id
+         |           ORDER BY $cos DESC, b.vec_id) AS rnk
+         |  FROM lab a JOIN lab b ON a.cid = b.cid AND a.vec_id != b.vec_id
+         |       AND a.label != b.label
+         |  WHERE $cos IS NOT NULL)
+         |WHERE rnk <= 3""".stripMargin
     },
     // Filtered ANN: same serving path, candidate set additionally
     // restricted by the metadata predicate.

@@ -22,6 +22,8 @@ object TextQueries extends QueryPack {
 
   private def inList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("(", ",", ")")
 
+  private val MIN_PAIR = 3  // q138: min bigram count for a lift estimate
+
   val queries: Map[String, Q] = Map(
     // Token counting: whitespace tokens + BPE-ish regex subword count.
     "q40_token_stats" -> ((s, d) => {
@@ -90,6 +92,69 @@ object TextQueries extends QueryPack {
           when(col("n_bigrams") === 0, lit(0L))
             .otherwise(floor(lit(10000.0) * col("n_common") / col("n_bigrams"))
               .cast(LongType)))
+    }),
+
+    // Association mining: bigram LIFT — observed pair frequency over
+    // the frequency expected under independence, the PMI-class statistic
+    // behind collocation extraction and phrase-vocab induction. All
+    // arithmetic is integral: lift_ppm = (C(ab)·T·10⁶) div (C(a)·C(b))
+    // with BIGINT division (both engines truncate toward zero), so no
+    // float log/division ever crosses the hash gate. Deterministic
+    // top-50 by (lift desc, bigram asc). 100 TB shape: one unigram and
+    // one bigram partial-agg shuffle, two vocab-bounded equi-joins, a
+    // bounded TakeOrderedAndProject; the 1-row total broadcasts. (The
+    // i64 product C(ab)·T·10⁶ caps at T ≈ 3·10⁶ tokens per corpus
+    // partition of the statistic — at 100 TB compute lift per source
+    // shard or widen to decimal.)
+    "q138_bigram_lift" -> ((s, d) => {
+      val toks = Tables.documents(s, d).select(split(col("text"), " ").as("ts"))
+      val uni = toks.select(explode(col("ts")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val tot = uni.agg(sum(col("c")).as("t"))
+      val pairs = toks.select(
+        explode(when(size(col("ts")) >= 2,
+          transform(sequence(lit(1), size(col("ts")) - 1),
+            i => concat(element_at(col("ts"), i), lit(" "), element_at(col("ts"), i + 1))))
+          .otherwise(array().cast("array<string>"))).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= MIN_PAIR)
+        // tokens never contain spaces (they ARE the split parts), so the
+        // bigram splits back into exactly its two constituents
+        .withColumn("w1", element_at(split(col("bigram"), " "), 1))
+        .withColumn("w2", element_at(split(col("bigram"), " "), 2))
+      pairs
+        .join(uni.select(col("tok").as("w1"), col("c").as("c_a")), Seq("w1"))
+        .join(uni.select(col("tok").as("w2"), col("c").as("c_b")), Seq("w2"))
+        .crossJoin(broadcast(tot))
+        .select(col("bigram"), col("c_ab"), col("c_a"), col("c_b"),
+          expr("(c_ab * t * 1000000) div (c_a * c_b)").as("lift_ppm"))
+        .orderBy(col("lift_ppm").desc, col("bigram"))
+        .limit(50)
+    }),
+
+    // Unigram-LM surprisal proxy: rank every vocabulary token by corpus
+    // frequency (dense_rank, ties by token asc), then score each
+    // document by the mean rank of its token OCCURRENCES — rare-token-
+    // heavy text (gibberish, codes, OCR noise) scores high, formulaic
+    // text low. The rank-domain form of perplexity filtering: monotone
+    // in the unigram surprisal ordering but INTEGER-EXACT end-to-end
+    // (mean_rank_q3 = (1000·Σrank) div n), where true -Σlog p would be
+    // engine-varying libm floats. The unpartitioned rank window runs
+    // over the VOCABULARY relation (bounded, ~10⁷ at web scale), never
+    // the corpus; the corpus sees one equi-join + one per-doc partial
+    // agg, both at scan shape.
+    "q140_token_rank" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val occ = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val ranked = occ.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .withColumn("rnk",
+          dense_rank().over(Window.orderBy(col("c").desc, col("tok"))).cast(LongType))
+        .select(col("tok"), col("rnk"))
+      occ.join(ranked, Seq("tok"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("rnk")).as("sum_rank"))
+        .withColumn("mean_rank_q3", expr("(1000 * sum_rank) div n_tokens"))
     }),
 
     // One BPE merge-selection round — the statistic a distributed
@@ -391,6 +456,34 @@ object TextQueries extends QueryPack {
     s"CAST(${stopHitsSql(EN)} AS DOUBLE) / CAST($nTokensSql AS DOUBLE)"
 
   val oracleSql: Map[String, String] = Map(
+    "q138_bigram_lift" ->
+      s"""WITH toks AS (SELECT string_split(text, ' ') AS ts FROM documents),
+         |uc AS (SELECT tok, count(*) AS c
+         |       FROM (SELECT unnest(ts) AS tok FROM toks) GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM uc),
+         |bc AS (SELECT bigram, count(*) AS c_ab
+         |       FROM (SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+         |                    i -> ts[i] || ' ' || ts[i+1])) AS bigram
+         |             FROM toks)
+         |       GROUP BY 1 HAVING count(*) >= $MIN_PAIR)
+         |SELECT b.bigram, CAST(b.c_ab AS BIGINT) AS c_ab,
+         |       CAST(a.c AS BIGINT) AS c_a, CAST(w.c AS BIGINT) AS c_b,
+         |       CAST((b.c_ab * (SELECT t FROM tot) * 1000000) // (a.c * w.c) AS BIGINT)
+         |         AS lift_ppm
+         |FROM bc b
+         |JOIN uc a ON a.tok = string_split(b.bigram, ' ')[1]
+         |JOIN uc w ON w.tok = string_split(b.bigram, ' ')[2]
+         |ORDER BY lift_ppm DESC, b.bigram LIMIT 50""".stripMargin,
+    "q140_token_rank" ->
+      """WITH occ AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |            FROM documents),
+         |rk AS (SELECT tok,
+         |         CAST(dense_rank() OVER (ORDER BY count(*) DESC, tok) AS BIGINT) AS rnk
+         |       FROM occ GROUP BY tok)
+         |SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(r.rnk) AS BIGINT) AS sum_rank,
+         |       CAST((1000 * SUM(r.rnk)) // count(*) AS BIGINT) AS mean_rank_q3
+         |FROM occ o JOIN rk r USING (tok) GROUP BY o.doc_id""".stripMargin,
     "q122_bigram_coverage" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
          |raw AS (SELECT doc_id,

@@ -373,6 +373,24 @@ class VectorSpec extends SparkSpec {
       Similarity.pqEncode(emb, "vec_id", "embedding", dim = 4, m = 3, k = 2, rounds = 1))
   }
 
+  test("hardNegatives: same-cell other-label only; zero vectors join nothing") {
+    import graft.operators.Similarity
+    val emb = Seq(
+      (1L, Array(1f, 0f), 0),       // cell 1
+      (2L, Array(0.9f, 0.1f), 1),   // cell 1, the only valid negative for 1 and 3
+      (3L, Array(0.95f, 0.05f), 0), // cell 1
+      (4L, Array(1f, 0f), 1),       // cell 2: alone there → no rows
+      (5L, Array(0f, 0f), 1)        // cell 1, zero vector: cosine NULL → dropped
+    ).toDF("vec_id", "embedding", "label")
+    val cells = Seq((1L, 1), (2L, 1), (3L, 1), (4L, 2), (5L, 1))
+      .toDF("vec_id", "cid")
+    val got = Similarity.hardNegatives(emb, "vec_id", "embedding", "label", cells, 2)
+      .select("vec_id", "neg_id", "rnk")
+      .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3)).toSeq
+    // vec 2 (label 1) ranks its label-0 cellmates by cosine: 3 beats 1
+    assert(got == Seq((1L, 2L, 1), (2L, 3L, 1), (2L, 1L, 2), (3L, 2L, 1)))
+  }
+
   test("semDedup removes only later same-cell near-dups; zero vectors survive") {
     import graft.operators.Similarity
     val emb = Seq(
