@@ -86,15 +86,16 @@ object EventsQueries extends QueryPack {
       // read) and let the stream path create the table itself
       if (cut.isAfter(lo)) {
         val boot = full.filter(to_date(col("ts")) < lit(java.sql.Date.valueOf(cut)))
-        wh.overwrite(EventPipelines.withEventDay(boot), "bl_3nf", "events_stream",
-          partitionBy = Seq("event_day")): Unit
+        // same ts normalization as the stream side: the bootstrapped
+        // partitions and the stream-landed ones must carry one ts type
+        wh.overwrite(EventPipelines.withEventDay(EventPipelines.withUtcTs(boot)),
+          "bl_3nf", "events_stream", partitionBy = Seq("event_day")): Unit
       }
       // file stream sources take a directory: stream the sfDir with a
-      // glob pinned to the events table
-      val stream = s.readStream.schema(EventPipelines.rawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(d)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      // glob pinned to the events table; schema-adaptive (ts may be a
+      // nanos long or a native timestamp depending on the data writer)
+      val stream = EventPipelines.readEventStream(s, d,
+        globFilter = Some("events.parquet"))
       EventPipelines.ingestAvailableNow(stream, wh, "bl_3nf", "events_stream",
         keys = Seq("event_id"))
       wh.readPartitioned("bl_3nf", "events_stream", "event_day")

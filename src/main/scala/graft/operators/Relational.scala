@@ -66,6 +66,30 @@ object Relational {
   def surrogateKeysHashed(rows: DataFrame, businessKey: Seq[String], idCol: String): DataFrame =
     rows.withColumn(idCol, xxhash64(businessKey.map(col): _*))
 
+  /** Fact-scale global ordinals 1..N in `sortExprs` order WITHOUT a
+    * single-partition window: range-repartition on the sort key, sort
+    * within partitions, then a distributed zipWithIndex (one per-
+    * partition counting pass + one indexed pass). The scalable twin of
+    * [[surrogateKeys]] for when rank must follow an ORDER (frequency
+    * ranks, leaderboards) rather than just be unique — every partition
+    * carries ~N/parts rows, nothing funnels through one task.
+    *
+    * Requires the sort key to be UNIQUE per row (makes row_number ≡
+    * dense_rank ≡ rank); ordinal values depend only on the total order,
+    * not on the sampled range bounds, so the result is deterministic.
+    */
+  def orderedRanks(df: DataFrame, sortExprs: Seq[Column], idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(sortExprs: _*).sortWithinPartitions(sortExprs: _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField(idCol, LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** As-of join: for each left row, the single latest right row with
     * `rightTs <= leftTs` on the same key — the price-at-event-time
     * lookup Spark has no built-in for (the reference sidesteps it by

@@ -133,23 +133,23 @@ object TextQueries extends QueryPack {
     }),
 
     // Unigram-LM surprisal proxy: rank every vocabulary token by corpus
-    // frequency (dense_rank, ties by token asc), then score each
-    // document by the mean rank of its token OCCURRENCES — rare-token-
-    // heavy text (gibberish, codes, OCR noise) scores high, formulaic
-    // text low. The rank-domain form of perplexity filtering: monotone
-    // in the unigram surprisal ordering but INTEGER-EXACT end-to-end
+    // frequency (ties by token asc), then score each document by the
+    // mean rank of its token OCCURRENCES — rare-token-heavy text
+    // (gibberish, codes, OCR noise) scores high, formulaic text low.
+    // The rank-domain form of perplexity filtering: monotone in the
+    // unigram surprisal ordering but INTEGER-EXACT end-to-end
     // (mean_rank_q3 = (1000·Σrank) div n), where true -Σlog p would be
-    // engine-varying libm floats. The unpartitioned rank window runs
-    // over the VOCABULARY relation (bounded, ~10⁷ at web scale), never
-    // the corpus; the corpus sees one equi-join + one per-doc partial
-    // agg, both at scan shape.
+    // engine-varying libm floats. Vocabulary ranking goes through
+    // [[Relational.orderedRanks]] (range-partition + zipWithIndex) —
+    // no single-partition window even at web-scale vocab (~10⁷); the
+    // (c, tok) key is unique so ordinals ≡ dense_rank. The corpus sees
+    // one equi-join + one per-doc partial agg, both at scan shape.
     "q140_token_rank" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val occ = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      val ranked = occ.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-        .withColumn("rnk",
-          dense_rank().over(Window.orderBy(col("c").desc, col("tok"))).cast(LongType))
+      val ranked = Relational.orderedRanks(
+        occ.groupBy(col("tok")).agg(count(lit(1)).as("c")),
+        Seq(col("c").desc, col("tok")), "rnk")
         .select(col("tok"), col("rnk"))
       occ.join(ranked, Seq("tok"))
         .groupBy(col("doc_id"))

@@ -25,16 +25,29 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame = table(spark, d, "part")
   def orders(spark: SparkSession, d: String): DataFrame = table(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame = table(spark, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS): Spark reads it as a nanosecond
-    * long (spark.sql.legacy.parquet.nanosAsLong=true); convert to a
-    * microsecond TimestampType — the same truncation DuckDB applies.
+  /** Normalize a parquet event-time column to TIMESTAMP (with zone) no
+    * matter how the writer encoded it: TIMESTAMP(NANOS) arrives as a
+    * nanosecond long under `nanosAsLong` (truncate to micros — the same
+    * truncation DuckDB applies); TIMESTAMP(MICROS) without UTC
+    * adjustment infers as TIMESTAMP_NTZ (cast — value-preserving under
+    * the UTC session zone this engine pins, and required because
+    * unix_micros/watermarks/windows reject NTZ); an already-zoned
+    * column passes through.
     */
-  def events(spark: SparkSession, d: String): DataFrame = {
-    val raw = table(spark, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else raw
+  def normalizeTs(df: DataFrame, colName: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema(colName).dataType match {
+      case LongType =>
+        df.withColumn(colName, expr(s"timestamp_micros($colName div 1000)"))
+      case TimestampNTZType =>
+        df.withColumn(colName, col(colName).cast(TimestampType))
+      case _ => df
+    }
   }
+
+  def events(spark: SparkSession, d: String): DataFrame =
+    normalizeTs(table(spark, d, "events"))
   def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
 }

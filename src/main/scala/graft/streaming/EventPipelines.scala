@@ -14,8 +14,12 @@ import org.apache.spark.sql.types._
   */
 object EventPipelines {
 
-  /** Parquet schema of the events table; ts arrives as nanosecond longs
-    * (see Tables.events) and is normalized to a timestamp here.
+  /** Parquet schema of the events table as written with TIMESTAMP(NANOS)
+    * ts — under `nanosAsLong` that column arrives as a nanosecond long
+    * (see Tables.events) and is normalized to a timestamp downstream.
+    * Fixture writers that emit long ts pair with this schema; real
+    * directories should go through [[readEventStream]], which probes the
+    * actual footer instead of assuming.
     */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -25,10 +29,28 @@ object EventPipelines {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-based stream over a directory of events parquet files. */
-  def readEventStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(rawSchema).parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  /** Normalize an event-time column to TIMESTAMP (with time zone):
+    * streaming watermarks reject TIMESTAMP_NTZ outright. Same contract
+    * as the batch reader — see [[graft.sources.Tables.normalizeTs]].
+    */
+  def withUtcTs(df: DataFrame, colName: String = "ts"): DataFrame =
+    graft.sources.Tables.normalizeTs(df, colName)
+
+  /** File-based stream over a directory of events parquet files,
+    * schema-adaptive: a file stream needs an explicit schema, so probe
+    * the footer with a driver-side batch read (no data scan) and apply
+    * [[withUtcTs]]. Hardcoding the nanos-long form silently lands every
+    * row in 1970 when the writer upgrades to TIMESTAMP(MICROS).
+    */
+  def readEventStream(spark: SparkSession, dir: String,
+                      globFilter: Option[String] = None): DataFrame = {
+    val br = spark.read
+    val schema = globFilter.fold(br)(g => br.option("pathGlobFilter", g))
+      .parquet(dir).schema
+    val sr = spark.readStream.schema(schema)
+    withUtcTs(globFilter.fold(sr)(g => sr.option("pathGlobFilter", g))
+      .parquet(dir))
+  }
 
   /** Tumbling 1-hour counts/sums per event type with a 2-hour watermark:
     * late data beyond the watermark is dropped, state is bounded.

@@ -286,4 +286,22 @@ class RelationalSpec extends SparkSpec {
     val b = Relational.surrogateKeysHashed(df, Seq("bk"), "id").as[(String, Long)].collect().toMap
     assert(a == b && a("k1") != a("k2"))
   }
+
+  test("orderedRanks equals the single-partition dense_rank, distributed") {
+    import org.apache.spark.sql.expressions.Window
+    // real vocabulary-shaped input: many ties on c, unique (c, tok) key
+    val vocab = graft.sources.Tables.documents(spark, sf)
+      .select(explode(split($"text", " ")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("c"))
+    val want = vocab
+      .withColumn("rnk", dense_rank().over(Window.orderBy($"c".desc, $"tok")).cast("long"))
+      .select($"tok", $"rnk").as[(String, Long)].collect().toMap
+    val got = Relational.orderedRanks(vocab, Seq($"c".desc, $"tok"), "rnk")
+      .select($"tok", $"rnk").as[(String, Long)].collect().toMap
+    assert(got == want)
+    // and it is stable across evaluations (range bounds don't leak in)
+    val again = Relational.orderedRanks(vocab, Seq($"c".desc, $"tok"), "rnk")
+      .select($"tok", $"rnk").as[(String, Long)].collect().toMap
+    assert(again == want)
+  }
 }

@@ -95,10 +95,10 @@ class StreamingSpec extends SparkSpec {
     java.nio.file.Files.copy(src.toPath, dir.resolve("feed-1.parquet"))
     val whRoot = java.nio.file.Files.createTempDirectory("graft-ingest-wh").toString
     val wh = new graft.sources.Warehouse(whRoot, spark)
-    val stream = spark.readStream.schema(EventPipelines.rawSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = EventPipelines.withUtcTs(
+      spark.readStream.schema(spark.read.parquet(dir.toString).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir.toString))
     EventPipelines.ingestAvailableNow(stream, wh, "bl_3nf", "ev", Seq("event_id"))
     val got = wh.readPartitioned("bl_3nf", "ev", "event_day")
     assert(got.count() == batchEvents.count()) // duplicates fully collapsed
@@ -149,8 +149,7 @@ class StreamingSpec extends SparkSpec {
     val ck = java.nio.file.Files.createTempDirectory("graft-ckreset-ck")
     val wh = new graft.sources.Warehouse(whRoot, spark)
     def ingest(): Unit = EventPipelines.ingestAvailableNow(
-      spark.readStream.schema(EventPipelines.rawSchema).parquet(srcDir.toString)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)")),
+      EventPipelines.readEventStream(spark, srcDir.toString),
       wh, "bl_3nf", "ckev", Seq("event_id"), checkpointDir = Some(ck.toString))
     ingest()
     val n1 = wh.readPartitioned("bl_3nf", "ckev", "event_day").count()
@@ -163,8 +162,15 @@ class StreamingSpec extends SparkSpec {
     }
     rmRf(ck)
     java.nio.file.Files.createDirectories(ck): Unit
+    // the appended file must carry the SAME ts type as the copied feed
+    // file (mixed parquet types in one stream dir won't merge)
+    val feedTs = spark.read.parquet(srcDir.toString).schema("ts").dataType
     val fresh = Seq((900001L, 1704067200L * 1000000000L, 7L, "reset", 1.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", feedTs match {
+        case org.apache.spark.sql.types.LongType => $"ts"
+        case t => expr("timestamp_micros(ts div 1000)").cast(t)
+      })
     fresh.coalesce(1).write.mode("append").parquet(srcDir.toString)
     ingest() // re-reads everything as batch 0 of the NEW lineage
     val after = wh.readPartitioned("bl_3nf", "ckev", "event_day")
