@@ -145,7 +145,11 @@ object Dedup {
     * candidate pairs share at least one (band, key). Returns distinct
     * (id_1 < id_2) candidate pairs.
     */
-  def lshCandidatePairs(signatures: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
+  /** The banding relation (id, band, bkey) both candidate joins build
+    * on — one row per (doc, band).
+    */
+  private def bandRelation(signatures: DataFrame, idCol: String,
+                           bands: Int, rowsPerBand: Int): DataFrame = {
     require(bands >= 1 && rowsPerBand >= 1,
       s"bands=$bands rowsPerBand=$rowsPerBand: rowsPerBand of 0 would give every doc " +
         "the same band key and materialize the all-pairs cross product")
@@ -154,9 +158,13 @@ object Dedup {
         (0 until rowsPerBand).map(j => col(s"mh${b * rowsPerBand + j}")): _*))
       struct(lit(b).as("band"), key.as("bkey"))
     }
-    val exploded = signatures
+    signatures
       .select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
       .select(col(idCol).as("id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+  }
+
+  def lshCandidatePairs(signatures: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
+    val exploded = bandRelation(signatures, idCol, bands, rowsPerBand)
     val l = exploded.toDF("id_1", "band", "bkey")
     val r = exploded.toDF("id_2", "band", "bkey")
     l.join(r, Seq("band", "bkey"))
@@ -187,6 +195,44 @@ object Dedup {
         (size(col("s1")) + size(col("s2")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_1"), col("id_2"), col("jaccard"))
+  }
+
+  /** Fuzzy decontamination BETWEEN corpora: near-dup (left, right) doc
+    * pairs through ONE shared MinHash/LSH index over the union — the
+    * fuzzy twin of the exact-shingle decontamination operator. The
+    * banding relation is split by side BEFORE the candidate join, so
+    * same-side pairs never materialize and verification work is ∝
+    * cross-corpus near-dup density, never within-corpus density (the
+    * dominant term when the train side has heavy internal duplication,
+    * as web corpora do). Ids must be unique across both sides.
+    *
+    * Returns (<leftSide>_id, <rightSide>_id, jaccard) for pairs with
+    * exact shingle-Jaccard ≥ `minJaccard`.
+    */
+  def crossCorpusNearDups(docs: DataFrame, textCol: String, idCol: String,
+                          sideCol: String, leftSide: String, rightSide: String,
+                          ngram: Int, k: Int, bands: Int,
+                          minJaccard: Double): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide evenly into bands=$bands " +
+      "(trailing minhashes would be silently ignored)")
+    val sh = shingleTable(docs, textCol, idCol, ngram)
+    val bk = bandRelation(minhashSignatures(sh, idCol, k), idCol, bands, k / bands)
+      .join(docs.select(col(idCol).as("id"), col(sideCol).as("side")), Seq("id"))
+    val l = bk.filter(col("side") === leftSide)
+      .select(col("id").as("lid"), col("band"), col("bkey"))
+    val r = bk.filter(col("side") === rightSide)
+      .select(col("id").as("rid"), col("band"), col("bkey"))
+    val cands = l.join(r, Seq("band", "bkey")).select(col("lid"), col("rid")).distinct()
+    val sets = sh.groupBy(col(idCol)).agg(collect_set(col("shingle")).as("sset"))
+    cands
+      .join(sets.select(col(idCol).as("lid"), col("sset").as("s1")), "lid")
+      .join(sets.select(col(idCol).as("rid"), col("sset").as("s2")), "rid")
+      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("s1")) + size(col("s2")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("lid").as(s"${leftSide}_id"), col("rid").as(s"${rightSide}_id"),
+        col("jaccard"))
   }
 
   /** 16-bit SimHash over the distinct token set, built from the first 4

@@ -43,8 +43,14 @@ object Graph {
                rounds: Int, scale: Long = 1000000000000L): DataFrame = {
     require(rounds >= 1, s"pageRank needs at least 1 round, got $rounds")
     val n = nodes.select(col(idCol).as("id"))
-    val e = edges.toDF("src", "dst")
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // Materialize the adjacency ONCE: the edge relation is typically the
+    // output of a whole candidate-pair pipeline (q139 feeds simhash
+    // banding through here), and every iteration below joins it — lazy,
+    // it would re-run that pipeline per round (plus once for the final
+    // degree join). The iterative-graph contract at any scale is: build
+    // the edge list, pin it, iterate over the pinned copy.
+    val e = edges.toDF("src", "dst").localCheckpoint(true)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).localCheckpoint(true)
     // bounded driver scalar (node count), same class as the watermark
     // reads and the q122 doc count
     val nNodes = n.count()

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** Bounded compute-once registry shared by the query packs' train-once
+  * caches (similarity models, verified near-dup pairs). One entry per
+  * (session, corpus dir); entries are EVICTED when their session's
+  * context stops (an ApplicationEnd listener registered on first use,
+  * plus a dead-context sweep on every access as belt-and-braces) — a
+  * long-lived JVM cycling sessions never pins dead sessions'
+  * localCheckpointed state. A session sharing a still-live context is
+  * only dropped via [[evictSession]]; the values strongly reference
+  * their session (DataFrames do), so weak keys alone could never
+  * collect them. Every cached training is deterministic, so caching
+  * cannot change any result — only how often the work runs.
+  */
+private[operators] object QueryCaches {
+  type Key = (SparkSession, String)
+  type Cache[V] = java.util.concurrent.ConcurrentHashMap[Key, V]
+
+  private val registry =
+    new java.util.concurrent.CopyOnWriteArrayList[Cache[_]]
+
+  /** A new cache participating in registry-wide eviction. */
+  def newCache[V](): Cache[V] = {
+    val m = new java.util.concurrent.ConcurrentHashMap[Key, V]
+    registry.add(m)
+    m
+  }
+
+  /** Drop one session's entries from every registered cache. Wired to
+    * the context's ApplicationEnd by [[cached]]; also the test seam.
+    */
+  def evictSession(s: SparkSession): Unit =
+    registry.forEach(_.keySet.removeIf(k => k._1 eq s))
+
+  /** How many cached entries a session currently owns (test seam). */
+  def cachedEntries(s: SparkSession): Int = {
+    var n = 0
+    registry.forEach(c => n += c.keySet.stream.filter(k => k._1 eq s).count().toInt)
+    n
+  }
+
+  private val hooked = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean])
+
+  def cached[V](cache: Cache[V], s: SparkSession, d: String)(train: => V): V = {
+    if (hooked.add(s))
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          evictSession(s)
+          hooked.remove(s): Unit
+        }
+      })
+    registry.forEach(_.keySet.removeIf(k => k._1.sparkContext.isStopped))
+    cache.computeIfAbsent((s, d), _ => train)
+  }
+}

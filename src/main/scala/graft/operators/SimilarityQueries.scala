@@ -23,52 +23,22 @@ object SimilarityQueries extends QueryPack {
     * handle. Both trainings are deterministic, so caching cannot change
     * any result — only how often the Lloyd rounds run.
     */
-  private val ivfCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]
-  private val pqCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Similarity.PqModel]
-  private val residCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (Similarity.PqModel, DataFrame)]
-  private val exactCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
-  private val allCaches: Seq[java.util.concurrent.ConcurrentHashMap[(SparkSession, String), _]] =
-    Seq(ivfCache, pqCache, residCache, exactCache)
+  private val ivfCache = QueryCaches.newCache[(DataFrame, DataFrame)]()
+  private val pqCache = QueryCaches.newCache[Similarity.PqModel]()
+  private val residCache = QueryCaches.newCache[(Similarity.PqModel, DataFrame)]()
+  private val exactCache = QueryCaches.newCache[DataFrame]()
 
-  /** Drop one session's entries from every model cache. Wired to the
-    * context's ApplicationEnd by [[cached]]; also the test seam.
+  /** Test seams — delegate to the shared registry ([[QueryCaches]],
+    * where the eviction contract is documented).
     */
   private[graft] def evictSession(s: SparkSession): Unit =
-    allCaches.foreach(_.keySet.removeIf(k => k._1 eq s))
-
-  /** How many cached models a session currently owns (test seam). */
+    QueryCaches.evictSession(s)
   private[graft] def cachedEntries(s: SparkSession): Int =
-    allCaches.map(_.keySet.stream.filter(k => k._1 eq s).count().toInt).sum
+    QueryCaches.cachedEntries(s)
 
-  private val hooked = java.util.Collections.newSetFromMap(
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean])
-
-  /** Bounded compute-once: entries are EVICTED when their session's
-    * context stops (an ApplicationEnd listener registered on first use,
-    * plus a dead-context sweep on every access as belt-and-braces) —
-    * a long-lived JVM cycling sessions no longer pins dead sessions'
-    * localCheckpointed state. A session sharing a still-live context
-    * is only dropped via [[evictSession]]; the values strongly
-    * reference their session (DataFrames do), so weak keys alone could
-    * never collect them.
-    */
-  private def cached[V](cache: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), V],
-                        s: SparkSession, d: String)(train: => V): V = {
-    if (hooked.add(s))
-      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onApplicationEnd(
-            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-          evictSession(s)
-          hooked.remove(s): Unit
-        }
-      })
-    allCaches.foreach(_.keySet.removeIf(k => k._1.sparkContext.isStopped))
-    cache.computeIfAbsent((s, d), _ => train)
-  }
+  private def cached[V](cache: QueryCaches.Cache[V],
+                        s: SparkSession, d: String)(train: => V): V =
+    QueryCaches.cached(cache, s, d)(train)
 
   /** Cached exact top-3 (the recall ground truth): q50 publishes it,
     * q86/q119/q123 measure against it — one quadratic kernel run per
@@ -274,15 +244,26 @@ object SimilarityQueries extends QueryPack {
           pqr, cents, meanCents, cells, p, 3)),
         "adc_rerank" -> (p => Similarity.ivfAdcRerankKnn(emb, "vec_id", "embedding",
           pqr, cents, meanCents, cells, p, RERANK_R, 3)))
-      (for { (name, fn) <- scorers; p <- NPROBES } yield {
-        val served = fn(p).select(col("vec_id"), col("nn_id"))
-        val r = exact
-          .join(served.withColumn("hit", lit(1)), Seq("vec_id", "nn_id"), "left")
-          .agg(count(lit(1)).as("n"), sum(coalesce(col("hit"), lit(0))).as("o"))
-          .head()
-        val (n, o) = (r.getLong(0), r.getLong(1))
-        (name, p, n, o, if (n == 0) 0L else math.floor(10000.0 * o / n).toLong)
-      }).toDF("scorer", "nprobe", "n_exact_pairs", "n_overlap_pairs", "recall_bps")
+      // The 9 (scorer, nprobe) measurement jobs are independent reads
+      // of shared materialized models — run them CONCURRENTLY so the
+      // cluster overlaps their stages instead of draining 9 schedules
+      // end-to-end. Future.sequence preserves tuple order, so the
+      // output relation (and its hash) is identical to the serial run.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val measured = Future.sequence(
+        for { (name, fn) <- scorers; p <- NPROBES } yield Future {
+          val served = fn(p).select(col("vec_id"), col("nn_id"))
+          val r = exact
+            .join(served.withColumn("hit", lit(1)), Seq("vec_id", "nn_id"), "left")
+            .agg(count(lit(1)).as("n"), sum(coalesce(col("hit"), lit(0))).as("o"))
+            .head()
+          val (n, o) = (r.getLong(0), r.getLong(1))
+          (name, p, n, o, if (n == 0) 0L else math.floor(10000.0 * o / n).toLong)
+        })
+      Await.result(measured, Duration.Inf)
+        .toDF("scorer", "nprobe", "n_exact_pairs", "n_overlap_pairs", "recall_bps")
     }),
 
     // MEASURED recall of the trained IVF index against the exact

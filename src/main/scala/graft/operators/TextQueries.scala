@@ -157,6 +157,64 @@ object TextQueries extends QueryPack {
         .withColumn("mean_rank_q3", expr("(1000 * sum_rank) div n_tokens"))
     }),
 
+    // DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    // via Importance Resampling"): score every document by how much
+    // more likely its hashed n-gram features (unigrams + bigrams,
+    // md5-nibble-hashed into 256 buckets) are under the TARGET
+    // distribution — here lang='en', the pretraining-language target —
+    // than under the full raw corpus. True DSIR sums log-probability
+    // ratios; this is the integer-exact surrogate: per-bucket
+    // add-one-smoothed ratio in ppm, summed over the doc's gram
+    // OCCURRENCES — same ordering signal, zero float drift. Shuffle
+    // shape: explode scan → B-row feature table → broadcast back over
+    // occurrences → per-doc partial agg. The feature table is O(B)
+    // rows at ANY corpus size — the hashing trick is exactly what
+    // makes DSIR tractable at 100 TB.
+    "q142_dsir_weight" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ts"))
+      val occ = toks.select(col("doc_id"), col("lang"),
+        explode(concat(col("ts"),
+          when(size(col("ts")) >= 2,
+            transform(sequence(lit(1), size(col("ts")) - 1),
+              i => concat(element_at(col("ts"), i), lit(" "), element_at(col("ts"), i + 1))))
+            .otherwise(array().cast("array<string>")))).as("gram"))
+        .withColumn("b",
+          (hexNibble(substring(md5(col("gram")), 1, 1)) * 16 +
+            hexNibble(substring(md5(col("gram")), 2, 1))).cast(IntegerType))
+      val feat = occ.groupBy(col("b")).agg(
+        count(lit(1)).as("c_all"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_tgt"))
+        .withColumn("ratio_ppm", expr("((c_tgt + 1) * 1000000) div (c_all + 1)"))
+      occ.join(broadcast(feat.select(col("b"), col("ratio_ppm"))), Seq("b"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"), sum(col("ratio_ppm")).as("score_ppm"))
+        .withColumn("mean_ppm", expr("score_ppm div n_grams"))
+    }),
+
+    // Character-distribution concentration: per-doc distinct chars and
+    // the collision mass Σc_i² — the integer-exact core of Rényi-2
+    // (collision) entropy H₂ = −log(Σ(c_i/n)²). Monotone in the same
+    // gibberish/repetition signal as Shannon character entropy, but
+    // with zero float drift (true entropy needs libm logs that differ
+    // across engines in ulps and break hash checks). simpson_q6 is the
+    // collision probability in millionths; low = diverse text, high =
+    // repeated-char junk. Two partial-agg shuffles, scan-shaped — at
+    // 100 TB the (doc, char) key space is ~alphabet× docs, never a hot
+    // spot.
+    "q143_char_stats" -> ((s, d) => {
+      val perChar = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+      perChar.groupBy(col("doc_id")).agg(
+        sum(col("c")).as("n_chars_split"),
+        count(lit(1)).as("distinct_chars"),
+        sum(col("c") * col("c")).as("collision_mass"))
+        .withColumn("simpson_q6",
+          when(col("n_chars_split") =!= 0,
+            expr("(1000000 * collision_mass) div (n_chars_split * n_chars_split)")))
+    }),
+
     // One BPE merge-selection round — the statistic a distributed
     // tokenizer trainer computes per iteration: corpus-wide adjacent
     // token-pair counts (non-distinct — frequency IS the statistic),
@@ -474,6 +532,42 @@ object TextQueries extends QueryPack {
          |JOIN uc a ON a.tok = string_split(b.bigram, ' ')[1]
          |JOIN uc w ON w.tok = string_split(b.bigram, ' ')[2]
          |ORDER BY lift_ppm DESC, b.bigram LIMIT 50""".stripMargin,
+    "q143_char_stats" ->
+      """WITH pc AS (SELECT doc_id, ch, count(*) AS c
+         |           FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch
+         |                 FROM documents)
+         |           GROUP BY doc_id, ch)
+         |SELECT doc_id,
+         |       CAST(SUM(c) AS BIGINT) AS n_chars_split,
+         |       CAST(count(*) AS BIGINT) AS distinct_chars,
+         |       CAST(SUM(c * c) AS BIGINT) AS collision_mass,
+         |       CASE WHEN SUM(c) != 0
+         |            THEN CAST((1000000 * SUM(c * c)) // (SUM(c) * SUM(c)) AS BIGINT)
+         |       END AS simpson_q6
+         |FROM pc GROUP BY doc_id""".stripMargin,
+    "q142_dsir_weight" ->
+      """WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS ts
+         |             FROM documents),
+         |occ AS (SELECT doc_id, lang, unnest(ts) AS gram FROM toks
+         |        UNION ALL
+         |        SELECT doc_id, lang,
+         |               unnest(list_transform(generate_series(1, len(ts) - 1),
+         |                 i -> ts[i] || ' ' || ts[i+1])) AS gram
+         |        FROM toks),
+         |bocc AS (SELECT doc_id, lang,
+         |           (strpos('123456789abcdef', substr(md5(gram), 1, 1)) * 16 +
+         |            strpos('123456789abcdef', substr(md5(gram), 2, 1))) AS b
+         |         FROM occ),
+         |feat AS (SELECT b, count(*) AS c_all,
+         |           SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_tgt
+         |         FROM bocc GROUP BY b)
+         |SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |       CAST(SUM(((f.c_tgt + 1) * 1000000) // (f.c_all + 1)) AS BIGINT)
+         |         AS score_ppm,
+         |       CAST(SUM(((f.c_tgt + 1) * 1000000) // (f.c_all + 1)) // count(*)
+         |         AS BIGINT) AS mean_ppm
+         |FROM bocc o JOIN feat f USING (b)
+         |GROUP BY o.doc_id""".stripMargin,
     "q140_token_rank" ->
       """WITH occ AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
          |            FROM documents),

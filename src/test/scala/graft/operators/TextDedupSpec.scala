@@ -265,4 +265,49 @@ class TextDedupSpec extends SparkSpec {
       ("x", "z") -> ((2L, 2L, 0L, 0L)),
       ("y", "z") -> ((2L, 2L, 0L, 0L))))
   }
+
+  test("crossCorpusNearDups = within-corpus near-dups restricted to cross-side pairs") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .withColumn("side", when($"doc_id" % 3 === 0, "evl").otherwise("trn"))
+    val cross = Dedup.crossCorpusNearDups(docs, "text", "doc_id", "side",
+      "trn", "evl", ngram = 3, k = 8, bands = 4, minJaccard = 0.2)
+      .as[(Long, Long, Double)].collect().toSet
+    // ground truth: the full within-corpus pipeline, filtered to pairs
+    // straddling the split (canonical id_1 < id_2 → normalize sides)
+    val all = Dedup.minhashLshNearDups(docs, "text", "doc_id",
+      ngram = 3, k = 8, bands = 4, minJaccard = 0.2)
+      .as[(Long, Long, Double)].collect()
+    val want = all.flatMap { case (a, b, j) =>
+      (a % 3 == 0, b % 3 == 0) match {
+        case (false, true) => Some((a, b, j)) // train, eval
+        case (true, false) => Some((b, a, j)) // swap into (train, eval)
+        case _ => None                        // same side: excluded
+      }
+    }.toSet
+    assert(cross == want)
+    assert(cross.forall { case (t, e, _) => t % 3 != 0 && e % 3 == 0 })
+  }
+
+  test("q142 DSIR weights: ppm ratios bounded, integral, and target-lang docs rank higher") {
+    val rows = TextQueries.queries("q142_dsir_weight")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, score, mean) =>
+      assert(n > 0)
+      // each gram's smoothed ratio is ≤ 1e6 (c_tgt ≤ c_all), so the
+      // per-doc sum and mean are bounded accordingly
+      assert(score <= n * 1000000L, s"score $score exceeds ${n} * 1e6")
+      assert(mean == score / n)
+    }
+    // the importance signal must actually separate the target: mean ppm
+    // over en docs strictly above mean over the rest (seeded corpus)
+    val lang = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"lang").as[(Long, String)].collect().toMap
+    val (en, rest) = rows.partition(r => lang(r._1) == "en")
+    assert(en.nonEmpty && rest.nonEmpty)
+    val enMean = en.map(_._4).sum.toDouble / en.size
+    val restMean = rest.map(_._4).sum.toDouble / rest.size
+    assert(enMean > restMean,
+      s"DSIR signal inverted: en $enMean vs rest $restMean")
+  }
 }
