@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.BloomFunctions
 
@@ -324,6 +324,23 @@ object Dedup {
     val cc = connectedComponents(pairs, docs.select(col(idCol)), idCol)
     val keepers = cc.groupBy(col("cluster_id")).agg(min(col(idCol)).as(idCol))
     docs.join(keepers.select(idCol), Seq(idCol), "left_semi")
+  }
+
+  /** Keeper policy "best copy, not first copy": per near-dup cluster,
+    * keep the doc maximizing (`score`, then smallest id on ties) —
+    * production dedup keeps the cleanest duplicate, where min-id keeps
+    * whichever copy happened to crawl first. Same shuffle shape as
+    * [[keepOnePerCluster]]: the argmax is max(struct(score, −id)), an
+    * associative partial agg — no per-cluster window.
+    */
+  def keepBestPerCluster(docs: DataFrame, pairs: DataFrame, idCol: String,
+                         score: Column): DataFrame = {
+    val cc = connectedComponents(pairs, docs.select(col(idCol)), idCol)
+    val scored = docs.select(col(idCol), score.as("__q")).join(cc, Seq(idCol))
+    val keepers = scored.groupBy(col("cluster_id"))
+      .agg(max(struct(col("__q"), (-col(idCol)).as("__nid"))).as("__k"))
+      .select((-col("__k.__nid")).as(idCol))
+    docs.join(keepers, Seq(idCol), "left_semi")
   }
 
   /** Benchmark decontamination: flag training docs sharing at least

@@ -179,6 +179,20 @@ object DedupQueries extends QueryPack {
         .select(col("doc_id"), col("source"), col("lang"))
     }),
 
+    // q80 with the keeper a real pipeline wants: per cluster keep the
+    // HIGHEST-QUALITY copy (q41's score; id asc on exact ties), not
+    // whichever copy got the smallest id — min-id dedup silently ships
+    // the noisier duplicate whenever the clean copy crawled later.
+    // Same associative-agg shuffle shape; pairs from the shared cache.
+    "q145_dedup_keep_best" -> ((s, d) => {
+      import graft.functions.TextFunctions.qualityScore
+      val docs = Tables.documents(s, d)
+      val pairs = nearDupPairs(s, d).select(col("id_1"), col("id_2"))
+      Dedup.keepBestPerCluster(docs, pairs, "doc_id",
+        qualityScore(col("text"), TextQueries.EN))
+        .select(col("doc_id"), col("source"), col("lang"))
+    }),
+
     // Embedding-cosine near-dup: LSH-bucketed candidate pairs above the
     // cosine threshold resolved back to the documents (vec_id = doc_id),
     // with the keeper chosen as the smaller id — semantic dedup, the
@@ -470,6 +484,35 @@ object DedupQueries extends QueryPack {
            SELECT e.dst, w.comp FROM walk w JOIN edges e ON w.id = e.src),
          cc AS (SELECT id AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY id),
          keep AS (SELECT min(doc_id) AS doc_id FROM cc GROUP BY cluster_id)
+       SELECT d.doc_id, d.source, d.lang
+       FROM documents d JOIN keep USING (doc_id)""",
+    "q145_dedup_keep_best" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         mh AS (SELECT doc_id, $minhashCols FROM sh GROUP BY doc_id),
+         bands AS ($bandUnion),
+         cand AS (SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         verified AS ($jaccardSelect),
+         pairs AS (SELECT c.id_1, c.id_2
+                   FROM cand c JOIN verified v ON c.id_1 = v.id_1 AND c.id_2 = v.id_2),
+         edges AS (SELECT id_1 AS src, id_2 AS dst FROM pairs
+                   UNION ALL SELECT id_2, id_1 FROM pairs),
+         walk(id, comp) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.dst, w.comp FROM walk w JOIN edges e ON w.id = e.src),
+         cc AS (SELECT id AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY id),
+         q AS (SELECT doc_id,
+                 least(1.0, CAST(${TextQueries.nTokensSql} AS DOUBLE) / 50.0)
+                   * (1.0 - ${TextQueries.stopRatioSql}) AS quality
+               FROM documents),
+         keep AS (SELECT doc_id FROM (
+                    SELECT cc.doc_id,
+                           row_number() OVER (PARTITION BY cc.cluster_id
+                                ORDER BY q.quality DESC, cc.doc_id) AS rn
+                    FROM cc JOIN q USING (doc_id))
+                  WHERE rn = 1)
        SELECT d.doc_id, d.source, d.lang
        FROM documents d JOIN keep USING (doc_id)""",
     // Mirrors Dedup.groupOverlapMatrix: distinct (source, shingle),

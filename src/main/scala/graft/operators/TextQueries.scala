@@ -182,13 +182,19 @@ object TextQueries extends QueryPack {
         .withColumn("b",
           (hexNibble(substring(md5(col("gram")), 1, 1)) * 16 +
             hexNibble(substring(md5(col("gram")), 2, 1))).cast(IntegerType))
-      val feat = occ.groupBy(col("b")).agg(
-        count(lit(1)).as("c_all"),
-        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_tgt"))
+      // Aggregate-first: collapse occurrences to per-(doc, bucket)
+      // counts (≤ B rows per doc) BEFORE any join — the feature join
+      // and the scoring then touch docs·B rows, never raw occurrences.
+      val perDocB = occ.groupBy(col("doc_id"), col("lang"), col("b"))
+        .agg(count(lit(1)).as("n"))
+      val feat = perDocB.groupBy(col("b")).agg(
+        sum(col("n")).as("c_all"),
+        sum(when(col("lang") === "en", col("n")).otherwise(0L)).as("c_tgt"))
         .withColumn("ratio_ppm", expr("((c_tgt + 1) * 1000000) div (c_all + 1)"))
-      occ.join(broadcast(feat.select(col("b"), col("ratio_ppm"))), Seq("b"))
+      perDocB.join(broadcast(feat.select(col("b"), col("ratio_ppm"))), Seq("b"))
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_grams"), sum(col("ratio_ppm")).as("score_ppm"))
+        .agg(sum(col("n")).as("n_grams"),
+          sum(col("n") * col("ratio_ppm")).as("score_ppm"))
         .withColumn("mean_ppm", expr("score_ppm div n_grams"))
     }),
 
@@ -507,10 +513,10 @@ object TextQueries extends QueryPack {
     })
   )
 
-  private val nTokensSql = "CAST(len(string_split(text, ' ')) AS INT)"
+  private[operators] val nTokensSql = "CAST(len(string_split(text, ' ')) AS INT)"
   private def stopHitsSql(xs: Seq[String]) =
     s"CAST(len(list_filter(string_split(text, ' '), t -> t IN ${inList(xs)})) AS INT)"
-  private val stopRatioSql =
+  private[operators] val stopRatioSql =
     s"CAST(${stopHitsSql(EN)} AS DOUBLE) / CAST($nTokensSql AS DOUBLE)"
 
   val oracleSql: Map[String, String] = Map(

@@ -288,6 +288,23 @@ class TextDedupSpec extends SparkSpec {
     assert(cross.forall { case (t, e, _) => t % 3 != 0 && e % 3 == 0 })
   }
 
+  test("keepBestPerCluster keeps the highest-score copy; min-id only on exact ties") {
+    val docs = Seq(
+      (1L, "x x x x x x", "a"), // cluster {1,2}: doc 2 scores higher
+      (2L, "x x x x x x y", "a"), // (more tokens → more length credit)
+      (3L, "solo doc", "b"), // singleton: always kept
+      (4L, "t t t", "c"), (5L, "t t t", "c") // identical → tie → min id
+    ).toDF("doc_id", "text", "source")
+    val pairs = Seq((1L, 2L), (4L, 5L)).toDF("id_1", "id_2")
+    val best = Dedup.keepBestPerCluster(docs, pairs, "doc_id",
+      graft.functions.TextFunctions.qualityScore($"text", TextQueries.EN))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(best == Set(2L, 3L, 4L)) // 2 beats 1 on quality; 4 ties 5 → min id
+    val first = Dedup.keepOnePerCluster(docs, pairs, "doc_id")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(first == Set(1L, 3L, 4L)) // the policy actually differs
+  }
+
   test("q142 DSIR weights: ppm ratios bounded, integral, and target-lang docs rank higher") {
     val rows = TextQueries.queries("q142_dsir_weight")(spark, sf)
       .as[(Long, Long, Long, Long)].collect()
