@@ -272,6 +272,31 @@ object TextQueries extends QueryPack {
       }
     }),
 
+    // ITERATED BPE training — q130 runs one merge-selection round;
+    // this runs the actual training loop (3 rounds), fully
+    // distributed: each round counts adjacent token pairs over the
+    // CURRENT merged state, picks the winner as a 1-ROW RELATION
+    // (orderBy+limit → broadcast cross), and applies it with literal
+    // `replace` — NO driver scalar anywhere in the loop. The state
+    // representation is the trick that makes greedy left-to-right BPE
+    // application a plain string replace in BOTH engines: tokens are
+    // separated by DOUBLE spaces with single-space pads, so the merge
+    // pattern ' x␣␣y ' (a) can never overlap its own next occurrence
+    // (each gap owns two spaces; the match consumes one from each
+    // side), and (b) consumes same-token chains 'a a a' → [aa, a]
+    // exactly as greedy BPE does. Merged tokens join with \\u0001 and
+    // participate in later rounds, as in real BPE. State is
+    // checkpointed per round (lineage cut — the materialize-between-
+    // iterations every distributed tokenizer trainer does).
+    "q146_bpe_train" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      docs.select(col("doc_id"), size(split(col("text"), " ")).as("n_before"))
+        .join(bpeTrain(docs, "text", "doc_id", rounds = 3)
+          .select(col("doc_id"),
+            size(split(trim(col("st")), "  ")).as("n_after")), Seq("doc_id"))
+        .withColumn("n_merged", col("n_before") - col("n_after"))
+    }),
+
     // The full curation funnel — the composed pipeline a training
     // corpus actually ships through, with per-stage attrition
     // accounting per source: (1) absolute quality gate (quantized
@@ -513,6 +538,59 @@ object TextQueries extends QueryPack {
     })
   )
 
+  /** The q146 training loop: `rounds` BPE merge rounds over the
+    * double-spaced state form, fully relational (winner = 1-row
+    * broadcast, application = literal replace). Returns the final
+    * (idCol, st) state; tokens of st are its double-space-separated
+    * segments, merged tokens joined with .
+    */
+  private[operators] def bpeTrain(docs: org.apache.spark.sql.DataFrame,
+                                  textCol: String, idCol: String,
+                                  rounds: Int): org.apache.spark.sql.DataFrame = {
+    var state = docs.select(col(idCol),
+      concat(lit(" "), regexp_replace(col(textCol), lit(" "), lit("  ")),
+        lit(" ")).as("st"))
+    for (_ <- 1 to rounds) {
+      val ts0 = split(trim(col("st")), "  ")
+      val grams = state.select(ts0.as("ts")).select(
+        explode(when(size(col("ts")) >= 2,
+          transform(sequence(lit(1), size(col("ts")) - 1),
+            i => concat(element_at(col("ts"), i), lit(" "),
+              element_at(col("ts"), i + 1))))
+          .otherwise(array().cast("array<string>"))).as("pair"))
+      val top = grams.groupBy(col("pair")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("pair")).limit(1)
+        .select(col("pair"))
+      state = state.crossJoin(broadcast(top))
+        .withColumn("st", expr(
+          "replace(st, concat(' ', split_part(pair, ' ', 1), '  ', " +
+            "split_part(pair, ' ', 2), ' '), " +
+            "concat(' ', split_part(pair, ' ', 1), char(1), " +
+            "split_part(pair, ' ', 2), ' '))"))
+        .drop("pair")
+        .localCheckpoint(true)
+    }
+    state
+  }
+
+  /** One BPE training round over the double-spaced state relation
+    * s{i−1}: corpus pair counts → deterministic winner → literal
+    * replace application (see q146's comment for why the double-space
+    * form makes `replace` exactly greedy BPE).
+    */
+  private def bpeRound(i: Int): String = {
+    val prev = s"s${i - 1}"
+    s"""p$i AS (SELECT pair, count(*) AS c FROM (
+       |  SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+       |           j -> ts[j] || ' ' || ts[j+1])) AS pair
+       |  FROM (SELECT string_split(trim(st), '  ') AS ts FROM $prev)) GROUP BY 1),
+       |t$i AS (SELECT pair FROM p$i ORDER BY c DESC, pair LIMIT 1),
+       |s$i AS (SELECT doc_id,
+       |          replace(st, ' ' || string_split(pair, ' ')[1] || '  ' || string_split(pair, ' ')[2] || ' ',
+       |                      ' ' || string_split(pair, ' ')[1] || chr(1) || string_split(pair, ' ')[2] || ' ') AS st
+       |        FROM $prev, t$i)""".stripMargin
+  }
+
   private[operators] val nTokensSql = "CAST(len(string_split(text, ' ')) AS INT)"
   private def stopHitsSql(xs: Seq[String]) =
     s"CAST(len(list_filter(string_split(text, ' '), t -> t IN ${inList(xs)})) AS INT)"
@@ -538,6 +616,18 @@ object TextQueries extends QueryPack {
          |JOIN uc a ON a.tok = string_split(b.bigram, ' ')[1]
          |JOIN uc w ON w.tok = string_split(b.bigram, ' ')[2]
          |ORDER BY lift_ppm DESC, b.bigram LIMIT 50""".stripMargin,
+    "q146_bpe_train" ->
+      s"""WITH s0 AS (SELECT doc_id, ' ' || replace(text, ' ', '  ') || ' ' AS st
+         |            FROM documents),
+         |${bpeRound(1)},
+         |${bpeRound(2)},
+         |${bpeRound(3)}
+         |SELECT d.doc_id,
+         |       CAST(len(string_split(d.text, ' ')) AS INT) AS n_before,
+         |       CAST(len(string_split(trim(s.st), '  ')) AS INT) AS n_after,
+         |       CAST(len(string_split(d.text, ' ')) -
+         |            len(string_split(trim(s.st), '  ')) AS INT) AS n_merged
+         |FROM documents d JOIN s3 s USING (doc_id)""".stripMargin,
     "q143_char_stats" ->
       """WITH pc AS (SELECT doc_id, ch, count(*) AS c
          |           FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch

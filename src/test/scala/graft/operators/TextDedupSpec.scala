@@ -305,6 +305,24 @@ class TextDedupSpec extends SparkSpec {
     assert(first == Set(1L, 3L, 4L)) // the policy actually differs
   }
 
+  test("bpeTrain: greedy left-to-right merges, ties lexicographic, merged tokens merge further") {
+    val J = ""
+    def finalTokens(texts: Seq[String], rounds: Int): Map[Long, Seq[String]] = {
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      TextQueries.bpeTrain(docs, "text", "doc_id", rounds)
+        .select($"doc_id", $"st").as[(Long, String)].collect()
+        .map { case (id, st) => id -> st.trim.split("  ").toSeq }.toMap
+    }
+    // greedy left-to-right on a same-token chain: a a a -> [a+a, a]
+    assert(finalTokens(Seq("a a a"), 1) == Map(0L -> Seq(s"a${J}a", "a")))
+    // round 1 picks the most frequent pair corpus-wide; round 2 breaks
+    // the tie lexicographically; round 3 merges what remains — and the
+    // round-2 winner is a pair OF merged tokens
+    assert(finalTokens(Seq("b c b c", "b c x"), 3) ==
+      Map(0L -> Seq(s"b${J}c${J}b${J}c"), 1L -> Seq(s"b${J}c${J}x")))
+  }
+
   test("q142 DSIR weights: ppm ratios bounded, integral, and target-lang docs rank higher") {
     val rows = TextQueries.queries("q142_dsir_weight")(spark, sf)
       .as[(Long, Long, Long, Long)].collect()
