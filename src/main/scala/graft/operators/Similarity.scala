@@ -48,50 +48,41 @@ object Similarity {
     acc
   }
 
-  /** Exact cosine top-k, broadcast block kernel: the query side is
-    * broadcast once per executor (an exact KNN baseline is only ever run
-    * on sets that fit — at scale the blocked variants below bound the
-    * candidates first), and each partition of the probe side runs a
-    * tight primitive loop with a bounded insertion buffer. No shuffle at
-    * all: the N·M pair relation never materializes as rows.
+  /** Exact cosine top-k — the ground-truth baseline every recall
+    * number in this file is measured against (q86/q119/q123/q136).
     *
-    * Numeric contract: cos = dot/(na·nb) with the same left-to-right
-    * float→double fold as [[VectorFunctions.dot]], so results are
-    * bit-identical to the join formulation and the DuckDB oracle.
+    * Numeric contract: cos = dot/(na·nb) with the left-to-right
+    * float→double fold of [[VectorFunctions.dot]] and the DuckDB
+    * oracle, NULL-guarded on zero norms; ties break nn_id asc.
     */
   def bruteForceKnn(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k=$k must be >= 1")
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val rows = emb.select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Array[Float])]
-    val side = spark.sparkContext.broadcast(
-      rows.collect().map { case (id, v) => (id, v, math.sqrt(dotf(v, v))) })
-    rows.mapPartitions { it =>
-      val bs = side.value
-      it.flatMap { case (id, v) =>
-        val na = math.sqrt(dotf(v, v))
-        // bounded insertion buffer: (cos desc, nn_id asc)
-        val top = new Array[(Double, Long)](k)
-        var used = 0
-        bs.foreach { case (nid, nv, nb) =>
-          if (nid != id && na != 0.0 && nb != 0.0) { // zero-norm: no cosine
-            val c = dotf(v, nv) / (na * nb)
-            if (used < k || c > top(used - 1)._1 ||
-                (c == top(used - 1)._1 && nid < top(used - 1)._2)) {
-              var j = math.min(used, k - 1)
-              while (j > 0 && (top(j - 1)._1 < c ||
-                     (top(j - 1)._1 == c && top(j - 1)._2 > nid))) {
-                top(j) = top(j - 1); j -= 1
-              }
-              top(j) = (c, nid)
-              if (used < k) used += 1
-            }
-          }
-        }
-        (0 until used).map(r => (id, top(r)._2, top(r)._1, r + 1))
-      }
-    }.toDF("vec_id", "nn_id", "cos", "rn")
+    // Fully relational exact scan: non-equi self-join → codegen'd
+    // guarded cosine → bounded TopK partial agg. No driver collect and
+    // no assumption that either side fits anywhere whole: at small N
+    // the planner picks BroadcastNestedLoopJoin, at large N it degrades
+    // to the partition-pair CartesianProduct — still O(N²) compute
+    // (exactness is inherently quadratic; this is the ground-truth
+    // baseline, blockedKnn/IVFADC are the serving paths) but each task
+    // only ever holds one partition pair. TopKByScore reduces map-side
+    // to ≤k rows per query before the exchange.
+    import graft.functions.VectorFunctions.{dot, norm}
+    // norms precomputed once per SIDE, not once per pair — same fold,
+    // same doubles, 1/3 the flops of cosine-per-pair
+    val a = emb.select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("__va"),
+      norm(col(vecCol)).as("__na"))
+    val b = emb.select(col(idCol).cast("long").as("nn_id"), col(vecCol).as("__vb"),
+      norm(col(vecCol)).as("__nb"))
+    val topk = org.apache.spark.sql.functions.udaf(new graft.functions.TopKByScore(k))
+    a.join(b, col("vec_id") =!= col("nn_id"))
+      .withColumn("cos",
+        safeCos(dot(col("__va"), col("__vb")), col("__na"), col("__nb")))
+      .filter(col("cos").isNotNull) // zero-norm endpoints: no cosine
+      .groupBy(col("vec_id"))
+      .agg(topk(col("cos"), col("nn_id")).as("__nns"))
+      .select(col("vec_id"), posexplode(col("__nns")))
+      .select(col("vec_id"), col("col._2").as("nn_id"),
+        col("col._1").as("cos"), (col("pos") + 1).cast("int").as("rn"))
   }
 
   /** Sign-bit LSH buckets: (id, bucket). */
