@@ -305,6 +305,24 @@ class TextDedupSpec extends SparkSpec {
     assert(first == Set(1L, 3L, 4L)) // the policy actually differs
   }
 
+  test("crossCorpusNearDups and q142 plan at scale shape: no cartesian, broadcast feature join") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .withColumn("side", when($"doc_id" % 2 === 0, "trn").otherwise("evl"))
+    val crossPlan = Dedup.crossCorpusNearDups(docs, "text", "doc_id", "side",
+      "trn", "evl", ngram = 3, k = 8, bands = 4, minJaccard = 0.2)
+      .queryExecution.executedPlan.toString
+    // the candidate step must be the (band, bkey) equi-join — an
+    // accidental cross/NLJ would be the all-pairs blowup the LSH exists
+    // to avoid
+    assert(!crossPlan.contains("CartesianProduct"), crossPlan)
+    assert(!crossPlan.contains("BroadcastNestedLoopJoin"), crossPlan)
+    val dsirPlan = TextQueries.queries("q142_dsir_weight")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the O(B)-row feature table must broadcast onto the per-doc counts
+    assert(dsirPlan.contains("BroadcastHashJoin"), dsirPlan)
+    assert(!dsirPlan.contains("CartesianProduct"), dsirPlan)
+  }
+
   test("bpeTrain: greedy left-to-right merges, ties lexicographic, merged tokens merge further") {
     val J = ""
     def finalTokens(texts: Seq[String], rounds: Int): Map[Long, Seq[String]] = {
