@@ -297,6 +297,31 @@ object TextQueries extends QueryPack {
         .withColumn("n_merged", col("n_before") - col("n_after"))
     }),
 
+    // STREAMING curation: documents arrive as a file stream and are
+    // quality-gated ON INGEST — the filter-at-the-door form of q132's
+    // batch funnel, through the exactly-once landing machinery q77
+    // proves (within-batch + against-table dedup on doc_id, per-source
+    // atomic partition swaps, O(batch) writes). The landed table IS
+    // the curated corpus; the oracle applies the identical quantized
+    // gate to the raw table, so a green hash proves stream-curate ≡
+    // batch-filter row-for-row.
+    "q147_stream_curate" -> ((s, d) => {
+      import graft.streaming.EventPipelines
+      val wh = new graft.sources.Warehouse(graft.plans.EtlQueries.tmpWarehouse(), s)
+      val br = s.read.option("pathGlobFilter", "documents.parquet")
+      val stream = s.readStream.schema(br.parquet(d).schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      EventPipelines.ingestAvailableNow(stream, wh, "bl_3nf", "docs_curated",
+        keys = Seq("doc_id"), partCol = "source",
+        prep = Some(b => b
+          .withColumn("q6", floor(qualityScore(col("text"), EN) * 1e6).cast(LongType))
+          .filter(col("q6") >= 500000L)
+          .select(col("doc_id"), col("lang"), col("source"), col("q6"))))
+      wh.readPartitioned("bl_3nf", "docs_curated", "source")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("q6")).as("sum_q6"))
+    }),
+
     // The full curation funnel — the composed pipeline a training
     // corpus actually ships through, with per-stage attrition
     // accounting per source: (1) absolute quality gate (quantized
@@ -616,6 +641,14 @@ object TextQueries extends QueryPack {
          |JOIN uc a ON a.tok = string_split(b.bigram, ' ')[1]
          |JOIN uc w ON w.tok = string_split(b.bigram, ' ')[2]
          |ORDER BY lift_ppm DESC, b.bigram LIMIT 50""".stripMargin,
+    "q147_stream_curate" ->
+      s"""WITH g AS (SELECT doc_id, source,
+         |  CAST(floor((least(1.0, CAST($nTokensSql AS DOUBLE) / 50.0)
+         |        * (1.0 - $stopRatioSql)) * 1000000.0) AS BIGINT) AS q6
+         |  FROM documents)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(q6) AS BIGINT) AS sum_q6
+         |FROM g WHERE q6 >= 500000 GROUP BY source""".stripMargin,
     "q146_bpe_train" ->
       s"""WITH s0 AS (SELECT doc_id, ' ' || replace(text, ' ', '  ') || ' ' AS st
          |            FROM documents),
