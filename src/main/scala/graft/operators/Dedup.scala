@@ -332,9 +332,20 @@ object Dedup {
     * whichever copy happened to crawl first. Same shuffle shape as
     * [[keepOnePerCluster]]: the argmax is max(struct(score, −id)), an
     * associative partial agg — no per-cluster window.
+    *
+    * Contract: `idCol` must be NUMERIC (the argmax negates it for the
+    * tie-break; validated here so misuse fails with a clear message,
+    * not an opaque analysis error). A NULL `score` orders below every
+    * non-null score in struct comparison, so null-scored copies lose to
+    * any scored copy; a cluster whose scores are ALL null falls through
+    * to the min-id tie-break — i.e. NULL means "no quality opinion",
+    * never "best".
     */
   def keepBestPerCluster(docs: DataFrame, pairs: DataFrame, idCol: String,
                          score: Column): DataFrame = {
+    require(docs.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"keepBestPerCluster: id column '$idCol' must be numeric for the " +
+        s"negated-id tie-break, got ${docs.schema(idCol).dataType.simpleString}")
     val cc = connectedComponents(pairs, docs.select(col(idCol)), idCol)
     val scored = docs.select(col(idCol), score.as("__q")).join(cc, Seq(idCol))
     val keepers = scored.groupBy(col("cluster_id"))

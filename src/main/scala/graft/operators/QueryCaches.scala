@@ -4,7 +4,9 @@ import org.apache.spark.sql.SparkSession
 
 /** Bounded compute-once registry shared by the query packs' train-once
   * caches (similarity models, verified near-dup pairs). One entry per
-  * (session, corpus dir); entries are EVICTED when their session's
+  * (session, corpus dir + content fingerprint) — the fingerprint (file
+  * names/sizes/mtimes) makes an in-session corpus rewrite a cache miss,
+  * not stale data; entries are EVICTED when their session's
   * context stops (an ApplicationEnd listener registered on first use,
   * plus a dead-context sweep on every access as belt-and-braces) — a
   * long-lived JVM cycling sessions never pins dead sessions'
@@ -44,6 +46,28 @@ private[operators] object QueryCaches {
   private val hooked = java.util.Collections.newSetFromMap(
     new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean])
 
+  /** Cheap content fingerprint of a corpus directory: recursive
+    * (path, size, mtime) fold over the FS listing — no data read. Folded
+    * into the cache key so a rewritten corpus (e.g. testdata
+    * regeneration within one session) misses the cache instead of
+    * silently serving results trained on the old bytes. A missing dir
+    * fingerprints as 0 (the training itself will surface the error).
+    */
+  private def fingerprint(s: SparkSession, d: String): Long =
+    try {
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
+      var h = 1125899906842597L
+      while (it.hasNext) {
+        val f = it.next()
+        h = h * 31 + f.getPath.getName.hashCode
+        h = h * 31 + f.getLen
+        h = h * 31 + f.getModificationTime
+      }
+      h
+    } catch { case _: java.io.IOException => 0L }
+
   def cached[V](cache: Cache[V], s: SparkSession, d: String)(train: => V): V = {
     if (hooked.add(s))
       s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
@@ -54,6 +78,6 @@ private[operators] object QueryCaches {
         }
       })
     registry.forEach(_.keySet.removeIf(k => k._1.sparkContext.isStopped))
-    cache.computeIfAbsent((s, d), _ => train)
+    cache.computeIfAbsent((s, s"$d@${fingerprint(s, d)}"), _ => train)
   }
 }

@@ -77,8 +77,16 @@ object Relational {
     * Requires the sort key to be UNIQUE per row (makes row_number ≡
     * dense_rank ≡ rank); ordinal values depend only on the total order,
     * not on the sampled range bounds, so the result is deterministic.
+    * Duplicate sort keys would make the ordinals among the tied rows
+    * depend on range-partition sampling — misuse the caller must rule
+    * out, not a case this operator silently resolves. `idCol` must not
+    * already exist in the schema (validated — a duplicate-name column
+    * would poison every downstream reference).
     */
   def orderedRanks(df: DataFrame, sortExprs: Seq[Column], idCol: String): DataFrame = {
+    require(!df.columns.exists(_.equalsIgnoreCase(idCol)),
+      s"orderedRanks: output column '$idCol' already exists in the input schema " +
+        s"(${df.columns.mkString(", ")})")
     val spark = df.sparkSession
     val sorted = df.repartitionByRange(sortExprs: _*).sortWithinPartitions(sortExprs: _*)
     val schema = org.apache.spark.sql.types.StructType(

@@ -249,21 +249,31 @@ object SimilarityQueries extends QueryPack {
       // cluster overlaps their stages instead of draining 9 schedules
       // end-to-end. Future.sequence preserves tuple order, so the
       // output relation (and its hash) is identical to the serial run.
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val measured = Future.sequence(
-        for { (name, fn) <- scorers; p <- NPROBES } yield Future {
-          val served = fn(p).select(col("vec_id"), col("nn_id"))
-          val r = exact
-            .join(served.withColumn("hit", lit(1)), Seq("vec_id", "nn_id"), "left")
-            .agg(count(lit(1)).as("n"), sum(coalesce(col("hit"), lit(0))).as("o"))
-            .head()
-          val (n, o) = (r.getLong(0), r.getLong(1))
-          (name, p, n, o, if (n == 0) 0L else math.floor(10000.0 * o / n).toLong)
-        })
-      Await.result(measured, Duration.Inf)
-        .toDF("scorer", "nprobe", "n_exact_pairs", "n_overlap_pairs", "recall_bps")
+      // Dedicated executor sized to the job count (each future BLOCKS
+      // on a Spark action — the shared fork-join pool would starve on
+      // low-core machines), and a bounded wait so a wedged job fails
+      // loudly instead of hanging the query forever.
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration._
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        scorers.size * NPROBES.size)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      try {
+        val measured = Future.sequence(
+          for { (name, fn) <- scorers; p <- NPROBES } yield Future {
+            val served = fn(p).select(col("vec_id"), col("nn_id"))
+            val r = scala.concurrent.blocking {
+              exact
+                .join(served.withColumn("hit", lit(1)), Seq("vec_id", "nn_id"), "left")
+                .agg(count(lit(1)).as("n"), sum(coalesce(col("hit"), lit(0))).as("o"))
+                .head()
+            }
+            val (n, o) = (r.getLong(0), r.getLong(1))
+            (name, p, n, o, if (n == 0) 0L else math.floor(10000.0 * o / n).toLong)
+          })
+        Await.result(measured, 30.minutes)
+          .toDF("scorer", "nprobe", "n_exact_pairs", "n_overlap_pairs", "recall_bps")
+      } finally pool.shutdown()
     }),
 
     // MEASURED recall of the trained IVF index against the exact

@@ -40,13 +40,19 @@ object EventPipelines {
     * schema-adaptive: a file stream needs an explicit schema, so probe
     * the footer with a driver-side batch read (no data scan) and apply
     * [[withUtcTs]]. Hardcoding the nanos-long form silently lands every
-    * row in 1970 when the writer upgrades to TIMESTAMP(MICROS).
+    * row in 1970 when the writer upgrades to TIMESTAMP(MICROS). An
+    * empty / not-yet-populated directory has no footer to probe — fall
+    * back to `schemaIfEmpty` (default [[rawSchema]]) so a stream can
+    * start before the first file lands, matching the file source's own
+    * semantics of picking up files as they appear.
     */
   def readEventStream(spark: SparkSession, dir: String,
-                      globFilter: Option[String] = None): DataFrame = {
+                      globFilter: Option[String] = None,
+                      schemaIfEmpty: StructType = rawSchema): DataFrame = {
     val br = spark.read
-    val schema = globFilter.fold(br)(g => br.option("pathGlobFilter", g))
-      .parquet(dir).schema
+    val schema = scala.util.Try(
+      globFilter.fold(br)(g => br.option("pathGlobFilter", g))
+        .parquet(dir).schema).getOrElse(schemaIfEmpty)
     val sr = spark.readStream.schema(schema)
     withUtcTs(globFilter.fold(sr)(g => sr.option("pathGlobFilter", g))
       .parquet(dir))
