@@ -79,6 +79,38 @@ object Curation {
             x => x.getField("chunk"))).as("clean_text"))
   }
 
+  /** Global-frequency chunk removal (the C4 "repeated line" rule,
+    * reference-free extension — C4 drops every line occurring ≥ 3
+    * times ANYWHERE in the corpus, including the first copy; contrast
+    * [[firstOccurrenceChunks]], which keeps first copies): split each
+    * document into `n`-token chunks, count corpus-wide occurrences per
+    * chunk hash, drop all copies of any chunk with count > `maxFreq`,
+    * reassemble. One explode + one partial-agg count + one shuffle
+    * hash join keyed by the CONTENT hash — frequency state shards by
+    * content across the cluster, nothing concentrates — + one per-doc
+    * group-by. Returns (idCol, n_chunks, n_removed, clean_text);
+    * clean_text is '' when every chunk was boilerplate.
+    */
+  def removeFrequentChunks(docs: DataFrame, textCol: String, idCol: String,
+                           n: Int, maxFreq: Long): DataFrame = {
+    val toks = docs.select(col(idCol), split(col(textCol), " ").as("__ts"))
+    val chunks = toks
+      .select(col(idCol), posexplode(chunksOfTokens(col("__ts"), n)))
+      .withColumnRenamed("col", "chunk")
+      .withColumn("__h", md5(col("chunk")))
+    val freq = chunks.groupBy(col("__h")).agg(count(lit(1)).as("__c"))
+    chunks.join(freq, Seq("__h"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("__c") > maxFreq, 1L).otherwise(0L)).as("n_removed"),
+        concat_ws(" ",
+          transform(
+            array_sort(collect_list(
+              when(col("__c") <= maxFreq, struct(col("pos"), col("chunk"))))),
+            x => x.getField("chunk"))).as("clean_text"))
+  }
+
   /** Deterministic uniform in [0, 65536): the first four md5 nibbles of
     * salt‖id. Stable across runs, engines, cluster sizes and data
     * order — the reproducible replacement for `rand()` in sampling.

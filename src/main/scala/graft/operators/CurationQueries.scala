@@ -149,10 +149,80 @@ object CurationQueries extends QueryPack {
         .select(col("source"), col("n_docs"), col("quota"), col("rate_u16"),
           coalesce(col("n_selected"), lit(0L)).as("n_selected"),
           coalesce(col("sum_selected_ids"), lit(0L)).as("sum_selected_ids"))
+    }),
+
+    // Corpus-wide boilerplate removal (the C4 repeated-line rule):
+    // drop EVERY copy of any 3-token chunk occurring ≥ 3 times in the
+    // corpus — including the first, which is what separates this from
+    // q88's first-occurrence keep (navigation chrome / license headers
+    // are noise in all their copies). Frequency state shards by content
+    // hash; see Curation.removeFrequentChunks for the shape.
+    "q148_chunk_freq_dedup" -> ((s, d) =>
+      removeFrequentChunks(Tables.documents(s, d), "text", "doc_id",
+        n = 3, maxFreq = 2)),
+
+    // Per-source document cap (the C4/CCNet per-domain cap): keep at
+    // most 15 docs per source, chosen by the salted md5 uniform (a
+    // deterministic random sample, not crawl order — crawl order
+    // over-weights whatever the frontier hit first). One window
+    // PARTITIONED by source — state shards per source; a skewed
+    // mega-source is the known caveat and the sampled u16 order means
+    // the cap could also be applied as a threshold filter like q127
+    // when a source is too hot for one partition.
+    "q149_source_cap" -> ((s, d) => {
+      val w = Window.partitionBy(col("source")).orderBy(col("u16"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          hashU16(col("doc_id"), CapSalt).as("u16"))
+        .withColumn("rk", row_number().over(w).cast("int"))
+        .where(col("rk") <= 15)
+    }),
+
+    // Deterministic MLM-style corruption (the BERT 15% masking pass,
+    // reproducible to the byte): token (doc, pos) is masked iff the
+    // salted md5 uniform of 'doc_id:pos' < 9830 (15% of 2^16). Pure
+    // per-row projection — transform over the staged token array, ZERO
+    // shuffle, scan-speed at 100 TB; same salt ⇒ same masks on every
+    // run, engine, and cluster size (rand() gives none of that).
+    "q150_mlm_mask" -> ((s, d) => {
+      val masked = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .select(col("doc_id"), size(col("ts")).as("n_tokens"),
+          transform(col("ts"), (t, i) =>
+            when(hashU16(concat(col("doc_id").cast("string"), lit(":"),
+              i.cast("string")), MaskSalt) < 9830, lit("<MASK>"))
+              .otherwise(t)).as("mt"))
+      masked.select(col("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        size(filter(col("mt"), t => t === "<MASK>")).cast("long").as("n_masked"),
+        concat_ws(" ", col("mt")).as("masked_text"))
+    }),
+
+    // Blocklist filtering (the C4 badword rule) as a per-source audit:
+    // flag docs whose token set intersects the blocklist, report
+    // count + id-sum (pins the flagged SET) + bps rate per source.
+    // Membership against a literal array — scan-speed, no shuffle
+    // before the per-source rollup; two of the three listed words are
+    // absent from the corpus, proving absent-term handling.
+    "q151_blocklist" -> ((s, d) => {
+      val bad = array(Blocklist.map(lit): _*)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          arrays_overlap(split(col("text"), " "), bad).as("flagged"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"),
+          coalesce(sum(when(col("flagged"), col("doc_id"))), lit(0L))
+            .as("sum_flagged_ids"))
+        .withColumn("flagged_bps",
+          floor(lit(10000.0) * col("n_flagged") / col("n_docs")).cast("long"))
     })
   )
 
   private val MixSalt = "mix1-"
+  private val CapSalt = "cap1-"
+  private val MaskSalt = "mask1-"
+  private val Blocklist = Seq("dup", "nsfw", "badword")
 
   private val rawSql =
     """text
@@ -167,6 +237,13 @@ object CurationQueries extends QueryPack {
   private def u16SqlWith(salt: String): String = {
     def nib(i: Int) =
       s"strpos('123456789abcdef', substr(md5('$salt' || CAST(d.doc_id AS VARCHAR)), $i, 1))"
+    s"CAST(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)} AS INT)"
+  }
+
+  /** hashU16's oracle twin over an arbitrary VARCHAR key expression. */
+  private def u16KeySql(salt: String, keySql: String): String = {
+    def nib(i: Int) =
+      s"strpos('123456789abcdef', substr(md5('$salt' || ($keySql)), $i, 1))"
     s"CAST(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)} AS INT)"
   }
 
@@ -267,6 +344,51 @@ object CurationQueries extends QueryPack {
            CAST(quota AS BIGINT) AS quota, CAST(rate_u16 AS BIGINT) AS rate_u16,
            COALESCE(n_selected, 0) AS n_selected,
            COALESCE(sum_selected_ids, 0) AS sum_selected_ids
-         FROM r LEFT JOIN sel USING (source)"""
+         FROM r LEFT JOIN sel USING (source)""",
+    "q148_chunk_freq_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         raw AS (SELECT doc_id,
+                   unnest(generate_series(0, CAST(ceil(len(ts) / 3.0) AS INT) - 1)) AS pos,
+                   unnest(list_transform(generate_series(0, CAST(ceil(len(ts) / 3.0) AS INT) - 1),
+                          i -> array_to_string(ts[(i*3+1):(i*3+3)], ' '))) AS chunk
+                 FROM toks),
+         f AS (SELECT md5(chunk) AS h, count(*) AS c FROM raw GROUP BY 1)
+         SELECT doc_id, count(*) AS n_chunks,
+           CAST(count(*) FILTER (WHERE c > 2) AS BIGINT) AS n_removed,
+           COALESCE(string_agg(chunk, ' ' ORDER BY pos) FILTER (WHERE c <= 2), '')
+             AS clean_text
+         FROM raw JOIN f ON md5(raw.chunk) = f.h
+         GROUP BY doc_id""",
+    "q149_source_cap" ->
+      s"""SELECT doc_id, source, u16, rk FROM (
+           SELECT d.doc_id, d.source, ${u16SqlWith(CapSalt)} AS u16,
+             CAST(row_number() OVER (PARTITION BY d.source
+                  ORDER BY ${u16SqlWith(CapSalt)}, d.doc_id) AS INT) AS rk
+           FROM documents d)
+         WHERE rk <= 15""",
+    "q150_mlm_mask" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         m AS (SELECT doc_id, len(ts) AS n_tokens,
+                 list_transform(generate_series(1, len(ts)), i ->
+                   CASE WHEN ${u16KeySql(MaskSalt,
+                     "CAST(doc_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)")} < 9830
+                        THEN '<MASK>' ELSE ts[i] END) AS mt
+               FROM toks)
+         SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(mt, x -> x = '<MASK>')) AS BIGINT) AS n_masked,
+           array_to_string(mt, ' ') AS masked_text
+         FROM m""",
+    "q151_blocklist" ->
+      s"""WITH f AS (SELECT doc_id, source,
+             len(list_intersect(string_split(text, ' '),
+                 [${Blocklist.map(w => s"'$w'").mkString(", ")}])) > 0 AS flagged
+           FROM documents)
+         SELECT source, count(*) AS n_docs,
+           CAST(count(*) FILTER (WHERE flagged) AS BIGINT) AS n_flagged,
+           COALESCE(CAST(SUM(doc_id) FILTER (WHERE flagged) AS BIGINT), 0)
+             AS sum_flagged_ids,
+           CAST(floor(10000.0 * (count(*) FILTER (WHERE flagged)) / count(*)) AS BIGINT)
+             AS flagged_bps
+         FROM f GROUP BY 1"""
   )
 }

@@ -51,6 +51,38 @@ class CurationSpec extends SparkSpec {
     assert(kept == Map(1L -> ((2L, "a b c d")), 2L -> ((1L, "x y"))))
   }
 
+  test("removeFrequentChunks drops ALL copies of a hot chunk, first included") {
+    // chunk "a b" appears 3× (docs 1, 2, 3) → every copy goes, incl.
+    // doc 1's first occurrence (the C4 rule; firstOccurrenceChunks
+    // would keep it). "c d" (2×) and "x y" (1×) stay put.
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a b x y"),
+      (3L, "a b c d")
+    ).toDF("doc_id", "text")
+    val out = removeFrequentChunks(docs, "text", "doc_id", n = 2, maxFreq = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out == Map(
+      1L -> ((2L, 1L, "c d")),
+      2L -> ((2L, 1L, "x y")),
+      3L -> ((2L, 1L, "c d"))))
+    // tighten the threshold: "c d" (2 copies) now falls too; doc 2
+    // keeps its unique tail, docs 1/3 reassemble to empty — not absent
+    val strict = removeFrequentChunks(docs, "text", "doc_id", n = 2, maxFreq = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(strict == Map(1L -> "", 2L -> "x y", 3L -> ""))
+  }
+
+  test("removeFrequentChunks ordering: surviving chunks reassemble in position order") {
+    val docs = Seq((7L, "u v w x y z"), (8L, "w x q r")).toDF("doc_id", "text")
+    // 2-token chunks: doc 7 = [u v][w x][y z], doc 8 = [w x][q r];
+    // "w x" occurs twice → removed at maxFreq=1; survivors keep order.
+    val out = removeFrequentChunks(docs, "text", "doc_id", 2, 1)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out == Map(7L -> "u v y z", 8L -> "q r"))
+  }
+
   test("hashU16 is deterministic, in range, and salt-sensitive") {
     val ids = spark.range(0, 2000).toDF("id")
     val a = ids.select(hashU16($"id", "s1-").as("u")).as[Int].collect()
