@@ -242,6 +242,37 @@ object DedupQueries extends QueryPack {
         .where(col("dist") <= 2)
         .select(col("name_a"), col("name_b"), col("dist"),
           col("rep_a"), col("rep_b"), col("n_a"), col("n_b"))
+    }),
+
+    // LSH band-sensitivity curve: the MEASURED precision/recall
+    // trade-off of the banding knob — for each (bands, rows-per-band)
+    // config over the same k=8 signatures, the candidate-pair volume
+    // (the cost axis: every candidate is an exact-Jaccard verification)
+    // and the recall against the exact >= 0.2 all-pairs truth (q45's
+    // relation, recomputed from the shared shingle cache). More bands ⇒
+    // an S-curve shifted left ⇒ higher recall AND more candidates; this
+    // query is how a deployment picks the operating point before
+    // committing a 100 TB pass. All counts integral, recall floored to
+    // bps — hash-exact across engines.
+    "q152_lsh_curve" -> ((s, d) => {
+      val sh = shingles(s, d)
+      val sigs = Dedup.minhashSignatures(sh, "doc_id", K)
+      val truth = Dedup.jaccardPairs(sh, "doc_id", MIN_JACCARD)
+        .select(col("id_1"), col("id_2"))
+      Seq(2, 4, 8).map { b =>
+        val cand = Dedup.lshCandidatePairs(sigs, "doc_id", b, K / b)
+        val hits = truth
+          .join(cand.withColumn("hit", lit(1)), Seq("id_1", "id_2"), "left")
+          .agg(count(lit(1)).as("n_true_pairs"),
+            sum(coalesce(col("hit"), lit(0))).as("n_detected"))
+        hits.crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+          .select(
+            lit(b).as("bands"), lit(K / b).as("rows_per_band"),
+            col("n_candidates"), col("n_true_pairs"), col("n_detected"),
+            when(col("n_true_pairs") === 0, 0L)
+              .otherwise(floor(lit(10000.0) * col("n_detected") / col("n_true_pairs"))
+                .cast("long")).as("recall_bps"))
+      }.reduce(_ union _)
     })
   )
 
@@ -274,11 +305,16 @@ object DedupQueries extends QueryPack {
   private val minhashCols =
     (0 until K).map(i => s"min(md5('$i|' || shingle)) AS mh$i").mkString(", ")
 
-  private val bandUnion = (0 until BANDS).map { b =>
-    val r = K / BANDS
+  /** Band relation for an arbitrary band count over the k=8 minhash
+    * columns (rows per band = K / bands).
+    */
+  private def bandUnionFor(bands: Int): String = (0 until bands).map { b =>
+    val r = K / bands
     val key = (0 until r).map(j => s"mh${b * r + j}").mkString(" || '|' || ")
     s"SELECT doc_id, $b AS band, md5($key) AS bkey FROM mh"
   }.mkString(" UNION ALL ")
+
+  private val bandUnion = bandUnionFor(BANDS)
 
   /** SimHash bit-sum columns s0..s15 from md5 nibbles of each token. */
   private val simhashSums = (0 until 16).map { j =>
@@ -554,6 +590,31 @@ object DedupQueries extends QueryPack {
        SELECT a.doc_id AS id_1, b.doc_id AS id_2,
               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
        FROM simh a JOIN simh b ON a.doc_id < b.doc_id
-       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+    "q152_lsh_curve" -> {
+      val configs = Seq(2, 4, 8)
+      val perConfig = configs.map { b =>
+        s"""bands$b AS (${bandUnionFor(b)}),
+           cand$b AS (SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+                      FROM bands$b a JOIN bands$b b
+                        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)"""
+      }.mkString(",\n         ")
+      val rows = configs.map { b =>
+        s"""SELECT $b AS bands, ${K / b} AS rows_per_band,
+             (SELECT count(*) FROM cand$b) AS n_candidates,
+             (SELECT count(*) FROM truth) AS n_true_pairs,
+             (SELECT count(*) FROM truth t JOIN cand$b c
+                ON t.id_1 = c.id_1 AND t.id_2 = c.id_2) AS n_detected"""
+      }.mkString(" UNION ALL ")
+      s"""WITH $shinglesCte,
+         mh AS (SELECT doc_id, $minhashCols FROM sh GROUP BY doc_id),
+         truth AS (SELECT id_1, id_2 FROM ($jaccardSelect)),
+         $perConfig
+       SELECT bands, rows_per_band, n_candidates, n_true_pairs, n_detected,
+         CASE WHEN n_true_pairs = 0 THEN 0
+              ELSE CAST(floor(10000.0 * n_detected / n_true_pairs) AS BIGINT)
+         END AS recall_bps
+       FROM ($rows)"""
+    }
   )
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`array<float>`).
@@ -394,6 +394,50 @@ object Similarity {
     */
   def pqCodes(pq: PqModel, idCol: String): DataFrame =
     pq.parts.map(_._1).reduce(_.join(_, Seq(idCol)))
+
+  /** SQ8 scalar quantization (the FAISS `SQ8` codec — one byte per
+    * dimension, 4× smaller than float32): per-dimension corpus min/max
+    * learned in one explode + 64-row agg, folded to a ONE-ROW array
+    * relation and broadcast; each vector then quantizes to
+    * code_i = clamp(floor((x_i − mn_i) / (mx_i − mn_i) · 256), 0, 255)
+    * and reconstructs at the cell midpoint
+    * x̂_i = mn_i + (code_i + 0.5) · (mx_i − mn_i) / 256, cast to float.
+    * Zero-variance dims code as 0 and reconstruct to the constant.
+    * Returns (idCol, codes array<int>, recon array<float>) — a pure
+    * projection against a 1-row broadcast, scan-speed at any corpus
+    * size; serving is [[bruteForceKnn]] (or any ANN kernel) over
+    * `recon`, trading exactly the quantization error SQ8 trades.
+    * All arithmetic is IEEE-double with fixed association, so codes
+    * AND reconstructions are bit-identical cross-engine.
+    */
+  def sq8Quantize(emb: DataFrame, idCol: String, vecCol: String,
+                  dim: Int): DataFrame = {
+    val stats = emb
+      .select(posexplode(col(vecCol)).as(Seq("p", "x")))
+      .groupBy(col("p"))
+      .agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+    val statsRow = stats.agg(
+      transform(array_sort(collect_list(struct(col("p"), col("mn")))),
+        z => z.getField("mn")).as("mns"),
+      transform(array_sort(collect_list(struct(col("p"), col("mx")))),
+        z => z.getField("mx")).as("mxs"))
+    def mn(i: Column) = element_at(col("mns"), i)
+    def mx(i: Column) = element_at(col("mxs"), i)
+    def code(i: Column) = {
+      val x = element_at(col(vecCol), i).cast("double")
+      when(mx(i) > mn(i),
+        least(greatest(floor((x - mn(i)) / (mx(i) - mn(i)) * lit(256.0)),
+          lit(0.0)), lit(255.0))).otherwise(lit(0.0)).cast("int")
+    }
+    emb.crossJoin(broadcast(statsRow))
+      .select(col(idCol),
+        transform(sequence(lit(1), lit(dim)), i => code(i)).as("codes"),
+        transform(sequence(lit(1), lit(dim)), i =>
+          when(mx(i) > mn(i),
+            mn(i) + (code(i).cast("double") + lit(0.5)) * (mx(i) - mn(i)) / lit(256.0))
+            .otherwise(mn(i)).cast("float")).as("recon"))
+  }
 
   /** A trained PQ model: per-subspace code relations
     * (idCol, code_i, cos_i) plus the COLLECTED m·k-row codebooks

@@ -103,6 +103,20 @@ object SimilarityQueries extends QueryPack {
     "q59_blocked_knn" -> ((s, d) =>
       Similarity.blockedKnn(Tables.embeddings(s, d), "vec_id", "embedding", BITS, 3)),
 
+    // SQ8 scalar-quantized serving (the third compression family next
+    // to PQ q104/q118 and residual-PQ q124): one byte per dimension
+    // learned from per-dim corpus min/max, vectors reconstructed at
+    // cell midpoints, top-3 served over the reconstructions through
+    // the same bounded-TopK exact kernel. 4× memory reduction for
+    // near-lossless recall at 8 bits/dim — the codec a serving tier
+    // reaches for before PQ's 32×; quantization is a scan-speed
+    // projection against a 1-row broadcast (Similarity.sq8Quantize).
+    "q153_sq8_knn" -> ((s, d) => {
+      val recon = Similarity.sq8Quantize(Tables.embeddings(s, d),
+        "vec_id", "embedding", dim = 64).select(col("vec_id"), col("recon"))
+      Similarity.bruteForceKnn(recon, "vec_id", "recon", 3)
+    }),
+
     // Quantizer training: one deterministic Lloyd step (seed on the 8
     // smallest ids, decimal-exact centroid sums, cosine re-assignment) —
     // how ivfKnn's cells are learned rather than given.
@@ -1056,6 +1070,31 @@ object SimilarityQueries extends QueryPack {
                        ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id) AS INT) AS rn
            FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
            WHERE ${cosSql("a.embedding", "b.embedding")} IS NOT NULL)
+         WHERE rn <= 3""",
+    // Mirrors Similarity.sq8Quantize: per-dim min/max, midpoint
+    // reconstruction cast to REAL, then q50's exact-KNN shape over the
+    // reconstructions.
+    "q153_sq8_knn" ->
+      s"""WITH st AS (SELECT i, min(CAST(e.embedding[i] AS DOUBLE)) AS mn,
+                        max(CAST(e.embedding[i] AS DOUBLE)) AS mx
+                      FROM embeddings e, generate_series(1, 64) t(i) GROUP BY 1),
+         sa AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM st),
+         rec AS (SELECT e.vec_id,
+                   list_transform(generate_series(1, 64), i ->
+                     CAST(CASE WHEN mxs[i] > mns[i]
+                          THEN mns[i] + (least(greatest(floor(
+                                 (CAST(e.embedding[i] AS DOUBLE) - mns[i])
+                                   / (mxs[i] - mns[i]) * 256.0), 0.0), 255.0) + 0.5)
+                               * (mxs[i] - mns[i]) / 256.0
+                          ELSE mns[i] END AS REAL)) AS recon
+                 FROM embeddings e CROSS JOIN sa)
+         SELECT vec_id, nn_id, cos, rn FROM (
+           SELECT a.vec_id, b.vec_id AS nn_id,
+                  ${cosSql("a.recon", "b.recon")} AS cos,
+                  CAST(row_number() OVER (PARTITION BY a.vec_id
+                       ORDER BY ${cosSql("a.recon", "b.recon")} DESC, b.vec_id) AS INT) AS rn
+           FROM rec a JOIN rec b ON a.vec_id != b.vec_id
+           WHERE ${cosSql("a.recon", "b.recon")} IS NOT NULL)
          WHERE rn <= 3""",
     "q51_ann_lsh" ->
       s"""WITH bk AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings)

@@ -408,4 +408,47 @@ class VectorSpec extends SparkSpec {
       .as[(Int, Long, Long, Long)].collect().sortBy(_._1)
     assert(got.toSeq == Seq((1, 4L, 1L, 3L), (2, 1L, 0L, 1L)))
   }
+
+  test("sq8Quantize: codes bounded, extremes hit 0/255, midpoint recon inside the cell") {
+    import graft.operators.Similarity
+    val emb = Seq(
+      (1L, Array(0f, -2f, 5f)),   // per-dim mins on dims 1-2, max on 3
+      (2L, Array(4f, 2f, 5f)),    // per-dim maxes on 1-2; dim 3 constant
+      (3L, Array(1f, 0f, 5f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.sq8Quantize(emb, "vec_id", "embedding", dim = 3)
+      .as[(Long, Seq[Int], Seq[Float])].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // mins code to 0, maxes clamp to 255; the constant dim codes 0
+    assert(out(1L)._1 == Seq(0, 0, 0))
+    assert(out(2L)._1 == Seq(255, 255, 0))
+    // interior point: (1-0)/(4-0)*256 = 64; (0-(-2))/4*256 = 128
+    assert(out(3L)._1 == Seq(64, 128, 0))
+    // midpoint reconstruction stays inside its cell and the value range
+    val (codes, recon) = out(3L)
+    assert(recon(0) == ((64 + 0.5) * 4.0 / 256.0).toFloat)
+    assert(recon(2) == 5f)                        // constant dim reconstructs exactly
+    assert(codes.forall(c => c >= 0 && c <= 255))
+    // quantize→reconstruct is near-lossless at 8 bits: recon within one
+    // cell width of the original everywhere
+    val orig = Map(1L -> Array(0f, -2f, 5f), 2L -> Array(4f, 2f, 5f), 3L -> Array(1f, 0f, 5f))
+    for ((id, (_, r)) <- out; i <- r.indices)
+      assert(math.abs(r(i) - orig(id)(i)) <= 4.0 / 256.0 + 1e-6)
+  }
+
+  test("sq8 serving preserves exact-KNN ranking on well-separated vectors") {
+    import graft.operators.Similarity
+    val emb = Seq(
+      (1L, Array(1f, 0f, 0f, 0.01f)),
+      (2L, Array(0.95f, 0.3f, 0f, 0.02f)),
+      (3L, Array(0f, 1f, 0f, 0.03f)),
+      (4L, Array(0f, 0.9f, 0.4f, 0.04f))
+    ).toDF("vec_id", "embedding")
+    val recon = Similarity.sq8Quantize(emb, "vec_id", "embedding", dim = 4)
+      .select($"vec_id", $"recon")
+    val served = Similarity.bruteForceKnn(recon, "vec_id", "recon", 1)
+      .select($"vec_id", $"nn_id").as[(Long, Long)].collect().toMap
+    val exact = Similarity.bruteForceKnn(emb, "vec_id", "embedding", 1)
+      .select($"vec_id", $"nn_id").as[(Long, Long)].collect().toMap
+    assert(served == exact) // 8-bit quantization noise ≪ the separation
+  }
 }

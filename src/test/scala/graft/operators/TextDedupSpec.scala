@@ -363,4 +363,30 @@ class TextDedupSpec extends SparkSpec {
     assert(enMean > restMean,
       s"DSIR signal inverted: en $enMean vs rest $restMean")
   }
+
+  test("LSH banding: candidate sets nest as bands grow (the q152 curve is monotone)") {
+    // If a pair shares an r-row band key, each of those minhashes is
+    // equal individually, so the pair also collides under every finer
+    // banding — cand(2,4) ⊆ cand(4,2) ⊆ cand(8,1). This is the
+    // structural fact that makes the q152 recall curve monotone in
+    // bands (at monotone candidate cost).
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i k"),   // near-dup of 1
+      (3L, "a b c d e f x y z w"),   // weaker overlap
+      (4L, "p q r s t u v w x y"),   // unrelated
+      (5L, "p q r s t u v w x j")    // near-dup of 4
+    ).toDF("doc_id", "text")
+    val sh = Dedup.shingleTable(docs, "text", "doc_id", 3)
+    val sigs = Dedup.minhashSignatures(sh, "doc_id", 8)
+    def cands(b: Int): Set[(Long, Long)] =
+      Dedup.lshCandidatePairs(sigs, "doc_id", b, 8 / b)
+        .as[(Long, Long)].collect().toSet
+    val (c2, c4, c8) = (cands(2), cands(4), cands(8))
+    assert(c2.subsetOf(c4), s"cand(2) ⊄ cand(4): ${c2 -- c4}")
+    assert(c4.subsetOf(c8), s"cand(4) ⊄ cand(8): ${c4 -- c8}")
+    // single-row bands (b=8) collide on ANY shared minhash — the exact
+    // near-dups must be candidates there
+    assert(c8.contains((1L, 2L)) && c8.contains((4L, 5L)))
+  }
 }
