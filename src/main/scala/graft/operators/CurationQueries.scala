@@ -216,7 +216,50 @@ object CurationQueries extends QueryPack {
             .as("sum_flagged_ids"))
         .withColumn("flagged_bps",
           floor(lit(10000.0) * col("n_flagged") / col("n_docs")).cast("long"))
-    })
+    }),
+
+    // Deterministic epoch shuffle: the reproducible training data
+    // order — each epoch ranks the corpus by an epoch-salted md5
+    // uniform (doc_id tie-break), so every worker, run, and engine
+    // derives the SAME order for epoch e without a shared RNG state.
+    // Ranks come from Relational.orderedRanks (range-partition +
+    // distributed zipWithIndex), NOT a single-partition window — the
+    // global sort shards at 100 TB. Two epochs in one relation prove
+    // per-epoch independence.
+    "q154_epoch_shuffle" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Seq(1, 2).map { e =>
+        val keyed = docs.select(col("doc_id"),
+          hashU16(col("doc_id"), s"epoch$e-").as("u16"))
+        Relational.orderedRanks(keyed, Seq(col("u16"), col("doc_id")), "pos")
+          .select(lit(e).as("epoch"), col("doc_id"), col("u16"), col("pos"))
+      }.reduce(_ union _)
+    }),
+
+    // Gopher-style quality-rule bundle (Rae et al. 2021 §A1.1): the
+    // per-rule flag table a curation run publishes before ANDing into
+    // the final gate — token-count bounds, mean-word-length bounds,
+    // stopword presence. All integer arithmetic: mean word length is
+    // centi-chars via integer div (sum of token lengths = n_chars −
+    // (n_tokens − 1) for single-space text); bounds tightened to this
+    // corpus's observed [370, 530] range (Gopher's 3–10 chars would
+    // pass everything) so the rule discriminates. Scan-speed, zero
+    // shuffle.
+    "q156_gopher_rules" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          col("n_chars"),
+          arrays_overlap(split(col("text"), " "),
+            array(lit("the"), lit("a"))).as("has_stopword"))
+        .withColumn("mean_len_c2",
+          expr("(100 * (n_chars - n_tokens + 1)) div n_tokens"))
+        .withColumn("len_ok", col("n_tokens") >= 15 && col("n_tokens") <= 80)
+        .withColumn("word_ok",
+          col("mean_len_c2") >= 430 && col("mean_len_c2") <= 480)
+        .withColumn("pass",
+          col("len_ok") && col("word_ok") && col("has_stopword"))
+        .drop("n_chars"))
   )
 
   private val MixSalt = "mix1-"
@@ -389,6 +432,32 @@ object CurationQueries extends QueryPack {
              AS sum_flagged_ids,
            CAST(floor(10000.0 * (count(*) FILTER (WHERE flagged)) / count(*)) AS BIGINT)
              AS flagged_bps
-         FROM f GROUP BY 1"""
+         FROM f GROUP BY 1""",
+    "q154_epoch_shuffle" -> Seq(1, 2).map { e =>
+      val u16 = {
+        def nib(i: Int) =
+          s"strpos('123456789abcdef', substr(md5('epoch$e-' || CAST(d.doc_id AS VARCHAR)), $i, 1))"
+        s"CAST(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)} AS INT)"
+      }
+      s"""SELECT $e AS epoch, d.doc_id, $u16 AS u16,
+            row_number() OVER (ORDER BY $u16, d.doc_id) AS pos
+          FROM documents d"""
+    }.mkString(" UNION ALL "),
+    "q156_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, source,
+             len(string_split(text, ' ')) AS n_tokens, n_chars,
+             len(list_intersect(string_split(text, ' '), ['the', 'a'])) > 0
+               AS has_stopword
+           FROM documents),
+         r AS (SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+                 has_stopword,
+                 CAST((100 * (n_chars - n_tokens + 1)) // n_tokens AS BIGINT)
+                   AS mean_len_c2,
+                 n_tokens BETWEEN 15 AND 80 AS len_ok
+               FROM t)
+         SELECT doc_id, source, n_tokens, has_stopword, mean_len_c2, len_ok,
+           mean_len_c2 BETWEEN 430 AND 480 AS word_ok,
+           len_ok AND (mean_len_c2 BETWEEN 430 AND 480) AND has_stopword AS pass
+         FROM r"""
   )
 }

@@ -117,6 +117,48 @@ object SimilarityQueries extends QueryPack {
       Similarity.bruteForceKnn(recon, "vec_id", "recon", 3)
     }),
 
+    // Corpus cartography: pairwise cosine between SOURCE centroids in
+    // embedding space — the map view of inter-source redundancy that
+    // q128 draws in shingle space. Centroids use q129's 1e-6-grid
+    // integer means (order-independent exact sums, `div` truncation
+    // matching both engines); the pairwise stage runs over the
+    // |sources|-row proto relation, so the quadratic part is bounded
+    // by the source count, never the corpus. Integer dot/norms are
+    // exact; cos_q6 quantizes the one double step (IEEE sqrt + two
+    // divisions, association mirrored in the oracle).
+    "q155_source_map" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val emb = Tables.embeddings(s, d)
+      val qv = transform(col("embedding"),
+        x => floor(x.cast("double") * lit(1e6)).cast("long"))
+      val vecs = emb.join(docs, emb("vec_id") === docs("doc_id"))
+        .select(col("source"), qv.as("qv"))
+      val perDim = vecs
+        .select(col("source"), posexplode(col("qv")).as(Seq("pos", "q")))
+        .groupBy(col("source"), col("pos"))
+        .agg(sum(col("q")).as("sm"), count(lit(1)).as("n"))
+        .withColumn("mean_q", expr("sm div n"))
+      val protos = perDim.groupBy(col("source"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mean_q")))),
+          z => z.getField("mean_q")).as("proto"))
+      val a = protos.select(col("source").as("src_1"), col("proto").as("pa"))
+      val b = protos.select(col("source").as("src_2"), col("proto").as("pb"))
+      a.join(b, col("src_1") < col("src_2"))
+        .withColumn("dot", aggregate(
+          zip_with(col("pa"), col("pb"), (x, y) => x * y),
+          lit(0L), (acc, v) => acc + v))
+        .withColumn("n2_1", aggregate(transform(col("pa"), x => x * x),
+          lit(0L), (acc, v) => acc + v))
+        .withColumn("n2_2", aggregate(transform(col("pb"), x => x * x),
+          lit(0L), (acc, v) => acc + v))
+        .select(col("src_1"), col("src_2"), col("dot"), col("n2_1"), col("n2_2"),
+          when(col("n2_1") > 0 && col("n2_2") > 0,
+            floor(col("dot").cast("double")
+              / sqrt(col("n2_1").cast("double"))
+              / sqrt(col("n2_2").cast("double")) * lit(1e6)).cast("long"))
+            .as("cos_q6"))
+    }),
+
     // Quantizer training: one deterministic Lloyd step (seed on the 8
     // smallest ids, decimal-exact centroid sums, cosine re-assignment) —
     // how ivfKnn's cells are learned rather than given.
@@ -1040,6 +1082,37 @@ object SimilarityQueries extends QueryPack {
          |  WHERE $cos IS NOT NULL)
          |WHERE rn <= 3""".stripMargin
     },
+
+    // Mirrors q155_source_map: per-source 1e-6-grid integer centroids,
+    // bounded pairwise stage, quantized cosine with mirrored
+    // association.
+    "q155_source_map" ->
+      """WITH q AS (SELECT d2.source, e.vec_id, e.embedding
+                    FROM embeddings e JOIN documents d2 ON d2.doc_id = e.vec_id),
+         pd AS (SELECT source, i AS pos,
+                  CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+                       AS BIGINT)) AS BIGINT) AS sm,
+                  count(*) AS n
+                FROM q, generate_series(1, 64) t(i) GROUP BY 1, 2),
+         m AS (SELECT source, pos, sm // n AS mean_q FROM pd),
+         proto AS (SELECT source, list(mean_q ORDER BY pos) AS proto
+                   FROM m GROUP BY 1),
+         sc AS (SELECT a.source AS src_1, b.source AS src_2,
+                  list_reduce(list_transform(list_zip(a.proto, b.proto),
+                    x -> x[1] * x[2]), (p, q) -> p + q) AS dot,
+                  list_reduce(list_transform(a.proto, x -> x * x),
+                    (p, q) -> p + q) AS n2_1,
+                  list_reduce(list_transform(b.proto, x -> x * x),
+                    (p, q) -> p + q) AS n2_2
+                FROM proto a JOIN proto b ON a.source < b.source)
+         SELECT src_1, src_2, CAST(dot AS BIGINT) AS dot,
+           CAST(n2_1 AS BIGINT) AS n2_1, CAST(n2_2 AS BIGINT) AS n2_2,
+           CASE WHEN n2_1 > 0 AND n2_2 > 0
+                THEN CAST(floor(CAST(dot AS DOUBLE)
+                       / sqrt(CAST(n2_1 AS DOUBLE))
+                       / sqrt(CAST(n2_2 AS DOUBLE)) * 1000000.0) AS BIGINT)
+           END AS cos_q6
+         FROM sc""",
 
     // Mirrors Similarity.classMeanProbe: 1e-6-grid quantized vectors,
     // integer-mean prototypes (// truncates toward zero, same as
