@@ -273,6 +273,34 @@ object DedupQueries extends QueryPack {
               .otherwise(floor(lit(10000.0) * col("n_detected") / col("n_true_pairs"))
                 .cast("long")).as("recall_bps"))
       }.reduce(_ union _)
+    }),
+
+    // Incremental dedup-index maintenance (the q120 contract applied
+    // to TEXT dedup): new arrivals (the md5 10% slice) are checked
+    // against the EXISTING LSH index (new × indexed, via
+    // crossCorpusNearDups — sides split before the candidate join)
+    // and among THEMSELVES (new × new, the within-batch pass) — never
+    // indexed × indexed, which is the work an index rebuild would
+    // redo. Cost is O(new · collision density), not O(corpus²);
+    // `vs_index` labels which path found each verified pair. This is
+    // how a 100 TB corpus stays deduped under continuous ingest.
+    "q157_incremental_dedup" -> ((s, d) => {
+      import graft.functions.TextFunctions.hexNibble
+      val h = md5(col("doc_id").cast("string"))
+      val bucket = (hexNibble(substring(h, 1, 1)) * 16 +
+        hexNibble(substring(h, 2, 1))) % 10
+      val tagged = Tables.documents(s, d)
+        .withColumn("split", when(bucket < 9, "idx").otherwise("new"))
+      val vsIndex = Dedup.crossCorpusNearDups(tagged, "text", "doc_id",
+        "split", "new", "idx", ngram = 3, k = K, bands = BANDS,
+        minJaccard = MIN_JACCARD)
+        .select(col("new_id").as("id_1"), col("idx_id").as("id_2"),
+          col("jaccard"), lit(true).as("vs_index"))
+      val withinBatch = Dedup.minhashLshNearDups(
+        tagged.filter(col("split") === "new"), "text", "doc_id",
+        ngram = 3, k = K, bands = BANDS, minJaccard = MIN_JACCARD)
+        .withColumn("vs_index", lit(false))
+      vsIndex.union(withinBatch)
     })
   )
 
@@ -615,6 +643,41 @@ object DedupQueries extends QueryPack {
               ELSE CAST(floor(10000.0 * n_detected / n_true_pairs) AS BIGINT)
          END AS recall_bps
        FROM ($rows)"""
-    }
+    },
+    "q157_incremental_dedup" ->
+      s"""WITH $shinglesCte,
+         mh AS (SELECT doc_id, $minhashCols FROM sh GROUP BY doc_id),
+         bands AS ($bandUnion),
+         sp AS (SELECT doc_id,
+                  CASE WHEN (strpos('123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 16 +
+                             strpos('123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 10 < 9
+                       THEN 'idx' ELSE 'new' END AS split
+                FROM documents),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2, TRUE AS vs_index
+           FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+           JOIN sp sa ON sa.doc_id = a.doc_id
+           JOIN sp sb ON sb.doc_id = b.doc_id
+           WHERE sa.split = 'new' AND sb.split = 'idx'
+           UNION
+           SELECT DISTINCT a.doc_id, b.doc_id, FALSE
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+           JOIN sp sa ON sa.doc_id = a.doc_id
+           JOIN sp sb ON sb.doc_id = b.doc_id
+           WHERE sa.split = 'new' AND sb.split = 'new'),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT c.id_1, c.id_2, c.vs_index, count(*) AS inter
+                   FROM cand c
+                   JOIN sh a ON a.doc_id = c.id_1
+                   JOIN sh b ON b.doc_id = c.id_2 AND b.shingle = a.shingle
+                   GROUP BY 1, 2, 3)
+       SELECT id_1, id_2, jaccard, vs_index FROM (
+         SELECT i.id_1, i.id_2, i.vs_index,
+                CAST(i.inter AS DOUBLE) / CAST(s1.n + s2.n - i.inter AS DOUBLE) AS jaccard
+         FROM inter i
+         JOIN sizes s1 ON s1.doc_id = i.id_1
+         JOIN sizes s2 ON s2.doc_id = i.id_2)
+       WHERE jaccard >= $MIN_JACCARD"""
   )
 }

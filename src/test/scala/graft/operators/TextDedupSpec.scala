@@ -389,4 +389,34 @@ class TextDedupSpec extends SparkSpec {
     // near-dups must be candidates there
     assert(c8.contains((1L, 2L)) && c8.contains((4L, 5L)))
   }
+
+  test("incremental dedup (q157 shape) finds exactly the pairs a rebuild would add") {
+    // index = docs 1-4, new batch = docs 5-6. 5 ≈ 1 (cross), 6 ≈ 5
+    // (within-batch), 1 ≈ 2 (idx-internal — must NOT be re-found).
+    val docs = Seq(
+      (1L, "a b c d e f g h i j", "idx"),
+      (2L, "a b c d e f g h i k", "idx"),
+      (3L, "m n o p q r s t u v", "idx"),
+      (4L, "z y x w v u t s r q", "idx"),
+      (5L, "a b c d e f g h i l", "new"),
+      (6L, "a b c d e f g h j l", "new")
+    ).toDF("doc_id", "text", "split")
+    val cross = Dedup.crossCorpusNearDups(docs, "text", "doc_id", "split",
+      "new", "idx", ngram = 3, k = 8, bands = 4, minJaccard = 0.2)
+      .select($"new_id", $"idx_id").as[(Long, Long)].collect().toSet
+    val within = Dedup.minhashLshNearDups(docs.filter($"split" === "new"),
+      "text", "doc_id", ngram = 3, k = 8, bands = 4, minJaccard = 0.2)
+      .select($"id_1", $"id_2").as[(Long, Long)].collect().toSet
+    // the full-rebuild truth, restricted to pairs with a new endpoint
+    val full = Dedup.minhashLshNearDups(docs, "text", "doc_id",
+      ngram = 3, k = 8, bands = 4, minJaccard = 0.2)
+      .select($"id_1", $"id_2").as[(Long, Long)].collect().toSet
+    val newIds = Set(5L, 6L)
+    val fullNewTouching = full.filter(p => newIds(p._1) || newIds(p._2))
+    val incremental = cross.map { case (n, i) => (math.min(n, i), math.max(n, i)) } ++ within
+    assert(incremental == fullNewTouching,
+      s"incremental $incremental != rebuild-restricted $fullNewTouching")
+    // and the idx-internal pair the incremental pass SKIPS is real work saved
+    assert(full.contains((1L, 2L)) && !incremental.contains((1L, 2L)))
+  }
 }
