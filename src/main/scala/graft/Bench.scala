@@ -58,6 +58,28 @@ object Bench {
       case e: Throwable =>
         System.err.println(s"[bench] detail write failed (stdout line stands): ${e.getMessage}")
     }
+    // /tmp is overwritten per run, so per-query history dies with the round
+    // (round 6's regression is unattributable for exactly this reason).
+    // Also persist the map into the repo's bench/ dir, named by the round
+    // currently being built: max committed CORRECTNESS_r{N} + 1.
+    try {
+      var dir = new java.io.File(".").getCanonicalFile
+      while (dir != null && !new java.io.File(dir, "build.sbt").isFile)
+        dir = dir.getParentFile
+      if (dir != null) {
+        val round = Option(dir.listFiles()).getOrElse(Array.empty)
+          .flatMap(f => "CORRECTNESS_r(\\d+)\\.json".r
+            .findFirstMatchIn(f.getName).map(_.group(1).toInt))
+          .foldLeft(0)(math.max) + 1
+        val hist = new java.io.File(dir, "bench")
+        hist.mkdirs()
+        java.nio.file.Files.writeString(
+          new java.io.File(hist, f"detail_r$round%02d.json").toPath, full): Unit
+      }
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] history write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }
