@@ -313,6 +313,74 @@ object Dedup {
       .select(col("id").as(idCol), col("comp").as("cluster_id"))
   }
 
+  /** [[connectedComponents]]'s long-diameter twin: Hash-to-Min
+    * (Rastogi et al., "Finding Connected Components in Map-Reduce in
+    * Logarithmic Rounds", ICDE 2013) converges in O(log d) rounds
+    * where min-label propagation needs d — the variant
+    * [[connectedComponents]]'s scaladoc promises for 100 TB graphs
+    * whose components are chains, not cliques.
+    *
+    * State is the cluster-set relation (id, member): member ∈ C(id),
+    * seeded with C(v) = {v} ∪ N(v). Each round every node v sends
+    * min C(v) to every member of C(v) and ALL of C(v) to that min —
+    * two projections of one (id → min) join, one distinct shuffle per
+    * round. Fixed point: C(v) = {m} for every non-min v and C(m) = the
+    * whole component; detected by a (count, xxhash-sum) signature
+    * observed on the checkpoint job itself, so each round stays one
+    * Spark job. Labels are then min C(v).
+    *
+    * `checkpointDir`: None → localCheckpoint (executor-local blocks,
+    * fine single-JVM); Some(dir) → reliable HDFS-style checkpoints so
+    * a thousand-executor run survives executor loss mid-iteration —
+    * the other half of the 100 TB promise.
+    *
+    * Same dangling-endpoint and output contract as
+    * [[connectedComponents]]; spec-proved equivalent on inputs where
+    * both converge ([[graft.operators.TextDedupSpec]]).
+    */
+  def connectedComponentsHashToMin(edges: DataFrame, nodes: DataFrame,
+                                   idCol: String, maxIters: Int = 40,
+                                   checkpointDir: Option[String] = None): DataFrame = {
+    val spark = edges.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def cut(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+    val e = edges.toDF("src", "dst")
+    val und = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+    val nodeIds = nodes.select(col(idCol).as("id"))
+    // C(v) = {v} ∪ N(v), over every edge endpoint plus every node
+    var c = cut(nodeIds.select(col("id"), col("id").as("member"))
+      .unionByName(und.select(col("src").as("id"), col("src").as("member")))
+      .unionByName(und.select(col("src").as("id"), col("dst").as("member")))
+      .distinct())
+    var iter = 0
+    var prevSig: (Long, Long) = (-1L, -1L)
+    var converged = false
+    while (!converged) {
+      iter += 1
+      if (iter > maxIters) throw new IllegalStateException(
+        s"connectedComponentsHashToMin: no convergence after $maxIters " +
+          "rounds — O(log d) bound exceeded; raise maxIters")
+      val mins = c.groupBy(col("id")).agg(min(col("member")).as("m"))
+      val withMin = c.join(mins, Seq("id"))
+      val next = withMin.select(col("member").as("id"), col("m").as("member"))
+        .unionByName(withMin.select(col("m").as("id"), col("member")))
+        .distinct()
+      val obs = org.apache.spark.sql.Observation()
+      // bit_xor, not sum: a set signature that can't overflow under ANSI
+      val ck = cut(next.observe(obs, count(lit(1)).as("n"),
+        bit_xor(xxhash64(col("id"), col("member"))).as("h")))
+      val sig = (Option(obs.get("n")).map(_.asInstanceOf[Long]).getOrElse(0L),
+        Option(obs.get("h")).map(_.asInstanceOf[Long]).getOrElse(0L))
+      converged = sig == prevSig
+      prevSig = sig
+      c = ck
+    }
+    c.groupBy(col("id")).agg(min(col("member")).as("cluster_id"))
+      .join(nodeIds, Seq("id"), "left_semi")
+      .select(col("id").as(idCol), col("cluster_id"))
+  }
+
   /** The keep-one pass that ends every dedup pipeline: label clusters
     * over the near-dup pair graph ([[connectedComponents]]), keep the
     * minimum id per cluster, and return the surviving rows of `docs`.

@@ -111,6 +111,25 @@ object DedupQueries extends QueryPack {
         .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
     }),
 
+    // q68's long-diameter twin: Hash-to-Min connected components over
+    // a CHAIN graph (docs linked to their doc_id-successor within a
+    // lang → diameter = |lang| − 1, 63-217 at sf0.01, far past the
+    // min-label operator's 25-round bound). Converges in O(log d)
+    // rounds; the same-shape q68 operator provably throws here
+    // (TextDedupSpec pins both facts).
+    "q158_cc_hash_to_min" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      val edges = docs.select(col("doc_id").as("src"),
+        lead(col("doc_id"), 1).over(w).as("dst")).where(col("dst").isNotNull)
+      val cc = Dedup.connectedComponentsHashToMin(
+        edges, docs.select(col("doc_id")), "doc_id")
+      val sizes = cc.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+      cc.join(sizes, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+    }),
+
     // Centrality over the near-dup graph: fixed-round integer PageRank
     // on the symmetrized SimHash pair edges (q48's exact pair set) —
     // the canonical-representative signal a curation pass uses instead
@@ -513,6 +532,11 @@ object DedupQueries extends QueryPack {
        SELECT cc.doc_id, cc.cluster_id, sz.cluster_size
        FROM cc JOIN (SELECT cluster_id, count(*) AS cluster_size
                      FROM cc GROUP BY 1) sz USING (cluster_id)""",
+    "q158_cc_hash_to_min" ->
+      """SELECT doc_id,
+                min(doc_id) OVER (PARTITION BY lang) AS cluster_id,
+                count(*)    OVER (PARTITION BY lang) AS cluster_size
+         FROM documents""",
     "q84_vocab_topk" ->
       s"""WITH $shinglesCte
          SELECT shingle, count(*) AS df FROM sh

@@ -161,6 +161,40 @@ class TextDedupSpec extends SparkSpec {
     assert(br == Map(2L -> 2L, 3L -> 2L, 4L -> 4L))
   }
 
+  test("hashToMin ≡ min-label CC on converging inputs; O(log d) on chains that throw min-label") {
+    val nodes = (1L to 7L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L))
+      .toDF("id_1", "id_2")
+    val a = Dedup.connectedComponents(edges, nodes, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    val b = Dedup.connectedComponentsHashToMin(edges, nodes, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+    // dangling-endpoint bridging matches too
+    val bridge = Seq((2L, 99L), (99L, 3L)).toDF("id_1", "id_2")
+    val some = Seq(2L, 3L, 4L).toDF("doc_id")
+    assert(Dedup.connectedComponentsHashToMin(bridge, some, "doc_id")
+      .as[(Long, Long)].collect().toMap == Map(2L -> 2L, 3L -> 2L, 4L -> 4L))
+    // a 200-node path: diameter 199 ≫ min-label's 25-round default,
+    // which must refuse loudly…
+    val n = 200L
+    val chainNodes = (1L to n).toDF("doc_id")
+    val chain = (1L until n).map(i => (i, i + 1)).toDF("id_1", "id_2")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, chainNodes, "doc_id")
+    }
+    // …while hash-to-min converges inside 2·log2(d) + slack rounds
+    val maxRounds = 2 * (math.log(n.toDouble) / math.log(2)).ceil.toInt + 4
+    val got = Dedup.connectedComponentsHashToMin(chain, chainNodes, "doc_id",
+      maxIters = maxRounds).as[(Long, Long)].collect()
+    assert(got.length == n && got.forall(_._2 == 1L))
+    // the reliable-checkpoint path produces identical labels
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ck").toString
+    val ck = Dedup.connectedComponentsHashToMin(chain, chainNodes, "doc_id",
+      maxIters = maxRounds, checkpointDir = Some(dir)).as[(Long, Long)].collect()
+    assert(ck.sorted.sameElements(got.sorted))
+  }
+
   test("tokensNormalized handles tabs, runs of spaces, and empty text") {
     val messy = Seq((1L, " the\tquick  brown  fox "), (2L, ""), (3L, "   "))
       .toDF("doc_id", "text")
