@@ -182,6 +182,129 @@ object Multimodal {
       } catch { case scala.util.control.NonFatal(_) => Undecodable }
   }
 
+  /** Per-window audio features — what an audio curation pass actually
+    * gates on, where [[AudioCodec]] stops at container metadata. One
+    * payload yields one row per fixed-size window of `frameSamples`
+    * interleaved samples: (frame_idx, n_samples, sum_sq, peak), with
+    * sum_sq = Σ amp² (exact integer — RMS is sqrt(sum_sq/n) downstream,
+    * kept relational so thresholds are PLAN predicates, not codec
+    * parameters) and peak = max |amp|. Empty seq for undecodable or
+    * too-short payloads — corrupt audio is data, never a task failure.
+    */
+  trait AudioFrameCodec extends Serializable {
+    def frames(payload: Array[Byte], frameSamples: Int): Seq[(Int, Int, Long, Int)]
+  }
+
+  /** Fake-twin window features: "samples" derived deterministically
+    * from byte pairs — amp_i = (b₂ᵢ·256 + b₂ᵢ₊₁) mod [[AmpMod]] −
+    * [[AmpOff]], centred in [−2000, 2000] so silence/clip thresholds
+    * have realistic headroom. Integer-exact end to end, so a SQL
+    * oracle reproduces the ENTIRE output (q159).
+    */
+  object FakeAudioFrameCodec extends AudioFrameCodec {
+    val AmpMod = 4001
+    val AmpOff = 2000
+    def frames(payload: Array[Byte], frameSamples: Int): Seq[(Int, Int, Long, Int)] = {
+      val n = payload.length / 2
+      val out = Seq.newBuilder[(Int, Int, Long, Int)]
+      var idx = 0
+      while (idx.toLong * frameSamples < n) {
+        val start = idx * frameSamples
+        val end = math.min(start + frameSamples, n)
+        var sq = 0L; var peak = 0; var i = start
+        while (i < end) {
+          val amp = ((payload(2 * i) & 0xff) * 256 +
+            (payload(2 * i + 1) & 0xff)) % AmpMod - AmpOff
+          sq += amp.toLong * amp
+          val a = math.abs(amp); if (a > peak) peak = a
+          i += 1
+        }
+        out += ((idx, end - start, sq, peak))
+        idx += 1
+      }
+      out.result()
+    }
+  }
+
+  /** Real window features through the same JDK decode path as
+    * [[JavaSoundCodec]]: signed amplitudes at native bit depth (8-bit
+    * unsigned re-centred, 16-bit endianness-honoured), windows over the
+    * interleaved sample stream. Clipping shows up as peak at full scale
+    * (2^(bits−1)−1 and beyond) — the caller's threshold, like silence,
+    * is a plan predicate on the output relation.
+    */
+  object JavaSoundFrameCodec extends AudioFrameCodec {
+    import javax.sound.sampled.AudioFormat.Encoding
+    def frames(payload: Array[Byte], frameSamples: Int): Seq[(Int, Int, Long, Int)] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val fmt = in.getFormat
+          val bits = fmt.getSampleSizeInBits
+          val signed = fmt.getEncoding == Encoding.PCM_SIGNED
+          val pcm = signed || fmt.getEncoding == Encoding.PCM_UNSIGNED
+          if (!pcm || (bits != 8 && bits != 16)) Seq.empty
+          else {
+            val bytes = in.readAllBytes()
+            val step = bits / 8
+            val n = bytes.length / step
+            def amp(i: Int): Int =
+              if (bits == 8) {
+                val v = bytes(i) & 0xff
+                if (signed) bytes(i).toInt else v - 128
+              } else {
+                val raw =
+                  if (fmt.isBigEndian) (bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xff)
+                  else (bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)
+                if (signed) raw.toShort.toInt else (raw & 0xffff) - 32768
+              }
+            val out = Seq.newBuilder[(Int, Int, Long, Int)]
+            var idx = 0
+            while (idx.toLong * frameSamples < n) {
+              val start = idx * frameSamples
+              val end = math.min(start + frameSamples, n)
+              var sq = 0L; var peak = 0; var i = start
+              while (i < end) {
+                val a = amp(i)
+                sq += a.toLong * a
+                val m = math.abs(a); if (m > peak) peak = m
+                i += 1
+              }
+              out += ((idx, end - start, sq, peak))
+              idx += 1
+            }
+            out.result()
+          }
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+  }
+
+  val audioFrameSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("n_samples", IntegerType),
+    StructField("sum_sq", LongType),
+    StructField("peak", IntegerType)))
+
+  /** Batched per-window feature extraction over (doc_id: long,
+    * payload: binary) rows — same partition-kernel shape as
+    * [[decodeAudio]], one frame row per window. RMS energy, silence
+    * ratio and clip counts compose set-based on the result (see q159).
+    */
+  def decodeAudioFrames(withPayload: DataFrame, frameSamples: Int,
+                        codec: AudioFrameCodec = FakeAudioFrameCodec): DataFrame = {
+    val enc = RowEncoder.encoderFor(audioFrameSchema)
+    withPayload.select(col("doc_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          codec.frames(r.getAs[Array[Byte]]("payload"), frameSamples).iterator
+            .map { case (i, n, sq, pk) => Row(id, i, n, sq, pk) }
+        }
+      }(enc)
+  }
+
   val audioSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("sample_rate", IntegerType),

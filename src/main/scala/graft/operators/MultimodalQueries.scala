@@ -16,6 +16,13 @@ object MultimodalQueries extends QueryPack {
 
   import Multimodal.FakeCodec.{DimBase, DimMod, HeightMul}
 
+  // q159 audio-gate knobs: 256-sample windows; a window is "silent"
+  // below peak 500 and "clipped" at ≥ 1990 (the fake amp range is
+  // [−2000, 2000], so 1990 is its full-scale analog).
+  private val FrameSamples = 256
+  private val SilenceThr = 500
+  private val ClipThr = 1990
+
   val queries: Map[String, Q] = Map(
     // The full multimodal pipeline through the correctness gate: REAL
     // mapPartitions decode (Multimodal.decodeImages — the batched-codec
@@ -52,6 +59,35 @@ object MultimodalQueries extends QueryPack {
       Multimodal.decodeAudio(payload)
         .withColumn("duration_ms",
           expr("(n_samples * 1000) div sample_rate"))
+    }),
+
+    // Audio curation features on top of the per-window seam
+    // (Multimodal.decodeAudioFrames): per-doc RMS energy, silence
+    // ratio, peak amplitude and clipped-window count — the signals an
+    // audio quality gate filters on. Thresholds are plan predicates
+    // over the frame relation, not codec parameters; the fake twin's
+    // integer-exact windows let the oracle reproduce every column
+    // (the real-PCM twin, JavaSoundFrameCodec over a WAV with a known
+    // silent half, is pinned by MultimodalSpec).
+    "q159_audio_features" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val payload = docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      val frames = Multimodal.decodeAudioFrames(payload, frameSamples = FrameSamples)
+      val agg = frames.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_frames"),
+        max(col("peak")).as("peak_amp"),
+        sum(when(col("peak") < SilenceThr, 1L).otherwise(0L)).as("silent_frames"),
+        sum(when(col("peak") >= ClipThr, 1L).otherwise(0L)).as("clip_frames"),
+        sum(col("sum_sq")).as("sq"),
+        sum(col("n_samples").cast(LongType)).as("ns"))
+      docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_frames"), lit(0L)).as("n_frames"),
+          col("peak_amp"),
+          (col("silent_frames").cast(DoubleType) / col("n_frames")).as("silence_ratio"),
+          coalesce(col("clip_frames"), lit(0L)).as("clip_frames"),
+          when(col("ns") > 0,
+            sqrt(col("sq").cast(DoubleType) / col("ns"))).as("rms"))
     }),
 
     // Binary payload + metadata extraction ("image header parse" stand-in):
@@ -102,6 +138,37 @@ object MultimodalQueries extends QueryPack {
          CAST(octet_length(encode(text)) % $DimMod + $DimBase AS DOUBLE) /
            CAST(octet_length(encode(text)) * $HeightMul % $DimMod + $DimBase AS DOUBLE) AS aspect
          FROM documents""",
+    // Mirrors q159's fake-twin windows: ASCII text → byte pairs →
+    // centred amps → per-window integer features → doc-level gate
+    // columns. The only doubles are one division and one sqrt over
+    // exact integers, IEEE-identical on both engines.
+    "q159_audio_features" -> {
+      import Multimodal.FakeAudioFrameCodec.{AmpMod, AmpOff}
+      s"""WITH p AS (SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents),
+         amps AS (SELECT doc_id,
+                    CAST((ord(substr(text, 2*i + 1, 1)) * 256 +
+                          ord(substr(text, 2*i + 2, 1))) % $AmpMod - $AmpOff AS INT) AS amp,
+                    i
+                  FROM (SELECT doc_id, text,
+                          unnest(generate_series(0, CAST(nb // 2 AS INT) - 1)) AS i
+                        FROM p WHERE nb >= 2)),
+         f AS (SELECT doc_id, CAST(i // $FrameSamples AS INT) AS frame_idx,
+                 count(*) AS n, SUM(CAST(amp AS BIGINT) * amp) AS sum_sq,
+                 MAX(abs(amp)) AS peak
+               FROM amps GROUP BY 1, 2),
+         a AS (SELECT doc_id, count(*) AS n_frames, MAX(peak) AS peak_amp,
+                 SUM(CASE WHEN peak < $SilenceThr THEN 1 ELSE 0 END) AS silent_frames,
+                 SUM(CASE WHEN peak >= $ClipThr THEN 1 ELSE 0 END) AS clip_frames,
+                 SUM(sum_sq) AS sq, SUM(n) AS ns
+               FROM f GROUP BY 1)
+       SELECT p.doc_id,
+              CAST(coalesce(a.n_frames, 0) AS BIGINT) AS n_frames,
+              CAST(a.peak_amp AS INT) AS peak_amp,
+              CAST(a.silent_frames AS DOUBLE) / a.n_frames AS silence_ratio,
+              CAST(coalesce(a.clip_frames, 0) AS BIGINT) AS clip_frames,
+              sqrt(CAST(a.sq AS DOUBLE) / a.ns) AS rms
+       FROM p LEFT JOIN a USING (doc_id)"""
+    },
     // Mirrors q134: the corpus is ASCII, so ord over characters IS the
     // utf-8 byte sequence; the mod-fold keeps every intermediate under
     // 2^31 so BIGINT arithmetic never overflows.

@@ -161,6 +161,52 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.JavaSoundCodec.decode(zbaos.toByteArray) == ((8000, 1, 20L, 0L)))
   }
 
+  test("JavaSoundFrameCodec measures RMS, silence and clipping on real PCM") {
+    import graft.operators.Multimodal
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+    def wav(samples: Seq[Short]): Array[Byte] = {
+      val pcm = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        pcm(2 * i) = (s & 0xff).toByte; pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val baos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+    // 800 samples: first half a ±20000 square wave, second half silent
+    val half = 400
+    val tone = (0 until half).map(i => if (i % 2 == 0) 20000 else -20000)
+    val audible = wav((tone ++ Seq.fill(half)(0)).map(_.toShort))
+    val W = 100
+    val frames = Multimodal.JavaSoundFrameCodec.frames(audible, W)
+    assert(frames.length == 8 && frames.forall(_._2 == W))
+    // windows 0-3 are the tone: peak 20000, sum_sq = 100·20000²
+    assert(frames.take(4).forall(f => f._4 == 20000 && f._3 == W.toLong * 20000 * 20000))
+    // windows 4-7 are the silent half: peak 0, energy 0
+    assert(frames.drop(4).forall(f => f._4 == 0 && f._3 == 0L))
+    // doc-level gate math through the batched kernel: silence ratio is
+    // exactly the known half, nothing clips at 16-bit full scale
+    val df = Seq((1L, audible)).toDF("doc_id", "payload")
+    val out = Multimodal.decodeAudioFrames(df, W, Multimodal.JavaSoundFrameCodec)
+    val agg = out.groupBy($"doc_id").agg(
+      count(org.apache.spark.sql.functions.lit(1)).as("n"),
+      sum(when($"peak" < 500, 1L).otherwise(0L)).as("silent"),
+      sum(when($"peak" >= 32767, 1L).otherwise(0L)).as("clipped"))
+      .as[(Long, Long, Long, Long)].head()
+    assert(agg == ((1L, 8L, 4L, 0L)))
+    // a full-scale payload trips the clip detector in every window
+    val clipped = wav(Seq.fill(200)(32767.toShort))
+    assert(Multimodal.JavaSoundFrameCodec.frames(clipped, W).forall(_._4 == 32767))
+    // corrupt bytes are data: empty frame seq, not a task failure
+    assert(Multimodal.JavaSoundFrameCodec.frames("not audio".getBytes, W).isEmpty)
+    // fake twin shares the window shape (count + partial last window)
+    val fake = Multimodal.FakeAudioFrameCodec.frames(Array.fill[Byte](110)(7), 50)
+    assert(fake.map(f => (f._1, f._2)) == Seq((0, 50), (1, 5)))
+  }
+
   test("sampleFrames splits payloads into strided fixed-size frames") {
     val frames = Multimodal.sampleFrames(docs.filter($"doc_id" === 3L), frameBytes = 10, stride = 2)
       .select($"frame_idx", length($"frame_bytes").as("len"))
