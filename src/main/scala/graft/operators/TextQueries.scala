@@ -23,6 +23,7 @@ object TextQueries extends QueryPack {
   private def inList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("(", ",", ")")
 
   private val MIN_PAIR = 3  // q138: min bigram count for a lift estimate
+  private val BpeArtifactMerges = 8  // q160: merges past the base vocab
 
   val queries: Map[String, Q] = Map(
     // Token counting: whitespace tokens + BPE-ish regex subword count.
@@ -295,6 +296,20 @@ object TextQueries extends QueryPack {
           .select(col("doc_id"),
             size(split(trim(col("st")), "  ")).as("n_after")), Seq("doc_id"))
         .withColumn("n_merged", col("n_before") - col("n_after"))
+    }),
+
+    // The BPE ARTIFACT: q146 trains but only reports per-doc deltas;
+    // this emits the trained product itself — the ordered merge table
+    // (rank, pair, pair_count) a tokenizer ships — trained to a
+    // vocab-size target of |base vocab| + 8. Replaying the table in
+    // rank order re-tokenizes held-out text identically
+    // (TextStatsSpec); the oracle re-runs the same 8 chained
+    // deterministic rounds and unions the per-round winners.
+    "q160_bpe_artifact" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = docs.select(explode(split(col("text"), " ")).as("t"))
+        .agg(count_distinct(col("t"))).head().getLong(0)
+      bpeMergeTable(docs, "text", "doc_id", vocabTarget = base.toInt + BpeArtifactMerges)
     }),
 
     // STREAMING curation: documents arrive as a file stream and are
@@ -598,6 +613,78 @@ object TextQueries extends QueryPack {
     state
   }
 
+  /** The ARTIFACT-emitting trainer q146's loop was missing: train to a
+    * VOCAB-SIZE TARGET and return the ordered merge table — (rank,
+    * pair, pair_count), the tokenizer file a trainer actually ships.
+    * Merges to run = target − |base vocab| (distinct initial tokens);
+    * training stops early when no adjacent pair is left to merge
+    * (every doc down to one token), so rank may end below the budget.
+    *
+    * Same double-spaced state machinery as [[bpeTrain]]; each round's
+    * winner is ONE collected row (pair + count — the same bounded
+    * driver scalar class as q130's top pair), applied as a literal
+    * `replace`. The merge table itself is nMerges rows — the artifact
+    * is driver-sized by definition (a 32k-merge vocab is a 32k-row
+    * table), never corpus-sized.
+    *
+    * Replaying the returned table in rank order over the double-spaced
+    * form re-tokenizes ANY text exactly as training did — pinned by
+    * TextStatsSpec on a held-out doc.
+    */
+  private[operators] def bpeMergeTable(docs: org.apache.spark.sql.DataFrame,
+                                       textCol: String, idCol: String,
+                                       vocabTarget: Int): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    val baseVocab = docs.select(explode(split(col(textCol), " ")).as("t"))
+      .agg(count_distinct(col("t"))).head().getLong(0)
+    val nMerges = math.max(0L, vocabTarget - baseVocab).toInt
+    var state = docs.select(col(idCol),
+      concat(lit(" "), regexp_replace(col(textCol), lit(" "), lit("  ")),
+        lit(" ")).as("st"))
+    val merges = Seq.newBuilder[(Int, String, Long)]
+    var rank = 0
+    var exhausted = false
+    while (rank < nMerges && !exhausted) {
+      val ts0 = split(trim(col("st")), "  ")
+      val grams = state.select(ts0.as("ts")).select(
+        explode(when(size(col("ts")) >= 2,
+          transform(sequence(lit(1), size(col("ts")) - 1),
+            i => concat(element_at(col("ts"), i), lit(" "),
+              element_at(col("ts"), i + 1))))
+          .otherwise(array().cast("array<string>"))).as("pair"))
+      val top = grams.groupBy(col("pair")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("pair")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        rank += 1
+        val (pair, c) = (top(0).getString(0), top(0).getLong(1))
+        merges += ((rank, pair, c))
+        val Array(a, b) = pair.split(" ", 2)
+        state = state.withColumn("st",
+          call_function("replace", col("st"),
+            lit(" " + a + "  " + b + " "), lit(" " + a + "" + b + " ")))
+          .localCheckpoint(true)
+      }
+    }
+    import spark.implicits._
+    merges.result().toDF("rank", "pair", "pair_count")
+  }
+
+  /** Rank-order replay of a [[bpeMergeTable]] artifact over one text —
+    * the consumer side of the tokenizer file (what an inference-time
+    * tokenizer does). Pure string fold through the identical
+    * double-spaced form; used by TextStatsSpec to prove replay ≡
+    * training on held-out text.
+    */
+  private[operators] def bpeReplay(mergesInOrder: Seq[String], text: String): Seq[String] = {
+    val init = " " + text.replace(" ", "  ") + " "
+    val done = mergesInOrder.foldLeft(init) { (st, pair) =>
+      val Array(a, b) = pair.split(" ", 2)
+      st.replace(" " + a + "  " + b + " ", " " + a + "" + b + " ")
+    }
+    done.trim.split("  ").toSeq
+  }
+
   /** One BPE training round over the double-spaced state relation
     * s{i−1}: corpus pair counts → deterministic winner → literal
     * replace application (see q146's comment for why the double-space
@@ -609,7 +696,7 @@ object TextQueries extends QueryPack {
        |  SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
        |           j -> ts[j] || ' ' || ts[j+1])) AS pair
        |  FROM (SELECT string_split(trim(st), '  ') AS ts FROM $prev)) GROUP BY 1),
-       |t$i AS (SELECT pair FROM p$i ORDER BY c DESC, pair LIMIT 1),
+       |t$i AS (SELECT pair, c FROM p$i ORDER BY c DESC, pair LIMIT 1),
        |s$i AS (SELECT doc_id,
        |          replace(st, ' ' || string_split(pair, ' ')[1] || '  ' || string_split(pair, ' ')[2] || ' ',
        |                      ' ' || string_split(pair, ' ')[1] || chr(1) || string_split(pair, ' ')[2] || ' ') AS st
@@ -649,6 +736,13 @@ object TextQueries extends QueryPack {
          |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
          |       CAST(SUM(q6) AS BIGINT) AS sum_q6
          |FROM g WHERE q6 >= 500000 GROUP BY source""".stripMargin,
+    "q160_bpe_artifact" ->
+      s"""WITH s0 AS (SELECT doc_id, ' ' || replace(text, ' ', '  ') || ' ' AS st
+         |            FROM documents),
+         |${(1 to BpeArtifactMerges).map(bpeRound).mkString(",\n")}
+         |${(1 to BpeArtifactMerges).map(i =>
+               s"SELECT CAST($i AS INT) AS rank, pair, CAST(c AS BIGINT) AS pair_count FROM t$i")
+               .mkString("\nUNION ALL\n")}""".stripMargin,
     "q146_bpe_train" ->
       s"""WITH s0 AS (SELECT doc_id, ' ' || replace(text, ' ', '  ') || ' ' AS st
          |            FROM documents),

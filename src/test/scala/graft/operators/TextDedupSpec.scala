@@ -375,6 +375,39 @@ class TextDedupSpec extends SparkSpec {
       Map(0L -> Seq(s"b${J}c${J}b${J}c"), 1L -> Seq(s"b${J}c${J}x")))
   }
 
+  test("bpeMergeTable: vocab-target budget, ordered artifact, replay re-tokenizes held-out text") {
+    val J = ""
+    // base vocab {b, c, x, y} = 4; pair counts: "b c" ×3, "c x" ×2 …
+    val docs = Seq((0L, "b c b c y"), (1L, "b c x"), (2L, "x y"))
+      .toDF("doc_id", "text")
+    // target ≤ base vocab → zero merges, empty artifact
+    assert(TextQueries.bpeMergeTable(docs, "text", "doc_id", 4).count() == 0L)
+    // target base+2 → exactly 2 ordered merges; rank 1 is the most
+    // frequent pair, rank 2 builds ON the rank-1 merged token
+    val mt = TextQueries.bpeMergeTable(docs, "text", "doc_id", 6)
+      .orderBy($"rank").as[(Int, String, Long)].collect().toSeq
+    assert(mt.map(_._1) == Seq(1, 2))
+    assert(mt.head == ((1, "b c", 3L)))
+    assert(mt(1)._2.startsWith(s"b${J}c"), s"rank-2 pair was ${mt(1)._2}")
+    // a tiny corpus exhausts before a huge budget: every doc collapses
+    // to one token and training stops early instead of spinning
+    val small = Seq((0L, "p q"), (1L, "p q")).toDF("doc_id", "text")
+    val ex = TextQueries.bpeMergeTable(small, "text", "doc_id", 100)
+      .as[(Int, String, Long)].collect()
+    assert(ex.length == 1 && ex.head._2 == "p q")
+    // replaying the artifact in rank order re-tokenizes text exactly as
+    // training would — including a HELD-OUT doc never seen in training
+    val merges = mt.map(_._2)
+    val trained = TextQueries.bpeTrain(docs, "text", "doc_id", rounds = 2)
+      .select($"doc_id", $"st").as[(Long, String)].collect()
+      .map { case (id, st) => id -> st.trim.split("  ").toSeq }.toMap
+    assert(TextQueries.bpeReplay(merges, "b c b c y") == trained(0L))
+    assert(TextQueries.bpeReplay(merges, "b c x") == trained(1L))
+    val heldOut = TextQueries.bpeReplay(merges, "y b c c b c x")
+    assert(heldOut.contains(s"b${J}c") && !heldOut.contains("b"),
+      s"held-out replay missed a merge: $heldOut")
+  }
+
   test("q142 DSIR weights: ppm ratios bounded, integral, and target-lang docs rank higher") {
     val rows = TextQueries.queries("q142_dsir_weight")(spark, sf)
       .as[(Long, Long, Long, Long)].collect()
