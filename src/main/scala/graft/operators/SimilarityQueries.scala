@@ -280,6 +280,24 @@ object SimilarityQueries extends QueryPack {
         nprobe = NPROBE, shortlist = RERANK_R, kNeighbors = 3)
     }),
 
+    // Filtered ANN on the BEST serving path: q121 composes the
+    // metadata predicate with raw-PQ scoring only; here the same
+    // cells ⋉ allowed semi-join restricts the two-stage re-ranked
+    // pipeline (q126) — the shortlist is drawn from allowed candidates
+    // only, so an excluded vector can never reach re-ranking, and PQ
+    // error still never touches the final ranking. VectorSpec pins
+    // zero excluded neighbors and recall ≥ the filtered-raw path at
+    // equal probe width.
+    "q161_filtered_rerank" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val (cents, cells) = ivfIndex(s, d)
+      val (pqr, meanCents) = residModel(s, d)
+      val allowed = emb.filter(col("label") =!= FILTER_LABEL).select(col("vec_id"))
+      Similarity.ivfAdcRerankKnn(emb, "vec_id", "embedding", pqr, cents,
+        meanCents, cells.join(allowed, "vec_id"),
+        nprobe = NPROBE, shortlist = RERANK_R, kNeighbors = 3)
+    }),
+
     // ADC recall — the quantization-loss number a PQ deployment reports
     // alongside nprobe: recall of the SERVED (PQ-scored) paths against
     // the exact baseline, for raw-vector PQ (q118's scorer), residual
@@ -698,8 +716,9 @@ object SimilarityQueries extends QueryPack {
   /** short$sfx CTE: the residual-ADC top-[[RERANK_R]] shortlist per
     * query within probes$sfx — q124's ranking with a wider cut, the
     * compressed half of the two-stage q126 serving path. */
-  private def residShortSql(sfx: String): String = {
+  private def residShortSql(sfx: String, candFilterJoin: String = ""): String = {
     val adc = residAdcSql
+    val filt = if (candFilterJoin.isEmpty) "" else s"\n  $candFilterJoin"
     s"""short$sfx AS (SELECT vec_id, nn_id FROM (
        |  SELECT q.vec_id, r.vec_id AS nn_id,
        |         row_number() OVER (PARTITION BY q.vec_id
@@ -707,7 +726,7 @@ object SimilarityQueries extends QueryPack {
        |  FROM embeddings q
        |  JOIN probes$sfx p ON p.vec_id = q.vec_id
        |  JOIN mcents cc ON cc.cid = p.cid
-       |  JOIN a${KM_ROUNDS + 1} ce ON ce.cid = p.cid
+       |  JOIN a${KM_ROUNDS + 1} ce ON ce.cid = p.cid$filt
        |  JOIN rrecon r ON r.vec_id = ce.vec_id AND r.vec_id != q.vec_id
        |  WHERE $adc IS NOT NULL)
        |  WHERE rn <= $RERANK_R)""".stripMargin
@@ -816,6 +835,28 @@ object SimilarityQueries extends QueryPack {
          |$residReconSql,
          |${probesSql(NPROBE, "")},
          |${residShortSql("")}
+         |SELECT vec_id, nn_id, cos, rn FROM (
+         |  SELECT s.vec_id, s.nn_id, $cos AS cos,
+         |         CAST(row_number() OVER (PARTITION BY s.vec_id
+         |              ORDER BY $cos DESC, s.nn_id) AS INT) AS rn
+         |  FROM short s
+         |  JOIN embeddings q ON q.vec_id = s.vec_id
+         |  JOIN embeddings c ON c.vec_id = s.nn_id
+         |  WHERE $cos IS NOT NULL)
+         |WHERE rn <= 3""".stripMargin
+    },
+    // Filtered two-stage serving: q126's statement with the metadata
+    // predicate restricting the shortlist's candidate members.
+    "q161_filtered_rerank" -> {
+      val cos = cosSql("q.embedding", "c.embedding")
+      s"""${kmeansWith(KM_K, KM_ROUNDS)},
+         |$meanCentsSql,
+         |$residSql,
+         |$pqResidChainsSql,
+         |$residReconSql,
+         |${probesSql(NPROBE, "")},
+         |${residShortSql("",
+             s"JOIN embeddings me ON me.vec_id = ce.vec_id AND me.label <> $FILTER_LABEL")}
          |SELECT vec_id, nn_id, cos, rn FROM (
          |  SELECT s.vec_id, s.nn_id, $cos AS cos,
          |         CAST(row_number() OVER (PARTITION BY s.vec_id

@@ -270,6 +270,36 @@ class VectorSpec extends SparkSpec {
     assert(full == bf)
   }
 
+  test("filtered re-rank serves only allowed neighbors and beats filtered-raw recall") {
+    import graft.operators.Similarity
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val (cents, cells) = Similarity.trainedIndex(emb, "vec_id", "embedding", k = 8, rounds = 2)
+    val mc = Similarity.cellMeans(emb, "vec_id", "embedding", cells)
+    val raw = Similarity.pqTrain(emb, "vec_id", "embedding", dim = 64, m = 4, k = 8, rounds = 1)
+    val res = Similarity.pqTrainResidual(emb, "vec_id", "embedding", mc, cells,
+      dim = 64, m = 4, k = 8, rounds = 1)
+    val excluded = emb.filter($"label" === 0).select($"vec_id")
+      .as[Long].collect().toSet
+    val allowedCells = cells.join(emb.filter($"label" =!= 0).select($"vec_id"), "vec_id")
+    val fRer = Similarity.ivfAdcRerankKnn(emb, "vec_id", "embedding", res,
+      cents, mc, allowedCells, 2, 10, 3)
+      .select($"vec_id", $"nn_id").as[(Long, Long)].collect()
+    // the contract the filter exists for: an excluded vector can never
+    // be served as a neighbor (it never enters the shortlist)
+    assert(fRer.nonEmpty && !fRer.exists(p => excluded.contains(p._2)))
+    // recall vs the FILTERED exact baseline, at equal probe width: the
+    // re-ranked path must be at least as good as filtered raw-PQ (q121)
+    val exactF = Similarity
+      .bruteForceKnn(emb.filter($"label" =!= 0), "vec_id", "embedding", 3)
+      .select($"vec_id", $"nn_id").as[(Long, Long)].collect().toSet
+    val fRaw = Similarity.ivfAdcKnn(emb, "vec_id", "embedding", raw,
+      cents, allowedCells, 2, 3)
+      .select($"vec_id", $"nn_id").as[(Long, Long)].collect().toSet
+    val rRer = (fRer.toSet intersect exactF).size
+    val rRaw = (fRaw intersect exactF).size
+    assert(rRer >= rRaw, s"filtered re-rank recall $rRer < filtered raw $rRaw")
+  }
+
   test("classMeanProbe separates well-separated labels into a diagonal confusion") {
     import graft.operators.Similarity
     // label 0 clusters near (1,0,...), label 1 near (0,1,...)
