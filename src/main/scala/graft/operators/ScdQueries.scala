@@ -62,6 +62,40 @@ object ScdQueries extends QueryPack {
         Seq("c_name", "c_mktsegment"), lit("2024-06-01").cast(DateType))
     }),
 
+    // STREAMING SCD1: the C1 upsert meeting the streaming extension —
+    // customer updates arrive in TWO stream waves (even keys, then odd
+    // keys) and upsert on ingest via foreachBatch over a pre-seeded
+    // dimension. The landed table must hash-match folding the same two
+    // waves through batch scd1Merge — the oracle nests the full-outer
+    // merge twice. Exactly-once replay + checkpointed multi-run folds
+    // are pinned by StreamingSpec; this gate proves stream ≡ batch.
+    "q162_stream_scd1" -> ((s, d) => {
+      import graft.streaming.EventPipelines
+      val wh = new graft.sources.Warehouse(graft.plans.EtlQueries.tmpWarehouse(), s)
+      val c = Tables.customer(s, d)
+      wh.overwrite(c.filter(col("c_custkey") % 100 < 90)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_nationkey"))
+        .withColumn("insert_dt", lit("2024-01-01").cast(DateType))
+        .withColumn("update_dt", lit("2024-01-01").cast(DateType)),
+        "bl_3nf", "cust_scd1"): Unit
+      val stream = s.readStream
+        .schema(s.read.option("pathGlobFilter", "customer.parquet").parquet(d).schema)
+        .option("pathGlobFilter", "customer.parquet").parquet(d)
+      def wave(parity: Int)(b: org.apache.spark.sql.DataFrame) = b
+        .filter(col("c_custkey") % 7 =!= 0 && col("c_custkey") % 2 === parity)
+        .select(col("c_custkey"), col("c_name"),
+          when(col("c_custkey") % 3 === 0, "AUTOMOBILE")
+            .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+          col("c_nationkey"))
+      EventPipelines.scd1AvailableNow(stream, wh, "bl_3nf", "cust_scd1",
+        Seq("c_custkey"), Seq("c_name", "c_mktsegment"),
+        lit("2024-06-01").cast(DateType), prep = Some(wave(0)))
+      EventPipelines.scd1AvailableNow(stream, wh, "bl_3nf", "cust_scd1",
+        Seq("c_custkey"), Seq("c_name", "c_mktsegment"),
+        lit("2024-07-01").cast(DateType), prep = Some(wave(1)))
+      wh.read("bl_3nf", "cust_scd1")
+    }),
+
     // C2: SCD Type 2 versioning — close-and-version on price change
     // (reference: load_3nf_ce_products_scd_table_type2.sql:111-222).
     "q21_scd2_versioning" -> ((s, d) => {
@@ -424,6 +458,35 @@ object ScdQueries extends QueryPack {
        FROM orders JOIN c2
          ON CAST(o_orderdate AS DATE) BETWEEN camp_start AND camp_end
        GROUP BY camp_id""",
+    "q162_stream_scd1" -> {
+      def fold(t: String, s: String, dt: String): String = {
+        val changed = s"(s.c_custkey IS NOT NULL AND (s.c_name IS DISTINCT FROM t.c_name" +
+          " OR s.c_mktsegment IS DISTINCT FROM t.c_mktsegment))"
+        s"""SELECT COALESCE(t.c_custkey, s.c_custkey) AS c_custkey,
+           CASE WHEN t.c_custkey IS NULL OR $changed THEN s.c_name ELSE t.c_name END AS c_name,
+           CASE WHEN t.c_custkey IS NULL OR $changed THEN s.c_mktsegment ELSE t.c_mktsegment END AS c_mktsegment,
+           CASE WHEN t.c_custkey IS NULL THEN s.c_nationkey ELSE t.c_nationkey END AS c_nationkey,
+           CASE WHEN t.c_custkey IS NULL THEN DATE '$dt' ELSE t.insert_dt END AS insert_dt,
+           CASE WHEN t.c_custkey IS NULL OR $changed THEN DATE '$dt' ELSE t.update_dt END AS update_dt,
+           CASE WHEN t.c_custkey IS NULL THEN 'new'
+                WHEN $changed THEN 'updated' ELSE 'unchanged' END AS scd_status
+         FROM $t t FULL OUTER JOIN $s s ON t.c_custkey = s.c_custkey"""
+      }
+      s"""WITH tgt AS (
+           SELECT c_custkey, c_name, c_mktsegment, c_nationkey,
+                  DATE '2024-01-01' AS insert_dt, DATE '2024-01-01' AS update_dt
+           FROM customer WHERE c_custkey % 100 < 90),
+         src AS (
+           SELECT c_custkey, c_name,
+                  CASE WHEN c_custkey % 3 = 0 THEN 'AUTOMOBILE' ELSE c_mktsegment END AS c_mktsegment,
+                  c_nationkey
+           FROM customer WHERE c_custkey % 7 != 0),
+         s1 AS (SELECT * FROM src WHERE c_custkey % 2 = 0),
+         s2 AS (SELECT * FROM src WHERE c_custkey % 2 = 1),
+         f1 AS (${fold("tgt", "s1", "2024-06-01")}),
+         f2 AS (${fold("f1", "s2", "2024-07-01")})
+       SELECT * FROM f2"""
+    },
     "q20_scd1_upsert" ->
       """WITH tgt AS (
            SELECT c_custkey, c_name, c_mktsegment, c_nationkey,

@@ -308,6 +308,71 @@ object EventPipelines {
     q.awaitTermination()
   }
 
+  /** One STREAMING SCD1 micro-batch: the per-batch body of
+    * [[scd1AvailableNow]], factored like [[landBatch]] so the ledger
+    * replay contract is directly testable. Dedups the batch on the key
+    * (deterministic first-wins), applies `prep`, then upserts into the
+    * target with [[graft.operators.Scd.scd1Merge]] — one full-outer
+    * merge + one atomic table swap, O(target ∪ batch) work per batch.
+    * The first batch bootstraps the table by merging into an empty
+    * target of the source's own shape. Returns whether the batch landed
+    * (a ledgered replay is a metadata-only skip).
+    */
+  def scd1Batch(wh: graft.sources.Warehouse, layer: String, table: String,
+                key: Seq[String], tracked: Seq[String],
+                runDt: org.apache.spark.sql.Column,
+                batch: DataFrame, batchId: Long, useLedger: Boolean,
+                ledgerNs: String = "",
+                prep: Option[DataFrame => DataFrame] = None): Boolean = {
+    if (useLedger && wh.batchCommitted(layer, table, batchId, ledgerNs)) return false
+    val src = prep.getOrElse(identity[DataFrame] _).apply(dedupBatch(batch, key))
+    val target =
+      if (wh.exists(layer, table)) wh.read(layer, table)
+      // bootstrap: empty target with the source's columns + audit dates
+      else src.limit(0).withColumn("insert_dt", runDt).withColumn("update_dt", runDt)
+    val merged = graft.operators.Scd.scd1Merge(target, src, key, tracked, runDt)
+    wh.overwrite(merged, layer, table): Unit
+    if (useLedger) wh.markBatchCommitted(layer, table, batchId, ledgerNs)
+    true
+  }
+
+  /** Streaming SCD1 — the reference's C1 upsert meeting the streaming
+    * extension: late dimension updates arrive as a stream and upsert on
+    * ingest via foreachBatch, so the dimension is current after every
+    * micro-batch instead of waiting for the nightly batch merge. Same
+    * exactly-once machinery as [[ingestAvailableNow]] (durable
+    * checkpoint + namespaced batch ledger + fresh-checkpoint wipe);
+    * the fold of micro-batches is hash-identical to folding the same
+    * waves through batch [[graft.operators.Scd.scd1Merge]] (q162,
+    * StreamingSpec).
+    */
+  def scd1AvailableNow(updates: DataFrame, wh: graft.sources.Warehouse,
+                       layer: String, table: String, key: Seq[String],
+                       tracked: Seq[String],
+                       runDt: org.apache.spark.sql.Column,
+                       checkpointDir: Option[String] = None,
+                       prep: Option[DataFrame => DataFrame] = None): Unit = {
+    val ns = checkpointDir.map(ledgerNamespace).getOrElse("")
+    checkpointDir.foreach { c =>
+      // same fresh-checkpoint contract as ingestAvailableNow: a reset
+      // checkpoint restarts batch ids at 0, so stale markers must go
+      val off = new org.apache.hadoop.fs.Path(c, "offsets")
+      val cfs = off.getFileSystem(
+        updates.sparkSession.sessionState.newHadoopConf())
+      if (!cfs.exists(off) || cfs.listStatus(off).isEmpty)
+        wh.clearLedger(layer, table, ns)
+    }
+    val writer = updates.writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        scd1Batch(wh, layer, table, key, tracked, runDt, batch.toDF(), bid,
+          useLedger = checkpointDir.isDefined, ledgerNs = ns, prep = prep): Unit
+      }
+    val q = checkpointDir.fold(writer)(c => writer.option("checkpointLocation", c))
+      .start()
+    q.awaitTermination()
+  }
+
   def streamToWarehouse(events: DataFrame, wh: graft.sources.Warehouse,
                         layer: String, table: String, keys: Seq[String]): Unit = {
     val q = events.writeStream

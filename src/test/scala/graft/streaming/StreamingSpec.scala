@@ -110,6 +110,61 @@ class StreamingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("streaming SCD1: checkpointed waves fold exactly like batch scd1Merge; replay skips") {
+    import org.apache.spark.sql.types.DateType
+    val dir = java.nio.file.Files.createTempDirectory("graft-scd1-src")
+    val ck = java.nio.file.Files.createTempDirectory("graft-scd1-ck").toString
+    val whRoot = java.nio.file.Files.createTempDirectory("graft-scd1-wh").toString
+    val wh = new graft.sources.Warehouse(whRoot, spark)
+    def cust(rows: (Long, String, String)*) =
+      rows.toDF("c_custkey", "c_name", "c_mktsegment")
+    val w1 = cust((1L, "ann", "AUTO"), (2L, "bob", "RAIL"))
+    val w2 = cust((2L, "bob", "SHIP"), (3L, "cyd", "AUTO")) // update + insert
+    val schema = w1.schema
+    def run(dt: String): Unit = EventPipelines.scd1AvailableNow(
+      spark.readStream.schema(schema).parquet(dir.toString),
+      wh, "bl_3nf", "cs", Seq("c_custkey"), Seq("c_name", "c_mktsegment"),
+      lit(dt).cast(DateType), checkpointDir = Some(ck))
+    // file source doesn't recurse: land each wave as a single file
+    def drop(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory("graft-scd1-stage")
+      df.repartition(1).write.mode("overwrite").parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, dir.resolve(name))
+    }
+    drop(w1, "w1.parquet")
+    run("2024-06-01")
+    // wave 1 bootstraps: everything lands as 'new'
+    // materialize: the next run's atomic swap replaces these files
+    val t1 = wh.read("bl_3nf", "cs").localCheckpoint(true)
+    assert(t1.count() == 2 && t1.filter($"scd_status" === "new").count() == 2)
+    // wave 2 through the SAME checkpoint: only the new file is read,
+    // and the landed table equals the batch fold scd1Merge(fold1, w2)
+    drop(w2, "w2.parquet")
+    run("2024-07-01")
+    val got = wh.read("bl_3nf", "cs")
+    val batchFold = graft.operators.Scd.scd1Merge(
+      t1, w2, Seq("c_custkey"), Seq("c_name", "c_mktsegment"),
+      lit("2024-07-01").cast(DateType))
+    assert(got.exceptAll(batchFold).isEmpty && batchFold.exceptAll(got).isEmpty)
+    val byKey = got.select($"c_custkey", $"c_mktsegment", $"scd_status")
+      .as[(Long, String, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byKey(1L) == (("AUTO", "unchanged")))
+    assert(byKey(2L) == (("SHIP", "updated")))
+    assert(byKey(3L) == (("AUTO", "new")))
+    // a third run with no new files fires no batch; table unchanged
+    run("2024-08-01")
+    assert(wh.read("bl_3nf", "cs").filter($"update_dt" === "2024-08-01").count() == 0)
+    // crash-replay of a committed batch id is a metadata-only skip —
+    // even carrying different rows
+    val ns = EventPipelines.ledgerNamespace(ck)
+    assert(!EventPipelines.scd1Batch(wh, "bl_3nf", "cs", Seq("c_custkey"),
+      Seq("c_name", "c_mktsegment"), lit("2024-09-01").cast(DateType),
+      cust((9L, "zed", "MAIL")), batchId = 0, useLedger = true, ledgerNs = ns))
+    assert(wh.read("bl_3nf", "cs").count() == 3)
+  }
+
   test("batch ledger: a replayed batchId is a metadata-only skip, not a re-land") {
     val whRoot = java.nio.file.Files.createTempDirectory("graft-ledger-wh").toString
     val wh = new graft.sources.Warehouse(whRoot, spark)
