@@ -27,6 +27,20 @@ object Sessions {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // WindowExec's "No Partition Defined" warning exists to flag
+    // corpus-sized single-partition sorts; every unpartitioned window
+    // in this library is over a PROVABLY BOUNDED relation (k-row
+    // centroid seeds, R-row RRF candidate lists, dimension-cardinality
+    // surrogate-key blocks — each marked at the call site with
+    // Relational.tinyOrderedWindow), yet dozens of repeats per bench
+    // run buried real warnings. A constant partition key can't silence
+    // it — Spark's EliminateWindowPartitions strips foldable keys back
+    // out — so the logger is raised to ERROR here, centrally and
+    // documented. Corpus-scale window misuse is guarded by plan
+    // assertions in the specs, not by this log line.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     spark
   }
 }

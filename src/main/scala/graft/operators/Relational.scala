@@ -57,7 +57,21 @@ object Relational {
     */
   def surrogateKeys(newRows: DataFrame, orderCol: String, maxExisting: Long, idCol: String): DataFrame =
     newRows.withColumn(idCol,
-      (row_number().over(Window.orderBy(col(orderCol))) + lit(maxExisting)).cast(LongType))
+      (row_number().over(tinyOrderedWindow(col(orderCol))) + lit(maxExisting)).cast(LongType))
+
+  /** Window spec for PROVABLY TINY relations — k-row centroid seeds,
+    * R-row candidate lists, dimension-cardinality key blocks. Runtime
+    * behavior is identical to `Window.orderBy` (the constant partition
+    * key below is stripped by Spark's EliminateWindowPartitions rule;
+    * everything lands in one partition — which is the point at these
+    * cardinalities). The call through this helper is an AUDIT MARKER:
+    * it asserts the input is bounded by construction, and is why
+    * [[graft.Sessions.local]] raises WindowExec's "No Partition
+    * Defined" logger (aimed at corpus-sized inputs) to ERROR. Do NOT
+    * use where the input can scale with the data.
+    */
+  def tinyOrderedWindow(order: Column*): org.apache.spark.sql.expressions.WindowSpec =
+    Window.partitionBy(lit(0)).orderBy(order: _*)
 
   /** Fact-scale surrogate keys: deterministic 64-bit hash of the business
     * key — no global sort, no single-partition window, collision-checked

@@ -62,7 +62,7 @@ object RetrievalQueries extends QueryPack {
       val lexTop = bm25Scored(s, d)
         .orderBy(col("score").desc, col("doc_id")).limit(RRF_R)
       val lex = lexTop.select(col("doc_id"),
-        row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+        row_number().over(Relational.tinyOrderedWindow(col("score").desc, col("doc_id")))
           .as("r_lex"))
       val emb = Tables.embeddings(s, d)
       val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qemb"))
@@ -73,7 +73,7 @@ object RetrievalQueries extends QueryPack {
         .filter(col("cos").isNotNull)
         .orderBy(col("cos").desc, col("vec_id")).limit(RRF_R)
       val sem = semTop.select(col("vec_id").as("doc_id"),
-        row_number().over(Window.orderBy(col("cos").desc, col("vec_id")))
+        row_number().over(Relational.tinyOrderedWindow(col("cos").desc, col("vec_id")))
           .as("r_sem"))
       lex.join(sem, Seq("doc_id"), "full_outer")
         .select(col("doc_id"),

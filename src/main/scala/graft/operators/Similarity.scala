@@ -142,12 +142,13 @@ object Similarity {
       kmeansCentroids(emb, idCol, vecCol, k, rounds = 1)).drop(vecCol)
 
   /** Seed centroids: the k smallest ids (whatever the id space), cid 1..k. */
-  private def kmeansSeeds(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  private def kmeansSeeds(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
     emb.orderBy(col(idCol)).limit(k)
-      .withColumn("cid", row_number().over(Window.orderBy(col(idCol))).cast("int"))
+      // k-row input — tinyOrderedWindow keeps WindowExec's corpus-scale
+      // warning out of the logs
+      .withColumn("cid",
+        row_number().over(Relational.tinyOrderedWindow(col(idCol))).cast("int"))
       .select(col("cid"), col(vecCol).as("centroid"))
-  }
 
   /** Nearest-centroid assignment via the bounded TopKByScore partial
     * aggregation (k=1): map tasks reduce each vector's k candidate rows

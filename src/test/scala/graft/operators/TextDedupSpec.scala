@@ -408,6 +408,54 @@ class TextDedupSpec extends SparkSpec {
       s"held-out replay missed a merge: $heldOut")
   }
 
+  test("q138 bigram lift: every row recomputes from raw counts; threshold, order, limit hold") {
+    val corpus = graft.sources.Tables.documents(spark, sf)
+      .select($"text").as[String].collect()
+    val uni = corpus.flatMap(_.split(" ")).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = uni.values.sum
+    val bi = corpus.flatMap(t => t.split(" ").sliding(2).filter(_.length == 2)
+      .map(p => p(0) + " " + p(1))).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = bi.collect { case (b, cab) if cab >= 3 =>
+      val Array(a, w) = b.split(" ", 2)
+      (b, cab, uni(a), uni(w), cab * total * 1000000L / (uni(a) * uni(w)))
+    }.toSeq.sortBy { case (b, _, _, _, lift) => (-lift, b) }.take(50)
+    val got = TextQueries.queries("q138_bigram_lift")(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+  }
+
+  test("q140 token-rank surprisal: ranks are the (freq desc, tok) ordinals; per-doc mean exact") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val counts = docs.flatMap(_._2.split(" ")).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val rank = counts.toSeq.sortBy { case (tok, c) => (-c, tok) }
+      .zipWithIndex.map { case ((tok, _), i) => tok -> (i + 1L) }.toMap
+    val expected = docs.map { case (id, text) =>
+      val toks = text.split(" ")
+      val sumRank = toks.map(rank).sum
+      (id, toks.length.toLong, sumRank, 1000L * sumRank / toks.length)
+    }.toSet
+    val got = TextQueries.queries("q140_token_rank")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("q143 char collision stats: integer-exact against a by-hand recount") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val expected = docs.map { case (id, text) =>
+      val cs = text.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = cs.values.sum
+      val mass = cs.values.map(c => c * c).sum
+      (id, n, cs.size.toLong, mass,
+        if (n != 0) Some(1000000L * mass / (n * n)) else None)
+    }.toSet
+    val got = TextQueries.queries("q143_char_stats")(spark, sf)
+      .as[(Long, Long, Long, Long, Option[Long])].collect().toSet
+    assert(got == expected)
+  }
+
   test("q142 DSIR weights: ppm ratios bounded, integral, and target-lang docs rank higher") {
     val rows = TextQueries.queries("q142_dsir_weight")(spark, sf)
       .as[(Long, Long, Long, Long)].collect()

@@ -110,6 +110,32 @@ class StreamingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("q147 stream curation: a below-gate doc NEVER lands; above-gate docs land once") {
+    // fixture corpus with known gate outcomes: 'good' passes (60
+    // non-stopword tokens → quality 1.0), 'junk' is 100% stopwords
+    // (quality 0.0) and must be dropped AT INGEST, not after landing
+    val good = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val junk = Seq.fill(20)("the").mkString(" ")
+    val fixture = Seq(
+      (1L, good, "en", "srcGood", good.length.toLong),
+      (2L, junk, "en", "srcJunk", junk.length.toLong),
+      (3L, good, "en", "srcGood", good.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-curate-src")
+    val stage = java.nio.file.Files.createTempDirectory("graft-curate-stage")
+    fixture.repartition(1).write.mode("overwrite").parquet(stage.toString)
+    val part = new java.io.File(stage.toString).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath, dir.resolve("documents.parquet"))
+    val out = graft.operators.TextQueries
+      .queries("q147_stream_curate")(spark, dir.toString)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // the junk source never produces a landed row — the gate filtered
+    // it in foreachBatch, so it was never written, not cleaned up later
+    assert(!out.contains("srcJunk"), s"below-gate doc landed: $out")
+    assert(out("srcGood") == ((2L, 2000000L))) // two docs at quality 1.0
+  }
+
   test("streaming SCD1: checkpointed waves fold exactly like batch scd1Merge; replay skips") {
     import org.apache.spark.sql.types.DateType
     val dir = java.nio.file.Files.createTempDirectory("graft-scd1-src")
