@@ -312,6 +312,41 @@ object TextQueries extends QueryPack {
       bpeMergeTable(docs, "text", "doc_id", vocabTarget = base.toInt + BpeArtifactMerges)
     }),
 
+    // APPLY the trained tokenizer corpus-wide — the serving half of
+    // q160: fold the merge-table artifact (bounded, collected in rank
+    // order) over every document as chained literal replaces on the
+    // double-spaced form, then emit what a packing/training stage
+    // consumes: per-doc token count, merged-token count, and an
+    // integer checksum of the token sequence. One scan, zero
+    // shuffles — the merge chain is N_merges nested replaces inside a
+    // single projection, at any corpus size.
+    "q163_bpe_tokenize" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = docs.select(explode(split(col("text"), " ")).as("t"))
+        .agg(count_distinct(col("t"))).head().getLong(0)
+      val merges = bpeMergeTable(docs, "text", "doc_id",
+        vocabTarget = base.toInt + BpeArtifactMerges)
+        .orderBy(col("rank")).select(col("pair"))
+        .collect().map(_.getString(0)).toSeq
+      val st0 = concat(lit(" "),
+        regexp_replace(col("text"), lit(" "), lit("  ")), lit(" "))
+      val folded = merges.foldLeft(st0) { (st, pair) =>
+        val Array(a, b) = pair.split(" ", 2)
+        call_function("replace", st,
+          lit(" " + a + "  " + b + " "), lit(" " + a + "" + b + " "))
+      }
+      docs.select(col("doc_id"), split(trim(folded), "  ").as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast(LongType).as("n_tokens"),
+          size(filter(col("toks"), t => t.contains("")))
+            .cast(LongType).as("n_merged_tokens"),
+          // q43's rolling recurrence over the MERGED token stream —
+          // order-sensitive, overflow-free, engine-portable
+          aggregate(col("toks"), lit(0L),
+            (h, t) => (h * 31 + hexNibble(substring(md5(t), 1, 1)).cast("long"))
+              % 2147483647L).as("token_acc"))
+    }),
+
     // STREAMING curation: documents arrive as a file stream and are
     // quality-gated ON INGEST — the filter-at-the-door form of q132's
     // batch funnel, through the exactly-once landing machinery q77
@@ -736,6 +771,21 @@ object TextQueries extends QueryPack {
          |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
          |       CAST(SUM(q6) AS BIGINT) AS sum_q6
          |FROM g WHERE q6 >= 500000 GROUP BY source""".stripMargin,
+    "q163_bpe_tokenize" ->
+      s"""WITH s0 AS (SELECT doc_id, ' ' || replace(text, ' ', '  ') || ' ' AS st
+         |            FROM documents),
+         |${(1 to BpeArtifactMerges).map(bpeRound).mkString(",\n")},
+         |tok AS (SELECT doc_id, string_split(trim(st), '  ') AS toks
+         |        FROM s$BpeArtifactMerges)
+         |SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter(toks, t -> contains(t, chr(1)))) AS BIGINT)
+         |    AS n_merged_tokens,
+         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |         list_transform(toks,
+         |           t -> CAST(strpos('123456789abcdef', substr(md5(t), 1, 1)) AS BIGINT))),
+         |       (h, v) -> (h * 31 + v) % 2147483647) AS BIGINT) AS token_acc
+         |FROM tok""".stripMargin,
     "q160_bpe_artifact" ->
       s"""WITH s0 AS (SELECT doc_id, ' ' || replace(text, ' ', '  ') || ' ' AS st
          |            FROM documents),
