@@ -15,6 +15,9 @@ import org.apache.spark.sql.functions._
   */
 object CurationQueries extends QueryPack {
 
+  // q164: tokens per packed training sequence
+  private val PACK_BUDGET = 512
+
   val queries: Map[String, Q] = Map(
     // PII redaction: regex scrub of emails and phone numbers + match
     // counts for the removal audit log. Pure per-row projection — at
@@ -218,6 +221,28 @@ object CurationQueries extends QueryPack {
           floor(lit(10000.0) * col("n_flagged") / col("n_docs")).cast("long"))
     }),
 
+    // Sequence packing — the step between curation and the trainer:
+    // concatenate the epoch-ordered token stream and cut it into
+    // fixed-budget sequences (GPT-style pack-then-chunk). Each doc's
+    // placement is the exclusive prefix sum of token counts in the
+    // deterministic shuffle order — computed by the two-pass
+    // distributed scan (Relational.orderedPrefixSum: range-partition +
+    // per-partition totals + offset re-stream, bounded driver state of
+    // one long per partition, NO single-partition window). bin_id and
+    // the boundary-straddle flag are then plain projections. At 100 TB
+    // the plan is: one range shuffle + two partition-local passes.
+    "q164_seq_pack" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        md5(col("doc_id").cast("string")).as("h"))
+      Relational.orderedPrefixSum(docs, Seq(col("h"), col("doc_id")),
+        "n_tokens", "offset_tokens")
+        .select(col("doc_id"), col("n_tokens"), col("offset_tokens"),
+          expr(s"offset_tokens div $PACK_BUDGET").as("bin_id"),
+          (expr(s"(offset_tokens + n_tokens - 1) div $PACK_BUDGET")
+            =!= expr(s"offset_tokens div $PACK_BUDGET")).as("spans_boundary"))
+    }),
+
     // Deterministic epoch shuffle: the reproducible training data
     // order — each epoch ranks the corpus by an epoch-salted md5
     // uniform (doc_id tie-break), so every worker, run, and engine
@@ -297,6 +322,21 @@ object CurationQueries extends QueryPack {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q164_seq_pack" ->
+      s"""WITH t AS (SELECT doc_id,
+         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |             md5(CAST(doc_id AS VARCHAR)) AS h
+         |           FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |        CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY h, doc_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          AS BIGINT) AS offset_tokens
+         |      FROM t)
+         |SELECT doc_id, n_tokens, offset_tokens,
+         |       offset_tokens // $PACK_BUDGET AS bin_id,
+         |       ((offset_tokens + n_tokens - 1) // $PACK_BUDGET)
+         |         != (offset_tokens // $PACK_BUDGET) AS spans_boundary
+         |FROM c""".stripMargin,
     "q87_pii_redact" ->
       s"""SELECT doc_id,
          CAST(len(regexp_extract_all(raw, '$EmailRe')) AS INT) AS n_emails,

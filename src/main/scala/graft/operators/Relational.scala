@@ -112,6 +112,45 @@ object Relational {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Distributed EXCLUSIVE prefix sum of `valueCol` (long) in
+    * `sortExprs` order, with NO single-partition window: the classic
+    * two-pass scan — range-repartition + in-partition sort, collect the
+    * numPartitions per-partition totals (bounded driver state: one long
+    * per partition), then stream each partition once more adding its
+    * exclusive offset. The input is materialized once so both passes
+    * see identical partitioning. Same unique-sort-key contract as
+    * [[orderedRanks]]: duplicate keys would make the ordinal order — and
+    * thus each duplicate's prefix — nondeterministic.
+    */
+  def orderedPrefixSum(df: DataFrame, sortExprs: Seq[Column], valueCol: String,
+                       outCol: String): DataFrame = {
+    require(!df.columns.exists(_.equalsIgnoreCase(outCol)),
+      s"orderedPrefixSum: output column '$outCol' already exists in the input schema")
+    require(df.schema(valueCol).dataType == LongType,
+      s"orderedPrefixSum: '$valueCol' must be LongType, got " +
+        df.schema(valueCol).dataType.simpleString)
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(sortExprs: _*)
+      .sortWithinPartitions(sortExprs: _*).localCheckpoint(true)
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    val partSums = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L; it.foreach(r => s += r.getLong(vIdx)); Iterator((i, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField(outCol, LongType, nullable = false))
+    val rdd = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var acc = offsets(i)
+      it.map { r =>
+        val out = org.apache.spark.sql.Row.fromSeq(r.toSeq :+ acc)
+        acc += r.getLong(vIdx)
+        out
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** As-of join: for each left row, the single latest right row with
     * `rightTs <= leftTs` on the same key — the price-at-event-time
     * lookup Spark has no built-in for (the reference sidesteps it by

@@ -304,4 +304,30 @@ class RelationalSpec extends SparkSpec {
       .select($"tok", $"rnk").as[(String, Long)].collect().toMap
     assert(again == want)
   }
+
+  test("orderedPrefixSum equals the single-partition running sum, distributed") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n"))
+    val want = docs
+      .withColumn("off", coalesce(sum($"n").over(Window.orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"doc_id", $"off").as[(Long, Long)].collect().toMap
+    val got = Relational.orderedPrefixSum(docs, Seq($"doc_id"), "n", "off")
+      .select($"doc_id", $"off").as[(Long, Long)].collect().toMap
+    assert(got == want)
+    // exclusive semantics: the first doc in order starts at offset 0,
+    // and total mass is conserved at the last element
+    val inOrder = docs.orderBy($"doc_id").as[(Long, Long)].collect()
+    assert(got(inOrder.head._1) == 0L)
+    assert(got(inOrder.last._1) + 0L == inOrder.dropRight(1).map(_._2).sum)
+    // misuse fails loudly: non-long value column, colliding output name
+    intercept[IllegalArgumentException] {
+      Relational.orderedPrefixSum(
+        docs.withColumn("d", $"n".cast("double")), Seq($"doc_id"), "d", "off")
+    }
+    intercept[IllegalArgumentException] {
+      Relational.orderedPrefixSum(docs, Seq($"doc_id"), "n", "n")
+    }
+  }
 }
