@@ -221,6 +221,28 @@ object CurationQueries extends QueryPack {
           floor(lit(10000.0) * col("n_flagged") / col("n_docs")).cast("long"))
     }),
 
+    // Stratified train/val split with EXACT per-stratum counts: q81's
+    // hash-bucket split is only ~90/10 in expectation; evaluation sets
+    // need exactly ceil(10%) of every stratum. Per-stratum ranks come
+    // from ONE global orderedRanks pass sorted (stratum, md5-uniform,
+    // id) minus each stratum's start ordinal (min rank per stratum — a
+    // |strata|-row broadcast), so no stratum ever needs to fit in one
+    // partition the way a per-group window would demand at 100 TB.
+    // Deterministic: same split on every run, engine, cluster size.
+    "q165_stratified_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        md5(col("doc_id").cast("string")).as("h"))
+      val ranked = Relational.orderedRanks(docs,
+        Seq(col("lang"), col("h"), col("doc_id")), "grank")
+      val counts = ranked.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_s"), min(col("grank")).as("start"))
+      ranked.join(broadcast(counts), "lang")
+        .withColumn("stratum_rank", col("grank") - col("start") + 1L)
+        .select(col("doc_id"), col("lang"), col("stratum_rank"),
+          when(col("stratum_rank") <= expr("(n_s + 9) div 10"), "val")
+            .otherwise("train").as("split"))
+    }),
+
     // Sequence packing — the step between curation and the trainer:
     // concatenate the epoch-ordered token stream and cut it into
     // fixed-budget sequences (GPT-style pack-then-chunk). Each doc's
@@ -322,6 +344,18 @@ object CurationQueries extends QueryPack {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q165_stratified_split" ->
+      """WITH t AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h
+         |           FROM documents),
+         |r AS (SELECT doc_id, lang,
+         |        CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)
+         |          AS BIGINT) AS stratum_rank,
+         |        count(*) OVER (PARTITION BY lang) AS n_s
+         |      FROM t)
+         |SELECT doc_id, lang, stratum_rank,
+         |       CASE WHEN stratum_rank <= (n_s + 9) // 10
+         |            THEN 'val' ELSE 'train' END AS split
+         |FROM r""".stripMargin,
     "q164_seq_pack" ->
       s"""WITH t AS (SELECT doc_id,
          |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

@@ -153,6 +153,24 @@ class CurationSpec extends SparkSpec {
     assert(boxes._1 <= 63 && boxes._2 <= 63)
   }
 
+  test("q165 stratified split: exactly ceil(10%) of EVERY stratum, deterministic") {
+    val out = CurationQueries.queries("q165_stratified_split")(spark, sf)
+      .select($"lang", $"split").as[(String, String)].collect()
+    val perLang = out.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(perLang.nonEmpty)
+    perLang.foreach { case (lang, splits) =>
+      val n = splits.length
+      val vals = splits.count(_ == "val")
+      assert(vals == (n + 9) / 10, s"$lang: $vals val of $n")
+    }
+    // byte-deterministic across runs
+    val again = CurationQueries.queries("q165_stratified_split")(spark, sf)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val first = CurationQueries.queries("q165_stratified_split")(spark, sf)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(again == first)
+  }
+
   test("zValueN interleaves n dimensions and bounds 3-D boxes per key range") {
     // bit i of dim j lands at i*n + j: known 3-D values first
     val pts = Seq((1, 0, 0), (0, 1, 0), (0, 0, 1), (3, 0, 0), (7, 7, 7))
