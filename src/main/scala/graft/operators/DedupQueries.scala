@@ -303,6 +303,39 @@ object DedupQueries extends QueryPack {
     // redo. Cost is O(new · collision density), not O(corpus²);
     // `vs_index` labels which path found each verified pair. This is
     // how a 100 TB corpus stays deduped under continuous ingest.
+    // q157's maintenance contract meeting the STREAMING door: the idx
+    // split is pre-landed as the deduped corpus, the 'new' split
+    // arrives as a stream, and each micro-batch is within-batch
+    // deduped (pairwise min-id) + checked new×indexed against the
+    // landed table before landing exactly-once. The landed result must
+    // hash-match the batch oracle: idx ∪ {new docs with no verified
+    // pair into idx and no smaller-id pair among new} — stream-dedup ≡
+    // batch-dedup, which is what lets ingest run continuously without
+    // rebuild passes.
+    "q166_stream_dedup_ingest" -> ((s, d) => {
+      import graft.functions.TextFunctions.hexNibble
+      import graft.streaming.EventPipelines
+      val wh = new graft.sources.Warehouse(graft.plans.EtlQueries.tmpWarehouse(), s)
+      def bucket(c: org.apache.spark.sql.Column) = {
+        val h = md5(c.cast("string"))
+        (hexNibble(substring(h, 1, 1)) * 16 + hexNibble(substring(h, 2, 1))) % 10
+      }
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("source"))
+      wh.overwrite(docs.filter(bucket(col("doc_id")) < 9),
+        "bl_3nf", "docs_dedup", partitionBy = Seq("source")): Unit
+      val stream = s.readStream
+        .schema(s.read.option("pathGlobFilter", "documents.parquet").parquet(d).schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      EventPipelines.dedupIngestAvailableNow(stream, wh, "bl_3nf", "docs_dedup",
+        idCol = "doc_id", textCol = "text", partCol = "source",
+        ngram = 3, k = K, bands = BANDS, minJaccard = MIN_JACCARD,
+        prep = Some(b => b.filter(bucket(col("doc_id")) === 9)
+          .select(col("doc_id"), col("text"), col("source"))))
+      wh.readPartitioned("bl_3nf", "docs_dedup", "source")
+        .select(col("doc_id"), col("source"))
+    }),
+
     "q157_incremental_dedup" -> ((s, d) => {
       import graft.functions.TextFunctions.hexNibble
       val h = md5(col("doc_id").cast("string"))
@@ -668,6 +701,50 @@ object DedupQueries extends QueryPack {
          END AS recall_bps
        FROM ($rows)"""
     },
+    // Same verified-pair CTEs as q157; the landed set is idx plus the
+    // new docs untouched by either pair class (any-idx hit, or a
+    // smaller-id new pair).
+    "q166_stream_dedup_ingest" ->
+      s"""WITH $shinglesCte,
+         mh AS (SELECT doc_id, $minhashCols FROM sh GROUP BY doc_id),
+         bands AS ($bandUnion),
+         sp AS (SELECT doc_id,
+                  CASE WHEN (strpos('123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 16 +
+                             strpos('123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 10 < 9
+                       THEN 'idx' ELSE 'new' END AS split
+                FROM documents),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2, TRUE AS vs_index
+           FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+           JOIN sp sa ON sa.doc_id = a.doc_id
+           JOIN sp sb ON sb.doc_id = b.doc_id
+           WHERE sa.split = 'new' AND sb.split = 'idx'
+           UNION
+           SELECT DISTINCT a.doc_id, b.doc_id, FALSE
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+           JOIN sp sa ON sa.doc_id = a.doc_id
+           JOIN sp sb ON sb.doc_id = b.doc_id
+           WHERE sa.split = 'new' AND sb.split = 'new'),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT c.id_1, c.id_2, c.vs_index, count(*) AS inter
+                   FROM cand c
+                   JOIN sh a ON a.doc_id = c.id_1
+                   JOIN sh b ON b.doc_id = c.id_2 AND b.shingle = a.shingle
+                   GROUP BY 1, 2, 3),
+         p AS (SELECT id_1, id_2, vs_index FROM (
+                 SELECT i.id_1, i.id_2, i.vs_index,
+                        CAST(i.inter AS DOUBLE) / CAST(s1.n + s2.n - i.inter AS DOUBLE) AS jaccard
+                 FROM inter i
+                 JOIN sizes s1 ON s1.doc_id = i.id_1
+                 JOIN sizes s2 ON s2.doc_id = i.id_2)
+               WHERE jaccard >= $MIN_JACCARD),
+         dropped AS (SELECT id_1 AS doc_id FROM p WHERE vs_index
+                     UNION SELECT id_2 FROM p WHERE NOT vs_index)
+       SELECT d.doc_id, d.source
+       FROM documents d JOIN sp USING (doc_id)
+       WHERE sp.split = 'idx'
+          OR d.doc_id NOT IN (SELECT doc_id FROM dropped)""",
     "q157_incremental_dedup" ->
       s"""WITH $shinglesCte,
          mh AS (SELECT doc_id, $minhashCols FROM sh GROUP BY doc_id),

@@ -336,6 +336,52 @@ object EventPipelines {
     true
   }
 
+  /** Streaming NEAR-DUP dedup on ingest — the q157 incremental-index
+    * contract meeting the landing machinery, so a continuously-ingested
+    * corpus STAYS deduped instead of queueing rebuild passes. Each
+    * micro-batch is
+    *  (1) within-batch deduped: a new doc near-dupping a smaller-id doc
+    *      of the same batch drops (pairwise min-id rule — deterministic
+    *      and batch-local; full CC clustering belongs to the offline
+    *      pass, not the ingest door);
+    *  (2) checked against the LANDED corpus through the shared-LSH
+    *      cross-corpus path — new × indexed candidates only, never
+    *      indexed × indexed (the work a rebuild would redo);
+    *  (3) landed exactly-once via [[landBatch]] (key dedup, per-`partCol`
+    *      atomic swaps, optional ledger under a durable checkpoint).
+    * Per-batch cost: O(batch · collision density), never O(corpus²).
+    * The landed table must carry `textCol` — it IS the dedup index side.
+    */
+  def dedupIngestAvailableNow(docs: DataFrame, wh: graft.sources.Warehouse,
+                              layer: String, table: String,
+                              idCol: String, textCol: String, partCol: String,
+                              ngram: Int, k: Int, bands: Int, minJaccard: Double,
+                              checkpointDir: Option[String] = None,
+                              prep: Option[DataFrame => DataFrame] = None): Unit = {
+    import graft.operators.Dedup
+    val dedupPrep: DataFrame => DataFrame = { b0 =>
+      val b = prep.getOrElse(identity[DataFrame] _).apply(b0)
+      val within = Dedup.minhashLshNearDups(b, textCol, idCol,
+        ngram, k, bands, minJaccard)
+      val survivors = b.join(
+        within.select(col("id_2").as(idCol)).distinct(), Seq(idCol), "left_anti")
+      if (!wh.exists(layer, table)) survivors
+      else {
+        val landed = wh.readPartitioned(layer, table, partCol)
+        val tagged = landed.select(col(idCol), col(textCol))
+          .withColumn("__side", lit("idx"))
+          .unionByName(survivors.select(col(idCol), col(textCol))
+            .withColumn("__side", lit("new")))
+        val hits = Dedup.crossCorpusNearDups(tagged, textCol, idCol,
+          "__side", "new", "idx", ngram, k, bands, minJaccard)
+        survivors.join(hits.select(col("new_id").as(idCol)).distinct(),
+          Seq(idCol), "left_anti")
+      }
+    }
+    ingestAvailableNow(docs, wh, layer, table, keys = Seq(idCol),
+      partCol = partCol, checkpointDir = checkpointDir, prep = Some(dedupPrep))
+  }
+
   /** Streaming SCD1 — the reference's C1 upsert meeting the streaming
     * extension: late dimension updates arrive as a stream and upsert on
     * ingest via foreachBatch, so the dimension is current after every

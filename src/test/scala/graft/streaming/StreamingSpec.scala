@@ -136,6 +136,43 @@ class StreamingSpec extends SparkSpec {
     assert(out("srcGood") == ((2L, 2000000L))) // two docs at quality 1.0
   }
 
+  test("streaming near-dup ingest: drops vs index, within batch, AND vs earlier batches' landings") {
+    val base = "the quick brown fox jumps over the lazy dog"
+    val uniq = "completely different text about spark engines and planning"
+    val other = "a second unrelated passage discussing parquet files here"
+    val dir = java.nio.file.Files.createTempDirectory("graft-sdd-src")
+    val whRoot = java.nio.file.Files.createTempDirectory("graft-sdd-wh").toString
+    val wh = new graft.sources.Warehouse(whRoot, spark)
+    def docsOf(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+      .withColumn("source", lit("s"))
+    // pre-seeded deduped corpus: doc 1
+    wh.overwrite(docsOf((1L, base)), "bl_3nf", "dd", partitionBy = Seq("source")): Unit
+    def drop(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory("graft-sdd-stage")
+      df.repartition(1).write.mode("overwrite").parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, dir.resolve(name))
+    }
+    // batch 1: 2 near-dups doc 1 (vs-index drop), 3 unique (lands),
+    //          4 near-dups 3 within the batch (min-id drop)
+    drop(docsOf((2L, base.replace("dog", "cat")), (3L, uniq),
+      (4L, uniq.replace("planning", "shuffles"))), "b1.parquet")
+    // batch 2: 5 near-dups 3 — which landed in batch 1, so the INDEX
+    //          catches it; 6 unique (lands). Last-token edit keeps the
+    //          pair at shingle-jaccard ~0.71, where these (k=8, b=4)
+    //          LSH parameters catch deterministically (md5 minhashes).
+    drop(docsOf((5L, uniq.replace("planning", "scheduling")), (6L, other)), "b2.parquet")
+    val stream = spark.readStream.schema(docsOf((0L, "x")).schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    graft.streaming.EventPipelines.dedupIngestAvailableNow(stream, wh,
+      "bl_3nf", "dd", idCol = "doc_id", textCol = "text", partCol = "source",
+      ngram = 3, k = 8, bands = 4, minJaccard = 0.2)
+    val landed = wh.readPartitioned("bl_3nf", "dd", "source")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(landed == Set(1L, 3L, 6L), s"landed $landed")
+  }
+
   test("streaming SCD1: checkpointed waves fold exactly like batch scd1Merge; replay skips") {
     import org.apache.spark.sql.types.DateType
     val dir = java.nio.file.Files.createTempDirectory("graft-scd1-src")
