@@ -265,6 +265,27 @@ object CurationQueries extends QueryPack {
             =!= expr(s"offset_tokens div $PACK_BUDGET")).as("spans_boundary"))
     }),
 
+    // Monolingual sequence packing — q164 within each lang stratum, so
+    // no packed sequence mixes languages (the form curriculum and
+    // per-language loss weighting want). Same scalable shape as
+    // q165's rank trick: ONE global prefix sum ordered (stratum,
+    // shuffle-uniform, id), then each doc's stratum-local token offset
+    // is the global prefix minus the stratum's first prefix (a
+    // |strata|-row broadcast of min-per-lang) — no stratum ever needs
+    // a single-partition scan.
+    "q169_pack_by_lang" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        md5(col("doc_id").cast("string")).as("h"))
+      val summed = Relational.orderedPrefixSum(docs,
+        Seq(col("lang"), col("h"), col("doc_id")), "n_tokens", "gpre")
+      val starts = summed.groupBy(col("lang")).agg(min(col("gpre")).as("start"))
+      summed.join(broadcast(starts), "lang")
+        .withColumn("offset_tokens", col("gpre") - col("start"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("offset_tokens"),
+          expr(s"offset_tokens div $PACK_BUDGET").as("bin_id"))
+    }),
+
     // Deterministic epoch shuffle: the reproducible training data
     // order — each epoch ranks the corpus by an epoch-salted md5
     // uniform (doc_id tie-break), so every worker, run, and engine
@@ -356,6 +377,21 @@ object CurationQueries extends QueryPack {
          |       CASE WHEN stratum_rank <= (n_s + 9) // 10
          |            THEN 'val' ELSE 'train' END AS split
          |FROM r""".stripMargin,
+    "q169_pack_by_lang" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |             md5(CAST(doc_id AS VARCHAR)) AS h
+         |           FROM documents)
+         |SELECT doc_id, lang, n_tokens,
+         |       CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
+         |              ORDER BY h, doc_id
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |         AS BIGINT) AS offset_tokens,
+         |       CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
+         |              ORDER BY h, doc_id
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |         AS BIGINT) // $PACK_BUDGET AS bin_id
+         |FROM t""".stripMargin,
     "q164_seq_pack" ->
       s"""WITH t AS (SELECT doc_id,
          |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

@@ -280,6 +280,24 @@ object SimilarityQueries extends QueryPack {
         nprobe = NPROBE, shortlist = RERANK_R, kNeighbors = 3)
     }),
 
+    // IVF cell-occupancy audit — the re-cluster trigger every serving
+    // deployment watches: per trained cell, member count, occupancy as
+    // a percent of the mean, and the overfull flag (> 2× mean). A
+    // skewed cell means probed-cell scans stop being uniform work —
+    // routing hotspots at serve time, stragglers at build time — and
+    // the fix (split the cell / retrain the quantizer) is scheduled
+    // off exactly this relation. k-row output; integer arithmetic.
+    "q168_ivf_occupancy" -> ((s, d) => {
+      val (_, cells) = ivfIndex(s, d)
+      val occ = cells.groupBy(col("cid")).agg(count(lit(1)).as("n"))
+      val tot = occ.agg(sum(col("n")).as("t"), count(lit(1)).as("k"))
+      occ.crossJoin(broadcast(tot))
+        .select(col("cid"), col("n"),
+          expr("(100 * n * k) div t").as("occupancy_pct_of_mean"),
+          (col("n") * col("k") > col("t") * 2).as("overfull"))
+        .orderBy(col("cid"))
+    }),
+
     // Filtered ANN on the BEST serving path: q121 composes the
     // metadata predicate with raw-PQ scoring only; here the same
     // cells ⋉ allowed semi-join restricts the two-stage re-ranked
@@ -844,6 +862,18 @@ object SimilarityQueries extends QueryPack {
          |  JOIN embeddings c ON c.vec_id = s.nn_id
          |  WHERE $cos IS NOT NULL)
          |WHERE rn <= 3""".stripMargin
+    },
+    // Occupancy audit over the same trained assignment the serving
+    // paths read (a{KM_ROUNDS+1}).
+    "q168_ivf_occupancy" -> {
+      val aN = s"a${KM_ROUNDS + 1}"
+      s"""${kmeansWith(KM_K, KM_ROUNDS)},
+         |occ AS (SELECT cid, CAST(count(*) AS BIGINT) AS n FROM $aN GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t,
+         |               CAST(count(*) AS BIGINT) AS k FROM occ)
+         |SELECT cid, n, (100 * n * k) // t AS occupancy_pct_of_mean,
+         |       n * k > 2 * t AS overfull
+         |FROM occ, tot ORDER BY cid""".stripMargin
     },
     // Filtered two-stage serving: q126's statement with the metadata
     // predicate restricting the shortlist's candidate members.

@@ -312,6 +312,35 @@ object TextQueries extends QueryPack {
       bpeMergeTable(docs, "text", "doc_id", vocabTarget = base.toInt + BpeArtifactMerges)
     }),
 
+    // Vocabulary coverage curve — the tokenizer-sizing diagnostic:
+    // what fraction of corpus token OCCURRENCES does a top-k vocabulary
+    // cover, at several k. Vocab ranks via orderedRanks and cumulative
+    // occurrence mass via orderedPrefixSum — both distributed scans
+    // with no single-partition window even at web-scale vocabulary —
+    // then one bounded row per curve point: coverage in basis points
+    // (integer-exact), plus the rank-k token's count as the tail
+    // marker. The curve is how you pick 32k vs 50k vs 100k before
+    // paying for a training run.
+    "q167_vocab_coverage" -> ((s, d) => {
+      val vocab = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val ranked = Relational.orderedRanks(vocab,
+        Seq(col("c").desc, col("tok")), "rnk")
+      val summed = Relational.orderedPrefixSum(ranked,
+        Seq(col("rnk")), "c", "mass_before").localCheckpoint(true)
+      val total = summed.agg(sum(col("c")).as("t"))
+      import s.implicits._
+      val ks = Seq(5L, 10L, 20L, 30L).toDF("k")
+      summed.withColumn("covered", col("mass_before") + col("c"))
+        .join(ks, col("rnk") === col("k"))
+        .crossJoin(broadcast(total))
+        .select(col("k"), col("c").as("count_at_k"),
+          col("covered").as("occ_covered"), col("t").as("occ_total"),
+          expr("(10000 * covered) div t").as("coverage_bps"))
+        .orderBy(col("k"))
+    }),
+
     // APPLY the trained tokenizer corpus-wide — the serving half of
     // q160: fold the merge-table artifact (bounded, collected in rank
     // order) over every document as chained literal replaces on the
@@ -771,6 +800,24 @@ object TextQueries extends QueryPack {
          |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
          |       CAST(SUM(q6) AS BIGINT) AS sum_q6
          |FROM g WHERE q6 >= 500000 GROUP BY source""".stripMargin,
+    "q167_vocab_coverage" ->
+      """WITH uc AS (SELECT tok, count(*) AS c
+         |           FROM (SELECT unnest(string_split(text, ' ')) AS tok
+         |                 FROM documents) GROUP BY 1),
+         |r AS (SELECT tok, c,
+         |        CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT) AS rnk,
+         |        CAST(SUM(c) OVER (ORDER BY c DESC, tok
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |          AS BIGINT) AS covered
+         |      FROM uc),
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM uc)
+         |SELECT CAST(ks.k AS BIGINT) AS k,
+         |       CAST(r.c AS BIGINT) AS count_at_k,
+         |       r.covered AS occ_covered,
+         |       (SELECT t FROM tot) AS occ_total,
+         |       (10000 * r.covered) // (SELECT t FROM tot) AS coverage_bps
+         |FROM r JOIN (VALUES (5), (10), (20), (30)) ks(k) ON r.rnk = ks.k
+         |ORDER BY k""".stripMargin,
     "q163_bpe_tokenize" ->
       s"""WITH s0 AS (SELECT doc_id, ' ' || replace(text, ' ', '  ') || ' ' AS st
          |            FROM documents),
