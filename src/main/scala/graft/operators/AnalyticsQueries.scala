@@ -31,6 +31,22 @@ object AnalyticsQueries extends QueryPack {
     "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
 
   val queries: Map[String, Q] = Map(
+
+    // Hot-join-key audit — the skew detector run BEFORE sizing a big
+    // join: top-20 hottest lineitem part keys with their corpus share
+    // (ppm) and a >10×-mean flag. At 100 TB this is the relation that
+    // decides which keys get salted and whether AQE skew-join kicks
+    // in; one partial-aggregated shuffle on the key, bounded output.
+    "q172_hot_keys" -> ((s, d) => {
+      val counts = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+      val tot = counts.agg(sum(col("n")).as("t"), count(lit(1)).as("k"))
+      counts.orderBy(col("n").desc, col("l_partkey")).limit(20)
+        .crossJoin(broadcast(tot))
+        .select(col("l_partkey"), col("n"),
+          expr("(1000000 * n) div t").as("share_ppm"),
+          (col("n") * col("k") > col("t") * 10).as("hot"))
+    }),
     // A1: global fact aggregate (reference Q1, dw_etl_tests.py:470-476)
     "q01_fact_agg" -> ((s, d) => {
       Tables.lineitem(s, d).agg(
@@ -210,6 +226,15 @@ object AnalyticsQueries extends QueryPack {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q172_hot_keys" ->
+      """WITH c AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n
+         |           FROM lineitem GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t,
+         |               CAST(count(*) AS BIGINT) AS k FROM c)
+         |SELECT l_partkey, n, (1000000 * n) // t AS share_ppm,
+         |       n * k > 10 * t AS hot
+         |FROM c, tot
+         |ORDER BY n DESC, l_partkey LIMIT 20""".stripMargin,
     "q107_incremental_agg" ->
       s"""SELECT strftime(l_shipdate, '%Y%m') AS ship_month, l_returnflag,
          count(*) AS n_rows,

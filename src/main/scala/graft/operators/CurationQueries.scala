@@ -17,6 +17,9 @@ object CurationQueries extends QueryPack {
 
   // q164: tokens per packed training sequence
   private val PACK_BUDGET = 512
+  // q170: chunk window / stride (tokens)
+  private val CHUNK_N = 10
+  private val CHUNK_S = 5
 
   val queries: Map[String, Q] = Map(
     // PII redaction: regex scrub of emails and phone numbers + match
@@ -265,6 +268,48 @@ object CurationQueries extends QueryPack {
             =!= expr(s"offset_tokens div $PACK_BUDGET")).as("spans_boundary"))
     }),
 
+    // Context-window chunking WITH OVERLAP — the long-document prep for
+    // a fixed-context trainer: token windows of CHUNK_N starting every
+    // CHUNK_S tokens (windows start while start ≤ n; the tail window is
+    // partial), each with its content hash for downstream chunk-level
+    // dedup. posexplode over a stride sequence — scan-speed, zero
+    // shuffle, chunk count ∝ doc length / stride.
+    "q170_overlap_chunks" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      docs.select(col("doc_id"),
+          col("ts"),
+          posexplode(sequence(lit(1), size(col("ts")), lit(CHUNK_S)))
+            .as(Seq("ci", "start")))
+        .withColumn("win", slice(col("ts"), col("start"), lit(CHUNK_N)))
+        .select(col("doc_id"), col("ci").cast("int").as("chunk_idx"),
+          col("start").cast("long").as("start_tok"),
+          size(col("win")).cast("long").as("n_chunk_tokens"),
+          md5(array_join(col("win"), " ")).as("chunk_hash"))
+    }),
+
+    // Per-source EXACT length percentiles — the curation dashboard's
+    // robust stats, rank-based so both engines agree to the byte where
+    // interpolating percentile implementations never would: p = the
+    // len at stratum rank ceil(p·n) in (len, id) order. Ranks via the
+    // q165 global-orderedRanks-minus-stratum-start trick — no source
+    // stratum ever needs a single-partition window.
+    "q171_length_percentiles" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("len"))
+      val ranked = Relational.orderedRanks(docs,
+        Seq(col("source"), col("len"), col("doc_id")), "grank")
+      val stats = ranked.groupBy(col("source"))
+        .agg(min(col("grank")).as("start"), count(lit(1)).as("n_s"))
+      ranked.join(broadcast(stats), "source")
+        .withColumn("rk", col("grank") - col("start") + 1L)
+        .groupBy(col("source"))
+        .agg(
+          max(when(col("rk") === expr("(n_s + 1) div 2"), col("len"))).as("p50_tokens"),
+          max(when(col("rk") === expr("(9 * n_s + 9) div 10"), col("len"))).as("p90_tokens"),
+          max(when(col("rk") === expr("(99 * n_s + 99) div 100"), col("len"))).as("p99_tokens"))
+    }),
+
     // Monolingual sequence packing — q164 within each lang stratum, so
     // no packed sequence mixes languages (the form curriculum and
     // per-language loss weighting want). Same scalable shape as
@@ -377,6 +422,32 @@ object CurationQueries extends QueryPack {
          |       CASE WHEN stratum_rank <= (n_s + 9) // 10
          |            THEN 'val' ELSE 'train' END AS split
          |FROM r""".stripMargin,
+    "q170_overlap_chunks" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |w AS (SELECT doc_id, ts,
+         |        unnest(generate_series(1, len(ts), $CHUNK_S)) AS start
+         |      FROM t)
+         |SELECT doc_id,
+         |  CAST((start - 1) // $CHUNK_S AS INT) AS chunk_idx,
+         |  CAST(start AS BIGINT) AS start_tok,
+         |  CAST(len(ts[start:least(start + ${CHUNK_N - 1}, len(ts))]) AS BIGINT)
+         |    AS n_chunk_tokens,
+         |  md5(array_to_string(ts[start:least(start + ${CHUNK_N - 1}, len(ts))], ' '))
+         |    AS chunk_hash
+         |FROM w""".stripMargin,
+    "q171_length_percentiles" ->
+      """WITH t AS (SELECT source, doc_id,
+         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+         |           FROM documents),
+         |r AS (SELECT source, len,
+         |        row_number() OVER (PARTITION BY source ORDER BY len, doc_id) AS rk,
+         |        count(*) OVER (PARTITION BY source) AS n_s
+         |      FROM t)
+         |SELECT source,
+         |  MAX(CASE WHEN rk = (n_s + 1) // 2 THEN len END) AS p50_tokens,
+         |  MAX(CASE WHEN rk = (9 * n_s + 9) // 10 THEN len END) AS p90_tokens,
+         |  MAX(CASE WHEN rk = (99 * n_s + 99) // 100 THEN len END) AS p99_tokens
+         |FROM r GROUP BY source""".stripMargin,
     "q169_pack_by_lang" ->
       s"""WITH t AS (SELECT doc_id, lang,
          |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
