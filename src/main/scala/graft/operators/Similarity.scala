@@ -1041,6 +1041,40 @@ object Similarity {
       .select(col("vec_id"), col("neg_id"), col("rnk"), col("cos"))
   }
 
+  /** Contrastive training pairs mined from the trained cells — the
+    * dataset an embedding fine-tune consumes: per anchor, the top-kPos
+    * same-cell SAME-label neighbors (positives: semantically close AND
+    * same class) and the top-kNeg same-cell OTHER-label neighbors (the
+    * [[hardNegatives]] — close enough to confuse, labeled apart).
+    * Mining never leaves a trained cell, so the pairwise stage is
+    * Σ|cell|², not N² — the same scale contract as SemDeDup. Returns
+    * (vec_id, pair_id, rnk, cos, is_positive).
+    */
+  def contrastivePairs(emb: DataFrame, idCol: String, vecCol: String,
+                       labelCol: String, cells: DataFrame,
+                       kPos: Int, kNeg: Int): DataFrame = {
+    require(kPos >= 1 && kNeg >= 1, s"kPos=$kPos and kNeg=$kNeg must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val e = emb.select(col(idCol), col(vecCol), col(labelCol)).join(cells, Seq(idCol))
+    val a = e.select(col("cid"), col(idCol).as("vec_id"), col(vecCol).as("va"),
+      norm(col(vecCol)).as("na"), col(labelCol).as("la"))
+    val b = e.select(col("cid"), col(idCol).as("pair_id"), col(vecCol).as("vb"),
+      norm(col(vecCol)).as("nb"), col(labelCol).as("lb"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("pair_id"))
+    val pos = a.join(b, Seq("cid"))
+      .filter(col("vec_id") =!= col("pair_id") && col("la") === col("lb"))
+      .withColumn("cos", safeCos(dot(col("va"), col("vb")), col("na"), col("nb")))
+      .filter(col("cos").isNotNull)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= kPos)
+      .select(col("vec_id"), col("pair_id"), col("rnk"), col("cos"),
+        lit(true).as("is_positive"))
+    val neg = hardNegatives(emb, idCol, vecCol, labelCol, cells, kNeg)
+      .select(col("vec_id"), col("neg_id").as("pair_id"), col("rnk"), col("cos"),
+        lit(false).as("is_positive"))
+    pos.unionByName(neg)
+  }
+
   /** Near pairs: same bucket AND exact cosine ≥ minCos. */
   def lshNearPairs(emb: DataFrame, idCol: String, vecCol: String,
                    bits: Int, minCos: Double): DataFrame = {

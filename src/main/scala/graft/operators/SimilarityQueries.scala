@@ -465,6 +465,17 @@ object SimilarityQueries extends QueryPack {
         "label", cells, 3)
     }),
 
+    // Contrastive pair mining — q141 completed into the dataset an
+    // embedding fine-tune actually consumes: per anchor, the top
+    // same-cell SAME-label neighbor (positive) and the top same-cell
+    // other-label neighbor (hard negative), one labeled relation.
+    // Mining never leaves a trained cell (Σ|cell|², not N²).
+    "q173_contrastive_pairs" -> ((s, d) => {
+      val (_, cells) = ivfIndex(s, d)
+      Similarity.contrastivePairs(Tables.embeddings(s, d), "vec_id", "embedding",
+        "label", cells, kPos = 1, kNeg = 1)
+    }),
+
     // Nearest-class-mean probe: per-label prototype vectors, every
     // vector assigned to its nearest prototype, output as the
     // label × pred confusion matrix — the one-pass embedding-quality
@@ -862,6 +873,28 @@ object SimilarityQueries extends QueryPack {
          |  JOIN embeddings c ON c.vec_id = s.nn_id
          |  WHERE $cos IS NOT NULL)
          |WHERE rn <= 3""".stripMargin
+    },
+    // Positives = q141's statement with the label predicate flipped;
+    // the union is the labeled contrastive relation.
+    "q173_contrastive_pairs" -> {
+      val aN = s"a${KM_ROUNDS + 1}"
+      val cos = cosSql("a.embedding", "b.embedding")
+      def leg(pred: String, flag: String): String =
+        s"""SELECT vec_id, pair_id, CAST(rnk AS INT) AS rnk, cos,
+           |       $flag AS is_positive FROM (
+           |  SELECT a.vec_id, b.vec_id AS pair_id, $cos AS cos,
+           |         row_number() OVER (PARTITION BY a.vec_id
+           |           ORDER BY $cos DESC, b.vec_id) AS rnk
+           |  FROM lab a JOIN lab b ON a.cid = b.cid AND a.vec_id != b.vec_id
+           |       AND a.label $pred b.label
+           |  WHERE $cos IS NOT NULL)
+           |WHERE rnk <= 1""".stripMargin
+      s"""${kmeansWith(KM_K, KM_ROUNDS)},
+         |lab AS (SELECT c.vec_id, c.cid, c.embedding, e.label
+         |        FROM $aN c JOIN embeddings e USING (vec_id))
+         |${leg("=", "TRUE")}
+         |UNION ALL
+         |${leg("!=", "FALSE")}""".stripMargin
     },
     // Occupancy audit over the same trained assignment the serving
     // paths read (a{KM_ROUNDS+1}).

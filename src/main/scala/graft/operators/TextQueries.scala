@@ -312,6 +312,44 @@ object TextQueries extends QueryPack {
       bpeMergeTable(docs, "text", "doc_id", vocabTarget = base.toInt + BpeArtifactMerges)
     }),
 
+    // The CAPSTONE composition — a training-shard MANIFEST: quality
+    // gate (quantized q94 score ≥ 0.5) → exact dedup (keep-min per
+    // normalized fingerprint) → drop the exact per-stratum val split
+    // (q165's rank trick) → monolingual packing at 512 tokens (q169's
+    // prefix-sum trick) → one manifest row per (lang, bin): doc count,
+    // token mass, id checksum. This is the relation a trainer's data
+    // loader reads to schedule shards; every stage is the already-
+    // gated operator, so the whole pipeline stays one DAG of scans,
+    // one dedup shuffle, one range shuffle, and bounded broadcasts.
+    "q174_shard_manifest" -> ((s, d) => {
+      val gated = Tables.documents(s, d)
+        .withColumn("q6", floor(qualityScore(col("text"), EN) * 1e6).cast(LongType))
+        .filter(col("q6") >= 500000L)
+        .select(col("doc_id"), col("lang"), col("text"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+      val keep = gated.groupBy(fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val dd = gated.join(keep.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          md5(col("doc_id").cast("string")).as("h"))
+      val ranked = Relational.orderedRanks(dd,
+        Seq(col("lang"), col("h"), col("doc_id")), "grank")
+      val stats = ranked.groupBy(col("lang"))
+        .agg(min(col("grank")).as("start"), count(lit(1)).as("n_s"))
+      val train = ranked.join(broadcast(stats), "lang")
+        .withColumn("rk", col("grank") - col("start") + 1L)
+        .filter(col("rk") > expr("(n_s + 9) div 10"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("h"))
+      val packed = Relational.orderedPrefixSum(train,
+        Seq(col("lang"), col("h"), col("doc_id")), "n_tokens", "gpre")
+      val tstarts = packed.groupBy(col("lang")).agg(min(col("gpre")).as("tstart"))
+      packed.join(broadcast(tstarts), "lang")
+        .withColumn("off", col("gpre") - col("tstart"))
+        .groupBy(col("lang"), expr("off div 512").as("bin_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+          sum(col("doc_id")).as("sum_doc_id"))
+    }),
+
     // Vocabulary coverage curve — the tokenizer-sizing diagnostic:
     // what fraction of corpus token OCCURRENCES does a top-k vocabulary
     // cover, at several k. Vocab ranks via orderedRanks and cumulative
@@ -800,6 +838,34 @@ object TextQueries extends QueryPack {
          |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
          |       CAST(SUM(q6) AS BIGINT) AS sum_q6
          |FROM g WHERE q6 >= 500000 GROUP BY source""".stripMargin,
+    "q174_shard_manifest" ->
+      s"""WITH g AS (SELECT doc_id, lang, text,
+         |             CAST($nTokensSql AS BIGINT) AS n_tokens
+         |           FROM documents
+         |           WHERE CAST(floor((least(1.0, CAST($nTokensSql AS DOUBLE) / 50.0)
+         |                 * (1.0 - $stopRatioSql)) * 1000000.0) AS BIGINT) >= 500000),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM g
+         |         GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))),
+         |dd AS (SELECT g.doc_id, g.lang, g.n_tokens,
+         |              md5(CAST(g.doc_id AS VARCHAR)) AS h
+         |       FROM g JOIN keep USING (doc_id)),
+         |r AS (SELECT doc_id, lang, n_tokens, h,
+         |        row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk,
+         |        count(*) OVER (PARTITION BY lang) AS n_s
+         |      FROM dd),
+         |tr AS (SELECT doc_id, lang, n_tokens, h FROM r
+         |       WHERE rk > (n_s + 9) // 10),
+         |p AS (SELECT doc_id, lang, n_tokens,
+         |        CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
+         |               ORDER BY h, doc_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          AS BIGINT) AS off
+         |      FROM tr)
+         |SELECT lang, off // 512 AS bin_id,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+         |FROM p GROUP BY 1, 2""".stripMargin,
     "q167_vocab_coverage" ->
       """WITH uc AS (SELECT tok, count(*) AS c
          |           FROM (SELECT unnest(string_split(text, ' ')) AS tok
