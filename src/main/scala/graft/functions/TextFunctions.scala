@@ -99,6 +99,17 @@ object TextFunctions {
     array_distinct(when(size(ts) >= n, make).otherwise(array()))
   }
 
+  /** [[shinglesOfTokens]] WITHOUT the distinct: one shingle per start
+    * position, in position order — the form run-detection needs (exact-
+    * substring matching is about WHERE shingles sit, not which exist).
+    * Element i (0-based) is the shingle starting at token i+1 (1-based).
+    */
+  def positionalShinglesOfTokens(ts: Column, n: Int): Column = {
+    val make = transform(sequence(lit(1), size(ts) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(o => element_at(ts, i + o)): _*))
+    when(size(ts) >= n, make).otherwise(array())
+  }
+
   /** Value of a hex digit via position lookup — identical semantics to
     * SQL `strpos('123456789abcdef', ch)`: '0'→0, '1'→1 … 'f'→15.
     */

@@ -84,6 +84,70 @@ object Dedup {
       .select(col("id_1"), col("id_2"), col("jaccard"))
   }
 
+  /** Position-preserving shingle relation (id, pos, shingle) — pos is
+    * the 1-based token index the n-gram starts at, one row per START
+    * POSITION (repeated shingles keep every occurrence; [[shingleTable]]
+    * dedups, which destroys the run structure exact-substring matching
+    * reads). Row count = Σ max(0, len−n+1) — same order as the token
+    * explosion every other shingle consumer already pays.
+    */
+  def positionalShingleTable(docs: DataFrame, textCol: String, idCol: String,
+                             n: Int): DataFrame =
+    docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__ts"))
+      .select(col(idCol),
+        posexplode(TextFunctions.positionalShinglesOfTokens(col("__ts"), n)))
+      .select(col(idCol), (col("pos") + 1).as("pos"), col("col").as("shingle"))
+
+  /** Exact-substring near-dup detection (the "ExactSubstr" pass of Lee
+    * et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499): for each CANDIDATE pair, the length in
+    * tokens of the longest verbatim shared token run — the signal that
+    * catches a quoted paragraph inside two otherwise-different pages,
+    * which whole-document Jaccard dilutes below any threshold.
+    *
+    * Not a suffix array: a shared run of length L ≥ n is exactly a
+    * maximal chain of L−n+1 consecutive positional-shingle matches on
+    * one diagonal d = p1−p2. So: join the two sides' positional
+    * shingles (id_1, p1) × (id_2, p2) on shingle equality restricted to
+    * the candidate pairs, group matches by (pair, diagonal), and find
+    * the longest consecutive-p1 island via the classic gaps-and-islands
+    * grouping key p1 − row_number(). (pair, diag, p1) is unique — p2 is
+    * determined by the diagonal — so the window order is total and the
+    * result deterministic.
+    *
+    * Scale: work is Σ over candidate pairs of matched positions — LSH
+    * candidates bound the pair set, document length bounds the match
+    * fan-out, and the island window partitions by (pair, diagonal),
+    * every partition ≤ min(len_1, len_2) rows. Nothing is quadratic in
+    * the corpus; all-pairs mode is exactly what this operator exists to
+    * avoid.
+    *
+    * Returns (id_1, id_2, longest_tokens, n_matched_positions) for
+    * pairs whose longest run ≥ `minTokens` (must be ≥ n).
+    */
+  def longestSharedRuns(posShingles: DataFrame, pairs: DataFrame,
+                        n: Int, minTokens: Int): DataFrame = {
+    require(minTokens >= n,
+      s"minTokens=$minTokens below the shingle width $n is unobservable: " +
+        "the shortest detectable run is one shingle = n tokens")
+    import org.apache.spark.sql.expressions.Window
+    val a = posShingles.toDF("id_1", "p1", "shingle")
+    val b = posShingles.toDF("id_2", "p2", "shingle")
+    val m = pairs.select(col("id_1"), col("id_2"))
+      .join(a, Seq("id_1"))
+      .join(b, Seq("id_2", "shingle"))
+      .withColumn("diag", col("p1") - col("p2"))
+    val w = Window.partitionBy(col("id_1"), col("id_2"), col("diag"))
+      .orderBy(col("p1"))
+    m.withColumn("grp", col("p1") - row_number().over(w))
+      .groupBy(col("id_1"), col("id_2"), col("diag"), col("grp"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("id_1"), col("id_2"))
+      .agg((max(col("run")) + lit(n - 1)).as("longest_tokens"),
+        sum(col("run")).as("n_matched_positions"))
+      .filter(col("longest_tokens") >= minTokens)
+  }
+
   /** Pairwise shingle-overlap (Jaccard) matrix BETWEEN document groups
     * (sources) — the corpus-curation analytic that tells you which
     * sources are crawling the same underlying content before you spend

@@ -14,6 +14,7 @@ object DedupQueries extends QueryPack {
   private val BANDS = 4  // LSH bands (rows per band = K/BANDS = 2)
   private val MIN_JACCARD = 0.2
   private val MAX_SHINGLE_DF = 25  // q58: drop shingles hotter than this
+  private val MIN_RUN_TOKENS = 8   // q175: shortest reportable shared run
 
   /** Verified near-dup pairs (id_1, id_2, jaccard), computed ONCE per
     * (session, corpus) and shared by q46 (publishes them), q68
@@ -128,6 +129,22 @@ object DedupQueries extends QueryPack {
       val sizes = cc.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
       cc.join(sizes, "cluster_id")
         .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+    }),
+
+    // Exact-substring near-dup detection (Lee et al. 2022 ExactSubstr,
+    // arXiv:2107.06499): longest verbatim shared token run per LSH
+    // candidate pair — the quoted-paragraph signal whole-doc Jaccard
+    // dilutes below every threshold. Runs are consecutive-diagonal
+    // islands over the positional shingle match relation; candidates
+    // come from the same k=8/4-band index as q46, so the pass rides
+    // the dedup index it ships with.
+    "q175_exact_substring" -> ((s, d) => {
+      val cands = Dedup.lshCandidatePairs(
+        Dedup.minhashSignatures(shingles(s, d), "doc_id", K),
+        "doc_id", BANDS, K / BANDS)
+      Dedup.longestSharedRuns(
+        Dedup.positionalShingleTable(Tables.documents(s, d), "text", "doc_id", 3),
+        cands, n = 3, minTokens = MIN_RUN_TOKENS)
     }),
 
     // Centrality over the near-dup graph: fixed-round integer PageRank
@@ -517,6 +534,32 @@ object DedupQueries extends QueryPack {
          verified AS ($jaccardSelect)
        SELECT c.id_1, c.id_2, v.jaccard
        FROM cand c JOIN verified v ON c.id_1 = v.id_1 AND c.id_2 = v.id_2""",
+    "q175_exact_substring" ->
+      s"""WITH $shinglesCte,
+         mh AS (SELECT doc_id, $minhashCols FROM sh GROUP BY doc_id),
+         bands AS ($bandUnion),
+         cand AS (SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         praw AS (SELECT doc_id, ts,
+                    unnest(generate_series(1, len(ts) - 2)) AS pos
+                  FROM toks),
+         ps AS (SELECT doc_id, pos,
+                  ts[pos] || ' ' || ts[pos+1] || ' ' || ts[pos+2] AS shingle
+                FROM praw),
+         m AS (SELECT c.id_1, c.id_2, a.pos AS p1, b.pos AS p2
+               FROM cand c
+               JOIN ps a ON a.doc_id = c.id_1
+               JOIN ps b ON b.doc_id = c.id_2 AND b.shingle = a.shingle),
+         runs AS (SELECT id_1, id_2, p1 - p2 AS diag,
+                    p1 - row_number() OVER (PARTITION BY id_1, id_2, p1 - p2
+                                            ORDER BY p1) AS grp
+                  FROM m),
+         r2 AS (SELECT id_1, id_2, count(*) AS run
+                FROM runs GROUP BY id_1, id_2, diag, grp)
+       SELECT id_1, id_2, CAST(max(run) + 2 AS BIGINT) AS longest_tokens,
+              CAST(sum(run) AS BIGINT) AS n_matched_positions
+       FROM r2 GROUP BY 1, 2 HAVING max(run) + 2 >= $MIN_RUN_TOKENS""",
     "q144_near_decontaminate" ->
       s"""WITH $shinglesCte,
          mh AS (SELECT doc_id, $minhashCols FROM sh GROUP BY doc_id),

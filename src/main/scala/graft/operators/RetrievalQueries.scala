@@ -104,6 +104,41 @@ object RetrievalQueries extends QueryPack {
           count_distinct(col("doc_id")).as("n_docs"))
         .orderBy(col("n_occurrences").desc, col("token"))
         .limit(TOPK)
+    }),
+
+    // Phrase search over a positional inverted index — the retrieval
+    // primitive BM25's bag-of-words scoring cannot express ("exact
+    // quote" queries, and the candidate generator for attribution /
+    // memorization audits). The postings relation (token, doc, pos) is
+    // one explode; a phrase of length L matches where all L (offset,
+    // token) legs land on one (doc, start) key — a broadcast join of
+    // the L-row phrase relation against the postings plus ONE group-by
+    // on (doc, start) counting satisfied offsets, never L self-joins.
+    // Overlapping occurrences count separately (positional-AND
+    // semantics). The phrase itself is data-derived — the corpus's
+    // top-1 3-gram (count desc, phrase asc) — so the query is
+    // deterministic and non-empty at every scale factor; a deployment
+    // parameterizes it.
+    "q176_phrase_search" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val ps = Dedup.positionalShingleTable(docs, "text", "doc_id", 3)
+      val top = ps.groupBy(col("shingle")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("shingle")).limit(1)
+        .select(col("shingle").as("phrase"))
+      // L-row (offset, token) legs of the phrase — bounded relation
+      val legs = top.select(col("phrase"),
+          posexplode(split(col("phrase"), " ")))
+        .select(col("phrase"), col("pos").as("off"), col("col").as("w"))
+      val post = docs
+        .select(col("doc_id"), posexplode(tokens(col("text"))))
+        .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
+      post.join(broadcast(legs), post("tok") === legs("w"))
+        .select(col("phrase"), col("doc_id"), (col("pos") - col("off")).as("start"))
+        .groupBy(col("phrase"), col("doc_id"), col("start"))
+        .agg(count(lit(1)).as("n_legs"))
+        .filter(col("n_legs") === 3)
+        .groupBy(col("phrase"), col("doc_id"))
+        .agg(count(lit(1)).as("n_occurrences"), min(col("start")).as("first_pos"))
     })
   )
 
@@ -215,6 +250,31 @@ object RetrievalQueries extends QueryPack {
          |      FROM documents)
          |GROUP BY token
          |ORDER BY n_occurrences DESC, token
-         |LIMIT $TOPK""".stripMargin
+         |LIMIT $TOPK""".stripMargin,
+    "q176_phrase_search" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         praw AS (SELECT doc_id, ts,
+                    unnest(generate_series(1, len(ts) - 2)) AS pos
+                  FROM toks),
+         ps AS (SELECT doc_id, pos,
+                  ts[pos] || ' ' || ts[pos+1] || ' ' || ts[pos+2] AS shingle
+                FROM praw),
+         top1 AS (SELECT shingle AS phrase
+                  FROM (SELECT shingle, count(*) AS n FROM ps GROUP BY 1
+                        ORDER BY n DESC, shingle LIMIT 1)),
+         legs AS (SELECT phrase, i - 1 AS off, string_split(phrase, ' ')[i] AS w
+                  FROM (SELECT phrase, unnest(generate_series(1, 3)) AS i
+                        FROM top1)),
+         post AS (SELECT doc_id, pos, ts[pos] AS tok
+                  FROM (SELECT doc_id, ts,
+                          unnest(generate_series(1, len(ts))) AS pos
+                        FROM toks)),
+         occ AS (SELECT l.phrase, p.doc_id, p.pos - l.off AS start,
+                        count(*) AS n_legs
+                 FROM post p JOIN legs l ON p.tok = l.w
+                 GROUP BY 1, 2, 3 HAVING count(*) = 3)
+       SELECT phrase, doc_id, count(*) AS n_occurrences,
+              CAST(min(start) AS INT) AS first_pos
+       FROM occ GROUP BY 1, 2"""
   )
 }

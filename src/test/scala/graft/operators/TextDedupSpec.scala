@@ -534,4 +534,35 @@ class TextDedupSpec extends SparkSpec {
     // and the idx-internal pair the incremental pass SKIPS is real work saved
     assert(full.contains((1L, 2L)) && !incremental.contains((1L, 2L)))
   }
+
+  test("longestSharedRuns: diagonal islands recover the exact shared token run") {
+    // doc 1: w1..w20; doc 2: x1 x2 then w6..w15 verbatim then y1 y2 —
+    // the longest shared run is exactly 10 tokens. doc 3 shares the
+    // SAME 3-gram at two scattered (non-consecutive) spots only.
+    val d1 = (1 to 20).map(i => s"w$i").mkString(" ")
+    val d2 = "x1 x2 " + (6 to 15).map(i => s"w$i").mkString(" ") + " y1 y2"
+    val d3 = "w6 w7 w8 a b c d e w6 w7 w8 f g"
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val ps = Dedup.positionalShingleTable(docs, "text", "doc_id", 3)
+    val allPairs = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("id_1", "id_2")
+
+    val runs = Dedup.longestSharedRuns(ps, allPairs, n = 3, minTokens = 3)
+      .select($"id_1", $"id_2", $"longest_tokens", $"n_matched_positions")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // 10-token run = 8 consecutive 3-gram matches on one diagonal
+    assert(runs((1L, 2L)) == (10L, 8L))
+    // doc 3 vs doc 1: shingle "w6 w7 w8" matches from TWO d3 positions
+    // (different diagonals) — each an island of 1, so the longest run
+    // stays exactly one shingle wide and occurrences are not conflated
+    assert(runs((1L, 3L)) == (3L, 2L))
+    // threshold filters below-minTokens pairs out entirely
+    val gated = Dedup.longestSharedRuns(ps, allPairs, n = 3, minTokens = 8)
+      .select($"id_1", $"id_2").as[(Long, Long)].collect().toSet
+    assert(gated == Set((1L, 2L)))
+    // misuse guard: a threshold under the shingle width is unobservable
+    intercept[IllegalArgumentException] {
+      Dedup.longestSharedRuns(ps, allPairs, n = 3, minTokens = 2)
+    }
+  }
 }
