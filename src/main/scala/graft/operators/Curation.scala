@@ -170,6 +170,54 @@ object Curation {
     docs.join(broadcast(temperatureQuotas(docs, groupCol, budgetDenom)), groupCol)
       .where(hashU16(col(idCol), salt).cast("long") < col("rate_u16"))
 
+  /** Budget-constrained waterfill (max-min fair) source allocation —
+    * the OTHER standard mixing policy next to [[temperatureQuotas]]'
+    * α-smoothing: given a total document budget B = n_total/budgetDenom,
+    * every source keeps min(n_i, cap) where cap is the unique water
+    * level exhausting the budget — small sources keep everything, the
+    * long tail of big crawls is clipped to one common ceiling (the
+    * C4/CCNet per-domain balancing shape).
+    *
+    * Entirely integer arithmetic: sources sorted by (n asc, name asc),
+    * k* = the largest k whose full-keep is feasible, tested as
+    * n_k·(m−k+1) + S_{k−1} ≤ B — the division-free form, so there is
+    * no rounding ambiguity — then cap = (B − S_{k*}) div (m − k*)
+    * (no cap when k* = m: the whole corpus fits the budget). Windows
+    * run over the |sources|-row count relation (dimension-bounded —
+    * [[Relational.tinyOrderedWindow]]'s audit contract), never the
+    * corpus; the allocation result is a broadcastable |sources|-row
+    * relation a scan-speed hash filter applies, exactly like
+    * [[temperatureMix]].
+    *
+    * Returns (groupCol, n_docs, quota, capped); Σ quota ≤ B and the
+    * allocation is the max-min-fair optimum for that budget.
+    */
+  def waterfillQuotas(docs: DataFrame, groupCol: String,
+                      budgetDenom: Int = 2): DataFrame = {
+    val counts = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
+    val totals = counts.agg(sum(col("n_docs")).as("n_total"),
+      count(lit(1)).as("m"))
+    val ord = Relational.tinyOrderedWindow(col("n_docs"), col(groupCol))
+    val ranked = counts.crossJoin(broadcast(totals))
+      .withColumn("k", row_number().over(ord).cast("long"))
+      .withColumn("s_prev", coalesce(
+        sum(col("n_docs")).over(ord.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("b", expr(s"n_total div $budgetDenom"))
+    val kstar = ranked
+      .filter(col("n_docs") * (col("m") - col("k") + 1) + col("s_prev") <= col("b"))
+      .agg(max(struct(col("k"), (col("s_prev") + col("n_docs")).as("s_k"))).as("ks"))
+      .select(coalesce(col("ks.k"), lit(0L)).as("kk"),
+        coalesce(col("ks.s_k"), lit(0L)).as("ss"))
+    ranked.crossJoin(broadcast(kstar))
+      .withColumn("cap",
+        when(col("kk") < col("m"), expr("(b - ss) div (m - kk)")))
+      .withColumn("quota",
+        when(col("cap").isNull, col("n_docs")).otherwise(least(col("n_docs"), col("cap"))))
+      .select(col(groupCol), col("n_docs"), col("quota"),
+        (col("quota") < col("n_docs")).as("capped"))
+  }
+
   /** Morton (Z-order) interleave of the low `bits` bits of each of n
     * dimensions: bit i of dimension j lands at position i·n + j.
     * Sorting / range-partitioning by this key clusters ALL dimensions

@@ -157,6 +157,15 @@ object CurationQueries extends QueryPack {
           coalesce(col("sum_selected_ids"), lit(0L)).as("sum_selected_ids"))
     }),
 
+    // Budget-constrained waterfill allocation — the C4/CCNet per-domain
+    // balancing policy next to q127's temperature smoothing: small
+    // sources keep everything, big crawls clip to one common integer
+    // water level chosen so the total exactly fits a 50% budget.
+    // Division-free feasibility test + one integer division for the
+    // cap; windows only over the |sources|-row count relation.
+    "q178_waterfill_mix" -> ((s, d) =>
+      Curation.waterfillQuotas(Tables.documents(s, d), "source")),
+
     // Corpus-wide boilerplate removal (the C4 repeated-line rule):
     // drop EVERY copy of any 3-token chunk occurring ≥ 3 times in the
     // corpus — including the first, which is what separates this from
@@ -569,6 +578,32 @@ object CurationQueries extends QueryPack {
            COALESCE(n_selected, 0) AS n_selected,
            COALESCE(sum_selected_ids, 0) AS sum_selected_ids
          FROM r LEFT JOIN sel USING (source)""",
+    "q178_waterfill_mix" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+                    FROM documents GROUP BY 1),
+         t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+                      CAST(count(*) AS BIGINT) AS m FROM c),
+         r AS (SELECT source, n_docs,
+                 CAST(row_number() OVER (ORDER BY n_docs, source) AS BIGINT) AS k,
+                 CAST(COALESCE(sum(n_docs) OVER (ORDER BY n_docs, source
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS s_prev,
+                 (SELECT n_total FROM t) // 2 AS b,
+                 (SELECT m FROM t) AS m
+               FROM c),
+         ks AS (SELECT k AS kk, s_prev + n_docs AS ss FROM r
+                WHERE n_docs * (m - k + 1) + s_prev <= b
+                ORDER BY k DESC LIMIT 1),
+         kx AS (SELECT COALESCE((SELECT kk FROM ks), 0) AS kk,
+                       COALESCE((SELECT ss FROM ks), 0) AS ss)
+       SELECT source, n_docs,
+              CAST(CASE WHEN kk >= m THEN n_docs
+                        ELSE LEAST(n_docs, (b - ss) // (m - kk)) END AS BIGINT)
+                AS quota,
+              (CASE WHEN kk >= m THEN n_docs
+                    ELSE LEAST(n_docs, (b - ss) // (m - kk)) END) < n_docs
+                AS capped
+       FROM r, kx""",
     "q148_chunk_freq_dedup" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
          raw AS (SELECT doc_id,

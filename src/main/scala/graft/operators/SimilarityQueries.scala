@@ -81,6 +81,32 @@ object SimilarityQueries extends QueryPack {
     // from the shared cache q86/q119 also measure against.
     "q50_cosine_knn" -> ((s, d) => exactKnn(s, d)),
 
+    // Retrieval-quality eval over the KNN baseline: label-match
+    // relevance scored as precision@3 and MRR per query, aggregated by
+    // query label — the embedding-space quality report next to q129's
+    // confusion matrix (prototype view) and q123's recall curve (index
+    // view; this is the RELEVANCE view — does the neighborhood agree
+    // with the labels at all?). Integer-exact: precision_bps =
+    // hits·10⁴ div 3, mrr_ppm = 10⁶ div first-hit rank (0 when the
+    // top-3 has no hit), label means by BIGINT division. Two id
+    // equi-joins + two bounded aggs on top of the shared exact relation.
+    "q179_knn_label_eval" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      val per = exactKnn(s, d)
+        .join(emb.toDF("vec_id", "qlabel"), Seq("vec_id"))
+        .join(emb.toDF("nn_id", "nlabel"), Seq("nn_id"))
+        .groupBy(col("vec_id"), col("qlabel"))
+        .agg(sum(when(col("nlabel") === col("qlabel"), 1L).otherwise(0L)).as("hits"),
+          min(when(col("nlabel") === col("qlabel"), col("rn"))).as("first_rank"))
+        .select(col("qlabel").as("label"),
+          expr("(hits * 10000) div 3").as("precision_bps"),
+          coalesce(expr("1000000 div first_rank"), lit(0L)).as("mrr_ppm"))
+      per.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_queries"),
+          expr("sum(precision_bps) div count(1)").as("mean_precision_bps"),
+          expr("sum(mrr_ppm) div count(1)").as("mean_mrr_ppm"))
+    }),
+
     // Sign-bit LSH bucketed ANN: candidates share an 8-bit bucket,
     // verified with exact cosine ≥ 0.3 (the scale path).
     "q51_ann_lsh" -> ((s, d) =>
@@ -1248,6 +1274,31 @@ object SimilarityQueries extends QueryPack {
            FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
            WHERE ${cosSql("a.embedding", "b.embedding")} IS NOT NULL)
          WHERE rn <= 3""",
+    "q179_knn_label_eval" ->
+      s"""WITH knn AS (SELECT vec_id, nn_id, rn FROM (
+           SELECT a.vec_id, b.vec_id AS nn_id,
+                  CAST(row_number() OVER (PARTITION BY a.vec_id
+                       ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id) AS INT) AS rn
+           FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+           WHERE ${cosSql("a.embedding", "b.embedding")} IS NOT NULL)
+         WHERE rn <= 3),
+         per AS (SELECT k.vec_id, qa.label AS qlabel,
+                   sum(CASE WHEN qb.label = qa.label THEN 1 ELSE 0 END) AS hits,
+                   min(CASE WHEN qb.label = qa.label THEN rn END) AS first_rank
+                 FROM knn k
+                 JOIN embeddings qa ON qa.vec_id = k.vec_id
+                 JOIN embeddings qb ON qb.vec_id = k.nn_id
+                 GROUP BY 1, 2),
+         sc AS (SELECT qlabel AS label,
+                  (hits * 10000) // 3 AS precision_bps,
+                  COALESCE(1000000 // first_rank, 0) AS mrr_ppm
+                FROM per)
+       SELECT label, count(*) AS n_queries,
+              CAST(CAST(sum(precision_bps) AS BIGINT) // count(*) AS BIGINT)
+                AS mean_precision_bps,
+              CAST(CAST(sum(mrr_ppm) AS BIGINT) // count(*) AS BIGINT)
+                AS mean_mrr_ppm
+       FROM sc GROUP BY 1""",
     // Mirrors Similarity.sq8Quantize: per-dim min/max, midpoint
     // reconstruction cast to REAL, then q50's exact-KNN shape over the
     // reconstructions.

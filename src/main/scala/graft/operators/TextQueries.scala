@@ -133,6 +133,40 @@ object TextQueries extends QueryPack {
         .limit(50)
     }),
 
+    // Bigram language-model document scoring — the n-gram-LM
+    // perplexity filter (CCNet's KenLM gate) in rank-preserving integer
+    // form: each bigram occurrence scores its add-one-smoothed
+    // conditional probability p_ppm = (C(w1w2)+1)·10⁶ div (C(w1·)+V),
+    // and a document's score is the mean over its occurrences.
+    // Formulaic text (high-probability transitions) scores high,
+    // gibberish low — monotone in the true LM log-prob ordering per
+    // transition, but BIGINT-exact end-to-end where Σ log p would be
+    // engine-varying libm floats. 100 TB shape: the bigram stat table
+    // is vocab²-bounded (broadcastable); context counts derive from it
+    // by one more bounded agg; scoring is one equi-join on the bigram
+    // key + one per-doc partial agg. Complements q140 (unigram rank
+    // domain) and q138 (corpus-level association): this is the per-doc
+    // transition-probability gate.
+    "q177_bigram_lm" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      val bi = toks.select(col("doc_id"),
+        explode(positionalShinglesOfTokens(col("ts"), 2)).as("bigram"))
+      val bc = bi.groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
+        .withColumn("w1", element_at(split(col("bigram"), " "), 1))
+      // left-context counts derived from the bigram relation itself:
+      // C(w1·) = Σ_w2 C(w1 w2) — no second corpus scan
+      val ctx = bc.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+      val vocab = toks.select(explode(col("ts")).as("tok"))
+        .agg(count_distinct(col("tok")).as("v"))
+      val scored = bc.join(ctx, Seq("w1")).crossJoin(broadcast(vocab))
+        .select(col("bigram"), expr("((c12 + 1) * 1000000) div (c1 + v)").as("p_ppm"))
+      bi.join(scored, Seq("bigram"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("p_ppm")).as("sum_ppm"))
+        .withColumn("mean_ppm", expr("sum_ppm div n_bigrams"))
+    }),
+
     // Unigram-LM surprisal proxy: rank every vocabulary token by corpus
     // frequency (ties by token asc), then score each document by the
     // mean rank of its token OCCURRENCES — rare-token-heavy text
@@ -830,6 +864,25 @@ object TextQueries extends QueryPack {
          |JOIN uc a ON a.tok = string_split(b.bigram, ' ')[1]
          |JOIN uc w ON w.tok = string_split(b.bigram, ' ')[2]
          |ORDER BY lift_ppm DESC, b.bigram LIMIT 50""".stripMargin,
+    "q177_bigram_lm" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |bi AS (SELECT doc_id,
+         |         unnest(list_transform(generate_series(1, len(ts) - 1),
+         |                i -> ts[i] || ' ' || ts[i+1])) AS bigram
+         |       FROM toks),
+         |bc AS (SELECT bigram, count(*) AS c12 FROM bi GROUP BY 1),
+         |bcw AS (SELECT bigram, c12, string_split(bigram, ' ')[1] AS w1 FROM bc),
+         |ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bcw GROUP BY 1),
+         |v AS (SELECT count(DISTINCT tok) AS v
+         |      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+         |sc AS (SELECT bigram,
+         |         ((c12 + 1) * 1000000) // (c1 + (SELECT v FROM v)) AS p_ppm
+         |       FROM bcw JOIN ctx USING (w1))
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |       CAST(sum(p_ppm) AS BIGINT) AS sum_ppm,
+         |       CAST(CAST(sum(p_ppm) AS BIGINT) // count(*) AS BIGINT) AS mean_ppm
+         |FROM bi JOIN sc USING (bigram)
+         |GROUP BY 1""".stripMargin,
     "q147_stream_curate" ->
       s"""WITH g AS (SELECT doc_id, source,
          |  CAST(floor((least(1.0, CAST($nTokensSql AS DOUBLE) / 50.0)
