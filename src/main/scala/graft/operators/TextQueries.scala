@@ -448,6 +448,43 @@ object TextQueries extends QueryPack {
               % 2147483647L).as("token_acc"))
     }),
 
+    // Tokenizer fertility audit by language — the multilingual-
+    // fairness measurement run before a tokenizer ships: replay the
+    // trained merge table (q160's artifact, same fold as q163) over
+    // the corpus, then report per language the tokens-per-word ratio
+    // (fertility) and characters-per-token. A tokenizer trained on one
+    // language's statistics inflates the other languages' sequence
+    // lengths — fertility_ppm makes that inflation a number per lang.
+    // Integer-exact: corpus-level ratios by BIGINT div over summed
+    // counts. Same 100 TB shape as q163: N_merges chained replaces in
+    // one projection (zero shuffles), then one per-lang agg.
+    "q180_tokenizer_fertility" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = docs.select(explode(split(col("text"), " ")).as("t"))
+        .agg(count_distinct(col("t"))).head().getLong(0)
+      val merges = bpeMergeTable(docs, "text", "doc_id",
+        vocabTarget = base.toInt + BpeArtifactMerges)
+        .orderBy(col("rank")).select(col("pair"))
+        .collect().map(_.getString(0)).toSeq
+      val st0 = concat(lit(" "),
+        regexp_replace(col("text"), lit(" "), lit("  ")), lit(" "))
+      val folded = merges.foldLeft(st0) { (st, pair) =>
+        val Array(a, b) = pair.split(" ", 2)
+        call_function("replace", st,
+          lit(" " + a + "  " + b + " "), lit(" " + a + "" + b + " "))
+      }
+      docs.select(col("lang"),
+          size(split(col("text"), " ")).cast(LongType).as("n_words"),
+          length(col("text")).cast(LongType).as("n_chars"),
+          size(split(trim(folded), "  ")).cast(LongType).as("n_tokens"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("sum_words"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          expr("(sum(n_tokens) * 1000000) div sum(n_words)").as("fertility_ppm"),
+          expr("(sum(n_chars) * 1000000) div sum(n_tokens)").as("chars_per_token_ppm"))
+    }),
+
     // STREAMING curation: documents arrive as a file stream and are
     // quality-gated ON INGEST — the filter-at-the-door form of q132's
     // batch funnel, through the exactly-once landing machinery q77
@@ -952,6 +989,23 @@ object TextQueries extends QueryPack {
          |           t -> CAST(strpos('123456789abcdef', substr(md5(t), 1, 1)) AS BIGINT))),
          |       (h, v) -> (h * 31 + v) % 2147483647) AS BIGINT) AS token_acc
          |FROM tok""".stripMargin,
+    "q180_tokenizer_fertility" ->
+      s"""WITH s0 AS (SELECT doc_id, ' ' || replace(text, ' ', '  ') || ' ' AS st
+         |            FROM documents),
+         |${(1 to BpeArtifactMerges).map(bpeRound).mkString(",\n")},
+         |per AS (SELECT d.lang,
+         |          CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+         |          CAST(len(d.text) AS BIGINT) AS n_chars,
+         |          CAST(len(string_split(trim(s.st), '  ')) AS BIGINT) AS n_tokens
+         |        FROM documents d JOIN s$BpeArtifactMerges s USING (doc_id))
+         |SELECT lang, count(*) AS n_docs,
+         |       CAST(sum(n_words) AS BIGINT) AS sum_words,
+         |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |       (CAST(sum(n_tokens) AS BIGINT) * 1000000) // CAST(sum(n_words) AS BIGINT)
+         |         AS fertility_ppm,
+         |       (CAST(sum(n_chars) AS BIGINT) * 1000000) // CAST(sum(n_tokens) AS BIGINT)
+         |         AS chars_per_token_ppm
+         |FROM per GROUP BY lang""".stripMargin,
     "q160_bpe_artifact" ->
       s"""WITH s0 AS (SELECT doc_id, ' ' || replace(text, ' ', '  ') || ' ' AS st
          |            FROM documents),
