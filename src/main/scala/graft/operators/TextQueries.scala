@@ -448,6 +448,59 @@ object TextQueries extends QueryPack {
               % 2147483647L).as("token_acc"))
     }),
 
+    // Count-min sketch with a calibration audit — the bounded-memory
+    // frequency sketch (Cormode & Muthukrishnan 2005) a 100 TB token
+    // counter actually ships (4 hash rows × 64 buckets = 256 cells
+    // regardless of vocabulary size), audited against exact counts:
+    // for the exact top-20 tokens, the CMS estimate, the exact count,
+    // and the overestimate (CMS error is one-sided — est ≥ exact
+    // always; equality when no collision). One token explode emits all
+    // 4 (row, bucket) keys per occurrence in a single projection; the
+    // sketch is one 256-row agg, broadcast back over the 20-row
+    // heavy-hitter relation. Deterministic md5 bucket hashes keep both
+    // engines bit-identical.
+    "q182_cms_calibration" -> ((s, d) => {
+      val occ = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+      def buckets = array((0 until 4).map(r =>
+        (Curation.hashU16(col("tok"), s"cms$r") % 64).cast("int")): _*)
+      val cms = occ.select(posexplode(buckets))
+        .select(col("pos").as("r"), col("col").as("b"))
+        .groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
+      val top = occ.groupBy(col("tok")).agg(count(lit(1)).as("exact"))
+        .orderBy(col("exact").desc, col("tok")).limit(20)
+      top.select(col("tok"), col("exact"), posexplode(buckets))
+        .select(col("tok"), col("exact"), col("pos").as("r"), col("col").as("b"))
+        .join(broadcast(cms), Seq("r", "b"))
+        .groupBy(col("tok"), col("exact"))
+        .agg(min(col("c")).as("cms_estimate"))
+        .select(col("tok"), col("exact"), col("cms_estimate"),
+          (col("cms_estimate") - col("exact")).as("overestimate"))
+    }),
+
+    // Distinct-n diversity per source — the generation-diversity
+    // metric (distinct-1/2/3 of Li et al. 2016) applied as a corpus
+    // audit: for each (source, n) the ratio of DISTINCT n-grams to
+    // total n-gram occurrences, in exact integer bps. A source full of
+    // templated/boilerplate text scores low; diverse prose scores
+    // high — the aggregate twin of q90's per-doc repetition gate.
+    // 100 TB shape: one explode per n, two partial-agg shuffles
+    // (gram-level then source-level), nothing pairwise.
+    "q181_distinct_n" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("source"), split(col("text"), " ").as("ts"))
+      val grams = (1 to 3).map { n =>
+        toks.select(col("source"), lit(n).as("n"),
+          explode(positionalShinglesOfTokens(col("ts"), n)).as("gram"))
+      }.reduce(_ unionAll _)
+      grams.groupBy(col("source"), col("n"), col("gram"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("source"), col("n"))
+        .agg(count(lit(1)).as("n_distinct"), sum(col("c")).as("n_total"))
+        .select(col("source"), col("n"), col("n_distinct"), col("n_total"),
+          expr("(n_distinct * 10000) div n_total").as("distinct_bps"))
+    }),
+
     // Tokenizer fertility audit by language — the multilingual-
     // fairness measurement run before a tokenizer ships: replay the
     // trained merge table (q160's artifact, same fold as q163) over
@@ -989,6 +1042,46 @@ object TextQueries extends QueryPack {
          |           t -> CAST(strpos('123456789abcdef', substr(md5(t), 1, 1)) AS BIGINT))),
          |       (h, v) -> (h * 31 + v) % 2147483647) AS BIGINT) AS token_acc
          |FROM tok""".stripMargin,
+    "q182_cms_calibration" -> {
+      def nib(key: String, i: Int) =
+        s"strpos('123456789abcdef', substr(md5($key), $i, 1))"
+      def u16(key: String) =
+        s"(${nib(key, 1)} * 4096 + ${nib(key, 2)} * 256 + ${nib(key, 3)} * 16 + ${nib(key, 4)})"
+      val bkt = u16("'cms' || CAST(r.r AS VARCHAR) || tok") + " % 64"
+      s"""WITH occ AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         |kb AS (SELECT r.r, $bkt AS b
+         |       FROM occ, (VALUES (0), (1), (2), (3)) r(r)),
+         |cms AS (SELECT r, b, CAST(count(*) AS BIGINT) AS c FROM kb GROUP BY 1, 2),
+         |ex AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact FROM occ GROUP BY 1
+         |       ORDER BY exact DESC, tok LIMIT 20),
+         |eb AS (SELECT e.tok, e.exact, r.r, $bkt AS b
+         |       FROM ex e, (VALUES (0), (1), (2), (3)) r(r)),
+         |est AS (SELECT tok, exact, min(c) AS cms_estimate
+         |        FROM eb JOIN cms USING (r, b) GROUP BY 1, 2)
+         |SELECT tok, exact, cms_estimate,
+         |       cms_estimate - exact AS overestimate
+         |FROM est""".stripMargin
+    },
+    "q181_distinct_n" ->
+      """WITH toks AS (SELECT source, string_split(text, ' ') AS ts FROM documents),
+         |g AS (SELECT source, 1 AS n, unnest(ts) AS gram FROM toks
+         |      UNION ALL
+         |      SELECT source, 2 AS n,
+         |             unnest(list_transform(generate_series(1, len(ts) - 1),
+         |               i -> ts[i] || ' ' || ts[i+1])) AS gram
+         |      FROM toks
+         |      UNION ALL
+         |      SELECT source, 3 AS n,
+         |             unnest(list_transform(generate_series(1, len(ts) - 2),
+         |               i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS gram
+         |      FROM toks),
+         |gc AS (SELECT source, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3)
+         |SELECT source, CAST(n AS INT) AS n,
+         |       CAST(count(*) AS BIGINT) AS n_distinct,
+         |       CAST(sum(c) AS BIGINT) AS n_total,
+         |       (CAST(count(*) AS BIGINT) * 10000) // CAST(sum(c) AS BIGINT)
+         |         AS distinct_bps
+         |FROM gc GROUP BY 1, 2""".stripMargin,
     "q180_tokenizer_fertility" ->
       s"""WITH s0 AS (SELECT doc_id, ' ' || replace(text, ' ', '  ') || ' ' AS st
          |            FROM documents),
