@@ -147,6 +147,43 @@ object DedupQueries extends QueryPack {
         cands, n = 3, minTokens = MIN_RUN_TOKENS)
     }),
 
+    // MinHash estimator calibration — for every LSH candidate pair,
+    // the number of matching signature components m (the sketch's
+    // Jaccard estimate, m/K) against the TRUE shingle Jaccard, grouped
+    // into the calibration curve (m → mean true similarity). This is
+    // how a deployment picks K and the band threshold with evidence
+    // instead of the textbook formula: if mean_true_bps at m=6/8 sits
+    // under the dedup threshold, bands are too loose. Integer-exact
+    // (both sides in bps via BIGINT div); work is candidate-bounded —
+    // two K-column signature equi-joins plus the verification
+    // intersection the pipeline already pays.
+    "q184_minhash_calibration" -> ((s, d) => {
+      val sh = shingles(s, d)
+      val sigs = Dedup.minhashSignatures(sh, "doc_id", K)
+      val cands = Dedup.lshCandidatePairs(sigs, "doc_id", BANDS, K / BANDS)
+      val sets = sh.groupBy(col("doc_id")).agg(collect_set(col("shingle")).as("sset"))
+      val withJ = cands
+        .join(sets.select(col("doc_id").as("id_1"), col("sset").as("s1")), "id_1")
+        .join(sets.select(col("doc_id").as("id_2"), col("sset").as("s2")), "id_2")
+        .select(col("id_1"), col("id_2"),
+          size(array_intersect(col("s1"), col("s2"))).cast("long").as("inter"),
+          (size(col("s1")) + size(col("s2"))).cast("long").as("sz"))
+        .select(col("id_1"), col("id_2"),
+          expr("(10000 * inter) div (sz - inter)").as("true_bps"))
+      val aSig = sigs.toDF(("id_1" +: (0 until K).map(i => s"a$i")): _*)
+      val bSig = sigs.toDF(("id_2" +: (0 until K).map(i => s"b$i")): _*)
+      val m = (0 until K).map(i =>
+        when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L)).reduce(_ + _)
+      withJ.join(aSig, "id_1").join(bSig, "id_2")
+        .select(col("true_bps"), m.as("m"))
+        .groupBy(col("m"))
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("sum(true_bps) div count(1)").as("mean_true_bps"))
+        .select(col("m").as("n_matching"),
+          expr(s"(m * 10000) div $K").as("est_bps"),
+          col("n_pairs"), col("mean_true_bps"))
+    }),
+
     // Centrality over the near-dup graph: fixed-round integer PageRank
     // on the symmetrized SimHash pair edges (q48's exact pair set) —
     // the canonical-representative signal a curation pass uses instead
@@ -560,6 +597,36 @@ object DedupQueries extends QueryPack {
        SELECT id_1, id_2, CAST(max(run) + 2 AS BIGINT) AS longest_tokens,
               CAST(sum(run) AS BIGINT) AS n_matched_positions
        FROM r2 GROUP BY 1, 2 HAVING max(run) + 2 >= $MIN_RUN_TOKENS""",
+    "q184_minhash_calibration" ->
+      s"""WITH $shinglesCte,
+         mh AS (SELECT doc_id, $minhashCols FROM sh GROUP BY doc_id),
+         bands AS ($bandUnion),
+         cand AS (SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT c.id_1, c.id_2, CAST(count(*) AS BIGINT) AS inter
+                   FROM cand c
+                   JOIN sh a ON a.doc_id = c.id_1
+                   JOIN sh b ON b.doc_id = c.id_2 AND b.shingle = a.shingle
+                   GROUP BY 1, 2),
+         tj AS (SELECT i.id_1, i.id_2,
+                  (10000 * i.inter) // (s1.n + s2.n - i.inter) AS true_bps
+                FROM inter i
+                JOIN sizes s1 ON s1.doc_id = i.id_1
+                JOIN sizes s2 ON s2.doc_id = i.id_2),
+         mm AS (SELECT c.id_1, c.id_2,
+                  CAST(${(0 until K).map(i =>
+                    s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)").mkString(" + ")}
+                    AS BIGINT) AS m
+                FROM cand c
+                JOIN mh a ON a.doc_id = c.id_1
+                JOIN mh b ON b.doc_id = c.id_2)
+       SELECT m AS n_matching, (m * 10000) // $K AS est_bps,
+              CAST(count(*) AS BIGINT) AS n_pairs,
+              CAST(CAST(sum(true_bps) AS BIGINT) // count(*) AS BIGINT)
+                AS mean_true_bps
+       FROM mm JOIN tj USING (id_1, id_2) GROUP BY 1, 2""",
     "q144_near_decontaminate" ->
       s"""WITH $shinglesCte,
          mh AS (SELECT doc_id, $minhashCols FROM sh GROUP BY doc_id),

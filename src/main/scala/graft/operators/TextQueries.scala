@@ -448,6 +448,41 @@ object TextQueries extends QueryPack {
               % 2147483647L).as("token_acc"))
     }),
 
+    // Token-distribution drift per source — the corpus-drift monitor a
+    // recurring crawl runs before mixing a new source in: for every
+    // source, the 5 tokens whose within-source occurrence rate deviates
+    // most from the corpus-wide rate, with both rates and the absolute
+    // gap in exact integer ppm. A source of templated or topically
+    // skewed text surfaces its signature tokens immediately. Corpus
+    // rates derive from the per-source stats by one more agg (no
+    // second scan); the top-5 window partitions by source over the
+    // vocab-bounded (source, token) relation — the q06 top-k-per-group
+    // shape, nothing pairwise.
+    "q183_token_drift" -> ((s, d) => {
+      val occ = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      val st = occ.groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("o"))
+      val srcTot = st.groupBy(col("source")).agg(sum(col("o")).as("ns"))
+      val ct = st.groupBy(col("tok")).agg(sum(col("o")).as("c"))
+      val tot = ct.agg(sum(col("c")).as("n"))
+      val rated = st
+        .join(broadcast(srcTot), "source")
+        .join(ct, "tok")
+        .crossJoin(broadcast(tot))
+        .select(col("source"), col("tok"),
+          expr("(o * 1000000) div ns").as("rate_src_ppm"),
+          expr("(c * 1000000) div n").as("rate_corpus_ppm"))
+        .withColumn("drift_ppm",
+          abs(col("rate_src_ppm") - col("rate_corpus_ppm")))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("drift_ppm").desc, col("tok"))
+      rated.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select(col("source"), col("rn").cast(LongType).as("rn"), col("tok"),
+          col("rate_src_ppm"), col("rate_corpus_ppm"), col("drift_ppm"))
+    }),
+
     // Count-min sketch with a calibration audit — the bounded-memory
     // frequency sketch (Cormode & Muthukrishnan 2005) a 100 TB token
     // counter actually ships (4 hash rows × 64 buckets = 256 cells
@@ -1042,6 +1077,26 @@ object TextQueries extends QueryPack {
          |           t -> CAST(strpos('123456789abcdef', substr(md5(t), 1, 1)) AS BIGINT))),
          |       (h, v) -> (h * 31 + v) % 2147483647) AS BIGINT) AS token_acc
          |FROM tok""".stripMargin,
+    "q183_token_drift" ->
+      """WITH occ AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+         |            FROM documents),
+         |st AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS o
+         |       FROM occ GROUP BY 1, 2),
+         |srct AS (SELECT source, CAST(sum(o) AS BIGINT) AS ns FROM st GROUP BY 1),
+         |ct AS (SELECT tok, CAST(sum(o) AS BIGINT) AS c FROM st GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM ct),
+         |rated AS (SELECT st.source, st.tok,
+         |            (st.o * 1000000) // srct.ns AS rate_src_ppm,
+         |            (ct.c * 1000000) // (SELECT n FROM tot) AS rate_corpus_ppm
+         |          FROM st JOIN srct USING (source) JOIN ct USING (tok)),
+         |rk AS (SELECT source, tok, rate_src_ppm, rate_corpus_ppm,
+         |         abs(rate_src_ppm - rate_corpus_ppm) AS drift_ppm,
+         |         CAST(row_number() OVER (PARTITION BY source
+         |              ORDER BY abs(rate_src_ppm - rate_corpus_ppm) DESC, tok)
+         |           AS BIGINT) AS rn
+         |       FROM rated)
+         |SELECT source, rn, tok, rate_src_ppm, rate_corpus_ppm, drift_ppm
+         |FROM rk WHERE rn <= 5""".stripMargin,
     "q182_cms_calibration" -> {
       def nib(key: String, i: Int) =
         s"strpos('123456789abcdef', substr(md5($key), $i, 1))"
