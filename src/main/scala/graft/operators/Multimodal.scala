@@ -305,6 +305,102 @@ object Multimodal {
       }(enc)
   }
 
+  /** Luma-grid seam for perceptual hashing: one payload yields a
+    * fixed-size grayscale grid (row-major, `cells` ints in [0, 255]).
+    * The grid — not the hash — is the codec's output so the hash
+    * derivation stays a relational expression shared by every codec
+    * (and by the SQL oracle through the fake twin).
+    */
+  trait GridCodec extends Serializable {
+    /** Row-major rows×cols luma grid, values in [0, 255]. */
+    def grid(payload: Array[Byte], rows: Int, cols: Int): Array[Int]
+  }
+
+  /** Fake twin: luma_i = byte[(7·i + 3) mod n] — deterministic byte
+    * sampling a SQL oracle reproduces with `ord(substr(...))` (q185).
+    * Empty payloads yield an all-zero grid (hash 0), never a failure.
+    */
+  object FakeGridCodec extends GridCodec {
+    def grid(payload: Array[Byte], rows: Int, cols: Int): Array[Int] = {
+      val out = new Array[Int](rows * cols)
+      if (payload.length > 0) {
+        var i = 0
+        while (i < out.length) {
+          out(i) = payload((7 * i + 3) % payload.length) & 0xff; i += 1
+        }
+      }
+      out
+    }
+  }
+
+  /** Real grid through `javax.imageio`: sample the decoded image at
+    * evenly spaced pixel centres (nearest-neighbor — the standard
+    * dHash prepass) and fold to integer rec-601 luma. Undecodable
+    * bytes yield the all-zero grid, matching the corrupt-media-is-data
+    * contract of the other codecs.
+    */
+  object ImageIoGridCodec extends GridCodec {
+    def grid(payload: Array[Byte], rows: Int, cols: Int): Array[Int] =
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        if (img == null) new Array[Int](rows * cols)
+        else {
+          val out = new Array[Int](rows * cols)
+          var r = 0
+          while (r < rows) {
+            var c = 0
+            while (c < cols) {
+              val x = ((2 * c + 1).toLong * img.getWidth / (2 * cols)).toInt
+              val y = ((2 * r + 1).toLong * img.getHeight / (2 * rows)).toInt
+              val rgb = img.getRGB(x, y)
+              val rr = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+              out(r * cols + c) = (rr * 299 + g * 587 + b * 114) / 1000
+              c += 1
+            }
+            r += 1
+          }
+          out
+        }
+      } catch { case scala.util.control.NonFatal(_) => new Array[Int](rows * cols) }
+  }
+
+  val gridSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("luma", ArrayType(IntegerType, containsNull = false))))
+
+  /** Batched luma-grid decode over (doc_id, payload) — same partition-
+    * kernel shape as [[decodeImages]].
+    */
+  def decodeImageGrid(withPayload: DataFrame, rows: Int, cols: Int,
+                      codec: GridCodec = FakeGridCodec): DataFrame = {
+    val enc = RowEncoder.encoderFor(gridSchema)
+    withPayload.select(col("doc_id"), col("payload"))
+      .mapPartitions { it =>
+        it.map(r => Row(r.getLong(0),
+          codec.grid(r.getAs[Array[Byte]]("payload"), rows, cols)))
+      }(enc)
+  }
+
+  /** Difference-hash fingerprint over a luma grid: bit (r·(cols−1)+c)
+    * set iff cell (r, c+1) is brighter than cell (r, c) — the gradient
+    * structure survives resizing/re-encoding, which is exactly what a
+    * perceptual near-dup pass needs. rows·(cols−1) must stay ≤ 60 so
+    * the fingerprint joins the 60-bit SimHash machinery
+    * ([[Dedup.simhashPairs]] pigeonhole blocks) unchanged.
+    */
+  def dHash(luma: org.apache.spark.sql.Column, rows: Int, cols: Int): org.apache.spark.sql.Column = {
+    require(rows * (cols - 1) <= 60,
+      s"dHash width ${rows * (cols - 1)} exceeds the 60-bit fingerprint " +
+        "budget (arithmetic shiftright corrupts pigeonhole blocks past bit 62)")
+    (0 until rows).flatMap { r =>
+      (0 until cols - 1).map { c =>
+        val j = r * (cols - 1) + c
+        when(element_at(luma, r * cols + c + 2) > element_at(luma, r * cols + c + 1),
+          lit(1L << j)).otherwise(lit(0L))
+      }
+    }.reduce(_ + _).cast(LongType)
+  }
+
   val audioSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("sample_rate", IntegerType),

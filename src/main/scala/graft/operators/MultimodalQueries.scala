@@ -23,6 +23,12 @@ object MultimodalQueries extends QueryPack {
   private val SilenceThr = 500
   private val ClipThr = 1990
 
+  // q185 dHash geometry: 6×11 luma grid → 6·10 = 60 gradient bits,
+  // matching the wide-SimHash pigeonhole width.
+  private val GridRows = 6
+  private val GridCols = 11
+  private val DHashMaxHamming = 3
+
   val queries: Map[String, Q] = Map(
     // The full multimodal pipeline through the correctness gate: REAL
     // mapPartitions decode (Multimodal.decodeImages — the batched-codec
@@ -90,6 +96,25 @@ object MultimodalQueries extends QueryPack {
             sqrt(col("sq").cast(DoubleType) / col("ns"))).as("rms"))
     }),
 
+    // Perceptual near-dup detection over image payloads — dHash
+    // (difference hash): a 6×11 luma grid through the codec seam, one
+    // bit per adjacent-cell brightness gradient (60 bits — gradient
+    // structure survives resizing and re-encoding, which is why dHash
+    // and not a byte checksum is the image-dedup primitive), then the
+    // SAME 60-bit pigeonhole banding machinery text SimHash uses
+    // (Dedup.simhashPairs — hamming ≤ 3, no all-pairs join). The fake
+    // codec's byte-sampled grid keeps the oracle exact; the REAL
+    // ImageIoGridCodec twin (actual PNG decode → rec-601 luma grid) is
+    // pinned by MultimodalSpec on generated images.
+    "q185_image_dhash_pairs" -> ((s, d) => {
+      val payload = Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      val grid = Multimodal.decodeImageGrid(payload, rows = GridRows, cols = GridCols)
+      val fp = grid.select(col("doc_id"),
+        Multimodal.dHash(col("luma"), GridRows, GridCols).as("dhash"))
+      Dedup.simhashPairs(fp, "doc_id", maxHamming = DHashMaxHamming, bits = 60)
+    }),
+
     // Binary payload + metadata extraction ("image header parse" stand-in):
     // byte length, fake dims derived from the bytes, content address.
     "q56_binary_meta" -> ((s, d) => {
@@ -129,6 +154,29 @@ object MultimodalQueries extends QueryPack {
               CAST(floor(pl.height * pl.scale) AS INT) AS out_height,
               f.n_frames, f.frame_bytes_sum
        FROM planned pl LEFT JOIN frames f USING (doc_id)""",
+    // Mirrors q185's fake twin exactly: byte-sampled luma grid via ord
+    // (the corpus is ASCII, so character = utf-8 byte), 60 gradient
+    // bits, all-pairs xor/bit_count at oracle scale (the Spark side
+    // uses pigeonhole banding — same result set, never all-pairs).
+    "q185_image_dhash_pairs" -> {
+      val cells = GridRows * GridCols
+      val lumaExpr = s"list_transform(generate_series(0, ${cells - 1}), " +
+        "i -> ord(substr(text, ((7*i+3) % nb) + 1, 1)))"
+      val bits = (0 until GridRows).flatMap { r =>
+        (0 until GridCols - 1).map { c =>
+          val j = r * (GridCols - 1) + c
+          s"(CASE WHEN luma[${r * GridCols + c + 2}] > luma[${r * GridCols + c + 1}] " +
+            s"THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)"
+        }
+      }.mkString(" + ")
+      s"""WITH p AS (SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents),
+         g AS (SELECT doc_id, $lumaExpr AS luma FROM p),
+         dh AS (SELECT doc_id, CAST($bits AS BIGINT) AS dhash FROM g)
+       SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+              CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+       FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.dhash, b.dhash)) <= $DHashMaxHamming"""
+    },
     "q56_binary_meta" ->
       s"""SELECT doc_id,
          CAST(octet_length(encode(text)) AS INT) AS n_bytes,

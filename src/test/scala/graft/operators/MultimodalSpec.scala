@@ -220,6 +220,52 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(f0, "UTF-8") == "a somewhat")
   }
 
+  test("ImageIoGridCodec dHash: re-encoding-stable, edit-sensitive, corrupt-safe") {
+    // real PNGs with a smooth horizontal gradient; a near-identical
+    // copy (one corner patch changed) must land within a few bits,
+    // while an inverted gradient must flip essentially every bit
+    def png(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = f(x, y) & 0xff; img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val base = png(88, 48, (x, _) => x * 255 / 87)
+    // bright patch over the darkest sampled cell: flips exactly the
+    // gradient bit whose left cell it covers (cell centres sit at
+    // x = 4, 12, 20, …, y = 4, 12, …)
+    val nearDup = png(88, 48, (x, y) => if (x < 6 && y < 6) 255 else x * 255 / 87)
+    val inverted = png(88, 48, (x, _) => 255 - x * 255 / 87)
+    val df = Seq((1L, base), (2L, nearDup), (3L, inverted),
+      (4L, "not an image".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val fp = Multimodal.decodeImageGrid(df, rows = 6, cols = 11,
+        codec = Multimodal.ImageIoGridCodec)
+      .select($"doc_id", Multimodal.dHash($"luma", 6, 11).as("h"))
+      .as[(Long, Long)].collect().toMap
+    // monotone-increasing gradient: every adjacent comparison is
+    // "right brighter" → all 60 bits set; inverted → no bits set
+    assert(fp(1L) == (1L << 60) - 1)
+    assert(fp(3L) == 0L)
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(fp(1L), fp(2L)) >= 1 && hamming(fp(1L), fp(2L)) <= 3) // small edit: a few bits
+    assert(hamming(fp(1L), fp(3L)) == 60)  // opposite structure: all bits
+    assert(fp(4L) == 0L)                   // corrupt payload → zero grid
+    // and the pair machinery reports exactly the near-dup pair
+    val grid = Multimodal.decodeImageGrid(df, 6, 11, Multimodal.ImageIoGridCodec)
+      .select($"doc_id", Multimodal.dHash($"luma", 6, 11).as("dhash"))
+    val pairs = Dedup.simhashPairs(grid, "doc_id", maxHamming = 3, bits = 60)
+      .select($"id_1", $"id_2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (3L, 4L))) // 3 and 4 are both all-zero
+    // misuse guard: a fingerprint wider than 60 bits is rejected
+    intercept[IllegalArgumentException] {
+      Multimodal.dHash($"luma", rows = 8, cols = 11)
+    }
+  }
+
   test("resizePlan preserves aspect and never upscales") {
     val decoded = Seq((1L, 640, 480), (2L, 100, 50), (3L, 32, 64))
       .toDF("doc_id", "width", "height")
