@@ -324,6 +324,36 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("cid"))
     }),
 
+    // Embedding outlier audit — the data-cleaning signal on top of the
+    // same trained assignment every serving path reads: per cell, the
+    // 3 members FARTHEST from their own centroid (lowest assignment
+    // cosine, quantized to integer q6) with the cell's mean for
+    // context. Mislabeled, corrupt, or out-of-distribution vectors
+    // surface here first — at 100 TB this relation is the re-embed /
+    // human-review queue. One k-row stat broadcast + one per-cell
+    // bottom-k window (partition = cell, bounded like q141's).
+    "q186_embedding_outliers" -> ((s, d) => {
+      // the cached index's cells drop the assignment cosine; re-derive
+      // it with one more k-row-broadcast assign pass over the SAME
+      // trained centroids (identical tie-breaks ⇒ identical cells)
+      val (cents, _) = ivfIndex(s, d)
+      val q = Similarity.assignToCells(Tables.embeddings(s, d),
+          "vec_id", "embedding", cents)
+        .select(col("vec_id"), col("cid"),
+          floor(col("cos") * 1e6).cast("long").as("cos_q6"))
+      val stats = q.groupBy(col("cid")).agg(count(lit(1)).as("n"),
+          sum(col("cos_q6")).as("sumq"))
+        .select(col("cid"), expr("sumq div n").as("mean_cos_q6"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("cid")).orderBy(col("cos_q6"), col("vec_id"))
+      q.join(broadcast(stats), "cid")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("cid"), col("rn"), col("vec_id"), col("cos_q6"),
+          col("mean_cos_q6"),
+          (col("mean_cos_q6") - col("cos_q6")).as("gap_q6"))
+    }),
+
     // Filtered ANN on the BEST serving path: q121 composes the
     // metadata predicate with raw-PQ scoring only; here the same
     // cells ⋉ allowed semi-join restricts the two-stage re-ranked
@@ -933,6 +963,23 @@ object SimilarityQueries extends QueryPack {
          |SELECT cid, n, (100 * n * k) // t AS occupancy_pct_of_mean,
          |       n * k > 2 * t AS overfull
          |FROM occ, tot ORDER BY cid""".stripMargin
+    },
+    // Bottom-3-per-cell outlier audit over the trained assignment.
+    "q186_embedding_outliers" -> {
+      val aN = s"a${KM_ROUNDS + 1}"
+      s"""${kmeansWith(KM_K, KM_ROUNDS)},
+         |q AS (SELECT vec_id, cid, CAST(floor(cos * 1e6) AS BIGINT) AS cos_q6
+         |      FROM $aN),
+         |m AS (SELECT cid, CAST(sum(cos_q6) AS BIGINT) // CAST(count(*) AS BIGINT)
+         |               AS mean_cos_q6
+         |      FROM q GROUP BY 1),
+         |r AS (SELECT q.cid, q.vec_id, q.cos_q6, m.mean_cos_q6,
+         |        CAST(row_number() OVER (PARTITION BY q.cid
+         |             ORDER BY q.cos_q6, q.vec_id) AS BIGINT) AS rn
+         |      FROM q JOIN m USING (cid))
+         |SELECT cid, rn, vec_id, cos_q6, mean_cos_q6,
+         |       mean_cos_q6 - cos_q6 AS gap_q6
+         |FROM r WHERE rn <= 3""".stripMargin
     },
     // Filtered two-stage serving: q126's statement with the metadata
     // predicate restricting the shortlist's candidate members.
