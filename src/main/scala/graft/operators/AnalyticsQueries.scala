@@ -32,6 +32,32 @@ object AnalyticsQueries extends QueryPack {
 
   val queries: Map[String, Q] = Map(
 
+    // Pearson correlation as a distributed aggregate — the missing
+    // statistics primitive next to the sums/counts family: per return
+    // flag, corr(quantity, extended price) from the five exact decimal
+    // moment sums (Σx, Σy, Σxy, Σx², Σy²), combined in DOUBLE only at
+    // the very end. One partial-agg shuffle; the moment sums are
+    // associative, so map-side combine does most of the work — the
+    // 100 TB shape for ANY moment statistic. Decimal accumulation
+    // makes the result independent of partitioning/summation order,
+    // which a naive double Σ is not.
+    "q187_pearson_corr" -> ((s, d) => {
+      val x = col("l_quantity").cast(dec)
+      val y = col("l_extendedprice").cast(dec)
+      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(y).as("sy"), sum(x * y).as("sxy"),
+          sum(x * x).as("sxx"), sum(y * y).as("syy"))
+        .select(col("l_returnflag"), col("n"),
+          ((col("n").cast(DoubleType) * col("sxy").cast(DoubleType) -
+            col("sx").cast(DoubleType) * col("sy").cast(DoubleType)) /
+            sqrt((col("n").cast(DoubleType) * col("sxx").cast(DoubleType) -
+                  col("sx").cast(DoubleType) * col("sx").cast(DoubleType)) *
+                 (col("n").cast(DoubleType) * col("syy").cast(DoubleType) -
+                  col("sy").cast(DoubleType) * col("sy").cast(DoubleType))))
+            .as("pearson_r"))
+    }),
+
     // Hot-join-key audit — the skew detector run BEFORE sizing a big
     // join: top-20 hottest lineitem part keys with their corpus share
     // (ppm) and a >10×-mean flag. At 100 TB this is the relation that
@@ -226,6 +252,25 @@ object AnalyticsQueries extends QueryPack {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q187_pearson_corr" ->
+      """WITH m AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+         |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+         |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+         |  sum(CAST(l_quantity AS DECIMAL(18,2)) *
+         |      CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+         |  sum(CAST(l_quantity AS DECIMAL(18,2)) *
+         |      CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+         |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+         |      CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
+         |FROM lineitem GROUP BY 1)
+         |SELECT l_returnflag, n,
+         |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+         |   CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+         |  sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+         |        CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+         |       (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+         |        CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS pearson_r
+         |FROM m""".stripMargin,
     "q172_hot_keys" ->
       """WITH c AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n
          |           FROM lineitem GROUP BY 1),

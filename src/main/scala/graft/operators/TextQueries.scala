@@ -448,6 +448,33 @@ object TextQueries extends QueryPack {
               % 2147483647L).as("token_acc"))
     }),
 
+    // Spearman rank correlation as a distributed operator — per
+    // source, does document length predict the quality score? Ranks
+    // are deterministic total orders (value, then doc_id — documented:
+    // this is Spearman over a tie-broken ranking, which is exact and
+    // engine-portable where average-rank ties are fractional), then
+    // ρ = 1 − 6Σd²/(n(n²−1)) in integer ppm. Two per-source rank
+    // windows + one partial agg; n³ must stay under 2⁶³/6e6 per
+    // source (≈ 10⁸ docs) — past that, compute on a stratified sample
+    // or switch the final combine to DOUBLE.
+    "q188_spearman_len_quality" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("len"),
+        floor(qualityScore(col("text"), EN) * 1e6).cast("long").as("q6"))
+      import org.apache.spark.sql.expressions.Window
+      val wx = Window.partitionBy(col("source")).orderBy(col("len"), col("doc_id"))
+      val wy = Window.partitionBy(col("source")).orderBy(col("q6"), col("doc_id"))
+      docs.withColumn("rx", row_number().over(wx).cast("long"))
+        .withColumn("ry", row_number().over(wy).cast("long"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("rx") - col("ry")) * (col("rx") - col("ry"))).as("sum_d2"))
+        .select(col("source"), col("n"), col("sum_d2"),
+          when(col("n") > 1,
+            lit(1000000L) - expr("(6 * sum_d2 * 1000000) div (n * (n*n - 1))"))
+            .as("spearman_ppm"))
+    }),
+
     // Token-distribution drift per source — the corpus-drift monitor a
     // recurring crawl runs before mixing a new source in: for every
     // source, the 5 tokens whose within-source occurrence rate deviates
@@ -1077,6 +1104,25 @@ object TextQueries extends QueryPack {
          |           t -> CAST(strpos('123456789abcdef', substr(md5(t), 1, 1)) AS BIGINT))),
          |       (h, v) -> (h * 31 + v) % 2147483647) AS BIGINT) AS token_acc
          |FROM tok""".stripMargin,
+    "q188_spearman_len_quality" ->
+      s"""WITH g AS (SELECT doc_id, source, CAST(len(text) AS BIGINT) AS len,
+         |  CAST(floor((least(1.0, CAST($nTokensSql AS DOUBLE) / 50.0)
+         |        * (1.0 - $stopRatioSql)) * 1000000.0) AS BIGINT) AS q6
+         |  FROM documents),
+         |r AS (SELECT source,
+         |  CAST(row_number() OVER (PARTITION BY source ORDER BY len, doc_id)
+         |       AS BIGINT) AS rx,
+         |  CAST(row_number() OVER (PARTITION BY source ORDER BY q6, doc_id)
+         |       AS BIGINT) AS ry
+         |  FROM g),
+         |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+         |        CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2
+         |      FROM r GROUP BY 1)
+         |SELECT source, n, sum_d2,
+         |       CASE WHEN n > 1
+         |            THEN 1000000 - (6 * sum_d2 * 1000000) // (n * (n*n - 1)) END
+         |         AS spearman_ppm
+         |FROM a""".stripMargin,
     "q183_token_drift" ->
       """WITH occ AS (SELECT source, unnest(string_split(text, ' ')) AS tok
          |            FROM documents),
