@@ -25,6 +25,41 @@ object TextQueries extends QueryPack {
   private val MIN_PAIR = 3  // q138: min bigram count for a lift estimate
   private val BpeArtifactMerges = 8  // q160: merges past the base vocab
 
+  /** The trained BPE merge-table artifact, trained ONCE per (session,
+    * corpus) and shared by q160 (publishes it), q163 (applies it) and
+    * q180 (audits fertility with it) — one tokenizer training run
+    * serves every consumer, exactly like the dedup pairs and
+    * similarity model caches. Deterministic training, so caching
+    * cannot change any result.
+    */
+  private val mergeCache = QueryCaches.newCache[org.apache.spark.sql.DataFrame]()
+  private def trainedMergeTable(s: org.apache.spark.sql.SparkSession,
+                                d: String): org.apache.spark.sql.DataFrame =
+    QueryCaches.cached(mergeCache, s, d) {
+      val docs = Tables.documents(s, d)
+      val base = docs.select(explode(split(col("text"), " ")).as("t"))
+        .agg(count_distinct(col("t"))).head().getLong(0)
+      bpeMergeTable(docs, "text", "doc_id",
+        vocabTarget = base.toInt + BpeArtifactMerges).localCheckpoint(true)
+    }
+
+  /** The merge chain folded over `text` as chained literal replaces on
+    * the double-spaced form — the zero-shuffle serving projection
+    * q163/q180 share. Bounded driver collect: BpeArtifactMerges rows.
+    */
+  private def mergeFold(s: org.apache.spark.sql.SparkSession,
+                        d: String): org.apache.spark.sql.Column = {
+    val merges = trainedMergeTable(s, d).orderBy(col("rank"))
+      .select(col("pair")).collect().map(_.getString(0)).toSeq
+    val st0 = concat(lit(" "),
+      regexp_replace(col("text"), lit(" "), lit("  ")), lit(" "))
+    merges.foldLeft(st0) { (st, pair) =>
+      val Array(a, b) = pair.split(" ", 2)
+      call_function("replace", st,
+        lit(" " + a + "  " + b + " "), lit(" " + a + "\u0001" + b + " "))
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     // Token counting: whitespace tokens + BPE-ish regex subword count.
     "q40_token_stats" -> ((s, d) => {
@@ -339,12 +374,7 @@ object TextQueries extends QueryPack {
     // rank order re-tokenizes held-out text identically
     // (TextStatsSpec); the oracle re-runs the same 8 chained
     // deterministic rounds and unions the per-round winners.
-    "q160_bpe_artifact" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val base = docs.select(explode(split(col("text"), " ")).as("t"))
-        .agg(count_distinct(col("t"))).head().getLong(0)
-      bpeMergeTable(docs, "text", "doc_id", vocabTarget = base.toInt + BpeArtifactMerges)
-    }),
+    "q160_bpe_artifact" -> ((s, d) => trainedMergeTable(s, d)),
 
     // The CAPSTONE composition — a training-shard MANIFEST: quality
     // gate (quantized q94 score ≥ 0.5) → exact dedup (keep-min per
@@ -423,19 +453,7 @@ object TextQueries extends QueryPack {
     // single projection, at any corpus size.
     "q163_bpe_tokenize" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val base = docs.select(explode(split(col("text"), " ")).as("t"))
-        .agg(count_distinct(col("t"))).head().getLong(0)
-      val merges = bpeMergeTable(docs, "text", "doc_id",
-        vocabTarget = base.toInt + BpeArtifactMerges)
-        .orderBy(col("rank")).select(col("pair"))
-        .collect().map(_.getString(0)).toSeq
-      val st0 = concat(lit(" "),
-        regexp_replace(col("text"), lit(" "), lit("  ")), lit(" "))
-      val folded = merges.foldLeft(st0) { (st, pair) =>
-        val Array(a, b) = pair.split(" ", 2)
-        call_function("replace", st,
-          lit(" " + a + "  " + b + " "), lit(" " + a + "" + b + " "))
-      }
+      val folded = mergeFold(s, d)
       docs.select(col("doc_id"), split(trim(folded), "  ").as("toks"))
         .select(col("doc_id"),
           size(col("toks")).cast(LongType).as("n_tokens"),
@@ -446,6 +464,28 @@ object TextQueries extends QueryPack {
           aggregate(col("toks"), lit(0L),
             (h, t) => (h * 31 + hexNibble(substring(md5(t), 1, 1)).cast("long"))
               % 2147483647L).as("token_acc"))
+    }),
+
+    // One-row corpus report card — the summary a curation run prints
+    // at the end and a data-governance dashboard ingests: corpus size,
+    // source/language breadth, token volume, exact-duplicate rate and
+    // mean quality, all from ONE aggregation pass over the corpus
+    // (count_distinct of the q44 fingerprint rides the same shuffle).
+    "q189_corpus_report" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("source"), col("lang"),
+          fingerprint(col("text")).as("fp"),
+          size(split(col("text"), " ")).cast(LongType).as("ntok"),
+          floor(qualityScore(col("text"), EN) * 1e6).cast(LongType).as("q6"))
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("source")).as("n_sources"),
+          count_distinct(col("lang")).as("n_langs"),
+          sum(col("ntok")).as("n_tokens"),
+          count_distinct(col("fp")).as("n_distinct_fp"),
+          sum(col("q6")).as("sumq"))
+        .select(col("n_docs"), col("n_sources"), col("n_langs"), col("n_tokens"),
+          expr("((n_docs - n_distinct_fp) * 10000) div n_docs").as("dup_rate_bps"),
+          expr("sumq div n_docs").as("mean_quality_q6"))
     }),
 
     // Spearman rank correlation as a distributed operator — per
@@ -575,19 +615,7 @@ object TextQueries extends QueryPack {
     // one projection (zero shuffles), then one per-lang agg.
     "q180_tokenizer_fertility" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val base = docs.select(explode(split(col("text"), " ")).as("t"))
-        .agg(count_distinct(col("t"))).head().getLong(0)
-      val merges = bpeMergeTable(docs, "text", "doc_id",
-        vocabTarget = base.toInt + BpeArtifactMerges)
-        .orderBy(col("rank")).select(col("pair"))
-        .collect().map(_.getString(0)).toSeq
-      val st0 = concat(lit(" "),
-        regexp_replace(col("text"), lit(" "), lit("  ")), lit(" "))
-      val folded = merges.foldLeft(st0) { (st, pair) =>
-        val Array(a, b) = pair.split(" ", 2)
-        call_function("replace", st,
-          lit(" " + a + "  " + b + " "), lit(" " + a + "" + b + " "))
-      }
+      val folded = mergeFold(s, d)
       docs.select(col("lang"),
           size(split(col("text"), " ")).cast(LongType).as("n_words"),
           length(col("text")).cast(LongType).as("n_chars"),
@@ -1104,6 +1132,18 @@ object TextQueries extends QueryPack {
          |           t -> CAST(strpos('123456789abcdef', substr(md5(t), 1, 1)) AS BIGINT))),
          |       (h, v) -> (h * 31 + v) % 2147483647) AS BIGINT) AS token_acc
          |FROM tok""".stripMargin,
+    "q189_corpus_report" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |  CAST(sum(CAST($nTokensSql AS BIGINT)) AS BIGINT) AS n_tokens,
+         |  ((CAST(count(*) AS BIGINT) -
+         |    CAST(count(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+         |         AS BIGINT)) * 10000) // CAST(count(*) AS BIGINT) AS dup_rate_bps,
+         |  CAST(sum(CAST(floor((least(1.0, CAST($nTokensSql AS DOUBLE) / 50.0)
+         |        * (1.0 - $stopRatioSql)) * 1000000.0) AS BIGINT)) AS BIGINT)
+         |    // CAST(count(*) AS BIGINT) AS mean_quality_q6
+         |FROM documents""".stripMargin,
     "q188_spearman_len_quality" ->
       s"""WITH g AS (SELECT doc_id, source, CAST(len(text) AS BIGINT) AS len,
          |  CAST(floor((least(1.0, CAST($nTokensSql AS DOUBLE) / 50.0)

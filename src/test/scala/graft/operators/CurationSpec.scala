@@ -171,6 +171,28 @@ class CurationSpec extends SparkSpec {
     assert(again == first)
   }
 
+  test("waterfillQuotas: max-min fair integer allocation against hand computation") {
+    // sources 10/20/40/80 docs, budget = 150/2 = 75:
+    // k=1 feasible (10·4 = 40 ≤ 75), k=2 feasible (20·3 + 10 = 70 ≤ 75),
+    // k=3 infeasible (40·2 + 30 = 110 > 75) ⇒ k* = 2, S = 30,
+    // cap = (75 − 30) div 2 = 22 → quotas 10, 20, 22, 22 (Σ = 74 ≤ 75)
+    val docs = Seq(("a", 10), ("b", 20), ("c", 40), ("d", 80)).flatMap {
+      case (src, n) => (1 to n).map(i => (src, s"$src-$i"))
+    }.toDF("source", "doc_id")
+    val got = Curation.waterfillQuotas(docs, "source", budgetDenom = 2)
+      .select($"source", $"n_docs", $"quota", $"capped")
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("a") == ((10L, 10L, false)))
+    assert(got("b") == ((20L, 20L, false)))
+    assert(got("c") == ((40L, 22L, true)))
+    assert(got("d") == ((80L, 22L, true)))
+    // whole corpus inside the budget ⇒ nothing capped
+    val loose = Curation.waterfillQuotas(docs, "source", budgetDenom = 1)
+      .select($"quota", $"capped").as[(Long, Boolean)].collect()
+    assert(loose.forall(!_._2) && loose.map(_._1).sum == 150L)
+  }
+
   test("zValueN interleaves n dimensions and bounds 3-D boxes per key range") {
     // bit i of dim j lands at i*n + j: known 3-D values first
     val pts = Seq((1, 0, 0), (0, 1, 0), (0, 0, 1), (3, 0, 0), (7, 7, 7))
