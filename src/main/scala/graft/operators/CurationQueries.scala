@@ -303,6 +303,52 @@ object CurationQueries extends QueryPack {
     // len at stratum rank ceil(p·n) in (len, id) order. Ranks via the
     // q165 global-orderedRanks-minus-stratum-start trick — no source
     // stratum ever needs a single-partition window.
+    // Mergeable quantile SKETCH with an error audit — the bounded-
+    // memory twin of q171's exact percentiles: lengths collapse into
+    // log₂ bins with 4 sub-bins per octave (≤ 12.5% relative error by
+    // construction, ~250 bins total at any corpus size), the bin
+    // histogram is a plain additive aggregate (mergeable across
+    // partitions/shards — the property exact rank percentiles lack),
+    // and each percentile estimate is the upper bound of the first bin
+    // whose cumulative count reaches the exact-rank threshold.
+    // Reported next to the exact values with the realized error in
+    // bps, so the 100 TB deployment knows precisely what it trades.
+    "q190_quantile_sketch" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("len"))
+      val binned = docs
+        .withColumn("b", length(bin(col("len"))).cast("long"))
+        .withColumn("scale", expr("CAST(pow(2, greatest(b - 3, 0)) AS BIGINT)"))
+        .withColumn("upper", expr("((len div scale) + 1) * scale - 1"))
+      val hist = binned.groupBy(col("source"), col("upper"))
+        .agg(count(lit(1)).as("c"))
+      val tot = hist.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+      import org.apache.spark.sql.expressions.Window
+      val cum = hist.withColumn("cum",
+        sum(col("c")).over(Window.partitionBy(col("source")).orderBy(col("upper"))))
+      val est = cum.join(broadcast(tot), "source")
+        .groupBy(col("source"), col("n_s"))
+        .agg(min(when(col("cum") >= expr("(n_s + 1) div 2"), col("upper"))).as("p50_est"),
+          min(when(col("cum") >= expr("(9 * n_s + 9) div 10"), col("upper"))).as("p90_est"),
+          min(when(col("cum") >= expr("(99 * n_s + 99) div 100"), col("upper"))).as("p99_est"))
+      val ranked = Relational.orderedRanks(docs,
+        Seq(col("source"), col("len"), col("doc_id")), "grank")
+      val starts = ranked.groupBy(col("source")).agg(min(col("grank")).as("start"))
+      val exact = ranked.join(broadcast(starts), "source")
+        .join(broadcast(tot), "source")
+        .withColumn("rk", col("grank") - col("start") + 1L)
+        .groupBy(col("source"))
+        .agg(max(when(col("rk") === expr("(n_s + 1) div 2"), col("len"))).as("p50_exact"),
+          max(when(col("rk") === expr("(9 * n_s + 9) div 10"), col("len"))).as("p90_exact"),
+          max(when(col("rk") === expr("(99 * n_s + 99) div 100"), col("len"))).as("p99_exact"))
+      est.join(exact, "source")
+        .select(col("source"), col("n_s").as("n"),
+          col("p50_exact"), col("p50_est"),
+          col("p90_exact"), col("p90_est"),
+          col("p99_exact"), col("p99_est"),
+          expr("((p99_est - p99_exact) * 10000) div p99_exact").as("p99_err_bps"))
+    }),
+
     "q171_length_percentiles" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("source"), col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("len"))
@@ -444,6 +490,41 @@ object CurationQueries extends QueryPack {
          |  md5(array_to_string(ts[start:least(start + ${CHUNK_N - 1}, len(ts))], ' '))
          |    AS chunk_hash
          |FROM w""".stripMargin,
+    "q190_quantile_sketch" ->
+      """WITH t AS (SELECT source, doc_id,
+         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+         |           FROM documents),
+         |bb AS (SELECT source, len,
+         |         CAST(pow(2, greatest(CAST(length(bin(len)) AS BIGINT) - 3, 0))
+         |              AS BIGINT) AS scale
+         |       FROM t),
+         |h AS (SELECT source, ((len // scale) + 1) * scale - 1 AS upper,
+         |        CAST(count(*) AS BIGINT) AS c
+         |      FROM bb GROUP BY 1, 2),
+         |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM h GROUP BY 1),
+         |cum AS (SELECT source, upper,
+         |          CAST(sum(c) OVER (PARTITION BY source ORDER BY upper)
+         |               AS BIGINT) AS cum
+         |        FROM h),
+         |est AS (SELECT c.source, t.n_s,
+         |          min(CASE WHEN cum >= (n_s + 1) // 2 THEN upper END) AS p50_est,
+         |          min(CASE WHEN cum >= (9 * n_s + 9) // 10 THEN upper END) AS p90_est,
+         |          min(CASE WHEN cum >= (99 * n_s + 99) // 100 THEN upper END) AS p99_est
+         |        FROM cum c JOIN tot t USING (source) GROUP BY 1, 2),
+         |r AS (SELECT source, len,
+         |        row_number() OVER (PARTITION BY source ORDER BY len, doc_id) AS rk,
+         |        count(*) OVER (PARTITION BY source) AS n_s
+         |      FROM t),
+         |ex AS (SELECT source,
+         |         MAX(CASE WHEN rk = (n_s + 1) // 2 THEN len END) AS p50_exact,
+         |         MAX(CASE WHEN rk = (9 * n_s + 9) // 10 THEN len END) AS p90_exact,
+         |         MAX(CASE WHEN rk = (99 * n_s + 99) // 100 THEN len END) AS p99_exact
+         |       FROM r GROUP BY source)
+         |SELECT e.source, t.n_s AS n,
+         |       x.p50_exact, e.p50_est, x.p90_exact, e.p90_est,
+         |       x.p99_exact, e.p99_est,
+         |       ((e.p99_est - x.p99_exact) * 10000) // x.p99_exact AS p99_err_bps
+         |FROM est e JOIN ex x USING (source) JOIN tot t USING (source)""".stripMargin,
     "q171_length_percentiles" ->
       """WITH t AS (SELECT source, doc_id,
          |             CAST(len(string_split(text, ' ')) AS BIGINT) AS len
