@@ -466,6 +466,57 @@ object TextQueries extends QueryPack {
               % 2147483647L).as("token_acc"))
     }),
 
+    // HyperLogLog distinct-count sketch with a calibration audit — the
+    // third sketch in the audited family (q182 counts, q190 quantiles):
+    // per source, 64 max-rank registers over md5-derived (bucket, ρ)
+    // pairs estimate the distinct-token count in O(64) memory at any
+    // corpus size, reported against the exact count with the realized
+    // error. Engine-portable determinism the textbook form lacks:
+    // ρ comes from hex-prefix arithmetic (no float log), the harmonic
+    // sum is computed as Σ 2^(maxM−Mj) in exact BIGINT (absent
+    // registers contribute 2^maxM), and the only doubles are one
+    // division at the very end — identical bits on both engines. Raw
+    // estimator, no small-range correction (that is what the audit
+    // column measures).
+    "q191_hll_calibration" -> ((s, d) => {
+      val occ = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .withColumn("h", md5(col("tok")))
+        .withColumn("bucket",
+          (hexNibble(substring(col("h"), 1, 1)) * 16 +
+            hexNibble(substring(col("h"), 2, 1))) % 64)
+        .withColumn("z",
+          length(regexp_extract(substring(col("h"), 3, 30), "^0*", 0)).cast("long"))
+        .withColumn("v", hexNibble(expr("substring(h, z + 3, 1)")))
+        // ρ = 1-based position of the first 1-bit after the bucket
+        // prefix; the z ≥ 30 guard covers an all-zero tail (once per
+        // 2^120 hashes) without relying on empty-substring semantics
+        .withColumn("rho", expr(
+          "CASE WHEN z >= 30 THEN 121 WHEN v >= 8 THEN 4 * z + 1 " +
+            "WHEN v >= 4 THEN 4 * z + 2 WHEN v >= 2 THEN 4 * z + 3 " +
+            "ELSE 4 * z + 4 END"))
+      val regs = occ.groupBy(col("source"), col("bucket")).agg(max(col("rho")).as("m"))
+      val rs = regs.groupBy(col("source")).agg(max(col("m")).as("maxm"),
+        count(lit(1)).as("n_present"))
+      // harmonic sum scaled to integers: Σ 2^(maxM−Mj) over the 64
+      // registers, absent registers contributing 2^maxM — exact BIGINT
+      // for any corpus below ~4·10^18 tokens (maxM ≤ 62)
+      val ssum = regs.join(broadcast(rs), "source")
+        .groupBy(col("source"), col("maxm"), col("n_present"))
+        .agg(sum(expr("CAST(pow(2, maxm - m) AS BIGINT)")).as("s_present"))
+        .withColumn("s_all", col("s_present") +
+          (lit(64L) - col("n_present")) * expr("CAST(pow(2, maxm) AS BIGINT)"))
+      val exact = occ.groupBy(col("source"))
+        .agg(count_distinct(col("tok")).as("exact_distinct"))
+      ssum.join(exact, "source")
+        .withColumn("hll_est",
+          lit(0.709 * 4096.0) * pow(lit(2.0), col("maxm").cast("double")) /
+            col("s_all").cast("double"))
+        .select(col("source"), col("exact_distinct"), col("hll_est"),
+          expr("CAST(floor((hll_est - exact_distinct) * 10000.0 / exact_distinct) " +
+            "AS BIGINT)").as("err_bps"))
+    }),
+
     // One-row corpus report card — the summary a curation run prints
     // at the end and a data-governance dashboard ingests: corpus size,
     // source/language breadth, token volume, exact-duplicate rate and
@@ -1132,6 +1183,45 @@ object TextQueries extends QueryPack {
          |           t -> CAST(strpos('123456789abcdef', substr(md5(t), 1, 1)) AS BIGINT))),
          |       (h, v) -> (h * 31 + v) % 2147483647) AS BIGINT) AS token_acc
          |FROM tok""".stripMargin,
+    "q191_hll_calibration" -> {
+      def nib(x: String) = s"strpos('123456789abcdef', $x)"
+      val vSql = nib("substr(h, CAST(z + 3 AS INT), 1)")
+      val estSql = "0.709 * 4096.0 * pow(2, CAST(maxm AS DOUBLE)) / CAST(s_all AS DOUBLE)"
+      s"""WITH occ AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+         |            FROM documents),
+         |hh AS (SELECT source, md5(tok) AS h FROM occ),
+         |k AS (SELECT source, h,
+         |        (${nib("substr(h, 1, 1)")} * 16 + ${nib("substr(h, 2, 1)")}) % 64
+         |          AS bucket,
+         |        CAST(length(regexp_extract(substr(h, 3, 30), '^0*')) AS BIGINT) AS z
+         |      FROM hh),
+         |r AS (SELECT source, bucket,
+         |        CASE WHEN z >= 30 THEN 121
+         |             WHEN $vSql >= 8 THEN 4 * z + 1
+         |             WHEN $vSql >= 4 THEN 4 * z + 2
+         |             WHEN $vSql >= 2 THEN 4 * z + 3
+         |             ELSE 4 * z + 4 END AS rho
+         |      FROM k),
+         |regs AS (SELECT source, bucket, max(rho) AS m FROM r GROUP BY 1, 2),
+         |rs AS (SELECT source, CAST(max(m) AS BIGINT) AS maxm,
+         |              CAST(count(*) AS BIGINT) AS n_present
+         |       FROM regs GROUP BY 1),
+         |ss AS (SELECT g.source, s.maxm, s.n_present,
+         |         CAST(sum(CAST(pow(2, s.maxm - g.m) AS BIGINT)) AS BIGINT)
+         |           AS s_present
+         |       FROM regs g JOIN rs s USING (source) GROUP BY 1, 2, 3),
+         |sa AS (SELECT source, maxm,
+         |         s_present + (64 - n_present) * CAST(pow(2, maxm) AS BIGINT)
+         |           AS s_all
+         |       FROM ss),
+         |ex AS (SELECT source, CAST(count(DISTINCT tok) AS BIGINT)
+         |                AS exact_distinct
+         |       FROM occ GROUP BY 1)
+         |SELECT sa.source, ex.exact_distinct, $estSql AS hll_est,
+         |       CAST(floor(($estSql - exact_distinct) * 10000.0 / exact_distinct)
+         |            AS BIGINT) AS err_bps
+         |FROM sa JOIN ex USING (source)""".stripMargin
+    },
     "q189_corpus_report" ->
       s"""SELECT CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
