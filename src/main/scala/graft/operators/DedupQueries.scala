@@ -239,6 +239,51 @@ object DedupQueries extends QueryPack {
         "text", "doc_id", n = 3, minShared = 2)
     }),
 
+    // Bloom-filter FPR audit — the calibration number behind q92's
+    // prefilter, measured instead of assumed: a RELATIONAL bloom
+    // (k = 4 md5-derived positions into m = 32768 bits, the bit array
+    // as a distinct-positions relation — deterministic and
+    // engine-portable where a binary bloom blob is not) is built over
+    // the eval shingles and probed with every distinct train shingle.
+    // One row: items, bits set, probes, passes, true hits, false
+    // positives, measured FPR and the (b/m)^k theoretical — the
+    // evidence for sizing m before a 100 TB decontamination pass.
+    // The positions relation is ≤ m rows (broadcastable at any eval
+    // cardinality), probing is one equi-join + one count per shingle.
+    "q192_bloom_fpr" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val evalSh = Dedup.shingleTable(docs.filter(col("source") === "src0"),
+        "text", "doc_id", 3).select(col("shingle")).distinct().localCheckpoint(true)
+      val trainSh = Dedup.shingleTable(docs.filter(col("source") =!= "src0"),
+        "text", "doc_id", 3).select(col("shingle")).distinct()
+      def legs(sh: org.apache.spark.sql.DataFrame) = sh.select(col("shingle"),
+        explode(array((0 until 4).map(r =>
+          Curation.hashU16(col("shingle"), s"bf$r") % 32768): _*)).as("pos"))
+      val bits = legs(evalSh).select(col("pos")).distinct().localCheckpoint(true)
+      val probed = legs(trainSh)
+        .join(broadcast(bits.withColumn("hit", lit(1))), Seq("pos"), "left")
+        .groupBy(col("shingle"))
+        .agg(sum(coalesce(col("hit"), lit(0))).as("hits"))
+      val stats = probed
+        .join(evalSh.withColumn("intest", lit(1)), Seq("shingle"), "left")
+        .agg(count(lit(1)).as("n_probes"),
+          sum(when(col("hits") === 4, 1L).otherwise(0L)).as("n_pass"),
+          sum(when(col("intest").isNotNull, 1L).otherwise(0L)).as("n_true"),
+          sum(when(col("hits") === 4 && col("intest").isNull, 1L).otherwise(0L))
+            .as("n_false_pos"))
+      stats
+        .crossJoin(broadcast(bits.agg(count(lit(1)).as("n_bits_set"))))
+        .crossJoin(broadcast(evalSh.agg(count(lit(1)).as("n_items"))))
+        .select(col("n_items"), col("n_bits_set"), col("n_probes"),
+          col("n_pass"), col("n_true"), col("n_false_pos"),
+          expr("(n_false_pos * 10000) div (n_probes - n_true)")
+            .as("fpr_measured_bps"),
+          // (b/m)^4 in bps via two exact squarings (b² ≤ 2^30)
+          expr("(((n_bits_set * n_bits_set * 10000) div 1073741824) * " +
+            "((n_bits_set * n_bits_set * 10000) div 1073741824)) div 10000")
+            .as("fpr_theory_bps"))
+    }),
+
     // Inter-source overlap matrix: pairwise distinct-3-gram Jaccard
     // between sources (which crawls share content; which eval source a
     // train source contaminates) — the curation analytic you run BEFORE
@@ -597,6 +642,50 @@ object DedupQueries extends QueryPack {
        SELECT id_1, id_2, CAST(max(run) + 2 AS BIGINT) AS longest_tokens,
               CAST(sum(run) AS BIGINT) AS n_matched_positions
        FROM r2 GROUP BY 1, 2 HAVING max(run) + 2 >= $MIN_RUN_TOKENS""",
+    "q192_bloom_fpr" -> {
+      def nib(key: String, i: Int) =
+        s"strpos('123456789abcdef', substr(md5($key), $i, 1))"
+      def u16(key: String) =
+        s"(${nib(key, 1)} * 4096 + ${nib(key, 2)} * 256 + ${nib(key, 3)} * 16 + ${nib(key, 4)})"
+      val posSql = u16("'bf' || CAST(r.r AS VARCHAR) || shingle") + " % 32768"
+      s"""WITH te AS (SELECT string_split(text, ' ') AS ts FROM documents
+         |           WHERE source = 'src0'),
+         |ev AS (SELECT DISTINCT
+         |         unnest(list_transform(generate_series(1, len(ts) - 2),
+         |           i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle
+         |       FROM te),
+         |tt AS (SELECT string_split(text, ' ') AS ts FROM documents
+         |       WHERE source <> 'src0'),
+         |tr AS (SELECT DISTINCT
+         |         unnest(list_transform(generate_series(1, len(ts) - 2),
+         |           i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle
+         |       FROM tt),
+         |evp AS (SELECT DISTINCT $posSql AS pos
+         |        FROM ev, (VALUES (0), (1), (2), (3)) r(r)),
+         |hits AS (SELECT shingle,
+         |           sum(CASE WHEN $posSql IN (SELECT pos FROM evp)
+         |               THEN 1 ELSE 0 END) AS hits
+         |         FROM tr, (VALUES (0), (1), (2), (3)) r(r) GROUP BY 1),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_probes,
+         |         CAST(sum(CASE WHEN hits = 4 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_pass,
+         |         CAST(sum(CASE WHEN shingle IN (SELECT shingle FROM ev)
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+         |         CAST(sum(CASE WHEN hits = 4 AND shingle NOT IN
+         |             (SELECT shingle FROM ev) THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_false_pos
+         |       FROM hits),
+         |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_bits_set FROM evp),
+         |ni AS (SELECT CAST(count(*) AS BIGINT) AS n_items FROM ev)
+         |SELECT ni.n_items, nb.n_bits_set, st.n_probes, st.n_pass, st.n_true,
+         |       st.n_false_pos,
+         |       (st.n_false_pos * 10000) // (st.n_probes - st.n_true)
+         |         AS fpr_measured_bps,
+         |       (((nb.n_bits_set * nb.n_bits_set * 10000) // 1073741824) *
+         |        ((nb.n_bits_set * nb.n_bits_set * 10000) // 1073741824)) // 10000
+         |         AS fpr_theory_bps
+         |FROM st, nb, ni""".stripMargin
+    },
     "q184_minhash_calibration" ->
       s"""WITH $shinglesCte,
          mh AS (SELECT doc_id, $minhashCols FROM sh GROUP BY doc_id),
