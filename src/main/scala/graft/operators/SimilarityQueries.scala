@@ -324,6 +324,41 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("cid"))
     }),
 
+    // Cluster labeling (topic discovery) — make the trained cells
+    // human-readable: for each IVF cell, the 5 tokens whose in-cell
+    // occurrence rate most exceeds their corpus-wide rate (integer
+    // ppm lift, the q183 drift arithmetic pointed at clusters instead
+    // of sources), over the documents the cell's vectors embed
+    // (vec_id ≡ doc_id in the fixture). min count ≥ 3 keeps noise
+    // tokens out. Corpus rates derive from the per-cell stats by one
+    // more agg; the top-5 window partitions by cell over the
+    // vocab-bounded (cell, token) relation — k·5 rows out.
+    "q193_cluster_labels" -> ((s, d) => {
+      val (_, cells) = ivfIndex(s, d)
+      val occ = Tables.documents(s, d)
+        .join(cells.withColumnRenamed("vec_id", "doc_id"), "doc_id")
+        .select(col("cid"), explode(split(col("text"), " ")).as("tok"))
+      val ct = occ.groupBy(col("cid"), col("tok")).agg(count(lit(1)).as("o"))
+      val cellTot = ct.groupBy(col("cid")).agg(sum(col("o")).as("nc"))
+      val tokTot = ct.groupBy(col("tok")).agg(sum(col("o")).as("c"))
+      val tot = tokTot.agg(sum(col("c")).as("n"))
+      val rated = ct.filter(col("o") >= 3)
+        .join(broadcast(cellTot), "cid")
+        .join(tokTot, "tok")
+        .crossJoin(broadcast(tot))
+        .select(col("cid"), col("tok"), col("o"),
+          expr("(o * 1000000) div nc").as("rate_cell_ppm"),
+          expr("(c * 1000000) div n").as("rate_corpus_ppm"))
+        .withColumn("lift_ppm", col("rate_cell_ppm") - col("rate_corpus_ppm"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("cid"))
+        .orderBy(col("lift_ppm").desc, col("tok"))
+      rated.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .select(col("cid"), col("rn"), col("tok"), col("o"),
+          col("rate_cell_ppm"), col("rate_corpus_ppm"), col("lift_ppm"))
+    }),
+
     // Embedding outlier audit — the data-cleaning signal on top of the
     // same trained assignment every serving path reads: per cell, the
     // 3 members FARTHEST from their own centroid (lowest assignment
@@ -963,6 +998,31 @@ object SimilarityQueries extends QueryPack {
          |SELECT cid, n, (100 * n * k) // t AS occupancy_pct_of_mean,
          |       n * k > 2 * t AS overfull
          |FROM occ, tot ORDER BY cid""".stripMargin
+    },
+    // Top-5 lift tokens per trained cell (q183's rate arithmetic).
+    "q193_cluster_labels" -> {
+      val aN = s"a${KM_ROUNDS + 1}"
+      s"""${kmeansWith(KM_K, KM_ROUNDS)},
+         |occ AS (SELECT a.cid, unnest(string_split(d.text, ' ')) AS tok
+         |        FROM $aN a JOIN documents d ON d.doc_id = a.vec_id),
+         |ct AS (SELECT cid, tok, CAST(count(*) AS BIGINT) AS o
+         |       FROM occ GROUP BY 1, 2),
+         |cellt AS (SELECT cid, CAST(sum(o) AS BIGINT) AS nc FROM ct GROUP BY 1),
+         |tokt AS (SELECT tok, CAST(sum(o) AS BIGINT) AS c FROM ct GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM tokt),
+         |rated AS (SELECT ct.cid, ct.tok, ct.o,
+         |            (ct.o * 1000000) // cellt.nc AS rate_cell_ppm,
+         |            (tokt.c * 1000000) // (SELECT n FROM tot) AS rate_corpus_ppm
+         |          FROM ct JOIN cellt USING (cid) JOIN tokt USING (tok)
+         |          WHERE ct.o >= 3),
+         |rk AS (SELECT cid, tok, o, rate_cell_ppm, rate_corpus_ppm,
+         |         rate_cell_ppm - rate_corpus_ppm AS lift_ppm,
+         |         CAST(row_number() OVER (PARTITION BY cid
+         |              ORDER BY rate_cell_ppm - rate_corpus_ppm DESC, tok)
+         |           AS BIGINT) AS rn
+         |       FROM rated)
+         |SELECT cid, rn, tok, o, rate_cell_ppm, rate_corpus_ppm, lift_ppm
+         |FROM rk WHERE rn <= 5""".stripMargin
     },
     // Bottom-3-per-cell outlier audit over the trained assignment.
     "q186_embedding_outliers" -> {
