@@ -348,6 +348,44 @@ object ScdQueries extends QueryPack {
         .select(col("k"), col("op"), col("b_cents"), col("n_cents"))
     }),
 
+    // Column-profile drift between snapshot versions — the data-ops
+    // monitor that catches a bad load BEFORE consumers do: q110's
+    // per-column profile (rows, nulls, distincts, lexicographic range)
+    // computed over BOTH committed versions of the dimension and
+    // joined per column, with row/distinct deltas and a range-stable
+    // flag. Rides the same immutable-version machinery as q114; each
+    // profile is one unpivot + one agg, so the drift report costs two
+    // profile scans however wide the table.
+    "q194_profile_drift" -> ((s, d) => {
+      val wh = new graft.sources.Warehouse(graft.plans.EtlQueries.tmpWarehouse(), s)
+      val v1 = custV1(s, d)
+      val v2 = custV2(v1)
+      wh.writeVersion(v1, "bl_3nf", "dim_customers_pdrift"): Unit
+      wh.writeVersion(v2, "bl_3nf", "dim_customers_pdrift"): Unit
+      def profile(df: org.apache.spark.sql.DataFrame) = df.select(
+          col("k").cast(StringType).as("k"), col("name"),
+          col("cents").cast(StringType).as("cents"))
+        .unpivot(Array.empty[org.apache.spark.sql.Column], "col_name", "val")
+        .groupBy(col("col_name"))
+        .agg(count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count(col("val"))).as("n_null"),
+          countDistinct(col("val")).as("n_distinct"),
+          min(col("val")).as("min_val"), max(col("val")).as("max_val"))
+      val p1 = profile(wh.readVersion("bl_3nf", "dim_customers_pdrift", 1))
+        .toDF("col_name", "n_rows_1", "n_null_1", "n_distinct_1", "min_1", "max_1")
+      val p2 = profile(wh.readVersion("bl_3nf", "dim_customers_pdrift", 2))
+        .toDF("col_name", "n_rows_2", "n_null_2", "n_distinct_2", "min_2", "max_2")
+      p1.join(p2, "col_name")
+        .select(col("col_name"),
+          col("n_rows_1"), col("n_rows_2"),
+          (col("n_rows_2") - col("n_rows_1")).as("row_delta"),
+          col("n_null_1"), col("n_null_2"),
+          col("n_distinct_1"), col("n_distinct_2"),
+          (col("n_distinct_2") - col("n_distinct_1")).as("distinct_delta"),
+          (col("min_1") === col("min_2") && col("max_1") === col("max_2"))
+            .as("range_stable"))
+    }),
+
     // Time travel: two snapshot versions committed to the warehouse
     // (immutable `v=N` dirs — Warehouse.writeVersion), then BOTH read
     // back — v1 as-of-read AFTER v2 was committed, so a green hash
@@ -376,6 +414,28 @@ object ScdQueries extends QueryPack {
          SELECT 1 AS version, * FROM cust
          UNION ALL
          SELECT 2 AS version, * FROM nxt""",
+    "q194_profile_drift" -> {
+      def prof(rel: String, colName: String, valSql: String) =
+        s"""SELECT '$colName' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(count(*) - count($valSql) AS BIGINT) AS n_null,
+              CAST(count(DISTINCT $valSql) AS BIGINT) AS n_distinct,
+              min($valSql) AS min_val, max($valSql) AS max_val FROM $rel"""
+      def profAll(rel: String) = Seq(
+        prof(rel, "k", "CAST(k AS VARCHAR)"),
+        prof(rel, "name", "name"),
+        prof(rel, "cents", "CAST(cents AS VARCHAR)")).mkString(" UNION ALL ")
+      s"""WITH $custSnapshotsCte,
+         p1 AS (${profAll("cust")}),
+         p2 AS (${profAll("nxt")})
+       SELECT p1.col_name, p1.n_rows AS n_rows_1, p2.n_rows AS n_rows_2,
+              p2.n_rows - p1.n_rows AS row_delta,
+              p1.n_null AS n_null_1, p2.n_null AS n_null_2,
+              p1.n_distinct AS n_distinct_1, p2.n_distinct AS n_distinct_2,
+              p2.n_distinct - p1.n_distinct AS distinct_delta,
+              (p1.min_val = p2.min_val AND p1.max_val = p2.max_val)
+                AS range_stable
+       FROM p1 JOIN p2 USING (col_name)"""
+    },
     "q109_cdc_merge" ->
       """WITH base AS (
            SELECT c_custkey AS k, c_name AS name,
