@@ -239,6 +239,43 @@ object DedupQueries extends QueryPack {
         "text", "doc_id", n = 3, minShared = 2)
     }),
 
+    // Cross-modal duplicate clusters — the composition a multimodal
+    // curation pass actually runs: text near-dup edges (q48's 16-bit
+    // SimHash, hamming ≤ 3) and image perceptual edges (q185's 60-bit
+    // dHash) feed ONE connected-components pass, so a page duplicated
+    // as text in one copy and as a re-encoded screenshot in another
+    // still lands in the same cluster. Per cluster (size > 1): size,
+    // keeper (min id), and the edge count by modality — the evidence
+    // column a reviewer reads to see WHY the cluster exists.
+    "q195_crossmodal_clusters" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val text = Dedup.simhashPairs(
+        Dedup.simhash16(docs, "text", "doc_id"), "doc_id", maxHamming = 3)
+        .select(col("id_1"), col("id_2"), lit(1L).as("is_text"))
+      val payload = docs.select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"))
+      val fp = Multimodal.decodeImageGrid(payload, rows = 6, cols = 11)
+        .select(col("doc_id"), Multimodal.dHash(col("luma"), 6, 11).as("dhash"))
+      val img = Dedup.simhashPairs(fp, "doc_id", maxHamming = 3, bits = 60)
+        .select(col("id_1"), col("id_2"), lit(0L).as("is_text"))
+      val pairs = text.unionByName(img).localCheckpoint(true)
+      val cc = Dedup.connectedComponents(
+        pairs.select(col("id_1"), col("id_2")).distinct(),
+        docs.select(col("doc_id")), "doc_id").localCheckpoint(true)
+      val edgeStats = pairs
+        .join(cc.toDF("id_1", "cluster_id"), "id_1")
+        .groupBy(col("cluster_id"))
+        .agg(sum(col("is_text")).as("n_text_edges"),
+          sum(lit(1L) - col("is_text")).as("n_image_edges"))
+      cc.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"), min(col("doc_id")).as("keeper_id"))
+        .filter(col("cluster_size") > 1)
+        .join(edgeStats, Seq("cluster_id"), "left")
+        .select(col("cluster_id"), col("cluster_size"), col("keeper_id"),
+          coalesce(col("n_text_edges"), lit(0L)).as("n_text_edges"),
+          coalesce(col("n_image_edges"), lit(0L)).as("n_image_edges"))
+    }),
+
     // Bloom-filter FPR audit — the calibration number behind q92's
     // prefilter, measured instead of assumed: a RELATIONAL bloom
     // (k = 4 md5-derived positions into m = 32768 bits, the bit array
@@ -642,6 +679,48 @@ object DedupQueries extends QueryPack {
        SELECT id_1, id_2, CAST(max(run) + 2 AS BIGINT) AS longest_tokens,
               CAST(sum(run) AS BIGINT) AS n_matched_positions
        FROM r2 GROUP BY 1, 2 HAVING max(run) + 2 >= $MIN_RUN_TOKENS""",
+    "q195_crossmodal_clusters" -> {
+      // q185's fake-twin dHash regenerated for the union (6×11 grid,
+      // 60 gradient bits — keep in lockstep with MultimodalQueries)
+      val lumaExpr = "list_transform(generate_series(0, 65), " +
+        "i -> ord(substr(text, ((7*i+3) % nb) + 1, 1)))"
+      val dhBits = (0 until 6).flatMap { r =>
+        (0 until 10).map { c =>
+          val j = r * 10 + c
+          s"(CASE WHEN luma[${r * 11 + c + 2}] > luma[${r * 11 + c + 1}] " +
+            s"THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)"
+        }
+      }.mkString(" + ")
+      s"""WITH RECURSIVE $simhashCte,
+         p AS (SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents),
+         g AS (SELECT doc_id, $lumaExpr AS luma FROM p),
+         dh AS (SELECT doc_id, CAST($dhBits AS BIGINT) AS dhash FROM g),
+         tpr AS (SELECT a.doc_id AS id_1, b.doc_id AS id_2, 1 AS is_text
+                 FROM simh a JOIN simh b ON a.doc_id < b.doc_id
+                 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         ipr AS (SELECT a.doc_id AS id_1, b.doc_id AS id_2, 0 AS is_text
+                 FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+                 WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
+         pr AS (SELECT * FROM tpr UNION ALL SELECT * FROM ipr),
+         edges AS (SELECT id_1 AS src, id_2 AS dst FROM pr
+                   UNION SELECT id_2, id_1 FROM pr),
+         walk(id, comp) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.dst, w.comp FROM walk w JOIN edges e ON w.id = e.src),
+         cc AS (SELECT id AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY id),
+         cs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size,
+                  min(doc_id) AS keeper_id
+                FROM cc GROUP BY 1 HAVING count(*) > 1),
+         es AS (SELECT c.cluster_id,
+                  CAST(sum(p.is_text) AS BIGINT) AS n_text_edges,
+                  CAST(sum(1 - p.is_text) AS BIGINT) AS n_image_edges
+                FROM pr p JOIN cc c ON p.id_1 = c.doc_id GROUP BY 1)
+       SELECT cs.cluster_id, cs.cluster_size, cs.keeper_id,
+              COALESCE(es.n_text_edges, 0) AS n_text_edges,
+              COALESCE(es.n_image_edges, 0) AS n_image_edges
+       FROM cs LEFT JOIN es USING (cluster_id)""".stripMargin
+    },
     "q192_bloom_fpr" -> {
       def nib(key: String, i: Int) =
         s"strpos('123456789abcdef', substr(md5($key), $i, 1))"
