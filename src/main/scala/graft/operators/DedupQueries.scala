@@ -240,8 +240,8 @@ object DedupQueries extends QueryPack {
     }),
 
     // Cross-modal duplicate clusters — the composition a multimodal
-    // curation pass actually runs: text near-dup edges (q48's 16-bit
-    // SimHash, hamming ≤ 3) and image perceptual edges (q185's 60-bit
+    // curation pass actually runs: text near-dup edges (q65's 60-bit
+    // wide SimHash, hamming ≤ 3) and image perceptual edges (q185's 60-bit
     // dHash) feed ONE connected-components pass, so a page duplicated
     // as text in one copy and as a re-encoded screenshot in another
     // still lands in the same cluster. Per cluster (size > 1): size,
@@ -250,7 +250,8 @@ object DedupQueries extends QueryPack {
     "q195_crossmodal_clusters" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val text = Dedup.simhashPairs(
-        Dedup.simhash16(docs, "text", "doc_id"), "doc_id", maxHamming = 3)
+        Dedup.simhashWide(docs, "text", "doc_id"), "doc_id",
+        maxHamming = 3, bits = 60)
         .select(col("id_1"), col("id_2"), lit(1L).as("is_text"))
       val payload = docs.select(col("doc_id"),
         encode(col("text"), "UTF-8").as("payload"))
@@ -691,7 +692,7 @@ object DedupQueries extends QueryPack {
             s"THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)"
         }
       }.mkString(" + ")
-      s"""WITH RECURSIVE $simhashCte,
+      s"""WITH RECURSIVE $simhashWideCte,
          p AS (SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents),
          g AS (SELECT doc_id, $lumaExpr AS luma FROM p),
          dh AS (SELECT doc_id, CAST($dhBits AS BIGINT) AS dhash FROM g),
