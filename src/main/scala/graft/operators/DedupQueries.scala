@@ -239,6 +239,39 @@ object DedupQueries extends QueryPack {
         "text", "doc_id", n = 3, minShared = 2)
     }),
 
+    // Span-level decontamination SCRUB — q83 flags contaminated
+    // documents; this repairs them: every train-side token covered by
+    // a 3-gram shared with the eval set is removed, and the cleaned
+    // text reassembles in position order (so a mostly-clean document
+    // keeps its value instead of being dropped whole — the
+    // span-surgery form of decontamination used when eval overlap is
+    // small but widespread). Covered positions come from the
+    // position-preserving shingle table (q175's relation) joined
+    // against the eval shingle set; reassembly is a per-doc bounded
+    // sort inside one aggregation. Emits only repaired docs with
+    // before/after token accounting.
+    "q196_decontaminate_scrub" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val train = docs.filter(col("source") =!= "src0")
+      val evalSh = Dedup.shingleTable(docs.filter(col("source") === "src0"),
+        "text", "doc_id", 3).select(col("shingle")).distinct()
+      val hits = Dedup.positionalShingleTable(train, "text", "doc_id", 3)
+        .join(evalSh, "shingle")
+      val covered = hits.select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + 2)).as("p")).distinct()
+      val toks = train.select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("tok"))
+      toks.join(covered.withColumn("cut", lit(1)), Seq("doc_id", "p"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("cut").isNotNull, 1L).otherwise(0L)).as("n_scrubbed"),
+          concat_ws(" ", transform(
+            array_sort(collect_list(
+              when(col("cut").isNull, struct(col("p"), col("tok"))))),
+            x => x.getField("tok"))).as("clean_text"))
+        .filter(col("n_scrubbed") > 0)
+    }),
+
     // Cross-modal duplicate clusters — the composition a multimodal
     // curation pass actually runs: text near-dup edges (q65's 60-bit
     // wide SimHash, hamming ≤ 3) and image perceptual edges (q185's 60-bit
@@ -680,6 +713,37 @@ object DedupQueries extends QueryPack {
        SELECT id_1, id_2, CAST(max(run) + 2 AS BIGINT) AS longest_tokens,
               CAST(sum(run) AS BIGINT) AS n_matched_positions
        FROM r2 GROUP BY 1, 2 HAVING max(run) + 2 >= $MIN_RUN_TOKENS""",
+    "q196_decontaminate_scrub" ->
+      """WITH te AS (SELECT string_split(text, ' ') AS ts FROM documents
+         |           WHERE source = 'src0'),
+         |ev AS (SELECT DISTINCT
+         |         unnest(list_transform(generate_series(1, len(ts) - 2),
+         |           i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle
+         |       FROM te),
+         |tt AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+         |       WHERE source <> 'src0'),
+         |ps AS (SELECT doc_id, pos,
+         |         ts[pos] || ' ' || ts[pos+1] || ' ' || ts[pos+2] AS shingle
+         |       FROM (SELECT doc_id, ts,
+         |               unnest(generate_series(1, len(ts) - 2)) AS pos
+         |             FROM tt)),
+         |hits AS (SELECT p.doc_id, p.pos FROM ps p
+         |         WHERE p.shingle IN (SELECT shingle FROM ev)),
+         |cov AS (SELECT DISTINCT doc_id, pos + i AS p
+         |        FROM (SELECT doc_id, pos, unnest(generate_series(0, 2)) AS i
+         |              FROM hits)),
+         |toks AS (SELECT doc_id, unnest(generate_series(1, len(ts))) AS p, ts
+         |         FROM tt),
+         |tk AS (SELECT t.doc_id, t.p, t.ts[t.p] AS tok,
+         |         EXISTS (SELECT 1 FROM cov c
+         |                 WHERE c.doc_id = t.doc_id AND c.p = t.p) AS cut
+         |       FROM toks t)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |       CAST(sum(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT) AS n_scrubbed,
+         |       COALESCE(string_agg(CASE WHEN NOT cut THEN tok END, ' ' ORDER BY p),
+         |                '') AS clean_text
+         |FROM tk GROUP BY doc_id
+         |HAVING sum(CASE WHEN cut THEN 1 ELSE 0 END) > 0""".stripMargin,
     "q195_crossmodal_clusters" -> {
       // q185's fake-twin dHash regenerated for the union (6×11 grid,
       // 60 gradient bits — keep in lockstep with MultimodalQueries)
