@@ -157,6 +157,35 @@ object CurationQueries extends QueryPack {
           coalesce(col("sum_selected_ids"), lit(0L)).as("sum_selected_ids"))
     }),
 
+    // Deterministic QUALITY-WEIGHTED subsampling — priority sampling
+    // in pure integers: each document draws priority
+    // (q6+1)·65536 div (h+1) with h its salted hash-u16, so selection
+    // probability rises with quality but every quality band keeps a
+    // chance (soft filtering, the alternative to q94's hard gate);
+    // the corpus-wide top 20% by (priority, id) is the sample.
+    // Reproducible on any cluster layout (orderedRanks = range
+    // partition + zipWithIndex, no global window), and the report
+    // shows the mechanism working: mean selected quality > mean
+    // overall quality per source.
+    "q198_weighted_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        floor(graft.functions.TextFunctions.qualityScore(col("text"), TextQueries.EN)
+          * 1e6).cast("long").as("q6"))
+        .withColumn("h", hashU16(col("doc_id"), "ws").cast("long"))
+        .withColumn("pri", expr("((q6 + 1) * 65536) div (h + 1)"))
+      val ranked = Relational.orderedRanks(docs,
+        Seq(col("pri").desc, col("doc_id")), "rk")
+      val tot = docs.agg(count(lit(1)).as("n"))
+      ranked.crossJoin(broadcast(tot))
+        .withColumn("sel", col("rk") <= expr("n div 5"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("sel"), 1L).otherwise(0L)).as("n_selected"),
+          expr("sum(q6) div count(1)").as("mean_q6_all"),
+          expr("sum(CASE WHEN sel THEN q6 END) div sum(CASE WHEN sel THEN 1 END)")
+            .as("mean_q6_selected"))
+    }),
+
     // Budget-constrained waterfill allocation — the C4/CCNet per-domain
     // balancing policy next to q127's temperature smoothing: small
     // sources keep everything, big crawls clip to one common integer
@@ -659,6 +688,29 @@ object CurationQueries extends QueryPack {
            COALESCE(n_selected, 0) AS n_selected,
            COALESCE(sum_selected_ids, 0) AS sum_selected_ids
          FROM r LEFT JOIN sel USING (source)""",
+    "q198_weighted_sample" -> {
+      val q6Sql = s"CAST(floor((least(1.0, CAST(${TextQueries.nTokensSql} AS DOUBLE)" +
+        s" / 50.0) * (1.0 - ${TextQueries.stopRatioSql})) * 1000000.0) AS BIGINT)"
+      val hSql = u16KeySql("ws", "CAST(doc_id AS VARCHAR)")
+      s"""WITH g AS (SELECT doc_id, source, $q6Sql AS q6,
+         |             CAST($hSql AS BIGINT) AS h
+         |           FROM documents),
+         |p AS (SELECT doc_id, source, q6,
+         |        ((q6 + 1) * 65536) // (h + 1) AS pri
+         |      FROM g),
+         |r AS (SELECT doc_id, source, q6,
+         |        CAST(row_number() OVER (ORDER BY pri DESC, doc_id) AS BIGINT) AS rk,
+         |        (SELECT CAST(count(*) AS BIGINT) FROM g) AS n
+         |      FROM p)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN rk <= n // 5 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_selected,
+         |       CAST(sum(q6) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_q6_all,
+         |       CAST(sum(CASE WHEN rk <= n // 5 THEN q6 END) AS BIGINT) //
+         |         CAST(sum(CASE WHEN rk <= n // 5 THEN 1 END) AS BIGINT)
+         |         AS mean_q6_selected
+         |FROM r GROUP BY source""".stripMargin
+    },
     "q178_waterfill_mix" ->
       """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
                     FROM documents GROUP BY 1),

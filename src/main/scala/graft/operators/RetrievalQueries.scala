@@ -106,6 +106,37 @@ object RetrievalQueries extends QueryPack {
         .limit(TOPK)
     }),
 
+    // "More like this" — search-by-document: for each of 5 probe
+    // documents (lowest ids; a deployment parameterizes), the top-3
+    // other documents by shared distinct-3-gram count, with the
+    // overlap as bps of the probe's shingle set. The candidate
+    // generator for citation/attribution review and the retrieval dual
+    // of q45's symmetric pair mining: probe shingles are a bounded
+    // broadcast, scoring is ONE equi-join on the shingle key + one
+    // partial agg, top-3 is a per-probe bounded window — nothing
+    // corpus-pairwise.
+    "q197_more_like_this" -> ((s, d) => {
+      val sh = Dedup.shingleTable(Tables.documents(s, d), "text", "doc_id", 3)
+      val probes = Tables.documents(s, d).select(col("doc_id"))
+        .orderBy(col("doc_id")).limit(5)
+      val psh = sh.join(broadcast(probes), "doc_id")
+        .select(col("doc_id").as("probe_id"), col("shingle"))
+        .localCheckpoint(true)
+      val psz = psh.groupBy(col("probe_id")).agg(count(lit(1)).as("n_probe"))
+      val scored = psh.join(sh, "shingle")
+        .filter(col("doc_id") =!= col("probe_id"))
+        .groupBy(col("probe_id"), col("doc_id"))
+        .agg(count(lit(1)).as("n_shared"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("n_shared").desc, col("doc_id"))
+      scored.withColumn("rn", row_number().over(w).cast(LongType))
+        .filter(col("rn") <= 3)
+        .join(broadcast(psz), "probe_id")
+        .select(col("probe_id"), col("rn"), col("doc_id"), col("n_shared"),
+          expr("(n_shared * 10000) div n_probe").as("overlap_bps"))
+    }),
+
     // Phrase search over a positional inverted index — the retrieval
     // primitive BM25's bag-of-words scoring cannot express ("exact
     // quote" queries, and the candidate generator for attribution /
@@ -251,6 +282,30 @@ object RetrievalQueries extends QueryPack {
          |GROUP BY token
          |ORDER BY n_occurrences DESC, token
          |LIMIT $TOPK""".stripMargin,
+    "q197_more_like_this" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         raw AS (SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(ts) - 2),
+                          i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle
+                 FROM toks),
+         sh AS (SELECT DISTINCT doc_id, shingle FROM raw),
+         pr AS (SELECT doc_id AS probe_id FROM documents
+                ORDER BY doc_id LIMIT 5),
+         psh AS (SELECT p.probe_id, s.shingle FROM sh s
+                 JOIN pr p ON p.probe_id = s.doc_id),
+         psz AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_probe
+                 FROM psh GROUP BY 1),
+         sc AS (SELECT q.probe_id, s.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+                FROM psh q JOIN sh s ON s.shingle = q.shingle
+                WHERE s.doc_id <> q.probe_id
+                GROUP BY 1, 2),
+         rk AS (SELECT probe_id, doc_id, n_shared,
+                  CAST(row_number() OVER (PARTITION BY probe_id
+                       ORDER BY n_shared DESC, doc_id) AS BIGINT) AS rn
+                FROM sc)
+       SELECT r.probe_id, r.rn, r.doc_id, r.n_shared,
+              (r.n_shared * 10000) // z.n_probe AS overlap_bps
+       FROM rk r JOIN psz z USING (probe_id) WHERE r.rn <= 3""",
     "q176_phrase_search" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
          praw AS (SELECT doc_id, ts,
