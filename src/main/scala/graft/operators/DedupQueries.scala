@@ -239,6 +239,40 @@ object DedupQueries extends QueryPack {
         "text", "doc_id", n = 3, minShared = 2)
     }),
 
+    // Triangle counting over the near-dup graph — the local-density
+    // signal (a near-dup neighborhood full of triangles is a
+    // paraphrase CLUSTER; triangle-free edges are chains of pairwise
+    // coincidences) on the DISTINCT-fingerprint graph: hamming-0
+    // groups contract to one super-node first, because a 2k-member
+    // exact-dup clique holds C(2k,3) triangles and would detonate the
+    // wedge join while saying nothing — the contraction is what makes
+    // the ordered wedge-join (a<b<c, then closure probe against the
+    // edge set) safe at corpus scale. Per super-node: representative
+    // id, member count, degree, triangle count.
+    "q199_triangle_count" -> ((s, d) => {
+      val fps = Dedup.simhashWide(Tables.documents(s, d), "text", "doc_id")
+      val nodes = fps.groupBy(col("simhash"))
+        .agg(count(lit(1)).as("n_members"), min(col("doc_id")).as("rep_id"))
+        .localCheckpoint(true)
+      val pairs = Dedup.simhashPairs(
+        nodes.select(col("simhash").as("id"), col("simhash")), "id",
+        maxHamming = 3, bits = 60)
+        .select(col("id_1"), col("id_2")).distinct().localCheckpoint(true)
+      val deg = pairs.select(explode(array(col("id_1"), col("id_2"))).as("simhash"))
+        .groupBy(col("simhash")).agg(count(lit(1)).as("degree"))
+      val tri = pairs.toDF("a", "b")
+        .join(pairs.toDF("b", "c"), "b")
+        .join(pairs.toDF("a", "c"), Seq("a", "c"))
+        .select(col("a"), col("b"), col("c"))
+      val perNode = tri.select(explode(array(col("a"), col("b"), col("c"))).as("simhash"))
+        .groupBy(col("simhash")).agg(count(lit(1)).as("n_triangles"))
+      nodes.join(deg, Seq("simhash"), "left")
+        .join(perNode, Seq("simhash"), "left")
+        .select(col("rep_id"), col("n_members"),
+          coalesce(col("degree"), lit(0L)).as("degree"),
+          coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+    }),
+
     // Span-level decontamination SCRUB — q83 flags contaminated
     // documents; this repairs them: every train-side token covered by
     // a 3-gram shared with the eval set is removed, and the cleaned
@@ -713,6 +747,27 @@ object DedupQueries extends QueryPack {
        SELECT id_1, id_2, CAST(max(run) + 2 AS BIGINT) AS longest_tokens,
               CAST(sum(run) AS BIGINT) AS n_matched_positions
        FROM r2 GROUP BY 1, 2 HAVING max(run) + 2 >= $MIN_RUN_TOKENS""",
+    "q199_triangle_count" ->
+      s"""WITH $simhashWideCte,
+         nodes AS (SELECT simhash, CAST(count(*) AS BIGINT) AS n_members,
+                     min(doc_id) AS rep_id
+                   FROM simh GROUP BY 1),
+         e AS (SELECT a.simhash AS id_1, b.simhash AS id_2
+               FROM nodes a JOIN nodes b ON a.simhash < b.simhash
+               WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         deg AS (SELECT id, CAST(count(*) AS BIGINT) AS degree
+                 FROM (SELECT id_1 AS id FROM e
+                       UNION ALL SELECT id_2 FROM e) GROUP BY 1),
+         tri AS (SELECT w1.id_1 AS a, w1.id_2 AS b, w2.id_2 AS c
+                 FROM e w1 JOIN e w2 ON w2.id_1 = w1.id_2
+                 JOIN e w3 ON w3.id_1 = w1.id_1 AND w3.id_2 = w2.id_2),
+         pn AS (SELECT id, CAST(count(*) AS BIGINT) AS n_triangles
+                FROM (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+                      UNION ALL SELECT c FROM tri) GROUP BY 1)
+       SELECT n.rep_id, n.n_members, COALESCE(d.degree, 0) AS degree,
+              COALESCE(p.n_triangles, 0) AS n_triangles
+       FROM nodes n LEFT JOIN deg d ON d.id = n.simhash
+       LEFT JOIN pn p ON p.id = n.simhash""",
     "q196_decontaminate_scrub" ->
       """WITH te AS (SELECT string_split(text, ' ') AS ts FROM documents
          |           WHERE source = 'src0'),
