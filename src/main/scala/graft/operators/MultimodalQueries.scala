@@ -115,6 +115,51 @@ object MultimodalQueries extends QueryPack {
       Dedup.simhashPairs(fp, "doc_id", maxHamming = DHashMaxHamming, bits = 60)
     }),
 
+    // The MULTIMODAL curation funnel — q132's composition extended
+    // across modalities, per-source attrition at every gate: (1) text
+    // quality ≥ 0.5 (quantized q94 score), (2) perceptual image dedup
+    // (drop the larger id of every dHash hamming ≤ 3 pair among
+    // survivors — pairwise min-id, the q166 rule), (3) audio gate (no
+    // clipped windows, silent windows < half). Each stage rides an
+    // operator the pack already ships; the funnel is their
+    // composition, and the oracle recomputes all three gates from
+    // scratch — so a green hash proves the COMPOSITION, not just the
+    // parts.
+    "q200_multimodal_funnel" -> ((s, d) => {
+      import graft.functions.TextFunctions.qualityScore
+      val docs = Tables.documents(s, d)
+      val s1 = docs.withColumn("q6",
+          floor(qualityScore(col("text"), TextQueries.EN) * 1e6).cast(LongType))
+        .filter(col("q6") >= 500000L)
+      val fp = Multimodal.decodeImageGrid(
+          s1.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+          GridRows, GridCols)
+        .select(col("doc_id"), Multimodal.dHash(col("luma"), GridRows, GridCols).as("dhash"))
+      val dupIds = Dedup.simhashPairs(fp, "doc_id", DHashMaxHamming, bits = 60)
+        .select(col("id_2").as("doc_id")).distinct()
+      val s2 = s1.join(dupIds, Seq("doc_id"), "left_anti")
+      val audioOk = Multimodal.decodeAudioFrames(
+          s2.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+          FrameSamples)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nf"),
+          sum(when(col("peak") < SilenceThr, 1L).otherwise(0L)).as("silent"),
+          sum(when(col("peak") >= ClipThr, 1L).otherwise(0L)).as("clip"))
+        .filter(col("clip") === 0L && col("silent") * 2 < col("nf"))
+        .select(col("doc_id"))
+      val s3 = s2.join(audioOk, Seq("doc_id"), "left_semi")
+      def cnt(df: org.apache.spark.sql.DataFrame, name: String) =
+        df.groupBy(col("source")).agg(count(lit(1)).as(name))
+      cnt(docs, "n_total")
+        .join(cnt(s1, "n_text"), Seq("source"), "left")
+        .join(cnt(s2, "n_image"), Seq("source"), "left")
+        .join(cnt(s3, "n_audio"), Seq("source"), "left")
+        .select(col("source"), col("n_total"),
+          coalesce(col("n_text"), lit(0L)).as("n_text"),
+          coalesce(col("n_image"), lit(0L)).as("n_image"),
+          coalesce(col("n_audio"), lit(0L)).as("n_audio"))
+    }),
+
     // Binary payload + metadata extraction ("image header parse" stand-in):
     // byte length, fake dims derived from the bytes, content address.
     "q56_binary_meta" -> ((s, d) => {
@@ -154,6 +199,64 @@ object MultimodalQueries extends QueryPack {
               CAST(floor(pl.height * pl.scale) AS INT) AS out_height,
               f.n_frames, f.frame_bytes_sum
        FROM planned pl LEFT JOIN frames f USING (doc_id)""",
+    // The funnel's oracle recomputes all three gates from first
+    // principles: q94's quantized quality expr, q185's fake-twin
+    // dHash, q159's fake-twin audio windows.
+    "q200_multimodal_funnel" -> {
+      import Multimodal.FakeAudioFrameCodec.{AmpMod, AmpOff}
+      val q6Sql = s"CAST(floor((least(1.0, CAST(${TextQueries.nTokensSql} AS DOUBLE)" +
+        s" / 50.0) * (1.0 - ${TextQueries.stopRatioSql})) * 1000000.0) AS BIGINT)"
+      val cells = GridRows * GridCols
+      val lumaExpr = s"list_transform(generate_series(0, ${cells - 1}), " +
+        "i -> ord(substr(text, ((7*i+3) % nb) + 1, 1)))"
+      val dhBits = (0 until GridRows).flatMap { r =>
+        (0 until GridCols - 1).map { c =>
+          val j = r * (GridCols - 1) + c
+          s"(CASE WHEN luma[${r * GridCols + c + 2}] > luma[${r * GridCols + c + 1}] " +
+            s"THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)"
+        }
+      }.mkString(" + ")
+      s"""WITH g AS (SELECT doc_id, source, text,
+         |             octet_length(encode(text)) AS nb, $q6Sql AS q6
+         |           FROM documents),
+         |s1 AS (SELECT * FROM g WHERE q6 >= 500000),
+         |lu AS (SELECT doc_id, $lumaExpr AS luma FROM s1),
+         |dh AS (SELECT doc_id, CAST($dhBits AS BIGINT) AS dhash FROM lu),
+         |dup AS (SELECT DISTINCT b.doc_id FROM dh a JOIN dh b
+         |          ON a.doc_id < b.doc_id
+         |        WHERE bit_count(xor(a.dhash, b.dhash)) <= $DHashMaxHamming),
+         |s2 AS (SELECT * FROM s1
+         |       WHERE doc_id NOT IN (SELECT doc_id FROM dup)),
+         |amps AS (SELECT doc_id,
+         |           CAST((ord(substr(text, 2*i + 1, 1)) * 256 +
+         |                 ord(substr(text, 2*i + 2, 1))) % $AmpMod - $AmpOff
+         |                AS INT) AS amp, i
+         |         FROM (SELECT doc_id, text,
+         |                 unnest(generate_series(0, CAST(nb // 2 AS INT) - 1)) AS i
+         |               FROM s2 WHERE nb >= 2)),
+         |f AS (SELECT doc_id, CAST(i // $FrameSamples AS INT) AS w,
+         |        MAX(abs(amp)) AS peak
+         |      FROM amps GROUP BY 1, 2),
+         |ok AS (SELECT doc_id FROM (
+         |         SELECT doc_id, count(*) AS nf,
+         |           SUM(CASE WHEN peak < $SilenceThr THEN 1 ELSE 0 END) AS silent,
+         |           SUM(CASE WHEN peak >= $ClipThr THEN 1 ELSE 0 END) AS clip
+         |         FROM f GROUP BY 1)
+         |       WHERE clip = 0 AND silent * 2 < nf),
+         |s3 AS (SELECT * FROM s2 WHERE doc_id IN (SELECT doc_id FROM ok))
+         |SELECT t.source, t.n_total,
+         |       COALESCE(a.n, 0) AS n_text,
+         |       COALESCE(b.n, 0) AS n_image,
+         |       COALESCE(c.n, 0) AS n_audio
+         |FROM (SELECT source, CAST(count(*) AS BIGINT) AS n_total
+         |      FROM documents GROUP BY 1) t
+         |LEFT JOIN (SELECT source, CAST(count(*) AS BIGINT) AS n
+         |           FROM s1 GROUP BY 1) a USING (source)
+         |LEFT JOIN (SELECT source, CAST(count(*) AS BIGINT) AS n
+         |           FROM s2 GROUP BY 1) b USING (source)
+         |LEFT JOIN (SELECT source, CAST(count(*) AS BIGINT) AS n
+         |           FROM s3 GROUP BY 1) c USING (source)""".stripMargin
+    },
     // Mirrors q185's fake twin exactly: byte-sampled luma grid via ord
     // (the corpus is ASCII, so character = utf-8 byte), 60 gradient
     // bits, all-pairs xor/bit_count at oracle scale (the Spark side
