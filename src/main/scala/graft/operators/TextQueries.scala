@@ -508,12 +508,25 @@ object TextQueries extends QueryPack {
           (lit(64L) - col("n_present")) * expr("CAST(pow(2, maxm) AS BIGINT)"))
       val exact = occ.groupBy(col("source"))
         .agg(count_distinct(col("tok")).as("exact_distinct"))
+      // linear-counting small-range correction m·ln(m/V) with ln from a
+      // 64-entry INTEGER table (Scala-computed constants embedded in
+      // both engines' plans) — the full textbook estimator without a
+      // single engine-varying libm log call
+      val lnPpm = (1 to 64).map(v => math.round(math.log(64.0 / v) * 1e6))
       ssum.join(exact, "source")
         .withColumn("hll_est",
           lit(0.709 * 4096.0) * pow(lit(2.0), col("maxm").cast("double")) /
             col("s_all").cast("double"))
+        .withColumn("v_empty", lit(64L) - col("n_present"))
+        .withColumn("lc_est", when(col("v_empty") > 0,
+          element_at(array(lnPpm.map(lit): _*), col("v_empty").cast("int"))
+            .cast("double") * 64.0 / 1e6))
+        .withColumn("hll_best",
+          when(col("hll_est") < 160.0 && col("v_empty") > 0, col("lc_est"))
+            .otherwise(col("hll_est")))
         .select(col("source"), col("exact_distinct"), col("hll_est"),
-          expr("CAST(floor((hll_est - exact_distinct) * 10000.0 / exact_distinct) " +
+          col("lc_est"), col("hll_best"),
+          expr("CAST(floor((hll_best - exact_distinct) * 10000.0 / exact_distinct) " +
             "AS BIGINT)").as("err_bps"))
     }),
 
@@ -1186,7 +1199,9 @@ object TextQueries extends QueryPack {
     "q191_hll_calibration" -> {
       def nib(x: String) = s"strpos('123456789abcdef', $x)"
       val vSql = nib("substr(h, CAST(z + 3 AS INT), 1)")
-      val estSql = "0.709 * 4096.0 * pow(2, CAST(maxm AS DOUBLE)) / CAST(s_all AS DOUBLE)"
+      val estSql = "0.709 * 4096.0 * pow(2, CAST(sa.maxm AS DOUBLE)) / CAST(sa.s_all AS DOUBLE)"
+      val lnRows = (1 to 64).map(v =>
+        s"(${v}, ${math.round(math.log(64.0 / v) * 1e6)})").mkString(", ")
       s"""WITH occ AS (SELECT source, unnest(string_split(text, ' ')) AS tok
          |            FROM documents),
          |hh AS (SELECT source, md5(tok) AS h FROM occ),
@@ -1216,11 +1231,21 @@ object TextQueries extends QueryPack {
          |       FROM ss),
          |ex AS (SELECT source, CAST(count(DISTINCT tok) AS BIGINT)
          |                AS exact_distinct
-         |       FROM occ GROUP BY 1)
-         |SELECT sa.source, ex.exact_distinct, $estSql AS hll_est,
-         |       CAST(floor(($estSql - exact_distinct) * 10000.0 / exact_distinct)
-         |            AS BIGINT) AS err_bps
-         |FROM sa JOIN ex USING (source)""".stripMargin
+         |       FROM occ GROUP BY 1),
+         |lnt(v, ppm) AS (VALUES $lnRows),
+         |fin AS (SELECT sa.source, ex.exact_distinct, $estSql AS hll_est,
+         |          CASE WHEN 64 - rs.n_present > 0
+         |               THEN CAST(l.ppm AS DOUBLE) * 64.0 / 1e6 END AS lc_est,
+         |          64 - rs.n_present AS v_empty
+         |        FROM sa JOIN ex USING (source) JOIN rs USING (source)
+         |        LEFT JOIN lnt l ON l.v = 64 - rs.n_present)
+         |SELECT source, exact_distinct, hll_est, lc_est,
+         |       CASE WHEN hll_est < 160.0 AND v_empty > 0 THEN lc_est
+         |            ELSE hll_est END AS hll_best,
+         |       CAST(floor((CASE WHEN hll_est < 160.0 AND v_empty > 0 THEN lc_est
+         |                        ELSE hll_est END - exact_distinct) * 10000.0
+         |                  / exact_distinct) AS BIGINT) AS err_bps
+         |FROM fin""".stripMargin
     },
     "q189_corpus_report" ->
       s"""SELECT CAST(count(*) AS BIGINT) AS n_docs,
