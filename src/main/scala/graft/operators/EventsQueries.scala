@@ -18,6 +18,31 @@ object EventsQueries extends QueryPack {
 
   val queries: Map[String, Q] = Map(
     // Tumbling 1-hour windowed aggregation (streaming: groupBy(window(..)))
+    // Event-rate anomaly detection — the monitoring primitive on the
+    // event feed: hourly counts compared against the trailing-24-hour
+    // mean, spike-flagged at 2.5× entirely in integer arithmetic
+    // (n·n_prev·10 ≥ Σprev·25 — no division, no float thresholds).
+    // 100 TB shape: the raw feed partial-aggregates to the hourly
+    // relation FIRST (one shuffle), and the trailing window runs over
+    // that tiny bounded-by-wall-clock relation, never over events.
+    "q201_rate_anomaly" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).cast(TimestampNTZType).as("hour"))
+        .agg(count(lit(1)).as("n_events"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("hour")).rowsBetween(-24, -1)
+      // single unpartitioned window over the HOURLY relation only —
+      // bounded by the feed's wall-clock span, documented tiny
+      hourly
+        .withColumn("n_prev", count(lit(1)).over(w))
+        .withColumn("sum_prev", coalesce(sum(col("n_events")).over(w), lit(0L)))
+        .withColumn("is_spike",
+          col("n_prev") > 0 &&
+            col("n_events") * col("n_prev") * 10 >= col("sum_prev") * 25)
+        .select(col("hour"), col("n_events"), col("n_prev"),
+          col("sum_prev"), col("is_spike"))
+    }),
+
     "q53_event_hourly" -> ((s, d) => {
       Tables.events(s, d)
         .groupBy(
@@ -270,6 +295,22 @@ object EventsQueries extends QueryPack {
                 count(*) AS n_users
          FROM wk JOIN f USING (user_id)
          GROUP BY 1, 2""",
+    "q201_rate_anomaly" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) AS hour,
+         |            CAST(count(*) AS BIGINT) AS n_events
+         |          FROM events GROUP BY 1),
+         |w AS (SELECT hour, n_events,
+         |        CAST(count(*) OVER (ORDER BY hour
+         |             ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS BIGINT)
+         |          AS n_prev,
+         |        CAST(COALESCE(sum(n_events) OVER (ORDER BY hour
+         |             ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |          AS sum_prev
+         |      FROM h)
+         |SELECT hour, n_events, n_prev, sum_prev,
+         |       (n_prev > 0 AND n_events * n_prev * 10 >= sum_prev * 25)
+         |         AS is_spike
+         |FROM w""".stripMargin,
     "q53_event_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
          count(*) AS n_events,
