@@ -552,6 +552,26 @@ object TextQueries extends QueryPack {
           expr("sumq div n_docs").as("mean_quality_q6"))
     }),
 
+    // Wilson lower confidence bound on the per-source quality pass
+    // rate — the conservative estimate a mixing policy ranks sources
+    // by when their sample sizes differ wildly (a 90% rate over 10
+    // docs should NOT outrank 85% over 10,000). z = 1.96 (95%);
+    // the entire formula is one fixed-association double expression
+    // whose TEXT is shared verbatim with the oracle SQL, so IEEE
+    // rounding is identical step for step. One aggregation pass.
+    "q202_wilson_quality" -> ((s, d) => {
+      val agg = Tables.documents(s, d)
+        .withColumn("q6", floor(qualityScore(col("text"), EN) * 1e6).cast(LongType))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("q6") >= 500000L, 1L).otherwise(0L)).as("n_pass"))
+      agg.withColumn("p", expr(WilsonP))
+        .withColumn("pass_rate", col("p"))
+        .withColumn("wilson_lb", expr(WilsonLb))
+        .select(col("source"), col("n_docs"), col("n_pass"),
+          col("pass_rate"), col("wilson_lb"))
+    }),
+
     // Spearman rank correlation as a distributed operator — per
     // source, does document length predict the quality score? Ranks
     // are deterministic total orders (value, then doc_id — documented:
@@ -1083,6 +1103,18 @@ object TextQueries extends QueryPack {
        |        FROM $prev, t$i)""".stripMargin
   }
 
+  /** q202's Wilson formula — ONE expression string evaluated verbatim
+    * by both engines (identical association order ⇒ identical IEEE
+    * rounding at every step). `p` must be defined first (also shared).
+    */
+  private val WilsonP =
+    "CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE)"
+  private val WilsonLb =
+    "(p + (1.96 * 1.96) / (2.0 * CAST(n_docs AS DOUBLE)) - " +
+      "1.96 * sqrt(p * (1.0 - p) / CAST(n_docs AS DOUBLE) + " +
+      "(1.96 * 1.96) / (4.0 * CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)))) " +
+      "/ (1.0 + (1.96 * 1.96) / CAST(n_docs AS DOUBLE))"
+
   private[operators] val nTokensSql = "CAST(len(string_split(text, ' ')) AS INT)"
   private def stopHitsSql(xs: Seq[String]) =
     s"CAST(len(list_filter(string_split(text, ' '), t -> t IN ${inList(xs)})) AS INT)"
@@ -1196,6 +1228,18 @@ object TextQueries extends QueryPack {
          |           t -> CAST(strpos('123456789abcdef', substr(md5(t), 1, 1)) AS BIGINT))),
          |       (h, v) -> (h * 31 + v) % 2147483647) AS BIGINT) AS token_acc
          |FROM tok""".stripMargin,
+    "q202_wilson_quality" -> {
+      val q6Sql = s"CAST(floor((least(1.0, CAST($nTokensSql AS DOUBLE) / 50.0)" +
+        s" * (1.0 - $stopRatioSql)) * 1000000.0) AS BIGINT)"
+      s"""WITH a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |             CAST(sum(CASE WHEN $q6Sql >= 500000 THEN 1 ELSE 0 END)
+         |                  AS BIGINT) AS n_pass
+         |           FROM documents GROUP BY 1),
+         |b AS (SELECT source, n_docs, n_pass, $WilsonP AS p FROM a)
+         |SELECT source, n_docs, n_pass, p AS pass_rate,
+         |       $WilsonLb AS wilson_lb
+         |FROM b""".stripMargin
+    },
     "q191_hll_calibration" -> {
       def nib(x: String) = s"strpos('123456789abcdef', $x)"
       val vSql = nib("substr(h, CAST(z + 3 AS INT), 1)")
