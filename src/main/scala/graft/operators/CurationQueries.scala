@@ -157,6 +157,26 @@ object CurationQueries extends QueryPack {
           coalesce(col("sum_selected_ids"), lit(0L)).as("sum_selected_ids"))
     }),
 
+    // JSONL EXPORT roundtrip — the sink format trainers actually read:
+    // documents are hash-sharded (deterministic u16 mod 8, the shard
+    // count a deployment sizes to its loader parallelism), written as
+    // partitioned JSON lines, then READ BACK and aggregated per shard;
+    // the oracle computes the same aggregates from the raw table, so
+    // a green hash proves the export is complete and lossless (the
+    // q113 CSV-roundtrip pattern pointed at the training-data format).
+    "q203_jsonl_roundtrip" -> ((s, d) => {
+      val dir = graft.plans.EtlQueries.tmpWarehouse() + "/jsonl_export"
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("lang"), col("text"))
+        .withColumn("shard", (hashU16(col("doc_id"), "jl") % 8).cast("int"))
+        .write.mode("overwrite").partitionBy("shard").json(dir)
+      s.read.json(dir)
+        .groupBy(col("shard").cast("int").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("sum_ids"),
+          sum(length(col("text")).cast("long")).as("sum_chars"))
+    }),
+
     // Deterministic QUALITY-WEIGHTED subsampling — priority sampling
     // in pure integers: each document draws priority
     // (q6+1)·65536 div (h+1) with h its salted hash-u16, so selection
@@ -688,6 +708,14 @@ object CurationQueries extends QueryPack {
            COALESCE(n_selected, 0) AS n_selected,
            COALESCE(sum_selected_ids, 0) AS sum_selected_ids
          FROM r LEFT JOIN sel USING (source)""",
+    "q203_jsonl_roundtrip" -> {
+      val shardSql = u16KeySql("jl", "CAST(doc_id AS VARCHAR)") + " % 8"
+      s"""SELECT CAST($shardSql AS INT) AS shard,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+         |       CAST(sum(len(text)) AS BIGINT) AS sum_chars
+         |FROM documents GROUP BY 1""".stripMargin
+    },
     "q198_weighted_sample" -> {
       val q6Sql = s"CAST(floor((least(1.0, CAST(${TextQueries.nTokensSql} AS DOUBLE)" +
         s" / 50.0) * (1.0 - ${TextQueries.stopRatioSql})) * 1000000.0) AS BIGINT)"
