@@ -239,6 +239,30 @@ object DedupQueries extends QueryPack {
         "text", "doc_id", n = 3, minShared = 2)
     }),
 
+    // Dedup keeper-flow matrix — who LOSES documents to whom when
+    // near-dup dedup keeps one copy per cluster: for every dropped
+    // document, the (loser source → keeper source) edge, aggregated to
+    // the flow matrix with self-flows (within-source dups) on the
+    // diagonal. q128's overlap matrix says which sources share
+    // content; this says which source the dedup pass actually
+    // CREDITS with it — the attribution evidence behind a mixing
+    // weight renegotiation. Rides the shared verified-pairs cache and
+    // q68's clusters (cluster id = min member = the keeper); the flow
+    // itself is two doc-keyed equi-joins + one bounded matrix agg.
+    "q204_keeper_flow" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val cc = Dedup.connectedComponents(
+        nearDupPairs(s, d).select(col("id_1"), col("id_2")),
+        docs.select(col("doc_id")), "doc_id")
+      val kSrc = docs.select(col("doc_id").as("cluster_id"),
+        col("source").as("keeper_source"))
+      cc.filter(col("doc_id") =!= col("cluster_id"))
+        .join(docs, "doc_id")
+        .join(kSrc, "cluster_id")
+        .groupBy(col("source").as("loser_source"), col("keeper_source"))
+        .agg(count(lit(1)).as("n_lost"))
+    }),
+
     // Triangle counting over the near-dup graph — the local-density
     // signal (a near-dup neighborhood full of triangles is a
     // paraphrase CLUSTER; triangle-free edges are chains of pairwise
@@ -747,6 +771,30 @@ object DedupQueries extends QueryPack {
        SELECT id_1, id_2, CAST(max(run) + 2 AS BIGINT) AS longest_tokens,
               CAST(sum(run) AS BIGINT) AS n_matched_positions
        FROM r2 GROUP BY 1, 2 HAVING max(run) + 2 >= $MIN_RUN_TOKENS""",
+    "q204_keeper_flow" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         mh AS (SELECT doc_id, $minhashCols FROM sh GROUP BY doc_id),
+         bands AS ($bandUnion),
+         cand AS (SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         verified AS ($jaccardSelect),
+         pairs AS (SELECT c.id_1, c.id_2
+                   FROM cand c JOIN verified v ON c.id_1 = v.id_1 AND c.id_2 = v.id_2),
+         edges AS (SELECT id_1 AS src, id_2 AS dst FROM pairs
+                   UNION ALL SELECT id_2, id_1 FROM pairs),
+         walk(id, comp) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.dst, w.comp FROM walk w JOIN edges e ON w.id = e.src),
+         cc AS (SELECT id AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY id),
+         ks AS (SELECT doc_id AS cluster_id, source AS keeper_source FROM documents)
+       SELECT d.source AS loser_source, ks.keeper_source,
+              CAST(count(*) AS BIGINT) AS n_lost
+       FROM cc JOIN documents d ON d.doc_id = cc.doc_id
+       JOIN ks ON ks.cluster_id = cc.cluster_id
+       WHERE cc.doc_id <> cc.cluster_id
+       GROUP BY 1, 2""",
     "q199_triangle_count" ->
       s"""WITH $simhashWideCte,
          nodes AS (SELECT simhash, CAST(count(*) AS BIGINT) AS n_members,
