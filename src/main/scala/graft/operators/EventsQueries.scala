@@ -18,6 +18,28 @@ object EventsQueries extends QueryPack {
 
   val queries: Map[String, Q] = Map(
     // Tumbling 1-hour windowed aggregation (streaming: groupBy(window(..)))
+    // Event path mining — the top-20 most common 3-step event-type
+    // sequences across users (the "what do users actually do"
+    // analytic funnels assume an answer to): consecutive steps via
+    // two lead() hops over each user's time-ordered stream
+    // (deterministic tie-break ts, event_id), one count agg, bounded
+    // top-k. The window partitions by user — per-user event counts
+    // bound every partition, the q06 shape, nothing global.
+    "q205_event_paths" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("e2", lead(col("event_type"), 1).over(w))
+        .withColumn("e3", lead(col("event_type"), 2).over(w))
+        .filter(col("e3").isNotNull)
+        .groupBy(col("event_type").as("step1"), col("e2").as("step2"),
+          col("e3").as("step3"))
+        .agg(count(lit(1)).as("n_paths"))
+        .orderBy(col("n_paths").desc, col("step1"), col("step2"), col("step3"))
+        .limit(20)
+    }),
+
     // Event-rate anomaly detection — the monitoring primitive on the
     // event feed: hourly counts compared against the trailing-24-hour
     // mean, spike-flagged at 2.5× entirely in integer arithmetic
@@ -295,6 +317,19 @@ object EventsQueries extends QueryPack {
                 count(*) AS n_users
          FROM wk JOIN f USING (user_id)
          GROUP BY 1, 2""",
+    "q205_event_paths" ->
+      """WITH s AS (SELECT user_id, event_type,
+         |            lead(event_type, 1) OVER (PARTITION BY user_id
+         |              ORDER BY ts, event_id) AS e2,
+         |            lead(event_type, 2) OVER (PARTITION BY user_id
+         |              ORDER BY ts, event_id) AS e3
+         |          FROM events)
+         |SELECT event_type AS step1, e2 AS step2, e3 AS step3,
+         |       CAST(count(*) AS BIGINT) AS n_paths
+         |FROM s WHERE e3 IS NOT NULL
+         |GROUP BY 1, 2, 3
+         |ORDER BY n_paths DESC, step1, step2, step3
+         |LIMIT 20""".stripMargin,
     "q201_rate_anomaly" ->
       """WITH h AS (SELECT date_trunc('hour', ts) AS hour,
          |            CAST(count(*) AS BIGINT) AS n_events
