@@ -18,6 +18,34 @@ object EventsQueries extends QueryPack {
 
   val queries: Map[String, Q] = Map(
     // Tumbling 1-hour windowed aggregation (streaming: groupBy(window(..)))
+    // Per-user behavioral features (the feature-store extraction
+    // shape): recency in hours against the corpus-max anchor,
+    // frequency, exact decimal monetary sum, type breadth, and the
+    // modal event type via an ASSOCIATIVE argmax — max(struct(count,
+    // type)) with the documented largest-type tie-break — so every
+    // feature is one partial-aggregated pass, no windows over the
+    // event stream. This relation is what a training job joins
+    // features from; at 100 TB it shards on user_id like any fact agg.
+    "q206_user_features" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val anchor = e.agg(max(col("ts")).as("anchor"))
+      val base = e.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          max(col("ts")).as("last_ts"),
+          sum(col("value").cast(dec)).cast(DoubleType).as("sum_value"),
+          count_distinct(col("event_type")).as("n_types"))
+      val modal = e.groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("c"), col("event_type"))).as("m"))
+        .select(col("user_id"), col("m.event_type").as("modal_type"))
+      base.join(modal, "user_id").crossJoin(broadcast(anchor))
+        .select(col("user_id"), col("n_events"), col("n_types"),
+          col("sum_value"), col("modal_type"),
+          expr("(unix_micros(anchor) - unix_micros(last_ts)) div 3600000000")
+            .as("recency_hours"))
+    }),
+
     // Event path mining — the top-20 most common 3-step event-type
     // sequences across users (the "what do users actually do"
     // analytic funnels assume an answer to): consecutive steps via
@@ -317,6 +345,24 @@ object EventsQueries extends QueryPack {
                 count(*) AS n_users
          FROM wk JOIN f USING (user_id)
          GROUP BY 1, 2""",
+    "q206_user_features" ->
+      """WITH a AS (SELECT max(ts) AS anchor FROM events),
+         |b AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         |        max(ts) AS last_ts,
+         |        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+         |        CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+         |      FROM events GROUP BY 1),
+         |tc AS (SELECT user_id, event_type, count(*) AS c
+         |       FROM events GROUP BY 1, 2),
+         |m AS (SELECT user_id, event_type AS modal_type FROM (
+         |        SELECT user_id, event_type,
+         |          row_number() OVER (PARTITION BY user_id
+         |            ORDER BY c DESC, event_type DESC) AS rn
+         |        FROM tc) WHERE rn = 1)
+         |SELECT b.user_id, b.n_events, b.n_types, b.sum_value, m.modal_type,
+         |       (epoch_us((SELECT anchor FROM a)) - epoch_us(b.last_ts))
+         |         // 3600000000 AS recency_hours
+         |FROM b JOIN m USING (user_id)""".stripMargin,
     "q205_event_paths" ->
       """WITH s AS (SELECT user_id, event_type,
          |            lead(event_type, 1) OVER (PARTITION BY user_id
