@@ -975,6 +975,52 @@ object TextQueries extends QueryPack {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).cast(LongType).as("sum_tokens"),
           min(col("doc_id")).as("first_doc"))
+    }),
+
+    // Source-attribution classifier — the "fastText domain/quality
+    // filter" step of an LLM curation pipeline (GPT-3/CCNet-style) in
+    // fully relational, INTEGER-EXACT form. Train on the q81 hash
+    // split's 90% slice: per-source unigram rates in ppm
+    // (c_st·10⁶ div c_s) form a class centroid in token space; a
+    // held-out document's score for a class is the dot product of its
+    // token counts with that centroid (nearest-class-mean with
+    // dot-product similarity — the text twin of q129's embedding NCM
+    // probe). Prediction = argmax class via ASSOCIATIVE max(struct);
+    // ties break to the lexicographically-last source in BOTH engines.
+    // Output is the confusion matrix (true source × predicted source,
+    // doc counts) — the artifact a curation reviewer actually reads.
+    // 100 TB shape: the rate table is |sources|·V-bounded
+    // (broadcastable); training is one partial-agg pass over the train
+    // slice; scoring is ONE tok equi-join + one per-(doc,class) partial
+    // agg; argmax is an agg, never a data-sized window. Tokens a class
+    // never saw contribute 0 (inner join), so absent pairs cost
+    // nothing — the join stays sparse exactly like the serving form.
+    "q207_source_classifier" -> ((s, d) => {
+      val h = md5(col("doc_id").cast(StringType))
+      val bucket = (hexNibble(substring(h, 1, 1)) * 16 +
+        hexNibble(substring(h, 2, 1))) % 10
+      val occ = Tables.documents(s, d)
+        .withColumn("is_train", bucket < 9)
+        .select(col("doc_id"), col("source"), col("is_train"),
+          explode(split(col("text"), " ")).as("tok"))
+      val cst = occ.filter(col("is_train"))
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c_st"))
+      val cs = cst.groupBy(col("source")).agg(sum(col("c_st")).as("c_s"))
+      val rate = cst.join(cs, Seq("source"))
+        .select(col("source").as("pred_source"), col("tok"),
+          expr("(c_st * 1000000) div c_s").as("rate_ppm"))
+      val ho = occ.filter(!col("is_train"))
+        .groupBy(col("doc_id"), col("source"), col("tok"))
+        .agg(count(lit(1)).as("c_dt"))
+      ho.join(rate, Seq("tok"))
+        .groupBy(col("doc_id"), col("source"), col("pred_source"))
+        .agg(sum(col("c_dt") * col("rate_ppm")).as("score"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(max(struct(col("score"), col("pred_source"))).as("m"))
+        .select(col("source").as("true_source"),
+          col("m.pred_source").as("predicted_source"))
+        .groupBy(col("true_source"), col("predicted_source"))
+        .agg(count(lit(1)).as("n_docs"))
     })
   )
 
@@ -1672,6 +1718,32 @@ object TextQueries extends QueryPack {
            MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN n_tokens END) AS p90_tokens,
            CAST(SUM(ql) AS BIGINT) AS sum_quality_q7,
            CAST(SUM(CASE WHEN ql >= 5000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_quality
-         FROM ranked GROUP BY source"""
+         FROM ranked GROUP BY source""",
+    "q207_source_classifier" ->
+      """WITH b AS (SELECT doc_id, source, text,
+         |  (strpos('123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 16 +
+         |   strpos('123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 10 AS bucket
+         |  FROM documents),
+         |occ AS (SELECT doc_id, source, bucket,
+         |          unnest(string_split(text, ' ')) AS tok FROM b),
+         |cst AS (SELECT source AS pred_source, tok, count(*) AS c_st
+         |        FROM occ WHERE bucket < 9 GROUP BY 1, 2),
+         |cs AS (SELECT pred_source, CAST(sum(c_st) AS BIGINT) AS c_s
+         |       FROM cst GROUP BY 1),
+         |rate AS (SELECT pred_source, tok,
+         |           CAST((c_st * 1000000) // c_s AS BIGINT) AS rate_ppm
+         |         FROM cst JOIN cs USING (pred_source)),
+         |ho AS (SELECT doc_id, source, tok, count(*) AS c_dt
+         |       FROM occ WHERE bucket >= 9 GROUP BY 1, 2, 3),
+         |sc AS (SELECT ho.doc_id, ho.source, rate.pred_source,
+         |         CAST(SUM(c_dt * rate_ppm) AS BIGINT) AS score
+         |       FROM ho JOIN rate USING (tok) GROUP BY 1, 2, 3),
+         |best AS (SELECT doc_id, source, pred_source,
+         |           row_number() OVER (PARTITION BY doc_id
+         |             ORDER BY score DESC, pred_source DESC) AS rk
+         |         FROM sc)
+         |SELECT source AS true_source, pred_source AS predicted_source,
+         |       CAST(count(*) AS BIGINT) AS n_docs
+         |FROM best WHERE rk = 1 GROUP BY 1, 2""".stripMargin
   )
 }

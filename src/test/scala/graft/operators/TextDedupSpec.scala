@@ -565,4 +565,30 @@ class TextDedupSpec extends SparkSpec {
       Dedup.longestSharedRuns(ps, allPairs, n = 3, minTokens = 2)
     }
   }
+
+  test("q207 source classifier: disjoint vocabularies classify perfectly; held-out mass conserved") {
+    // Two sources with DISJOINT vocabularies — any held-out doc's dot
+    // product against the wrong source's centroid is exactly 0, so the
+    // confusion matrix must be purely diagonal.
+    def md5bucket(id: Long): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (Character.digit(h(0), 16) * 16 + Character.digit(h(1), 16)) % 10
+    }
+    val rows = (1L to 80L).map { i =>
+      val (src, vocab) = if (i % 2 == 0) ("sA", "alpha") else ("sB", "beta")
+      (i, src, (0 until 6).map(j => s"$vocab${(i + j) % 7}").mkString(" "))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-clf").toString
+    rows.toDF("doc_id", "source", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = TextQueries.queries("q207_source_classifier")(spark, dir)
+      .as[(String, String, Long)].collect()
+    assert(got.nonEmpty)
+    assert(got.forall { case (t, p, _) => t == p },
+      s"off-diagonal predictions on disjoint vocab: ${got.mkString(", ")}")
+    // every held-out doc (bucket 9) is classified exactly once
+    val heldOut = rows.count(r => md5bucket(r._1) == 9)
+    assert(got.map(_._3).sum == heldOut && heldOut > 0)
+  }
 }
