@@ -995,7 +995,52 @@ object TextQueries extends QueryPack {
     // agg; argmax is an agg, never a data-sized window. Tokens a class
     // never saw contribute 0 (inner join), so absent pairs cost
     // nothing — the join stays sparse exactly like the serving form.
-    "q207_source_classifier" -> ((s, d) => {
+    "q207_source_classifier" -> ((s, d) =>
+      classifierPredictions(s, d)
+        .groupBy(col("true_source"), col("predicted_source"))
+        .agg(count(lit(1)).as("n_docs"))),
+
+    // Classifier evaluation report — the confusion matrix (q207)
+    // reduced to the per-class metrics a curation team actually tracks
+    // before trusting a filter: held-out support, recall and precision
+    // in integer basis points. Recall = correct div support; precision
+    // = correct div predicted-as-class (0 predicted ⇒ NULL, surfaced
+    // rather than invented). Rides the SAME cached prediction relation
+    // as q207 — one training + scoring pass serves both — and reduces
+    // it with two |sources|-bounded aggs + one full-outer fuse on the
+    // class key, so the eval costs nothing beyond the predictions.
+    "q208_classifier_eval" -> ((s, d) => {
+      val pred = classifierPredictions(s, d)
+      val byTrue = pred.groupBy(col("true_source").as("source"))
+        .agg(count(lit(1)).as("n_heldout"),
+          sum(when(col("true_source") === col("predicted_source"), 1L)
+            .otherwise(0L)).as("n_correct"))
+      val byPred = pred.groupBy(col("predicted_source").as("source"))
+        .agg(count(lit(1)).as("n_predicted"),
+          sum(when(col("true_source") === col("predicted_source"), 1L)
+            .otherwise(0L)).as("n_pred_correct"))
+      byTrue.join(byPred, Seq("source"), "full_outer")
+        .select(col("source"),
+          coalesce(col("n_heldout"), lit(0L)).as("n_heldout"),
+          coalesce(col("n_correct"), lit(0L)).as("n_correct"),
+          expr("(coalesce(n_correct, 0) * 10000) div n_heldout").as("recall_bps"),
+          coalesce(col("n_predicted"), lit(0L)).as("n_predicted"),
+          expr("(n_pred_correct * 10000) div n_predicted").as("precision_bps"))
+    })
+  )
+
+  /** Held-out predictions of the q207 source classifier — (doc_id,
+    * true_source, predicted_source), trained ONCE per (session, corpus)
+    * and shared by q207 (confusion matrix) and q208 (per-class
+    * metrics), same bounded registry as the dedup-pairs and BPE-merge
+    * caches. Deterministic training + argmax, so caching cannot change
+    * any result. See q207's comment for the classifier design and its
+    * 100 TB shape.
+    */
+  private val predCache = QueryCaches.newCache[org.apache.spark.sql.DataFrame]()
+  private def classifierPredictions(s: org.apache.spark.sql.SparkSession,
+                                    d: String): org.apache.spark.sql.DataFrame =
+    QueryCaches.cached(predCache, s, d) {
       val h = md5(col("doc_id").cast(StringType))
       val bucket = (hexNibble(substring(h, 1, 1)) * 16 +
         hexNibble(substring(h, 2, 1))) % 10
@@ -1017,12 +1062,10 @@ object TextQueries extends QueryPack {
         .agg(sum(col("c_dt") * col("rate_ppm")).as("score"))
         .groupBy(col("doc_id"), col("source"))
         .agg(max(struct(col("score"), col("pred_source"))).as("m"))
-        .select(col("source").as("true_source"),
+        .select(col("doc_id"), col("source").as("true_source"),
           col("m.pred_source").as("predicted_source"))
-        .groupBy(col("true_source"), col("predicted_source"))
-        .agg(count(lit(1)).as("n_docs"))
-    })
-  )
+        .localCheckpoint(true)
+    }
 
   /** The q146 training loop: `rounds` BPE merge rounds over the
     * double-spaced state form, fully relational (winner = 1-row
@@ -1720,30 +1763,57 @@ object TextQueries extends QueryPack {
            CAST(SUM(CASE WHEN ql >= 5000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_quality
          FROM ranked GROUP BY source""",
     "q207_source_classifier" ->
-      """WITH b AS (SELECT doc_id, source, text,
-         |  (strpos('123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 16 +
-         |   strpos('123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 10 AS bucket
-         |  FROM documents),
-         |occ AS (SELECT doc_id, source, bucket,
-         |          unnest(string_split(text, ' ')) AS tok FROM b),
-         |cst AS (SELECT source AS pred_source, tok, count(*) AS c_st
-         |        FROM occ WHERE bucket < 9 GROUP BY 1, 2),
-         |cs AS (SELECT pred_source, CAST(sum(c_st) AS BIGINT) AS c_s
-         |       FROM cst GROUP BY 1),
-         |rate AS (SELECT pred_source, tok,
-         |           CAST((c_st * 1000000) // c_s AS BIGINT) AS rate_ppm
-         |         FROM cst JOIN cs USING (pred_source)),
-         |ho AS (SELECT doc_id, source, tok, count(*) AS c_dt
-         |       FROM occ WHERE bucket >= 9 GROUP BY 1, 2, 3),
-         |sc AS (SELECT ho.doc_id, ho.source, rate.pred_source,
-         |         CAST(SUM(c_dt * rate_ppm) AS BIGINT) AS score
-         |       FROM ho JOIN rate USING (tok) GROUP BY 1, 2, 3),
-         |best AS (SELECT doc_id, source, pred_source,
-         |           row_number() OVER (PARTITION BY doc_id
-         |             ORDER BY score DESC, pred_source DESC) AS rk
-         |         FROM sc)
+      s"""WITH $classifierCte
          |SELECT source AS true_source, pred_source AS predicted_source,
          |       CAST(count(*) AS BIGINT) AS n_docs
-         |FROM best WHERE rk = 1 GROUP BY 1, 2""".stripMargin
+         |FROM best WHERE rk = 1 GROUP BY 1, 2""".stripMargin,
+    "q208_classifier_eval" ->
+      s"""WITH $classifierCte,
+         |pred AS (SELECT source AS true_source, pred_source AS predicted_source
+         |         FROM best WHERE rk = 1),
+         |bt AS (SELECT true_source AS source,
+         |         CAST(count(*) AS BIGINT) AS n_heldout,
+         |         CAST(SUM(CASE WHEN true_source = predicted_source THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+         |       FROM pred GROUP BY 1),
+         |bp AS (SELECT predicted_source AS source,
+         |         CAST(count(*) AS BIGINT) AS n_predicted,
+         |         CAST(SUM(CASE WHEN true_source = predicted_source THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_correct
+         |       FROM pred GROUP BY 1)
+         |SELECT source,
+         |       COALESCE(n_heldout, 0) AS n_heldout,
+         |       COALESCE(n_correct, 0) AS n_correct,
+         |       CAST((COALESCE(n_correct, 0) * 10000) // n_heldout AS BIGINT) AS recall_bps,
+         |       COALESCE(n_predicted, 0) AS n_predicted,
+         |       CAST((n_pred_correct * 10000) // n_predicted AS BIGINT) AS precision_bps
+         |FROM bt FULL OUTER JOIN bp USING (source)""".stripMargin
   )
+
+  /** The q207 classifier pipeline as a shared oracle CTE chain — train
+    * on bucket<9, ppm rates, dot-product scores, argmax via rk=1.
+    * Mirrors [[classifierPredictions]] step for step; q207 and q208
+    * both read `best`.
+    */
+  private def classifierCte =
+    """b AS (SELECT doc_id, source, text,
+      |  (strpos('123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 16 +
+      |   strpos('123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 10 AS bucket
+      |  FROM documents),
+      |occ AS (SELECT doc_id, source, bucket,
+      |          unnest(string_split(text, ' ')) AS tok FROM b),
+      |cst AS (SELECT source AS pred_source, tok, count(*) AS c_st
+      |        FROM occ WHERE bucket < 9 GROUP BY 1, 2),
+      |cs AS (SELECT pred_source, CAST(sum(c_st) AS BIGINT) AS c_s
+      |       FROM cst GROUP BY 1),
+      |rate AS (SELECT pred_source, tok,
+      |           CAST((c_st * 1000000) // c_s AS BIGINT) AS rate_ppm
+      |         FROM cst JOIN cs USING (pred_source)),
+      |ho AS (SELECT doc_id, source, tok, count(*) AS c_dt
+      |       FROM occ WHERE bucket >= 9 GROUP BY 1, 2, 3),
+      |sc AS (SELECT ho.doc_id, ho.source, rate.pred_source,
+      |         CAST(SUM(c_dt * rate_ppm) AS BIGINT) AS score
+      |       FROM ho JOIN rate USING (tok) GROUP BY 1, 2, 3),
+      |best AS (SELECT doc_id, source, pred_source,
+      |           row_number() OVER (PARTITION BY doc_id
+      |             ORDER BY score DESC, pred_source DESC) AS rk
+      |         FROM sc)""".stripMargin
 }

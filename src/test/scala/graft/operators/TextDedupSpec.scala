@@ -590,5 +590,14 @@ class TextDedupSpec extends SparkSpec {
     // every held-out doc (bucket 9) is classified exactly once
     val heldOut = rows.count(r => md5bucket(r._1) == 9)
     assert(got.map(_._3).sum == heldOut && heldOut > 0)
+    // q208 eval on the same (cached) predictions: perfect classifier
+    // ⇒ recall == precision == 10000 bps and mass conservation per side
+    val ev = TextQueries.queries("q208_classifier_eval")(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(ev.map(_._1).sorted.toSeq == Seq("sA", "sB"))
+    ev.foreach { case (_, nh, nc, rec, np, prec) =>
+      assert(nh == nc && nh == np && rec == 10000L && prec == 10000L)
+    }
+    assert(ev.map(_._2).sum == heldOut)
   }
 }
