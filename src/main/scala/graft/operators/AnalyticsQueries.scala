@@ -248,6 +248,26 @@ object AnalyticsQueries extends QueryPack {
         .agg(sum(col("n_rows")).as("n_rows"),
           sum(col("sum_qty")).cast(DoubleType).as("sum_qty"),
           sum(col("sum_revenue")).cast(DoubleType).as("sum_revenue"))
+    }),
+
+    // k-anonymity audit (k=5) — the privacy gate a warehouse runs
+    // before releasing a dimension or a training extract: every
+    // quasi-identifier combination (nation × segment × $1000 balance
+    // band) whose group holds fewer than k individuals re-identifies
+    // them; the audit emits each QI cell with its size and an at_risk
+    // flag so a release job can suppress or generalize flagged cells.
+    // Complements q87's direct-identifier PII redaction: that removes
+    // identifiers, this measures what the REMAINING attributes still
+    // leak. 100 TB shape: one partial-agg group-by at scan speed — QI
+    // cardinality (≪ rows) bounds the shuffle; banding uses one IEEE
+    // floor both engines compute bit-identically.
+    "q209_k_anonymity" -> ((s, d) => {
+      Tables.customer(s, d)
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000.0).cast(IntegerType).as("bal_kbucket"))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_kbucket"))
+        .agg(count(lit(1)).as("n_rows"))
+        .withColumn("at_risk", col("n_rows") < 5)
     })
   )
 
@@ -362,6 +382,11 @@ object AnalyticsQueries extends QueryPack {
       """SELECT CAST(min(o_orderdate) AS DATE) AS min_dt,
          CAST(max(o_orderdate) AS DATE) AS max_dt,
          count(DISTINCT o_custkey) AS n_custs
-         FROM orders"""
+         FROM orders""",
+    "q209_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 1000.0) AS INT) AS bal_kbucket,
+         count(*) AS n_rows, count(*) < 5 AS at_risk
+         FROM customer GROUP BY 1, 2, 3"""
   )
 }
