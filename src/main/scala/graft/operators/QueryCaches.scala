@@ -16,7 +16,7 @@ import org.apache.spark.sql.SparkSession
   * collect them. Every cached training is deterministic, so caching
   * cannot change any result — only how often the work runs.
   */
-private[operators] object QueryCaches {
+object QueryCaches {
   type Key = (SparkSession, String)
   type Cache[V] = java.util.concurrent.ConcurrentHashMap[Key, V]
 
@@ -24,14 +24,17 @@ private[operators] object QueryCaches {
     new java.util.concurrent.CopyOnWriteArrayList[Cache[_]]
 
   /** A new cache participating in registry-wide eviction. */
-  def newCache[V](): Cache[V] = {
+  private[operators] def newCache[V](): Cache[V] = {
     val m = new java.util.concurrent.ConcurrentHashMap[Key, V]
     registry.add(m)
     m
   }
 
   /** Drop one session's entries from every registered cache. Wired to
-    * the context's ApplicationEnd by [[cached]]; also the test seam.
+    * the context's ApplicationEnd by [[cached]]; also the test seam and
+    * the bench harness's between-family housekeeping hook (releasing the
+    * localCheckpointed model state the cached DataFrames pin in the
+    * block manager, so ContextCleaner can reclaim it after GC).
     */
   def evictSession(s: SparkSession): Unit =
     registry.forEach(_.keySet.removeIf(k => k._1 eq s))
@@ -68,7 +71,7 @@ private[operators] object QueryCaches {
       h
     } catch { case _: java.io.IOException => 0L }
 
-  def cached[V](cache: Cache[V], s: SparkSession, d: String)(train: => V): V = {
+  private[operators] def cached[V](cache: Cache[V], s: SparkSession, d: String)(train: => V): V = {
     if (hooked.add(s))
       s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onApplicationEnd(
