@@ -440,6 +440,43 @@ object Similarity {
             .otherwise(mn(i)).cast("float")).as("recon"))
   }
 
+  /** SQ8-compressed IVF serving: the scalar-quantized twin of the
+    * [[ivfAdcKnn]] routing — queries probe their top-`nprobe` trained
+    * cells ([[probedCells]], full-precision routing), and candidates
+    * are the probed cells' members scored from their SQ8
+    * reconstructions ([[sq8Quantize]]) with the ASYMMETRIC distance
+    * (full-precision query · reconstructed candidate — the FAISS
+    * convention: quantization error is paid once, on the stored side
+    * only, which is why asymmetric beats recon-vs-recon at equal
+    * bits). The candidate join shuffles on the cell id alone, so each
+    * query touches nprobe/k_cells of the corpus and every cell's
+    * search is independent — the same 100 TB shape as [[ivfProbedKnn]]
+    * with the candidate side 4× smaller in memory, never the flat
+    * quadratic scan. PRECONDITION (as [[ivfProbedKnn]]): `cells` has
+    * one row per id. Returns (vec_id, nn_id, cos, rn).
+    */
+  def sq8IvfKnn(emb: DataFrame, idCol: String, vecCol: String,
+                cents: DataFrame, cells: DataFrame, dim: Int,
+                nprobe: Int, kNeighbors: Int): DataFrame = {
+    import graft.functions.VectorFunctions.{dot, norm}
+    val recon = sq8Quantize(emb, idCol, vecCol, dim)
+      .select(col(idCol), col("recon"))
+    val probes = probedCells(emb, idCol, vecCol, cents, nprobe)
+    val a = emb.join(probes, idCol).select(col("cid"), col(idCol).as("vec_id"),
+      col(vecCol).as("va"), norm(col(vecCol)).as("na"))
+    val b = recon.join(cells, idCol).select(col("cid"), col(idCol).as("nn_id"),
+      col("recon").as("vb"), norm(col("recon")).as("nb"))
+    val topk = udaf(new graft.functions.TopKByScore(kNeighbors))
+    a.join(b, "cid").filter(col("vec_id") =!= col("nn_id"))
+      .withColumn("cos", safeCos(dot(col("va"), col("vb")), col("na"), col("nb")))
+      .filter(col("cos").isNotNull)
+      .groupBy(col("vec_id"))
+      .agg(topk(col("cos"), col("nn_id")).as("nns"))
+      .select(col("vec_id"), posexplode(col("nns")))
+      .select(col("vec_id"), col("col._2").as("nn_id"),
+        col("col._1").as("cos"), (col("pos") + 1).cast("int").as("rn"))
+  }
+
   /** A trained PQ model: per-subspace code relations
     * (idCol, code_i, cos_i) plus the COLLECTED m·k-row codebooks
     * (bounded by the algorithm constants — the same localize pattern

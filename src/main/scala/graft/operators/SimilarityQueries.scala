@@ -131,16 +131,18 @@ object SimilarityQueries extends QueryPack {
 
     // SQ8 scalar-quantized serving (the third compression family next
     // to PQ q104/q118 and residual-PQ q124): one byte per dimension
-    // learned from per-dim corpus min/max, vectors reconstructed at
-    // cell midpoints, top-3 served over the reconstructions through
-    // the same bounded-TopK exact kernel. 4× memory reduction for
-    // near-lossless recall at 8 bits/dim — the codec a serving tier
-    // reaches for before PQ's 32×; quantization is a scan-speed
-    // projection against a 1-row broadcast (Similarity.sq8Quantize).
+    // learned from per-dim corpus min/max, candidates reconstructed at
+    // cell midpoints and served through the SAME probed-cells routing
+    // as the ADC family — queries route full-precision onto the shared
+    // coarse index, candidates are the probed cells' members scored
+    // asymmetrically from their reconstructions (Similarity.sq8IvfKnn).
+    // 4× memory reduction at 8 bits/dim with a cells-bounded plan:
+    // cost per query is nprobe/k_cells of the corpus, never the flat
+    // quadratic scan (its recall sits on q123's curve family).
     "q153_sq8_knn" -> ((s, d) => {
-      val recon = Similarity.sq8Quantize(Tables.embeddings(s, d),
-        "vec_id", "embedding", dim = 64).select(col("vec_id"), col("recon"))
-      Similarity.bruteForceKnn(recon, "vec_id", "recon", 3)
+      val (cents, cells) = ivfIndex(s, d)
+      Similarity.sq8IvfKnn(Tables.embeddings(s, d), "vec_id", "embedding",
+        cents, cells, dim = 64, nprobe = NPROBE, kNeighbors = 3)
     }),
 
     // Corpus cartography: pairwise cosine between SOURCE centroids in
@@ -408,12 +410,14 @@ object SimilarityQueries extends QueryPack {
     }),
 
     // ADC recall — the quantization-loss number a PQ deployment reports
-    // alongside nprobe: recall of the SERVED (PQ-scored) paths against
-    // the exact baseline, for raw-vector PQ (q118's scorer), residual
-    // PQ (q124's), and the exactly-re-ranked shortlist (q126's) at each
-    // probe width. One integral row per (scorer, nprobe); the hash
-    // check pins all three curves — residual ≥ raw at equal bits, and
-    // re-rank ≥ residual at equal routing (quantization loss removed).
+    // alongside nprobe: recall of the SERVED (compressed-scored) paths
+    // against the exact baseline, for raw-vector PQ (q118's scorer),
+    // residual PQ (q124's), the exactly-re-ranked shortlist (q126's),
+    // and SQ8 asymmetric (q153's) at each probe width. One integral row
+    // per (scorer, nprobe); the hash check pins all four curves —
+    // residual ≥ raw at equal bits, re-rank ≥ residual at equal routing
+    // (quantization loss removed), and SQ8 ≈ exact-routing recall
+    // (8 bits/dim is near-lossless, the point of the codec).
     "q123_adc_recall" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val (cents, cells) = ivfIndex(s, d)
@@ -426,8 +430,10 @@ object SimilarityQueries extends QueryPack {
         "adc_residual" -> (p => Similarity.ivfAdcResidualKnn(emb, "vec_id", "embedding",
           pqr, cents, meanCents, cells, p, 3)),
         "adc_rerank" -> (p => Similarity.ivfAdcRerankKnn(emb, "vec_id", "embedding",
-          pqr, cents, meanCents, cells, p, RERANK_R, 3)))
-      // The 9 (scorer, nprobe) measurement jobs are independent reads
+          pqr, cents, meanCents, cells, p, RERANK_R, 3)),
+        "sq8" -> (p => Similarity.sq8IvfKnn(emb, "vec_id", "embedding",
+          cents, cells, 64, p, 3)))
+      // The 12 (scorer, nprobe) measurement jobs are independent reads
       // of shared materialized models — run them CONCURRENTLY so the
       // cluster overlaps their stages instead of draining 9 schedules
       // end-to-end. Future.sequence preserves tuple order, so the
@@ -852,6 +858,24 @@ object SimilarityQueries extends QueryPack {
        |  WHERE rn <= $RERANK_R)""".stripMargin
   }
 
+  /** SQ8 CTE chain (st/sa/rec): per-dim corpus min/max, midpoint
+    * reconstruction cast to REAL — mirrors [[Similarity.sq8Quantize]].
+    * Shared by the q153 serve and q123's sq8 recall rows. */
+  private def sq8CtesSql: String =
+    s"""st AS (SELECT i, min(CAST(e.embedding[i] AS DOUBLE)) AS mn,
+       |          max(CAST(e.embedding[i] AS DOUBLE)) AS mx
+       |        FROM embeddings e, generate_series(1, 64) t(i) GROUP BY 1),
+       |sa AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM st),
+       |rec AS (SELECT e.vec_id,
+       |          list_transform(generate_series(1, 64), i ->
+       |            CAST(CASE WHEN mxs[i] > mns[i]
+       |                 THEN mns[i] + (least(greatest(floor(
+       |                        (CAST(e.embedding[i] AS DOUBLE) - mns[i])
+       |                          / (mxs[i] - mns[i]) * 256.0), 0.0), 255.0) + 0.5)
+       |                      * (mxs[i] - mns[i]) / 256.0
+       |                 ELSE mns[i] END AS REAL)) AS recon
+       |        FROM embeddings e CROSS JOIN sa)""".stripMargin
+
   /** probes$sfx CTE: each query's top-`nprobe` trained coarse cells by
     * centroid cosine, ties cid asc — mirrors [[Similarity.probedCells]]. */
   private def probesSql(nprobe: Int, sfx: String): String =
@@ -1103,16 +1127,28 @@ object SimilarityQueries extends QueryPack {
            |  JOIN embeddings c ON c.vec_id = s.nn_id
            |  WHERE ${cosSql("q.embedding", "c.embedding")} IS NOT NULL)
            |  WHERE rn <= 3),
+           |psq8$p AS (SELECT vec_id, nn_id FROM (
+           |  SELECT q.vec_id, r.vec_id AS nn_id,
+           |         row_number() OVER (PARTITION BY q.vec_id
+           |           ORDER BY ${cosSql("q.embedding", "r.recon")} DESC, r.vec_id) AS rn
+           |  FROM embeddings q
+           |  JOIN probes$p p ON p.vec_id = q.vec_id
+           |  JOIN a${KM_ROUNDS + 1} ce ON ce.cid = p.cid
+           |  JOIN rec r ON r.vec_id = ce.vec_id AND r.vec_id != q.vec_id
+           |  WHERE ${cosSql("q.embedding", "r.recon")} IS NOT NULL)
+           |  WHERE rn <= 3),
            |sraw$p AS (SELECT (SELECT count(*) FROM exact) AS n,
            |                  (SELECT count(*) FROM exact JOIN praw$p USING (vec_id, nn_id)) AS o),
            |sres$p AS (SELECT (SELECT count(*) FROM exact) AS n,
            |                  (SELECT count(*) FROM exact JOIN pres$p USING (vec_id, nn_id)) AS o),
            |srer$p AS (SELECT (SELECT count(*) FROM exact) AS n,
-           |                  (SELECT count(*) FROM exact JOIN prer$p USING (vec_id, nn_id)) AS o)""".stripMargin
+           |                  (SELECT count(*) FROM exact JOIN prer$p USING (vec_id, nn_id)) AS o),
+           |ssq8$p AS (SELECT (SELECT count(*) FROM exact) AS n,
+           |                  (SELECT count(*) FROM exact JOIN psq8$p USING (vec_id, nn_id)) AS o)""".stripMargin
       }.mkString(",\n")
       val rows = (for {
         (scorer, pre) <- Seq("adc_raw" -> "sraw", "adc_residual" -> "sres",
-          "adc_rerank" -> "srer")
+          "adc_rerank" -> "srer", "sq8" -> "ssq8")
         p <- NPROBES
       } yield
         s"""SELECT '$scorer' AS scorer, CAST($p AS INT) AS nprobe,
@@ -1127,6 +1163,7 @@ object SimilarityQueries extends QueryPack {
          |$residSql,
          |$pqResidChainsSql,
          |$residReconSql,
+         |$sq8CtesSql,
          |exact AS (SELECT vec_id, nn_id FROM (
          |  SELECT a.vec_id, b.vec_id AS nn_id,
          |         row_number() OVER (PARTITION BY a.vec_id
@@ -1406,31 +1443,24 @@ object SimilarityQueries extends QueryPack {
               CAST(CAST(sum(mrr_ppm) AS BIGINT) // count(*) AS BIGINT)
                 AS mean_mrr_ppm
        FROM sc GROUP BY 1""",
-    // Mirrors Similarity.sq8Quantize: per-dim min/max, midpoint
-    // reconstruction cast to REAL, then q50's exact-KNN shape over the
-    // reconstructions.
+    // Mirrors Similarity.sq8IvfKnn: the coarse chain routes (top-NPROBE
+    // cells per query), candidates are the probed cells' members scored
+    // asymmetrically against their SQ8 midpoint reconstructions.
     "q153_sq8_knn" ->
-      s"""WITH st AS (SELECT i, min(CAST(e.embedding[i] AS DOUBLE)) AS mn,
-                        max(CAST(e.embedding[i] AS DOUBLE)) AS mx
-                      FROM embeddings e, generate_series(1, 64) t(i) GROUP BY 1),
-         sa AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM st),
-         rec AS (SELECT e.vec_id,
-                   list_transform(generate_series(1, 64), i ->
-                     CAST(CASE WHEN mxs[i] > mns[i]
-                          THEN mns[i] + (least(greatest(floor(
-                                 (CAST(e.embedding[i] AS DOUBLE) - mns[i])
-                                   / (mxs[i] - mns[i]) * 256.0), 0.0), 255.0) + 0.5)
-                               * (mxs[i] - mns[i]) / 256.0
-                          ELSE mns[i] END AS REAL)) AS recon
-                 FROM embeddings e CROSS JOIN sa)
-         SELECT vec_id, nn_id, cos, rn FROM (
-           SELECT a.vec_id, b.vec_id AS nn_id,
-                  ${cosSql("a.recon", "b.recon")} AS cos,
-                  CAST(row_number() OVER (PARTITION BY a.vec_id
-                       ORDER BY ${cosSql("a.recon", "b.recon")} DESC, b.vec_id) AS INT) AS rn
-           FROM rec a JOIN rec b ON a.vec_id != b.vec_id
-           WHERE ${cosSql("a.recon", "b.recon")} IS NOT NULL)
-         WHERE rn <= 3""",
+      s"""${kmeansWith(KM_K, KM_ROUNDS)},
+         |${probesSql(NPROBE, "")},
+         |$sq8CtesSql
+         |SELECT vec_id, nn_id, cos, rn FROM (
+         |  SELECT q.vec_id, r.vec_id AS nn_id,
+         |         ${cosSql("q.embedding", "r.recon")} AS cos,
+         |         CAST(row_number() OVER (PARTITION BY q.vec_id
+         |              ORDER BY ${cosSql("q.embedding", "r.recon")} DESC, r.vec_id) AS INT) AS rn
+         |  FROM embeddings q
+         |  JOIN probes p ON p.vec_id = q.vec_id
+         |  JOIN a${KM_ROUNDS + 1} ce ON ce.cid = p.cid
+         |  JOIN rec r ON r.vec_id = ce.vec_id AND r.vec_id != q.vec_id
+         |  WHERE ${cosSql("q.embedding", "r.recon")} IS NOT NULL)
+         |WHERE rn <= 3""".stripMargin,
     "q51_ann_lsh" ->
       s"""WITH bk AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings)
          SELECT a.vec_id AS id_1, b.vec_id AS id_2,

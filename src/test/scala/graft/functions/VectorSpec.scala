@@ -358,6 +358,33 @@ class VectorSpec extends SparkSpec {
     assert(serve(oc, ol) == serve(cents1, cells1)) // rollback = old build, exactly
   }
 
+  test("sq8IvfKnn: cells-bounded serve (no quadratic join), neighbors from probed cells only") {
+    import graft.operators.Similarity
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val (cents, cells) = Similarity.trainedIndex(emb, "vec_id", "embedding", k = 8, rounds = 2)
+    val served = Similarity.sq8IvfKnn(emb, "vec_id", "embedding", cents, cells,
+      dim = 64, nprobe = 2, kNeighbors = 3)
+    val plan = served.queryExecution.executedPlan.toString
+    // The serve must be the cid equi-join, never the flat quadratic
+    // kernel: no shuffled cartesian anywhere, and no nested-loop join
+    // carrying the corpus×corpus vec_id≠nn_id condition (the only BNLJs
+    // allowed are the bounded 1-row/k-row broadcast crossJoins of
+    // sq8Quantize's stats and probedCells' centroids, which have no
+    // join condition and so no vec_id on their plan line).
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert("BroadcastNestedLoopJoin[^\n]*vec_id".r.findFirstIn(plan).isEmpty, plan)
+    // Routing invariant: every served neighbor sits in one of its
+    // query's probed cells.
+    val probes = Similarity.probedCells(emb, "vec_id", "embedding", cents, 2)
+    val nnCells = served.select($"vec_id", $"nn_id")
+      .join(cells.select($"vec_id".as("nn_id"), $"cid"), "nn_id")
+    assert(nnCells.join(probes, Seq("vec_id", "cid"), "left_anti").count() == 0)
+    // Deterministic: the serve is a pure function of (corpus, index).
+    val again = Similarity.sq8IvfKnn(emb, "vec_id", "embedding", cents, cells, 64, 2, 3)
+    assert(served.select($"vec_id", $"nn_id", $"rn").except(
+      again.select($"vec_id", $"nn_id", $"rn")).count() == 0)
+  }
+
   test("classMeanProbe plan: prototypes broadcast, corpus side never shuffle-joined") {
     import graft.operators.Similarity
     val emb = graft.sources.Tables.embeddings(spark, sf)
