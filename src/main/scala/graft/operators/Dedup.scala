@@ -388,10 +388,16 @@ object Dedup {
     * seeded with C(v) = {v} ∪ N(v). Each round every node v sends
     * min C(v) to every member of C(v) and ALL of C(v) to that min —
     * two projections of one (id → min) join, one distinct shuffle per
-    * round. Fixed point: C(v) = {m} for every non-min v and C(m) = the
-    * whole component; detected by a (count, xxhash-sum) signature
-    * observed on the checkpoint job itself, so each round stays one
-    * Spark job. Labels are then min C(v).
+    * round. TWO rounds are batched per materialized job: at the scale
+    * where round count dominates (each round's data is small but the
+    * checkpoint/schedule round-trip is fixed latency), batching halves
+    * the number of jobs without changing any intermediate relation —
+    * the lineage between checkpoints is two H2M steps instead of one,
+    * still bounded. Fixed point: C(v) = {m} for every non-min v and
+    * C(m) = the whole component; detected by a (count, xxhash-sum)
+    * signature observed on the checkpoint job itself, so each batch
+    * stays one Spark job (a batch whose two steps are both no-ops
+    * reproduces the signature exactly). Labels are then min C(v).
     *
     * `checkpointDir`: None → localCheckpoint (executor-local blocks,
     * fine single-JVM); Some(dir) → reliable HDFS-style checkpoints so
@@ -417,19 +423,22 @@ object Dedup {
       .unionByName(und.select(col("src").as("id"), col("src").as("member")))
       .unionByName(und.select(col("src").as("id"), col("dst").as("member")))
       .distinct())
+    def step(cur: DataFrame): DataFrame = {
+      val mins = cur.groupBy(col("id")).agg(min(col("member")).as("m"))
+      val withMin = cur.join(mins, Seq("id"))
+      withMin.select(col("member").as("id"), col("m").as("member"))
+        .unionByName(withMin.select(col("m").as("id"), col("member")))
+        .distinct()
+    }
     var iter = 0
     var prevSig: (Long, Long) = (-1L, -1L)
     var converged = false
     while (!converged) {
-      iter += 1
-      if (iter > maxIters) throw new IllegalStateException(
+      iter += 2 // two H2M steps per materialized batch
+      if (iter > maxIters + 1) throw new IllegalStateException(
         s"connectedComponentsHashToMin: no convergence after $maxIters " +
           "rounds — O(log d) bound exceeded; raise maxIters")
-      val mins = c.groupBy(col("id")).agg(min(col("member")).as("m"))
-      val withMin = c.join(mins, Seq("id"))
-      val next = withMin.select(col("member").as("id"), col("m").as("member"))
-        .unionByName(withMin.select(col("m").as("id"), col("member")))
-        .distinct()
+      val next = step(step(c))
       val obs = org.apache.spark.sql.Observation()
       // bit_xor, not sum: a set signature that can't overflow under ANSI
       val ck = cut(next.observe(obs, count(lit(1)).as("n"),
