@@ -412,17 +412,30 @@ object Similarity {
     * AND reconstructions are bit-identical cross-engine.
     */
   def sq8Quantize(emb: DataFrame, idCol: String, vecCol: String,
-                  dim: Int): DataFrame = {
-    val stats = emb
-      .select(posexplode(col(vecCol)).as(Seq("p", "x")))
+                  dim: Int): DataFrame =
+    sq8QuantizeWith(emb, idCol, vecCol, dim, sq8Stats(emb, vecCol))
+
+  /** The trained SQ8 model: a ONE-ROW (mns, mxs) relation of per-dim
+    * corpus min/max — what [[saveSq8Stats]] persists so a serving tier
+    * reloads the codec instead of rescanning the corpus per session.
+    */
+  def sq8Stats(emb: DataFrame, vecCol: String): DataFrame =
+    emb.select(posexplode(col(vecCol)).as(Seq("p", "x")))
       .groupBy(col("p"))
       .agg(min(col("x").cast("double")).as("mn"),
         max(col("x").cast("double")).as("mx"))
-    val statsRow = stats.agg(
-      transform(array_sort(collect_list(struct(col("p"), col("mn")))),
-        z => z.getField("mn")).as("mns"),
-      transform(array_sort(collect_list(struct(col("p"), col("mx")))),
-        z => z.getField("mx")).as("mxs"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("p"), col("mn")))),
+          z => z.getField("mn")).as("mns"),
+        transform(array_sort(collect_list(struct(col("p"), col("mx")))),
+          z => z.getField("mx")).as("mxs"))
+
+  /** [[sq8Quantize]] against an EXISTING stats model (in-session or
+    * reloaded): pure projection over the 1-row broadcast, identical
+    * arithmetic either way.
+    */
+  def sq8QuantizeWith(emb: DataFrame, idCol: String, vecCol: String,
+                      dim: Int, statsRow: DataFrame): DataFrame = {
     def mn(i: Column) = element_at(col("mns"), i)
     def mx(i: Column) = element_at(col("mxs"), i)
     def code(i: Column) = {
@@ -457,9 +470,11 @@ object Similarity {
     */
   def sq8IvfKnn(emb: DataFrame, idCol: String, vecCol: String,
                 cents: DataFrame, cells: DataFrame, dim: Int,
-                nprobe: Int, kNeighbors: Int): DataFrame = {
+                nprobe: Int, kNeighbors: Int,
+                stats: Option[DataFrame] = None): DataFrame = {
     import graft.functions.VectorFunctions.{dot, norm}
-    val recon = sq8Quantize(emb, idCol, vecCol, dim)
+    val recon = sq8QuantizeWith(emb, idCol, vecCol, dim,
+      stats.getOrElse(sq8Stats(emb, vecCol)))
       .select(col(idCol), col("recon"))
     val probes = probedCells(emb, idCol, vecCol, cents, nprobe)
     val a = emb.join(probes, idCol).select(col("cid"), col(idCol).as("vec_id"),
@@ -964,6 +979,80 @@ object Similarity {
       .getOrElse(sys.error(s"no committed index at $layer.$prefix"))
     (wh.readVersion(layer, s"${prefix}_centroids", v),
       wh.readVersion(layer, s"${prefix}_cells", v), v)
+  }
+
+  /** Persist a trained [[PqModel]] the way [[saveIndex]] persists the
+    * coarse build — a retrain-per-session serving tier is not
+    * deployable at 100 TB; the codebooks belong in the same versioned
+    * model registry as the cells. Two snapshot relations per version:
+    * `<prefix>_codes` (the joined (id, code0..m-1, cos0..m-1) code
+    * relation — corpus-sized, the compressed index itself) written
+    * first, and `<prefix>_codebook` ((sub, cid, centroid) plus the
+    * dim/m/k shape constants, m·k rows) written LAST as the commit
+    * point readers resolve. Floats round-trip parquet exactly, so a
+    * reloaded model serves bit-identically ([[loadPqModel]], proved by
+    * the q211 gate + ModelCacheSpec).
+    */
+  def savePqModel(wh: graft.sources.Warehouse, layer: String, prefix: String,
+                  pq: PqModel, idCol: String): Int = {
+    val spark = pq.parts.head._1.sparkSession
+    val vCodes = wh.writeVersion(pqCodes(pq, idCol), layer, s"${prefix}_codes")
+    val cbRows = for {
+      (part, i) <- pq.parts.zipWithIndex
+      (cid, cent) <- part._2.toSeq.sortBy(_._1)
+    } yield (i, cid, cent.toSeq, pq.dim, pq.m, pq.k)
+    val cb = spark.createDataFrame(cbRows)
+      .toDF("sub", "cid", "centroid", "dim", "m", "k")
+    val vCb = wh.writeVersion(cb, layer, s"${prefix}_codebook")
+    require(vCb == vCodes,
+      s"PQ snapshots diverged (codebook v$vCb, codes v$vCodes): " +
+        "write this prefix through savePqModel only")
+    vCb
+  }
+
+  /** Reload a persisted PQ model — latest by default. The codebook
+    * collect is m·k rows (algorithm constants, the same localize
+    * contract as [[pqTrain]]'s own driver-side codebooks); the code
+    * relations are column-pruned projections of one immutable
+    * snapshot. Returns (model, version).
+    */
+  def loadPqModel(wh: graft.sources.Warehouse, layer: String, prefix: String,
+                  idCol: String, version: Option[Int] = None): (PqModel, Int) = {
+    val v = version.orElse(wh.latestVersion(layer, s"${prefix}_codebook"))
+      .getOrElse(sys.error(s"no committed PQ model at $layer.$prefix"))
+    val cb = wh.readVersion(layer, s"${prefix}_codebook", v).collect()
+    require(cb.nonEmpty, s"empty PQ codebook at $layer.$prefix v$v")
+    val (dim, m, k) = (cb.head.getAs[Int]("dim"), cb.head.getAs[Int]("m"),
+      cb.head.getAs[Int]("k"))
+    val codes = wh.readVersion(layer, s"${prefix}_codes", v)
+    val parts = (0 until m).map { i =>
+      val rel = codes.select(col(idCol), col(s"code$i"), col(s"cos$i"))
+      val byCid = cb.filter(_.getAs[Int]("sub") == i)
+        .map(r => r.getAs[Int]("cid") ->
+          r.getSeq[Float](r.fieldIndex("centroid")).toArray).toMap
+      (rel, byCid)
+    }
+    (PqModel(dim, m, k, parts), v)
+  }
+
+  /** Persist the SQ8 codec's trained stats ([[sq8Stats]] — the 1-row
+    * per-dim min/max relation) as a versioned snapshot; serving
+    * reloads the codec ([[loadSq8Stats]] → [[sq8QuantizeWith]] /
+    * [[sq8IvfKnn]]) instead of rescanning the corpus per session.
+    */
+  def saveSq8Stats(wh: graft.sources.Warehouse, layer: String, prefix: String,
+                   stats: DataFrame): Int =
+    wh.writeVersion(stats, layer, s"${prefix}_sq8_stats")
+
+  /** Reload persisted SQ8 stats — latest by default. Doubles
+    * round-trip parquet exactly, so codes and reconstructions from a
+    * reloaded model are bit-identical to the training session's.
+    */
+  def loadSq8Stats(wh: graft.sources.Warehouse, layer: String, prefix: String,
+                   version: Option[Int] = None): (DataFrame, Int) = {
+    val v = version.orElse(wh.latestVersion(layer, s"${prefix}_sq8_stats"))
+      .getOrElse(sys.error(s"no committed SQ8 stats at $layer.$prefix"))
+    (wh.readVersion(layer, s"${prefix}_sq8_stats", v), v)
   }
 
   /** Nearest-class-mean probe — the standard cheap embedding-quality

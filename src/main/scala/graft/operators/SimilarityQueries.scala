@@ -540,6 +540,40 @@ object SimilarityQueries extends QueryPack {
         lc, ll, NPROBE, 3)
     }),
 
+    // q133's PQ twin: the trained codebooks persisted as a versioned
+    // (codes, codebook) snapshot pair, reloaded from DISK, and the
+    // IVFADC serve run from the RELOADED model only — the oracle
+    // rebuilds the whole model from scratch in SQL (q118's statement),
+    // so the hash check proves savePqModel→loadPqModel is
+    // bit-transparent to serving. This closes the retrain-per-session
+    // gap: at 100 TB the codebooks live in the model registry next to
+    // the coarse cells, not in a session cache.
+    "q211_persisted_pq_serving" -> ((s, d) => {
+      val (cents, cells) = ivfIndex(s, d)
+      val root = java.nio.file.Files.createTempDirectory("graft-pq-q211").toString
+      val wh = new graft.sources.Warehouse(root, s)
+      val v = Similarity.savePqModel(wh, "idx", "pq", pqModel(s, d), "vec_id")
+      val (lpq, _) = Similarity.loadPqModel(wh, "idx", "pq", "vec_id", Some(v))
+      Similarity.ivfAdcKnn(Tables.embeddings(s, d), "vec_id", "embedding",
+        lpq, cents, cells, NPROBE, 3)
+    }),
+
+    // q133's SQ8 twin: the codec's trained per-dim min/max persisted
+    // as a versioned snapshot, reloaded from disk, and q153's routed
+    // serve run from the RELOADED stats only (oracle = q153's
+    // statement, rebuilt from scratch) — reload ≡ retrain, exactly.
+    "q212_persisted_sq8_serving" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val (cents, cells) = ivfIndex(s, d)
+      val root = java.nio.file.Files.createTempDirectory("graft-sq8-q212").toString
+      val wh = new graft.sources.Warehouse(root, s)
+      val v = Similarity.saveSq8Stats(wh, "idx", "ann",
+        Similarity.sq8Stats(emb, "embedding"))
+      val (lstats, _) = Similarity.loadSq8Stats(wh, "idx", "ann", Some(v))
+      Similarity.sq8IvfKnn(emb, "vec_id", "embedding", cents, cells,
+        dim = 64, nprobe = NPROBE, kNeighbors = 3, stats = Some(lstats))
+    }),
+
     // SemDeDup: semantic dedup over the SHARED trained cells — inside
     // each coarse cell, a vector with an earlier (smaller-id) neighbor
     // at cosine ≥ 0.3 is dropped; output is the per-cell attrition
@@ -875,6 +909,25 @@ object SimilarityQueries extends QueryPack {
        |                      * (mxs[i] - mns[i]) / 256.0
        |                 ELSE mns[i] END AS REAL)) AS recon
        |        FROM embeddings e CROSS JOIN sa)""".stripMargin
+
+  /** The full SQ8 routed-serve statement (q153, and q212's
+    * reload-transparency proof): coarse chain routes, candidates scored
+    * asymmetrically against their midpoint reconstructions. */
+  private def sq8RoutedServeSql: String =
+    s"""${kmeansWith(KM_K, KM_ROUNDS)},
+       |${probesSql(NPROBE, "")},
+       |$sq8CtesSql
+       |SELECT vec_id, nn_id, cos, rn FROM (
+       |  SELECT q.vec_id, r.vec_id AS nn_id,
+       |         ${cosSql("q.embedding", "r.recon")} AS cos,
+       |         CAST(row_number() OVER (PARTITION BY q.vec_id
+       |              ORDER BY ${cosSql("q.embedding", "r.recon")} DESC, r.vec_id) AS INT) AS rn
+       |  FROM embeddings q
+       |  JOIN probes p ON p.vec_id = q.vec_id
+       |  JOIN a${KM_ROUNDS + 1} ce ON ce.cid = p.cid
+       |  JOIN rec r ON r.vec_id = ce.vec_id AND r.vec_id != q.vec_id
+       |  WHERE ${cosSql("q.embedding", "r.recon")} IS NOT NULL)
+       |WHERE rn <= 3""".stripMargin
 
   /** probes$sfx CTE: each query's top-`nprobe` trained coarse cells by
     * centroid cosine, ties cid asc — mirrors [[Similarity.probedCells]]. */
@@ -1446,21 +1499,12 @@ object SimilarityQueries extends QueryPack {
     // Mirrors Similarity.sq8IvfKnn: the coarse chain routes (top-NPROBE
     // cells per query), candidates are the probed cells' members scored
     // asymmetrically against their SQ8 midpoint reconstructions.
-    "q153_sq8_knn" ->
-      s"""${kmeansWith(KM_K, KM_ROUNDS)},
-         |${probesSql(NPROBE, "")},
-         |$sq8CtesSql
-         |SELECT vec_id, nn_id, cos, rn FROM (
-         |  SELECT q.vec_id, r.vec_id AS nn_id,
-         |         ${cosSql("q.embedding", "r.recon")} AS cos,
-         |         CAST(row_number() OVER (PARTITION BY q.vec_id
-         |              ORDER BY ${cosSql("q.embedding", "r.recon")} DESC, r.vec_id) AS INT) AS rn
-         |  FROM embeddings q
-         |  JOIN probes p ON p.vec_id = q.vec_id
-         |  JOIN a${KM_ROUNDS + 1} ce ON ce.cid = p.cid
-         |  JOIN rec r ON r.vec_id = ce.vec_id AND r.vec_id != q.vec_id
-         |  WHERE ${cosSql("q.embedding", "r.recon")} IS NOT NULL)
-         |WHERE rn <= 3""".stripMargin,
+    "q153_sq8_knn" -> sq8RoutedServeSql,
+    // Persisted-model serving ≡ from-scratch: the oracle KNOWS NOTHING
+    // about the snapshot files — it rebuilds model + serve in SQL, so a
+    // green hash proves the save→load round-trip changed nothing.
+    "q211_persisted_pq_serving" -> ivfadcSql(""),
+    "q212_persisted_sq8_serving" -> sq8RoutedServeSql,
     "q51_ann_lsh" ->
       s"""WITH bk AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings)
          SELECT a.vec_id AS id_1, b.vec_id AS id_2,

@@ -358,6 +358,39 @@ class VectorSpec extends SparkSpec {
     assert(serve(oc, ol) == serve(cents1, cells1)) // rollback = old build, exactly
   }
 
+  test("persisted PQ + SQ8 models: reloaded serving is bit-identical to in-session") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.DataFrame
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val (cents, cells) = Similarity.trainedIndex(emb, "vec_id", "embedding", k = 8, rounds = 2)
+    val root = java.nio.file.Files.createTempDirectory("graft-model").toString
+    val wh = new graft.sources.Warehouse(root, spark)
+    val pq = Similarity.pqTrain(emb, "vec_id", "embedding", dim = 64, m = 4, k = 8, rounds = 1)
+    val v = Similarity.savePqModel(wh, "idx", "pq", pq, "vec_id")
+    val (lpq, lv) = Similarity.loadPqModel(wh, "idx", "pq", "vec_id")
+    assert(lv == v && lpq.dim == 64 && lpq.m == 4 && lpq.k == 8)
+    // codebooks round-trip exactly (floats are parquet-exact)
+    (0 until 4).foreach { i =>
+      assert(pq.parts(i)._2.keySet == lpq.parts(i)._2.keySet)
+      pq.parts(i)._2.foreach { case (cid, c) =>
+        assert(c.sameElements(lpq.parts(i)._2(cid))) }
+    }
+    // the SERVE from the reloaded model is bit-identical (double scores
+    // compared exactly) to the in-session model's
+    def adcServe(m: Similarity.PqModel) =
+      Similarity.ivfAdcKnn(emb, "vec_id", "embedding", m, cents, cells, 2, 3)
+        .as[(Long, Long, Double, Int)].collect().toSet
+    assert(adcServe(pq) == adcServe(lpq))
+    // SQ8: stats snapshot round-trips; routed serve bit-identical
+    val stats = Similarity.sq8Stats(emb, "embedding")
+    Similarity.saveSq8Stats(wh, "idx", "ann", stats): Unit
+    val (lstats, _) = Similarity.loadSq8Stats(wh, "idx", "ann")
+    def sq8Serve(st: DataFrame) =
+      Similarity.sq8IvfKnn(emb, "vec_id", "embedding", cents, cells, 64, 2, 3, Some(st))
+        .as[(Long, Long, Double, Int)].collect().toSet
+    assert(sq8Serve(stats) == sq8Serve(lstats))
+  }
+
   test("sq8IvfKnn: cells-bounded serve (no quadratic join), neighbors from probed cells only") {
     import graft.operators.Similarity
     val emb = graft.sources.Tables.embeddings(spark, sf)
