@@ -274,22 +274,27 @@ object AnalyticsQueries extends QueryPack {
     // at-risk QI cells ship with the balance band suppressed (NULL —
     // generalize-to-coarser, the standard k-anonymization move), so
     // every surviving non-NULL band sits in a cell of ≥ k individuals.
-    // The audit→enforcement pair mirrors q41 score → q94 gate. Shape:
-    // the cell-size relation is QI-cardinality-bounded (broadcast); the
-    // release is one scan + one broadcast equi-join — no second pass
-    // over the fact-sized side.
+    // The release carries NO direct identifier and NO per-row
+    // suppression flag: shipping c_custkey next to the QI band would
+    // re-identify the very rows the gate protects, and a suppressed
+    // flag would disclose that a row's cell holds < k members — the
+    // cell-size evidence lives in q209 (the audit), never in the
+    // released rows, which stay an anonymous one-row-per-individual
+    // multiset. The audit→enforcement pair mirrors q41 score →
+    // q94 gate. Shape: the cell-size relation is QI-cardinality-
+    // bounded (broadcast); the release is one scan + one broadcast
+    // equi-join — no second pass over the fact-sized side.
     "q210_anon_release" -> ((s, d) => {
       val banded = Tables.customer(s, d)
-        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+        .select(col("c_nationkey"), col("c_mktsegment"),
           floor(col("c_acctbal") / 1000.0).cast(IntegerType).as("bal_kbucket"))
       val cells = banded
         .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_kbucket"))
         .agg(count(lit(1)).as("n_rows"))
       banded.join(broadcast(cells),
           Seq("c_nationkey", "c_mktsegment", "bal_kbucket"))
-        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
-          when(col("n_rows") >= 5, col("bal_kbucket")).as("bal_kbucket"),
-          (col("n_rows") < 5).as("suppressed"))
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          when(col("n_rows") >= 5, col("bal_kbucket")).as("bal_kbucket"))
     })
   )
 
@@ -411,15 +416,14 @@ object AnalyticsQueries extends QueryPack {
          count(*) AS n_rows, count(*) < 5 AS at_risk
          FROM customer GROUP BY 1, 2, 3""",
     "q210_anon_release" ->
-      """WITH banded AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+      """WITH banded AS (SELECT c_nationkey, c_mktsegment,
              CAST(floor(c_acctbal / 1000.0) AS INT) AS bal_kbucket
            FROM customer),
          cells AS (SELECT c_nationkey, c_mktsegment, bal_kbucket,
              count(*) AS n_rows
            FROM banded GROUP BY 1, 2, 3)
-         SELECT b.c_custkey, b.c_nationkey, b.c_mktsegment,
-           CASE WHEN c.n_rows >= 5 THEN b.bal_kbucket END AS bal_kbucket,
-           c.n_rows < 5 AS suppressed
+         SELECT b.c_nationkey, b.c_mktsegment,
+           CASE WHEN c.n_rows >= 5 THEN b.bal_kbucket END AS bal_kbucket
          FROM banded b
          JOIN cells c USING (c_nationkey, c_mktsegment, bal_kbucket)"""
   )

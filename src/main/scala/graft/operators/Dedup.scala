@@ -133,7 +133,10 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val a = posShingles.toDF("id_1", "p1", "shingle")
     val b = posShingles.toDF("id_2", "p2", "shingle")
-    val m = pairs.select(col("id_1"), col("id_2"))
+    // distinct, not a documented precondition: a duplicated (id_1,id_2)
+    // row would fragment the p1 − row_number() islands and double-count
+    // matches — cheap to guard here (candidate-bounded relation).
+    val m = pairs.select(col("id_1"), col("id_2")).distinct()
       .join(a, Seq("id_1"))
       .join(b, Seq("id_2", "shingle"))
       .withColumn("diag", col("p1") - col("p2"))
@@ -146,6 +149,50 @@ object Dedup {
       .agg((max(col("run")) + lit(n - 1)).as("longest_tokens"),
         sum(col("run")).as("n_matched_positions"))
       .filter(col("longest_tokens") >= minTokens)
+  }
+
+  /** Candidate pairs for [[longestSharedRuns]] drawn from the shingle
+    * relation ITSELF: two documents are candidates iff they share at
+    * least one RARE shingle (document frequency ≤ `maxDf`). This is
+    * the right candidate generator for exact-substring detection —
+    * a quoted run of L ≥ n tokens contributes L−n+1 shared shingles,
+    * so the pair surfaces unless every one of them is corpus-hot
+    * (boilerplate), whereas document-LEVEL MinHash LSH only collides
+    * pairs whose whole-document Jaccard clears the band threshold —
+    * exactly the pairs a quoted paragraph between otherwise-different
+    * pages does NOT produce (P ≈ 1−(1−j²)⁴ ≈ 1% at j = 0.05).
+    *
+    * Scale: df is computed first and the hot tail dropped BEFORE any
+    * id list materializes, so each surviving shingle groups ≤ maxDf
+    * ids and emits ≤ maxDf·(maxDf−1)/2 ordered pairs — total work
+    * ≤ maxDf · |postings|, linear in the corpus at constant cap, the
+    * same df-cap device as [[jaccardPairs]]. Recall loss is confined
+    * to runs made ENTIRELY of above-cap shingles, which at any corpus
+    * size means corpus-pervasive boilerplate — the content
+    * ExactSubstr passes deliberately ignore (Lee et al. 2022 §4.1
+    * drop their hottest suffixes for the same reason).
+    *
+    * Input: a distinct (idCol, shingle) relation ([[shingleTable]] or
+    * the distinct projection of [[positionalShingleTable]] — both
+    * tokenize identically). Returns distinct (id_1 < id_2) pairs.
+    */
+  def sharedShingleCandidates(shingles: DataFrame, idCol: String,
+                              maxDf: Int): DataFrame = {
+    require(maxDf >= 2, s"maxDf=$maxDf must be >= 2 (a df-1 shingle has no pair)")
+    val docSh = shingles.select(col(idCol), col("shingle")).distinct()
+    val rare = docSh.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("nd"))
+      .filter(col("nd").between(2, maxDf))
+      .select(col("shingle"))
+    val ids = col("ids")
+    docSh.join(rare, "shingle")
+      .groupBy(col("shingle"))
+      .agg(sort_array(collect_set(col(idCol))).as("ids"))
+      .select(explode(flatten(transform(ids, (x, i) =>
+        transform(slice(ids, i + lit(2), size(ids)),
+          y => struct(x.as("id_1"), y.as("id_2")))))).as("p"))
+      .select(col("p.id_1").as("id_1"), col("p.id_2").as("id_2"))
+      .distinct()
   }
 
   /** Pairwise shingle-overlap (Jaccard) matrix BETWEEN document groups

@@ -13,7 +13,7 @@ object DedupQueries extends QueryPack {
   private val K = 8      // minhash functions
   private val BANDS = 4  // LSH bands (rows per band = K/BANDS = 2)
   private val MIN_JACCARD = 0.2
-  private val MAX_SHINGLE_DF = 25  // q58: drop shingles hotter than this
+  private val MAX_SHINGLE_DF = 25  // q58/q175: drop shingles hotter than this
   private val MIN_RUN_TOKENS = 8   // q175: shortest reportable shared run
 
   /** Verified near-dup pairs (id_1, id_2, jaccard), computed ONCE per
@@ -132,16 +132,18 @@ object DedupQueries extends QueryPack {
     }),
 
     // Exact-substring near-dup detection (Lee et al. 2022 ExactSubstr,
-    // arXiv:2107.06499): longest verbatim shared token run per LSH
+    // arXiv:2107.06499): longest verbatim shared token run per
     // candidate pair — the quoted-paragraph signal whole-doc Jaccard
     // dilutes below every threshold. Runs are consecutive-diagonal
     // islands over the positional shingle match relation; candidates
-    // come from the same k=8/4-band index as q46, so the pass rides
-    // the dedup index it ships with.
+    // come from the shingle relation ITSELF (any shared df-capped
+    // shingle ⇒ candidate, Dedup.sharedShingleCandidates) — document-
+    // level LSH would structurally miss the advertised target, a
+    // quoted run between pages whose whole-doc Jaccard never clears
+    // the band threshold.
     "q175_exact_substring" -> ((s, d) => {
-      val cands = Dedup.lshCandidatePairs(
-        Dedup.minhashSignatures(shingles(s, d), "doc_id", K),
-        "doc_id", BANDS, K / BANDS)
+      val cands = Dedup.sharedShingleCandidates(
+        shingles(s, d), "doc_id", MAX_SHINGLE_DF)
       Dedup.longestSharedRuns(
         Dedup.positionalShingleTable(Tables.documents(s, d), "text", "doc_id", 3),
         cands, n = 3, minTokens = MIN_RUN_TOKENS)
@@ -747,11 +749,11 @@ object DedupQueries extends QueryPack {
        FROM cand c JOIN verified v ON c.id_1 = v.id_1 AND c.id_2 = v.id_2""",
     "q175_exact_substring" ->
       s"""WITH $shinglesCte,
-         mh AS (SELECT doc_id, $minhashCols FROM sh GROUP BY doc_id),
-         bands AS ($bandUnion),
+         sdf AS (SELECT shingle, count(*) AS nd FROM sh GROUP BY 1),
          cand AS (SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
-                  FROM bands a JOIN bands b
-                    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+                  FROM sh a
+                  JOIN sdf ON sdf.shingle = a.shingle AND sdf.nd <= $MAX_SHINGLE_DF
+                  JOIN sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id),
          praw AS (SELECT doc_id, ts,
                     unnest(generate_series(1, len(ts) - 2)) AS pos
                   FROM toks),

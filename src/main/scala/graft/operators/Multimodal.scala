@@ -126,6 +126,7 @@ object Multimodal {
     val RateStep = 1000
     val AccMod = 2147483647L
     def decode(payload: Array[Byte]): (Int, Int, Long, Long) = {
+      requireAscii(payload, "FakeAudioCodec") // oracle fold is char-indexed (q134)
       val rate = RateBase + (payload.length % RateMod) * RateStep
       val channels = 1 + (payload.length % 2)
       val nSamples = payload.length / 2L // fake 16-bit framing
@@ -205,6 +206,7 @@ object Multimodal {
     val AmpMod = 4001
     val AmpOff = 2000
     def frames(payload: Array[Byte], frameSamples: Int): Seq[(Int, Int, Long, Int)] = {
+      requireAscii(payload, "FakeAudioFrameCodec") // oracle twin is char-indexed
       val n = payload.length / 2
       val out = Seq.newBuilder[(Int, Int, Long, Int)]
       var idx = 0
@@ -319,9 +321,19 @@ object Multimodal {
   /** Fake twin: luma_i = byte[(7·i + 3) mod n] — deterministic byte
     * sampling a SQL oracle reproduces with `ord(substr(...))` (q185).
     * Empty payloads yield an all-zero grid (hash 0), never a failure.
+    *
+    * GUARDED ASCII-ONLY: the oracle twin indexes CHARACTERS and code
+    * points while this codec indexes UTF-8 BYTES — they agree iff the
+    * payload is pure ASCII (one byte per char, ord = byte value). A
+    * multi-byte character anywhere shifts every later index, so the
+    * codec refuses non-ASCII loudly ([[requireAscii]]) instead of
+    * letting a fixture silently diverge from its oracle. Real bytes
+    * belong to the real codec ([[ImageIoGridCodec]]), which has no
+    * such constraint.
     */
   object FakeGridCodec extends GridCodec {
     def grid(payload: Array[Byte], rows: Int, cols: Int): Array[Int] = {
+      requireAscii(payload, "FakeGridCodec")
       val out = new Array[Int](rows * cols)
       if (payload.length > 0) {
         var i = 0
@@ -330,6 +342,22 @@ object Multimodal {
         }
       }
       out
+    }
+  }
+
+  /** The oracle-parity precondition of the fake codecs: every byte
+    * < 0x80 (pure ASCII), checked per payload at decode time — O(n)
+    * next to the O(n) the decode already pays.
+    */
+  private[operators] def requireAscii(payload: Array[Byte], codec: String): Unit = {
+    var i = 0
+    while (i < payload.length) {
+      require((payload(i) & 0x80) == 0,
+        s"$codec is the SQL-oracle twin and indexes characters on the " +
+          s"oracle side: payload byte $i is non-ASCII (0x${(payload(i) & 0xff).toHexString}), " +
+          "which would silently diverge the engines. Use the real codec " +
+          "for non-ASCII/binary payloads.")
+      i += 1
     }
   }
 

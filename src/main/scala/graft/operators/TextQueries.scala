@@ -1057,13 +1057,24 @@ object TextQueries extends QueryPack {
       val ho = occ.filter(!col("is_train"))
         .groupBy(col("doc_id"), col("source"), col("tok"))
         .agg(count(lit(1)).as("c_dt"))
-      ho.join(rate, Seq("tok"))
+      val preds = ho.join(rate, Seq("tok"))
         .groupBy(col("doc_id"), col("source"), col("pred_source"))
         .agg(sum(col("c_dt") * col("rate_ppm")).as("score"))
         .groupBy(col("doc_id"), col("source"))
         .agg(max(struct(col("score"), col("pred_source"))).as("m"))
+        .select(col("doc_id"), col("source"),
+          col("m.pred_source").as("pred_source"))
+      // A held-out doc whose EVERY token is absent from the training
+      // vocabulary has no score row at all (inner join on tok) — it
+      // must not silently vanish from the eval: left-join the full
+      // held-out doc list and emit it as 'unclassified', so q207's
+      // matrix and q208's support count conserve held-out mass.
+      occ.filter(!col("is_train"))
+        .select(col("doc_id"), col("source")).distinct()
+        .join(preds, Seq("doc_id", "source"), "left")
         .select(col("doc_id"), col("source").as("true_source"),
-          col("m.pred_source").as("predicted_source"))
+          coalesce(col("pred_source"), lit("unclassified"))
+            .as("predicted_source"))
         .localCheckpoint(true)
     }
 
@@ -1764,13 +1775,12 @@ object TextQueries extends QueryPack {
          FROM ranked GROUP BY source""",
     "q207_source_classifier" ->
       s"""WITH $classifierCte
-         |SELECT source AS true_source, pred_source AS predicted_source,
+         |SELECT true_source, predicted_source,
          |       CAST(count(*) AS BIGINT) AS n_docs
-         |FROM best WHERE rk = 1 GROUP BY 1, 2""".stripMargin,
+         |FROM bestj GROUP BY 1, 2""".stripMargin,
     "q208_classifier_eval" ->
       s"""WITH $classifierCte,
-         |pred AS (SELECT source AS true_source, pred_source AS predicted_source
-         |         FROM best WHERE rk = 1),
+         |pred AS (SELECT true_source, predicted_source FROM bestj),
          |bt AS (SELECT true_source AS source,
          |         CAST(count(*) AS BIGINT) AS n_heldout,
          |         CAST(SUM(CASE WHEN true_source = predicted_source THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
@@ -1815,5 +1825,10 @@ object TextQueries extends QueryPack {
       |best AS (SELECT doc_id, source, pred_source,
       |           row_number() OVER (PARTITION BY doc_id
       |             ORDER BY score DESC, pred_source DESC) AS rk
-      |         FROM sc)""".stripMargin
+      |         FROM sc),
+      |hod AS (SELECT DISTINCT doc_id, source FROM occ WHERE bucket >= 9),
+      |bestj AS (SELECT hod.doc_id, hod.source AS true_source,
+      |            COALESCE(b1.pred_source, 'unclassified') AS predicted_source
+      |          FROM hod LEFT JOIN (SELECT doc_id, pred_source FROM best
+      |                              WHERE rk = 1) b1 USING (doc_id))""".stripMargin
 }

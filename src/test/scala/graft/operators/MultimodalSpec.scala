@@ -266,6 +266,22 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("fake codecs refuse non-ASCII payloads (oracle twins index characters)") {
+    val ascii = "plain ascii payload".getBytes("UTF-8")
+    val accent = "café".getBytes("UTF-8") // 0xc3 0xa9 — indices shift
+    // ASCII passes through unchanged
+    assert(Multimodal.FakeGridCodec.grid(ascii, 2, 2).length == 4)
+    assert(Multimodal.FakeAudioFrameCodec.frames(ascii, 4).nonEmpty)
+    // any multi-byte character fails LOUDLY instead of silently
+    // diverging from the char-indexed SQL oracle
+    intercept[IllegalArgumentException](
+      Multimodal.FakeGridCodec.grid(accent, 2, 2))
+    intercept[IllegalArgumentException](
+      Multimodal.FakeAudioFrameCodec.frames(accent, 4))
+    intercept[IllegalArgumentException](
+      Multimodal.FakeAudioCodec.decode(accent))
+  }
+
   test("resizePlan preserves aspect and never upscales") {
     val decoded = Seq((1L, 640, 480), (2L, 100, 50), (3L, 32, 64))
       .toDF("doc_id", "width", "height")

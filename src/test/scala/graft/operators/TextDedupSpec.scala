@@ -564,6 +564,41 @@ class TextDedupSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Dedup.longestSharedRuns(ps, allPairs, n = 3, minTokens = 2)
     }
+    // duplicated candidate rows must not fragment the islands: the
+    // operator distincts internally, so (1,2) listed twice still
+    // reports the intact 10-token run, counted once
+    val dup = Seq((1L, 2L), (1L, 2L)).toDF("id_1", "id_2")
+    val dedup = Dedup.longestSharedRuns(ps, dup, n = 3, minTokens = 3)
+      .select($"id_1", $"id_2", $"longest_tokens", $"n_matched_positions")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(dedup.toSeq == Seq((1L, 2L, 10L, 8L)))
+  }
+
+  test("sharedShingleCandidates: quoted-run pairs surface, hot-shingle-only pairs capped out") {
+    // docs 1/2 embed the same 9-token quote inside otherwise-disjoint
+    // text — the exact-substring target document-level LSH structurally
+    // under-recalls; docs 3..8 share ONLY one corpus-hot shingle.
+    val quote = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val docs = (Seq(
+      (1L, s"unique one text $quote padding aa bb cc dd ee"),
+      (2L, s"other words entirely $quote tail xx yy zz ww vv")) ++
+      (3L to 8L).map(i => (i, s"hot hot hot filler$i more$i words$i"))
+    ).toDF("doc_id", "text")
+    val sh = Dedup.shingleTable(docs, "text", "doc_id", 3)
+    val cands = Dedup.sharedShingleCandidates(sh, "doc_id", maxDf = 4)
+      .as[(Long, Long)].collect().toSet
+    // the quote's shingles have df=2 ≤ 4 → (1,2) is a candidate…
+    assert(cands == Set((1L, 2L)))
+    // …and the run it carries is recovered intact end-to-end
+    val runs = Dedup.longestSharedRuns(
+      Dedup.positionalShingleTable(docs, "text", "doc_id", 3),
+      cands.toSeq.toDF("id_1", "id_2"), n = 3, minTokens = 8)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(runs.toSeq == Seq((1L, 2L, 9L, 7L)))
+    // df cap guard
+    intercept[IllegalArgumentException] {
+      Dedup.sharedShingleCandidates(sh, "doc_id", maxDf = 1)
+    }
   }
 
   test("q207 source classifier: disjoint vocabularies classify perfectly; held-out mass conserved") {
@@ -579,25 +614,39 @@ class TextDedupSpec extends SparkSpec {
       val (src, vocab) = if (i % 2 == 0) ("sA", "alpha") else ("sB", "beta")
       (i, src, (0 until 6).map(j => s"$vocab${(i + j) % 7}").mkString(" "))
     }
+    // plus one held-out doc whose every token is ABSENT from the
+    // training vocabulary: it must surface as 'unclassified', not
+    // silently vanish from the matrix (the inner-join-on-tok trap)
+    val novelId = (81L to 400L).find(i => md5bucket(i) == 9).get
+    val all = rows :+ ((novelId, "sC", "omega1 omega2 omega3"))
     val dir = java.nio.file.Files.createTempDirectory("graft-clf").toString
-    rows.toDF("doc_id", "source", "text")
+    all.toDF("doc_id", "source", "text")
       .write.parquet(s"$dir/documents.parquet")
     val got = TextQueries.queries("q207_source_classifier")(spark, dir)
       .as[(String, String, Long)].collect()
     assert(got.nonEmpty)
-    assert(got.forall { case (t, p, _) => t == p },
+    assert(got.filter(_._1 != "sC").forall { case (t, p, _) => t == p },
       s"off-diagonal predictions on disjoint vocab: ${got.mkString(", ")}")
-    // every held-out doc (bucket 9) is classified exactly once
+    assert(got.contains(("sC", "unclassified", 1L)))
+    // every held-out doc (bucket 9) is accounted for exactly once
     val heldOut = rows.count(r => md5bucket(r._1) == 9)
-    assert(got.map(_._3).sum == heldOut && heldOut > 0)
+    assert(got.map(_._3).sum == heldOut + 1 && heldOut > 0)
     // q208 eval on the same (cached) predictions: perfect classifier
-    // ⇒ recall == precision == 10000 bps and mass conservation per side
+    // ⇒ recall == precision == 10000 bps for sA/sB; the novel-vocab
+    // class and the 'unclassified' sink both conserve their mass
     val ev = TextQueries.queries("q208_classifier_eval")(spark, dir)
-      .as[(String, Long, Long, Long, Long, Long)].collect()
-    assert(ev.map(_._1).sorted.toSeq == Seq("sA", "sB"))
-    ev.foreach { case (_, nh, nc, rec, np, prec) =>
-      assert(nh == nc && nh == np && rec == 10000L && prec == 10000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))).sortBy(_._1)
+    assert(ev.map(_._1).toSeq == Seq("sA", "sB", "sC", "unclassified"))
+    ev.filter(e => e._1 == "sA" || e._1 == "sB").foreach {
+      case (_, nh, nc, rec, np, prec) =>
+        assert(nh == nc && nh == np && rec.contains(10000L) && prec.contains(10000L))
     }
-    assert(ev.map(_._2).sum == heldOut)
+    val sc = ev.find(_._1 == "sC").get
+    assert(sc._2 == 1 && sc._3 == 0 && sc._4.contains(0L) && sc._5 == 0 && sc._6.isEmpty)
+    val un = ev.find(_._1 == "unclassified").get
+    assert(un._2 == 0 && un._4.isEmpty && un._5 == 1 && un._6.contains(0L))
+    assert(ev.map(_._2).sum == heldOut + 1)
   }
 }
