@@ -96,6 +96,45 @@ object ScdQueries extends QueryPack {
       wh.read("bl_3nf", "cust_scd1")
     }),
 
+    // STREAMING SCD2: the C2 versioning meeting the streaming
+    // extension — part price updates arrive in TWO stream waves (even
+    // keys at 2024-06-01, odd keys at 2024-07-01) and VERSION on
+    // ingest via foreachBatch over a pre-seeded dimension: a changed
+    // price closes the active version (runTs − 1s, 'N') and opens a
+    // new one, new keys get a first version, untouched parity passes
+    // through. The landed table must hash-match folding the same two
+    // waves through batch scd2Merge — the oracle enumerates the fold's
+    // row classes per wave. Exactly-once replay is pinned by
+    // StreamingSpec; this gate proves stream versioning ≡ batch.
+    "q213_stream_scd2" -> ((s, d) => {
+      import graft.streaming.EventPipelines
+      val wh = new graft.sources.Warehouse(graft.plans.EtlQueries.tmpWarehouse(), s)
+      val p = Tables.part(s, d)
+      wh.overwrite(p.filter(col("p_partkey") % 100 < 95)
+        .select(col("p_partkey"), col("p_retailprice").as("price"))
+        .withColumn("start_ts", ntz("2024-01-01 00:00:00"))
+        .withColumn("end_ts", ntz("9999-12-31 00:00:00"))
+        .withColumn("is_active", lit("Y")),
+        "bl_3nf", "part_scd2"): Unit
+      val stream = s.readStream
+        .schema(s.read.option("pathGlobFilter", "part.parquet").parquet(d).schema)
+        .option("pathGlobFilter", "part.parquet").parquet(d)
+      def wave(parity: Int)(b: org.apache.spark.sql.DataFrame) = b
+        .filter(col("p_partkey") % 2 === parity)
+        .select(col("p_partkey"),
+          (col("p_retailprice") +
+            when(col("p_partkey") % 5 === 0, 10.0).otherwise(0.0)).as("price"))
+      EventPipelines.scd2AvailableNow(stream, wh, "bl_3nf", "part_scd2",
+        Seq("p_partkey"), Seq("price"),
+        ntz("2024-06-01 00:00:00"), ntz("9999-12-31 00:00:00"),
+        prep = Some(wave(0)))
+      EventPipelines.scd2AvailableNow(stream, wh, "bl_3nf", "part_scd2",
+        Seq("p_partkey"), Seq("price"),
+        ntz("2024-07-01 00:00:00"), ntz("9999-12-31 00:00:00"),
+        prep = Some(wave(1)))
+      wh.read("bl_3nf", "part_scd2")
+    }),
+
     // C2: SCD Type 2 versioning — close-and-version on price change
     // (reference: load_3nf_ce_products_scd_table_type2.sql:111-222).
     "q21_scd2_versioning" -> ((s, d) => {
@@ -547,6 +586,45 @@ object ScdQueries extends QueryPack {
          f2 AS (${fold("f1", "s2", "2024-07-01")})
        SELECT * FROM f2"""
     },
+    // The two-wave streaming SCD2 fold enumerated by row class: per
+    // parity, unchanged actives pass through, changed keys split into
+    // (closed old, new version) at that wave's runTs, unseeded keys
+    // get a first version.
+    "q213_stream_scd2" ->
+      """WITH seeded AS (
+           SELECT p_partkey, p_retailprice AS price
+           FROM part WHERE p_partkey % 100 < 95),
+         src AS (
+           SELECT p_partkey, p_retailprice +
+                  CASE WHEN p_partkey % 5 = 0 THEN 10.0 ELSE 0.0 END AS price
+           FROM part)
+       SELECT p_partkey, price, TIMESTAMP '2024-01-01 00:00:00' AS start_ts,
+              TIMESTAMP '9999-12-31 00:00:00' AS end_ts, 'Y' AS is_active
+       FROM seeded WHERE p_partkey % 5 != 0
+       UNION ALL
+       SELECT p_partkey, price, TIMESTAMP '2024-01-01 00:00:00',
+              TIMESTAMP '2024-05-31 23:59:59', 'N'
+       FROM seeded WHERE p_partkey % 5 = 0 AND p_partkey % 2 = 0
+       UNION ALL
+       SELECT p_partkey, price, TIMESTAMP '2024-01-01 00:00:00',
+              TIMESTAMP '2024-06-30 23:59:59', 'N'
+       FROM seeded WHERE p_partkey % 5 = 0 AND p_partkey % 2 = 1
+       UNION ALL
+       SELECT p_partkey, price, TIMESTAMP '2024-06-01 00:00:00',
+              TIMESTAMP '9999-12-31 00:00:00', 'Y'
+       FROM src WHERE p_partkey % 5 = 0 AND p_partkey % 100 < 95 AND p_partkey % 2 = 0
+       UNION ALL
+       SELECT p_partkey, price, TIMESTAMP '2024-07-01 00:00:00',
+              TIMESTAMP '9999-12-31 00:00:00', 'Y'
+       FROM src WHERE p_partkey % 5 = 0 AND p_partkey % 100 < 95 AND p_partkey % 2 = 1
+       UNION ALL
+       SELECT p_partkey, price, TIMESTAMP '2024-06-01 00:00:00',
+              TIMESTAMP '9999-12-31 00:00:00', 'Y'
+       FROM src WHERE p_partkey % 100 >= 95 AND p_partkey % 2 = 0
+       UNION ALL
+       SELECT p_partkey, price, TIMESTAMP '2024-07-01 00:00:00',
+              TIMESTAMP '9999-12-31 00:00:00', 'Y'
+       FROM src WHERE p_partkey % 100 >= 95 AND p_partkey % 2 = 1""",
     "q20_scd1_upsert" ->
       """WITH tgt AS (
            SELECT c_custkey, c_name, c_mktsegment, c_nationkey,

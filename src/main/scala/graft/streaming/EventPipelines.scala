@@ -276,37 +276,49 @@ object EventPipelines {
       .take(4).map(b => f"${b & 0xff}%02x").mkString
   }
 
-  def ingestAvailableNow(events: DataFrame, wh: graft.sources.Warehouse,
-                         layer: String, table: String, keys: Seq[String],
-                         partCol: String = "event_day",
-                         checkpointDir: Option[String] = None,
-                         prep: Option[DataFrame => DataFrame] = None): Unit = {
+  /** Shared AvailableNow driver for the ledgered foreachBatch sinks:
+    * fresh-checkpoint ledger wipe, per-batch callback with the ledger
+    * context, drain-and-stop trigger. The ledger is only sound under a
+    * durable checkpoint — without one, batch ids restart at 0 per run
+    * and a stale marker would swallow new data — so `useLedger` is
+    * passed as `checkpointDir.isDefined`. A fresh checkpoint (no
+    * committed offsets yet) means this run's batch ids start at 0:
+    * markers left by a DELETED/RESET checkpoint at the same path would
+    * silently swallow the first new batches, so the location's
+    * namespace is wiped before starting (a RELOCATED checkpoint is
+    * covered by the namespace itself).
+    */
+  private def availableNowLedgered(updates: DataFrame, wh: graft.sources.Warehouse,
+      layer: String, table: String, checkpointDir: Option[String])(
+      land: (DataFrame, Long, Boolean, String) => Unit): Unit = {
     val ns = checkpointDir.map(ledgerNamespace).getOrElse("")
     checkpointDir.foreach { c =>
-      // Fresh checkpoint (no committed offsets yet) ⇒ this run's batch
-      // ids start at 0: markers left by a DELETED/RESET checkpoint at
-      // the same path would silently swallow the first new batches, so
-      // wipe this location's namespace before starting. (A relocated
-      // checkpoint is covered by the namespace itself.)
       val off = new org.apache.hadoop.fs.Path(c, "offsets")
       val cfs = off.getFileSystem(
-        events.sparkSession.sessionState.newHadoopConf())
+        updates.sparkSession.sessionState.newHadoopConf())
       if (!cfs.exists(off) || cfs.listStatus(off).isEmpty)
         wh.clearLedger(layer, table, ns)
     }
-    val writer = events.writeStream
+    val writer = updates.writeStream
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
-        // the ledger is only sound under a durable checkpoint: without
-        // one, batch ids restart at 0 per run and a stale marker would
-        // swallow new data — so it activates with checkpointDir only
-        landBatch(wh, layer, table, keys, partCol, batch.toDF(), bid,
-          useLedger = checkpointDir.isDefined, ledgerNs = ns, prep = prep): Unit
+        land(batch.toDF(), bid, checkpointDir.isDefined, ns)
       }
     val q = checkpointDir.fold(writer)(c => writer.option("checkpointLocation", c))
       .start()
     q.awaitTermination()
   }
+
+  def ingestAvailableNow(events: DataFrame, wh: graft.sources.Warehouse,
+                         layer: String, table: String, keys: Seq[String],
+                         partCol: String = "event_day",
+                         checkpointDir: Option[String] = None,
+                         prep: Option[DataFrame => DataFrame] = None): Unit =
+    availableNowLedgered(events, wh, layer, table, checkpointDir) {
+      (batch, bid, useLedger, ns) =>
+        landBatch(wh, layer, table, keys, partCol, batch, bid,
+          useLedger = useLedger, ledgerNs = ns, prep = prep): Unit
+    }
 
   /** One STREAMING SCD1 micro-batch: the per-batch body of
     * [[scd1AvailableNow]], factored like [[landBatch]] so the ledger
@@ -397,27 +409,68 @@ object EventPipelines {
                        tracked: Seq[String],
                        runDt: org.apache.spark.sql.Column,
                        checkpointDir: Option[String] = None,
-                       prep: Option[DataFrame => DataFrame] = None): Unit = {
-    val ns = checkpointDir.map(ledgerNamespace).getOrElse("")
-    checkpointDir.foreach { c =>
-      // same fresh-checkpoint contract as ingestAvailableNow: a reset
-      // checkpoint restarts batch ids at 0, so stale markers must go
-      val off = new org.apache.hadoop.fs.Path(c, "offsets")
-      val cfs = off.getFileSystem(
-        updates.sparkSession.sessionState.newHadoopConf())
-      if (!cfs.exists(off) || cfs.listStatus(off).isEmpty)
-        wh.clearLedger(layer, table, ns)
+                       prep: Option[DataFrame => DataFrame] = None): Unit =
+    availableNowLedgered(updates, wh, layer, table, checkpointDir) {
+      (batch, bid, useLedger, ns) =>
+        scd1Batch(wh, layer, table, key, tracked, runDt, batch, bid,
+          useLedger = useLedger, ledgerNs = ns, prep = prep): Unit
     }
-    val writer = updates.writeStream
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
-        scd1Batch(wh, layer, table, key, tracked, runDt, batch.toDF(), bid,
-          useLedger = checkpointDir.isDefined, ledgerNs = ns, prep = prep): Unit
-      }
-    val q = checkpointDir.fold(writer)(c => writer.option("checkpointLocation", c))
-      .start()
-    q.awaitTermination()
+
+  /** One STREAMING SCD2 micro-batch: [[scd1Batch]]'s versioning twin —
+    * dedups the batch on the key, applies `prep`, then folds it into
+    * the target with [[graft.operators.Scd.scd2Merge]]: a change in
+    * any `changeCols` value CLOSES the active version (end = runTs −
+    * 1s, 'N') and opens a new one, new keys get a first version,
+    * untouched history passes through — the reference's C2
+    * (load_3nf_ce_products_scd_table_type2.sql:111-222) running
+    * per-micro-batch instead of per-nightly-load. One full-outer merge
+    * over the ACTIVE slice + one atomic table swap, O(target ∪ batch)
+    * per batch. First batch bootstraps an empty target of the source's
+    * shape + version columns. Returns whether the batch landed (a
+    * ledgered replay is a metadata-only skip).
+    */
+  def scd2Batch(wh: graft.sources.Warehouse, layer: String, table: String,
+                key: Seq[String], changeCols: Seq[String],
+                runTs: org.apache.spark.sql.Column,
+                farFuture: org.apache.spark.sql.Column,
+                batch: DataFrame, batchId: Long, useLedger: Boolean,
+                ledgerNs: String = "",
+                prep: Option[DataFrame => DataFrame] = None): Boolean = {
+    if (useLedger && wh.batchCommitted(layer, table, batchId, ledgerNs)) return false
+    val src = prep.getOrElse(identity[DataFrame] _).apply(dedupBatch(batch, key))
+    val target =
+      if (wh.exists(layer, table)) wh.read(layer, table)
+      else src.limit(0).withColumn("start_ts", runTs)
+        .withColumn("end_ts", farFuture).withColumn("is_active", lit("Y"))
+    val merged = graft.operators.Scd.scd2Merge(target, src, key, changeCols,
+      runTs, farFuture)
+    wh.overwrite(merged, layer, table): Unit
+    if (useLedger) wh.markBatchCommitted(layer, table, batchId, ledgerNs)
+    true
   }
+
+  /** Streaming SCD2 — the reference's C2 versioning meeting the
+    * streaming extension: price/attribute changes VERSION on ingest
+    * (close-and-open per micro-batch) instead of waiting for the
+    * nightly batch merge, so the dimension's history is current after
+    * every batch. Same exactly-once machinery as [[scd1AvailableNow]]
+    * (durable checkpoint + namespaced batch ledger + fresh-checkpoint
+    * wipe); the fold of micro-batches is hash-identical to folding the
+    * same waves through batch [[graft.operators.Scd.scd2Merge]]
+    * (q213, StreamingSpec).
+    */
+  def scd2AvailableNow(updates: DataFrame, wh: graft.sources.Warehouse,
+                       layer: String, table: String, key: Seq[String],
+                       changeCols: Seq[String],
+                       runTs: org.apache.spark.sql.Column,
+                       farFuture: org.apache.spark.sql.Column,
+                       checkpointDir: Option[String] = None,
+                       prep: Option[DataFrame => DataFrame] = None): Unit =
+    availableNowLedgered(updates, wh, layer, table, checkpointDir) {
+      (batch, bid, useLedger, ns) =>
+        scd2Batch(wh, layer, table, key, changeCols, runTs, farFuture,
+          batch, bid, useLedger = useLedger, ledgerNs = ns, prep = prep): Unit
+    }
 
   def streamToWarehouse(events: DataFrame, wh: graft.sources.Warehouse,
                         layer: String, table: String, keys: Seq[String]): Unit = {

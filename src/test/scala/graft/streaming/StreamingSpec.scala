@@ -228,6 +228,60 @@ class StreamingSpec extends SparkSpec {
     assert(wh.read("bl_3nf", "cs").count() == 3)
   }
 
+  test("streaming SCD2: checkpointed waves version exactly like batch scd2Merge; replay skips") {
+    import org.apache.spark.sql.types.TimestampNTZType
+    def ntz(s: String) = lit(s).cast(TimestampNTZType)
+    val far = ntz("9999-12-31 00:00:00")
+    val dir = java.nio.file.Files.createTempDirectory("graft-scd2-src")
+    val ck = java.nio.file.Files.createTempDirectory("graft-scd2-ck").toString
+    val whRoot = java.nio.file.Files.createTempDirectory("graft-scd2-wh").toString
+    val wh = new graft.sources.Warehouse(whRoot, spark)
+    def parts(rows: (Long, Double)*) = rows.toDF("p_partkey", "price")
+    val w1 = parts((1L, 10.0), (2L, 20.0))
+    val w2 = parts((1L, 10.0), (2L, 25.0), (3L, 30.0)) // unchanged + change + insert
+    val schema = w1.schema
+    def run(ts: String): Unit = EventPipelines.scd2AvailableNow(
+      spark.readStream.schema(schema).parquet(dir.toString),
+      wh, "bl_3nf", "ps", Seq("p_partkey"), Seq("price"),
+      ntz(ts), far, checkpointDir = Some(ck))
+    def drop(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory("graft-scd2-stage")
+      df.repartition(1).write.mode("overwrite").parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, dir.resolve(name))
+    }
+    drop(w1, "w1.parquet")
+    run("2024-06-01 00:00:00")
+    // wave 1 bootstraps: two first versions, both active
+    val t1 = wh.read("bl_3nf", "ps").localCheckpoint(true)
+    assert(t1.count() == 2 && t1.filter($"is_active" === "Y").count() == 2)
+    // wave 2 through the SAME checkpoint: landed history must equal
+    // the batch fold scd2Merge(fold1, w2)
+    drop(w2, "w2.parquet")
+    run("2024-07-01 00:00:00")
+    val got = wh.read("bl_3nf", "ps")
+    val batchFold = graft.operators.Scd.scd2Merge(
+      t1, w2, Seq("p_partkey"), Seq("price"), ntz("2024-07-01 00:00:00"), far)
+    assert(got.exceptAll(batchFold).isEmpty && batchFold.exceptAll(got).isEmpty)
+    // the changed key carries a CLOSED first version + an open second
+    val k2 = got.filter($"p_partkey" === 2L)
+      .select($"price", $"is_active", $"end_ts".cast("string"))
+      .as[(Double, String, String)].collect().toSet
+    assert(k2 == Set((20.0, "N", "2024-06-30 23:59:59"),
+      (25.0, "Y", "9999-12-31 00:00:00")))
+    // unchanged key: still one open version; insert: one open version
+    assert(got.filter($"p_partkey" === 1L).count() == 1)
+    assert(got.filter($"p_partkey" === 3L)
+      .select($"is_active").as[String].collect().toSeq == Seq("Y"))
+    // crash-replay of a committed batch id is a metadata-only skip
+    val ns = EventPipelines.ledgerNamespace(ck)
+    assert(!EventPipelines.scd2Batch(wh, "bl_3nf", "ps", Seq("p_partkey"),
+      Seq("price"), ntz("2024-09-01 00:00:00"), far,
+      parts((9L, 99.0)), batchId = 0, useLedger = true, ledgerNs = ns))
+    assert(wh.read("bl_3nf", "ps").count() == 4)
+  }
+
   test("batch ledger: a replayed batchId is a metadata-only skip, not a re-land") {
     val whRoot = java.nio.file.Files.createTempDirectory("graft-ledger-wh").toString
     val wh = new graft.sources.Warehouse(whRoot, spark)
