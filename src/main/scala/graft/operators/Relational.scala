@@ -229,4 +229,67 @@ object Relational {
       explode(sequence(lit(0), lit(salts - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** The skew AUDIT feeding [[adaptiveSaltedJoin]]: keys whose row
+    * count exceeds `factor`× the mean per-key count (n·k > factor·t —
+    * integer arithmetic, no division), i.e. the q172 hot-key detector
+    * as a reusable relation. Hot keys are BOUNDED by construction
+    * (fewer than k/factor keys can each exceed factor× the mean), so
+    * the result broadcasts safely at any corpus size.
+    */
+  def hotKeys(fact: DataFrame, key: String, factor: Int = 10): DataFrame = {
+    require(factor >= 1, s"factor=$factor must be >= 1")
+    val counts = fact.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+    val tot = counts.agg(sum(col("__n")).as("__t"), count(lit(1)).as("__k"))
+    counts.crossJoin(broadcast(tot))
+      .filter(col("__n") * col("__k") > col("__t") * factor)
+      .select(col(key))
+  }
+
+  /** [[saltedJoin]]'s fact side, salted ONLY where the audit flagged:
+    * rows of a hot key spread over `salts` buckets, cold rows keep
+    * salt 0 — so the cold (vast) majority of the build side is never
+    * replicated. Package-private so the spec can pin the fan-out
+    * contract directly.
+    */
+  private[graft] def saltFactByAudit(fact: DataFrame, key: String,
+                                     salts: Int, hot: DataFrame): DataFrame = {
+    val hotSet = broadcast(hot.select(col(key)).distinct()
+      .withColumn("__hot", lit(true)))
+    fact.join(hotSet, Seq(key), "left")
+      .withColumn("__salt", when(col("__hot").isNotNull,
+        pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
+        .otherwise(lit(0)))
+      .drop("__hot")
+  }
+
+  /** [[saltedJoin]]'s build side under the audit: a hot key's build
+    * row replicates `salts`×, every cold key exactly once (salt 0) —
+    * replication cost drops from salts·|build| to salts·|hot keys|.
+    */
+  private[graft] def replicateBuildByAudit(build: DataFrame, key: String,
+                                           salts: Int, hot: DataFrame): DataFrame = {
+    val hotSet = broadcast(hot.select(col(key)).distinct()
+      .withColumn("__hot", lit(true)))
+    build.join(hotSet, Seq(key), "left")
+      .withColumn("__salt", explode(when(col("__hot").isNotNull,
+        sequence(lit(0), lit(salts - 1))).otherwise(sequence(lit(0), lit(0)))))
+      .drop("__hot")
+  }
+
+  /** Audit-driven skew-salted inner equi-join: [[saltedJoin]] with the
+    * salt count CHOSEN PER KEY from a skew audit relation (`hot` —
+    * typically [[hotKeys]], the q172 detector) instead of salting
+    * everything. Flagged keys spread over `salts` buckets with the
+    * build side replicated per bucket; unflagged keys join plain
+    * (salt 0, one build row) — the fan-out only exists where the
+    * audit measured the skew that justifies it. Same result as the
+    * plain join, same straggler-killing property on the hot keys,
+    * at 1/|build-side replication| of the blanket-salting cost.
+    */
+  def adaptiveSaltedJoin(fact: DataFrame, build: DataFrame, key: String,
+                         salts: Int, hot: DataFrame): DataFrame =
+    saltFactByAudit(fact, key, salts, hot)
+      .join(replicateBuildByAudit(build, key, salts, hot), Seq(key, "__salt"))
+      .drop("__salt")
 }

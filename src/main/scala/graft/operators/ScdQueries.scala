@@ -312,6 +312,26 @@ object ScdQueries extends QueryPack {
           sum(col("qty")).cast(DoubleType).as("sum_qty"))
     }),
 
+    // q78 wired to the q172-style skew AUDIT: the salt count is chosen
+    // per key from the measured hot-key relation (>10×-mean), so only
+    // the one pathological key fans out and the 24 cold nation keys
+    // join plain — build replication cost is salts·|hot| instead of
+    // salts·|build|. Result must still equal the plain join (same
+    // oracle as q78); the fan-out contract is pinned by RelationalSpec.
+    "q214_audited_salted_join" -> ((s, d) => {
+      val fact = Tables.lineitem(s, d).select(
+        when(col("l_partkey") % 1000 < 700, 0L)
+          .otherwise(col("l_partkey").cast(LongType) % 25).as("nation_key"),
+        col("l_quantity").cast(DecimalType(18, 2)).as("qty"))
+      val dim = Tables.nation(s, d).select(
+        col("n_nationkey").cast(LongType).as("nation_key"), col("n_name"))
+      val audit = Relational.hotKeys(fact, "nation_key", factor = 10)
+      Relational.adaptiveSaltedJoin(fact, dim, "nation_key", salts = 16, audit)
+        .groupBy(col("nation_key"), col("n_name"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("qty")).cast(DoubleType).as("sum_qty"))
+    }),
+
     // Binned range join: orders falling inside per-nation campaign
     // windows — point-in-interval as an equi-join on time bins plus a
     // residual filter, instead of a nested-loop.
@@ -535,6 +555,17 @@ object ScdQueries extends QueryPack {
        SELECT li.p_partkey, li.ship_dt, li.sale_id, v.price
        FROM li ASOF LEFT JOIN versions v
          ON li.p_partkey = v.p_partkey AND li.ship_dt >= v.price_dt""",
+    // the audited variant must produce the identical plain-join result
+    "q214_audited_salted_join" ->
+      """SELECT nation_key, n_name, count(*) AS n_rows,
+              CAST(SUM(qty) AS DOUBLE) AS sum_qty
+         FROM (SELECT CASE WHEN l_partkey % 1000 < 700 THEN CAST(0 AS BIGINT)
+                           ELSE CAST(l_partkey % 25 AS BIGINT) END AS nation_key,
+                      CAST(l_quantity AS DECIMAL(18,2)) AS qty
+               FROM lineitem) f
+         JOIN (SELECT CAST(n_nationkey AS BIGINT) AS nation_key, n_name
+               FROM nation) n USING (nation_key)
+         GROUP BY 1, 2""",
     "q78_salted_join" ->
       """SELECT nation_key, n_name, count(*) AS n_rows,
               CAST(SUM(qty) AS DOUBLE) AS sum_qty

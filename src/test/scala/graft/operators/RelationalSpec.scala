@@ -330,4 +330,29 @@ class RelationalSpec extends SparkSpec {
       Relational.orderedPrefixSum(docs, Seq($"doc_id"), "n", "n")
     }
   }
+
+  test("adaptiveSaltedJoin: fan-out only for audit-flagged keys, result equals plain join") {
+    // key 0 holds 90 rows next to 30 single-row cold keys: mean = 4,
+    // 90 > 10×4 → only key 0 flags (with k keys a hot key needs
+    // n·k > factor·t, so the fixture needs enough cold keys for 10×
+    // mean to be reachable at all)
+    val fact = ((1 to 90).map(_ => 0L) ++ (1L to 30L))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "v")
+    val dim = (0L to 30L).map(k => (k, s"n$k")).toDF("k", "name")
+    val audit = Relational.hotKeys(fact, "k", factor = 10)
+    assert(audit.as[Long].collect().toSeq == Seq(0L)) // only the hot key flags
+    // build side: the flagged key replicates `salts`×, cold keys once
+    val repl = Relational.replicateBuildByAudit(dim, "k", salts = 4, audit)
+      .groupBy($"k").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(repl(0L) == 4L && (1L to 30L).forall(repl(_) == 1L))
+    // fact side: hot rows spread over >1 salt, every cold row stays 0
+    val salted = Relational.saltFactByAudit(fact, "k", salts = 4, audit)
+    assert(salted.filter($"k" === 0L).select($"__salt").distinct().count() > 1)
+    assert(salted.filter($"k" =!= 0L && $"__salt" =!= 0).count() == 0)
+    // end-to-end: identical to the unsalted join
+    val got = Relational.adaptiveSaltedJoin(fact, dim, "k", salts = 4, audit)
+    val plain = fact.join(dim, "k")
+    assert(got.exceptAll(plain).isEmpty && plain.exceptAll(got).isEmpty)
+  }
 }
