@@ -222,4 +222,74 @@ class CurationSpec extends SparkSpec {
     intercept[IllegalArgumentException](zValueN(Seq($"x"), 8))
     intercept[IllegalArgumentException](zValueN(Seq($"x", $"y", $"w"), 22))
   }
+
+  test("z-sorted layout PAYS: a 2-D box predicate reads fewer row groups and fewer rows than unsorted") {
+    // The claim q91/q125 make — "files written sorted by the z-key
+    // carry tight min/max on BOTH columns, so 2-D predicates prune" —
+    // measured: same rows, two physical layouts, one box predicate.
+    val n = 1 << 14
+    val pts = spark.range(n).select($"id",
+      pmod(xxhash64($"id"), lit(256)).cast("int").as("x"),
+      pmod(xxhash64($"id" + 1234567), lit(256)).cast("int").as("y"))
+      .withColumn("z", zValue($"x", $"y", 8))
+    val base = java.nio.file.Files.createTempDirectory("graft-zlay").toString
+    val zDir = s"$base/zsorted"; val uDir = s"$base/unsorted"
+    pts.repartitionByRange(16, $"z").sortWithinPartitions($"z")
+      .drop("z").write.parquet(zDir)
+    pts.repartition(16).drop("z").write.parquet(uDir)
+    val (xLo, xHi, yLo, yHi) = (10, 25, 40, 55) // a 16×16 box
+    // (a) STATS-LEVEL: count row groups whose parquet footer min/max
+    // box overlaps the predicate box — what any stats-pruning reader
+    // (Spark's parquet pushdown, a table format's file skipping) reads
+    def overlappingRowGroups(dir: String): (Int, Int) = {
+      import scala.jdk.CollectionConverters._
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      val conf = spark.sessionState.newHadoopConf()
+      val files = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).sortBy(_.getName)
+      var total = 0; var overlapping = 0
+      files.foreach { f =>
+        val rd = ParquetFileReader.open(HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getPath), conf))
+        try rd.getFooter.getBlocks.asScala.foreach { b =>
+          total += 1
+          val st = b.getColumns.asScala
+            .map(c => c.getPath.toDotString -> c.getStatistics).toMap
+          def rng(c: String) = (st(c).genericGetMin.asInstanceOf[Number].intValue,
+            st(c).genericGetMax.asInstanceOf[Number].intValue)
+          val (xmn, xmx) = rng("x"); val (ymn, ymx) = rng("y")
+          if (xmx >= xLo && xmn <= xHi && ymx >= yLo && ymn <= yHi)
+            overlapping += 1
+        } finally rd.close()
+      }
+      (overlapping, total)
+    }
+    val (zHit, zTotal) = overlappingRowGroups(zDir)
+    val (uHit, uTotal) = overlappingRowGroups(uDir)
+    assert(uHit == uTotal, "unsorted row groups all span the full range")
+    assert(zHit * 2 <= zTotal,
+      s"z-sorted layout should prune >= half the row groups, read $zHit/$zTotal")
+    // (b) RUNTIME: Spark's own pushed-down scan reads fewer rows off
+    // the z-sorted layout (scan numOutputRows = rows the parquet
+    // reader actually surfaced after row-group skipping)
+    def rowsRead(dir: String): (Long, Long) = {
+      val df = spark.read.parquet(dir)
+        .filter($"x".between(xLo, xHi) && $"y".between(yLo, yHi))
+      val matched = df.count()
+      df.collect()
+      val scan = df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head
+      assert(scan.metadata("PushedFilters").contains("GreaterThanOrEqual(x,"),
+        "box predicate must reach the parquet reader")
+      (matched, scan.metrics("numOutputRows").value)
+    }
+    val (zMatched, zRead) = rowsRead(zDir)
+    val (uMatched, uRead) = rowsRead(uDir)
+    assert(zMatched == uMatched) // layout never changes the answer
+    assert(uRead == n, "unsorted layout reads every row")
+    assert(zRead * 2 <= uRead,
+      s"z-sorted layout should read <= half the rows, read $zRead vs $uRead")
+  }
 }
