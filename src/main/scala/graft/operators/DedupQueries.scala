@@ -204,6 +204,23 @@ object DedupQueries extends QueryPack {
       Graph.pageRank(docs, "doc_id", und, rounds = 3)
     }),
 
+    // Seed-proximity curation ([[Graph.seedDistances]]): hop distance
+    // from the vetted slice (source = 'src0' — the same trusted set
+    // q83/q92 decontaminate against) through the verified LSH near-dup
+    // graph, capped at 4 hops. The TrustRank shape reduced to its
+    // integer-exact core: a curation pass keeps/weights documents by
+    // proximity to the seeds, and "absent" (unreachable) is itself the
+    // signal for isolated content. Rides the SAME cached pairs
+    // relation as q46/q68/q80 — the dedup index build is shared, the
+    // BFS adds one frontier-×-degree join per hop.
+    "q217_seed_distance" -> ((s, d) => {
+      val seeds = Tables.documents(s, d)
+        .filter(col("source") === "src0").select(col("doc_id"))
+      Graph.seedDistances(
+        nearDupPairs(s, d).select(col("id_1"), col("id_2")),
+        seeds, "doc_id", maxHops = 4)
+    }),
+
     // Vocabulary statistics: top-100 shingles by document frequency
     // with a deterministic tie-break — the df scan behind stopword
     // lists, hot-shingle caps (q58) and BPE vocab prep. Partial-agg
@@ -1013,6 +1030,25 @@ object DedupQueries extends QueryPack {
        SELECT cc.doc_id, cc.cluster_id, sz.cluster_size
        FROM cc JOIN (SELECT cluster_id, count(*) AS cluster_size
                      FROM cc GROUP BY 1) sz USING (cluster_id)""",
+    "q217_seed_distance" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         mh AS (SELECT doc_id, $minhashCols FROM sh GROUP BY doc_id),
+         bands AS ($bandUnion),
+         cand AS (SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         verified AS ($jaccardSelect),
+         pairs AS (SELECT c.id_1, c.id_2
+                   FROM cand c JOIN verified v ON c.id_1 = v.id_1 AND c.id_2 = v.id_2),
+         edges AS (SELECT id_1 AS src, id_2 AS dst FROM pairs
+                   UNION ALL SELECT id_2, id_1 FROM pairs),
+         walk(id, dist) AS (
+           SELECT doc_id, 0 FROM documents WHERE source = 'src0'
+           UNION
+           SELECT e.dst, w.dist + 1 FROM walk w JOIN edges e ON w.id = e.src
+           WHERE w.dist < 4)
+       SELECT id AS doc_id, CAST(min(dist) AS BIGINT) AS hops
+       FROM walk GROUP BY id""",
     "q158_cc_hash_to_min" ->
       """SELECT doc_id,
                 min(doc_id) OVER (PARTITION BY lang) AS cluster_id,

@@ -323,6 +323,37 @@ object EventsQueries extends QueryPack {
         .groupBy(col("cohort"),
           (datediff(col("wk"), col("cohort")) / 7).cast(IntegerType).as("week_no"))
         .agg(count(lit(1)).as("n_users"))
+    }),
+
+    // Streaming sessionization gate: q55's gap logic executed as
+    // STATEFUL Structured Streaming — [[graft.streaming.EventPipelines
+    // .sessionize]]'s flatMapGroupsWithState with event-time timeout —
+    // and hash-proved equal to the batch lag/running-sum fold. A
+    // far-future sentinel user (-1) rides in the same replay so the
+    // watermark advances past every real user's timeout and EVERY
+    // session flushes exactly once (without it, trailing sessions stay
+    // open and the stream emits only a subset — the StreamingSpec
+    // subset assert made deterministic and total). Scale shape: state
+    // is one (start, last, n) triple per live user, partitioned by the
+    // group key; the sentinel is one row, not a skew source.
+    "q215_stream_sessions" -> ((s, d) => {
+      import graft.streaming.EventPipelines
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-q215").toString
+      ev.unionByName(
+        ev.agg((max(col("ts")) + expr("INTERVAL 30 DAYS")).as("ts"))
+          .select(lit(-1L).as("user_id"), col("ts")))
+        .write.mode("overwrite").parquet(s"$dir/files")
+      val stream = s.readStream.schema(StructType(Seq(
+        StructField("user_id", LongType), StructField("ts", TimestampType))))
+        .parquet(s"$dir/files")
+      EventPipelines.runToMemory(
+        EventPipelines.sessionize(s, stream).toDF(), "q215_sessions")
+      s.table("q215_sessions")
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"), col("session_start_us"),
+          col("n_events").cast(LongType).as("n_events"),
+          col("duration_us"))
     })
   )
 
@@ -472,6 +503,21 @@ object EventsQueries extends QueryPack {
          SELECT v.user_id, t_view, t_click, t_purchase,
                 1 + (CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END)
                   + (CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS stage
-         FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)"""
+         FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""",
+    "q215_stream_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+         o AS (SELECT user_id, us,
+                 CASE WHEN lag(us) OVER w IS NULL
+                        OR us - lag(us) OVER w > 1800000000
+                      THEN 1 ELSE 0 END AS new_s
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+         s AS (SELECT user_id, us,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                   ROWS UNBOUNDED PRECEDING) AS sid
+               FROM o)
+         SELECT user_id, MIN(us) AS session_start_us,
+                count(*) AS n_events,
+                MAX(us) - MIN(us) AS duration_us
+         FROM s GROUP BY user_id, sid"""
   )
 }

@@ -73,4 +73,51 @@ object Graph {
         coalesce(col("deg"), lit(0L)).as("degree"),
         col("r").as("rank_q"))
   }
+
+  /** Bounded-hop BFS distance from a SEED SET over an undirected pair
+    * relation — the "distance to trusted documents" primitive of
+    * seed-based quality propagation (the TrustRank idea restricted to
+    * its exact integer core: hop count instead of damped mass). A
+    * curation pipeline seeds with a vetted corpus slice and keeps/
+    * weights documents by graph proximity to it.
+    *
+    * Level-synchronous BFS: each hop expands only the FRONTIER (nodes
+    * first reached last hop) through one equi-join on src, then
+    * anti-joins the settled set so every node is discovered exactly
+    * once, at its true shortest hop — the min-agg inside a hop settles
+    * ties when two frontier nodes reach the same neighbor. Per-hop
+    * cost is O(frontier × avg-degree) shuffled on the node id; the
+    * settled relation only ever appends. Lineage is cut per hop like
+    * [[pageRank]]; the early exit fires on an already-materialized
+    * frontier (localCheckpoint), so `isEmpty` costs no recompute.
+    *
+    * `pairs` rows are unordered edges (a, b); both directions are
+    * expanded. Seeds absent from the edge relation still appear at
+    * hops = 0. Returns (idCol, hops) for every node within `maxHops`
+    * of a seed — unreachable nodes are absent, not NULL.
+    */
+  def seedDistances(pairs: DataFrame, seeds: DataFrame, idCol: String,
+                    maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"seedDistances needs maxHops >= 0, got $maxHops")
+    val p = pairs.toDF("a", "b")
+    val e = p.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(p.select(col("b").as("src"), col("a").as("dst")))
+      .distinct().localCheckpoint(true)
+    var settled = seeds.select(col(idCol).as("id")).distinct()
+      .select(col("id"), lit(0L).as("hops")).localCheckpoint(true)
+    var frontier = settled
+    var h = 1L
+    while (h <= maxHops && !frontier.isEmpty) {
+      val next = frontier.select(col("id").as("src"))
+        .join(e, Seq("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(settled, Seq("id"), "left_anti")
+        .select(col("id"), lit(h).as("hops"))
+        .localCheckpoint(true)
+      settled = settled.unionByName(next).localCheckpoint(true)
+      frontier = next
+      h += 1
+    }
+    settled.select(col("id").as(idCol), col("hops"))
+  }
 }

@@ -1026,6 +1026,20 @@ object TextQueries extends QueryPack {
           expr("(coalesce(n_correct, 0) * 10000) div n_heldout").as("recall_bps"),
           coalesce(col("n_predicted"), lit(0L)).as("n_predicted"),
           expr("(n_pred_correct * 10000) div n_predicted").as("precision_bps"))
+    }),
+
+    // Exact φ=1/50 heavy-hitter tokens by the Misra–Gries two-pass
+    // protocol ([[Sketches.heavyHitters]]): pass 1 shuffles at most
+    // partitions × 50 candidate rows (NOT the vocabulary — the point
+    // at web scale, where `GROUP BY token` shuffles 10⁹⁺ keys to find
+    // the dozen that dominate), pass 2 recounts candidates exactly via
+    // a broadcast semi-join. Same answer as the full group-by — the
+    // sketch changes the plan, never the result — which is exactly
+    // what the oracle's HAVING form checks.
+    "q216_heavy_hitters" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+      Sketches.heavyHitters(toks, "tok", k = 50)
     })
   )
 
@@ -1795,7 +1809,14 @@ object TextQueries extends QueryPack {
          |       CAST((COALESCE(n_correct, 0) * 10000) // n_heldout AS BIGINT) AS recall_bps,
          |       COALESCE(n_predicted, 0) AS n_predicted,
          |       CAST((n_pred_correct * 10000) // n_predicted AS BIGINT) AS precision_bps
-         |FROM bt FULL OUTER JOIN bp USING (source)""".stripMargin
+         |FROM bt FULL OUTER JOIN bp USING (source)""".stripMargin,
+    "q216_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS item FROM documents),
+         |tot AS (SELECT count(*) AS n_total FROM t)
+         |SELECT item, count(*) AS n_occurrences,
+         |       (SELECT n_total FROM tot) AS n_total
+         |FROM t GROUP BY item
+         |HAVING count(*) * 50 > (SELECT n_total FROM tot)""".stripMargin
   )
 
   /** The q207 classifier pipeline as a shared oracle CTE chain — train
