@@ -476,7 +476,56 @@ object CurationQueries extends QueryPack {
           col("mean_len_c2") >= 430 && col("mean_len_c2") <= 480)
         .withColumn("pass",
           col("len_ok") && col("word_ok") && col("has_stopword"))
-        .drop("n_chars"))
+        .drop("n_chars")),
+
+    // CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): score
+    // every document under a language model trained ONLY on the trusted
+    // slice (source = 'src0' — the same vetted set q83/q92/q217 anchor
+    // on), then cut each language into head/middle/tail terciles by
+    // score. CCNet trains a 5-gram KenLM on Wikipedia; the integer-exact
+    // core here is the q177 add-one bigram model restricted to trusted
+    // counts, with unseen bigrams paying the full smoothing penalty
+    // (coalesce(c12,0), coalesce(c1,0)) — higher mean_ppm = more
+    // Wikipedia-like. Per-language ranks go through
+    // [[Relational.orderedRanks]] on the composite (lang, -score, id)
+    // key — one global range-partitioned sort, NO per-language
+    // single-partition window even when one language dominates the
+    // corpus (en at web scale); tercile membership is then integer
+    // arithmetic against per-language counts.
+    "q218_ccnet_buckets" -> ((s, d) => {
+      import graft.functions.TextFunctions.positionalShinglesOfTokens
+      val docs = Tables.documents(s, d)
+      val trusted = docs.filter(col("source") === "src0")
+      val tbi = trusted
+        .select(explode(positionalShinglesOfTokens(split(col("text"), " "), 2)).as("bigram"))
+      val bc = tbi.groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
+        .withColumn("w1", element_at(split(col("bigram"), " "), 1))
+      val ctx = bc.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+      val vocab = trusted.select(explode(split(col("text"), " ")).as("tok"))
+        .agg(count_distinct(col("tok")).as("v"))
+      val dbi = docs.select(col("doc_id"), col("lang"),
+          explode(positionalShinglesOfTokens(split(col("text"), " "), 2)).as("bigram"))
+        .withColumn("w1", element_at(split(col("bigram"), " "), 1))
+      val scored = dbi
+        .join(bc.select(col("bigram"), col("c12")), Seq("bigram"), "left")
+        .join(ctx, Seq("w1"), "left")
+        .crossJoin(broadcast(vocab))
+        .select(col("doc_id"), col("lang"),
+          expr("((coalesce(c12, 0) + 1) * 1000000) div (coalesce(c1, 0) + v)").as("p_ppm"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("nb"), sum(col("p_ppm")).as("sp"))
+        .select(col("doc_id"), col("lang"), expr("sp div nb").as("mean_ppm"))
+      val ranked = Relational.orderedRanks(scored,
+        Seq(col("lang").asc, col("mean_ppm").desc, col("doc_id").asc), "ord")
+      val perLang = ranked.groupBy(col("lang"))
+        .agg(min(col("ord")).as("ord0"), count(lit(1)).as("n"))
+      ranked.join(broadcast(perLang), Seq("lang"))
+        .withColumn("rk", col("ord") - col("ord0") + 1)
+        .select(col("doc_id"), col("lang"), col("mean_ppm"),
+          when(col("rk") * 3 <= col("n"), "head")
+            .when(col("rk") * 3 <= col("n") * 2, "middle")
+            .otherwise("tail").as("bucket"))
+    })
   )
 
   private val MixSalt = "mix1-"
@@ -835,6 +884,40 @@ object CurationQueries extends QueryPack {
          SELECT doc_id, source, n_tokens, has_stopword, mean_len_c2, len_ok,
            mean_len_c2 BETWEEN 430 AND 480 AS word_ok,
            len_ok AND (mean_len_c2 BETWEEN 430 AND 480) AND has_stopword AS pass
-         FROM r"""
+         FROM r""",
+    "q218_ccnet_buckets" ->
+      """WITH tts AS (SELECT string_split(text, ' ') AS ts FROM documents
+         |            WHERE source = 'src0'),
+         |tbi AS (SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+         |                 i -> ts[i] || ' ' || ts[i+1])) AS bigram FROM tts),
+         |bc AS (SELECT bigram, count(*) AS c12,
+         |         string_split(bigram, ' ')[1] AS w1 FROM tbi GROUP BY 1),
+         |ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bc GROUP BY 1),
+         |v AS (SELECT count(DISTINCT tok) AS v
+         |      FROM (SELECT unnest(string_split(text, ' ')) AS tok
+         |            FROM documents WHERE source = 'src0')),
+         |dts AS (SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents),
+         |dbi AS (SELECT doc_id, lang,
+         |          unnest(list_transform(generate_series(1, len(ts) - 1),
+         |            i -> ts[i] || ' ' || ts[i+1])) AS bigram FROM dts),
+         |sc AS (SELECT d.doc_id, d.lang,
+         |         ((COALESCE(bc.c12, 0) + 1) * 1000000)
+         |           // (COALESCE(ctx.c1, 0) + (SELECT v FROM v)) AS p_ppm
+         |       FROM dbi d
+         |       LEFT JOIN bc USING (bigram)
+         |       LEFT JOIN ctx ON ctx.w1 = string_split(d.bigram, ' ')[1]),
+         |doc AS (SELECT doc_id, lang,
+         |          CAST(CAST(sum(p_ppm) AS BIGINT) // count(*) AS BIGINT) AS mean_ppm
+         |        FROM sc GROUP BY 1, 2),
+         |r AS (SELECT doc_id, lang, mean_ppm,
+         |        row_number() OVER (PARTITION BY lang
+         |          ORDER BY mean_ppm DESC, doc_id) AS rk,
+         |        count(*) OVER (PARTITION BY lang) AS n
+         |      FROM doc)
+         |SELECT doc_id, lang, mean_ppm,
+         |       CASE WHEN rk * 3 <= n THEN 'head'
+         |            WHEN rk * 3 <= n * 2 THEN 'middle'
+         |            ELSE 'tail' END AS bucket
+         |FROM r""".stripMargin
   )
 }

@@ -16,6 +16,19 @@ object DedupQueries extends QueryPack {
   private val MAX_SHINGLE_DF = 25  // q58/q175: drop shingles hotter than this
   private val MIN_RUN_TOKENS = 8   // q175: shortest reportable shared run
 
+  // q219: every (bands, rows_per_band) factorization of the K-hash
+  // signature the auto-tuner scores
+  private val LSH_CONFIGS = Seq((8, 1), (4, 2), (2, 4), (1, 8))
+
+  /** x^e at fixed-point ppm scale with TRUNCATING division after every
+    * multiply — x·x div 1e6, then ·x div 1e6, … — emitted as an
+    * expression string so the identical arithmetic runs in Spark
+    * (`div`) and DuckDB (`//`). Integer ops are exact, so unlike libm
+    * pow the curve is bit-identical across engines.
+    */
+  private def powPpmExpr(v: String, e: Int, div: String): String =
+    (2 to e).foldLeft(v)((acc, _) => s"(($acc * $v) $div 1000000)")
+
   /** Verified near-dup pairs (id_1, id_2, jaccard), computed ONCE per
     * (session, corpus) and shared by q46 (publishes them), q68
     * (clusters them) and q80 (filters by them) — a dedup pass over one
@@ -219,6 +232,93 @@ object DedupQueries extends QueryPack {
       Graph.seedDistances(
         nearDupPairs(s, d).select(col("id_1"), col("id_2")),
         seeds, "doc_id", maxHops = 4)
+    }),
+
+    // LSH parameter auto-tune: for every (bands, rows_per_band)
+    // factorization of the K = 8 signature, integrate the S-curve
+    // collision probability p(s) = 1 − (1 − s^r)^b against the ideal
+    // step function at the pack's MIN_JACCARD threshold, and flag the
+    // config minimizing total area (false-positive mass below the
+    // threshold + false-negative mass above). q152 MEASURES the curves
+    // on the corpus; this is the a-priori calibration a pipeline runs
+    // BEFORE committing a banding — pure bounded arithmetic (4 configs
+    // × 21 grid points), no corpus scan at all. All powers are
+    // fixed-point ppm with truncating integer division at every
+    // multiply ([[powPpmExpr]]), so the curve is bit-identical on any
+    // engine — no libm pow.
+    "q219_lsh_autotune" -> ((s, d) => {
+      val grid = s.range(0, 21).select((col("id") * 50000L).as("s_ppm"))
+      val curves = LSH_CONFIGS.map { case (b, r) =>
+        val sr = powPpmExpr("s_ppm", r, "div")
+        val qb = powPpmExpr(s"(1000000 - $sr)", b, "div")
+        grid.select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          col("s_ppm"), expr(s"1000000 - $qb").as("p_ppm"))
+      }.reduce(_ unionByName _)
+      val thr = (MIN_JACCARD * 1000000).toLong
+      val err = curves
+        .withColumn("ideal",
+          when(col("s_ppm") >= thr, lit(1000000L)).otherwise(lit(0L)))
+        .groupBy(col("bands"), col("rows_per_band"))
+        .agg(sum(abs(col("p_ppm") - col("ideal"))).as("err_sum"))
+      val best = err.agg(min(struct(col("err_sum"), col("bands"))).as("m"))
+      err.crossJoin(broadcast(best))
+        .select(col("bands"), col("rows_per_band"), col("err_sum"),
+          (col("err_sum") === col("m.err_sum") &&
+            col("bands") === col("m.bands")).as("chosen"))
+    }),
+
+    // INCREMENTAL connected-components maintenance — the index-update
+    // path a daily-ingest dedup tier actually runs. The corpus splits
+    // by the q144 arrival hash (bucket < 9 "indexed", else "new"); the
+    // indexed side carries a PRE-EXISTING assignment (CC over
+    // indexed-internal pairs), and the arrival folds in WITHOUT
+    // re-touching indexed×indexed pairs: new×indexed edges route
+    // through the cross-corpus index probe, new×new pairs through LSH
+    // over the arrivals only, existing components CONTRACT to their
+    // label (connectivity-preserving), and CC runs on the contracted
+    // graph — O(components touched + arrivals), not O(corpus). The
+    // oracle is the FULL-corpus recompute (q68's recursive-CTE CC,
+    // verbatim): the gate hash-proves incremental ≡ batch, which holds
+    // because minhash signatures and band keys are per-document — the
+    // LSH pair relation decomposes exactly into indexed×indexed ∪
+    // indexed×new ∪ new×new.
+    "q220_incremental_cc" -> ((s, d) => {
+      import graft.functions.TextFunctions.hexNibble
+      val docs = Tables.documents(s, d)
+      val h = md5(col("doc_id").cast("string"))
+      val bucket = (hexNibble(substring(h, 1, 1)) * 16 +
+        hexNibble(substring(h, 2, 1))) % 10
+      val tagged = docs.withColumn("side",
+        when(bucket < 9, "indexed").otherwise("new"))
+      val indexed = tagged.filter(col("side") === "indexed")
+      val arrivals = tagged.filter(col("side") === "new")
+      val idxPairs = Dedup.minhashLshNearDups(indexed, "text", "doc_id",
+        ngram = 3, k = K, bands = BANDS, minJaccard = MIN_JACCARD)
+        .select(col("id_1"), col("id_2"))
+      val assign = Dedup.connectedComponents(idxPairs,
+        indexed.select(col("doc_id")), "doc_id")
+        .select(col("doc_id"), col("cluster_id")).localCheckpoint(true)
+      val cross = Dedup.crossCorpusNearDups(tagged, "text", "doc_id",
+        "side", "indexed", "new", ngram = 3, k = K, bands = BANDS,
+        minJaccard = MIN_JACCARD)
+      val newPairs = Dedup.minhashLshNearDups(arrivals, "text", "doc_id",
+        ngram = 3, k = K, bands = BANDS, minJaccard = MIN_JACCARD)
+      val cEdges = cross
+        .join(assign.withColumnRenamed("doc_id", "indexed_id"), Seq("indexed_id"))
+        .select(col("cluster_id").as("src"), col("new_id").as("dst"))
+        .unionByName(newPairs.select(col("id_1").as("src"), col("id_2").as("dst")))
+      val cNodes = assign.select(col("cluster_id").as("id")).distinct()
+        .unionByName(arrivals.select(col("doc_id").as("id")))
+      val merged = Dedup.connectedComponents(cEdges, cNodes, "id")
+        .select(col("id"), col("cluster_id").as("merged_id"))
+      val finalAssign = assign.select(col("doc_id"), col("cluster_id").as("id"))
+        .unionByName(arrivals.select(col("doc_id"), col("doc_id").as("id")))
+        .join(merged, Seq("id"))
+        .select(col("doc_id"), col("merged_id").as("cluster_id"))
+      val sizes = finalAssign.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+      finalAssign.join(sizes, Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
     }),
 
     // Vocabulary statistics: top-100 shingles by document frequency
@@ -643,6 +743,30 @@ object DedupQueries extends QueryPack {
 
   private val bandUnion = bandUnionFor(BANDS)
 
+  /** Full-corpus LSH→verify→CC recompute — q68's oracle, and by design
+    * q220's too (incremental maintenance must reproduce it exactly).
+    */
+  private lazy val ccFullRecomputeSql =
+    s"""WITH RECURSIVE $shinglesCte,
+       mh AS (SELECT doc_id, $minhashCols FROM sh GROUP BY doc_id),
+       bands AS ($bandUnion),
+       cand AS (SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       verified AS ($jaccardSelect),
+       pairs AS (SELECT c.id_1, c.id_2
+                 FROM cand c JOIN verified v ON c.id_1 = v.id_1 AND c.id_2 = v.id_2),
+       edges AS (SELECT id_1 AS src, id_2 AS dst FROM pairs
+                 UNION ALL SELECT id_2, id_1 FROM pairs),
+       walk(id, comp) AS (
+         SELECT doc_id, doc_id FROM documents
+         UNION
+         SELECT e.dst, w.comp FROM walk w JOIN edges e ON w.id = e.src),
+       cc AS (SELECT id AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY id)
+     SELECT cc.doc_id, cc.cluster_id, sz.cluster_size
+     FROM cc JOIN (SELECT cluster_id, count(*) AS cluster_size
+                   FROM cc GROUP BY 1) sz USING (cluster_id)"""
+
   /** SimHash bit-sum columns s0..s15 from md5 nibbles of each token. */
   private val simhashSums = (0 until 16).map { j =>
     s"SUM(((strpos('123456789abcdef', substr(md5(tok), ${j / 4 + 1}, 1)) >> ${j % 4}) & 1) * 2 - 1) AS s$j"
@@ -1010,26 +1134,33 @@ object DedupQueries extends QueryPack {
          JOIN sizes s1 ON s1.doc_id = i.lid
          JOIN sizes s2 ON s2.doc_id = i.rid)
        WHERE jaccard >= $MIN_JACCARD""",
-    "q68_dedup_clusters" ->
-      s"""WITH RECURSIVE $shinglesCte,
-         mh AS (SELECT doc_id, $minhashCols FROM sh GROUP BY doc_id),
-         bands AS ($bandUnion),
-         cand AS (SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
-                  FROM bands a JOIN bands b
-                    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-         verified AS ($jaccardSelect),
-         pairs AS (SELECT c.id_1, c.id_2
-                   FROM cand c JOIN verified v ON c.id_1 = v.id_1 AND c.id_2 = v.id_2),
-         edges AS (SELECT id_1 AS src, id_2 AS dst FROM pairs
-                   UNION ALL SELECT id_2, id_1 FROM pairs),
-         walk(id, comp) AS (
-           SELECT doc_id, doc_id FROM documents
-           UNION
-           SELECT e.dst, w.comp FROM walk w JOIN edges e ON w.id = e.src),
-         cc AS (SELECT id AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY id)
-       SELECT cc.doc_id, cc.cluster_id, sz.cluster_size
-       FROM cc JOIN (SELECT cluster_id, count(*) AS cluster_size
-                     FROM cc GROUP BY 1) sz USING (cluster_id)""",
+    "q68_dedup_clusters" -> ccFullRecomputeSql,
+    // q220's gate IS the equality proof: the incremental maintenance
+    // path must hash-match the full-corpus CC recompute, so its oracle
+    // is q68's verbatim.
+    "q220_incremental_cc" -> ccFullRecomputeSql,
+    "q219_lsh_autotune" -> {
+      val thr = (MIN_JACCARD * 1000000).toLong
+      val curveUnion = LSH_CONFIGS.map { case (b, r) =>
+        val sr = powPpmExpr("s_ppm", r, "//")
+        val qb = powPpmExpr(s"(1000000 - $sr)", b, "//")
+        s"""SELECT $b AS bands, $r AS rows_per_band, s_ppm,
+           |       1000000 - $qb AS p_ppm FROM grid""".stripMargin
+      }.mkString("\n UNION ALL\n")
+      s"""WITH grid AS (SELECT unnest(generate_series(0, 20)) * 50000 AS s_ppm),
+         |c AS ($curveUnion),
+         |e AS (SELECT bands, rows_per_band,
+         |        CAST(sum(abs(p_ppm - CASE WHEN s_ppm >= $thr
+         |                                  THEN 1000000 ELSE 0 END)) AS BIGINT)
+         |          AS err_sum
+         |      FROM c GROUP BY 1, 2),
+         |m AS (SELECT min(err_sum) AS me FROM e),
+         |mb AS (SELECT min(bands) AS mbnd FROM e WHERE err_sum = (SELECT me FROM m))
+         |SELECT bands, rows_per_band, err_sum,
+         |       (err_sum = (SELECT me FROM m)
+         |        AND bands = (SELECT mbnd FROM mb)) AS chosen
+         |FROM e""".stripMargin
+    },
     "q217_seed_distance" ->
       s"""WITH RECURSIVE $shinglesCte,
          mh AS (SELECT doc_id, $minhashCols FROM sh GROUP BY doc_id),

@@ -22,6 +22,28 @@ class GraphSpec extends SparkSpec {
       (4L, 0L, 37500000000L)))
   }
 
+  // Path 1—2—3—4, separate edge 5—6, isolated seed 7. Seeds {1, 5, 7},
+  // maxHops = 2: node 4 is 3 hops out → absent; 7 has no edges → (7, 0).
+  test("seedDistances: hand-computed BFS levels, hop cap, edgeless seed") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("a", "b")
+    val seeds = Seq(1L, 5L, 7L).toDF("doc_id")
+    val got = Graph.seedDistances(pairs, seeds, "doc_id", maxHops = 2)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 0L), (2L, 1L), (3L, 2L),
+      (5L, 0L), (6L, 1L), (7L, 0L)))
+  }
+
+  // Triangle 1—2—3 with seed 1: node 3 must settle at its SHORTEST hop
+  // (1, direct edge), not the 2-hop path through 2 — the anti-join
+  // settles each node the first level it appears.
+  test("seedDistances: settles at the shortest hop, not a longer path") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    val seeds = Seq(1L).toDF("doc_id")
+    val got = Graph.seedDistances(pairs, seeds, "doc_id", maxHops = 4)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 0L), (2L, 1L), (3L, 1L)))
+  }
+
   test("pageRank: isolated node sits at the teleport fixpoint; ranks stay positive") {
     val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
     val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")

@@ -10,6 +10,40 @@ import graft.SparkSpec
 class SketchSpec extends SparkSpec {
   import spark.implicits._
 
+  // Misra–Gries single-partition guarantee: an item with frequency
+  // > n/k SURVIVES the summary. Stream: 100×a + 50×b + 60 singletons
+  // (n = 210, k = 5 → threshold 42): a and b must survive even though
+  // the 60 distinct singletons force repeated decrement-all rounds.
+  test("Misra-Gries partition summary keeps every item above n/k") {
+    val stream = Seq.fill(100)("a") ++ Seq.fill(50)("b") ++
+      (1 to 60).map(i => s"x$i")
+    val kept = Sketches.mgPartition(stream.iterator, k = 5).toMap
+    assert(kept.contains("a") && kept.contains("b"))
+    assert(kept.size <= 5)
+    // counters are underestimates, never overestimates
+    assert(kept("a") <= 100 && kept("b") <= 50)
+  }
+
+  // Two-pass protocol end-to-end: heavyHitters over a multi-partition
+  // token relation is BIT-IDENTICAL to the exact GROUP BY + HAVING —
+  // the sketch bounds the shuffle, the answer never changes. k = 40 on
+  // the corpus tokens forces real decrement churn per partition while
+  // the top tokens (~3.5% mass each) still clear the 1/40 bar.
+  test("heavyHitters equals the exact group-by across partitions") {
+    import org.apache.spark.sql.functions._
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .select(explode(split($"text", " ")).as("tok"))
+      .repartition(7)
+    val got = Sketches.heavyHitters(toks, "tok", k = 40)
+      .as[(String, Long, Long)].collect().toSet
+    val n = toks.count()
+    val exact = toks.groupBy($"tok").agg(count(lit(1)).as("c"))
+      .filter($"c" * 40 > n)
+      .select($"tok", $"c", lit(n)).as[(String, Long, Long)].collect().toSet
+    assert(got == exact)
+    assert(got.nonEmpty)
+  }
+
   test("CMS error is one-sided: estimate >= exact for every audited token") {
     val rows = TextQueries.queries("q182_cms_calibration")(spark, sf)
       .select($"exact", $"cms_estimate").as[(Long, Long)].collect()
