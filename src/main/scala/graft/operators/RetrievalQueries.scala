@@ -34,7 +34,79 @@ object RetrievalQueries extends QueryPack {
   private val RRF_K = 60 // the canonical RRF smoothing constant
   private val RRF_R = 50 // per-leg candidate-list depth for fusion
 
+  // q222: feedback depth, expansion width, and the RM3 interpolation λ
+  // (original query mass 0.6, split uniformly over |TERMS|; expansion
+  // mass 0.4, split by relative term weight)
+  private val RM3_FDOCS = 10
+  private val RM3_EXP = 3
+  private val RM3_ORIG_W = 200000L // 600000 div |TERMS|
+
+  /** Integer fixed-point BM25 contribution for a (tf, df, len) triple
+    * against corpus stats (n, sumlen), emitted as an expression string
+    * shared verbatim by Spark (`div`) and DuckDB (`//`): idf as the
+    * exact rational ((2n−2df+1)·1e6) div (2df+1) — the argument of the
+    * classic ln-idf, monotone-equal for ranking — and saturation
+    * (tf·(k1+1)·1e12) div (tf·1e6 + 1.2·bnorm_ppm) with
+    * bnorm_ppm = 0.25e6 + (0.75e6·len·n) div sumlen. Truncating
+    * integer division throughout, so scores are engine-exact and sums
+    * over terms are order-free (the double-BM25 q98 keeps a FIXED
+    * association order instead; a data-dependent term set can't).
+    */
+  private def bm25IntExpr(div: String): String = {
+    val bnorm = s"(250000 + (750000 * len * n) $div sumlen)"
+    val sat = s"((tf * 2200000000000) $div (tf * 1000000 + (12 * $bnorm) $div 10))"
+    val idf = s"(((2 * n - 2 * df + 1) * 1000000) $div (2 * df + 1))"
+    s"((((w * $idf) $div 1000000) * $sat) $div 1000000)"
+  }
+
   val queries: Map[String, Q] = Map(
+    // RM3 pseudo-relevance feedback (Lavrenko & Croft's relevance
+    // model, the Anserini/Lucene default expansion): rank with the
+    // fixed query, take the top-10 as the feedback set, pick the 3
+    // heaviest non-query terms by per-doc ppm mass, interpolate
+    // (λ=0.6) into an expanded weighted query, re-rank, top-20. Every
+    // stage is relational — term weights and dfs are computed by
+    // joins, never collected — and every score is integer fixed-point
+    // ([[bm25IntExpr]]), so the data-dependent expansion still hashes
+    // identically. Shape at 100 TB: two scans of the token relation
+    // (one per pass), each a query-term semi-join (tiny broadcast) +
+    // partial aggs; the feedback/expansion relations are 10- and
+    // 3-row broadcasts.
+    "q222_rm3_expansion" -> ((s, d) => {
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val lens = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+      val st = lens.agg(count(lit(1)).as("n"), sum(col("len")).as("sumlen"))
+      val q1 = TERMS.toDF("tok")
+      def scorePass(q: org.apache.spark.sql.DataFrame) = {
+        val tf = toks.join(broadcast(q), Seq("tok"))
+          .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        tf.join(broadcast(df.join(q, Seq("tok"))), Seq("tok"))
+          .join(lens, Seq("doc_id"))
+          .crossJoin(broadcast(st))
+          .withColumn("c", expr(bm25IntExpr("div")))
+          .groupBy(col("doc_id")).agg(sum(col("c")).as("score_q"))
+      }
+      val fb = scorePass(q1.withColumn("w", lit(1000000L)))
+        .orderBy(col("score_q").desc, col("doc_id")).limit(RM3_FDOCS)
+        .select(col("doc_id"))
+      val cand = toks.join(broadcast(fb), Seq("doc_id"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+        .join(lens, Seq("doc_id"))
+        .select(col("tok"), expr("(cnt * 1000000) div len").as("m"))
+        .groupBy(col("tok")).agg(sum(col("m")).as("w_raw"))
+        .join(q1, Seq("tok"), "left_anti")
+        .orderBy(col("w_raw").desc, col("tok")).limit(RM3_EXP)
+      val sw = cand.agg(sum(col("w_raw")).as("sum_w"))
+      val q2 = q1.withColumn("w", lit(RM3_ORIG_W)).unionByName(
+        cand.crossJoin(broadcast(sw))
+          .select(col("tok"), expr("(400000 * w_raw) div sum_w").as("w")))
+      scorePass(q2)
+        .orderBy(col("score_q").desc, col("doc_id")).limit(TOPK)
+    }),
+
     // BM25 top-20 documents for a fixed 3-term query. Shape at 100 TB:
     // one scan computes per-doc (len, tf...) map-side; the corpus
     // stats (N, Σlen, df per term) partial-aggregate to ONE row that
@@ -217,6 +289,44 @@ object RetrievalQueries extends QueryPack {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q222_rm3_expansion" -> {
+      val termList = TERMS.map(t => s"'$t'").mkString("[", ",", "]")
+      val c = bm25IntExpr("//")
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |              FROM documents),
+         |lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM toks GROUP BY 1),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |              CAST(sum(len) AS BIGINT) AS sumlen FROM lens),
+         |q1 AS (SELECT unnest($termList) AS tok),
+         |tf1 AS (SELECT t.doc_id, t.tok, CAST(count(*) AS BIGINT) AS tf
+         |        FROM toks t JOIN q1 USING (tok) GROUP BY 1, 2),
+         |df1 AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf1 GROUP BY 1),
+         |sc1 AS (SELECT f.doc_id, CAST(sum($c) AS BIGINT) AS score_q
+         |        FROM (SELECT *, 1000000 AS w FROM tf1) f
+         |        JOIN df1 USING (tok) JOIN lens USING (doc_id) CROSS JOIN st
+         |        GROUP BY 1),
+         |fb AS (SELECT doc_id FROM sc1 ORDER BY score_q DESC, doc_id LIMIT $RM3_FDOCS),
+         |cm AS (SELECT t.doc_id, t.tok, CAST(count(*) AS BIGINT) AS cnt
+         |       FROM toks t JOIN fb USING (doc_id) GROUP BY 1, 2),
+         |cand AS (SELECT tok, CAST(sum((cnt * 1000000) // len) AS BIGINT) AS w_raw
+         |         FROM cm JOIN lens USING (doc_id)
+         |         WHERE tok NOT IN (SELECT tok FROM q1)
+         |         GROUP BY 1
+         |         ORDER BY w_raw DESC, tok LIMIT $RM3_EXP),
+         |sw AS (SELECT CAST(sum(w_raw) AS BIGINT) AS sum_w FROM cand),
+         |q2 AS (SELECT tok, $RM3_ORIG_W AS w FROM q1
+         |       UNION ALL
+         |       SELECT tok, (400000 * w_raw) // (SELECT sum_w FROM sw) FROM cand),
+         |tf2 AS (SELECT t.doc_id, t.tok, CAST(count(*) AS BIGINT) AS tf
+         |        FROM toks t JOIN (SELECT tok FROM q2) q USING (tok) GROUP BY 1, 2),
+         |df2 AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf2 GROUP BY 1),
+         |sc2 AS (SELECT f.doc_id, CAST(sum($c) AS BIGINT) AS score_q
+         |        FROM tf2 f JOIN df2 USING (tok) JOIN q2 USING (tok)
+         |        JOIN lens USING (doc_id) CROSS JOIN st
+         |        GROUP BY 1)
+         |SELECT doc_id, score_q FROM sc2
+         |ORDER BY score_q DESC, doc_id LIMIT $TOPK""".stripMargin
+    },
     "q98_bm25" -> {
       val tfCols = TERMS.map(t =>
         s"CAST(len(list_filter(toks, x -> x = '$t')) AS INT) AS tf_$t").mkString(",\n           ")

@@ -195,6 +195,34 @@ object WarehouseQueries extends QueryPack {
           regexp_replace(trim(col("bal_str")), "[$,]", "")
             .cast(DecimalType(9, 2)).cast(DoubleType).as("amount"),
           to_date(col("joined_str"), "MM/dd/yyyy").as("joined_dt"))
+    }),
+
+    // ORC interchange roundtrip — the third exchange format next to
+    // q113 (CSV) and q203 (JSONL): the fact slice is written as ORC
+    // partitioned by return flag (predicate-pruned scans on read-back,
+    // same layout contract as the warehouse's month partitioning),
+    // read back through the ORC reader, and aggregated; the oracle
+    // computes the same aggregates straight from parquet, so the green
+    // hash proves the format hop is lossless — exact longs, exact cent
+    // arithmetic via the decimal cast, timestamps surviving the
+    // writer/reader pair. The partition column comes back as the
+    // read-back string type and is re-selected explicitly (the q113
+    // lesson about partition-column type inference).
+    "q221_orc_roundtrip" -> ((s, d) => {
+      val dir = graft.plans.EtlQueries.tmpWarehouse() + "/fact_orc"
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"), col("l_shipdate"))
+        .write.mode("overwrite").partitionBy("l_returnflag").orc(dir)
+      s.read.orc(dir)
+        .groupBy(col("l_returnflag").cast(StringType).as("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType)
+            .as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DoubleType)
+            .as("sum_price"),
+          sum(col("l_orderkey")).as("sum_keys"),
+          max(col("l_shipdate")).as("max_ship"))
     })
   )
 
@@ -209,6 +237,13 @@ object WarehouseQueries extends QueryPack {
               + c_custkey % 100 AS DOUBLE) / 100 AS amount,
          DATE '1992-01-01' + CAST(c_custkey % 2000 AS INT) AS joined_dt
          FROM customer""",
+    "q221_orc_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           CAST(SUM(l_orderkey) AS BIGINT) AS sum_keys,
+           MAX(l_shipdate) AS max_ship
+         FROM lineitem GROUP BY 1""",
     "q110_profile" ->
       """WITH up AS (
            SELECT 'o_orderstatus' AS col_name, o_orderstatus AS val FROM orders
