@@ -1040,6 +1040,22 @@ object TextQueries extends QueryPack {
       val toks = Tables.documents(s, d)
         .select(explode(split(col("text"), " ")).as("tok"))
       Sketches.heavyHitters(toks, "tok", k = 50)
+    }),
+
+    // Language-ID evaluation matrix: q42's stopword classifier scored
+    // against the corpus's lang labels — the same audit-the-classifier
+    // discipline as q208, pointed at the oldest heuristic in the pack.
+    // One |langs|²-bounded confusion matrix with per-cell share of the
+    // true class in basis points; a curation run reads the diagonal
+    // before trusting langid routing (q169/q178 partition on it).
+    // Rides q42's projection unchanged, adds two bounded aggs.
+    "q224_langid_eval" -> ((s, d) => {
+      val cells = queries("q42_langid")(s, d)
+        .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n_docs"))
+      val tot = cells.groupBy(col("lang")).agg(sum(col("n_docs")).as("n_true"))
+      cells.join(broadcast(tot), Seq("lang"))
+        .select(col("lang"), col("pred_lang"), col("n_docs"),
+          expr("(n_docs * 10000) div n_true").as("cell_bps"))
     })
   )
 
@@ -1816,7 +1832,22 @@ object TextQueries extends QueryPack {
          |SELECT item, count(*) AS n_occurrences,
          |       (SELECT n_total FROM tot) AS n_total
          |FROM t GROUP BY item
-         |HAVING count(*) * 50 > (SELECT n_total FROM tot)""".stripMargin
+         |HAVING count(*) * 50 > (SELECT n_total FROM tot)""".stripMargin,
+    "q224_langid_eval" ->
+      s"""WITH p AS (SELECT lang,
+         |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |       WHEN s_es >= s_fr THEN 'es'
+         |       ELSE 'fr' END AS pred_lang
+         |  FROM (SELECT lang,
+         |          ${stopHitsSql(EN)} AS s_en, ${stopHitsSql(DE)} AS s_de,
+         |          ${stopHitsSql(ES)} AS s_es, ${stopHitsSql(FR)} AS s_fr
+         |        FROM documents)),
+         |c AS (SELECT lang, pred_lang, count(*) AS n_docs FROM p GROUP BY 1, 2),
+         |t AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS n_true FROM c GROUP BY 1)
+         |SELECT lang, pred_lang, n_docs,
+         |       CAST((n_docs * 10000) // n_true AS BIGINT) AS cell_bps
+         |FROM c JOIN t USING (lang)""".stripMargin
   )
 
   /** The q207 classifier pipeline as a shared oracle CTE chain — train

@@ -223,6 +223,33 @@ object WarehouseQueries extends QueryPack {
             .as("sum_price"),
           sum(col("l_orderkey")).as("sum_keys"),
           max(col("l_shipdate")).as("max_ship"))
+    }),
+
+    // Schema-evolution merge READ — S4's on-read half: batch 1 lands
+    // orders with the v1 schema, batch 2 with an added column, and one
+    // `mergeSchema` scan reads both vintages as the union schema with
+    // NULLs where the old files have no column — the additive-evolution
+    // contract (`Warehouse.evolveAdditively`) proven at the file-format
+    // layer, no rewrite of batch 1. At 100 TB this is how a year of
+    // schema drift stays one table: footer-merged schema, partition
+    // pruning intact (the batch partition column arrives type-inferred,
+    // cast explicitly — the q113 lesson).
+    "q223_schema_merge" -> ((s, d) => {
+      val dir = graft.plans.EtlQueries.tmpWarehouse() + "/orders_evo"
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$dir/batch=1")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+        .write.mode("overwrite").parquet(s"$dir/batch=2")
+      s.read.option("mergeSchema", "true").parquet(dir)
+        .groupBy(col("batch").cast(IntegerType).as("batch"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType)
+            .as("sum_price"),
+          count(col("o_orderstatus")).as("n_with_status"))
     })
   )
 
@@ -244,6 +271,13 @@ object WarehouseQueries extends QueryPack {
            CAST(SUM(l_orderkey) AS BIGINT) AS sum_keys,
            MAX(l_shipdate) AS max_ship
          FROM lineitem GROUP BY 1""",
+    "q223_schema_merge" ->
+      """SELECT CAST(1 + (o_orderkey % 2) AS INT) AS batch,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           CAST(count(CASE WHEN o_orderkey % 2 = 1
+                           THEN o_orderstatus END) AS BIGINT) AS n_with_status
+         FROM orders GROUP BY 1""",
     "q110_profile" ->
       """WITH up AS (
            SELECT 'o_orderstatus' AS col_name, o_orderstatus AS val FROM orders
