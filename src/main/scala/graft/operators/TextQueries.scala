@@ -25,6 +25,14 @@ object TextQueries extends QueryPack {
   private val MIN_PAIR = 3  // q138: min bigram count for a lift estimate
   private val BpeArtifactMerges = 8  // q160: merges past the base vocab
 
+  // q225: Viterbi segmentation bounds — words longer than SEG_MAXLEN
+  // are excluded (deterministically, oracle does the same), pieces cap
+  // at SEG_MAXPIECE chars, and SEG_SCALE encodes the lexicographic
+  // (piece count, −freq mass) objective in one long
+  private val SEG_MAXLEN = 16
+  private val SEG_MAXPIECE = 4
+  private val SEG_SCALE = 1000000000000L
+
   /** The trained BPE merge-table artifact, trained ONCE per (session,
     * corpus) and shared by q160 (publishes it), q163 (applies it) and
     * q180 (audits fertility with it) — one tokenizer training run
@@ -1056,6 +1064,77 @@ object TextQueries extends QueryPack {
       cells.join(broadcast(tot), Seq("lang"))
         .select(col("lang"), col("pred_lang"), col("n_docs"),
           expr("(n_docs * 10000) div n_true").as("cell_bps"))
+    }),
+
+    // Unigram-LM-objective Viterbi segmentation cost — the
+    // WordPiece/SentencePiece family's OTHER tokenizer next to BPE
+    // (q146/q160): build a frequency-thresholded piece inventory
+    // (all chars + substrings ≤ 4 chars carrying ≥ 1% of token mass),
+    // then compute, per vocabulary word, the OPTIMAL segmentation cost
+    // under the lexicographic objective (fewest pieces, then maximum
+    // total piece frequency) — encoded as one integer
+    // v = Σ_pieces (SEG_SCALE − freq) so the DP minimum is unique and
+    // hash-stable even when several segmentations tie on piece count
+    // (the argmin path may tie; the min value cannot). The DP is
+    // RELATIONAL: a (word, end-pos, piece-len, freq) lattice built by
+    // two explodes + one inventory join, then one bounded
+    // min-aggregation step per position (≤ SEG_MAXLEN = 16 rounds,
+    // each a vocab-bounded shuffle — never a per-word UDF). Per-word
+    // output: exact piece count and frequency mass of the optimal
+    // segmentation; n_pieces IS the word's fertility under this
+    // inventory. Scale shape: everything is keyed by the vocabulary
+    // word (10⁷ rows at web scale, not the 10¹³-token corpus); the
+    // corpus is scanned once for counts. Guard: SEG_SCALE must
+    // dominate every piece frequency or the lexicographic encoding
+    // breaks — asserted on the materialized inventory.
+    "q225_unigram_fertility" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+      val words = toks.groupBy(col("word")).agg(count(lit(1)).as("c"))
+        .filter(length(col("word")).between(1, SEG_MAXLEN))
+        .localCheckpoint(true)
+      val tot = toks.agg(count(lit(1)).as("t"))
+      // occurrence lattice: one row per (word, start i, piece length k)
+      val pos = words
+        .select(col("word"), col("c"),
+          explode(expr("sequence(1, length(word))")).as("i"))
+        .select(col("word"), col("c"), col("i"),
+          explode(expr(s"sequence(1, $SEG_MAXPIECE)")).as("k"))
+        .filter(col("i") + col("k") - 1 <= length(col("word")))
+        .withColumn("piece", expr("substring(word, i, k)"))
+      val inv = pos.groupBy(col("piece")).agg(sum(col("c")).as("f"))
+        .crossJoin(broadcast(tot))
+        .filter(length(col("piece")) === 1 || col("f") * 100 >= col("t"))
+        .select(col("piece"), col("f")).localCheckpoint(true)
+      // bounded scalar guard on the lexicographic encoding: the total
+      // frequency mass of ANY segmentation (≤ SEG_MAXLEN pieces) must
+      // stay under one SCALE step, or fewer-pieces no longer dominates
+      val maxF = inv.agg(max(col("f"))).head().getLong(0)
+      require(maxF * SEG_MAXLEN < SEG_SCALE,
+        s"unigram fertility: piece frequency $maxF breaks the $SEG_SCALE encoding")
+      val pk = pos.join(inv, Seq("piece"))
+        .select(col("word"), (col("i") + col("k") - 1).as("j"), col("k"), col("f"))
+        .localCheckpoint(true)
+      // dp(word, j, v): min segmentation value of the j-char prefix
+      var dp = words.select(col("word"), lit(0).as("j"), lit(0L).as("v"))
+        .localCheckpoint(true)
+      for (j <- 1 to SEG_MAXLEN) {
+        val step = pk.filter(col("j") === j).drop("j")
+          .join(dp.filter(col("j") >= j - SEG_MAXPIECE)
+            .select(col("word"), col("j").as("pj"), col("v").as("pv")),
+            Seq("word"))
+          .filter(col("pj") === lit(j) - col("k"))
+          .groupBy(col("word"))
+          .agg(min(col("pv") + lit(SEG_SCALE) - col("f")).as("v"))
+          .select(col("word"), lit(j).as("j"), col("v"))
+        dp = dp.unionByName(step).localCheckpoint(true)
+      }
+      // decode: v = p·SCALE − fs with 0 < fs < SCALE ⇒ p = ceil(v/SCALE)
+      words.join(dp, words("word") === dp("word") &&
+          dp("j") === length(words("word")))
+        .select(words("word"), col("c"),
+          expr(s"(v + $SEG_SCALE - 1) div $SEG_SCALE").as("n_pieces"),
+          expr(s"((v + $SEG_SCALE - 1) div $SEG_SCALE) * $SEG_SCALE - v").as("freq_sum"))
     })
   )
 
@@ -1847,7 +1926,52 @@ object TextQueries extends QueryPack {
          |t AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS n_true FROM c GROUP BY 1)
          |SELECT lang, pred_lang, n_docs,
          |       CAST((n_docs * 10000) // n_true AS BIGINT) AS cell_bps
-         |FROM c JOIN t USING (lang)""".stripMargin
+         |FROM c JOIN t USING (lang)""".stripMargin,
+    // q225's oracle unrolls the Viterbi DP as a generated CTE chain:
+    // dp_j = min over piece length k of dp_{j−k} + (SCALE − freq) —
+    // aggregates are legal in plain (non-recursive) CTEs, so the whole
+    // lattice is SEG_MAXLEN ordinary GROUP-BY steps.
+    "q225_unigram_fertility" -> {
+      def prevUnion(j: Int) =
+        (math.max(0, j - SEG_MAXPIECE) until j)
+          .map(p => s"SELECT word, $p AS pj, v FROM dp$p")
+          .mkString(" UNION ALL ")
+      // AS MATERIALIZED is load-bearing: without it DuckDB re-inlines
+      // the pk→pos→toks chain into every dp_j (16× the corpus scan and
+      // an fd explosion on the parquet view)
+      val dpCtes = (1 to SEG_MAXLEN).map { j =>
+        s"""dp$j AS MATERIALIZED (SELECT pk.word, MIN(prev.v + $SEG_SCALE - pk.f) AS v
+           |  FROM pk JOIN (${prevUnion(j)}) prev
+           |    ON prev.word = pk.word AND prev.pj = $j - pk.k
+           |  WHERE pk.j = $j GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      val finalUnion = (1 to SEG_MAXLEN)
+        .map(j => s"SELECT word, $j AS j, v FROM dp$j").mkString(" UNION ALL ")
+      s"""WITH toks AS MATERIALIZED (SELECT unnest(string_split(text, ' ')) AS word
+         |              FROM documents),
+         |words AS MATERIALIZED (SELECT word, count(*) AS c FROM toks GROUP BY 1
+         |          HAVING len(word) BETWEEN 1 AND $SEG_MAXLEN),
+         |tot AS MATERIALIZED (SELECT count(*) AS t FROM toks),
+         |pos1 AS (SELECT word, c,
+         |           unnest(list_transform(generate_series(1, len(word)), x -> x)) AS i
+         |         FROM words),
+         |ks AS (SELECT unnest(generate_series(1, $SEG_MAXPIECE)) AS k),
+         |pos AS MATERIALIZED (SELECT word, c, i, k, substr(word, i, k) AS piece
+         |        FROM pos1 CROSS JOIN ks WHERE i + k - 1 <= len(word)),
+         |inv AS MATERIALIZED (SELECT piece, CAST(sum(c) AS BIGINT) AS f
+         |        FROM pos GROUP BY 1
+         |        HAVING len(piece) = 1 OR sum(c) * 100 >= (SELECT t FROM tot)),
+         |pk AS MATERIALIZED (SELECT p.word, p.i + p.k - 1 AS j, p.k, inv.f
+         |       FROM pos p JOIN inv USING (piece)),
+         |dp0 AS MATERIALIZED (SELECT word, CAST(0 AS BIGINT) AS v FROM words),
+         |$dpCtes,
+         |fin AS ($finalUnion)
+         |SELECT w.word, w.c,
+         |       CAST((d.v + $SEG_SCALE - 1) // $SEG_SCALE AS BIGINT) AS n_pieces,
+         |       CAST(((d.v + $SEG_SCALE - 1) // $SEG_SCALE) * $SEG_SCALE - d.v
+         |            AS BIGINT) AS freq_sum
+         |FROM words w JOIN fin d ON d.word = w.word AND d.j = len(w.word)""".stripMargin
+    }
   )
 
   /** The q207 classifier pipeline as a shared oracle CTE chain — train

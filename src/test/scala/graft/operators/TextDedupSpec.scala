@@ -649,4 +649,43 @@ class TextDedupSpec extends SparkSpec {
     assert(un._2 == 0 && un._4.isEmpty && un._5 == 1 && un._6.contains(0L))
     assert(ev.map(_._2).sum == heldOut + 1)
   }
+
+  // q225: the relational Viterbi DP must return, per word, EXACTLY the
+  // lexicographic optimum over ALL segmentations — verified here by
+  // exhaustive enumeration (words are ≤ 8 chars at spec scale, so the
+  // full segmentation tree is tiny), with the inventory rebuilt in
+  // plain Scala from first principles. Checks the semantic claim
+  // (fewest pieces, then max frequency mass) directly, not the integer
+  // encoding.
+  test("q225 unigram fertility: DP optimum equals exhaustive-search optimum per word") {
+    val rows = TextQueries.queries("q225_unigram_fertility")(spark, sf)
+      .select($"word", $"c", $"n_pieces", $"freq_sum")
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .select(explode(split($"text", " ")).as("w")).as[String].collect()
+    val wc = toks.groupBy(identity).map { case (w, a) => (w, a.length.toLong) }
+    val words = wc.filter { case (w, _) => w.nonEmpty && w.length <= 16 }
+    val tot = toks.length.toLong
+    val pc = scala.collection.mutable.HashMap.empty[String, Long].withDefaultValue(0L)
+    for ((w, c) <- words; i <- 0 until w.length; k <- 1 to 4 if i + k <= w.length)
+      pc(w.substring(i, i + k)) += c
+    val inv = pc.filter { case (p, f) => p.length == 1 || f * 100 >= tot }.toMap
+    def segs(w: String): Seq[(Int, Long)] =
+      if (w.isEmpty) Seq((0, 0L))
+      else (1 to math.min(4, w.length)).flatMap { k =>
+        inv.get(w.take(k)).toSeq.flatMap { f =>
+          segs(w.drop(k)).map { case (p, fs) => (p + 1, fs + f) }
+        }
+      }
+    assert(rows.length == words.size)
+    rows.foreach { case (w, c, np, fs) =>
+      assert(c == wc(w), s"count of $w")
+      val all = segs(w)
+      val minP = all.map(_._1).min
+      val bestFs = all.filter(_._1 == minP).map(_._2).max
+      assert(np == minP, s"$w: pieces $np vs exhaustive $minP")
+      assert(fs == bestFs, s"$w: freq mass $fs vs exhaustive $bestFs")
+    }
+  }
 }
