@@ -336,6 +336,78 @@ object EventsQueries extends QueryPack {
     // subset assert made deterministic and total). Scale shape: state
     // is one (start, last, n) triple per live user, partitioned by the
     // group key; the sentinel is one row, not a skew source.
+    // Peak session concurrency by SWEEP-LINE: q55's gap sessions become
+    // ±1 deltas (+1 at start, −1 at last-event+1µs — half-open
+    // microsecond intervals), the running sum over the time-ordered
+    // delta stream is a DISTRIBUTED prefix sum
+    // ([[Relational.orderedPrefixSum]]: range-partition + two passes,
+    // no single-partition window over the corpus-sized event stream),
+    // and the answer is one max + arg-min-time aggregate. The capacity-
+    // planning analytic ("how many sessions were ever live at once")
+    // that naive window SQL cannot do distributed. Sort key
+    // (us, delta, user_id) is unique, so ordinals — and the reported
+    // first_peak_us — are deterministic; −1 sorts before +1 at equal
+    // timestamps, so touching intervals never double-count.
+    "q226_peak_concurrency" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val sess = Tables.events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("new_s",
+          when(lag(col("us"), 1).over(w).isNull ||
+            (col("us") - lag(col("us"), 1).over(w)) > GAP_US, 1).otherwise(0))
+        .withColumn("sid", sum(col("new_s"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("us")).as("s_us"), max(col("us")).as("e_us"))
+      val deltas = sess.select(col("user_id"), col("s_us").as("us"), lit(1L).as("delta"))
+        .unionByName(sess.select(col("user_id"),
+          (col("e_us") + 1).as("us"), lit(-1L).as("delta")))
+      val run = Relational.orderedPrefixSum(deltas,
+        Seq(col("us").asc, col("delta").asc, col("user_id").asc), "delta", "pre")
+        .withColumn("running", col("pre") + col("delta"))
+      val stats = run.agg(max(col("running")).as("peak_concurrency"),
+        sum(when(col("delta") === 1, 1L).otherwise(0L)).as("n_sessions"))
+      run.crossJoin(broadcast(stats)) // one-row stats relation
+        .filter(col("running") === col("peak_concurrency"))
+        .groupBy(col("peak_concurrency"), col("n_sessions"))
+        .agg(min(col("us")).as("first_peak_us"))
+    }),
+
+    // Markov stationary mass of the event-type chain — q205 mines the
+    // top paths; this closes the loop with the asymptotic view: the
+    // per-user transition matrix (lead() within the user window), then
+    // THREE fixed integer power-iteration rounds
+    // x'(b) = Σ_a (x(a)·c_ab) div r_a at 1e12 fixed point — the q139
+    // PageRank discipline (bit-identical on any engine/partitioning,
+    // no float summation order) without teleport: mass exiting through
+    // a sink state is dropped, not redistributed, and rounds are fixed
+    // so the result is deterministic whether or not the chain mixes.
+    // The matrix is |types|²-bounded (broadcast side), each round one
+    // equi-join + one bounded agg. Encoding bound: x·c must stay under
+    // 2⁶³ — at larger corpora drop the scale a decade per 10× rows.
+    "q227_markov_stationary" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val ev = Tables.events(s, d)
+      val tr = ev.withColumn("nxt", lead(col("event_type"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("event_type").as("a"), col("nxt").as("b"))
+        .agg(count(lit(1)).as("c"))
+      val rsum = tr.groupBy(col("a")).agg(sum(col("c")).as("r"))
+      val states = ev.select(col("event_type").as("t")).distinct()
+      val nT = states.agg(count(lit(1)).as("nt"))
+      var x = states.crossJoin(broadcast(nT))
+        .select(col("t"), expr("1000000000000 div nt").as("m"))
+      for (_ <- 1 to 3) {
+        val inflow = x.select(col("t").as("a"), col("m"))
+          .join(tr, Seq("a")).join(rsum, Seq("a"))
+          .select(col("b").as("t"), expr("(m * c) div r").as("contrib"))
+          .groupBy(col("t")).agg(sum(col("contrib")).as("mi"))
+        x = states.join(inflow, Seq("t"), "left")
+          .select(col("t"), coalesce(col("mi"), lit(0L)).as("m"))
+      }
+      x.select(col("t").as("event_type"), col("m").as("mass_q"))
+    }),
+
     "q215_stream_sessions" -> ((s, d) => {
       import graft.streaming.EventPipelines
       val ev = Tables.events(s, d).select(col("user_id"), col("ts"))
@@ -504,6 +576,56 @@ object EventsQueries extends QueryPack {
                 1 + (CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END)
                   + (CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS stage
          FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""",
+    "q227_markov_stationary" -> {
+      def round(i: Int) =
+        s"""x$i AS (SELECT s.t, CAST(COALESCE(i.mi, 0) AS BIGINT) AS m
+           |  FROM st s LEFT JOIN
+           |    (SELECT tr.b AS t, SUM((x${i - 1}.m * tr.c) // rs.r) AS mi
+           |     FROM x${i - 1} JOIN tr ON tr.a = x${i - 1}.t
+           |     JOIN rs ON rs.a = tr.a GROUP BY 1) i USING (t))""".stripMargin
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+         |           FROM events),
+         |t0 AS (SELECT event_type,
+         |         lead(event_type) OVER (PARTITION BY user_id
+         |           ORDER BY us, event_id) AS nxt
+         |       FROM e),
+         |tr AS (SELECT event_type AS a, nxt AS b, CAST(count(*) AS BIGINT) AS c
+         |       FROM t0 WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         |rs AS (SELECT a, CAST(sum(c) AS BIGINT) AS r FROM tr GROUP BY 1),
+         |st AS (SELECT DISTINCT event_type AS t FROM events),
+         |nt AS (SELECT count(*) AS n FROM st),
+         |x0 AS (SELECT t, 1000000000000 // (SELECT n FROM nt) AS m FROM st),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT t AS event_type, m AS mass_q FROM x3""".stripMargin
+    },
+    "q226_peak_concurrency" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+         o AS (SELECT user_id, event_id, us,
+                 CASE WHEN lag(us) OVER w IS NULL
+                        OR us - lag(us) OVER w > 1800000000
+                      THEN 1 ELSE 0 END AS new_s
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         s AS (SELECT user_id, us,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS UNBOUNDED PRECEDING) AS sid
+               FROM o),
+         sess AS (SELECT user_id, sid, MIN(us) AS s_us, MAX(us) AS e_us
+                  FROM s GROUP BY 1, 2),
+         d AS (SELECT user_id, s_us AS us, 1 AS delta FROM sess
+               UNION ALL SELECT user_id, e_us + 1, -1 FROM sess),
+         r AS (SELECT us, delta,
+                 SUM(delta) OVER (ORDER BY us, delta, user_id
+                   ROWS UNBOUNDED PRECEDING) AS running
+               FROM d),
+         p AS (SELECT MAX(running) AS peak,
+                 CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_sessions
+               FROM r)
+         SELECT CAST(p.peak AS BIGINT) AS peak_concurrency, p.n_sessions,
+                MIN(r.us) AS first_peak_us
+         FROM r, p WHERE r.running = p.peak GROUP BY 1, 2""",
     "q215_stream_sessions" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
          o AS (SELECT user_id, us,
