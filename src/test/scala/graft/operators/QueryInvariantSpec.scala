@@ -99,4 +99,85 @@ class QueryInvariantSpec extends SparkSpec {
       .agg(sum($"n_rows")).as[Long].head()
     assert(nSuppressed == atRiskMass && nSuppressed > 0)
   }
+
+  // q216: the two-pass heavy-hitter plan must keep its scale claims —
+  // exact recount via a BROADCAST join on the bounded candidate set,
+  // never a cartesian, and the reported total equals the token count.
+  test("q216 heavy hitters: broadcast exact pass, no cartesian, total conserved") {
+    val df = TextQueries.queries("q216_heavy_hitters")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    val rows = df.as[(String, Long, Long)].collect()
+    val n = graft.sources.Tables.documents(spark, sf)
+      .select(explode(split($"text", " "))).count()
+    rows.foreach { case (_, c, t) => assert(t == n && c * 40 > 0 && c <= n) }
+  }
+
+  // q218: per-language terciles ride orderedRanks — the executed plan
+  // of the returned frame must contain NO Window operator (the whole
+  // point of the composite-key rank), and terciles partition each
+  // language with head ≤ middle ≤ tail sizes within 1.
+  test("q218 CCNet buckets: no Window in the plan; terciles balanced per language") {
+    val df = CurationQueries.queries("q218_ccnet_buckets")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    val sizes = df.groupBy($"lang", $"bucket").count()
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).map { case (l, a) =>
+        l -> a.map(r => r._2 -> r._3).toMap.withDefaultValue(0L)
+      }
+    sizes.foreach { case (l, m) =>
+      val (h, mi, t) = (m("head"), m("middle"), m("tail"))
+      assert(h <= mi + 1 && mi <= t + 1 && (h + mi + t) > 0, s"$l: $h/$mi/$t")
+    }
+  }
+
+  // q220 incremental CC ≡ q68 full recompute, proven engine-side (the
+  // gate proves it against DuckDB; this pins it within Spark too).
+  test("q220 incremental CC equals the full-corpus recompute row for row") {
+    val inc = DedupQueries.queries("q220_incremental_cc")(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    val full = DedupQueries.queries("q68_dedup_clusters")(spark, sf)
+      .select($"doc_id", $"cluster_id", $"cluster_size")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(inc == full && inc.nonEmpty)
+  }
+
+  // q226: the sweep-line peak must agree with a brute-force recount of
+  // concurrent sessions at every session-start instant.
+  test("q226 peak concurrency matches a brute-force interval recount") {
+    val (peak, nSess, firstUs) =
+      EventsQueries.queries("q226_peak_concurrency")(spark, sf)
+        .as[(Long, Long, Long)].collect().head
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val sess = graft.sources.Tables.events(spark, sf)
+      .withColumn("us", unix_micros($"ts"))
+      .withColumn("new_s", when(lag($"us", 1).over(w).isNull ||
+        ($"us" - lag($"us", 1).over(w)) > 30L * 60 * 1000000, 1).otherwise(0))
+      .withColumn("sid", sum($"new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"sid")
+      .agg(min($"us").as("s"), max($"us").as("e"))
+      .as[(Long, Long, Long, Long)].collect().map(r => (r._3, r._4))
+    assert(nSess == sess.length)
+    val brute = sess.map { case (s, _) =>
+      sess.count { case (s2, e2) => s2 <= s && s <= e2 }
+    }.max
+    assert(peak == brute, s"sweep $peak vs brute $brute")
+    // the reported first-peak instant really carries peak concurrency
+    val atFirst = sess.count { case (s2, e2) => s2 <= firstUs && firstUs <= e2 }
+    assert(atFirst == peak)
+  }
+
+  // q227: stationary mass stays within the fixed-point budget — it can
+  // only LEAK (integer truncation, sink states), never inflate.
+  test("q227 Markov mass: non-negative, bounded by the initial 1e12 budget") {
+    val masses = EventsQueries.queries("q227_markov_stationary")(spark, sf)
+      .as[(String, Long)].collect()
+    assert(masses.nonEmpty)
+    masses.foreach { case (_, m) => assert(m >= 0) }
+    val tot = masses.map(_._2).sum
+    assert(tot > 0 && tot <= 1000000000000L, s"total $tot")
+  }
 }
