@@ -683,6 +683,47 @@ object DedupQueries extends QueryPack {
         .select(col("doc_id"), col("source"))
     }),
 
+    // STREAMING connected-components maintenance — q220's contraction
+    // algorithm running inside the exactly-once ingest machinery
+    // (EventPipelines.ccMaintainAvailableNow): the whole corpus
+    // arrives in THREE stream waves (the q144 arrival-hash majority
+    // first — it bootstraps the assignment — then the bucket-9
+    // arrivals split by parity), and cluster membership versions
+    // forward on every ingest instead of queueing an offline rebuild.
+    // The oracle is the full-corpus recompute (q68's SQL, third use):
+    // the gate hash-proves that the assignment after any sequence of
+    // ledgered micro-batches equals one batch CC over everything —
+    // which holds because the LSH pair relation decomposes exactly
+    // across waves (per-document signatures), and contraction
+    // preserves connectivity batch over batch.
+    "q228_stream_cc" -> ((s, d) => {
+      import graft.functions.TextFunctions.hexNibble
+      import graft.streaming.EventPipelines
+      val wh = new graft.sources.Warehouse(graft.plans.EtlQueries.tmpWarehouse(), s)
+      def bucket(c: org.apache.spark.sql.Column) = {
+        val h = md5(c.cast("string"))
+        (hexNibble(substring(h, 1, 1)) * 16 + hexNibble(substring(h, 2, 1))) % 10
+      }
+      val stream = s.readStream
+        .schema(s.read.option("pathGlobFilter", "documents.parquet").parquet(d).schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      def wave(pred: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        EventPipelines.ccMaintainAvailableNow(stream, wh, "bl_3nf", "cc_assign",
+          idCol = "doc_id", textCol = "text",
+          ngram = 3, k = K, bands = BANDS, minJaccard = MIN_JACCARD,
+          prep = Some(b => b.filter(pred(col("doc_id")))
+            .select(col("doc_id"), col("text"))))
+      wave(c => bucket(c) < 9)
+      wave(c => bucket(c) === 9 && c % 2 === 0)
+      wave(c => bucket(c) === 9 && c % 2 === 1)
+      val assign = wh.read("bl_3nf", "cc_assign")
+        .select(col("doc_id"), col("cluster_id"))
+      val sizes = assign.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+      assign.join(sizes, Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+    }),
+
     "q157_incremental_dedup" -> ((s, d) => {
       import graft.functions.TextFunctions.hexNibble
       val h = md5(col("doc_id").cast("string"))
@@ -1137,8 +1178,10 @@ object DedupQueries extends QueryPack {
     "q68_dedup_clusters" -> ccFullRecomputeSql,
     // q220's gate IS the equality proof: the incremental maintenance
     // path must hash-match the full-corpus CC recompute, so its oracle
-    // is q68's verbatim.
+    // is q68's verbatim. q228 makes the same claim for the STREAMED
+    // fold of ledgered micro-batches.
     "q220_incremental_cc" -> ccFullRecomputeSql,
+    "q228_stream_cc" -> ccFullRecomputeSql,
     "q219_lsh_autotune" -> {
       val thr = (MIN_JACCARD * 1000000).toLong
       val curveUnion = LSH_CONFIGS.map { case (b, r) =>

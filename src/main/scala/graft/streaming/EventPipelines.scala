@@ -348,6 +348,88 @@ object EventPipelines {
     true
   }
 
+  /** One streaming connected-components maintenance micro-batch: the
+    * q220 contraction algorithm as the per-batch body of
+    * [[ccMaintainAvailableNow]]. First batch bootstraps the assignment
+    * (CC over the batch alone); every later batch folds arrivals in
+    * WITHOUT re-touching landed×landed pairs — arrivals probe the
+    * landed corpus through the cross-corpus LSH path, landed
+    * components CONTRACT to their labels, and CC runs on the
+    * contracted graph (O(touched components + arrivals) per batch).
+    * Because minhash signatures and band keys are per-document, the
+    * pair relation decomposes exactly across batches, so the
+    * assignment after ANY number of batches is identical to one batch
+    * CC over everything landed so far — the q228 gate hash-proves the
+    * final state against the full-recompute oracle. The landed table
+    * carries `textCol` (it IS the index side) and `cluster_id`.
+    * Returns whether the batch landed (ledgered replays skip).
+    */
+  def ccBatch(wh: graft.sources.Warehouse, layer: String, table: String,
+              idCol: String, textCol: String,
+              ngram: Int, k: Int, bands: Int, minJaccard: Double,
+              batch: DataFrame, batchId: Long, useLedger: Boolean,
+              ledgerNs: String = "",
+              prep: Option[DataFrame => DataFrame] = None): Boolean = {
+    import graft.operators.Dedup
+    if (useLedger && wh.batchCommitted(layer, table, batchId, ledgerNs)) return false
+    val arrivals = prep.getOrElse(identity[DataFrame] _)
+      .apply(dedupBatch(batch, Seq(idCol)))
+      .select(col(idCol), col(textCol)).localCheckpoint(true)
+    val newPairs = Dedup.minhashLshNearDups(arrivals, textCol, idCol,
+      ngram, k, bands, minJaccard).select(col("id_1"), col("id_2"))
+    if (!wh.exists(layer, table)) {
+      val cc = Dedup.connectedComponents(newPairs,
+        arrivals.select(col(idCol)), idCol)
+      wh.overwrite(arrivals.join(cc, Seq(idCol)), layer, table): Unit
+    } else {
+      val landed = wh.read(layer, table)
+      val tagged = landed.select(col(idCol), col(textCol))
+        .withColumn("__side", lit("idx"))
+        .unionByName(arrivals.withColumn("__side", lit("new")))
+      val cross = Dedup.crossCorpusNearDups(tagged, textCol, idCol,
+        "__side", "idx", "new", ngram, k, bands, minJaccard)
+      val assign = landed.select(col(idCol), col("cluster_id"))
+      val cEdges = cross.select(col("idx_id").as(idCol), col("new_id"))
+        .join(assign, Seq(idCol))
+        .select(col("cluster_id").as("src"), col("new_id").as("dst"))
+        .unionByName(newPairs.select(col("id_1").as("src"), col("id_2").as("dst")))
+      val cNodes = assign.select(col("cluster_id").as("id")).distinct()
+        .unionByName(arrivals.select(col(idCol).as("id")))
+      val merged = Dedup.connectedComponents(cEdges, cNodes, "id")
+        .select(col("id"), col("cluster_id").as("new_cid"))
+      val updated = landed
+        .select(col(idCol), col(textCol), col("cluster_id").as("id"))
+        .unionByName(arrivals.select(col(idCol), col(textCol),
+          col(idCol).as("id")))
+        .join(merged, Seq("id"))
+        .select(col(idCol), col(textCol), col("new_cid").as("cluster_id"))
+      wh.overwrite(updated, layer, table): Unit
+    }
+    if (useLedger) wh.markBatchCommitted(layer, table, batchId, ledgerNs)
+    true
+  }
+
+  /** Streaming connected-components maintenance — [[ccBatch]] under
+    * the shared exactly-once AvailableNow machinery (durable
+    * checkpoint + namespaced batch ledger + fresh-checkpoint wipe).
+    * The dedup-index answer to [[scd2AvailableNow]]: cluster
+    * membership versions forward on ingest instead of waiting for an
+    * offline rebuild.
+    */
+  def ccMaintainAvailableNow(docs: DataFrame, wh: graft.sources.Warehouse,
+                             layer: String, table: String,
+                             idCol: String, textCol: String,
+                             ngram: Int, k: Int, bands: Int,
+                             minJaccard: Double,
+                             checkpointDir: Option[String] = None,
+                             prep: Option[DataFrame => DataFrame] = None): Unit =
+    availableNowLedgered(docs, wh, layer, table, checkpointDir) {
+      (batch, bid, useLedger, ns) =>
+        ccBatch(wh, layer, table, idCol, textCol, ngram, k, bands,
+          minJaccard, batch, bid, useLedger = useLedger, ledgerNs = ns,
+          prep = prep): Unit
+    }
+
   /** Streaming NEAR-DUP dedup on ingest — the q157 incremental-index
     * contract meeting the landing machinery, so a continuously-ingested
     * corpus STAYS deduped instead of queueing rebuild passes. Each

@@ -472,4 +472,49 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)       // the fixture must actually exercise the join
     assert(streamed == batch)    // inner interval join: no watermark hold-back
   }
+
+  test("streaming CC maintenance: micro-batched fold equals batch CC; ledgered re-drain is a no-op") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),   // near-dup of 1
+      (3L, "a completely different document about spark physical plans"),
+      (4L, "a completely different document about spark logical plans"), // near-dup of 3
+      (5L, "the quick brown fox jumps over the lazy dog tomorrow"), // bridges into 1-2's cluster
+      (6L, "unrelated text with nothing shared at all here")
+    ).toDF("doc_id", "text")
+    val arrDir = java.nio.file.Files.createTempDirectory("graft-ccarr").toString
+    // three files → three micro-batches under maxFilesPerTrigger = 1;
+    // the bridge doc 5 arrives LAST so a cross-batch merge must happen
+    docs.filter($"doc_id" <= 2).coalesce(1).write.parquet(s"$arrDir/f1")
+    docs.filter($"doc_id" === 3 || $"doc_id" === 4 || $"doc_id" === 6)
+      .coalesce(1).write.parquet(s"$arrDir/f2")
+    docs.filter($"doc_id" === 5).coalesce(1).write.parquet(s"$arrDir/f3")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ccwh").toString
+    val wh = new graft.sources.Warehouse(dir, spark)
+    def drain(): Unit = EventPipelines.ccMaintainAvailableNow(
+      spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1)
+        .parquet(s"$arrDir/*"),
+      wh, "idx", "cc", "doc_id", "text",
+      ngram = 3, k = 8, bands = 4, minJaccard = 0.2,
+      checkpointDir = Some(s"$dir/ckpt"))
+    drain()
+    val landed = wh.read("idx", "cc").select($"doc_id", $"cluster_id")
+      .as[(Long, Long)].collect().toSet
+    val full = Dedup.connectedComponents(
+      Dedup.minhashLshNearDups(docs, "text", "doc_id", 3, 8, 4, 0.2)
+        .select($"id_1", $"id_2"),
+      docs.select($"doc_id"), "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(landed == full && landed.nonEmpty)
+    // docs 1, 2, 5 must have merged across batches into one cluster
+    val cids = landed.toMap
+    assert(cids(1L) == cids(2L) && cids(2L) == cids(5L))
+    assert(cids(3L) == cids(4L) && cids(3L) != cids(1L))
+    // a second drain of the SAME files replays ledgered batch ids: no-op
+    drain()
+    val again = wh.read("idx", "cc").select($"doc_id", $"cluster_id")
+      .as[(Long, Long)].collect().toSet
+    assert(again == landed)
+  }
 }
