@@ -270,6 +270,26 @@ object AnalyticsQueries extends QueryPack {
         .withColumn("at_risk", col("n_rows") < 5)
     }),
 
+    // l-diversity audit — k-anonymity's (q209) stronger sibling: a
+    // ≥ k cell whose members all share one SENSITIVE value still leaks
+    // it (the homogeneity attack k-anonymity cannot see), so each
+    // quasi-identifier cell must also carry ≥ l distinct sensitive
+    // values. QI here is (nation, $1000 balance band); the sensitive
+    // attribute is the market segment — deliberately EXCLUDED from the
+    // QI, unlike q209 where it is part of it. Same scale shape as the
+    // k-audit: one partial-agg group-by with a count-distinct, QI
+    // cardinality bounds the shuffle.
+    "q229_l_diversity" -> ((s, d) => {
+      Tables.customer(s, d)
+        .select(col("c_nationkey"),
+          floor(col("c_acctbal") / 1000.0).cast(IntegerType).as("bal_kbucket"),
+          col("c_mktsegment"))
+        .groupBy(col("c_nationkey"), col("bal_kbucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          count_distinct(col("c_mktsegment")).as("n_sensitive"))
+        .withColumn("l_ok", col("n_sensitive") >= 3)
+    }),
+
     // Anonymized release extract — q209's audit ENFORCED: rows in
     // at-risk QI cells ship with the balance band suppressed (NULL —
     // generalize-to-coarser, the standard k-anonymization move), so
@@ -415,6 +435,13 @@ object AnalyticsQueries extends QueryPack {
          CAST(floor(c_acctbal / 1000.0) AS INT) AS bal_kbucket,
          count(*) AS n_rows, count(*) < 5 AS at_risk
          FROM customer GROUP BY 1, 2, 3""",
+    "q229_l_diversity" ->
+      """SELECT c_nationkey,
+         CAST(floor(c_acctbal / 1000.0) AS INT) AS bal_kbucket,
+         count(*) AS n_rows,
+         count(DISTINCT c_mktsegment) AS n_sensitive,
+         count(DISTINCT c_mktsegment) >= 3 AS l_ok
+         FROM customer GROUP BY 1, 2""",
     "q210_anon_release" ->
       """WITH banded AS (SELECT c_nationkey, c_mktsegment,
              CAST(floor(c_acctbal / 1000.0) AS INT) AS bal_kbucket

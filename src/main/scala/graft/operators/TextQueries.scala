@@ -1066,6 +1066,43 @@ object TextQueries extends QueryPack {
           expr("(n_docs * 10000) div n_true").as("cell_bps"))
     }),
 
+    // Leave-one-source-out ablation — data VALUATION for the q207
+    // classifier: how much held-out accuracy does each source's
+    // training data buy? The trick that makes this one pass instead of
+    // |sources| retrains: each source's rate model is normalized by
+    // its OWN token mass only ([[classifierScores]]), so excluding
+    // source E from training deletes E's score rows and changes no
+    // others — ablated prediction = argmax over pred_source ≠ E, and
+    // the eval set drops E's own documents. One cross with the
+    // |sources|+1-row exclusion relation (baseline '(none)' included),
+    // one argmax, one bounded accuracy agg; docs whose every scoring
+    // row belonged to E become 'unclassified' and count as misses,
+    // mass conserved.
+    "q230_source_ablation" -> ((s, d) => {
+      val scores = classifierScores(s, d)
+      val excl = Tables.documents(s, d)
+        .select(col("source").as("excluded")).distinct()
+        .unionByName(s.range(1).select(lit("(none)").as("excluded")))
+      val heldout = classifierOcc(s, d).filter(!col("is_train"))
+        .select(col("doc_id"), col("source").as("true_source")).distinct()
+      val evalDocs = heldout.crossJoin(broadcast(excl))
+        .filter(col("true_source") =!= col("excluded"))
+      val preds = scores.crossJoin(broadcast(excl))
+        .filter(col("pred_source") =!= col("excluded") &&
+          col("source") =!= col("excluded"))
+        .groupBy(col("excluded"), col("doc_id"))
+        .agg(max(struct(col("score"), col("pred_source"))).as("m"))
+        .select(col("excluded"), col("doc_id"), col("m.pred_source").as("pred"))
+      evalDocs.join(preds, Seq("excluded", "doc_id"), "left")
+        .select(col("excluded"), col("true_source"),
+          coalesce(col("pred"), lit("unclassified")).as("pred"))
+        .groupBy(col("excluded").as("excluded_source"))
+        .agg(count(lit(1)).as("n_eval"),
+          sum(when(col("pred") === col("true_source"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .withColumn("accuracy_bps", expr("(n_correct * 10000) div n_eval"))
+    }),
+
     // Unigram-LM-objective Viterbi segmentation cost — the
     // WordPiece/SentencePiece family's OTHER tokenizer next to BPE
     // (q146/q160): build a frequency-thresholded piece inventory
@@ -1147,28 +1184,52 @@ object TextQueries extends QueryPack {
     * 100 TB shape.
     */
   private val predCache = QueryCaches.newCache[org.apache.spark.sql.DataFrame]()
-  private def classifierPredictions(s: org.apache.spark.sql.SparkSession,
-                                    d: String): org.apache.spark.sql.DataFrame =
-    QueryCaches.cached(predCache, s, d) {
-      val h = md5(col("doc_id").cast(StringType))
-      val bucket = (hexNibble(substring(h, 1, 1)) * 16 +
-        hexNibble(substring(h, 2, 1))) % 10
-      val occ = Tables.documents(s, d)
-        .withColumn("is_train", bucket < 9)
-        .select(col("doc_id"), col("source"), col("is_train"),
-          explode(split(col("text"), " ")).as("tok"))
+  /** The held-out SCORE relation (doc_id, true source, candidate
+    * pred_source, integer dot-product score) the q207/q208 argmax
+    * reduces — cached separately because q230's ablation consumes the
+    * scores BEFORE the argmax. Load-bearing property: each source's
+    * rate model is normalized by ITS OWN token mass only, so removing
+    * a source from training changes no other source's scores — which
+    * is why leave-one-source-out retraining is a FILTER over this one
+    * relation, not \|sources\| retrains.
+    */
+  private val scoreCache = QueryCaches.newCache[org.apache.spark.sql.DataFrame]()
+  private def classifierScores(s: org.apache.spark.sql.SparkSession,
+                               d: String): org.apache.spark.sql.DataFrame =
+    QueryCaches.cached(scoreCache, s, d) {
+      val occ = classifierOcc(s, d)
       val cst = occ.filter(col("is_train"))
         .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c_st"))
       val cs = cst.groupBy(col("source")).agg(sum(col("c_st")).as("c_s"))
       val rate = cst.join(cs, Seq("source"))
         .select(col("source").as("pred_source"), col("tok"),
           expr("(c_st * 1000000) div c_s").as("rate_ppm"))
-      val ho = occ.filter(!col("is_train"))
+      occ.filter(!col("is_train"))
         .groupBy(col("doc_id"), col("source"), col("tok"))
         .agg(count(lit(1)).as("c_dt"))
-      val preds = ho.join(rate, Seq("tok"))
+        .join(rate, Seq("tok"))
         .groupBy(col("doc_id"), col("source"), col("pred_source"))
         .agg(sum(col("c_dt") * col("rate_ppm")).as("score"))
+        .localCheckpoint(true)
+    }
+
+  /** Tokenized corpus with the q81 train/held-out split flag. */
+  private def classifierOcc(s: org.apache.spark.sql.SparkSession,
+                            d: String): org.apache.spark.sql.DataFrame = {
+    val h = md5(col("doc_id").cast(StringType))
+    val bucket = (hexNibble(substring(h, 1, 1)) * 16 +
+      hexNibble(substring(h, 2, 1))) % 10
+    Tables.documents(s, d)
+      .withColumn("is_train", bucket < 9)
+      .select(col("doc_id"), col("source"), col("is_train"),
+        explode(split(col("text"), " ")).as("tok"))
+  }
+
+  private def classifierPredictions(s: org.apache.spark.sql.SparkSession,
+                                    d: String): org.apache.spark.sql.DataFrame =
+    QueryCaches.cached(predCache, s, d) {
+      val occ = classifierOcc(s, d)
+      val preds = classifierScores(s, d)
         .groupBy(col("doc_id"), col("source"))
         .agg(max(struct(col("score"), col("pred_source"))).as("m"))
         .select(col("doc_id"), col("source"),
@@ -1927,6 +1988,27 @@ object TextQueries extends QueryPack {
          |SELECT lang, pred_lang, n_docs,
          |       CAST((n_docs * 10000) // n_true AS BIGINT) AS cell_bps
          |FROM c JOIN t USING (lang)""".stripMargin,
+    "q230_source_ablation" ->
+      s"""WITH $classifierCte,
+         |srcs AS (SELECT DISTINCT source AS excluded FROM documents
+         |         UNION ALL SELECT '(none)'),
+         |ev AS (SELECT s.excluded, h.doc_id, h.source AS true_source
+         |       FROM hod h CROSS JOIN srcs s WHERE h.source != s.excluded),
+         |pr AS (SELECT s.excluded, sc.doc_id, sc.pred_source,
+         |         row_number() OVER (PARTITION BY s.excluded, sc.doc_id
+         |           ORDER BY sc.score DESC, sc.pred_source DESC) AS rk
+         |       FROM sc CROSS JOIN srcs s
+         |       WHERE sc.pred_source != s.excluded AND sc.source != s.excluded),
+         |pj AS (SELECT ev.excluded, ev.true_source,
+         |         COALESCE(p.pred_source, 'unclassified') AS pred
+         |       FROM ev LEFT JOIN (SELECT * FROM pr WHERE rk = 1) p
+         |         ON p.excluded = ev.excluded AND p.doc_id = ev.doc_id)
+         |SELECT excluded AS excluded_source, count(*) AS n_eval,
+         |       CAST(SUM(CASE WHEN pred = true_source THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_correct,
+         |       CAST((SUM(CASE WHEN pred = true_source THEN 1 ELSE 0 END)
+         |             * 10000) // count(*) AS BIGINT) AS accuracy_bps
+         |FROM pj GROUP BY 1""".stripMargin,
     // q225's oracle unrolls the Viterbi DP as a generated CTE chain:
     // dp_j = min over piece length k of dp_{j−k} + (SCALE − freq) —
     // aggregates are legal in plain (non-recursive) CTEs, so the whole
