@@ -270,6 +270,33 @@ object AnalyticsQueries extends QueryPack {
         .withColumn("at_risk", col("n_rows") < 5)
     }),
 
+    // Keyed pseudonymization with referential integrity — the privacy
+    // verb between q87's redaction (destroy) and q210's suppression
+    // (generalize): replace the direct identifier with a salted
+    // deterministic pseudonym so released tables still JOIN, without
+    // exposing the key. Both release sides map c/o_custkey through the
+    // same salted hash; the query then joins customers⋈orders ON THE
+    // PSEUDONYM and aggregates per nation — while the oracle computes
+    // the same rollup joining the RAW keys. A green hash therefore
+    // proves the pseudonym join is exactly the key join (injective on
+    // this corpus — any collision would misroute an order and break
+    // the hash). Scan + hash projection per side, one equi-join on the
+    // pseudonym: the released-data join cost equals the raw join cost.
+    "q231_pseudonymize" -> ((s, d) => {
+      def pseud(c: org.apache.spark.sql.Column) =
+        md5(concat(lit("pseud1-"), c.cast(StringType)))
+      val cust = Tables.customer(s, d)
+        .select(pseud(col("c_custkey")).as("pid"), col("c_nationkey"))
+      val ord = Tables.orders(s, d)
+        .select(pseud(col("o_custkey")).as("pid"), col("o_totalprice"))
+      cust.join(ord, Seq("pid"), "left")
+        .groupBy(col("c_nationkey"))
+        .agg(count_distinct(col("pid")).as("n_customers"),
+          count(col("o_totalprice")).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_price"))
+    }),
+
     // l-diversity audit — k-anonymity's (q209) stronger sibling: a
     // ≥ k cell whose members all share one SENSITIVE value still leaks
     // it (the homogeneity attack k-anonymity cannot see), so each
@@ -435,6 +462,15 @@ object AnalyticsQueries extends QueryPack {
          CAST(floor(c_acctbal / 1000.0) AS INT) AS bal_kbucket,
          count(*) AS n_rows, count(*) < 5 AS at_risk
          FROM customer GROUP BY 1, 2, 3""",
+    // Ground truth joins the RAW keys: a hash match proves the
+    // pseudonym join (Spark side) routed every order identically.
+    "q231_pseudonymize" ->
+      """SELECT c_nationkey,
+         count(DISTINCT c_custkey) AS n_customers,
+         count(o_totalprice) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+         GROUP BY 1""",
     "q229_l_diversity" ->
       """SELECT c_nationkey,
          CAST(floor(c_acctbal / 1000.0) AS INT) AS bal_kbucket,

@@ -250,6 +250,50 @@ object WarehouseQueries extends QueryPack {
           sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType)
             .as("sum_price"),
           count(col("o_orderstatus")).as("n_with_status"))
+    }),
+
+    // Incremental aggregate maintenance under a CDC DELTA — q107
+    // maintains an agg under watermarked APPENDS; this is the general
+    // case a warehouse actually faces: one change batch carrying
+    // deletes (orderkey % 97), in-place updates (% 89: quantity + 1)
+    // and inserts (% 83 rows cloned a month later under fresh keys).
+    // The maintained monthly rollup is the BASE AGGREGATE plus
+    // adjustment rows computed from the delta alone — deletes retract
+    // (−qty, −1), updates adjust by the new−old difference (+1 per
+    // row), inserts add — re-aggregated on the month key. Nothing
+    // outside the delta is ever rescanned: at 100 TB the maintenance
+    // cost is O(|delta| + |affected months|), not O(fact). All
+    // arithmetic is exact decimal, so combining partial aggregates
+    // cannot drift; the oracle RECOMPUTES the modified table from
+    // scratch — a green hash proves maintenance ≡ recompute, deletes
+    // winning over updates and inserts exempt from both.
+    "q232_incremental_agg_cdc" -> ((s, d) => {
+      val dec = DecimalType(18, 2)
+      val li = Tables.lineitem(s, d)
+      def m(c: org.apache.spark.sql.Column) = date_format(c, "yyyy-MM")
+      def qtyAgg(df: org.apache.spark.sql.DataFrame, sign: Int,
+                 qty: org.apache.spark.sql.Column) =
+        df.groupBy(col("m"))
+          .agg((sum(qty.cast(dec)) * sign).as("q"),
+            (count(lit(1)) * sign).as("n"))
+      val base = qtyAgg(li.select(m(col("l_shipdate")).as("m"), col("l_quantity")),
+        1, col("l_quantity"))
+      val deletes = qtyAgg(li.filter(col("l_orderkey") % 97 === 0)
+        .select(m(col("l_shipdate")).as("m"), col("l_quantity")),
+        -1, col("l_quantity"))
+      // update adjustment: new − old = +1 per surviving updated row
+      val updates = li
+        .filter(col("l_orderkey") % 89 === 0 && col("l_orderkey") % 97 =!= 0)
+        .groupBy(m(col("l_shipdate")).as("m"))
+        .agg(count(lit(1)).cast(dec).as("q"), lit(0L).as("n"))
+      val inserts = qtyAgg(li.filter(col("l_orderkey") % 83 === 0)
+        .select(m(expr("l_shipdate + INTERVAL 30 DAYS")).as("m"), col("l_quantity")),
+        1, col("l_quantity"))
+      base.unionByName(deletes).unionByName(updates).unionByName(inserts)
+        .groupBy(col("m"))
+        .agg(sum(col("q")).cast(DoubleType).as("sum_qty"),
+          sum(col("n")).as("n_rows"))
+        .filter(col("n_rows") > 0)
     })
   )
 
@@ -271,6 +315,21 @@ object WarehouseQueries extends QueryPack {
            CAST(SUM(l_orderkey) AS BIGINT) AS sum_keys,
            MAX(l_shipdate) AS max_ship
          FROM lineitem GROUP BY 1""",
+    // Recompute-from-scratch ground truth for the CDC maintenance:
+    // deletes win over updates, inserts land a month later untouched.
+    "q232_incremental_agg_cdc" ->
+      """WITH mod AS (
+           SELECT l_shipdate AS dt,
+                  l_quantity + (CASE WHEN l_orderkey % 89 = 0
+                                     THEN 1 ELSE 0 END) AS q
+           FROM lineitem WHERE l_orderkey % 97 != 0
+           UNION ALL
+           SELECT l_shipdate + INTERVAL 30 DAY, l_quantity
+           FROM lineitem WHERE l_orderkey % 83 = 0)
+         SELECT strftime(dt, '%Y-%m') AS m,
+                CAST(SUM(CAST(q AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                count(*) AS n_rows
+         FROM mod GROUP BY 1""",
     "q223_schema_merge" ->
       """SELECT CAST(1 + (o_orderkey % 2) AS INT) AS batch,
            count(*) AS n_orders,
