@@ -408,6 +408,64 @@ object EventsQueries extends QueryPack {
       x.select(col("t").as("event_type"), col("m").as("mass_q"))
     }),
 
+    // Markov removal-effect attribution (the data-driven alternative
+    // to last-touch): how much of the chain's conversion reach does
+    // each channel carry? Reach = P(eventually hit 'purchase'),
+    // computed by SIX fixed value-iteration rounds
+    // v'(a) = Σ_b (c_ab·v(b)) div r_a with 'purchase' absorbing at
+    // 1e12 — and the removal effect of channel ch re-runs the same
+    // iteration with every transition into/out of ch dropped (NOT
+    // renormalized — paths through the removed channel are lost, the
+    // standard convention). All variants (each channel + the '(none)'
+    // baseline) iterate TOGETHER as one (excluded, state) relation —
+    // |variants|·|states| rows, bounded — so the cost is 6 bounded
+    // joins regardless of channel count. Start mass is the empirical
+    // first-event distribution; reach aggregates over it in exact
+    // integers. Removing a channel also zeroes conversions of users
+    // who START there — by construction, not special-casing.
+    "q234_markov_attribution" -> ((s, d) => {
+      val SCALE = 1000000000000L
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val ev = Tables.events(s, d)
+      val tr = ev.withColumn("nxt", lead(col("event_type"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("event_type").as("a"), col("nxt").as("b"))
+        .agg(count(lit(1)).as("c")).localCheckpoint(true)
+      val rs = tr.groupBy(col("a")).agg(sum(col("c")).as("r"))
+      val st = ev.select(col("event_type").as("t")).distinct()
+      val variants = st.filter(col("t") =!= "purchase")
+        .select(col("t").as("excluded"))
+        .unionByName(s.range(1).select(lit("(none)").as("excluded")))
+      val grid = variants.crossJoin(broadcast(st)).localCheckpoint(true)
+      var v = grid.select(col("excluded"), col("t"),
+        when(col("t") === "purchase", SCALE).otherwise(0L).as("m"))
+      for (_ <- 1 to 6) {
+        val inflow = v.select(col("excluded"), col("t").as("b"), col("m"))
+          .join(tr, Seq("b")).join(rs, Seq("a"))
+          .filter(col("a") =!= col("excluded") &&
+            col("b") =!= col("excluded") && col("a") =!= "purchase")
+          .groupBy(col("excluded"), col("a").as("t"))
+          .agg(sum(expr("(c * m) div r")).as("mi"))
+        v = grid.join(inflow, Seq("excluded", "t"), "left")
+          .select(col("excluded"), col("t"),
+            when(col("t") === "purchase", SCALE)
+              .otherwise(coalesce(col("mi"), lit(0L))).as("m"))
+          .localCheckpoint(true)
+      }
+      val first = ev.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      val sd = first.groupBy(col("event_type").as("t")).agg(count(lit(1)).as("nu"))
+      val tot = first.agg(count(lit(1)).as("tu"))
+      val res = v.join(broadcast(sd), Seq("t")).crossJoin(broadcast(tot))
+        .groupBy(col("excluded"))
+        .agg(sum(col("nu") * col("m")).as("sm"), max(col("tu")).as("tu"))
+        .select(col("excluded"), expr("sm div tu").as("reach_q"))
+      val base = res.filter(col("excluded") === "(none)")
+        .select(col("reach_q").as("base_q"))
+      res.crossJoin(broadcast(base))
+        .select(col("excluded").as("channel"), col("reach_q"),
+          (col("base_q") - col("reach_q")).as("removal_effect_q"))
+    }),
+
     "q215_stream_sessions" -> ((s, d) => {
       import graft.streaming.EventPipelines
       val ev = Tables.events(s, d).select(col("user_id"), col("ts"))
@@ -576,6 +634,48 @@ object EventsQueries extends QueryPack {
                 1 + (CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END)
                   + (CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS stage
          FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""",
+    "q234_markov_attribution" -> {
+      def round(i: Int) =
+        s"""v$i AS (SELECT g.excluded, g.t,
+           |  CASE WHEN g.t = 'purchase' THEN 1000000000000
+           |       ELSE CAST(COALESCE(i.mi, 0) AS BIGINT) END AS m
+           |  FROM grid g LEFT JOIN
+           |    (SELECT p.excluded, tr.a AS t, SUM((tr.c * p.m) // rs.r) AS mi
+           |     FROM v${i - 1} p JOIN tr ON tr.b = p.t
+           |     JOIN rs ON rs.a = tr.a
+           |     WHERE tr.a != p.excluded AND tr.b != p.excluded
+           |       AND tr.a != 'purchase'
+           |     GROUP BY 1, 2) i
+           |    ON i.excluded = g.excluded AND i.t = g.t)""".stripMargin
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+         |           FROM events),
+         |seq AS (SELECT user_id, event_type,
+         |          lead(event_type) OVER w AS nxt,
+         |          row_number() OVER w AS rk
+         |        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         |tr AS (SELECT event_type AS a, nxt AS b, CAST(count(*) AS BIGINT) AS c
+         |       FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         |rs AS (SELECT a, CAST(sum(c) AS BIGINT) AS r FROM tr GROUP BY 1),
+         |st AS (SELECT DISTINCT event_type AS t FROM events),
+         |variants AS (SELECT t AS excluded FROM st WHERE t != 'purchase'
+         |             UNION ALL SELECT '(none)'),
+         |grid AS (SELECT v.excluded, s.t FROM variants v CROSS JOIN st s),
+         |v0 AS (SELECT excluded, t,
+         |         CASE WHEN t = 'purchase' THEN 1000000000000
+         |              ELSE 0 END AS m FROM grid),
+         |${(1 to 6).map(round).mkString(",\n")},
+         |fs AS (SELECT event_type AS t FROM seq WHERE rk = 1),
+         |sd AS (SELECT t, CAST(count(*) AS BIGINT) AS nu FROM fs GROUP BY 1),
+         |res AS (SELECT v.excluded,
+         |          CAST(SUM(sd.nu * v.m)
+         |               // (SELECT CAST(count(*) AS BIGINT) FROM fs)
+         |               AS BIGINT) AS reach_q
+         |        FROM v6 v JOIN sd ON sd.t = v.t GROUP BY 1)
+         |SELECT r.excluded AS channel, r.reach_q,
+         |       b.base_q - r.reach_q AS removal_effect_q
+         |FROM res r CROSS JOIN
+         |  (SELECT reach_q AS base_q FROM res WHERE excluded = '(none)') b""".stripMargin
+    },
     "q227_markov_stationary" -> {
       def round(i: Int) =
         s"""x$i AS (SELECT s.t, CAST(COALESCE(i.mi, 0) AS BIGINT) AS m

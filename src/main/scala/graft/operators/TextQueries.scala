@@ -1066,6 +1066,42 @@ object TextQueries extends QueryPack {
           expr("(n_docs * 10000) div n_true").as("cell_bps"))
     }),
 
+    // Robust per-language outlier audit: exact MEDIAN and MAD (median
+    // absolute deviation) instead of q102's moment statistics — the
+    // robust pair survives the heavy-tailed length distributions web
+    // corpora actually have, where one 10⁶-token page drags a mean/std
+    // gate into uselessness. Both medians are EXACT and distributed:
+    // the q218 composite-key device twice over —
+    // [[Relational.orderedRanks]] on (lang, value, doc_id), per-lang
+    // offsets by one bounded agg, lower median = the rank-(n+1)÷2
+    // element — never a per-language single-partition window. Flags
+    // |x − med| > 3·MAD per document (MAD 0 ⇒ any deviation flags,
+    // surfaced not hidden). Output is per-document evidence, the q94
+    // gate's robust twin.
+    "q233_mad_outliers" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+      def groupedLowerMedian(df: org.apache.spark.sql.DataFrame,
+                             valCol: String, out: String) = {
+        val ranked = Relational.orderedRanks(df,
+          Seq(col("lang").asc, col(valCol).asc, col("doc_id").asc), "ord")
+        val per = ranked.groupBy(col("lang"))
+          .agg(min(col("ord")).as("o0"), count(lit(1)).as("n"))
+        ranked.join(broadcast(per), Seq("lang"))
+          .filter(col("ord") - col("o0") + 1 === expr("(n + 1) div 2"))
+          .select(col("lang"), col(valCol).as(out))
+      }
+      val med = groupedLowerMedian(docs, "n_tokens", "med")
+      val dev = docs.join(broadcast(med), Seq("lang"))
+        .withColumn("dev", abs(col("n_tokens") - col("med")))
+      val mad = groupedLowerMedian(
+        dev.select(col("doc_id"), col("lang"), col("dev")), "dev", "mad")
+      dev.join(broadcast(mad), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("med"), col("mad"), col("dev"),
+          (col("dev") > col("mad") * 3).as("is_outlier"))
+    }),
+
     // Leave-one-source-out ablation — data VALUATION for the q207
     // classifier: how much held-out accuracy does each source's
     // training data buy? The trick that makes this one pass instead of
@@ -1988,6 +2024,28 @@ object TextQueries extends QueryPack {
          |SELECT lang, pred_lang, n_docs,
          |       CAST((n_docs * 10000) // n_true AS BIGINT) AS cell_bps
          |FROM c JOIN t USING (lang)""".stripMargin,
+    "q233_mad_outliers" ->
+      """WITH t AS (SELECT doc_id, lang,
+         |            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |          FROM documents),
+         |r1 AS (SELECT doc_id, lang, n_tokens,
+         |         row_number() OVER (PARTITION BY lang
+         |           ORDER BY n_tokens, doc_id) AS rk,
+         |         count(*) OVER (PARTITION BY lang) AS n
+         |       FROM t),
+         |med AS (SELECT lang, n_tokens AS med FROM r1 WHERE rk = (n + 1) // 2),
+         |dv AS (SELECT t.doc_id, t.lang, t.n_tokens, med.med,
+         |         abs(t.n_tokens - med.med) AS dev
+         |       FROM t JOIN med USING (lang)),
+         |r2 AS (SELECT lang, dev,
+         |         row_number() OVER (PARTITION BY lang
+         |           ORDER BY dev, doc_id) AS rk,
+         |         count(*) OVER (PARTITION BY lang) AS n
+         |       FROM dv),
+         |mad AS (SELECT lang, dev AS mad FROM r2 WHERE rk = (n + 1) // 2)
+         |SELECT dv.doc_id, dv.lang, dv.n_tokens, dv.med, mad.mad, dv.dev,
+         |       dv.dev > mad.mad * 3 AS is_outlier
+         |FROM dv JOIN mad USING (lang)""".stripMargin,
     "q230_source_ablation" ->
       s"""WITH $classifierCte,
          |srcs AS (SELECT DISTINCT source AS excluded FROM documents
