@@ -25,6 +25,22 @@ object TextQueries extends QueryPack {
   private val MIN_PAIR = 3  // q138: min bigram count for a lift estimate
   private val BpeArtifactMerges = 8  // q160: merges past the base vocab
 
+  // q235: Poisson(1) bootstrap — resample count, and the Poisson CDF
+  // at 2³² scale as INTEGER LITERALS (computed once, embedded, so both
+  // engines threshold the same constants instead of calling exp())
+  private val BOOT_B = 32
+  private val POISSON_CDF_U32: Seq[Long] = Seq(
+    1580030168L, 3160060337L, 3950075421L, 4213413783L,
+    4279248373L, 4292415291L, 4294609777L, 4294923276L)
+
+  /** Poisson(1) draw as a CASE chain over u ∈ [0, 2³²) — emitted for
+    * both engines from the same threshold constants.
+    */
+  private def poissonCaseSql(u: String): String =
+    POISSON_CDF_U32.zipWithIndex
+      .map { case (t, k) => s"WHEN $u < $t THEN $k" }
+      .mkString("CASE ", " ", s" ELSE ${POISSON_CDF_U32.size} END")
+
   // q225: Viterbi segmentation bounds — words longer than SEG_MAXLEN
   // are excluded (deterministically, oracle does the same), pieces cap
   // at SEG_MAXPIECE chars, and SEG_SCALE encodes the lexicographic
@@ -1066,6 +1082,55 @@ object TextQueries extends QueryPack {
           expr("(n_docs * 10000) div n_true").as("cell_bps"))
     }),
 
+    // Poisson bootstrap confidence intervals (the distributed
+    // bootstrap: per-row Poisson(1) weights instead of index
+    // resampling, which cannot shard) for the per-source mean quality
+    // score. Every draw is DETERMINISTIC: u32 from a salted md5,
+    // thresholded against the Poisson(1) CDF embedded as integer
+    // literals (no exp() at runtime, no RNG state) — so all
+    // B = 32 resamples hash identically on any engine or
+    // partitioning. The 90% interval is the rank-⌈0.05·m⌉ /
+    // rank-(m+1−⌈0.05·m⌉) resample means, ranked in a ≤B-row
+    // per-source window (bounded — never corpus-sized). Resampling
+    // multiplies the scan by B; at 100 TB you bootstrap the per-source
+    // SUFFICIENT STATISTICS relation, not the corpus, which is
+    // exactly what this plan does after the one q6 projection.
+    "q235_bootstrap_ci" -> ((s, d) => {
+      import graft.functions.TextFunctions.{hexNibble, qualityScore}
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+          floor(qualityScore(col("text"), EN) * 1e6).cast(LongType).as("q6"))
+        .localCheckpoint(true)
+      val point = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), expr("sum(q6) div count(1)").as("mean_q6"))
+      val rs = docs.select(col("doc_id"), col("source"), col("q6"),
+        explode(sequence(lit(0), lit(BOOT_B - 1))).as("b"))
+      val h = md5(concat(lit("bs"), col("b").cast(StringType), lit("-"),
+        col("doc_id").cast(StringType)))
+      val u = (1 to 8).map(i =>
+        hexNibble(substring(h, i, 1)).cast(LongType) * lit(1L << (4 * (8 - i))))
+        .reduce(_ + _)
+      val draw = POISSON_CDF_U32.zipWithIndex
+        .foldRight(lit(POISSON_CDF_U32.size.toLong): org.apache.spark.sql.Column) {
+          case ((t, k), els) => when(u < t, k.toLong).otherwise(els)
+        }
+      val mb = rs.withColumn("w", draw)
+        .groupBy(col("source"), col("b"))
+        .agg(sum(col("w") * col("q6")).as("sm"), sum(col("w")).as("sw"))
+        .filter(col("sw") > 0)
+        .select(col("source"), col("b"), expr("sm div sw").as("mb"))
+      val ci = mb
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("mb"), col("b"))))
+        .withColumn("m", count(lit(1)).over(Window.partitionBy(col("source"))))
+        .withColumn("lo_rk", expr("(m * 5 + 99) div 100"))
+        .filter(col("rk") === col("lo_rk") ||
+          col("rk") === col("m") + 1 - col("lo_rk"))
+        .groupBy(col("source"))
+        .agg(min(col("mb")).as("ci_lo_q6"), max(col("mb")).as("ci_hi_q6"))
+      point.join(ci, Seq("source"))
+    }),
+
     // Robust per-language outlier audit: exact MEDIAN and MAD (median
     // absolute deviation) instead of q102's moment statistics — the
     // robust pair survives the heavy-tailed length distributions web
@@ -2024,6 +2089,40 @@ object TextQueries extends QueryPack {
          |SELECT lang, pred_lang, n_docs,
          |       CAST((n_docs * 10000) // n_true AS BIGINT) AS cell_bps
          |FROM c JOIN t USING (lang)""".stripMargin,
+    "q235_bootstrap_ci" -> {
+      val q6Sql = s"CAST(floor((least(1.0, CAST($nTokensSql AS DOUBLE) / 50.0)" +
+        s" * (1.0 - $stopRatioSql)) * 1000000.0) AS BIGINT)"
+      val u32Sql = (1 to 8).map(i =>
+        s"strpos('123456789abcdef', substr(h, $i, 1)) * ${1L << (4 * (8 - i))}")
+        .mkString("(", " + ", ")")
+      s"""WITH g AS (SELECT doc_id, source, $q6Sql AS q6 FROM documents),
+         |pt AS (SELECT source, count(*) AS n_docs,
+         |         CAST(sum(q6) // count(*) AS BIGINT) AS mean_q6
+         |       FROM g GROUP BY 1),
+         |rs AS (SELECT doc_id, source, q6,
+         |         unnest(generate_series(0, ${BOOT_B - 1})) AS b FROM g),
+         |hh AS (SELECT source, b, q6,
+         |         md5('bs' || CAST(b AS VARCHAR) || '-'
+         |             || CAST(doc_id AS VARCHAR)) AS h
+         |       FROM rs),
+         |ww AS (SELECT source, b, q6,
+         |         ${poissonCaseSql(u32Sql)} AS w FROM hh),
+         |bm AS (SELECT source, b, CAST(SUM(w * q6) AS BIGINT) AS sm,
+         |         CAST(SUM(w) AS BIGINT) AS sw
+         |       FROM ww GROUP BY 1, 2),
+         |mb AS (SELECT source, b, sm // sw AS mb FROM bm WHERE sw > 0),
+         |rk AS (SELECT source, b, mb,
+         |         row_number() OVER (PARTITION BY source ORDER BY mb, b) AS rk,
+         |         count(*) OVER (PARTITION BY source) AS m
+         |       FROM mb),
+         |ci AS (SELECT source, MIN(mb) AS ci_lo_q6, MAX(mb) AS ci_hi_q6
+         |       FROM rk
+         |       WHERE rk = (m * 5 + 99) // 100
+         |          OR rk = m + 1 - (m * 5 + 99) // 100
+         |       GROUP BY 1)
+         |SELECT pt.source, pt.n_docs, pt.mean_q6, ci.ci_lo_q6, ci.ci_hi_q6
+         |FROM pt JOIN ci USING (source)""".stripMargin
+    },
     "q233_mad_outliers" ->
       """WITH t AS (SELECT doc_id, lang,
          |            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
