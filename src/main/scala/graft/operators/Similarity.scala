@@ -141,6 +141,73 @@ object Similarity {
     kmeansAssign(emb, idCol, vecCol,
       kmeansCentroids(emb, idCol, vecCol, k, rounds = 1)).drop(vecCol)
 
+  /** DERANDOMIZED k-means|| initialization (Bahmani et al., "Scalable
+    * K-Means++", VLDB 2012): instead of k sequential k-means++ draws
+    * (k round trips — unusable distributed), each of `rounds`
+    * oversampling passes selects ~`oversample` points AT ONCE with
+    * probability ∝ cost, then the bounded candidate set reduces to k
+    * by weight. Every "random" draw here is a SALTED-HASH THRESHOLD:
+    * point p is selected in round r iff
+    *   u32("kmpp r" ‖ id) < (oversample · dist_q(p) · 2³²) div total_q
+    * with dist_q = ⌊(1 − best_cos)·1e6⌋ — so the seed set is
+    * bit-identical on any engine or partitioning (the q235 device
+    * pointed at cluster init). An already-selected point has cost 0
+    * and can never be re-drawn, so the candidate union needs no dedup.
+    * Reduction: each point votes for its nearest candidate (cosine,
+    * smallest-id tie-break via the associative struct argmax), and the
+    * k heaviest candidates win (weight desc, id asc) — the standard
+    * weighted reduction with the recluster step simplified to a
+    * deterministic top-k. Candidate set stays ~1 + rounds·oversample
+    * (broadcastable); per round: one broadcast join + one bounded agg;
+    * the corpus is scanned rounds + 1 times, never shuffled on id.
+    * Zero-norm vectors (cosine undefined) are excluded from cost,
+    * selection and votes — both engines agree.
+    * Returns (cid 1..k, seed_id, weight).
+    */
+  def kmeansParallelSeeds(emb: DataFrame, idCol: String, vecCol: String,
+                          k: Int, rounds: Int, oversample: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1 && oversample >= 1,
+      s"kmeansParallelSeeds: k=$k rounds=$rounds oversample=$oversample")
+    import graft.functions.TextFunctions.hexNibble
+    val pts = emb.select(col(idCol).as("pid"), col(vecCol).as("pvec"))
+    def u32(r: Int): Column = {
+      val h = md5(concat(lit(s"kmpp$r-"), col("pid").cast("string")))
+      (1 to 8).map(i =>
+        hexNibble(substring(h, i, 1)).cast("long") * lit(1L << (4 * (8 - i))))
+        .reduce(_ + _)
+    }
+    var cand = pts.orderBy(col("pid")).limit(1)
+      .select(col("pid").as("cand_id"), col("pvec").as("cvec"))
+      .localCheckpoint(true)
+    for (r <- 1 to rounds) {
+      val dq = pts.crossJoin(broadcast(cand))
+        .withColumn("cos", cosine(col("pvec"), col("cvec")))
+        .filter(col("cos").isNotNull)
+        .groupBy(col("pid"), col("pvec"))
+        .agg(max(col("cos")).as("best"))
+        .withColumn("dq", greatest(lit(0L),
+          floor((lit(1.0) - col("best")) * lit(1000000.0)).cast("long")))
+      val tot = dq.agg(sum(col("dq")).as("tot"))
+      val sel = dq.crossJoin(broadcast(tot))
+        .filter(u32(r) <
+          expr(s"(($oversample * dq) * 4294967296) div greatest(tot, 1)"))
+        .select(col("pid").as("cand_id"), col("pvec").as("cvec"))
+      cand = cand.unionByName(sel).localCheckpoint(true)
+    }
+    val votes = pts.crossJoin(broadcast(cand))
+      .withColumn("cos", cosine(col("pvec"), col("cvec")))
+      .filter(col("cos").isNotNull)
+      .groupBy(col("pid"))
+      .agg(max(struct(col("cos"), (col("cand_id") * -1).as("nid"))).as("m"))
+      .select((col("m.nid") * -1).as("cand_id"))
+      .groupBy(col("cand_id")).agg(count(lit(1)).as("weight"))
+    votes.orderBy(col("weight").desc, col("cand_id")).limit(k)
+      .withColumn("cid", row_number().over(
+        graft.operators.Relational.tinyOrderedWindow(
+          col("weight").desc, col("cand_id"))).cast("int"))
+      .select(col("cid"), col("cand_id").as("seed_id"), col("weight"))
+  }
+
   /** Seed centroids: the k smallest ids (whatever the id space), cid 1..k. */
   private def kmeansSeeds(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
     emb.orderBy(col(idCol)).limit(k)

@@ -194,6 +194,18 @@ object SimilarityQueries extends QueryPack {
       Similarity.kmeansAssignStep(Tables.embeddings(s, d), "vec_id", "embedding", k = 8)
         .withColumnRenamed("cid", "cluster")),
 
+    // Derandomized k-means|| initialization (Bahmani et al. 2012) —
+    // the missing scale story of cluster training: min-id seeding
+    // (kmeansSeeds) is deterministic but arbitrary; k-means++ is good
+    // but needs k sequential draws; k-means|| oversamples ~16 points
+    // per pass cost-proportionally and reduces the bounded candidate
+    // set to k by vote weight. Every draw is a salted-hash threshold
+    // ([[Similarity.kmeansParallelSeeds]]), so the "randomized"
+    // algorithm is bit-exact under the oracle.
+    "q236_kmeanspp_seeds" -> ((s, d) =>
+      Similarity.kmeansParallelSeeds(Tables.embeddings(s, d),
+        "vec_id", "embedding", k = 8, rounds = 2, oversample = 16)),
+
     // Product-quantization encoder: 4 independent sub-quantizers over
     // 16-dim slices compress each 64-dim vector to 4 3-bit codes — the
     // memory-side half of large-scale ANN (IVF above is the routing
@@ -1276,6 +1288,45 @@ object SimilarityQueries extends QueryPack {
          |  WHERE rn <= 3),
          |$perP
          |$rows""".stripMargin
+    },
+    "q236_kmeanspp_seeds" -> {
+      def u32(r: Int) = (1 to 8).map(i =>
+        s"strpos('123456789abcdef', substr(md5('kmpp$r-' || CAST(vec_id AS VARCHAR)), $i, 1)) * ${1L << (4 * (8 - i))}")
+        .mkString("(", " + ", ")")
+      def roundCtes(r: Int) =
+        s"""b$r AS (SELECT e.vec_id, e.embedding,
+           |          MAX(${cosSql("e.embedding", "c.cvec")}) AS best
+           |        FROM emb e CROSS JOIN c${r - 1} c
+           |        WHERE ${cosSql("e.embedding", "c.cvec")} IS NOT NULL
+           |        GROUP BY 1, 2),
+           |d$r AS (SELECT vec_id, embedding,
+           |          GREATEST(0, CAST(floor((1.0 - best) * 1000000.0) AS BIGINT)) AS dq
+           |        FROM b$r),
+           |t$r AS (SELECT CAST(SUM(dq) AS BIGINT) AS tot FROM d$r),
+           |s$r AS (SELECT vec_id AS cand_id, embedding AS cvec FROM d$r
+           |        WHERE ${u32(r)} <
+           |          ((16 * dq) * 4294967296) // GREATEST((SELECT tot FROM t$r), 1)),
+           |c$r AS (SELECT * FROM c${r - 1} UNION ALL SELECT * FROM s$r)""".stripMargin
+      s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+         |c0 AS (SELECT vec_id AS cand_id, embedding AS cvec FROM emb
+         |       ORDER BY vec_id LIMIT 1),
+         |${roundCtes(1)},
+         |${roundCtes(2)},
+         |asg AS (SELECT vec_id, cand_id FROM (
+         |          SELECT e.vec_id, c.cand_id,
+         |            row_number() OVER (PARTITION BY e.vec_id
+         |              ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC,
+         |                       c.cand_id) AS rn
+         |          FROM emb e CROSS JOIN c2 c
+         |          WHERE ${cosSql("e.embedding", "c.cvec")} IS NOT NULL)
+         |        WHERE rn = 1),
+         |w AS (SELECT cand_id, CAST(count(*) AS BIGINT) AS weight
+         |      FROM asg GROUP BY 1),
+         |top AS (SELECT cand_id, weight,
+         |          row_number() OVER (ORDER BY weight DESC, cand_id) AS cid
+         |        FROM w)
+         |SELECT CAST(cid AS INT) AS cid, cand_id AS seed_id, weight
+         |FROM top WHERE cid <= 8""".stripMargin
     },
     "q97_pq_encode" -> {
       val chains = (0 until PQ_M).map { i =>

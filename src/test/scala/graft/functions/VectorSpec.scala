@@ -541,4 +541,18 @@ class VectorSpec extends SparkSpec {
       .select($"vec_id", $"nn_id").as[(Long, Long)].collect().toMap
     assert(served == exact) // 8-bit quantization noise ≪ the separation
   }
+
+  test("kmeansParallelSeeds: deterministic, k seeds from the corpus, weight-ordered") {
+    import graft.operators.Similarity
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    def run() = Similarity.kmeansParallelSeeds(emb, "vec_id", "embedding",
+      k = 4, rounds = 2, oversample = 8).as[(Int, Long, Long)].collect().toSeq
+    val s1 = run()
+    assert(s1 == run()) // salted-hash draws: bit-identical across runs
+    assert(s1.length == 4 && s1.map(_._1) == Seq(1, 2, 3, 4))
+    assert(s1.map(_._3) == s1.map(_._3).sortBy(-_)) // weight desc
+    assert(s1.map(_._2).distinct.length == 4)
+    val ids = emb.select($"vec_id").as[Long].collect().toSet
+    s1.foreach(r => assert(ids(r._2))) // seeds are actual corpus points
+  }
 }
