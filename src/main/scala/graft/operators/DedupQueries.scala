@@ -724,6 +724,38 @@ object DedupQueries extends QueryPack {
         .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
     }),
 
+    // Dedup-ROI growth curve: exact-duplicate rate as the corpus grows
+    // decile by decile (ingestion order) — Lee et al. 2022's
+    // observation that duplication RISES with corpus size, measured on
+    // this corpus so a roadmap can price the dedup pass before
+    // scaling. Same one-pass cumulative device as q237: each
+    // fingerprint's first decile is a min-agg, cumulative distincts a
+    // 10-row running sum — no per-prefix recomputation.
+    "q238_dup_growth" -> ((s, d) => {
+      import graft.functions.TextFunctions.fingerprint
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      val ranked = Relational.orderedRanks(docs, Seq(col("doc_id").asc), "ord")
+      val n = docs.count() // bounded scalar
+      val dd = ranked.select(
+        expr(s"CAST(((ord - 1) * 10) div $n + 1 AS INT)").as("dec"), col("fp"))
+      val perDec = dd.groupBy(col("dec")).agg(count(lit(1)).as("n_docs"))
+      val firsts = dd.groupBy(col("fp")).agg(min(col("dec")).as("fd"))
+        .groupBy(col("fd").as("dec")).agg(count(lit(1)).as("n_new"))
+      val w = Relational.tinyOrderedWindow(col("dec"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      perDec.join(firsts, Seq("dec"), "full_outer")
+        .select(col("dec"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"))
+        .withColumn("n_docs_cum", sum(col("n_docs")).over(w))
+        .withColumn("n_distinct_cum", sum(col("n_new")).over(w))
+        .select(col("dec"), col("n_docs_cum"), col("n_distinct_cum"),
+          (col("n_docs_cum") - col("n_distinct_cum")).as("n_dups_cum"),
+          expr("((n_docs_cum - n_distinct_cum) * 10000) div n_docs_cum")
+            .as("dup_rate_bps"))
+    }),
+
     "q157_incremental_dedup" -> ((s, d) => {
       import graft.functions.TextFunctions.hexNibble
       val h = md5(col("doc_id").cast("string"))
@@ -1182,6 +1214,30 @@ object DedupQueries extends QueryPack {
     // fold of ledgered micro-batches.
     "q220_incremental_cc" -> ccFullRecomputeSql,
     "q228_stream_cc" -> ccFullRecomputeSql,
+    "q238_dup_growth" ->
+      """WITH r AS (SELECT doc_id,
+         |            md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+         |            row_number() OVER (ORDER BY doc_id) AS ord,
+         |            count(*) OVER () AS n
+         |          FROM documents),
+         |dd AS (SELECT CAST(((ord - 1) * 10) // n + 1 AS INT) AS dec, fp FROM r),
+         |pd AS (SELECT dec, count(*) AS n_docs FROM dd GROUP BY 1),
+         |fst AS (SELECT fd AS dec, count(*) AS n_new
+         |        FROM (SELECT fp, MIN(dec) AS fd FROM dd GROUP BY 1) GROUP BY 1),
+         |j AS (SELECT COALESCE(pd.dec, fst.dec) AS dec,
+         |        COALESCE(n_docs, 0) AS n_docs, COALESCE(n_new, 0) AS n_new
+         |      FROM pd FULL OUTER JOIN fst ON pd.dec = fst.dec),
+         |c AS (SELECT dec,
+         |        CAST(SUM(n_docs) OVER (ORDER BY dec
+         |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_docs_cum,
+         |        CAST(SUM(n_new) OVER (ORDER BY dec
+         |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_distinct_cum
+         |      FROM j)
+         |SELECT dec, n_docs_cum, n_distinct_cum,
+         |       n_docs_cum - n_distinct_cum AS n_dups_cum,
+         |       CAST(((n_docs_cum - n_distinct_cum) * 10000) // n_docs_cum
+         |            AS BIGINT) AS dup_rate_bps
+         |FROM c""".stripMargin,
     "q219_lsh_autotune" -> {
       val thr = (MIN_JACCARD * 1000000).toLong
       val curveUnion = LSH_CONFIGS.map { case (b, r) =>

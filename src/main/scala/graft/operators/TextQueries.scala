@@ -1082,6 +1082,37 @@ object TextQueries extends QueryPack {
           expr("(n_docs * 10000) div n_true").as("cell_bps"))
     }),
 
+    // Heaps'-law growth curve: vocabulary size and type-token ratio as
+    // the corpus grows decile by decile (ingestion order = doc_id
+    // rank) — the scaling-audit a corpus roadmap reads before claiming
+    // "10× more data ⇒ 10× more signal". The cumulative trick keeps it
+    // one pass: each token's FIRST decile (min over its occurrences)
+    // is a plain min-agg, vocab_cum(d) is then a running sum over the
+    // 10-row decile relation — no per-prefix rescans, no corpus-sized
+    // window. Deciles come from [[Relational.orderedRanks]] on doc_id
+    // (dense-rank deciles, id-gap-proof).
+    "q237_heaps_law" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val ranked = Relational.orderedRanks(docs, Seq(col("doc_id").asc), "ord")
+      val n = docs.count() // bounded scalar, same class as the watermark reads
+      val dd = ranked.select(col("doc_id"), col("text"),
+        expr(s"CAST(((ord - 1) * 10) div $n + 1 AS INT)").as("dec"))
+      val toks = dd.select(col("dec"), explode(split(col("text"), " ")).as("tok"))
+      val occ = toks.groupBy(col("dec")).agg(count(lit(1)).as("n_occ"))
+      val firsts = toks.groupBy(col("tok")).agg(min(col("dec")).as("fd"))
+        .groupBy(col("fd").as("dec")).agg(count(lit(1)).as("n_new"))
+      val w = Relational.tinyOrderedWindow(col("dec"))
+        .rowsBetween(Window.unboundedPreceding, 0) // 10-row relation
+      occ.join(firsts, Seq("dec"), "full_outer")
+        .select(col("dec"), coalesce(col("n_occ"), lit(0L)).as("n_occ"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"))
+        .withColumn("n_tokens_cum", sum(col("n_occ")).over(w))
+        .withColumn("vocab_cum", sum(col("n_new")).over(w))
+        .select(col("dec"), col("n_tokens_cum"), col("vocab_cum"),
+          expr("(vocab_cum * 10000) div n_tokens_cum").as("ttr_bps"))
+    }),
+
     // Poisson bootstrap confidence intervals (the distributed
     // bootstrap: per-row Poisson(1) weights instead of index
     // resampling, which cannot shard) for the per-source mean quality
@@ -2089,6 +2120,29 @@ object TextQueries extends QueryPack {
          |SELECT lang, pred_lang, n_docs,
          |       CAST((n_docs * 10000) // n_true AS BIGINT) AS cell_bps
          |FROM c JOIN t USING (lang)""".stripMargin,
+    "q237_heaps_law" ->
+      """WITH r AS (SELECT doc_id, text,
+         |            row_number() OVER (ORDER BY doc_id) AS ord,
+         |            count(*) OVER () AS n
+         |          FROM documents),
+         |dd AS (SELECT CAST(((ord - 1) * 10) // n + 1 AS INT) AS dec, text FROM r),
+         |toks AS (SELECT dec, unnest(string_split(text, ' ')) AS tok FROM dd),
+         |occ AS (SELECT dec, count(*) AS n_occ FROM toks GROUP BY 1),
+         |fst AS (SELECT fd AS dec, count(*) AS n_new
+         |        FROM (SELECT tok, MIN(dec) AS fd FROM toks GROUP BY 1)
+         |        GROUP BY 1),
+         |j AS (SELECT COALESCE(occ.dec, fst.dec) AS dec,
+         |        COALESCE(n_occ, 0) AS n_occ, COALESCE(n_new, 0) AS n_new
+         |      FROM occ FULL OUTER JOIN fst ON occ.dec = fst.dec),
+         |c AS (SELECT dec,
+         |        CAST(SUM(n_occ) OVER (ORDER BY dec
+         |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_tokens_cum,
+         |        CAST(SUM(n_new) OVER (ORDER BY dec
+         |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_cum
+         |      FROM j)
+         |SELECT dec, n_tokens_cum, vocab_cum,
+         |       CAST((vocab_cum * 10000) // n_tokens_cum AS BIGINT) AS ttr_bps
+         |FROM c""".stripMargin,
     "q235_bootstrap_ci" -> {
       val q6Sql = s"CAST(floor((least(1.0, CAST($nTokensSql AS DOUBLE) / 50.0)" +
         s" * (1.0 - $stopRatioSql)) * 1000000.0) AS BIGINT)"
