@@ -206,6 +206,41 @@ object SimilarityQueries extends QueryPack {
       Similarity.kmeansParallelSeeds(Tables.embeddings(s, d),
         "vec_id", "embedding", k = 8, rounds = 2, oversample = 16)),
 
+    // The MEASURED payoff of q236: cell occupancy under min-id seeding
+    // vs k-means|| seeding, on identical assignment rules. Occupancy
+    // balance is the operational IVF metric — a hot cell is a hot
+    // probe at serving time — so skew_bps (hottest cell's load vs the
+    // perfectly-balanced n/k) is the number an index build reports
+    // before committing centroids. Both A/B arms share one broadcast
+    // assignment pattern (smallest-id ties), and the whole comparison
+    // is oracle-exact because the || draws are salted-hash
+    // deterministic.
+    "q239_seed_occupancy" -> ((s, d) => {
+      import graft.functions.VectorFunctions.cosine
+      val emb = Tables.embeddings(s, d)
+      val minid = emb.orderBy(col("vec_id")).limit(8)
+        .select(col("vec_id").as("cand_id"), col("embedding").as("cvec"))
+      val pp = Similarity.kmeansParallelSeeds(emb, "vec_id", "embedding",
+          k = 8, rounds = 2, oversample = 16)
+        .join(emb, col("seed_id") === col("vec_id"))
+        .select(col("seed_id").as("cand_id"), col("embedding").as("cvec"))
+      def occupancy(cand: DataFrame, method: String) = {
+        val sz = emb.select(col("vec_id"), col("embedding"))
+          .crossJoin(broadcast(cand))
+          .withColumn("cos", cosine(col("embedding"), col("cvec")))
+          .filter(col("cos").isNotNull)
+          .groupBy(col("vec_id"))
+          .agg(max(struct(col("cos"), (col("cand_id") * -1).as("nid"))).as("m"))
+          .select((col("m.nid") * -1).as("cand_id"))
+          .groupBy(col("cand_id")).agg(count(lit(1)).as("sz"))
+        sz.agg(count(lit(1)).as("n_cells"), max(col("sz")).as("largest"),
+            min(col("sz")).as("smallest"), sum(col("sz")).as("tot"))
+          .select(lit(method).as("method"), col("n_cells"), col("largest"),
+            col("smallest"), expr("(largest * 8 * 10000) div tot").as("skew_bps"))
+      }
+      occupancy(minid, "minid").unionByName(occupancy(pp, "kmpp"))
+    }),
+
     // Product-quantization encoder: 4 independent sub-quantizers over
     // 16-dim slices compress each 64-dim vector to 4 3-bit codes — the
     // memory-side half of large-scale ANN (IVF above is the routing
@@ -651,6 +686,49 @@ object SimilarityQueries extends QueryPack {
 
   private[operators] val bucketSql = (1 to BITS).map(i =>
     s"(CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+
+  /** WITH-body for the q236 derandomized k-means|| chain (emb → c0 →
+    * two oversampling rounds → votes → `top` ranked candidates) —
+    * shared by q236 (the seeds themselves) and q239 (occupancy A/B
+    * against min-id seeding). No leading WITH.
+    */
+  private lazy val kmppChainSql: String = {
+    def u32(r: Int) = (1 to 8).map(i =>
+      s"strpos('123456789abcdef', substr(md5('kmpp$r-' || CAST(vec_id AS VARCHAR)), $i, 1)) * ${1L << (4 * (8 - i))}")
+      .mkString("(", " + ", ")")
+    def roundCtes(r: Int) =
+      s"""b$r AS (SELECT e.vec_id, e.embedding,
+         |          MAX(${cosSql("e.embedding", "c.cvec")}) AS best
+         |        FROM emb e CROSS JOIN c${r - 1} c
+         |        WHERE ${cosSql("e.embedding", "c.cvec")} IS NOT NULL
+         |        GROUP BY 1, 2),
+         |d$r AS (SELECT vec_id, embedding,
+         |          GREATEST(0, CAST(floor((1.0 - best) * 1000000.0) AS BIGINT)) AS dq
+         |        FROM b$r),
+         |t$r AS (SELECT CAST(SUM(dq) AS BIGINT) AS tot FROM d$r),
+         |s$r AS (SELECT vec_id AS cand_id, embedding AS cvec FROM d$r
+         |        WHERE ${u32(r)} <
+         |          ((16 * dq) * 4294967296) // GREATEST((SELECT tot FROM t$r), 1)),
+         |c$r AS (SELECT * FROM c${r - 1} UNION ALL SELECT * FROM s$r)""".stripMargin
+    s"""emb AS (SELECT vec_id, embedding FROM embeddings),
+       |c0 AS (SELECT vec_id AS cand_id, embedding AS cvec FROM emb
+       |       ORDER BY vec_id LIMIT 1),
+       |${roundCtes(1)},
+       |${roundCtes(2)},
+       |asg AS (SELECT vec_id, cand_id FROM (
+       |          SELECT e.vec_id, c.cand_id,
+       |            row_number() OVER (PARTITION BY e.vec_id
+       |              ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC,
+       |                       c.cand_id) AS rn
+       |          FROM emb e CROSS JOIN c2 c
+       |          WHERE ${cosSql("e.embedding", "c.cvec")} IS NOT NULL)
+       |        WHERE rn = 1),
+       |w AS (SELECT cand_id, CAST(count(*) AS BIGINT) AS weight
+       |      FROM asg GROUP BY 1),
+       |top AS (SELECT cand_id, weight,
+       |          row_number() OVER (ORDER BY weight DESC, cand_id) AS cid
+       |        FROM w)""".stripMargin
+  }
 
   /** WITH-clause chain for `rounds` Lloyd refinements over the 64-dim
     * embeddings (range(1,65) indexes the vector): seeds → a1 → cents1 →
@@ -1289,44 +1367,39 @@ object SimilarityQueries extends QueryPack {
          |$perP
          |$rows""".stripMargin
     },
-    "q236_kmeanspp_seeds" -> {
-      def u32(r: Int) = (1 to 8).map(i =>
-        s"strpos('123456789abcdef', substr(md5('kmpp$r-' || CAST(vec_id AS VARCHAR)), $i, 1)) * ${1L << (4 * (8 - i))}")
-        .mkString("(", " + ", ")")
-      def roundCtes(r: Int) =
-        s"""b$r AS (SELECT e.vec_id, e.embedding,
-           |          MAX(${cosSql("e.embedding", "c.cvec")}) AS best
-           |        FROM emb e CROSS JOIN c${r - 1} c
-           |        WHERE ${cosSql("e.embedding", "c.cvec")} IS NOT NULL
-           |        GROUP BY 1, 2),
-           |d$r AS (SELECT vec_id, embedding,
-           |          GREATEST(0, CAST(floor((1.0 - best) * 1000000.0) AS BIGINT)) AS dq
-           |        FROM b$r),
-           |t$r AS (SELECT CAST(SUM(dq) AS BIGINT) AS tot FROM d$r),
-           |s$r AS (SELECT vec_id AS cand_id, embedding AS cvec FROM d$r
-           |        WHERE ${u32(r)} <
-           |          ((16 * dq) * 4294967296) // GREATEST((SELECT tot FROM t$r), 1)),
-           |c$r AS (SELECT * FROM c${r - 1} UNION ALL SELECT * FROM s$r)""".stripMargin
-      s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
-         |c0 AS (SELECT vec_id AS cand_id, embedding AS cvec FROM emb
-         |       ORDER BY vec_id LIMIT 1),
-         |${roundCtes(1)},
-         |${roundCtes(2)},
-         |asg AS (SELECT vec_id, cand_id FROM (
-         |          SELECT e.vec_id, c.cand_id,
-         |            row_number() OVER (PARTITION BY e.vec_id
-         |              ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC,
-         |                       c.cand_id) AS rn
-         |          FROM emb e CROSS JOIN c2 c
-         |          WHERE ${cosSql("e.embedding", "c.cvec")} IS NOT NULL)
-         |        WHERE rn = 1),
-         |w AS (SELECT cand_id, CAST(count(*) AS BIGINT) AS weight
-         |      FROM asg GROUP BY 1),
-         |top AS (SELECT cand_id, weight,
-         |          row_number() OVER (ORDER BY weight DESC, cand_id) AS cid
-         |        FROM w)
+    "q236_kmeanspp_seeds" ->
+      s"""WITH $kmppChainSql
          |SELECT CAST(cid AS INT) AS cid, cand_id AS seed_id, weight
-         |FROM top WHERE cid <= 8""".stripMargin
+         |FROM top WHERE cid <= 8""".stripMargin,
+    "q239_seed_occupancy" -> {
+      def assignSql(seeds: String) =
+        s"""SELECT cand_id, CAST(count(*) AS BIGINT) AS sz FROM (
+           |  SELECT vec_id, cand_id FROM (
+           |    SELECT e.vec_id, c.cand_id,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC,
+           |                 c.cand_id) AS rn
+           |    FROM emb e CROSS JOIN $seeds c
+           |    WHERE ${cosSql("e.embedding", "c.cvec")} IS NOT NULL)
+           |  WHERE rn = 1) GROUP BY 1""".stripMargin
+      def occSql(rel: String, method: String) =
+        s"""SELECT '$method' AS method,
+           |  CAST(count(*) AS BIGINT) AS n_cells,
+           |  CAST(MAX(sz) AS BIGINT) AS largest,
+           |  CAST(MIN(sz) AS BIGINT) AS smallest,
+           |  CAST((MAX(sz) * 8 * 10000) // SUM(sz) AS BIGINT) AS skew_bps
+           |FROM $rel""".stripMargin
+      s"""WITH $kmppChainSql,
+         |mseed AS (SELECT vec_id AS cand_id, embedding AS cvec FROM emb
+         |          ORDER BY vec_id LIMIT 8),
+         |pseed AS (SELECT t.cand_id, e.embedding AS cvec
+         |          FROM top t JOIN emb e ON e.vec_id = t.cand_id
+         |          WHERE t.cid <= 8),
+         |szm AS (${assignSql("mseed")}),
+         |szp AS (${assignSql("pseed")})
+         |${occSql("szm", "minid")}
+         |UNION ALL
+         |${occSql("szp", "kmpp")}""".stripMargin
     },
     "q97_pq_encode" -> {
       val chains = (0 until PQ_M).map { i =>
