@@ -1082,6 +1082,32 @@ object TextQueries extends QueryPack {
           expr("(n_docs * 10000) div n_true").as("cell_bps"))
     }),
 
+    // Self-join / F2 size estimation by CMS inner product (AMS second
+    // frequency moment; Cormode & Muthukrishnan §4.2): the join-size
+    // estimate a planner needs BEFORE committing to a shuffle —
+    // |R ⋈_k R| = Σ_k c(k)² — read off the same count-min sketch q182
+    // already maintains, as min over rows of Σ_b c(r,b)². The estimate
+    // is ONE-SIDED (collisions only add), so a planner sizing
+    // partitions off it over-provisions, never under. Here measured
+    // against the exact per-user event self-join: sketch rows are
+    // d×w-bounded (4×1024), exact is one group-by — the report shows the
+    // sketch's overestimate in basis points.
+    "q240_f2_join_estimate" -> ((s, d) => {
+      val occ = Tables.events(s, d).select(col("user_id").cast(StringType).as("k"))
+      def buckets = array((0 until 4).map(r =>
+        (Curation.hashU16(col("k"), s"f2c$r") % 1024).cast("int")): _*)
+      val cms = occ.select(posexplode(buckets))
+        .select(col("pos").as("r"), col("col").as("b"))
+        .groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
+      val est = cms.groupBy(col("r")).agg(sum(col("c") * col("c")).as("f2r"))
+        .agg(min(col("f2r")).as("cms_f2"))
+      val exact = occ.groupBy(col("k")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * col("c")).as("exact_f2"))
+      exact.crossJoin(broadcast(est))
+        .select(col("exact_f2"), col("cms_f2"),
+          expr("((cms_f2 - exact_f2) * 10000) div exact_f2").as("over_bps"))
+    }),
+
     // Heaps'-law growth curve: vocabulary size and type-token ratio as
     // the corpus grows decile by decile (ingestion order = doc_id
     // rank) — the scaling-audit a corpus roadmap reads before claiming
@@ -2120,6 +2146,24 @@ object TextQueries extends QueryPack {
          |SELECT lang, pred_lang, n_docs,
          |       CAST((n_docs * 10000) // n_true AS BIGINT) AS cell_bps
          |FROM c JOIN t USING (lang)""".stripMargin,
+    "q240_f2_join_estimate" -> {
+      def nib(key: String, i: Int) =
+        s"strpos('123456789abcdef', substr(md5($key), $i, 1))"
+      def u16(key: String) =
+        s"(${nib(key, 1)} * 4096 + ${nib(key, 2)} * 256 + ${nib(key, 3)} * 16 + ${nib(key, 4)})"
+      val bkt = u16("'f2c' || CAST(rr.r AS VARCHAR) || k") + " % 1024"
+      s"""WITH occ AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+         |rr AS (SELECT unnest(generate_series(0, 3)) AS r),
+         |kb AS (SELECT rr.r, $bkt AS b FROM occ CROSS JOIN rr),
+         |cms AS (SELECT r, b, CAST(count(*) AS BIGINT) AS c FROM kb GROUP BY 1, 2),
+         |est AS (SELECT CAST(MIN(f2r) AS BIGINT) AS cms_f2 FROM
+         |          (SELECT r, SUM(c * c) AS f2r FROM cms GROUP BY 1)),
+         |ex AS (SELECT CAST(SUM(c * c) AS BIGINT) AS exact_f2 FROM
+         |         (SELECT k, CAST(count(*) AS BIGINT) AS c FROM occ GROUP BY 1))
+         |SELECT exact_f2, cms_f2,
+         |       CAST(((cms_f2 - exact_f2) * 10000) // exact_f2 AS BIGINT) AS over_bps
+         |FROM ex CROSS JOIN est""".stripMargin
+    },
     "q237_heaps_law" ->
       """WITH r AS (SELECT doc_id, text,
          |            row_number() OVER (ORDER BY doc_id) AS ord,

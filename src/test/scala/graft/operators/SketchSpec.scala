@@ -44,6 +44,15 @@ class SketchSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  // CMS inner-product F2 estimate (q240): one-sided like the point
+  // estimates — hash collisions only ADD cross terms, so a planner
+  // sizing shuffle partitions off it over-provisions, never under.
+  test("F2 join-size estimate is one-sided: cms_f2 >= exact_f2") {
+    val (exact, est, over) = TextQueries.queries("q240_f2_join_estimate")(spark, sf)
+      .as[(Long, Long, Long)].collect().head
+    assert(est >= exact && over >= 0 && exact > 0)
+  }
+
   test("CMS error is one-sided: estimate >= exact for every audited token") {
     val rows = TextQueries.queries("q182_cms_calibration")(spark, sf)
       .select($"exact", $"cms_estimate").as[(Long, Long)].collect()
