@@ -252,6 +252,36 @@ object WarehouseQueries extends QueryPack {
           count(col("o_orderstatus")).as("n_with_status"))
     }),
 
+    // Malformed-record QUARANTINE on JSON ingest — the dead-letter
+    // verb every landing zone needs: a feed where every 7th line is
+    // (deterministically) truncated mid-record is read PERMISSIVE with
+    // a corrupt-record column, valid rows parse through, broken rows
+    // route to quarantine instead of killing the job or silently
+    // vanishing. The gate proves the routing EXACTLY matches the
+    // injection rule — a parser that dropped a valid line, accepted a
+    // truncated one, or mangled a parsed field value would break the
+    // counts or the recovered-field sums. Scan-speed, no shuffle; the
+    // quarantine side carries the raw line for replay-after-fix.
+    "q241_corrupt_quarantine" -> ((s, d) => {
+      val dir = graft.plans.EtlQueries.tmpWarehouse() + "/jsonl_feed"
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          to_json(struct(col("doc_id"), col("source"), col("n_chars"))).as("l"))
+        .select(when(col("doc_id") % 7 === 0,
+            expr("substring(l, 1, length(l) - 2)")).otherwise(col("l")).as("value"))
+        .write.mode("overwrite").text(dir)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("source", StringType),
+        StructField("n_chars", LongType), StructField("_corrupt", StringType)))
+      s.read.schema(schema)
+        .option("columnNameOfCorruptRecord", "_corrupt").json(dir)
+        .agg(
+          sum(when(col("_corrupt").isNull, 1L).otherwise(0L)).as("n_valid"),
+          sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L)).as("n_quarantined"),
+          sum(when(col("_corrupt").isNull, col("doc_id"))).as("sum_valid_ids"),
+          sum(when(col("_corrupt").isNull, col("n_chars"))).as("sum_valid_chars"))
+    }),
+
     // Incremental aggregate maintenance under a CDC DELTA — q107
     // maintains an agg under watermarked APPENDS; this is the general
     // case a warehouse actually faces: one change batch carrying
@@ -315,6 +345,15 @@ object WarehouseQueries extends QueryPack {
            CAST(SUM(l_orderkey) AS BIGINT) AS sum_keys,
            MAX(l_shipdate) AS max_ship
          FROM lineitem GROUP BY 1""",
+    // Ground truth from the injection rule: any mis-parse of a valid
+    // line or acceptance of a truncated one breaks these counts.
+    "q241_corrupt_quarantine" ->
+      """SELECT
+           CAST(count(CASE WHEN doc_id % 7 != 0 THEN 1 END) AS BIGINT) AS n_valid,
+           CAST(count(CASE WHEN doc_id % 7 = 0 THEN 1 END) AS BIGINT) AS n_quarantined,
+           CAST(SUM(CASE WHEN doc_id % 7 != 0 THEN doc_id END) AS BIGINT) AS sum_valid_ids,
+           CAST(SUM(CASE WHEN doc_id % 7 != 0 THEN n_chars END) AS BIGINT) AS sum_valid_chars
+         FROM documents""",
     // Recompute-from-scratch ground truth for the CDC maintenance:
     // deletes win over updates, inserts land a month later untouched.
     "q232_incremental_agg_cdc" ->
