@@ -478,6 +478,36 @@ object CurationQueries extends QueryPack {
           col("len_ok") && col("word_ok") && col("has_stopword"))
         .drop("n_chars")),
 
+    // Token-budget-constrained selection: the curation endgame verb —
+    // given a 40%-of-corpus token budget, take documents in QUALITY
+    // DENSITY order (quality per token, the knapsack greedy) until the
+    // budget line. The selection frontier is a DISTRIBUTED exclusive
+    // prefix sum of token counts in (density desc, id) order
+    // ([[Relational.orderedPrefixSum]] — range partition + two passes,
+    // no corpus-sized window); "selected" = prefix < budget, which is
+    // prefix-closed (the straddling document is the only possible
+    // overshoot, documented). Per-source report shows where the budget
+    // actually went — the number a mixing policy is argued against.
+    "q242_budget_select" -> ((s, d) => {
+      import graft.functions.TextFunctions.qualityScore
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          floor(qualityScore(col("text"), TextQueries.EN) * 1e6)
+            .cast("long").as("q6"))
+        .withColumn("density_ppb", expr("(q6 * 1000) div n_tokens"))
+      val tot = docs.agg(sum(col("n_tokens")).as("tt"))
+      val pre = Relational.orderedPrefixSum(docs,
+        Seq(col("density_ppb").desc, col("doc_id").asc), "n_tokens", "pre")
+      pre.crossJoin(broadcast(tot))
+        .withColumn("selected", col("pre") < expr("(tt * 2) div 5"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("selected"), 1L).otherwise(0L)).as("n_selected"),
+          sum(when(col("selected"), col("n_tokens")).otherwise(0L)).as("tok_selected"),
+          expr("sum(CASE WHEN selected THEN q6 END) div " +
+            "nullif(sum(CASE WHEN selected THEN 1 END), 0)").as("mean_q6_selected"))
+    }),
+
     // CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): score
     // every document under a language model trained ONLY on the trusted
     // slice (source = 'src0' — the same vetted set q83/q92/q217 anchor
@@ -885,6 +915,33 @@ object CurationQueries extends QueryPack {
            mean_len_c2 BETWEEN 430 AND 480 AS word_ok,
            len_ok AND (mean_len_c2 BETWEEN 430 AND 480) AND has_stopword AS pass
          FROM r""",
+    "q242_budget_select" -> {
+      import TextQueries.{nTokensSql, stopRatioSql}
+      val q6Sql = s"CAST(floor((least(1.0, CAST($nTokensSql AS DOUBLE) / 50.0)" +
+        s" * (1.0 - $stopRatioSql)) * 1000000.0) AS BIGINT)"
+      s"""WITH g AS (SELECT doc_id, source,
+         |             CAST($nTokensSql AS BIGINT) AS n_tokens,
+         |             $q6Sql AS q6
+         |           FROM documents),
+         |dd AS (SELECT *, (q6 * 1000) // n_tokens AS density_ppb FROM g),
+         |tt AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tt FROM g),
+         |p AS (SELECT doc_id, source, n_tokens, q6,
+         |        CAST(COALESCE(SUM(n_tokens) OVER (
+         |          ORDER BY density_ppb DESC, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          AS BIGINT) AS pre
+         |      FROM dd),
+         |sel AS (SELECT *, pre < ((SELECT tt FROM tt) * 2) // 5 AS selected
+         |        FROM p)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN selected THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+         |  CAST(SUM(CASE WHEN selected THEN n_tokens ELSE 0 END) AS BIGINT)
+         |    AS tok_selected,
+         |  CAST(SUM(CASE WHEN selected THEN q6 END)
+         |       // NULLIF(SUM(CASE WHEN selected THEN 1 END), 0) AS BIGINT)
+         |    AS mean_q6_selected
+         |FROM sel GROUP BY 1""".stripMargin
+    },
     "q218_ccnet_buckets" ->
       """WITH tts AS (SELECT string_split(text, ' ') AS ts FROM documents
          |            WHERE source = 'src0'),
