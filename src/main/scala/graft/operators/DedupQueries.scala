@@ -724,6 +724,34 @@ object DedupQueries extends QueryPack {
         .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
     }),
 
+    // Cluster edge-strength audit — the over-merge risk check a dedup
+    // pass runs before dropping non-keepers: transitive closure can
+    // chain A≈B≈C into one cluster even when A and C share nothing
+    // (Lee et al.'s chain-collapse concern), and the tell is a cluster
+    // held together by WEAK edges. Per cluster (≥2 members): edge
+    // count, min/max verified-Jaccard (bps), and the number of weak
+    // (< 0.3) edges — a cluster whose minimum is far below the 0.2
+    // admission floor times its diameter is a review candidate. Rides
+    // the shared cached pairs + one CC pass; the profile is one
+    // cluster-keyed agg.
+    "q244_cluster_strength" -> ((s, d) => {
+      val pairs = nearDupPairs(s, d)
+      val cc = Dedup.connectedComponents(
+        pairs.select(col("id_1"), col("id_2")),
+        Tables.documents(s, d).select(col("doc_id")), "doc_id")
+      val sizes = cc.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_members"))
+      pairs
+        .join(cc.select(col("doc_id").as("id_1"), col("cluster_id")), Seq("id_1"))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_edges"),
+          min(floor(col("jaccard") * 10000).cast("long")).as("min_j_bps"),
+          max(floor(col("jaccard") * 10000).cast("long")).as("max_j_bps"),
+          sum(when(col("jaccard") < 0.3, 1L).otherwise(0L)).as("n_weak"))
+        .join(sizes, Seq("cluster_id"))
+        .select(col("cluster_id"), col("n_members"), col("n_edges"),
+          col("min_j_bps"), col("max_j_bps"), col("n_weak"))
+    }),
+
     // Dedup-ROI growth curve: exact-duplicate rate as the corpus grows
     // decile by decile (ingestion order) — Lee et al. 2022's
     // observation that duplication RISES with corpus size, measured on
@@ -1214,6 +1242,33 @@ object DedupQueries extends QueryPack {
     // fold of ledgered micro-batches.
     "q220_incremental_cc" -> ccFullRecomputeSql,
     "q228_stream_cc" -> ccFullRecomputeSql,
+    "q244_cluster_strength" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         mh AS (SELECT doc_id, $minhashCols FROM sh GROUP BY doc_id),
+         bands AS ($bandUnion),
+         cand AS (SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         verified AS ($jaccardSelect),
+         pairs AS (SELECT c.id_1, c.id_2, v.jaccard
+                   FROM cand c JOIN verified v ON c.id_1 = v.id_1 AND c.id_2 = v.id_2),
+         edges AS (SELECT id_1 AS src, id_2 AS dst FROM pairs
+                   UNION ALL SELECT id_2, id_1 FROM pairs),
+         walk(id, comp) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.dst, w.comp FROM walk w JOIN edges e ON w.id = e.src),
+         cc AS (SELECT id AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY id),
+         sz AS (SELECT cluster_id, count(*) AS n_members FROM cc GROUP BY 1)
+       SELECT c1.cluster_id, sz.n_members,
+              count(*) AS n_edges,
+              CAST(MIN(CAST(floor(p.jaccard * 10000) AS BIGINT)) AS BIGINT) AS min_j_bps,
+              CAST(MAX(CAST(floor(p.jaccard * 10000) AS BIGINT)) AS BIGINT) AS max_j_bps,
+              CAST(SUM(CASE WHEN p.jaccard < 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_weak
+       FROM pairs p
+       JOIN cc c1 ON c1.doc_id = p.id_1
+       JOIN sz ON sz.cluster_id = c1.cluster_id
+       GROUP BY 1, 2""",
     "q238_dup_growth" ->
       """WITH r AS (SELECT doc_id,
          |            md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,

@@ -1082,6 +1082,34 @@ object TextQueries extends QueryPack {
           expr("(n_docs * 10000) div n_true").as("cell_bps"))
     }),
 
+    // OOV-vs-inventory-size curve: the tokenizer-budget planning view
+    // q167 measures at ONE vocab size, swept across sizes in one pass
+    // — rank the bigram inventory by frequency (orderedRanks on the
+    // unique (count desc, gram) key, distributed), then each candidate
+    // size reads its out-of-inventory mass as "occurrences of grams
+    // ranked past the cut". The curve answers "how big must the
+    // inventory be before OOV stops hurting" before a tokenizer is
+    // trained; sizes are a bounded literal relation, so the sweep
+    // costs one ranked scan regardless of how many cuts are probed.
+    "q243_oov_curve" -> ((s, d) => {
+      import graft.functions.TextFunctions.positionalShinglesOfTokens
+      val grams = Tables.documents(s, d)
+        .select(explode(positionalShinglesOfTokens(split(col("text"), " "), 2)).as("g"))
+      val counts = grams.groupBy(col("g")).agg(count(lit(1)).as("c"))
+      val ranked = Relational.orderedRanks(counts,
+        Seq(col("c").desc, col("g").asc), "rk")
+      val tot = grams.agg(count(lit(1)).as("t"))
+      val sizes = Tables.documents(s, d).limit(1)
+        .select(explode(array(lit(32), lit(128), lit(512))).as("vocab_size"))
+      ranked.crossJoin(broadcast(sizes))
+        .groupBy(col("vocab_size"))
+        .agg(sum(when(col("rk") > col("vocab_size"), col("c")).otherwise(0L))
+          .as("oov_occurrences"))
+        .crossJoin(broadcast(tot))
+        .select(col("vocab_size"), col("oov_occurrences"),
+          expr("(oov_occurrences * 10000) div t").as("oov_bps"))
+    }),
+
     // Self-join / F2 size estimation by CMS inner product (AMS second
     // frequency moment; Cormode & Muthukrishnan §4.2): the join-size
     // estimate a planner needs BEFORE committing to a shuffle —
@@ -2146,6 +2174,22 @@ object TextQueries extends QueryPack {
          |SELECT lang, pred_lang, n_docs,
          |       CAST((n_docs * 10000) // n_true AS BIGINT) AS cell_bps
          |FROM c JOIN t USING (lang)""".stripMargin,
+    "q243_oov_curve" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS ts FROM documents),
+         |grams AS (SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+         |            i -> ts[i] || ' ' || ts[i+1])) AS g FROM toks),
+         |counts AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM grams GROUP BY 1),
+         |ranked AS (SELECT g, c,
+         |             row_number() OVER (ORDER BY c DESC, g) AS rk FROM counts),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM grams),
+         |sizes AS (SELECT unnest([32, 128, 512]) AS vocab_size)
+         |SELECT s.vocab_size,
+         |       CAST(SUM(CASE WHEN r.rk > s.vocab_size THEN r.c ELSE 0 END)
+         |            AS BIGINT) AS oov_occurrences,
+         |       CAST((SUM(CASE WHEN r.rk > s.vocab_size THEN r.c ELSE 0 END)
+         |             * 10000) // (SELECT t FROM tot) AS BIGINT) AS oov_bps
+         |FROM ranked r CROSS JOIN sizes s
+         |GROUP BY 1""".stripMargin,
     "q240_f2_join_estimate" -> {
       def nib(key: String, i: Int) =
         s"strpos('123456789abcdef', substr(md5($key), $i, 1))"
