@@ -113,6 +113,37 @@ object SimilarityQueries extends QueryPack {
       Similarity.lshNearPairs(Tables.embeddings(s, d), "vec_id", "embedding",
         BITS, MIN_COS)),
 
+    // Multi-probe LSH (Lv et al. 2007): q51's recall is bounded by
+    // exact-bucket collision; instead of paying for more hash tables,
+    // each vector ALSO probes its 8 Hamming-1 neighbor buckets — the
+    // perturbation sequence of sign-bit LSH — so near-miss pairs
+    // whose codes differ in one bit surface too. Candidates = probe
+    // relation ⋈ exact buckets (9× the probe rows, same equi-join
+    // shape — never pairwise), dedup, verify with exact cosine.
+    // Returns a strict superset of q51's pairs; diff the counts for
+    // the recall-per-probe trade.
+    "q245_multiprobe_lsh" -> ((s, d) => {
+      val bk = Similarity.buckets(Tables.embeddings(s, d),
+        "vec_id", "embedding", BITS)
+      val flips = (0 to BITS).map { i =>
+        if (i == 0) col("bucket")
+        else concat(substring(col("bucket"), 1, i - 1),
+          when(substring(col("bucket"), i, 1) === "1", "0").otherwise("1"),
+          substring(col("bucket"), i + 1, BITS - i))
+      }
+      val probes = bk.select(col("vec_id"), explode(array(flips: _*)).as("pb"))
+      val cand = probes.select(col("vec_id").as("id_1"), col("pb"))
+        .join(bk.select(col("vec_id").as("id_2"), col("bucket").as("pb")), Seq("pb"))
+        .filter(col("id_1") < col("id_2"))
+        .select(col("id_1"), col("id_2")).distinct()
+      cand
+        .join(bk.select(col("vec_id").as("id_1"), col("embedding").as("e1")), Seq("id_1"))
+        .join(bk.select(col("vec_id").as("id_2"), col("embedding").as("e2")), Seq("id_2"))
+        .withColumn("cos", graft.functions.VectorFunctions.cosine(col("e1"), col("e2")))
+        .filter(col("cos") >= MIN_COS)
+        .select(col("id_1"), col("id_2"), col("cos"))
+    }),
+
     // Bucket histogram — shows LSH balance (skew → raise bits).
     "q52_lsh_buckets" -> ((s, d) =>
       Similarity.buckets(Tables.embeddings(s, d), "vec_id", "embedding", BITS)
@@ -1635,6 +1666,25 @@ object SimilarityQueries extends QueryPack {
                 ${cosSql("a.embedding", "b.embedding")} AS cos
          FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          WHERE ${cosSql("a.embedding", "b.embedding")} >= $MIN_COS""",
+    "q245_multiprobe_lsh" -> {
+      val flipSelects = (0 to BITS).map { i =>
+        if (i == 0) "SELECT vec_id, bucket AS pb FROM bk"
+        else s"""SELECT vec_id, substr(bucket, 1, ${i - 1}) ||
+                 (CASE WHEN substr(bucket, $i, 1) = '1' THEN '0' ELSE '1' END) ||
+                 substr(bucket, ${i + 1}, ${BITS - i}) AS pb FROM bk"""
+      }.mkString("\n UNION ALL ")
+      s"""WITH bk AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+         |probes AS ($flipSelects),
+         |cand AS (SELECT DISTINCT p.vec_id AS id_1, b.vec_id AS id_2
+         |         FROM probes p JOIN bk b ON p.pb = b.bucket
+         |         WHERE p.vec_id < b.vec_id)
+         |SELECT c.id_1, c.id_2,
+         |       ${cosSql("a.embedding", "b.embedding")} AS cos
+         |FROM cand c
+         |JOIN bk a ON a.vec_id = c.id_1
+         |JOIN bk b ON b.vec_id = c.id_2
+         |WHERE ${cosSql("a.embedding", "b.embedding")} >= $MIN_COS""".stripMargin
+    },
     "q52_lsh_buckets" ->
       s"""SELECT $bucketSql AS bucket, count(*) AS n_vecs
          FROM embeddings GROUP BY 1""",
