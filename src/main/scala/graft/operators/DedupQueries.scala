@@ -724,6 +724,36 @@ object DedupQueries extends QueryPack {
         .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
     }),
 
+    // Containment vs Jaccard — the SUBSET-duplication audit symmetric
+    // Jaccard is blind to: a short document engulfed by a long one has
+    // containment |A∩B|/min(|A|,|B|) near 1 while Jaccard stays under
+    // any admission threshold (the denominators diverge with the size
+    // ratio). Candidates ride the same rare-shingle generator as q175;
+    // both measures are integer bps from the same intersection count;
+    // the top-20 pairs by (containment − Jaccard) GAP — the asymmetry
+    // ranking, deterministic ties — are the engulfed-candidate review
+    // queue a dedup pass misses. On corpora with real length spread
+    // the gap hits ~8000 bps; this corpus's equal-length docs cap it
+    // lower, which the relation simply reports.
+    "q246_containment" -> ((s, d) => {
+      val sh = shingles(s, d)
+      val cands = Dedup.sharedShingleCandidates(sh, "doc_id", MAX_SHINGLE_DF)
+      val sets = sh.groupBy(col("doc_id")).agg(collect_set(col("shingle")).as("ss"))
+      cands
+        .join(sets.select(col("doc_id").as("id_1"), col("ss").as("s1")), Seq("id_1"))
+        .join(sets.select(col("doc_id").as("id_2"), col("ss").as("s2")), Seq("id_2"))
+        .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("long"))
+        .withColumn("n1", size(col("s1")).cast("long"))
+        .withColumn("n2", size(col("s2")).cast("long"))
+        .withColumn("cont_bps", expr("(inter * 10000) div least(n1, n2)"))
+        .withColumn("jac_bps", expr("(inter * 10000) div (n1 + n2 - inter)"))
+        .withColumn("gap_bps", col("cont_bps") - col("jac_bps"))
+        .orderBy(col("gap_bps").desc, col("id_1"), col("id_2"))
+        .limit(20)
+        .select(col("id_1"), col("id_2"), col("inter"), col("n1"), col("n2"),
+          col("cont_bps"), col("jac_bps"), col("gap_bps"))
+    }),
+
     // Cluster edge-strength audit — the over-merge risk check a dedup
     // pass runs before dropping non-keepers: transitive closure can
     // chain A≈B≈C into one cluster even when A and C share nothing
@@ -1242,6 +1272,26 @@ object DedupQueries extends QueryPack {
     // fold of ledgered micro-batches.
     "q220_incremental_cc" -> ccFullRecomputeSql,
     "q228_stream_cc" -> ccFullRecomputeSql,
+    "q246_containment" ->
+      s"""WITH $shinglesCte,
+         sdf AS (SELECT shingle FROM (SELECT shingle, count(*) AS nd
+                 FROM sh GROUP BY 1) WHERE nd BETWEEN 2 AND $MAX_SHINGLE_DF),
+         cand AS (SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+                  FROM sh a JOIN sdf USING (shingle)
+                  JOIN sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id),
+         sets AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+         iv AS (SELECT c.id_1, c.id_2, CAST(count(*) AS BIGINT) AS inter
+                FROM cand c JOIN sh a ON a.doc_id = c.id_1
+                JOIN sh b ON b.doc_id = c.id_2 AND b.shingle = a.shingle
+                GROUP BY 1, 2),
+         m AS (SELECT iv.id_1, iv.id_2, inter, s1.n AS n1, s2.n AS n2,
+                 (inter * 10000) // LEAST(s1.n, s2.n) AS cont_bps,
+                 (inter * 10000) // (s1.n + s2.n - inter) AS jac_bps
+               FROM iv JOIN sets s1 ON s1.doc_id = iv.id_1
+               JOIN sets s2 ON s2.doc_id = iv.id_2)
+       SELECT id_1, id_2, inter, n1, n2, cont_bps, jac_bps,
+              cont_bps - jac_bps AS gap_bps
+       FROM m ORDER BY gap_bps DESC, id_1, id_2 LIMIT 20""",
     "q244_cluster_strength" ->
       s"""WITH RECURSIVE $shinglesCte,
          mh AS (SELECT doc_id, $minhashCols FROM sh GROUP BY doc_id),
