@@ -1082,6 +1082,29 @@ object TextQueries extends QueryPack {
           expr("(n_docs * 10000) div n_true").as("cell_bps"))
     }),
 
+    // Per-source content NOVELTY: how much of a source's bigram mass
+    // exists nowhere else in the mix — the "does this source add new
+    // content or re-crawl the others" question a sourcing decision
+    // hangs on, answered before any pairwise dedup: a bigram's
+    // source-df is one group-by, exclusive mass is a filtered partial
+    // agg, novelty is integer bps. Complements q128 (pairwise overlap
+    // matrix) with the one-number-per-source mix view.
+    "q247_source_novelty" -> ((s, d) => {
+      import graft.functions.TextFunctions.positionalShinglesOfTokens
+      val grams = Tables.documents(s, d)
+        .select(col("source"),
+          explode(positionalShinglesOfTokens(split(col("text"), " "), 2)).as("g"))
+      val bySrc = grams.groupBy(col("source"), col("g")).agg(count(lit(1)).as("c"))
+      val df = bySrc.groupBy(col("g")).agg(count(lit(1)).as("nsrc"))
+      bySrc.join(df, Seq("g"))
+        .groupBy(col("source"))
+        .agg(sum(col("c")).as("gram_mass"),
+          sum(when(col("nsrc") === 1, col("c")).otherwise(0L)).as("novel_mass"),
+          count(lit(1)).as("n_distinct_grams"),
+          sum(when(col("nsrc") === 1, 1L).otherwise(0L)).as("n_novel_grams"))
+        .withColumn("novelty_bps", expr("(novel_mass * 10000) div gram_mass"))
+    }),
+
     // OOV-vs-inventory-size curve: the tokenizer-budget planning view
     // q167 measures at ONE vocab size, swept across sizes in one pass
     // — rank the bigram inventory by frequency (orderedRanks on the
@@ -2174,6 +2197,25 @@ object TextQueries extends QueryPack {
          |SELECT lang, pred_lang, n_docs,
          |       CAST((n_docs * 10000) // n_true AS BIGINT) AS cell_bps
          |FROM c JOIN t USING (lang)""".stripMargin,
+    "q247_source_novelty" ->
+      """WITH toks AS (SELECT source, string_split(text, ' ') AS ts FROM documents),
+         |grams AS (SELECT source,
+         |            unnest(list_transform(generate_series(1, len(ts) - 1),
+         |              i -> ts[i] || ' ' || ts[i+1])) AS g FROM toks),
+         |bs AS (SELECT source, g, CAST(count(*) AS BIGINT) AS c
+         |       FROM grams GROUP BY 1, 2),
+         |df AS (SELECT g, count(*) AS nsrc FROM bs GROUP BY 1)
+         |SELECT source,
+         |       CAST(SUM(c) AS BIGINT) AS gram_mass,
+         |       CAST(SUM(CASE WHEN nsrc = 1 THEN c ELSE 0 END) AS BIGINT)
+         |         AS novel_mass,
+         |       count(*) AS n_distinct_grams,
+         |       CAST(SUM(CASE WHEN nsrc = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_novel_grams,
+         |       CAST((SUM(CASE WHEN nsrc = 1 THEN c ELSE 0 END) * 10000)
+         |            // SUM(c) AS BIGINT) AS novelty_bps
+         |FROM bs JOIN df USING (g)
+         |GROUP BY 1""".stripMargin,
     "q243_oov_curve" ->
       """WITH toks AS (SELECT string_split(text, ' ') AS ts FROM documents),
          |grams AS (SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
