@@ -724,6 +724,46 @@ object DedupQueries extends QueryPack {
         .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
     }),
 
+    // Cluster-aware train/val/test split — the LEAKAGE GUARD document-
+    // level splitting cannot give: hashing doc ids sends near-dup
+    // copies of the same content into train AND eval, which inflates
+    // every eval metric (the q144 decontamination problem created by
+    // the split itself). Splitting on the CLUSTER id keeps whole
+    // near-dup clusters together by construction — and this query
+    // MEASURES the difference: both modes' split sizes plus the number
+    // of clusters spanning more than one split (cluster-aware: 0
+    // provably; doc-level: the leak count that justifies the policy).
+    // One CC pass (shared pairs cache) + hash arithmetic; 8/1/1 split.
+    "q248_cluster_split" -> ((s, d) => {
+      import graft.functions.TextFunctions.hexNibble
+      val cc = Dedup.connectedComponents(
+        nearDupPairs(s, d).select(col("id_1"), col("id_2")),
+        Tables.documents(s, d).select(col("doc_id")), "doc_id")
+      def bucket(c: org.apache.spark.sql.Column, salt: String) = {
+        val h = md5(concat(lit(salt), c.cast("string")))
+        (hexNibble(substring(h, 1, 1)) * 16 + hexNibble(substring(h, 2, 1))) % 10
+      }
+      def splitName(b: org.apache.spark.sql.Column) =
+        when(b < 8, "train").when(b === 8, "val").otherwise("test")
+      val assigned = cc.select(col("doc_id"), col("cluster_id"),
+        splitName(bucket(col("cluster_id"), "cs1-")).as("s_cluster"),
+        splitName(bucket(col("doc_id"), "")).as("s_doc"))
+        .localCheckpoint(true)
+      def report(mode: String, sCol: String) = {
+        val spanning = assigned.groupBy(col("cluster_id"))
+          .agg(count_distinct(col(sCol)).as("ns"))
+          .agg(sum(when(col("ns") > 1, 1L).otherwise(0L)).as("n_spanning"))
+        assigned.agg(
+          sum(when(col(sCol) === "train", 1L).otherwise(0L)).as("n_train"),
+          sum(when(col(sCol) === "val", 1L).otherwise(0L)).as("n_val"),
+          sum(when(col(sCol) === "test", 1L).otherwise(0L)).as("n_test"))
+          .crossJoin(broadcast(spanning))
+          .select(lit(mode).as("mode"), col("n_train"), col("n_val"),
+            col("n_test"), col("n_spanning"))
+      }
+      report("cluster_aware", "s_cluster").unionByName(report("doc_level", "s_doc"))
+    }),
+
     // Containment vs Jaccard — the SUBSET-duplication audit symmetric
     // Jaccard is blind to: a short document engulfed by a long one has
     // containment |A∩B|/min(|A|,|B|) near 1 while Jaccard stays under
@@ -874,11 +914,12 @@ object DedupQueries extends QueryPack {
 
   private val bandUnion = bandUnionFor(BANDS)
 
-  /** Full-corpus LSH→verify→CC recompute — q68's oracle, and by design
-    * q220's too (incremental maintenance must reproduce it exactly).
+  /** WITH-body of the full-corpus LSH→verify→CC derivation, ending at
+    * the `cc` (doc_id, cluster_id) relation — shared by the q68/q220/
+    * q228 full-recompute oracle and q248's split assignment.
     */
-  private lazy val ccFullRecomputeSql =
-    s"""WITH RECURSIVE $shinglesCte,
+  private lazy val ccChainSql =
+    s"""RECURSIVE $shinglesCte,
        mh AS (SELECT doc_id, $minhashCols FROM sh GROUP BY doc_id),
        bands AS ($bandUnion),
        cand AS (SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
@@ -893,7 +934,14 @@ object DedupQueries extends QueryPack {
          SELECT doc_id, doc_id FROM documents
          UNION
          SELECT e.dst, w.comp FROM walk w JOIN edges e ON w.id = e.src),
-       cc AS (SELECT id AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY id)
+       cc AS (SELECT id AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY id)"""
+
+  /** Full-corpus LSH→verify→CC recompute — q68's oracle, and by design
+    * q220's/q228's too (incremental/streamed maintenance must
+    * reproduce it exactly).
+    */
+  private lazy val ccFullRecomputeSql =
+    s"""WITH $ccChainSql
      SELECT cc.doc_id, cc.cluster_id, sz.cluster_size
      FROM cc JOIN (SELECT cluster_id, count(*) AS cluster_size
                    FROM cc GROUP BY 1) sz USING (cluster_id)"""
@@ -1272,6 +1320,32 @@ object DedupQueries extends QueryPack {
     // fold of ledgered micro-batches.
     "q220_incremental_cc" -> ccFullRecomputeSql,
     "q228_stream_cc" -> ccFullRecomputeSql,
+    "q248_cluster_split" -> {
+      def nib(key: String, i: Int) =
+        s"strpos('123456789abcdef', substr(md5($key), $i, 1))"
+      def bucket(key: String) = s"((${nib(key, 1)} * 16 + ${nib(key, 2)}) % 10)"
+      def split(b: String) =
+        s"CASE WHEN $b < 8 THEN 'train' WHEN $b = 8 THEN 'val' ELSE 'test' END"
+      val bc = bucket("'cs1-' || CAST(cluster_id AS VARCHAR)")
+      val bd = bucket("CAST(doc_id AS VARCHAR)")
+      def report(mode: String, sCol: String) =
+        s"""SELECT '$mode' AS mode,
+           |  CAST(SUM(CASE WHEN $sCol = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+           |  CAST(SUM(CASE WHEN $sCol = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+           |  CAST(SUM(CASE WHEN $sCol = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+           |  (SELECT CAST(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |   FROM (SELECT cluster_id, count(DISTINCT $sCol) AS ns
+           |         FROM a GROUP BY 1)) AS n_spanning
+           |FROM a""".stripMargin
+      s"""WITH $ccChainSql,
+         |a AS (SELECT doc_id, cluster_id,
+         |        ${split(bc)} AS s_cluster,
+         |        ${split(bd)} AS s_doc
+         |      FROM cc)
+         |${report("cluster_aware", "s_cluster")}
+         |UNION ALL
+         |${report("doc_level", "s_doc")}""".stripMargin
+    },
     "q246_containment" ->
       s"""WITH $shinglesCte,
          sdf AS (SELECT shingle FROM (SELECT shingle, count(*) AS nd
