@@ -1082,6 +1082,36 @@ object TextQueries extends QueryPack {
           expr("(n_docs * 10000) div n_true").as("cell_bps"))
     }),
 
+    // Filter-agreement matrix: the Gopher rule bundle (q156) against
+    // the quality-score gate (the q147/q174 q6 ≥ 0.5 threshold) on the
+    // same corpus — the calibration view a curation team reads before
+    // stacking filters: the off-diagonal cells are documents ONE
+    // filter would keep and the other drop, i.e. exactly the marginal
+    // decisions worth sampling for review. Both filters recompute in
+    // the projection (scan-speed), the matrix is a 2×2 agg with shares
+    // in basis points.
+    "q249_rule_agreement" -> ((s, d) => {
+      import graft.functions.TextFunctions.qualityScore
+      val g = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          col("n_chars"),
+          arrays_overlap(split(col("text"), " "),
+            array(lit("the"), lit("a"))).as("has_stopword"),
+          (floor(qualityScore(col("text"), EN) * 1e6).cast("long") >= 500000L)
+            .as("gate_pass"))
+        .withColumn("mean_len_c2",
+          expr("(100 * (n_chars - n_tokens + 1)) div n_tokens"))
+        .withColumn("gopher_pass",
+          col("n_tokens").between(15, 80) &&
+            col("mean_len_c2").between(430, 480) && col("has_stopword"))
+      val tot = g.agg(count(lit(1)).as("t"))
+      g.groupBy(col("gopher_pass"), col("gate_pass")).agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(tot))
+        .select(col("gopher_pass"), col("gate_pass"), col("n_docs"),
+          expr("(n_docs * 10000) div t").as("share_bps"))
+    }),
+
     // Per-source content NOVELTY: how much of a source's bigram mass
     // exists nowhere else in the mix — the "does this source add new
     // content or re-crawl the others" question a sourcing decision
@@ -2197,6 +2227,29 @@ object TextQueries extends QueryPack {
          |SELECT lang, pred_lang, n_docs,
          |       CAST((n_docs * 10000) // n_true AS BIGINT) AS cell_bps
          |FROM c JOIN t USING (lang)""".stripMargin,
+    "q249_rule_agreement" -> {
+      val q6Sql = s"CAST(floor((least(1.0, CAST($nTokensSql AS DOUBLE) / 50.0)" +
+        s" * (1.0 - $stopRatioSql)) * 1000000.0) AS BIGINT)"
+      s"""WITH g AS (SELECT doc_id,
+         |             CAST($nTokensSql AS BIGINT) AS n_tokens, n_chars,
+         |             len(list_intersect(string_split(text, ' '),
+         |                 ['the', 'a'])) > 0 AS has_stopword,
+         |             $q6Sql >= 500000 AS gate_pass
+         |           FROM documents),
+         |r AS (SELECT *,
+         |        (100 * (n_chars - n_tokens + 1)) // n_tokens AS mean_len_c2
+         |      FROM g),
+         |m AS (SELECT (n_tokens BETWEEN 15 AND 80)
+         |             AND (mean_len_c2 BETWEEN 430 AND 480)
+         |             AND has_stopword AS gopher_pass,
+         |             gate_pass
+         |      FROM r),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM m)
+         |SELECT gopher_pass, gate_pass, count(*) AS n_docs,
+         |       CAST((count(*) * 10000) // (SELECT t FROM tot) AS BIGINT)
+         |         AS share_bps
+         |FROM m GROUP BY 1, 2""".stripMargin
+    },
     "q247_source_novelty" ->
       """WITH toks AS (SELECT source, string_split(text, ' ') AS ts FROM documents),
          |grams AS (SELECT source,
