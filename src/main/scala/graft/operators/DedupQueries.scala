@@ -724,6 +724,62 @@ object DedupQueries extends QueryPack {
         .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
     }),
 
+    // TEXT-RELEASE CAPSTONE — the whole corpus-release pipeline as ONE
+    // DAG, the text twin of q200's multimodal funnel: quality gate
+    // (q6 ≥ 0.5) → exact-dedup keeper (min-id per fingerprint) →
+    // exact decontamination against the src0 benchmark corpus (≥ 3
+    // shared 3-shingles drops, q83's rule) → 8/1/1 content-hash split
+    // → per-source attrition accounting with released token mass. The
+    // oracle recomputes EVERY stage from first principles, so the
+    // green hash proves the COMPOSITION, not just the parts — the
+    // "switch your release job to this engine" demonstration. Each
+    // stage is a scan or one keyed shuffle; nothing here is new
+    // machinery, which is the point.
+    "q250_text_release" -> ((s, d) => {
+      import graft.functions.TextFunctions.{fingerprint, hexNibble, qualityScore}
+      val docs = Tables.documents(s, d)
+      val uni = docs.filter(col("source") =!= "src0")
+        .select(col("doc_id"), col("source"), col("text"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          (floor(qualityScore(col("text"), TextQueries.EN) * 1e6)
+            .cast("long") >= 500000L).as("gated"))
+        .localCheckpoint(true)
+      val gated = uni.filter(col("gated"))
+      val keeper = gated.groupBy(fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+      val deduped = gated.join(keeper, Seq("doc_id"), "left_semi")
+        .select(col("doc_id")).localCheckpoint(true)
+      val sh = Dedup.shingleTable(docs, "text", "doc_id", 3)
+      val ev = sh.join(docs.filter(col("source") === "src0")
+          .select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .select(col("shingle")).distinct()
+      val leaky = sh.join(deduped, Seq("doc_id"), "left_semi")
+        .join(ev, Seq("shingle"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
+        .filter(col("ns") >= 3).select(col("doc_id"))
+      val clean = deduped.join(leaky, Seq("doc_id"), "left_anti")
+      val h = md5(col("doc_id").cast("string"))
+      val b = (hexNibble(substring(h, 1, 1)) * 16 +
+        hexNibble(substring(h, 2, 1))) % 10
+      val flags = uni
+        .join(deduped.withColumn("is_dedup", lit(true)), Seq("doc_id"), "left")
+        .join(clean.withColumn("is_clean", lit(true)), Seq("doc_id"), "left")
+        .withColumn("split", when(!coalesce(col("is_clean"), lit(false)), lit(null))
+          .otherwise(when(b < 8, "train").when(b === 8, "val").otherwise("test")))
+      flags.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_raw"),
+          sum(when(col("gated"), 1L).otherwise(0L)).as("n_gated"),
+          sum(when(coalesce(col("is_dedup"), lit(false)), 1L).otherwise(0L))
+            .as("n_deduped"),
+          sum(when(coalesce(col("is_clean"), lit(false)), 1L).otherwise(0L))
+            .as("n_clean"),
+          sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+          sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+          sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"),
+          sum(when(coalesce(col("is_clean"), lit(false)), col("n_tokens"))
+            .otherwise(0L)).as("tok_released"))
+    }),
+
     // Cluster-aware train/val/test split — the LEAKAGE GUARD document-
     // level splitting cannot give: hashing doc ids sends near-dup
     // copies of the same content into train AND eval, which inflates
@@ -1320,6 +1376,49 @@ object DedupQueries extends QueryPack {
     // fold of ledgered micro-batches.
     "q220_incremental_cc" -> ccFullRecomputeSql,
     "q228_stream_cc" -> ccFullRecomputeSql,
+    "q250_text_release" -> {
+      import TextQueries.{nTokensSql, stopRatioSql}
+      val q6Sql = s"CAST(floor((least(1.0, CAST($nTokensSql AS DOUBLE) / 50.0)" +
+        s" * (1.0 - $stopRatioSql)) * 1000000.0) AS BIGINT)"
+      def nib(key: String, i: Int) =
+        s"strpos('123456789abcdef', substr(md5($key), $i, 1))"
+      val bkt = s"((${nib("CAST(u.doc_id AS VARCHAR)", 1)} * 16 + " +
+        s"${nib("CAST(u.doc_id AS VARCHAR)", 2)}) % 10)"
+      s"""WITH $shinglesCte,
+         |uni AS (SELECT doc_id, source, text,
+         |          CAST($nTokensSql AS BIGINT) AS n_tokens,
+         |          $q6Sql >= 500000 AS gated
+         |        FROM documents WHERE source != 'src0'),
+         |g AS (SELECT * FROM uni WHERE gated),
+         |k AS (SELECT min(doc_id) AS doc_id FROM g
+         |      GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))),
+         |dd AS (SELECT g.doc_id FROM g JOIN k USING (doc_id)),
+         |ev AS (SELECT DISTINCT shingle FROM sh JOIN documents USING (doc_id)
+         |       WHERE source = 'src0'),
+         |lk AS (SELECT sh.doc_id FROM sh JOIN dd ON dd.doc_id = sh.doc_id
+         |       JOIN ev USING (shingle) GROUP BY sh.doc_id HAVING count(*) >= 3),
+         |cl AS (SELECT dd.doc_id FROM dd LEFT JOIN lk ON lk.doc_id = dd.doc_id
+         |       WHERE lk.doc_id IS NULL),
+         |f AS (SELECT u.source, u.n_tokens, u.gated,
+         |        dd.doc_id IS NOT NULL AS is_dedup,
+         |        cl.doc_id IS NOT NULL AS is_clean,
+         |        CASE WHEN cl.doc_id IS NULL THEN NULL
+         |             WHEN $bkt < 8 THEN 'train'
+         |             WHEN $bkt = 8 THEN 'val' ELSE 'test' END AS split
+         |      FROM uni u
+         |      LEFT JOIN dd ON dd.doc_id = u.doc_id
+         |      LEFT JOIN cl ON cl.doc_id = u.doc_id)
+         |SELECT source, count(*) AS n_raw,
+         |  CAST(SUM(CASE WHEN gated THEN 1 ELSE 0 END) AS BIGINT) AS n_gated,
+         |  CAST(SUM(CASE WHEN is_dedup THEN 1 ELSE 0 END) AS BIGINT) AS n_deduped,
+         |  CAST(SUM(CASE WHEN is_clean THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+         |  CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         |  CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+         |  CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+         |  CAST(SUM(CASE WHEN is_clean THEN n_tokens ELSE 0 END) AS BIGINT)
+         |    AS tok_released
+         |FROM f GROUP BY 1""".stripMargin
+    },
     "q248_cluster_split" -> {
       def nib(key: String, i: Int) =
         s"strpos('123456789abcdef', substr(md5($key), $i, 1))"
