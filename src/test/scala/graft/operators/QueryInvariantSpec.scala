@@ -180,4 +180,99 @@ class QueryInvariantSpec extends SparkSpec {
     val tot = masses.map(_._2).sum
     assert(tot > 0 && tot <= 1000000000000L, s"total $tot")
   }
+
+  // q229: the audit itself must be internally consistent — a cell's
+  // distinct-sensitive count can exceed neither its row count nor the
+  // attribute's global cardinality, the l_ok flag must be exactly the
+  // ≥3 predicate it claims, and no customer may vanish from the audit.
+  test("q229 l-diversity: cell counts consistent, flag exact, total mass conserved") {
+    val cells = AnalyticsQueries.queries("q229_l_diversity")(spark, sf)
+      .as[(Int, Int, Long, Long, Boolean)].collect()
+    assert(cells.nonEmpty)
+    val nSegments = graft.sources.Tables.customer(spark, sf)
+      .select($"c_mktsegment").distinct().count()
+    cells.foreach { case (_, _, nRows, nSens, lOk) =>
+      assert(nSens >= 1 && nSens <= math.min(nRows, nSegments))
+      assert(lOk == (nSens >= 3))
+    }
+    assert(cells.map(_._3).sum ==
+      graft.sources.Tables.customer(spark, sf).count())
+  }
+
+  // q242: greedy-by-density with an exclusive prefix sum means the
+  // selected token mass brackets the budget tightly — at least the
+  // budget whenever documents were left out, and under budget + one
+  // straddling document — and never exceeds the corpus.
+  test("q242 budget select: selected token mass brackets the 40% budget within one doc") {
+    val rep = CurationQueries.queries("q242_budget_select")(spark, sf)
+      .select($"n_docs", $"n_selected", $"tok_selected")
+      .as[(Long, Long, Long)].collect()
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(size(split($"text", " ")).cast("long").as("t"))
+    val total = docs.agg(sum($"t")).as[Long].head()
+    val maxTok = docs.agg(max($"t")).as[Long].head()
+    val budget = total * 2 / 5
+    val selTok = rep.map(_._3).sum
+    rep.foreach { case (nd, ns, _) => assert(ns >= 0 && ns <= nd) }
+    assert(selTok < budget + maxTok, s"selTok=$selTok budget=$budget max=$maxTok")
+    if (rep.map(_._1).sum > rep.map(_._2).sum) // some doc was left out
+      assert(selTok >= budget, s"selTok=$selTok < budget=$budget with docs unselected")
+  }
+
+  // q245: probing Hamming-1 neighbor buckets can only ADD candidates —
+  // every exact-bucket pair q51 verifies must survive in the
+  // multi-probe relation (the strict-superset claim in its doc).
+  test("q245 multi-probe LSH pairs are a superset of q51's exact-bucket pairs") {
+    val exact = SimilarityQueries.queries("q51_ann_lsh")(spark, sf)
+      .select($"id_1", $"id_2")
+    val multi = SimilarityQueries.queries("q245_multiprobe_lsh")(spark, sf)
+      .select($"id_1", $"id_2")
+    assert(exact.count() > 0)
+    assert(exact.join(multi, Seq("id_1", "id_2"), "left_anti").count() == 0)
+    assert(multi.count() >= exact.count())
+  }
+
+  // q246: containment dominates Jaccard pointwise (min(n1,n2) ≤
+  // n1+n2−inter always), both stay in [0, 10000] bps, and the
+  // intersection can't exceed the smaller set.
+  test("q246 containment ≥ Jaccard on every pair; bps bounded") {
+    val rows = DedupQueries.queries("q246_containment")(spark, sf)
+      .select($"inter", $"n1", $"n2", $"cont_bps", $"jac_bps", $"gap_bps")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (inter, n1, n2, cont, jac, gap) =>
+      assert(inter >= 1 && inter <= math.min(n1, n2))
+      assert(cont >= jac && gap == cont - jac)
+      assert(cont <= 10000 && jac >= 0)
+    }
+  }
+
+  // q248: the policy's defining property — cluster-keyed hashing can
+  // never split a cluster (n_spanning = 0 by construction), and both
+  // modes partition the same universe (split sizes sum to the corpus).
+  test("q248 cluster-aware split: zero spanning clusters; both modes partition the corpus") {
+    val rep = DedupQueries.queries("q248_cluster_split")(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    val byMode = rep.map(r => r._1 -> r).toMap
+    assert(byMode.keySet == Set("cluster_aware", "doc_level"))
+    assert(byMode("cluster_aware")._5 == 0, "cluster-aware split leaked a cluster")
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    rep.foreach { case (_, tr, va, te, _) => assert(tr + va + te == nDocs) }
+  }
+
+  // q250: the release funnel only ever narrows — per source the stage
+  // counts are monotone, the split partitions exactly the clean set,
+  // the benchmark source never appears, and released token mass is
+  // positive iff documents survived.
+  test("q250 release funnel: monotone attrition, split partitions clean, no src0") {
+    val rep = DedupQueries.queries("q250_text_release")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rep.nonEmpty && !rep.exists(_._1 == "src0"))
+    rep.foreach { case (src, raw, gated, dedup, clean, tr, va, te, tok) =>
+      assert(raw >= gated && gated >= dedup && dedup >= clean, src)
+      assert(tr + va + te == clean, src)
+      assert((tok > 0) == (clean > 0), src)
+    }
+    assert(rep.map(_._5).sum > 0, "nothing survived the funnel at sf0.001")
+  }
 }
