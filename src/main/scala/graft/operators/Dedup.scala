@@ -139,16 +139,84 @@ object Dedup {
     val m = pairs.select(col("id_1"), col("id_2")).distinct()
       .join(a, Seq("id_1"))
       .join(b, Seq("id_2", "shingle"))
-      .withColumn("diag", col("p1") - col("p2"))
+    runsFromMatches(m, n, minTokens)
+  }
+
+  /** Gaps-and-islands fold shared by [[longestSharedRuns]] and
+    * [[exactSubstrRuns]]: matches (id_1, p1, id_2, p2, …) → per-pair
+    * longest diagonal run. Window partitions by (pair, diagonal), every
+    * partition ≤ min(len_1, len_2) rows — never corpus-sized.
+    */
+  private def runsFromMatches(m: DataFrame, n: Int, minTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("id_1"), col("id_2"), col("diag"))
       .orderBy(col("p1"))
-    m.withColumn("grp", col("p1") - row_number().over(w))
+    m.withColumn("diag", col("p1") - col("p2"))
+      .withColumn("grp", col("p1") - row_number().over(w))
       .groupBy(col("id_1"), col("id_2"), col("diag"), col("grp"))
       .agg(count(lit(1)).as("run"))
       .groupBy(col("id_1"), col("id_2"))
       .agg((max(col("run")) + lit(n - 1)).as("longest_tokens"),
         sum(col("run")).as("n_matched_positions"))
       .filter(col("longest_tokens") >= minTokens)
+  }
+
+  /** [[longestSharedRuns]] ∘ [[sharedShingleCandidates]] fused into one
+    * posting-list pass — same result relation, an order of magnitude
+    * less shuffle. The composed form first materializes candidate
+    * pairs, then re-joins BOTH full positional-shingle sides against
+    * them: the a-side inflates to |pairs| × positions(id_1) rows (tens
+    * of millions at sf0.1) before the (id_2, shingle) join prunes
+    * non-matches. But a match IS two occurrences of the same shingle in
+    * different documents — so this operator groups the positional table
+    * by shingle once and emits cross-document occurrence pairs straight
+    * off each rare shingle's posting list: exactly the match relation,
+    * no candidate×position blow-up, cost Σ_shingle occ² bounded by the
+    * df cap (occ ≤ maxDf docs × per-doc repeats, both bounded).
+    *
+    * Hot shingles (df > maxDf) still contribute MATCHES (a quoted run's
+    * interior may cross corpus-hot trigrams) without generating
+    * candidates, via the old join shape restricted to the hot slice and
+    * the rare-derived pairs — both sides small by construction.
+    * Candidate semantics are [[sharedShingleCandidates]]' verbatim:
+    * a pair qualifies iff it shares ≥ 1 shingle with doc-df in
+    * [2, maxDf]. TextDedupSpec pins the ≡ on a hot-shingle corpus.
+    */
+  def exactSubstrRuns(posShingles: DataFrame, maxDf: Int,
+                      n: Int, minTokens: Int): DataFrame = {
+    require(minTokens >= n,
+      s"minTokens=$minTokens below the shingle width $n is unobservable: " +
+        "the shortest detectable run is one shingle = n tokens")
+    require(maxDf >= 2, s"maxDf=$maxDf must be >= 2 (a df-1 shingle has no pair)")
+    val ps = posShingles.toDF("__id", "__p", "shingle")
+    val dfs = ps.groupBy(col("shingle"))
+      .agg(count_distinct(col("__id")).as("nd"))
+    val rare = dfs.filter(col("nd").between(2, maxDf)).select(col("shingle"))
+    val hot = dfs.filter(col("nd") > maxDf).select(col("shingle"))
+    // rare matches straight off the posting lists: sort occurrences by
+    // (doc, pos), pair each with every LATER occurrence in a different
+    // document — sortedness makes id_1 < id_2 hold by construction
+    val os = col("os")
+    val rareMatches = ps.join(rare, "shingle")
+      .groupBy(col("shingle"))
+      .agg(sort_array(collect_list(
+        struct(col("__id").as("i"), col("__p").as("p")))).as("os"))
+      .select(explode(flatten(transform(os, (x, i) =>
+        filter(
+          transform(slice(os, i + lit(2), size(os)), y =>
+            struct(x.getField("i").as("id_1"), x.getField("p").as("p1"),
+              y.getField("i").as("id_2"), y.getField("p").as("p2"))),
+          s => s.getField("id_1") =!= s.getField("id_2"))))).as("m"))
+      .select(col("m.id_1").as("id_1"), col("m.p1").as("p1"),
+        col("m.id_2").as("id_2"), col("m.p2").as("p2"))
+    val cands = rareMatches.select(col("id_1"), col("id_2")).distinct()
+    val hotA = ps.join(hot, "shingle")
+      .select(col("__id").as("id_1"), col("__p").as("p1"), col("shingle"))
+    val hotB = ps.join(hot, "shingle")
+      .select(col("__id").as("id_2"), col("__p").as("p2"), col("shingle"))
+    val hotMatches = cands.join(hotA, Seq("id_1")).join(hotB, Seq("id_2", "shingle"))
+      .select(col("id_1"), col("p1"), col("id_2"), col("p2"))
+    runsFromMatches(rareMatches.unionByName(hotMatches), n, minTokens)
   }
 
   /** Candidate pairs for [[longestSharedRuns]] drawn from the shingle

@@ -150,17 +150,15 @@ object DedupQueries extends QueryPack {
     // dilutes below every threshold. Runs are consecutive-diagonal
     // islands over the positional shingle match relation; candidates
     // come from the shingle relation ITSELF (any shared df-capped
-    // shingle ⇒ candidate, Dedup.sharedShingleCandidates) — document-
-    // level LSH would structurally miss the advertised target, a
-    // quoted run between pages whose whole-doc Jaccard never clears
-    // the band threshold.
-    "q175_exact_substring" -> ((s, d) => {
-      val cands = Dedup.sharedShingleCandidates(
-        shingles(s, d), "doc_id", MAX_SHINGLE_DF)
-      Dedup.longestSharedRuns(
+    // shingle ⇒ candidate — document-level LSH would structurally miss
+    // the advertised target, a quoted run between pages whose whole-doc
+    // Jaccard never clears the band threshold); the
+    // fused posting-list form skips the candidate×position re-join —
+    // same relation, an order of magnitude less shuffle.
+    "q175_exact_substring" -> ((s, d) =>
+      Dedup.exactSubstrRuns(
         Dedup.positionalShingleTable(Tables.documents(s, d), "text", "doc_id", 3),
-        cands, n = 3, minTokens = MIN_RUN_TOKENS)
-    }),
+        MAX_SHINGLE_DF, n = 3, minTokens = MIN_RUN_TOKENS)),
 
     // MinHash estimator calibration — for every LSH candidate pair,
     // the number of matching signature components m (the sketch's

@@ -601,6 +601,37 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("exactSubstrRuns ≡ longestSharedRuns ∘ sharedShingleCandidates, hot run interiors intact") {
+    // docs 1/2 share an 8-token quote whose MIDDLE shingle
+    // ("hot1 hot2 hot3") is corpus-hot (df = 10 > maxDf = 4): the pair
+    // must qualify via the quote's rare shingles, and the hot-shingle
+    // match must still land INSIDE the diagonal island — dropping it
+    // would fragment the 8-token run into 5. Docs 3..10 share ONLY the
+    // hot shingle pairwise → never candidates in either form.
+    val quote = "q1 q2 hot1 hot2 hot3 q3 q4 q5"
+    val docs = (Seq(
+      (1L, s"one lead in $quote tail aa bb"),
+      (2L, s"two other start words $quote end zz")) ++
+      (3L to 10L).map(i => (i, s"hot1 hot2 hot3 filler$i more$i"))
+    ).toDF("doc_id", "text")
+    val ps = Dedup.positionalShingleTable(docs, "text", "doc_id", 3)
+    val fused = Dedup.exactSubstrRuns(ps, maxDf = 4, n = 3, minTokens = 3)
+      .select($"id_1", $"id_2", $"longest_tokens", $"n_matched_positions")
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    val composed = Dedup.longestSharedRuns(ps,
+      Dedup.sharedShingleCandidates(
+        Dedup.shingleTable(docs, "text", "doc_id", 3), "doc_id", maxDf = 4),
+      n = 3, minTokens = 3)
+      .select($"id_1", $"id_2", $"longest_tokens", $"n_matched_positions")
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(fused == composed)
+    val byPair = fused.map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // 8-token run = 6 consecutive shingle matches, hot interior included
+    assert(byPair((1L, 2L)) == (8L, 6L))
+    // hot-only pairs never surface
+    assert(byPair.keySet == Set((1L, 2L)))
+  }
+
   test("q207 source classifier: disjoint vocabularies classify perfectly; held-out mass conserved") {
     // Two sources with DISJOINT vocabularies — any held-out doc's dot
     // product against the wrong source's centroid is exactly 0, so the
