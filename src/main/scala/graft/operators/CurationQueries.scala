@@ -526,15 +526,21 @@ object CurationQueries extends QueryPack {
       import graft.functions.TextFunctions.positionalShinglesOfTokens
       val docs = Tables.documents(s, d)
       val trusted = docs.filter(col("source") === "src0")
+      // stage the token array in a projection before the shingle
+      // lambda — passing split(text) straight in re-inlines the split
+      // per element (the TextFunctions.scala:87 contract)
       val tbi = trusted
-        .select(explode(positionalShinglesOfTokens(split(col("text"), " "), 2)).as("bigram"))
+        .select(split(col("text"), " ").as("__ts"))
+        .select(explode(positionalShinglesOfTokens(col("__ts"), 2)).as("bigram"))
       val bc = tbi.groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
         .withColumn("w1", element_at(split(col("bigram"), " "), 1))
       val ctx = bc.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
       val vocab = trusted.select(explode(split(col("text"), " ")).as("tok"))
         .agg(count_distinct(col("tok")).as("v"))
-      val dbi = docs.select(col("doc_id"), col("lang"),
-          explode(positionalShinglesOfTokens(split(col("text"), " "), 2)).as("bigram"))
+      val dbi = docs
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("__ts"))
+        .select(col("doc_id"), col("lang"),
+          explode(positionalShinglesOfTokens(col("__ts"), 2)).as("bigram"))
         .withColumn("w1", element_at(split(col("bigram"), " "), 1))
       val scored = dbi
         .join(bc.select(col("bigram"), col("c12")), Seq("bigram"), "left")

@@ -492,6 +492,42 @@ object Dedup {
       .select(col("id").as(idCol), col("comp").as("cluster_id"))
   }
 
+  /** The contraction fold shared by incremental (q220) and streaming
+    * ([[graft.streaming.EventPipelines]] ccBatch) CC maintenance —
+    * written ONCE so a connectivity fix reaches both paths: existing
+    * components CONTRACT to their label (connectivity-preserving),
+    * arrivals fold in via the cross-corpus probe edges plus the
+    * arrival-internal pair relation, CC runs on the CONTRACTED graph,
+    * and the merged labels re-expand onto every document. Cost is
+    * O(components touched + arrivals), never O(corpus).
+    *
+    * `assign`: the landed (idCol, cluster_id) assignment. `arrivalIds`:
+    * new documents (idCol). `crossEdges`: (idxCol, newCol) probe hits
+    * landed×new. `newPairs`: (id_1, id_2) among arrivals. Returns the
+    * updated (idCol, cluster_id) over landed ∪ arrivals. Label values
+    * follow [[connectedComponents]] over the contracted graph: stable
+    * for untouched components (their label is the only member of its
+    * contracted component), min-of-merged-labels-and-arrival-ids where
+    * components merge — which is why the maintained assignment
+    * hash-matches a from-scratch recompute whenever labels are min-ids.
+    */
+  def contractedCcMerge(assign: DataFrame, arrivalIds: DataFrame, idCol: String,
+                        crossEdges: DataFrame, idxCol: String, newCol: String,
+                        newPairs: DataFrame): DataFrame = {
+    val cEdges = crossEdges
+      .join(assign.withColumnRenamed(idCol, idxCol), Seq(idxCol))
+      .select(col("cluster_id").as("src"), col(newCol).as("dst"))
+      .unionByName(newPairs.select(col("id_1").as("src"), col("id_2").as("dst")))
+    val cNodes = assign.select(col("cluster_id").as("id")).distinct()
+      .unionByName(arrivalIds.select(col(idCol).as("id")))
+    val merged = connectedComponents(cEdges, cNodes, "id")
+      .select(col("id"), col("cluster_id").as("__merged"))
+    assign.select(col(idCol), col("cluster_id").as("id"))
+      .unionByName(arrivalIds.select(col(idCol), col(idCol).as("id")))
+      .join(merged, Seq("id"))
+      .select(col(idCol), col("__merged").as("cluster_id"))
+  }
+
   /** [[connectedComponents]]'s long-diameter twin: Hash-to-Min
     * (Rastogi et al., "Finding Connected Components in Map-Reduce in
     * Logarithmic Rounds", ICDE 2013) converges in O(log d) rounds
@@ -550,7 +586,9 @@ object Dedup {
     var converged = false
     while (!converged) {
       iter += 2 // two H2M steps per materialized batch
-      if (iter > maxIters + 1) throw new IllegalStateException(
+      // odd maxIters rounds DOWN to even: the guard must never exceed
+      // the stated bound, so the last un-runnable half-batch is skipped
+      if (iter > maxIters) throw new IllegalStateException(
         s"connectedComponentsHashToMin: no convergence after $maxIters " +
           "rounds — O(log d) bound exceeded; raise maxIters")
       val next = step(step(c))

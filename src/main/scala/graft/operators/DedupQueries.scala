@@ -301,18 +301,9 @@ object DedupQueries extends QueryPack {
         minJaccard = MIN_JACCARD)
       val newPairs = Dedup.minhashLshNearDups(arrivals, "text", "doc_id",
         ngram = 3, k = K, bands = BANDS, minJaccard = MIN_JACCARD)
-      val cEdges = cross
-        .join(assign.withColumnRenamed("doc_id", "indexed_id"), Seq("indexed_id"))
-        .select(col("cluster_id").as("src"), col("new_id").as("dst"))
-        .unionByName(newPairs.select(col("id_1").as("src"), col("id_2").as("dst")))
-      val cNodes = assign.select(col("cluster_id").as("id")).distinct()
-        .unionByName(arrivals.select(col("doc_id").as("id")))
-      val merged = Dedup.connectedComponents(cEdges, cNodes, "id")
-        .select(col("id"), col("cluster_id").as("merged_id"))
-      val finalAssign = assign.select(col("doc_id"), col("cluster_id").as("id"))
-        .unionByName(arrivals.select(col("doc_id"), col("doc_id").as("id")))
-        .join(merged, Seq("id"))
-        .select(col("doc_id"), col("merged_id").as("cluster_id"))
+      val finalAssign = Dedup.contractedCcMerge(assign,
+        arrivals.select(col("doc_id")), "doc_id",
+        cross, "indexed_id", "new_id", newPairs)
       val sizes = finalAssign.groupBy(col("cluster_id"))
         .agg(count(lit(1)).as("cluster_size"))
       finalAssign.join(sizes, Seq("cluster_id"))

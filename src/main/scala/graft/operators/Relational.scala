@@ -223,8 +223,14 @@ object Relational {
     * `salts` × |build|, so keep the build side the small one.
     */
   def saltedJoin(fact: DataFrame, build: DataFrame, key: String, salts: Int): DataFrame = {
+    // salt from the ROW CONTENT, never monotonically_increasing_id():
+    // a per-attempt id re-salts rows differently on task retry, and a
+    // retried map stage whose first attempt was partially fetched then
+    // drops/duplicates fact rows in the (key, __salt) join. Identical
+    // rows sharing a salt is the accepted trade (fact rows are
+    // near-unique; exact duplicates just co-locate).
     val salted = fact.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
+      pmod(xxhash64(fact.columns.map(col).toIndexedSeq: _*), lit(salts)).cast("int"))
     val replicated = build.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
@@ -256,9 +262,11 @@ object Relational {
                                      salts: Int, hot: DataFrame): DataFrame = {
     val hotSet = broadcast(hot.select(col(key)).distinct()
       .withColumn("__hot", lit(true)))
+    // content-derived salt, same retry-determinism argument as
+    // [[saltedJoin]] — never monotonically_increasing_id()
     fact.join(hotSet, Seq(key), "left")
       .withColumn("__salt", when(col("__hot").isNotNull,
-        pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
+        pmod(xxhash64(fact.columns.map(col).toIndexedSeq: _*), lit(salts)).cast("int"))
         .otherwise(lit(0)))
       .drop("__hot")
   }

@@ -141,6 +141,25 @@ object Similarity {
     kmeansAssign(emb, idCol, vecCol,
       kmeansCentroids(emb, idCol, vecCol, k, rounds = 1)).drop(vecCol)
 
+  /** Nearest-candidate assignment shared by the k-means|| voting
+    * reduction and q239's occupancy A/B — one home for the
+    * smallest-cand_id tie-break encoded as max(struct(cos, −cand_id)),
+    * which the SQL oracles mirror verbatim (two copies of a
+    * load-bearing encoding desynchronize silently). `cand` must be the
+    * algorithm-constant-bounded (cand_id, cvec) relation (broadcast);
+    * rows whose every cosine is NULL (zero vectors) drop out, matching
+    * both callers. Returns (idCol, cand_id).
+    */
+  def assignToNearestCandidate(pts: DataFrame, idCol: String, vecCol: String,
+                               cand: DataFrame): DataFrame =
+    pts.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(cand))
+      .withColumn("cos", cosine(col(vecCol), col("cvec")))
+      .filter(col("cos").isNotNull)
+      .groupBy(col(idCol))
+      .agg(max(struct(col("cos"), (col("cand_id") * -1).as("nid"))).as("m"))
+      .select(col(idCol), (col("m.nid") * -1).as("cand_id"))
+
   /** DERANDOMIZED k-means|| initialization (Bahmani et al., "Scalable
     * K-Means++", VLDB 2012): instead of k sequential k-means++ draws
     * (k round trips — unusable distributed), each of `rounds`
@@ -194,12 +213,7 @@ object Similarity {
         .select(col("pid").as("cand_id"), col("pvec").as("cvec"))
       cand = cand.unionByName(sel).localCheckpoint(true)
     }
-    val votes = pts.crossJoin(broadcast(cand))
-      .withColumn("cos", cosine(col("pvec"), col("cvec")))
-      .filter(col("cos").isNotNull)
-      .groupBy(col("pid"))
-      .agg(max(struct(col("cos"), (col("cand_id") * -1).as("nid"))).as("m"))
-      .select((col("m.nid") * -1).as("cand_id"))
+    val votes = assignToNearestCandidate(pts, "pid", "pvec", cand)
       .groupBy(col("cand_id")).agg(count(lit(1)).as("weight"))
     votes.orderBy(col("weight").desc, col("cand_id")).limit(k)
       .withColumn("cid", row_number().over(

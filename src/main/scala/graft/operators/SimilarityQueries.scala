@@ -247,7 +247,6 @@ object SimilarityQueries extends QueryPack {
     // is oracle-exact because the || draws are salted-hash
     // deterministic.
     "q239_seed_occupancy" -> ((s, d) => {
-      import graft.functions.VectorFunctions.cosine
       val emb = Tables.embeddings(s, d)
       val minid = emb.orderBy(col("vec_id")).limit(8)
         .select(col("vec_id").as("cand_id"), col("embedding").as("cvec"))
@@ -256,13 +255,7 @@ object SimilarityQueries extends QueryPack {
         .join(emb, col("seed_id") === col("vec_id"))
         .select(col("seed_id").as("cand_id"), col("embedding").as("cvec"))
       def occupancy(cand: DataFrame, method: String) = {
-        val sz = emb.select(col("vec_id"), col("embedding"))
-          .crossJoin(broadcast(cand))
-          .withColumn("cos", cosine(col("embedding"), col("cvec")))
-          .filter(col("cos").isNotNull)
-          .groupBy(col("vec_id"))
-          .agg(max(struct(col("cos"), (col("cand_id") * -1).as("nid"))).as("m"))
-          .select((col("m.nid") * -1).as("cand_id"))
+        val sz = Similarity.assignToNearestCandidate(emb, "vec_id", "embedding", cand)
           .groupBy(col("cand_id")).agg(count(lit(1)).as("sz"))
         sz.agg(count(lit(1)).as("n_cells"), max(col("sz")).as("largest"),
             min(col("sz")).as("smallest"), sum(col("sz")).as("tot"))
@@ -513,7 +506,7 @@ object SimilarityQueries extends QueryPack {
           cents, cells, 64, p, 3)))
       // The 12 (scorer, nprobe) measurement jobs are independent reads
       // of shared materialized models — run them CONCURRENTLY so the
-      // cluster overlaps their stages instead of draining 9 schedules
+      // cluster overlaps their stages instead of draining 12 schedules
       // end-to-end. Future.sequence preserves tuple order, so the
       // output relation (and its hash) is identical to the serial run.
       // Dedicated executor sized to the job count (each future BLOCKS

@@ -1121,9 +1121,12 @@ object TextQueries extends QueryPack {
     // matrix) with the one-number-per-source mix view.
     "q247_source_novelty" -> ((s, d) => {
       import graft.functions.TextFunctions.positionalShinglesOfTokens
+      // tokens staged in a projection first (TextFunctions.scala:87:
+      // a raw split(text) argument re-inlines the split per element)
       val grams = Tables.documents(s, d)
+        .select(col("source"), split(col("text"), " ").as("__ts"))
         .select(col("source"),
-          explode(positionalShinglesOfTokens(split(col("text"), " "), 2)).as("g"))
+          explode(positionalShinglesOfTokens(col("__ts"), 2)).as("g"))
       val bySrc = grams.groupBy(col("source"), col("g")).agg(count(lit(1)).as("c"))
       val df = bySrc.groupBy(col("g")).agg(count(lit(1)).as("nsrc"))
       bySrc.join(df, Seq("g"))
@@ -1147,7 +1150,8 @@ object TextQueries extends QueryPack {
     "q243_oov_curve" -> ((s, d) => {
       import graft.functions.TextFunctions.positionalShinglesOfTokens
       val grams = Tables.documents(s, d)
-        .select(explode(positionalShinglesOfTokens(split(col("text"), " "), 2)).as("g"))
+        .select(split(col("text"), " ").as("__ts")) // staged: see q247 note
+        .select(explode(positionalShinglesOfTokens(col("__ts"), 2)).as("g"))
       val counts = grams.groupBy(col("g")).agg(count(lit(1)).as("c"))
       val ranked = Relational.orderedRanks(counts,
         Seq(col("c").desc, col("g").asc), "rk")

@@ -389,20 +389,12 @@ object EventPipelines {
       val cross = Dedup.crossCorpusNearDups(tagged, textCol, idCol,
         "__side", "idx", "new", ngram, k, bands, minJaccard)
       val assign = landed.select(col(idCol), col("cluster_id"))
-      val cEdges = cross.select(col("idx_id").as(idCol), col("new_id"))
-        .join(assign, Seq(idCol))
-        .select(col("cluster_id").as("src"), col("new_id").as("dst"))
-        .unionByName(newPairs.select(col("id_1").as("src"), col("id_2").as("dst")))
-      val cNodes = assign.select(col("cluster_id").as("id")).distinct()
-        .unionByName(arrivals.select(col(idCol).as("id")))
-      val merged = Dedup.connectedComponents(cEdges, cNodes, "id")
-        .select(col("id"), col("cluster_id").as("new_cid"))
-      val updated = landed
-        .select(col(idCol), col(textCol), col("cluster_id").as("id"))
-        .unionByName(arrivals.select(col(idCol), col(textCol),
-          col(idCol).as("id")))
-        .join(merged, Seq("id"))
-        .select(col(idCol), col(textCol), col("new_cid").as("cluster_id"))
+      val newAssign = Dedup.contractedCcMerge(assign,
+        arrivals.select(col(idCol)), idCol,
+        cross, "idx_id", "new_id", newPairs)
+      val updated = landed.select(col(idCol), col(textCol))
+        .unionByName(arrivals.select(col(idCol), col(textCol)))
+        .join(newAssign, Seq(idCol))
       wh.overwrite(updated, layer, table): Unit
     }
     if (useLedger) wh.markBatchCommitted(layer, table, batchId, ledgerNs)
