@@ -260,6 +260,100 @@ class QueryInvariantSpec extends SparkSpec {
     rep.foreach { case (_, tr, va, te, _) => assert(tr + va + te == nDocs) }
   }
 
+  // q235: deterministic Poisson draws make the bootstrap repeatable,
+  // the interval must be ordered, and at this corpus the point
+  // estimate sits inside its own 90% CI (stable forever: every draw
+  // is a salted-hash threshold, nothing is random).
+  test("q235 bootstrap: CI ordered and contains the point estimate; run-to-run identical") {
+    val a = TextQueries.queries("q235_bootstrap_ci")(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(a.nonEmpty)
+    a.foreach { case (src, n, mean, lo, hi) =>
+      assert(n > 0)
+      assert(lo <= hi, src)
+      assert(mean >= lo && mean <= hi, s"$src: $mean outside [$lo, $hi]")
+    }
+    val b = TextQueries.queries("q235_bootstrap_ci")(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(a == b)
+  }
+
+  // q239: both arms must be present, cells can't exceed k = 8, and the
+  // hottest cell is by pigeonhole at least the perfect n/k share —
+  // skew_bps ≥ ~10000 whenever all 8 cells are occupied.
+  test("q239 occupancy: both methods, cells ≤ k, skew bounded below by pigeonhole") {
+    val rep = SimilarityQueries.queries("q239_seed_occupancy")(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rep.map(_._1).toSet == Set("minid", "kmpp"))
+    rep.foreach { case (m, nCells, largest, smallest, skew) =>
+      assert(nCells >= 1 && nCells <= 8, m)
+      assert(largest >= smallest && smallest > 0, m)
+      if (nCells == 8) assert(skew >= 9999, s"$m skew=$skew")
+    }
+  }
+
+  // q241: the quarantine split must reproduce the injection rule
+  // exactly — every 7th doc truncated and routed, everyone else parsed
+  // with its values intact.
+  test("q241 quarantine: split counts and recovered sums equal the injection rule") {
+    val (nValid, nQuar, sumIds, sumChars) =
+      WarehouseQueries.queries("q241_corrupt_quarantine")(spark, sf)
+        .as[(Long, Long, Long, Long)].head()
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"n_chars")
+    val exp = docs.agg(
+      sum(when($"doc_id" % 7 =!= 0, 1L).otherwise(0L)),
+      sum(when($"doc_id" % 7 === 0, 1L).otherwise(0L)),
+      sum(when($"doc_id" % 7 =!= 0, $"doc_id")),
+      sum(when($"doc_id" % 7 =!= 0, $"n_chars")))
+      .as[(Long, Long, Long, Long)].head()
+    assert((nValid, nQuar, sumIds, sumChars) == exp)
+  }
+
+  // q244: every audited cluster is connected (≥ size−1 edges), its
+  // Jaccard range is ordered and respects the 0.2 admission floor,
+  // and weak edges can't outnumber edges.
+  test("q244 edge strength: connectivity, ordered bps range, admission floor") {
+    val rows = DedupQueries.queries("q244_cluster_strength")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (cid, nMembers, nEdges, minJ, maxJ, nWeak) =>
+      assert(nMembers >= 2, cid)
+      assert(nEdges >= nMembers - 1, s"cluster $cid disconnected in audit")
+      assert(minJ <= maxJ && minJ >= 2000 && maxJ <= 10000, cid)
+      assert(nWeak >= 0 && nWeak <= nEdges, cid)
+    }
+  }
+
+  // q247: exclusive mass is a subset of total mass per source, in
+  // counts and in grams, and the bps stays a share.
+  test("q247 novelty: novel ⊆ total per source") {
+    val rows = TextQueries.queries("q247_source_novelty")(spark, sf)
+      .select($"gram_mass", $"novel_mass", $"n_distinct_grams",
+        $"n_novel_grams", $"novelty_bps")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (mass, novel, nd, nn, bps) =>
+      assert(novel >= 0 && novel <= mass)
+      assert(nn >= 0 && nn <= nd)
+      assert(bps >= 0 && bps <= 10000)
+      assert(bps == novel * 10000 / mass)
+    }
+  }
+
+  // q249: the 2×2 agreement matrix partitions the corpus — cell counts
+  // sum to the document total and shares to 10000 bps up to floor loss.
+  test("q249 agreement matrix partitions the corpus; shares sum to ~10000 bps") {
+    val rows = TextQueries.queries("q249_rule_agreement")(spark, sf)
+      .as[(Boolean, Boolean, Long, Long)].collect()
+    assert(rows.map(r => (r._1, r._2)).distinct.length == rows.length)
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.map(_._3).sum == nDocs)
+    val bps = rows.map(_._4).sum
+    assert(bps <= 10000 && bps > 10000 - rows.length, s"bps=$bps")
+    rows.foreach { case (_, _, n, share) => assert(share == n * 10000 / nDocs) }
+  }
+
   // q250: the release funnel only ever narrows — per source the stage
   // counts are monotone, the split partitions exactly the clean set,
   // the benchmark source never appears, and released token mass is
