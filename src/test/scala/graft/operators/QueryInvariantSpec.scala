@@ -354,6 +354,74 @@ class QueryInvariantSpec extends SparkSpec {
     rows.foreach { case (_, _, n, share) => assert(share == n * 10000 / nDocs) }
   }
 
+  // q219: the grid must cover exactly the K = 8 factorizations and the
+  // chosen flag must mark the true argmin (smallest bands on ties).
+  test("q219 auto-tune: full factorization grid, chosen = argmin") {
+    val rows = DedupQueries.queries("q219_lsh_autotune")(spark, sf)
+      .as[(Int, Int, Long, Boolean)].collect()
+    assert(rows.map(r => (r._1, r._2)).toSet ==
+      Set((1, 8), (2, 4), (4, 2), (8, 1)))
+    val best = rows.minBy(r => (r._3, r._1))
+    rows.foreach { case (b, r, err, chosen) =>
+      assert(err >= 0)
+      assert(chosen == (err == best._3 && b == best._1), s"($b,$r)")
+    }
+  }
+
+  // q233: the distributed rank-based median/MAD must equal a local
+  // brute-force recomputation per language, and the flag its formula.
+  test("q233 median+MAD equal brute force per language; flag consistent") {
+    val got = TextQueries.queries("q233_mad_outliers")(spark, sf)
+      .as[(Long, String, Long, Long, Long, Long, Boolean)].collect()
+    assert(got.nonEmpty)
+    def lowerMedian(xs: Seq[Long]): Long = xs.sorted.apply((xs.size + 1) / 2 - 1)
+    got.groupBy(_._2).foreach { case (lang, rs) =>
+      val med = lowerMedian(rs.map(_._3).toSeq)
+      val mad = lowerMedian(rs.map(r => math.abs(r._3 - med)).toSeq)
+      rs.foreach { case (id, _, n, m, md, dev, flag) =>
+        assert(m == med && md == mad, s"$lang doc $id")
+        assert(dev == math.abs(n - med) && flag == (dev > 3 * mad), s"$lang doc $id")
+      }
+    }
+  }
+
+  // q237/q238: one-pass cumulative growth curves must end exactly at
+  // the corpus totals and never decrease along the deciles.
+  test("q237/q238 growth curves: monotone cumulatives, exact corpus endpoints") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val heaps = TextQueries.queries("q237_heaps_law")(spark, sf)
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(heaps.map(_._1) == (1 to 10))
+    assert(heaps.map(_._2) == heaps.map(_._2).sorted)
+    assert(heaps.map(_._3) == heaps.map(_._3).sorted)
+    val nOcc = docs.select(explode(split($"text", " ")).as("t")).count()
+    val nVocab = docs.select(explode(split($"text", " ")).as("t"))
+      .distinct().count()
+    assert(heaps.last._2 == nOcc && heaps.last._3 == nVocab)
+    val dup = DedupQueries.queries("q238_dup_growth")(spark, sf)
+      .as[(Int, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(dup.map(_._1) == (1 to 10))
+    assert(dup.map(_._4) == dup.map(_._4).sorted) // dups only accumulate
+    assert(dup.last._2 == docs.count())
+    dup.foreach { case (_, nd, dist, dups, bps) =>
+      assert(dups == nd - dist && bps == dups * 10000 / nd)
+    }
+  }
+
+  // q243: a larger inventory can only shrink out-of-inventory mass,
+  // bounded by the total occurrence count.
+  test("q243 OOV curve non-increasing in inventory size, bounded by total mass") {
+    val curve = TextQueries.queries("q243_oov_curve")(spark, sf)
+      .select($"vocab_size", $"oov_occurrences")
+      .as[(Int, Long)].collect().sortBy(_._1).toSeq
+    assert(curve.map(_._1) == Seq(32, 128, 512))
+    assert(curve.map(-_._2) == curve.map(-_._2).sorted)
+    val tot = graft.sources.Tables.documents(spark, sf)
+      .select(explode(split($"text", " ")).as("t")).count() -
+      graft.sources.Tables.documents(spark, sf).count() // bigrams = occ − docs
+    curve.foreach { case (_, oov) => assert(oov >= 0 && oov <= tot) }
+  }
+
   // q250: the release funnel only ever narrows — per source the stage
   // counts are monotone, the split partitions exactly the clean set,
   // the benchmark source never appears, and released token mass is
