@@ -422,6 +422,46 @@ class QueryInvariantSpec extends SparkSpec {
     curve.foreach { case (_, oov) => assert(oov >= 0 && oov <= tot) }
   }
 
+  // q230: the baseline arm must be present, every ablation can only
+  // shrink the eval set, and the accuracy arithmetic must be exact.
+  test("q230 ablation: baseline present, eval sets shrink, bps exact") {
+    val rows = TextQueries.queries("q230_source_ablation")(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    val base = rows.find(_._1 == "(none)")
+      .getOrElse(fail("missing '(none)' baseline arm"))
+    rows.foreach { case (excl, nEval, nCorrect, bps) =>
+      assert(nCorrect >= 0 && nCorrect <= nEval, excl)
+      assert(bps == nCorrect * 10000 / nEval, excl)
+      if (excl != "(none)") assert(nEval <= base._2, excl)
+    }
+  }
+
+  // q231: the salted pseudonym must stay injective on this corpus —
+  // per-nation distinct-pseudonym counts summing to the raw distinct
+  // key count is exactly the no-collision property the doc claims.
+  test("q231 pseudonymization is collision-free on the corpus") {
+    val perNation = AnalyticsQueries.queries("q231_pseudonymize")(spark, sf)
+      .select($"n_customers").as[Long].collect()
+    val raw = graft.sources.Tables.customer(spark, sf)
+      .select($"c_custkey").distinct().count()
+    assert(perNation.sum == raw)
+  }
+
+  // q234: removing a channel can only delete conversion paths in the
+  // absorbing chain, so the baseline reach dominates every ablated
+  // arm and the baseline's own removal effect is zero.
+  test("q234 removal effects are non-negative; baseline effect is zero") {
+    val rows = EventsQueries.queries("q234_markov_attribution")(spark, sf)
+      .as[(String, Long, Long)].collect()
+    val base = rows.find(_._1 == "(none)")
+      .getOrElse(fail("missing '(none)' baseline arm"))
+    assert(base._3 == 0L)
+    rows.foreach { case (ch, reach, eff) =>
+      assert(reach >= 0 && reach <= 1000000000000L, ch)
+      assert(eff >= 0 && eff == base._2 - reach, ch)
+    }
+  }
+
   // q250: the release funnel only ever narrows — per source the stage
   // counts are monotone, the split partitions exactly the clean set,
   // the benchmark source never appears, and released token mass is
