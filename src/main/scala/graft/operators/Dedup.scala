@@ -544,7 +544,12 @@ object Dedup {
     * checkpoint/schedule round-trip is fixed latency), batching halves
     * the number of jobs without changing any intermediate relation —
     * the lineage between checkpoints is two H2M steps instead of one,
-    * still bounded. Fixed point: C(v) = {m} for every non-min v and
+    * still bounded. Two and NOT more: step() reads its input twice
+    * (the min agg and the re-join), so every un-materialized step
+    * re-evaluates the previous step's lineage ~2× — batching k steps
+    * costs ~2^(k−1) recomputations of the early steps, and k = 4
+    * measured 2× SLOWER than k = 2 at sf0.1. Fixed point: C(v) = {m}
+    * for every non-min v and
     * C(m) = the whole component; detected by a (count, xxhash-sum)
     * signature observed on the checkpoint job itself, so each batch
     * stays one Spark job (a batch whose two steps are both no-ops
