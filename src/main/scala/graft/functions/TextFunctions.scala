@@ -115,4 +115,16 @@ object TextFunctions {
     */
   def hexNibble(ch: Column): Column =
     call_function("instr", lit("123456789abcdef"), ch)
+
+  /** Ten-way deterministic split from the first two md5 nibbles of
+    * `salt ‖ key` — the arrival/holdout/split bucketing device shared
+    * by the dedup-maintenance, streaming-ingest and release queries
+    * (bucket < 9 ⇒ the 90% side, unless a caller says otherwise).
+    * DuckDB twin: [[graft.QueryPack.md5Bucket10Sql]] — the two encode
+    * ONE rule and must change together.
+    */
+  def md5Bucket10(key: Column, salt: String = ""): Column = {
+    val h = md5(concat(lit(salt), key.cast("string")))
+    (hexNibble(substring(h, 1, 1)) * 16 + hexNibble(substring(h, 2, 1))) % 10
+  }
 }

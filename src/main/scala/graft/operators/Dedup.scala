@@ -38,6 +38,19 @@ object Dedup {
     docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__ts"))
       .select(col(idCol), explode(TextFunctions.shinglesOfTokens(col("__ts"), n)).as("shingle"))
 
+  /** Every ordered pair (x before y) from the SORTED array `ids`, as
+    * structs (f1, f2) — the pair-emission idiom all grouped-postings
+    * operators share ([[jaccardPairs]], [[sharedShingleCandidates]],
+    * [[groupOverlapMatrix]], [[simhashPairs]]' Hamming-0 branch). One
+    * home because the slice offset is the classic off-by-one site:
+    * `slice` is 1-based and the lambda index 0-based, so "everything
+    * after x" starts at i + 2.
+    */
+  private[operators] def orderedPairsOf(ids: Column, f1: String, f2: String): Column =
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + lit(2), size(ids)),
+        y => struct(x.as(f1), y.as(f2)))))
+
   /** Exact pairwise n-gram Jaccard ≥ minJaccard via shingle self-join.
     * `maxShingleDf` (optional) drops shingles occurring in more docs —
     * required at scale, off by default for oracle parity.
@@ -64,15 +77,9 @@ object Dedup {
     // ReuseExchange evaluates the shingle generation once.
     val sizes = grouped.select(explode(col("ids")).as(idCol))
       .groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    val pairsOfIds = {
-      val ids = col("ids")
-      flatten(transform(ids, (x, i) =>
-        transform(slice(ids, i + lit(2), size(ids)),
-          y => struct(x.as("id_1"), y.as("id_2")))))
-    }
     val inter = grouped
       .filter(size(col("ids")) > 1)
-      .select(explode(pairsOfIds).as("p"))
+      .select(explode(orderedPairsOf(col("ids"), "id_1", "id_2")).as("p"))
       .groupBy(col("p.id_1").as("id_1"), col("p.id_2").as("id_2"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -130,7 +137,6 @@ object Dedup {
     require(minTokens >= n,
       s"minTokens=$minTokens below the shingle width $n is unobservable: " +
         "the shortest detectable run is one shingle = n tokens")
-    import org.apache.spark.sql.expressions.Window
     val a = posShingles.toDF("id_1", "p1", "shingle")
     val b = posShingles.toDF("id_2", "p2", "shingle")
     // distinct, not a documented precondition: a duplicated (id_1,id_2)
@@ -210,9 +216,10 @@ object Dedup {
       .select(col("m.id_1").as("id_1"), col("m.p1").as("p1"),
         col("m.id_2").as("id_2"), col("m.p2").as("p2"))
     val cands = rareMatches.select(col("id_1"), col("id_2")).distinct()
-    val hotA = ps.join(hot, "shingle")
+    val hotOcc = ps.join(hot, "shingle")
+    val hotA = hotOcc
       .select(col("__id").as("id_1"), col("__p").as("p1"), col("shingle"))
-    val hotB = ps.join(hot, "shingle")
+    val hotB = hotOcc
       .select(col("__id").as("id_2"), col("__p").as("p2"), col("shingle"))
     val hotMatches = cands.join(hotA, Seq("id_1")).join(hotB, Seq("id_2", "shingle"))
       .select(col("id_1"), col("p1"), col("id_2"), col("p2"))
@@ -252,13 +259,10 @@ object Dedup {
       .agg(count(lit(1)).as("nd"))
       .filter(col("nd").between(2, maxDf))
       .select(col("shingle"))
-    val ids = col("ids")
     docSh.join(rare, "shingle")
       .groupBy(col("shingle"))
       .agg(sort_array(collect_set(col(idCol))).as("ids"))
-      .select(explode(flatten(transform(ids, (x, i) =>
-        transform(slice(ids, i + lit(2), size(ids)),
-          y => struct(x.as("id_1"), y.as("id_2")))))).as("p"))
+      .select(explode(orderedPairsOf(col("ids"), "id_1", "id_2")).as("p"))
       .select(col("p.id_1").as("id_1"), col("p.id_2").as("id_2"))
       .distinct()
   }
@@ -287,15 +291,9 @@ object Dedup {
     val sizes = sh.groupBy(col("grp")).agg(count(lit(1)).as("m"))
     val grouped = sh.groupBy(col("shingle"))
       .agg(sort_array(collect_set(col("grp"))).as("grps"))
-    val pairsOfGrps = {
-      val gs = col("grps")
-      flatten(transform(gs, (x, i) =>
-        transform(slice(gs, i + lit(2), size(gs)),
-          y => struct(x.as("grp_1"), y.as("grp_2")))))
-    }
     val inter = grouped
       .filter(size(col("grps")) > 1)
-      .select(explode(pairsOfGrps).as("p"))
+      .select(explode(orderedPairsOf(col("grps"), "grp_1", "grp_2")).as("p"))
       .groupBy(col("p.grp_1").as("grp_1"), col("p.grp_2").as("grp_2"))
       .agg(count(lit(1)).as("n_shared"))
     val allPairs = sizes.toDF("grp_1", "m1")
@@ -394,6 +392,10 @@ object Dedup {
                           minJaccard: Double): DataFrame = {
     require(k % bands == 0, s"k=$k must divide evenly into bands=$bands " +
       "(trailing minhashes would be silently ignored)")
+    require(leftSide != rightSide, "crossCorpusNearDups: leftSide == " +
+      s"rightSide ('$leftSide') — the output would carry two ambiguous " +
+      s"'${leftSide}_id' columns and unordered same-side pairs; use " +
+      "minhashLshNearDups for within-corpus dedup")
     val sh = shingleTable(docs, textCol, idCol, ngram)
     val bk = bandRelation(minhashSignatures(sh, idCol, k), idCol, bands, k / bands)
       .join(docs.select(col(idCol).as("id"), col(sideCol).as("side")), Seq("id"))
@@ -765,14 +767,8 @@ object Dedup {
     val groups = sim.toDF("__id", "__sh")
       .groupBy(col("__sh")).agg(sort_array(collect_set(col("__id"))).as("ids"))
     // Hamming-0: every ordered pair within one fingerprint group.
-    val pairsOfIds = {
-      val ids = col("ids")
-      flatten(transform(ids, (x, i) =>
-        transform(slice(ids, i + lit(2), size(ids)),
-          y => struct(x.as("id_1"), y.as("id_2")))))
-    }
     val intra = groups.filter(size(col("ids")) > 1)
-      .select(explode(pairsOfIds).as("p"))
+      .select(explode(orderedPairsOf(col("ids"), "id_1", "id_2")).as("p"))
       .select(col("p.id_1").as("id_1"), col("p.id_2").as("id_2"),
         lit(0).cast("int").as("hamming"))
     // Block j covers bit range [j*bits/n, (j+1)*bits/n) — near-equal widths.

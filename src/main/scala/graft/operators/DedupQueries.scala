@@ -75,10 +75,7 @@ object DedupQueries extends QueryPack {
     // train-side internal duplication (the dominant density in web
     // corpora) never reaches verification.
     "q144_near_decontaminate" -> ((s, d) => {
-      import graft.functions.TextFunctions.hexNibble
-      val h = md5(col("doc_id").cast("string"))
-      val bucket = (hexNibble(substring(h, 1, 1)) * 16 +
-        hexNibble(substring(h, 2, 1))) % 10
+      val bucket = graft.functions.TextFunctions.md5Bucket10(col("doc_id"))
       val tagged = Tables.documents(s, d)
         .withColumn("split", when(bucket < 9, "train").otherwise("eval"))
       Dedup.crossCorpusNearDups(tagged, "text", "doc_id", "split",
@@ -283,9 +280,7 @@ object DedupQueries extends QueryPack {
     "q220_incremental_cc" -> ((s, d) => {
       import graft.functions.TextFunctions.hexNibble
       val docs = Tables.documents(s, d)
-      val h = md5(col("doc_id").cast("string"))
-      val bucket = (hexNibble(substring(h, 1, 1)) * 16 +
-        hexNibble(substring(h, 2, 1))) % 10
+      val bucket = graft.functions.TextFunctions.md5Bucket10(col("doc_id"))
       val tagged = docs.withColumn("side",
         when(bucket < 9, "indexed").otherwise("new"))
       val indexed = tagged.filter(col("side") === "indexed")
@@ -652,10 +647,8 @@ object DedupQueries extends QueryPack {
       import graft.functions.TextFunctions.hexNibble
       import graft.streaming.EventPipelines
       val wh = new graft.sources.Warehouse(graft.plans.EtlQueries.tmpWarehouse(), s)
-      def bucket(c: org.apache.spark.sql.Column) = {
-        val h = md5(c.cast("string"))
-        (hexNibble(substring(h, 1, 1)) * 16 + hexNibble(substring(h, 2, 1))) % 10
-      }
+      def bucket(c: org.apache.spark.sql.Column) =
+        graft.functions.TextFunctions.md5Bucket10(c)
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("text"), col("source"))
       wh.overwrite(docs.filter(bucket(col("doc_id")) < 9),
@@ -689,10 +682,8 @@ object DedupQueries extends QueryPack {
       import graft.functions.TextFunctions.hexNibble
       import graft.streaming.EventPipelines
       val wh = new graft.sources.Warehouse(graft.plans.EtlQueries.tmpWarehouse(), s)
-      def bucket(c: org.apache.spark.sql.Column) = {
-        val h = md5(c.cast("string"))
-        (hexNibble(substring(h, 1, 1)) * 16 + hexNibble(substring(h, 2, 1))) % 10
-      }
+      def bucket(c: org.apache.spark.sql.Column) =
+        graft.functions.TextFunctions.md5Bucket10(c)
       val stream = s.readStream
         .schema(s.read.option("pathGlobFilter", "documents.parquet").parquet(d).schema)
         .option("pathGlobFilter", "documents.parquet").parquet(d)
@@ -747,9 +738,7 @@ object DedupQueries extends QueryPack {
         .groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
         .filter(col("ns") >= 3).select(col("doc_id"))
       val clean = deduped.join(leaky, Seq("doc_id"), "left_anti")
-      val h = md5(col("doc_id").cast("string"))
-      val b = (hexNibble(substring(h, 1, 1)) * 16 +
-        hexNibble(substring(h, 2, 1))) % 10
+      val b = graft.functions.TextFunctions.md5Bucket10(col("doc_id"))
       val flags = uni
         .join(deduped.withColumn("is_dedup", lit(true)), Seq("doc_id"), "left")
         .join(clean.withColumn("is_clean", lit(true)), Seq("doc_id"), "left")
@@ -784,10 +773,8 @@ object DedupQueries extends QueryPack {
       val cc = Dedup.connectedComponents(
         nearDupPairs(s, d).select(col("id_1"), col("id_2")),
         Tables.documents(s, d).select(col("doc_id")), "doc_id")
-      def bucket(c: org.apache.spark.sql.Column, salt: String) = {
-        val h = md5(concat(lit(salt), c.cast("string")))
-        (hexNibble(substring(h, 1, 1)) * 16 + hexNibble(substring(h, 2, 1))) % 10
-      }
+      def bucket(c: org.apache.spark.sql.Column, salt: String) =
+        graft.functions.TextFunctions.md5Bucket10(c, salt)
       def splitName(b: org.apache.spark.sql.Column) =
         when(b < 8, "train").when(b === 8, "val").otherwise("test")
       val assigned = cc.select(col("doc_id"), col("cluster_id"),
@@ -900,10 +887,7 @@ object DedupQueries extends QueryPack {
     }),
 
     "q157_incremental_dedup" -> ((s, d) => {
-      import graft.functions.TextFunctions.hexNibble
-      val h = md5(col("doc_id").cast("string"))
-      val bucket = (hexNibble(substring(h, 1, 1)) * 16 +
-        hexNibble(substring(h, 2, 1))) % 10
+      val bucket = graft.functions.TextFunctions.md5Bucket10(col("doc_id"))
       val tagged = Tables.documents(s, d)
         .withColumn("split", when(bucket < 9, "idx").otherwise("new"))
       val vsIndex = Dedup.crossCorpusNearDups(tagged, "text", "doc_id",
@@ -1335,8 +1319,7 @@ object DedupQueries extends QueryPack {
          mh AS (SELECT doc_id, $minhashCols FROM sh GROUP BY doc_id),
          bands AS ($bandUnion),
          sp AS (SELECT doc_id,
-                  CASE WHEN (strpos('123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 16 +
-                             strpos('123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 10 < 9
+                  CASE WHEN ${graft.QueryPack.md5Bucket10Sql("CAST(doc_id AS VARCHAR)")} < 9
                        THEN 'train' ELSE 'eval' END AS split
                 FROM documents),
          cand AS (SELECT DISTINCT a.doc_id AS lid, b.doc_id AS rid
@@ -1369,10 +1352,7 @@ object DedupQueries extends QueryPack {
       import TextQueries.{nTokensSql, stopRatioSql}
       val q6Sql = s"CAST(floor((least(1.0, CAST($nTokensSql AS DOUBLE) / 50.0)" +
         s" * (1.0 - $stopRatioSql)) * 1000000.0) AS BIGINT)"
-      def nib(key: String, i: Int) =
-        s"strpos('123456789abcdef', substr(md5($key), $i, 1))"
-      val bkt = s"((${nib("CAST(u.doc_id AS VARCHAR)", 1)} * 16 + " +
-        s"${nib("CAST(u.doc_id AS VARCHAR)", 2)}) % 10)"
+      val bkt = graft.QueryPack.md5Bucket10Sql("CAST(u.doc_id AS VARCHAR)")
       s"""WITH $shinglesCte,
          |uni AS (SELECT doc_id, source, text,
          |          CAST($nTokensSql AS BIGINT) AS n_tokens,
@@ -1409,13 +1389,10 @@ object DedupQueries extends QueryPack {
          |FROM f GROUP BY 1""".stripMargin
     },
     "q248_cluster_split" -> {
-      def nib(key: String, i: Int) =
-        s"strpos('123456789abcdef', substr(md5($key), $i, 1))"
-      def bucket(key: String) = s"((${nib(key, 1)} * 16 + ${nib(key, 2)}) % 10)"
       def split(b: String) =
         s"CASE WHEN $b < 8 THEN 'train' WHEN $b = 8 THEN 'val' ELSE 'test' END"
-      val bc = bucket("'cs1-' || CAST(cluster_id AS VARCHAR)")
-      val bd = bucket("CAST(doc_id AS VARCHAR)")
+      val bc = graft.QueryPack.md5Bucket10Sql("CAST(cluster_id AS VARCHAR)", "cs1-")
+      val bd = graft.QueryPack.md5Bucket10Sql("CAST(doc_id AS VARCHAR)")
       def report(mode: String, sCol: String) =
         s"""SELECT '$mode' AS mode,
            |  CAST(SUM(CASE WHEN $sCol = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
@@ -1690,8 +1667,7 @@ object DedupQueries extends QueryPack {
          mh AS (SELECT doc_id, $minhashCols FROM sh GROUP BY doc_id),
          bands AS ($bandUnion),
          sp AS (SELECT doc_id,
-                  CASE WHEN (strpos('123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 16 +
-                             strpos('123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 10 < 9
+                  CASE WHEN ${graft.QueryPack.md5Bucket10Sql("CAST(doc_id AS VARCHAR)")} < 9
                        THEN 'idx' ELSE 'new' END AS split
                 FROM documents),
          cand AS (
@@ -1731,8 +1707,7 @@ object DedupQueries extends QueryPack {
          mh AS (SELECT doc_id, $minhashCols FROM sh GROUP BY doc_id),
          bands AS ($bandUnion),
          sp AS (SELECT doc_id,
-                  CASE WHEN (strpos('123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 16 +
-                             strpos('123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 10 < 9
+                  CASE WHEN ${graft.QueryPack.md5Bucket10Sql("CAST(doc_id AS VARCHAR)")} < 9
                        THEN 'idx' ELSE 'new' END AS split
                 FROM documents),
          cand AS (

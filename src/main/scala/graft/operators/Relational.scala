@@ -174,7 +174,10 @@ object Relational {
     require(leftAttrs.intersect(rightAttrs).isEmpty,
       s"asOfJoin: colliding attribute names ${leftAttrs.intersect(rightAttrs).mkString(",")}" +
         " — rename one side first")
-    require(!(leftAttrs ++ rightAttrs).exists(c => c == "__ts" || c == "__tag" || c == "__r"),
+    // keys included: a key NAMED __ts would otherwise slip past the
+    // guard and collide with the tag projection downstream
+    require(!(keys ++ leftAttrs ++ rightAttrs)
+      .exists(c => c == "__ts" || c == "__tag" || c == "__r"),
       "asOfJoin: __ts/__tag/__r are reserved")
     require(rightAttrs.nonEmpty, "asOfJoin: right side carries no attributes to join")
     val taggedRight = right.select(

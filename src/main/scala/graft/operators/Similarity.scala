@@ -635,18 +635,28 @@ object Similarity {
     * built in one projection before any candidate join, so every
     * candidate costs m table lookups, not m sub-dim dot products.
     */
+  /** Per-query LUT relation (vec_id, qn, lut0..m−1) against `pq`'s
+    * codebooks; `keepVec` additionally carries the full vector as `qv`
+    * (the residual path needs one dot(q, centroid) per probed cell).
+    * One home for the load-bearing slot layout (slot order, NULL for
+    * emptied cids) — the flat and residual ADC paths must never
+    * desynchronize on it.
+    */
   private def pqLutQueries(emb: DataFrame, idCol: String, vecCol: String,
-                           pq: PqModel): DataFrame = {
+                           pq: PqModel, keepVec: Boolean = false): DataFrame = {
     val sub = pq.sub
-    emb.select(col(idCol).as("vec_id") +: norm(col(vecCol)).as("qn") +:
-      (0 until pq.m).map(i => slice(col(vecCol), i * sub + 1, sub).as(s"q$i")): _*)
-      .select(col("vec_id") +: col("qn") +: (0 until pq.m).map { i =>
+    val qv = if (keepVec) Seq(col(vecCol).as("qv")) else Seq.empty
+    val qvOut = if (keepVec) Seq(col("qv")) else Seq.empty
+    emb.select(col(idCol).as("vec_id") +: (qv ++
+      Seq(norm(col(vecCol)).as("qn")) ++
+      (0 until pq.m).map(i => slice(col(vecCol), i * sub + 1, sub).as(s"q$i"))): _*)
+      .select(col("vec_id") +: (qvOut ++ Seq(col("qn")) ++ (0 until pq.m).map { i =>
         val slots = cidSlots(pq.k, pq.parts(i)._2)(identity)
         array(slots.map {
           case Some(c) => dot(col(s"q$i"), typedLit(c))
           case None => lit(null).cast("double")
         }: _*).as(s"lut$i")
-      }: _*)
+      }): _*)
   }
 
   /** ADC score: fixed-order partial sums ((d0+d1)+d2)+d3 of the LUT
@@ -873,18 +883,9 @@ object Similarity {
         }
       }
     // query side: per-subspace LUTs vs the RESIDUAL codebooks, plus the
-    // full vector (needed once per probed cell for dot(q, c))
-    val sliced = emb.select(col(idCol).as("vec_id") +: col(vecCol).as("qv") +:
-      norm(col(vecCol)).as("qn") +:
-      (0 until pqr.m).map(i => slice(col(vecCol), i * sub + 1, sub).as(s"q$i")): _*)
-    val qrel = sliced.select(col("vec_id") +: col("qv") +: col("qn") +:
-      (0 until pqr.m).map { i =>
-        val slots = cidSlots(pqr.k, pqr.parts(i)._2)(identity)
-        array(slots.map {
-          case Some(c) => dot(col(s"q$i"), typedLit(c))
-          case None => lit(null).cast("double")
-        }: _*).as(s"lut$i")
-      }: _*)
+    // full vector (needed once per probed cell for dot(q, c)) — shared
+    // with the flat path via pqLutQueries so the slot layout has one home
+    val qrel = pqLutQueries(emb, idCol, vecCol, pqr, keepVec = true)
     val probes = probedCells(emb, idCol, vecCol, cents, nprobe)
       .withColumnRenamed(idCol, "vec_id")
     val qp = qrel.join(probes, "vec_id")

@@ -27,6 +27,7 @@ object SimilarityQueries extends QueryPack {
   private val pqCache = QueryCaches.newCache[Similarity.PqModel]()
   private val residCache = QueryCaches.newCache[(Similarity.PqModel, DataFrame)]()
   private val exactCache = QueryCaches.newCache[DataFrame]()
+  private val sq8Cache = QueryCaches.newCache[DataFrame]()
 
   /** Test seams — delegate to the shared registry ([[QueryCaches]],
     * where the eviction contract is documented).
@@ -54,6 +55,14 @@ object SimilarityQueries extends QueryPack {
     cached(ivfCache, s, d)(
       Similarity.trainedIndex(Tables.embeddings(s, d), "vec_id", "embedding",
         KM_K, KM_ROUNDS))
+
+  /** Cached SQ8 per-dim min/max stats — q153/q123's sq8 serves share
+    * one corpus scan instead of re-deriving the stats per probe width.
+    */
+  private def sq8StatsCached(s: SparkSession, d: String): DataFrame =
+    cached(sq8Cache, s, d)(
+      Similarity.sq8Stats(Tables.embeddings(s, d), "embedding")
+        .localCheckpoint(true))
 
   /** Cached trained PQ codebooks (raw vectors). */
   private def pqModel(s: SparkSession, d: String): Similarity.PqModel =
@@ -173,7 +182,8 @@ object SimilarityQueries extends QueryPack {
     "q153_sq8_knn" -> ((s, d) => {
       val (cents, cells) = ivfIndex(s, d)
       Similarity.sq8IvfKnn(Tables.embeddings(s, d), "vec_id", "embedding",
-        cents, cells, dim = 64, nprobe = NPROBE, kNeighbors = 3)
+        cents, cells, dim = 64, nprobe = NPROBE, kNeighbors = 3,
+        stats = Some(sq8StatsCached(s, d)))
     }),
 
     // Corpus cartography: pairwise cosine between SOURCE centroids in
@@ -503,7 +513,7 @@ object SimilarityQueries extends QueryPack {
         "adc_rerank" -> (p => Similarity.ivfAdcRerankKnn(emb, "vec_id", "embedding",
           pqr, cents, meanCents, cells, p, RERANK_R, 3)),
         "sq8" -> (p => Similarity.sq8IvfKnn(emb, "vec_id", "embedding",
-          cents, cells, 64, p, 3)))
+          cents, cells, 64, p, 3, stats = Some(sq8StatsCached(s, d)))))
       // The 12 (scorer, nprobe) measurement jobs are independent reads
       // of shared materialized models — run them CONCURRENTLY so the
       // cluster overlaps their stages instead of draining 12 schedules

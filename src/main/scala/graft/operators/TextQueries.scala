@@ -909,9 +909,7 @@ object TextQueries extends QueryPack {
     // and cluster sizes — row_number or rand() would be neither), 90/10
     // by bucket. Pure per-row map, scan speed at any scale.
     "q81_train_split" -> ((s, d) => {
-      val h = md5(col("doc_id").cast(StringType))
-      val bucket = (hexNibble(substring(h, 1, 1)) * 16 +
-        hexNibble(substring(h, 2, 1))) % 10
+      val bucket = graft.functions.TextFunctions.md5Bucket10(col("doc_id"))
       Tables.documents(s, d).select(
         col("doc_id"), col("source"),
         bucket.cast(IntegerType).as("bucket"),
@@ -1459,9 +1457,7 @@ object TextQueries extends QueryPack {
   /** Tokenized corpus with the q81 train/held-out split flag. */
   private def classifierOcc(s: org.apache.spark.sql.SparkSession,
                             d: String): org.apache.spark.sql.DataFrame = {
-    val h = md5(col("doc_id").cast(StringType))
-    val bucket = (hexNibble(substring(h, 1, 1)) * 16 +
-      hexNibble(substring(h, 2, 1))) % 10
+    val bucket = graft.functions.TextFunctions.md5Bucket10(col("doc_id"))
     Tables.documents(s, d)
       .withColumn("is_train", bucket < 9)
       .select(col("doc_id"), col("source"), col("is_train"),
@@ -2135,11 +2131,9 @@ object TextQueries extends QueryPack {
            (h, v) -> (h * 31 + v) % 2147483647) AS rolling_fp
          FROM documents""",
     "q81_train_split" ->
-      """SELECT doc_id, source,
-         CAST((strpos('123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 16 +
-               strpos('123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 10 AS INT) AS bucket,
-         CASE WHEN (strpos('123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 16 +
-                    strpos('123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 10 < 9
+      s"""SELECT doc_id, source,
+         CAST(${graft.QueryPack.md5Bucket10Sql("CAST(doc_id AS VARCHAR)")} AS INT) AS bucket,
+         CASE WHEN ${graft.QueryPack.md5Bucket10Sql("CAST(doc_id AS VARCHAR)")} < 9
               THEN 'train' ELSE 'eval' END AS split
          FROM documents""",
     "q82_seq_packing" ->
@@ -2460,9 +2454,8 @@ object TextQueries extends QueryPack {
     * both read `best`.
     */
   private def classifierCte =
-    """b AS (SELECT doc_id, source, text,
-      |  (strpos('123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 16 +
-      |   strpos('123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 10 AS bucket
+    s"""b AS (SELECT doc_id, source, text,
+      |  ${graft.QueryPack.md5Bucket10Sql("CAST(doc_id AS VARCHAR)")} AS bucket
       |  FROM documents),
       |occ AS (SELECT doc_id, source, bucket,
       |          unnest(string_split(text, ' ')) AS tok FROM b),
