@@ -38,8 +38,12 @@ object VectorFunctions {
   /** Sign-bit LSH bucket over the first `bits` dimensions: projection
     * onto the standard basis (a degenerate but deterministic random-
     * hyperplane family). Vectors in the same bucket are ANN candidates.
+    * The size guard is load-bearing like [[cosine]]'s: under Spark 4's
+    * default ANSI mode a raw element_at past the array end THROWS
+    * INVALID_ARRAY_INDEX — one truncated embedding row would kill the
+    * whole job. A short vector's missing dimensions read as sign 0.
     */
   def signBucket(a: Column, bits: Int): Column =
     concat((1 to bits).map(i =>
-      when(element_at(a, i) >= 0f, "1").otherwise("0")): _*)
+      when(size(a) >= i && element_at(a, i) >= 0f, "1").otherwise("0")): _*)
 }

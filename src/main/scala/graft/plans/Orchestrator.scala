@@ -48,8 +48,16 @@ class Orchestrator(spark: SparkSession, sfDir: String, whRoot: String) {
   private def inParallel(tasks: Seq[() => (String, Long)]): Map[String, Long] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
+    import scala.util.Try
     implicit val ec: ExecutionContext = Orchestrator.loaderPool
-    Await.result(Future.sequence(tasks.map(t => Future(t()))), Duration.Inf).toMap
+    // Settle ALL loaders before rethrowing: Future.sequence alone fails
+    // fast on the first error while sibling loaders are still mid-
+    // directory-swap — an immediate retry would then start a second
+    // writer against a table whose first writer is still live, and the
+    // stragglers' log events would land after the caller's flush.
+    val settled = Await.result(
+      Future.sequence(tasks.map(t => Future(Try(t())))), Duration.Inf)
+    settled.map(_.get).toMap // first failure rethrows, after all settled
   }
 
   // -- Stage 1: staging — cast-to-string clean + distinct + anti-join append

@@ -29,12 +29,18 @@ object Csv {
     def clean(s: String): Boolean =
       !s.exists(c => c == '\ufffd' || (c >= '\u0080' && c <= '\u009f'))
     val winner = Encodings.find { enc =>
+      // NonFatal only: a catch-all would turn a transient read error
+      // (executor loss, missing file) during the UTF-8 probe into
+      // "UTF-8 is bad" and silently read the whole file as latin1
+      // mojibake — and would swallow OOM-class errors outright. A
+      // genuine charset failure surfaces as a (NonFatal) Spark decode
+      // exception; anything fatal propagates.
       try {
         val rows = reader(spark, enc, schema).csv(path).limit(probeRows).collect()
         rows.forall(r => (0 until r.length).forall { i =>
           r.get(i) == null || clean(r.get(i).toString)
         })
-      } catch { case _: Throwable => false }
+      } catch { case scala.util.control.NonFatal(_) => false }
     }.getOrElse(throw new IllegalArgumentException(
       s"$path: no encoding in ${Encodings.mkString(",")} decodes cleanly"))
     reader(spark, winner, schema).csv(path)

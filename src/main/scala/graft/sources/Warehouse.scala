@@ -145,13 +145,36 @@ class Warehouse(val root: String, spark: SparkSession) {
   def overwriteBucketed(df: DataFrame, layer: String, table: String,
                         bucketCols: Seq[String], numBuckets: Int): Long = {
     val name = s"${layer}_$table"
+    val tmpName = s"${name}__tmp"
+    val target = new Path(path(layer, table + "__bucketed"))
+    val tmp = new Path(path(layer, table + "__bucketed__tmp"))
+    val old = new Path(path(layer, table + "__bucketed__old"))
+    // Same tmp-write-then-swap contract as overwrite(): the long data
+    // write lands in a staging table + dir; the swap is two checked
+    // renames plus two catalog statements. A crash mid-write leaves the
+    // live table intact; a crash between data swap and catalog swap
+    // leaves the NAME stale/missing — loud on the next readBucketed,
+    // never a silently partial table.
+    spark.sql(s"DROP TABLE IF EXISTS $tmpName")
+    fs.delete(tmp, true)
     val obs = Observation()
     df.observe(obs, count(lit(1)).as("n")).write.mode("overwrite")
-      .option("path", path(layer, table + "__bucketed"))
+      .option("path", tmp.toString)
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
-      .saveAsTable(name)
-    obs.get("n").asInstanceOf[Long]
+      .saveAsTable(tmpName)
+    val n = obs.get("n").asInstanceOf[Long]
+    fs.delete(old, true)
+    if (fs.exists(target))
+      require(fs.rename(target, old), s"rename $target -> $old failed")
+    require(fs.rename(tmp, target), s"rename $tmp -> $target failed")
+    fs.delete(old, true)
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    // LIKE copies the bucket/sort spec from the staging table's catalog
+    // entry; only the location differs (the swapped-in live dir).
+    spark.sql(s"CREATE TABLE $name LIKE $tmpName LOCATION '${target.toString}'")
+    spark.sql(s"DROP TABLE IF EXISTS $tmpName")
+    n
   }
 
   def readBucketed(layer: String, table: String): DataFrame =
@@ -221,9 +244,14 @@ class Warehouse(val root: String, spark: SparkSession) {
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(tmp.toString)
     val n = obs.get("n").asInstanceOf[Long]
+    // Require-checked like overwritePartitions: Hadoop rename reports
+    // failure by returning false; continuing would delete the fresh
+    // data with `old` below (or leave stale data while the caller and
+    // EtlLog record a completed load).
     fs.delete(old, true)
-    if (fs.exists(target)) fs.rename(target, old)
-    fs.rename(tmp, target)
+    if (fs.exists(target))
+      require(fs.rename(target, old), s"rename $target -> $old failed")
+    require(fs.rename(tmp, target), s"rename $tmp -> $target failed")
     fs.delete(old, true)
     n
   }

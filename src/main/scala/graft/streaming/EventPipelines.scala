@@ -151,11 +151,21 @@ object EventPipelines {
       rows.toSeq.sortBy(_.us).foreach { e =>
         val us = e.us
         cur match {
+          case Some(st) if us < st.start - gapUs =>
+            // cross-batch straggler more than `gap` BEFORE the open
+            // session: in event-time order it can never merge with it,
+            // so glueing (us - lastUs is negative, always <= gap) would
+            // drag session_start hours back and inflate the duration.
+            // Emit it as its own closed session, open session untouched.
+            // Stragglers within gap of EACH OTHER arriving in separate
+            // micro-batches still split — the price of single-open-
+            // session state; the watermark bounds how late they can be.
+            out ::= SessionOut(user, us, 1, 0L)
           case Some(st) if us - st.lastUs <= gapUs =>
             // out-of-order events inside the watermark can arrive with
-            // us < lastUs (or < start): extend the session's bounds,
-            // never shrink them — else durations go negative and the
-            // timeout fires early
+            // us < lastUs (or within gap before start): extend the
+            // session's bounds, never shrink them — else durations go
+            // negative and the timeout fires early
             cur = Some(SessionState(math.min(st.start, us),
               math.max(st.lastUs, us), st.n + 1))
           case Some(st) =>
@@ -372,17 +382,27 @@ object EventPipelines {
               prep: Option[DataFrame => DataFrame] = None): Boolean = {
     import graft.operators.Dedup
     if (useLedger && wh.batchCommitted(layer, table, batchId, ledgerNs)) return false
-    val arrivals = prep.getOrElse(identity[DataFrame] _)
+    val incoming = prep.getOrElse(identity[DataFrame] _)
       .apply(dedupBatch(batch, Seq(idCol)))
       .select(col(idCol), col(textCol)).localCheckpoint(true)
-    val newPairs = Dedup.minhashLshNearDups(arrivals, textCol, idCol,
-      ngram, k, bands, minJaccard).select(col("id_1"), col("id_2"))
     if (!wh.exists(layer, table)) {
+      val newPairs = Dedup.minhashLshNearDups(incoming, textCol, idCol,
+        ngram, k, bands, minJaccard).select(col("id_1"), col("id_2"))
       val cc = Dedup.connectedComponents(newPairs,
-        arrivals.select(col(idCol)), idCol)
-      wh.overwrite(arrivals.join(cc, Seq(idCol)), layer, table): Unit
+        incoming.select(col(idCol)), idCol)
+      wh.overwrite(incoming.join(cc, Seq(idCol)), layer, table): Unit
     } else {
       val landed = wh.read(layer, table)
+      // anti-join against the landed table (the same replay guard as
+      // landBatch): a crash between overwrite and the ledger marker
+      // replays this batch at-least-once, and without the filter every
+      // already-landed arrival would union in twice — permanently
+      // duplicated doc rows in the index. Re-delivered ids fold to the
+      // empty arrival set and the update is a no-op, so the landing
+      // path is idempotent as the Warehouse ledger contract requires.
+      val arrivals = incoming.join(landed.select(col(idCol)), Seq(idCol), "left_anti")
+      val newPairs = Dedup.minhashLshNearDups(arrivals, textCol, idCol,
+        ngram, k, bands, minJaccard).select(col("id_1"), col("id_2"))
       val tagged = landed.select(col(idCol), col(textCol))
         .withColumn("__side", lit("idx"))
         .unionByName(arrivals.withColumn("__side", lit("new")))

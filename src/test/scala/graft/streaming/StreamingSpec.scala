@@ -452,6 +452,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size >= all.size - nUsers)
   }
 
+  test("sessionize: a cross-batch straggler before the open session becomes its own session") {
+    // batch 1 opens [T, T+5m]; batch 2 delivers T−1h (above the 2 h
+    // watermark, 60 min > gap BEFORE the session start — gluing it
+    // would drag session_start back an hour); batch 3's far-future
+    // event flushes the open session. Expected: the straggler is a
+    // singleton closed session and the [T, T+5m] session stays intact.
+    val dir = java.nio.file.Files.createTempDirectory("graft-straggler")
+    def writeFeed(name: String, rows: Seq[String]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-straggler-w")
+      rows.map(ts => (1L, java.sql.Timestamp.valueOf(ts)))
+        .toDF("user_id", "ts").coalesce(1).write.parquet(s"$tmp/out")
+      val part = new java.io.File(s"$tmp/out").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, dir.resolve(name)): Unit
+    }
+    writeFeed("feed-0.parquet", Seq("2024-01-01 12:00:00", "2024-01-01 12:05:00"))
+    writeFeed("feed-1.parquet", Seq("2024-01-01 11:00:00"))
+    writeFeed("feed-2.parquet", Seq("2024-02-01 12:00:00"))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir.toString).schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    EventPipelines.runToMemory(
+      EventPipelines.sessionize(spark, stream).toDF(), "straggler_sessions")
+    def us(ts: String) =
+      java.sql.Timestamp.valueOf(ts).getTime * 1000L
+    val got = spark.table("straggler_sessions")
+      .select($"session_start_us", $"n_events").as[(Long, Int)].collect().toSet
+    assert(got.contains((us("2024-01-01 11:00:00"), 1)),
+      s"straggler not emitted as its own session: $got")
+    assert(got.contains((us("2024-01-01 12:00:00"), 2)),
+      s"open session was disturbed by the straggler: $got")
+  }
+
   test("stream-stream interval join matches the batch twin") {
     EventPipelines.runToMemory(
       EventPipelines.viewPurchaseJoin(EventPipelines.readEventStream(spark, streamDir)),
@@ -516,5 +549,17 @@ class StreamingSpec extends SparkSpec {
     val again = wh.read("idx", "cc").select($"doc_id", $"cluster_id")
       .as[(Long, Long)].collect().toSet
     assert(again == landed)
+    // the crash window BETWEEN overwrite and ledger marker: replay the
+    // last batch with the ledger OFF (as a post-crash restart would) —
+    // the anti-join replay guard must fold the re-delivered ids to a
+    // no-op, never duplicate rows in the landed index
+    EventPipelines.ccBatch(wh, "idx", "cc", "doc_id", "text",
+      ngram = 3, k = 8, bands = 4, minJaccard = 0.2,
+      batch = docs.filter($"doc_id" === 5), batchId = 99L,
+      useLedger = false): Unit
+    val replayed = wh.read("idx", "cc")
+    assert(replayed.count() == landed.size, "replay duplicated landed rows")
+    assert(replayed.select($"doc_id", $"cluster_id")
+      .as[(Long, Long)].collect().toSet == landed)
   }
 }
