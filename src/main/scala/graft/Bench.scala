@@ -24,7 +24,13 @@ object Bench {
       (etlFirst.filter(all.contains) ++ rest).map(k => k -> all(k))
     }
     val selected = only match {
-      case Some(names) => ordered.filter { case (n, _) => names.contains(n) }
+      case Some(names) =>
+        // a typo'd name must not silently select nothing and report a
+        // valid-looking 0.000 s total
+        val unknown = names.diff(ordered.map(_._1).toSet)
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: ${unknown.mkString(",")}")
+        ordered.filter { case (n, _) => names.contains(n) }
       case None => ordered
     }
     // Warm the JVM (JIT, codegen compilation, parquet reader init) with one
@@ -68,9 +74,20 @@ object Bench {
     // sorted keys → byte-stable detail JSON across rounds (diffable history)
     val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // failures carry the -1 sentinel in the per-query map but must not
+    // SUBTRACT from the headline total — a failed query would otherwise
+    // read as a phantom speed-up in the round-over-round history
+    val total = results.values.filter(_ >= 0).sum
+    // escape env-controlled strings landing inside the JSON line —
+    // a quote in a path would otherwise make the evidence unparseable
+    def jesc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
-      .map(_.group(1)).getOrElse("\"" + sfDir + "\"")
+      .map(_.group(1)).getOrElse("\"" + jesc(sfDir) + "\"")
     // The full per-query map makes the JSON line ~2.6 KB — longer than
     // line-capped log capture allows, which destroyed the committed perf
     // evidence three rounds running. Stdout gets a SHORT total-only line
@@ -81,7 +98,7 @@ object Bench {
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":$sf}"""
     val short =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":{"q60_full_etl":${f3(
-        results.getOrElse("q60_full_etl", -1.0))}},"sf":$sf,"n":${results.size},"detail":"$detail"}"""
+        results.getOrElse("q60_full_etl", -1.0))}},"sf":$sf,"n":${results.size},"detail":"${jesc(detail)}"}"""
     println(short)
     // Persist the full map; a read-only /tmp must not fail a bench that
     // already ran every query — warn and keep the stdout evidence.

@@ -16,7 +16,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProductFloat].getName, "vec_dot"),
-      (children: Seq[Expression]) => DotProductFloat(children(0), children(1))))
+      (children: Seq[Expression]) => {
+        // loud arity check: children(0)/children(1) alone would drop a
+        // third argument silently and crash bare on one argument
+        if (children.size != 2) throw new IllegalArgumentException(
+          s"vec_dot expects exactly 2 arguments, got ${children.size}")
+        DotProductFloat(children(0), children(1))
+      }))
     // Whole-operator extension: plans AsOfJoinNode as the native
     // streaming-merge AsOfJoinExec (see AsOfJoinPlan.scala).
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)

@@ -11,6 +11,12 @@ object Profile {
     val explain = args.contains("--explain")
     val names = args.drop(1).filterNot(_ == "--explain")
     val spark = Sessions.local(app = "graft-profile")
+    // validate up front: a typo'd LATER name would otherwise abort the
+    // run after earlier queries already spent their minutes
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}; " +
+      s"close matches: ${unknown.flatMap(u => SparkEntry.queries.keys
+        .filter(_.take(4) == u.take(4))).mkString(", ")}")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       if (explain) fn(spark, sfDir).explain("formatted")

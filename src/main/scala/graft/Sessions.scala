@@ -10,6 +10,14 @@ object Sessions {
   def local(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS",
               Runtime.getRuntime.availableProcessors().toString),
             app: String = "graft"): SparkSession = {
+    // "*" is the standard local-master spelling but not a partition
+    // count — resolve it up front instead of deferring a
+    // NumberFormatException to the first shuffle
+    val nShuffle =
+      if (cores == "*") Runtime.getRuntime.availableProcessors().toString
+      else cores
+    require(nShuffle.forall(_.isDigit) && nShuffle.nonEmpty,
+      s"SPARK_GRAFT_CPUS must be a positive integer or '*', got '$cores'")
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(app)
@@ -17,7 +25,7 @@ object Sessions {
       // Csv encoding fallback probes windows-1252, which Spark 4's
       // charset allowlist rejects without this flag.
       .config("spark.sql.legacy.javaCharsets", "true")
-      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.shuffle.partitions", nShuffle)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")

@@ -27,12 +27,23 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     AnalyticsQueries.queries("q03_top_nations")(spark, "/root/testdata/sf0.001")
 
+  /** toMap would silently last-win on a name defined by two packs —
+    * the earlier query would never run and could end up hash-gated
+    * against the other pack's SQL. Loud at first access instead.
+    */
+  private def mergedUnique[V](pairs: Seq[(String, V)], what: String): Map[String, V] = {
+    val dup = pairs.groupBy(_._1).collect { case (k, vs) if vs.size > 1 => k }
+    require(dup.isEmpty,
+      s"duplicate $what defined by more than one query pack: ${dup.mkString(", ")}")
+    pairs.toMap
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    packs.flatMap(_.queries).toMap
+    mergedUnique(packs.flatMap(_.queries.toSeq), "query names")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    packs.flatMap(_.oracleSql).toMap
+    mergedUnique(packs.flatMap(_.oracleSql.toSeq), "oracle entries")
 }
