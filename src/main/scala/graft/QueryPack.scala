@@ -26,4 +26,16 @@ object QueryPack {
       s"strpos('123456789abcdef', substr(md5('$salt' || ($keySql)), $i, 1))"
     s"((${nib(1)} * 16 + ${nib(2)}) % 10)"
   }
+
+  /** DuckDB twin of
+    * [[graft.functions.TextFunctions.md5Ring48]]: 48-bit ring position
+    * from the first 12 md5 nibbles of `salt ‖ key`. Same
+    * change-together contract as md5Bucket10Sql.
+    */
+  def md5Ring48Sql(keySql: String, salt: String = ""): String = {
+    def nib(i: Int) =
+      s"strpos('123456789abcdef', substr(md5('$salt' || ($keySql)), $i, 1))"
+    (1 to 12).map(i => s"${nib(i)} * ${1L << (4 * (12 - i))}")
+      .mkString("(", " + ", ")")
+  }
 }

@@ -127,4 +127,34 @@ object TextFunctions {
     val h = md5(concat(lit(salt), key.cast("string")))
     (hexNibble(substring(h, 1, 1)) * 16 + hexNibble(substring(h, 2, 1))) % 10
   }
+
+  /** 48-bit ring position from the first 12 md5 nibbles of
+    * `salt ‖ key` — the consistent-hashing device (q251). 48 bits keeps
+    * vnode collisions negligible (~10⁻¹¹ over a few hundred vnodes)
+    * while every derived quantity (`dist·16 + shard` < 2⁵²) stays
+    * BIGINT-exact on both engines. DuckDB twin:
+    * [[graft.QueryPack.md5Ring48Sql]]; driver-side constant twin:
+    * [[md5Ring48Const]] — the three encode ONE rule and must change
+    * together.
+    */
+  val RING_M: Long = 1L << 48
+
+  def md5Ring48(key: Column, salt: String = ""): Column = {
+    val h = md5(concat(lit(salt), key.cast("string")))
+    (1 to 12).map(i => hexNibble(substring(h, i, 1)).cast("long") *
+      lit(1L << (4 * (12 - i)))).reduce(_ + _)
+  }
+
+  /** [[md5Ring48]] for a CONSTANT key, evaluated at plan-build time —
+    * the vnode table of q251 is an algorithm constant (shards × vnodes,
+    * a few hundred rows), so its positions embed as literals instead of
+    * a joined relation. java.security md5 of the UTF-8 bytes ≡ Spark's
+    * and DuckDB's `md5` on the same string.
+    */
+  def md5Ring48Const(key: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8"))
+    val hex = d.map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 12), 16)
+  }
 }

@@ -484,6 +484,46 @@ object EventsQueries extends QueryPack {
         .select(col("user_id"), col("session_start_us"),
           col("n_events").cast(LongType).as("n_events"),
           col("duration_us"))
+    }),
+
+    // CUSUM change-point detection on the hourly event rate — the
+    // drift complement to q201's spike flag: a threshold detector
+    // misses a sustained small shift (each hour individually under
+    // 2.5×), CUSUM accumulates it. Tabular CUSUM with allowance
+    // k = mean/10 and decision threshold H = mean, all BIGINT
+    // (S⁺ = max(0, S⁺ + x − (m+k)); S⁻ = max(0, S⁻ + (m−k) − x)) —
+    // the recursion is inherently sequential, so it runs as ONE
+    // zero-shuffle array fold over the hourly relation (the same
+    // replay-fold device as q160's BPE): the raw feed
+    // partial-aggregates to ≤ wall-clock-bounded hourly rows, those
+    // collect into a single sorted array, and the fold emits one row
+    // per hour with both accumulators and the shift flag. At 100 TB
+    // the only corpus-scale work is the hourly partial agg.
+    "q252_cusum_shift" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).cast(TimestampNTZType).as("hour"))
+        .agg(count(lit(1)).as("n"))
+      hourly
+        .agg(sort_array(collect_list(struct(col("hour"), col("n")))).as("arr"))
+        .withColumn("m", expr("aggregate(arr, 0L, (a, x) -> a + x.n) div size(arr)"))
+        .withColumn("k", expr("m div 10"))
+        .select(col("m"), explode(expr(
+          """aggregate(arr,
+            |  named_struct(
+            |    'sp', cast(0 as bigint), 'sn', cast(0 as bigint),
+            |    'out', cast(array() as
+            |      array<struct<hour:timestamp_ntz,n:bigint,sp:bigint,sn:bigint>>)),
+            |  (acc, x) -> named_struct(
+            |    'sp', greatest(0L, acc.sp + x.n - (m + k)),
+            |    'sn', greatest(0L, acc.sn + (m - k) - x.n),
+            |    'out', array_append(acc.out, named_struct(
+            |      'hour', x.hour, 'n', x.n,
+            |      'sp', greatest(0L, acc.sp + x.n - (m + k)),
+            |      'sn', greatest(0L, acc.sn + (m - k) - x.n)))),
+            |  acc -> acc.out)""".stripMargin)).as("r"))
+        .select(col("r.hour").as("hour"), col("r.n").as("n_events"),
+          col("r.sp").as("cusum_pos"), col("r.sn").as("cusum_neg"),
+          (col("r.sp") > col("m") || col("r.sn") > col("m")).as("is_shift"))
     })
   )
 
@@ -740,6 +780,31 @@ object EventsQueries extends QueryPack {
          SELECT user_id, MIN(us) AS session_start_us,
                 count(*) AS n_events,
                 MAX(us) - MIN(us) AS duration_us
-         FROM s GROUP BY user_id, sid"""
+         FROM s GROUP BY user_id, sid""",
+    // Mirrors q252's sequential fold as a linear recursive CTE over
+    // the row-numbered hourly relation — same BIGINT accumulators,
+    // same m/k/H constants.
+    "q252_cusum_shift" ->
+      """WITH RECURSIVE
+         |h AS (SELECT date_trunc('hour', ts) AS hour,
+         |             CAST(count(*) AS BIGINT) AS n
+         |      FROM events GROUP BY 1),
+         |st AS (SELECT m, m // 10 AS k FROM
+         |        (SELECT CAST(sum(n) AS BIGINT) // CAST(count(*) AS BIGINT) AS m
+         |         FROM h)),
+         |seq AS (SELECT hour, n, row_number() OVER (ORDER BY hour) AS i FROM h),
+         |rec AS (
+         |  SELECT s.i, s.hour, s.n,
+         |         CAST(GREATEST(0, s.n - (t.m + t.k)) AS BIGINT) AS sp,
+         |         CAST(GREATEST(0, (t.m - t.k) - s.n) AS BIGINT) AS sn
+         |  FROM seq s, st t WHERE s.i = 1
+         |  UNION ALL
+         |  SELECT s.i, s.hour, s.n,
+         |         CAST(GREATEST(0, r.sp + s.n - (t.m + t.k)) AS BIGINT),
+         |         CAST(GREATEST(0, r.sn + (t.m - t.k) - s.n) AS BIGINT)
+         |  FROM seq s JOIN rec r ON s.i = r.i + 1, st t)
+         |SELECT r.hour, r.n AS n_events, r.sp AS cusum_pos, r.sn AS cusum_neg,
+         |       (r.sp > t.m OR r.sn > t.m) AS is_shift
+         |FROM rec r, st t""".stripMargin
   )
 }

@@ -24,6 +24,7 @@ object TextQueries extends QueryPack {
 
   private val MIN_PAIR = 3  // q138: min bigram count for a lift estimate
   private val BpeArtifactMerges = 8  // q160: merges past the base vocab
+  private val RING_VNODES = 32  // q251: virtual nodes per shard
 
   // q235: Poisson(1) bootstrap — resample count, and the Poisson CDF
   // at 2³² scale as INTEGER LITERALS (computed once, embedded, so both
@@ -1413,6 +1414,38 @@ object TextQueries extends QueryPack {
         .select(words("word"), col("c"),
           expr(s"(v + $SEG_SCALE - 1) div $SEG_SCALE").as("n_pieces"),
           expr(s"((v + $SEG_SCALE - 1) div $SEG_SCALE) * $SEG_SCALE - v").as("freq_sum"))
+    }),
+
+    // Consistent-hash shard routing with a minimal-movement proof —
+    // the resharding device a growing corpus needs: docs and 32
+    // virtual nodes per shard hash onto the 2^48 ring (md5Ring48);
+    // each doc is owned by its clockwise-nearest vnode; the output is
+    // the 8-shard → 9-shard movement matrix. The consistent-hashing
+    // contract falls out of the construction: rings 8 and 9 share
+    // every vnode except the new shard's, so a doc's owner changes
+    // ONLY when a new vnode claims its arc — every move lands IN
+    // shard 8 and expected movement is ~1/9 of the corpus, vs mod-N
+    // rehashing's 8/9 (QueryInvariantSpec asserts both). 100 TB
+    // shape: the vnode table is an algorithm constant, embedded as a
+    // literal array (md5Ring48Const), so routing is one codegen'd
+    // projection at scan speed — no join, no shuffle until the
+    // ≤72-cell matrix rollup. Deterministic ties: min over
+    // (dist·16 + shard) decodes to the lowest shard id at equal
+    // distance.
+    "q251_shard_ring" -> ((s, d) => {
+      val vn = (shard: Int) => (0 until RING_VNODES).map(v =>
+        md5Ring48Const(s"ring:$shard:$v") * 16 + shard)
+      val v8 = (0 until 8).flatMap(vn)
+      val v9 = v8 ++ vn(8)
+      def owner(vs: Seq[Long]) = expr(
+        s"cast(array_min(transform(array(${vs.mkString(",")}), " +
+          s"e -> pmod((e div 16) - dpos, $RING_M) * 16 + e % 16)) % 16 as int)")
+      Tables.documents(s, d)
+        .select(col("doc_id"), md5Ring48(col("doc_id")).as("dpos"))
+        .select(col("doc_id"), owner(v8).as("shard_8"), owner(v9).as("shard_9"))
+        .groupBy(col("shard_8"), col("shard_9"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("shard_8"), col("shard_9"))
     })
   )
 
@@ -2445,6 +2478,28 @@ object TextQueries extends QueryPack {
          |       CAST(((d.v + $SEG_SCALE - 1) // $SEG_SCALE) * $SEG_SCALE - d.v
          |            AS BIGINT) AS freq_sum
          |FROM words w JOIN fin d ON d.word = w.word AND d.j = len(w.word)""".stripMargin
+    },
+
+    // Mirrors q251: same ring hash (md5Ring48Sql), same
+    // min-over-(dist·16+shard) deterministic owner decode; the oracle
+    // materializes the doc × vnode cross join the Spark side folds
+    // into a literal-array projection.
+    "q251_shard_ring" -> {
+      val m = graft.functions.TextFunctions.RING_M
+      val ring = QueryPack.md5Ring48Sql("CAST(doc_id AS VARCHAR)")
+      val vring = QueryPack.md5Ring48Sql("'ring:' || s || ':' || w")
+      val own = s"CAST(min((((vpos - dpos) % $m + $m) % $m) * 16 + shard) % 16 AS INT)"
+      s"""WITH d AS (SELECT doc_id, $ring AS dpos FROM documents),
+         |v AS (SELECT s AS shard, $vring AS vpos
+         |      FROM generate_series(0, 8) t1(s)
+         |      CROSS JOIN generate_series(0, ${RING_VNODES - 1}) t2(w)),
+         |a8 AS (SELECT doc_id, $own AS shard_8
+         |       FROM d CROSS JOIN v WHERE shard < 8 GROUP BY doc_id),
+         |a9 AS (SELECT doc_id, $own AS shard_9
+         |       FROM d CROSS JOIN v GROUP BY doc_id)
+         |SELECT shard_8, shard_9, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM a8 JOIN a9 USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     }
   )
 
