@@ -16,7 +16,7 @@ object Sessions {
     val nShuffle =
       if (cores == "*") Runtime.getRuntime.availableProcessors().toString
       else cores
-    require(nShuffle.forall(_.isDigit) && nShuffle.nonEmpty,
+    require(nShuffle.forall(_.isDigit) && nShuffle.toIntOption.exists(_ >= 1),
       s"SPARK_GRAFT_CPUS must be a positive integer or '*', got '$cores'")
     val spark = SparkSession.builder()
       .master(s"local[$cores]")

@@ -469,7 +469,12 @@ object EventsQueries extends QueryPack {
     "q215_stream_sessions" -> ((s, d) => {
       import graft.streaming.EventPipelines
       val ev = Tables.events(s, d).select(col("user_id"), col("ts"))
-      val dir = java.nio.file.Files.createTempDirectory("graft-q215").toString
+      // scratch copy of the feed lives under the shutdown-hook-cleaned
+      // scratch root (same device as EtlTiming), and is deleted as soon
+      // as the memory-sink drain completes (the sink holds the rows;
+      // the files are dead weight) — warmup + timed + verify
+      // invocations must not accumulate parquet copies of the corpus
+      val dir = graft.plans.EtlQueries.tmpWarehouse() + "/q215"
       ev.unionByName(
         ev.agg((max(col("ts")) + expr("INTERVAL 30 DAYS")).as("ts"))
           .select(lit(-1L).as("user_id"), col("ts")))
@@ -479,6 +484,13 @@ object EventsQueries extends QueryPack {
         .parquet(s"$dir/files")
       EventPipelines.runToMemory(
         EventPipelines.sessionize(s, stream).toDF(), "q215_sessions")
+      locally { // reclaim the feed copy now, not at JVM exit
+        import java.nio.file.{Files, Path}
+        val root = Path.of(dir)
+        if (Files.exists(root))
+          Files.walk(root).sorted(java.util.Comparator.reverseOrder[Path]())
+            .forEach(p => Files.deleteIfExists(p): Unit)
+      }
       s.table("q215_sessions")
         .filter(col("user_id") >= 0)
         .select(col("user_id"), col("session_start_us"),

@@ -225,18 +225,52 @@ object Relational {
     * even a split partition is a straggler. Build-side replication cost =
     * `salts` × |build|, so keep the build side the small one.
     */
-  def saltedJoin(fact: DataFrame, build: DataFrame, key: String, salts: Int): DataFrame = {
+  def saltedJoin(fact: DataFrame, build: DataFrame, key: String,
+                 salts: Int, saltCols: Seq[String] = Nil): DataFrame = {
     // salt from the ROW CONTENT, never monotonically_increasing_id():
     // a per-attempt id re-salts rows differently on task retry, and a
     // retried map stage whose first attempt was partially fetched then
     // drops/duplicates fact rows in the (key, __salt) join. Identical
     // rows sharing a salt is the accepted trade (fact rows are
-    // near-unique; exact duplicates just co-locate).
+    // near-unique; exact duplicates just co-locate — pass `saltCols`
+    // naming a distinguishing subset if the hot key's rows are exact
+    // duplicates). By default every HASHABLE column participates:
+    // map-typed columns are skipped (xxhash64 rejects MapType at
+    // analysis time), and at least one hashable column must remain.
     val salted = fact.withColumn("__salt",
-      pmod(xxhash64(fact.columns.map(col).toIndexedSeq: _*), lit(salts)).cast("int"))
+      pmod(xxhash64(contentSaltCols(fact, saltCols): _*), lit(salts)).cast("int"))
     val replicated = build.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** The columns a content-derived salt hashes: the caller's subset if
+    * given, else every column whose type contains no MapType (xxhash64
+    * rejects maps at analysis time — unordered entries have no stable
+    * hash). Loud `require` when nothing hashable remains.
+    */
+  private def contentSaltCols(fact: DataFrame,
+                              saltCols: Seq[String]): Seq[Column] = {
+    import org.apache.spark.sql.types._
+    def hasMap(dt: DataType): Boolean = dt match {
+      case _: MapType      => true
+      case a: ArrayType    => hasMap(a.elementType)
+      case s: StructType   => s.fields.exists(f => hasMap(f.dataType))
+      case _               => false
+    }
+    val names =
+      if (saltCols.nonEmpty) saltCols
+      else fact.schema.fields.filterNot(f => hasMap(f.dataType)).map(_.name).toSeq
+    require(names.nonEmpty,
+      s"saltedJoin: no hashable (map-free) columns to salt on; " +
+        s"schema: ${fact.schema.fields.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")}")
+    if (saltCols.nonEmpty) {
+      val bad = fact.schema.fields
+        .filter(f => saltCols.contains(f.name) && hasMap(f.dataType)).map(_.name)
+      require(bad.isEmpty, s"saltedJoin: saltCols contain map-typed " +
+        s"columns ${bad.mkString(", ")} which xxhash64 cannot hash")
+    }
+    names.map(col)
   }
 
   /** The skew AUDIT feeding [[adaptiveSaltedJoin]]: keys whose row
@@ -265,11 +299,12 @@ object Relational {
                                      salts: Int, hot: DataFrame): DataFrame = {
     val hotSet = broadcast(hot.select(col(key)).distinct()
       .withColumn("__hot", lit(true)))
-    // content-derived salt, same retry-determinism argument as
-    // [[saltedJoin]] — never monotonically_increasing_id()
+    // content-derived salt, same retry-determinism argument (and same
+    // map-free column rule) as [[saltedJoin]] — never
+    // monotonically_increasing_id()
     fact.join(hotSet, Seq(key), "left")
       .withColumn("__salt", when(col("__hot").isNotNull,
-        pmod(xxhash64(fact.columns.map(col).toIndexedSeq: _*), lit(salts)).cast("int"))
+        pmod(xxhash64(contentSaltCols(fact, Nil): _*), lit(salts)).cast("int"))
         .otherwise(lit(0)))
       .drop("__hot")
   }

@@ -1388,7 +1388,10 @@ object TextQueries extends QueryPack {
       // bounded scalar guard on the lexicographic encoding: the total
       // frequency mass of ANY segmentation (≤ SEG_MAXLEN pieces) must
       // stay under one SCALE step, or fewer-pieces no longer dominates
-      val maxF = inv.agg(max(col("f"))).head().getLong(0)
+      // max() over an empty inventory is NULL — treat it as 0 so the
+      // require below reports the encoding bound, not an NPE
+      val maxF = Option(inv.agg(max(col("f"))).head()
+        .getAs[java.lang.Long](0)).map(_.longValue).getOrElse(0L)
       require(maxF * SEG_MAXLEN < SEG_SCALE,
         s"unigram fertility: piece frequency $maxF breaks the $SEG_SCALE encoding")
       val pk = pos.join(inv, Seq("piece"))

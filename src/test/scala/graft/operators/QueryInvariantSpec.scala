@@ -477,4 +477,105 @@ class QueryInvariantSpec extends SparkSpec {
     }
     assert(rep.map(_._5).sum > 0, "nothing survived the funnel at sf0.001")
   }
+
+  // q251: the consistent-hashing contract the oracle hash can't pin
+  // (the oracle shares the ring construction) — adding shard 9 moves
+  // docs ONLY to shard 9, moves ~1/9 of the mass (vs mod-N's 8/9), and
+  // the only-moves-to-the-new-shard property is structural: it must
+  // hold at ANY vnode count, not just the query's 32.
+  test("q251 shard ring: movers land only in the new shard; ~1/9 mass; vnode-count invariant") {
+    val rows = TextQueries.queries("q251_shard_ring")(spark, sf)
+      .as[(Int, Int, Long)].collect()
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val nDocs = docs.count()
+    assert(rows.map(_._3).sum == nDocs, "matrix does not partition the corpus")
+    rows.foreach { case (s8, s9, n) =>
+      assert(s8 >= 0 && s8 < 8 && s9 >= 0 && s9 < 9, s"($s8,$s9)")
+      if (s8 != s9) assert(s9 == 8, s"$n docs moved $s8 -> $s9: not the new shard")
+    }
+    val moved = rows.filter(r => r._1 != r._2).map(_._3).sum
+    // expectation nDocs/9 ≈ 11%; generous binomial bounds at 500 docs
+    assert(moved > nDocs / 20 && moved < nDocs / 4, s"moved $moved of $nDocs")
+    // mod-N rehashing (8 -> 9) relocates ~8/9 of the corpus — the ring
+    // must beat it by a wide margin
+    val modMoved = docs.filter($"doc_id" % 8 =!= $"doc_id" % 9).count()
+    assert(moved * 4 < modMoved, s"ring moved $moved vs mod-N $modMoved")
+    // re-derive the routing at 8 and 64 vnodes per shard with the same
+    // ring rule: rings n and n+1 share every vnode except the new
+    // shard's, so monotone movement must fall out at any vnode count
+    import graft.functions.TextFunctions.{md5Ring48, md5Ring48Const, RING_M}
+    for (vnodes <- Seq(8, 64)) {
+      val vn = (shard: Int) => (0 until vnodes).map(v =>
+        md5Ring48Const(s"ring:$shard:$v") * 16 + shard)
+      val v8 = (0 until 8).flatMap(vn)
+      val v9 = v8 ++ vn(8)
+      def owner(vs: Seq[Long]) = expr(
+        s"cast(array_min(transform(array(${vs.mkString(",")}), " +
+          s"e -> pmod((e div 16) - dpos, $RING_M) * 16 + e % 16)) % 16 as int)")
+      val moves = docs.select(md5Ring48($"doc_id").as("dpos"))
+        .select(owner(v8).as("s8"), owner(v9).as("s9"))
+        .filter($"s8" =!= $"s9")
+      assert(moves.filter($"s9" =!= 8).count() == 0,
+        s"vnodes=$vnodes: a mover landed outside the new shard")
+      val m = moves.count()
+      assert(m > 0 && m < nDocs / 4, s"vnodes=$vnodes moved=$m of $nDocs")
+    }
+  }
+
+  // q252: the tabular-CUSUM recursion replayed by hand on a series
+  // whose shift is hand-computable — 16 hours at 100 events, 4 at 160:
+  // m = 112, k = 11, so the quiet phase accumulates S⁻ = 1/hour (never
+  // near H = m) and the shifted phase accumulates S⁺ = 37/hour,
+  // crossing H exactly at the 4th shifted hour. No single hour exceeds
+  // 1.6× the mean — the sustained-drift case a spike threshold misses.
+  // On the real corpus: one output row per distinct wall-clock hour
+  // (the documented bound on the single-row array fold) and the flag
+  // is exactly the S⁺>H ∨ S⁻>H predicate under a local replay.
+  test("q252 CUSUM: hand-computed accumulators and flag hour; fold bounded by distinct hours") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ev252").toString
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(h: Int, i: Int) =
+      new java.sql.Timestamp(base.getTime + h * 3600000L + i * 1000L)
+    val counts = Seq.fill(16)(100) ++ Seq.fill(4)(160)
+    val rows = for {
+      (n, h) <- counts.zipWithIndex
+      i <- 0 until n
+    } yield ((h * 1000 + i).toLong, ts(h, i), 1L, "e", 1.0, "{}")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = EventsQueries.queries("q252_cusum_shift")(spark, dir)
+      .orderBy($"hour")
+      .select($"n_events", $"cusum_pos", $"cusum_neg", $"is_shift")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    // hand replay of the integer recursion (m = 2240/20 = 112, k = 11)
+    val m = counts.map(_.toLong).sum / counts.size
+    val k = m / 10
+    assert(m == 112 && k == 11)
+    val expected = counts.map(_.toLong)
+      .scanLeft((0L, 0L)) { case ((sp, sn), n) =>
+        (math.max(0L, sp + n - (m + k)), math.max(0L, sn + (m - k) - n))
+      }.tail.zip(counts).map { case ((sp, sn), n) =>
+        (n.toLong, sp, sn, sp > m || sn > m)
+      }
+    assert(got == expected)
+    // the flag fires exactly once, at the 4th shifted hour (S⁺ = 148)
+    assert(got.count(_._4) == 1 && got.last._4 && got.last._2 == 148L)
+    // real corpus: row count = distinct hours; flag ≡ replayed S⁺/S⁻>H
+    val real = EventsQueries.queries("q252_cusum_shift")(spark, sf)
+      .orderBy($"hour")
+      .select($"n_events", $"cusum_pos", $"cusum_neg", $"is_shift")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    val nHours = graft.sources.Tables.events(spark, sf)
+      .select(date_trunc("hour", $"ts")).distinct().count()
+    assert(real.size == nHours && nHours > 0)
+    val rm = real.map(_._1).sum / real.size
+    val rk = rm / 10
+    val replay = real.map(_._1)
+      .scanLeft((0L, 0L)) { case ((sp, sn), n) =>
+        (math.max(0L, sp + n - (rm + rk)), math.max(0L, sn + (rm - rk) - n))
+      }.tail
+    real.zip(replay).foreach { case ((_, sp, sn, flag), (esp, esn)) =>
+      assert(sp == esp && sn == esn && flag == (sp > rm || sn > rm))
+    }
+  }
 }
