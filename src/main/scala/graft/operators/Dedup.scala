@@ -252,20 +252,78 @@ object Dedup {
     * tokenize identically). Returns distinct (id_1 < id_2) pairs.
     */
   def sharedShingleCandidates(shingles: DataFrame, idCol: String,
-                              maxDf: Int): DataFrame = {
+                              maxDf: Int): DataFrame =
+    sharedShingleCandidatesSampled(shingles, idCol, maxDf, Long.MaxValue)
+
+  /** [[sharedShingleCandidates]] with a deterministic volume bound for
+    * adversarial corpora (tiny shared vocabularies make "shares a rare
+    * shingle" hold for a large share of ALL doc pairs — 9% at sf0.1,
+    * SURVEY §4). The sample rate derives from the PAIR-SLOT count
+    * Σ nd·(nd−1)/2 over the df relation — known BEFORE any pair is
+    * generated — so the bound applies to the generated pair volume
+    * itself: k = ⌈slots / capPairSlots⌉, and a pair survives iff its
+    * mixed id hash ≡ 0 (mod k), applied INSIDE the per-shingle pair
+    * array (the dropped pairs are never even exploded into rows). The
+    * hash is plain BIGINT arithmetic — (id₁·A + id₂·B) mod a prime —
+    * deliberately NOT md5: a volume cap needs determinism and rough
+    * uniformity, not hash quality, and the integer form runs at
+    * codegen speed where the md5 ring measured ~3 µs/row on the 1.3M
+    * pre-sample pairs (q246). A DuckDB oracle computing the same slot
+    * count and the same overflow-free arithmetic lands on the same k
+    * and the same subset — hash-identical results. k = 1 (slots under
+    * the cap) reproduces the exact unsampled relation. Integral id
+    * columns only in capped mode (the mixer is integer arithmetic).
+    */
+  def sharedShingleCandidatesSampled(shingles: DataFrame, idCol: String,
+                                     maxDf: Int, capPairSlots: Long): DataFrame = {
     require(maxDf >= 2, s"maxDf=$maxDf must be >= 2 (a df-1 shingle has no pair)")
-    val docSh = shingles.select(col(idCol), col("shingle")).distinct()
-    val rare = docSh.groupBy(col("shingle"))
+    require(capPairSlots >= 1, s"capPairSlots=$capPairSlots must be >= 1")
+    // CONTRACT: the input relation is already distinct per (id,
+    // shingle) — shingleTable's per-doc array_distinct guarantees it —
+    // so no defensive re-distinct here (it cost a full extra shuffle
+    // of the corpus-sized posting relation per call, measured 3 s of
+    // q246's 5 s at sf0.1). A non-distinct input would only OVERcount
+    // nd, which tightens the df cap — never emits a wrong pair
+    // (collect_set dedups ids regardless).
+    val docSh = shingles.select(col(idCol), col("shingle"))
+    val dfRel0 = docSh.groupBy(col("shingle"))
       .agg(count(lit(1)).as("nd"))
       .filter(col("nd").between(2, maxDf))
-      .select(col("shingle"))
-    docSh.join(rare, "shingle")
+    // unbounded cap = exact relation, single pass — no checkpoint; a
+    // real cap reads the df relation twice (slot count + join), so pin
+    // it (bounded: rare shingles only)
+    val dfRel =
+      if (capPairSlots == Long.MaxValue) dfRel0 else dfRel0.localCheckpoint(true)
+    val k =
+      if (capPairSlots == Long.MaxValue) 1L
+      else {
+        val slots = dfRel.agg(coalesce(sum(expr("nd * (nd - 1) div 2")), lit(0L)))
+          .head().getLong(0)
+        math.max(1L, (slots + capPairSlots - 1) / capPairSlots)
+      }
+    val pairsArr = orderedPairsOf(col("ids"), "id_1", "id_2")
+    val keptArr =
+      if (k == 1L) pairsArr
+      else filter(pairsArr, p => pairSampleHash(
+        p.getField("id_1"), p.getField("id_2")) % k === 0)
+    docSh.join(dfRel.select(col("shingle")), "shingle")
       .groupBy(col("shingle"))
       .agg(sort_array(collect_set(col(idCol))).as("ids"))
-      .select(explode(orderedPairsOf(col("ids"), "id_1", "id_2")).as("p"))
+      .select(explode(keptArr).as("p"))
       .select(col("p.id_1").as("id_1"), col("p.id_2").as("id_2"))
       .distinct()
   }
+
+  // Pair-sampling mixer shared VERBATIM with the DuckDB oracle (q246):
+  // overflow-free for |id| < ~1e9·scale — (id mod P) ≤ P−1 ≈ 1e9, times
+  // A/B < 1e6 stays far inside BIGINT, so both engines compute the
+  // identical value. Same-sign % semantics in Java and DuckDB.
+  private[operators] val SAMPLE_P = 1000000007L
+  private[operators] val SAMPLE_A = 912839L
+  private[operators] val SAMPLE_B = 273647L
+  private def pairSampleHash(id1: Column, id2: Column): Column =
+    ((id1.cast("long") % SAMPLE_P) * SAMPLE_A +
+      (id2.cast("long") % SAMPLE_P) * SAMPLE_B) % SAMPLE_P
 
   /** Pairwise shingle-overlap (Jaccard) matrix BETWEEN document groups
     * (sources) — the corpus-curation analytic that tells you which

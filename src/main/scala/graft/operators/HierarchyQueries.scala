@@ -136,6 +136,43 @@ object HierarchyQueries extends QueryPack {
           col("rev").cast(DoubleType).as("revenue"), col("rank_in_category"))
     }),
 
+    // The reference BI layer's one KPI that had no analog: PROFIT —
+    // revenue minus cost — per category and year (reference:
+    // PowerBI_Report/readme.md:58 reports Profit $32.7M; its unit
+    // cost/price columns are sql/3nf/create_ddl_objects_3NF_layer
+    // .sql:138-139). The testdata carries no cost column, so the list
+    // price stands in: cost = Σ qty·p_retailprice, margin = revenue −
+    // cost. Same A1 aggregate + J10 broadcast-tree shape as q67 —
+    // exact DECIMAL arithmetic throughout, DOUBLE only at the end, so
+    // the hash is engine-independent. One shuffle (the group-by);
+    // part joins via the same AQE-broadcast tree.
+    "q253_margin_kpi" -> ((s, d) => {
+      val p = Tables.part(s, d)
+      val cats = Hierarchy.categories(p)
+      val subs = Hierarchy.subcategories(p, cats)
+      val prodTree = p.select(col("p_partkey").cast(LongType).as("product_id"),
+          col("p_type"), col("p_brand"),
+          col("p_retailprice").cast(DecimalType(18, 2)).as("retail"))
+        .withColumn("sub_ref", Hierarchy.subcategoryOf(col("p_type"), col("p_brand")))
+        .join(broadcast(subs), upper(col("sub_ref")) === upper(col("subcategory_name")))
+        .join(broadcast(cats), col("subcategory_category_id") === col("category_id"))
+        .select(col("product_id"), col("category_name"), col("retail"))
+      Tables.lineitem(s, d).select(
+          col("l_partkey").cast(LongType).as("product_id"),
+          year(col("l_shipdate")).cast(IntegerType).as("sale_year"),
+          col("l_extendedprice").cast(DecimalType(18, 2)).as("price"),
+          col("l_quantity").cast(DecimalType(18, 2)).as("qty"))
+        .join(prodTree, Seq("product_id"))
+        .groupBy(col("category_name"), col("sale_year"))
+        .agg(count(lit(1)).as("n_sales"),
+          sum(col("price")).as("rev"),
+          sum(col("qty") * col("retail")).as("cst"))
+        .select(col("category_name"), col("sale_year"), col("n_sales"),
+          col("rev").cast(DoubleType).as("revenue"),
+          col("cst").cast(DoubleType).as("cost"),
+          (col("rev") - col("cst")).cast(DoubleType).as("margin"))
+    }),
+
     // Grouping sets: revenue by (continent, country) with ROLLUP
     // subtotals — one shuffle, Spark expands the grouping sets
     // map-side; the NULL rows are the continent/grand totals.
@@ -254,6 +291,23 @@ object HierarchyQueries extends QueryPack {
          |       CAST(row_number() OVER (PARTITION BY category_name
          |              ORDER BY rev DESC, subcategory_name) AS INT) AS rank_in_category
          |FROM agg""".stripMargin,
+    "q253_margin_kpi" ->
+      s"""WITH $treeCtes,
+         |tree AS (
+         |  SELECT CAST(p_partkey AS BIGINT) AS product_id, c.category_name,
+         |         CAST(p_retailprice AS DECIMAL(18,2)) AS retail
+         |  FROM part
+         |  JOIN subs s ON upper(split_part(p_type, ' ', 1) || ' ' || p_brand) = upper(s.subcategory_name)
+         |  JOIN cats c ON s.subcategory_category_id = c.category_id)
+         |SELECT t.category_name,
+         |       CAST(year(l_shipdate) AS INT) AS sale_year,
+         |       count(*) AS n_sales,
+         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * t.retail) AS DOUBLE) AS cost,
+         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) -
+         |            SUM(CAST(l_quantity AS DECIMAL(18,2)) * t.retail) AS DOUBLE) AS margin
+         |FROM lineitem JOIN tree t ON l_partkey = t.product_id
+         |GROUP BY 1, 2""".stripMargin,
     "q61_geo_flatten" ->
       s"""WITH $geoCtes,
          |cities_src AS (

@@ -629,6 +629,33 @@ object EtlQueries extends graft.QueryPack {
       wh.overwrite(Staging.antiJoinAppend(Staging.clean(lateL, lCols),
         wh.read("staging", "sales"), Seq("l_orderkey", "l_linenumber")), "staging", "sales"): Unit
       orch.stage3nf(); orch.stageDm()
+      // Third pass: the reference's idempotency re-run on UNCHANGED
+      // data (python/dw_etl_tests.py:371-410) — zero rows staged, so
+      // both fact loaders MUST take their no-op branch (empty
+      // watermark slice ⇒ no partition swap). The file-signature
+      // compare proves O(new data) = 0 work on the corpus-scale
+      // tables: if a no-op run ever rewrites a fact partition, the
+      // requires below fail the gate loudly. Duration goes to stderr;
+      // OrchestratorSpec asserts the same invariants per-table at
+      // sf0.001 and EtlTiming prints the sf0.1 full-vs-noop numbers.
+      def factSig(layer: String, table: String): Set[(String, Long, Long)] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+          else Seq(f)
+        val rootF = new java.io.File(wh.path(layer, table))
+        walk(rootF).map(f => (f.getAbsolutePath.stripPrefix(rootF.getAbsolutePath),
+          f.length, f.lastModified)).toSet
+      }
+      val sigBefore3nf = factSig("bl_3nf", "ce_sales")
+      val sigBeforeDm = factSig("bl_dm", "fct_sales")
+      val t0 = System.nanoTime()
+      orch.stage3nf(); orch.stageDm()
+      val noopS = (System.nanoTime() - t0) / 1e9
+      require(factSig("bl_3nf", "ce_sales") == sigBefore3nf,
+        "no-op ETL re-run rewrote bl_3nf.ce_sales partition files")
+      require(factSig("bl_dm", "fct_sales") == sigBeforeDm,
+        "no-op ETL re-run rewrote bl_dm.fct_sales partition files")
+      Console.err.println(f"[q74] no-op third pass: $noopS%.2f s, fact partitions untouched")
       wh.readPartitioned("bl_dm", "fct_sales", "order_month")
         .groupBy(col("order_month"))
         .agg(count(lit(1)).as("n_sales"),

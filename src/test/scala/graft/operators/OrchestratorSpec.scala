@@ -109,6 +109,32 @@ class OrchestratorSpec extends SparkSpec {
     assert(partFiles("bl_dm", "fct_sales") == filesDmBefore)
   }
 
+  // The O(new data) economics of the no-op branch, MEASURED (VERDICT r9
+  // item 4): a re-run that stages nothing must (a) leave every 3NF/DM
+  // row count identical, (b) leave every fact partition file untouched,
+  // and (c) cost measurably less wall-clock than the full pipeline —
+  // the fact loaders reduce to one watermark probe + empty-slice
+  // short-circuit, and staging is skipped entirely. The sf0.1 headline
+  // numbers come from EtlTiming (same re-run, printed full-vs-noop).
+  test("no-op 3NF+DM re-run: counts identical, fact files untouched, measured cheaper") {
+    val root = java.nio.file.Files.createTempDirectory("graft-wh-noop").toString
+    val o = new Orchestrator(spark, sf, root)
+    val t0 = System.nanoTime()
+    val full = o.runFullEtl()
+    val fullS = (System.nanoTime() - t0) / 1e9
+    val files3nf = partFilesAt(root, "bl_3nf", "ce_sales")
+    val filesDm = partFilesAt(root, "bl_dm", "fct_sales")
+    val t1 = System.nanoTime()
+    val noop = o.stage3nf() ++ o.stageDm()
+    val noopS = (System.nanoTime() - t1) / 1e9
+    noop.foreach { case (t, n) => assert(full(t) == n, s"table $t: ${full(t)} -> $n") }
+    assert(partFilesAt(root, "bl_3nf", "ce_sales") == files3nf)
+    assert(partFilesAt(root, "bl_dm", "fct_sales") == filesDm)
+    info(f"full ETL $fullS%.2f s, no-op re-run $noopS%.2f s (ratio ${noopS / fullS}%.2f)")
+    assert(noopS < fullS,
+      f"no-op re-run ($noopS%.2f s) not cheaper than full pipeline ($fullS%.2f s)")
+  }
+
   test("a price change triggers exactly one new SCD2 version") {
     firstRun
     val pid = orch.wh.read("bl_3nf", "ce_products_scd")

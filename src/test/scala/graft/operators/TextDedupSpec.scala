@@ -719,4 +719,36 @@ class TextDedupSpec extends SparkSpec {
       assert(fs == bestFs, s"$w: freq mass $fs vs exhaustive $bestFs")
     }
   }
+
+  // The fused ring hash must be VALUE-identical to the plain form on
+  // every corpus key (its whole point is evaluating md5 once per row
+  // instead of once per nibble — same bits out).
+  test("md5Ring48Fused equals md5Ring48 on every doc_id") {
+    import graft.functions.TextFunctions.{md5Ring48, md5Ring48Fused}
+    val diff = graft.sources.Tables.documents(spark, sf)
+      .select(md5Ring48($"doc_id").as("a"), md5Ring48Fused($"doc_id").as("b"))
+      .filter($"a" =!= $"b").count()
+    assert(diff == 0)
+  }
+
+  // The slot-capped candidate sampler: k = 1 (cap above the slot
+  // count) must reproduce the exact relation, a small cap must return
+  // a non-empty subset of it, and the subset must be the deterministic
+  // mixer-mod-k slice (re-running gives the identical set).
+  test("sharedShingleCandidatesSampled: k=1 exact, capped = deterministic subset") {
+    val sh = Dedup.shingleTable(
+      graft.sources.Tables.documents(spark, sf), "text", "doc_id", 3)
+    val exact = Dedup.sharedShingleCandidates(sh, "doc_id", 25)
+      .as[(Long, Long)].collect().toSet
+    val uncapped = Dedup.sharedShingleCandidatesSampled(sh, "doc_id", 25, Long.MaxValue)
+      .as[(Long, Long)].collect().toSet
+    assert(uncapped == exact && exact.nonEmpty)
+    val capped = Dedup.sharedShingleCandidatesSampled(sh, "doc_id", 25, 50L)
+      .as[(Long, Long)].collect().toSet
+    assert(capped.subsetOf(exact))
+    assert(capped.nonEmpty && capped.size < exact.size)
+    val again = Dedup.sharedShingleCandidatesSampled(sh, "doc_id", 25, 50L)
+      .as[(Long, Long)].collect().toSet
+    assert(again == capped)
+  }
 }
