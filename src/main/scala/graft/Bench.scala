@@ -54,8 +54,30 @@ object Bench {
       graft.sources.Tables.lineitem(spark, sfDir)
         .groupBy(col("l_partkey")).agg(sum(col("l_quantity"))).count(): Unit
     } catch { case _: Throwable => () }
+    // Shared-model training as NAMED, separately-timed steps (see
+    // ModelWarm): every per-query number below is a serving-path
+    // number, and each model's training cost is its own warm_* row in
+    // the ledger — still inside the headline total, because it is real
+    // work a user pays once per corpus. Round 9's q160/q104/q207
+    // ">2× regressions" were exactly this cost silently changing
+    // hands when the pinned sort made them first touchers. A/B runs
+    // (BENCH_ONLY) default to COLD — they measure what they name —
+    // unless SPARK_GRAFT_BENCH_WARM=1 asks for warmed serving paths.
+    val warmModels = sys.env.get("SPARK_GRAFT_BENCH_WARM") match {
+      case Some(v) => v == "1"
+      case None => only.isEmpty
+    }
+    val warmResults: Seq[(String, Double)] =
+      if (!warmModels) Nil
+      else graft.operators.ModelWarm.steps.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val t = try { fn(spark, sfDir); (System.nanoTime() - t0) / 1e9 }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
+        name -> t
+      }
     val diag = sys.env.get("SPARK_GRAFT_BENCH_DIAG").contains("1")
-    val results = selected.map { case (name, fn) =>
+    val results = warmResults.toMap ++ selected.map { case (name, fn) =>
       if (diag) {
         val rt = Runtime.getRuntime
         System.err.println(f"[bench-diag] before $name: heapUsed=${(rt.totalMemory - rt.freeMemory) / (1 << 20)}%d MiB, cachedRdds=${spark.sparkContext.getRDDStorageInfo.length}%d")

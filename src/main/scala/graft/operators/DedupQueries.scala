@@ -46,7 +46,7 @@ object DedupQueries extends QueryPack {
     * deterministic pipeline, so caching cannot change any result.
     */
   private val pairsCache = QueryCaches.newCache[org.apache.spark.sql.DataFrame]()
-  private def nearDupPairs(s: org.apache.spark.sql.SparkSession,
+  private[operators] def nearDupPairs(s: org.apache.spark.sql.SparkSession,
                            d: String): org.apache.spark.sql.DataFrame =
     QueryCaches.cached(pairsCache, s, d)(
       Dedup.minhashLshNearDups(Tables.documents(s, d), "text", "doc_id",
@@ -57,7 +57,7 @@ object DedupQueries extends QueryPack {
     * from, materialized once per (session, corpus).
     */
   private val shingleCache = QueryCaches.newCache[org.apache.spark.sql.DataFrame]()
-  private def shingles(s: org.apache.spark.sql.SparkSession,
+  private[operators] def shingles(s: org.apache.spark.sql.SparkSession,
                        d: String): org.apache.spark.sql.DataFrame =
     QueryCaches.cached(shingleCache, s, d)(
       Dedup.shingleTable(Tables.documents(s, d), "text", "doc_id", 3)

@@ -45,13 +45,13 @@ object SimilarityQueries extends QueryPack {
     * q86/q119/q123 measure against it — one quadratic kernel run per
     * (session, corpus), not four.
     */
-  private def exactKnn(s: SparkSession, d: String): DataFrame =
+  private[operators] def exactKnn(s: SparkSession, d: String): DataFrame =
     cached(exactCache, s, d)(
       Similarity.bruteForceKnn(Tables.embeddings(s, d), "vec_id", "embedding", 3)
         .localCheckpoint(true))
 
   /** Cached (cents, cells) of the trained coarse quantizer. */
-  private def ivfIndex(s: SparkSession, d: String): (DataFrame, DataFrame) =
+  private[operators] def ivfIndex(s: SparkSession, d: String): (DataFrame, DataFrame) =
     cached(ivfCache, s, d)(
       Similarity.trainedIndex(Tables.embeddings(s, d), "vec_id", "embedding",
         KM_K, KM_ROUNDS))
@@ -59,13 +59,13 @@ object SimilarityQueries extends QueryPack {
   /** Cached SQ8 per-dim min/max stats — q153/q123's sq8 serves share
     * one corpus scan instead of re-deriving the stats per probe width.
     */
-  private def sq8StatsCached(s: SparkSession, d: String): DataFrame =
+  private[operators] def sq8StatsCached(s: SparkSession, d: String): DataFrame =
     cached(sq8Cache, s, d)(
       Similarity.sq8Stats(Tables.embeddings(s, d), "embedding")
         .localCheckpoint(true))
 
   /** Cached trained PQ codebooks (raw vectors). */
-  private def pqModel(s: SparkSession, d: String): Similarity.PqModel =
+  private[operators] def pqModel(s: SparkSession, d: String): Similarity.PqModel =
     cached(pqCache, s, d)(
       Similarity.pqTrain(Tables.embeddings(s, d), "vec_id", "embedding",
         dim = 64, m = PQ_M, k = PQ_K, rounds = PQ_ROUNDS))
@@ -74,7 +74,7 @@ object SimilarityQueries extends QueryPack {
     * shared coarse cells (the IVF-PQ construction: routing reuses the
     * scaled-sum index; all reconstruction arithmetic uses the means).
     */
-  private def residModel(s: SparkSession, d: String): (Similarity.PqModel, DataFrame) =
+  private[operators] def residModel(s: SparkSession, d: String): (Similarity.PqModel, DataFrame) =
     cached(residCache, s, d) {
       val emb = Tables.embeddings(s, d)
       val (_, cells) = ivfIndex(s, d)

@@ -578,4 +578,244 @@ class QueryInvariantSpec extends SparkSpec {
       assert(sp == esp && sn == esn && flag == (sp > rm || sn > rm))
     }
   }
+
+  // ---- The md5-determinism family: the DuckDB oracle necessarily
+  // replicates the SAME hash these queries route on, so it can pin the
+  // assignment but not the properties the hash is there to provide —
+  // uniformity, partition/permutation structure, and preservation of
+  // the non-hashed payload. Those are pinned here. ----
+
+  test("q81 split: partitions the corpus; 90/10 within binomial bounds; buckets near-uniform") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val n = docs.count()
+    val out = TextQueries.queries("q81_train_split")(spark, sf)
+      .select($"doc_id", $"bucket", $"split")
+      .as[(Long, Int, String)].collect()
+    assert(out.length == n && out.map(_._1).distinct.length == n,
+      "not a partition of the corpus")
+    out.foreach { case (_, b, s) =>
+      assert(b >= 0 && b <= 9 && s == (if (b < 9) "train" else "eval"))
+    }
+    // 10% eval at n docs: allow ±4σ of Binomial(n, 0.1)
+    val nEval = out.count(_._3 == "eval")
+    val sd = math.sqrt(n * 0.1 * 0.9)
+    assert(math.abs(nEval - 0.1 * n) < 4 * sd, s"eval=$nEval of $n")
+    // per-bucket mass within ±5σ of n/10 — the uniformity the md5
+    // nibbles exist to provide (row_number/rand give determinism OR
+    // uniformity, never both)
+    val byBucket = out.groupBy(_._2).view.mapValues(_.length)
+    (0 to 9).foreach { b =>
+      val c = byBucket.getOrElse(b, 0)
+      assert(math.abs(c - n / 10.0) < 5 * sd, s"bucket $b: $c")
+    }
+  }
+
+  test("q149 source cap: ≤15 kept per source; small sources intact; deterministic") {
+    val bySource = graft.sources.Tables.documents(spark, sf)
+      .groupBy($"source").count().as[(String, Long)].collect().toMap
+    val out = CurationQueries.queries("q149_source_cap")(spark, sf)
+      .select($"source", $"doc_id").as[(String, Long)].collect()
+    val kept = out.groupBy(_._1).view.mapValues(_.length).toMap
+    bySource.foreach { case (src, nSrc) =>
+      assert(kept.getOrElse(src, 0) == math.min(15L, nSrc),
+        s"$src: kept ${kept.get(src)} of $nSrc")
+    }
+    val again = CurationQueries.queries("q149_source_cap")(spark, sf)
+      .select($"source", $"doc_id").as[(String, Long)].collect()
+    assert(out.toSet == again.toSet, "kept set not deterministic")
+  }
+
+  test("q150 MLM mask: unmasked tokens byte-identical to raw; ~15% rate in bounds; counts conserved") {
+    val raw = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val out = CurationQueries.queries("q150_mlm_mask")(spark, sf)
+      .as[(Long, Long, Long, String)].collect()
+    assert(out.map(_._1).toSet == raw.keySet)
+    var totTokens = 0L
+    var totMasked = 0L
+    out.foreach { case (id, nTok, nMask, masked) =>
+      val rts = raw(id).split(" ", -1)
+      val mts = masked.split(" ", -1)
+      assert(rts.length == nTok && mts.length == nTok, s"doc $id token count")
+      // every position: either the untouched original token or <MASK>
+      val maskedAt = rts.indices.filter(i => mts(i) == "<MASK>" && rts(i) != "<MASK>")
+      rts.indices.foreach { i =>
+        assert(mts(i) == rts(i) || mts(i) == "<MASK>", s"doc $id pos $i")
+      }
+      assert(maskedAt.length.toLong <= nMask && nMask <= maskedAt.length +
+        rts.count(_ == "<MASK>"), s"doc $id n_masked")
+      totTokens += nTok; totMasked += nMask
+    }
+    // corpus-wide rate: 15% of 2^16 = 9830/65536, ±5σ binomial
+    val p = 9830.0 / 65536
+    val sd = math.sqrt(totTokens * p * (1 - p))
+    assert(math.abs(totMasked - p * totTokens) < 5 * sd,
+      s"masked $totMasked of $totTokens")
+  }
+
+  test("q154 epoch shuffle: each epoch a 1..N permutation of the corpus; epochs differ") {
+    val ids = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id").as[Long].collect().toSet
+    val out = CurationQueries.queries("q154_epoch_shuffle")(spark, sf)
+      .select($"epoch", $"doc_id", $"pos").as[(Int, Long, Long)].collect()
+    val byEpoch = out.groupBy(_._1)
+    assert(byEpoch.keySet == Set(1, 2))
+    byEpoch.foreach { case (e, rows) =>
+      assert(rows.map(_._2).toSet == ids, s"epoch $e not the corpus")
+      assert(rows.map(_._3).sorted.toSeq == (1L to ids.size).toSeq,
+        s"epoch $e pos not a 1..N ranking")
+    }
+    // the salt differs per epoch, so the orders must actually differ
+    val o1 = byEpoch(1).sortBy(_._3).map(_._2).toSeq
+    val o2 = byEpoch(2).sortBy(_._3).map(_._2).toSeq
+    assert(o1 != o2, "epochs produced the identical order")
+  }
+
+  test("q198 weighted sample: exactly n div 5 selected; selected mean quality ≥ overall; counts partition") {
+    val n = graft.sources.Tables.documents(spark, sf).count()
+    val out = CurationQueries.queries("q198_weighted_sample")(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out.map(_._2).sum == n, "n_docs does not partition the corpus")
+    assert(out.map(_._3).sum == n / 5, s"selected ${out.map(_._3).sum} != ${n / 5}")
+    out.foreach { case (src, nd, ns, _, _) => assert(ns <= nd, src) }
+    // quality-weighting lifts the selected mean CORPUS-WIDE (monotone
+    // likelihood: P(select|q) increases in q). Per source the lift is
+    // only in expectation — the u16 factor spans orders of magnitude,
+    // so a ~50-doc source can dip below its own mean (src8 does at
+    // sf0.001); the corpus-wide weighted means must still separate.
+    // ±1 per doc covers the per-source integer-div floors.
+    val selMean = out.map(r => r._5 * r._3).sum.toDouble / out.map(_._3).sum
+    val allMean = out.map(r => r._4 * r._2).sum.toDouble / n
+    assert(selMean + 1 > allMean, s"selected $selMean !> overall $allMean")
+  }
+
+  // q253: the KPI arithmetic the oracle can't independently pin (it
+  // shares the tree CTEs) — replay the aggregation driver-side in
+  // BigDecimal over the same joined fact and require EXACT equality:
+  // the whole point of the query's all-DECIMAL pipeline is that
+  // revenue/cost/margin are exact sums with one DOUBLE conversion at
+  // the edge, and margin ≡ revenue − cost in the decimal domain (not
+  // re-derived from the two doubles). Cells must partition the joined
+  // fact (Σ n_sales = join cardinality).
+  test("q253 margin KPI: BigDecimal replay exact; margin ≡ rev − cost; cells partition the joined fact") {
+    val out = HierarchyQueries.queries("q253_margin_kpi")(spark, sf)
+      .as[(String, Int, Long, Double, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5, r._6)).toMap
+    // the same product tree the query rides (tree correctness is
+    // HierarchySpec's job); the AGGREGATION is replayed independently
+    val p = graft.sources.Tables.part(spark, sf)
+    val cats = Hierarchy.categories(p)
+    val subs = Hierarchy.subcategories(p, cats)
+    val tree = p.select($"p_partkey".cast("long").as("product_id"),
+        $"p_type", $"p_brand", $"p_retailprice".cast("string").as("retail"))
+      .withColumn("sub_ref", Hierarchy.subcategoryOf($"p_type", $"p_brand"))
+      .join(subs, upper($"sub_ref") === upper($"subcategory_name"))
+      .join(cats, $"subcategory_category_id" === $"category_id")
+      .select($"product_id", $"category_name", $"retail")
+    val joined = graft.sources.Tables.lineitem(spark, sf)
+      .select($"l_partkey".cast("long").as("product_id"),
+        year($"l_shipdate").cast("int").as("sale_year"),
+        $"l_extendedprice".cast("string").as("price"),
+        $"l_quantity".cast("string").as("qty"))
+      .join(tree, Seq("product_id"))
+      .select($"category_name", $"sale_year", $"price", $"qty", $"retail")
+      .as[(String, Int, String, String, String)].collect()
+    assert(out.values.map(_._1).sum == joined.length,
+      "n_sales does not partition the joined fact")
+    import java.math.BigDecimal
+    def bd(s: String) = new BigDecimal(s).setScale(2)
+    val want = joined.groupBy(r => (r._1, r._2)).map { case (key, rs) =>
+      val rev = rs.map(r => bd(r._3)).reduce(_ add _)
+      val cst = rs.map(r => bd(r._4).multiply(bd(r._5))).reduce(_ add _)
+      key -> (rs.length.toLong, rev.doubleValue, cst.doubleValue,
+        rev.subtract(cst).doubleValue)
+    }
+    assert(out.keySet == want.keySet)
+    want.foreach { case (key, w) =>
+      assert(out(key) == w, s"$key: got ${out(key)}, want $w")
+    }
+  }
+
+  // q254: the delta-maintained RDD trainer must be BIT-IDENTICAL to a
+  // from-scratch full recount every round — the equivalence the oracle
+  // hash also checks at sf0.01, pinned here per round on an
+  // adversarial corpus the testdata doesn't exercise: a count tie
+  // whose winner is decided by UTF-8 byte order, a null text, an empty
+  // text, a single-token doc, and same-token chains ("a a a a" must
+  // merge greedily left-to-right to [aa aa], not [a aa a]). The
+  // reference recount below shares NO code with the trainer.
+  test("q254 incremental BPE: identical to full recount per round; greedy chains; tie by bytes; null-safe") {
+    val corpus = Seq[(Long, String)](
+      (1L, "a a a a b c"),
+      (2L, "x y x y x y"),
+      (3L, "zz b zz b aa c aa c"), // "zz b" ties "aa c" at 2: bytes pick "aa c"
+      (4L, ""),
+      (5L, null),
+      (6L, "q"))
+    val docs = corpus.toDF("doc_id", "text")
+    // naive reference: full pair recount + full corpus rewrite per round
+    def toks(st: String): Array[String] = {
+      var t = st
+      while (t.startsWith(" ")) t = t.substring(1)
+      while (t.endsWith(" ")) t = t.substring(0, t.length - 1)
+      t.split("  ", -1)
+    }
+    def utf8Lte(a: String, b: String): Boolean = {
+      val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+      java.util.Arrays.compareUnsigned(x, y) <= 0
+    }
+    var st = corpus.toMap.view.mapValues(t =>
+      if (t == null) null else " " + t.replace(" ", "  ") + " ").toMap
+    val wantMerges = Seq.newBuilder[(Int, String, Long)]
+    val nMerges = 10
+    var r = 0
+    var done = false
+    while (r < nMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+      st.values.foreach { s =>
+        if (s != null) {
+          val ts = toks(s)
+          (1 until ts.length).foreach { i =>
+            val p = ts(i - 1) + " " + ts(i)
+            counts(p) = counts.getOrElse(p, 0L) + 1L
+          }
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val (pair, c) = counts.toSeq.reduce { (x, y) =>
+          if (x._2 != y._2) { if (x._2 > y._2) x else y }
+          else if (utf8Lte(x._1, y._1)) x else y
+        }
+        r += 1
+        wantMerges += ((r, pair, c))
+        val Array(a, b) = pair.split(" ", 2)
+        val (needle, repl) = (s" $a  $b ", " " + a + "\u0001" + b + " ")
+        st = st.view.mapValues(s =>
+          if (s == null) null else s.replace(needle, repl)).toMap
+      }
+    }
+    val want = wantMerges.result()
+    val got = TextQueries.bpeMergeTableMerges(docs, "text", "doc_id", nMerges)
+      .orderBy($"rank").as[(Int, String, Long)].collect().toSeq
+    assert(got == want, s"\ngot:  $got\nwant: $want")
+    // the tie round really resolved by bytes (round 3, over "zz b" and
+    // the \u0001-containing later candidates), and chains merged
+    // greedily left-to-right (round 6 pairs the two [aa] units — the
+    // [a][aa][a] split a non-greedy application would produce never
+    // appears)
+    assert(got.exists(_._2 == "aa c"))
+    assert(got.exists(p => p._2 == "a\u0001a a\u0001a" && p._3 == 1L))
+    // the trainer's returned STATE matches the reference rewrite too
+    // (same docs, every round applied), nulls and empties intact
+    val gotState = TextQueries.bpeTrain(docs, "text", "doc_id", nMerges)
+      .as[(Long, String)].collect().toMap
+    assert(gotState == st)
+    // contract shape at the fixture scale: consecutive ranks from 1,
+    // positive counts, unique pairs (q254 itself runs 64 merges there)
+    val q = TextQueries.queries("q254_bpe_train64")(spark, sf)
+      .orderBy($"rank").as[(Int, String, Long)].collect()
+    assert(q.map(_._1).toSeq == (1 to q.length), "ranks not consecutive")
+    assert(q.forall(_._3 > 0) && q.map(_._2).distinct.length == q.length)
+  }
 }
