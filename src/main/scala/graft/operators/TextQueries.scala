@@ -1439,11 +1439,11 @@ object TextQueries extends QueryPack {
     // for (directive 3): same greedy BPE semantics as q160's 8-merge
     // artifact, trained through bpeTrainIncremental's delta-maintained
     // pair counts — per round only the docs containing the winning
-    // pair are re-counted and re-written, the corpus is paid once up
-    // front plus one compaction every 16 rounds. 8× the merges of
-    // q160 at well under 2× its wall-clock (Profile sf0.1: ~8 s warm
-    // vs q160's ~3.5; the old per-merge-corpus-rewrite shape scaled
-    // linearly and would sit near 28 s). The oracle unrolls all 64
+    // pair are re-counted and re-written, one RDD fold job per round.
+    // 8× the merges of q160's artifact at 10.1 s in the sf0.1 bench
+    // (14 s standalone cold incl. corpus load); the replaced
+    // per-merge-corpus-rewrite trainer measured ~30 s for the same 64
+    // merges and scaled linearly in merges. The oracle unrolls all 64
     // rounds as a MATERIALIZED-CTE chain, so the incremental pair
     // bookkeeping is hash-pinned round by round against the full
     // recount.
