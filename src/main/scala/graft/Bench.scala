@@ -135,8 +135,12 @@ object Bench {
     // /tmp is overwritten per run, so per-query history dies with the round
     // (round 6's regression is unattributable for exactly this reason).
     // Also persist the map into the repo's bench/ dir, named by the round
-    // currently being built: max committed CORRECTNESS_r{N} + 1.
-    try {
+    // currently being built: max committed CORRECTNESS_r{N} + 1 — but
+    // ONLY for full runs: a BENCH_ONLY A/B run (now a routine
+    // attribution workflow) would otherwise overwrite the driver's
+    // round-start detail with a partial ledger, which is exactly what
+    // happened to detail_r10.json twice before this guard.
+    if (only.isEmpty) try {
       var dir = new java.io.File(".").getCanonicalFile
       while (dir != null && !new java.io.File(dir, "build.sbt").isFile)
         dir = dir.getParentFile
@@ -147,8 +151,14 @@ object Bench {
           .foldLeft(0)(math.max) + 1
         val hist = new java.io.File(dir, "bench")
         hist.mkdirs()
-        java.nio.file.Files.writeString(
-          new java.io.File(hist, f"detail_r$round%02d.json").toPath, full): Unit
+        // The driver's round-start run creates detail_r{N}.json; any
+        // LATER full run this round (local iteration) must not clobber
+        // that committed evidence — divert to a _local name instead.
+        val primary = new java.io.File(hist, f"detail_r$round%02d.json")
+        val target =
+          if (primary.isFile) new java.io.File(hist, f"detail_r$round%02d_local.json")
+          else primary
+        java.nio.file.Files.writeString(target.toPath, full): Unit
       }
     } catch {
       case e: Throwable =>

@@ -408,6 +408,16 @@ class TextDedupSpec extends SparkSpec {
       s"held-out replay missed a merge: $heldOut")
   }
 
+  test("bpeTrain: exhaustion before the round budget EMPTIES the state (the oracle's cross-join contract)") {
+    // one merge possible; q146's oracle joins each state against the
+    // 1-row winner (`FROM s_{i-1}, t_i`), so an exhausted round
+    // annihilates the state — the trainer must keep that contract
+    val docs = Seq((1L, "a b"), (2L, "c")).toDF("doc_id", "text")
+    assert(TextQueries.bpeTrain(docs, "text", "doc_id", rounds = 3).count() == 0L)
+    // exhaustion exactly AT the budget is not early: state survives
+    assert(TextQueries.bpeTrain(docs, "text", "doc_id", rounds = 1).count() == 2L)
+  }
+
   test("q138 bigram lift: every row recomputes from raw counts; threshold, order, limit hold") {
     val corpus = graft.sources.Tables.documents(spark, sf)
       .select($"text").as[String].collect()
