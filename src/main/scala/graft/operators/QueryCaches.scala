@@ -46,6 +46,19 @@ object QueryCaches {
     n
   }
 
+  /** (registered caches holding ≥1 entry for `s`, total registered) —
+    * the seam behind ModelCacheSpec's warm-coverage guard: after a
+    * [[ModelWarm]] pass every registered cache must be populated, so a
+    * NEW cache added without a warm step fails a test instead of
+    * silently re-landing its training cost on whichever timed bench
+    * query sorts first (the round-9 q160/q104/q207 attribution bug).
+    */
+  def cacheCoverage(s: SparkSession): (Int, Int) = {
+    var hit = 0
+    registry.forEach(c => if (c.keySet.stream.anyMatch(k => k._1 eq s)) hit += 1)
+    (hit, registry.size)
+  }
+
   private val hooked = java.util.Collections.newSetFromMap(
     new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean])
 

@@ -27,4 +27,20 @@ class ModelCacheSpec extends SparkSpec {
     SimilarityQueries.evictSession(s1)
     assert(SimilarityQueries.cachedEntries(s1) == 0)
   }
+
+  test("ModelWarm covers EVERY registered cache (new caches must ship a warm step)") {
+    // a fresh session so coverage counts only what the warm pass built
+    val s = spark.newSession()
+    graft.operators.ModelWarm.steps.foreach { case (name, fn) =>
+      try fn(s, sf)
+      catch { case e: Throwable => fail(s"warm step $name failed: $e") }
+    }
+    val (hit, total) = QueryCaches.cacheCoverage(s)
+    // every QueryCaches registry must be populated after the pass —
+    // otherwise that cache's training cost silently lands on whichever
+    // timed bench query sorts first (the round-9 attribution bug)
+    assert(hit == total && total >= 10, s"warm pass covered $hit of $total caches")
+    QueryCaches.evictSession(s)
+    assert(QueryCaches.cacheCoverage(s)._1 == 0)
+  }
 }
