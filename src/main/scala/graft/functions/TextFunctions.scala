@@ -145,24 +145,6 @@ object TextFunctions {
       lit(1L << (4 * (12 - i)))).reduce(_ + _)
   }
 
-  /** [[md5Ring48]] with the md5 BOUND ONCE per row: the plain form
-    * names the hash column 12 times (one per nibble), and Catalyst
-    * will happily re-inline the md5 into all 12 terms when the ring
-    * lands in a pushed-down filter — measured ~6 µs/row vs ~1 µs/row
-    * on q246's 1.3M-pair sample filter. Binding the hash as the sole
-    * element of a single-element array makes the 12 nibble reads hit
-    * the lambda variable instead, so md5 runs exactly once however the
-    * optimizer rewrites the plan. Same value as [[md5Ring48]] (the
-    * spec pins equality); use this form in per-row-hot filters, the
-    * plain form where codegen matters more than hash count.
-    */
-  def md5Ring48Fused(key: Column, salt: String = ""): Column =
-    element_at(
-      transform(array(md5(concat(lit(salt), key.cast("string")))),
-        h => (1 to 12).map(i => hexNibble(substring(h, i, 1)).cast("long") *
-          lit(1L << (4 * (12 - i)))).reduce(_ + _)),
-      1)
-
   /** [[md5Ring48]] for a CONSTANT key, evaluated at plan-build time —
     * the vnode table of q251 is an algorithm constant (shards × vnodes,
     * a few hundred rows), so its positions embed as literals instead of

@@ -278,6 +278,17 @@ object Dedup {
                                      maxDf: Int, capPairSlots: Long): DataFrame = {
     require(maxDf >= 2, s"maxDf=$maxDf must be >= 2 (a df-1 shingle has no pair)")
     require(capPairSlots >= 1, s"capPairSlots=$capPairSlots must be >= 1")
+    // Capped mode samples on integer id arithmetic shared verbatim with
+    // the DuckDB oracle (pairSampleHash). A non-integral id would cast
+    // to NULL, NULL % k === 0 is NULL, and the filter would silently
+    // drop EVERY pair — enforce the documented precondition loudly.
+    if (capPairSlots != Long.MaxValue) {
+      val idType = shingles.schema(idCol).dataType
+      require(Set("byte", "short", "integer", "long")(idType.typeName),
+        s"sharedShingleCandidatesSampled: capped mode needs an integral id " +
+          s"column; '$idCol' is ${idType.typeName} — cast it or pass " +
+          "capPairSlots=Long.MaxValue (exact mode)")
+    }
     // CONTRACT: the input relation is already distinct per (id,
     // shingle) — shingleTable's per-doc array_distinct guarantees it —
     // so no defensive re-distinct here (it cost a full extra shuffle

@@ -19,7 +19,7 @@ object DedupQueries extends QueryPack {
   // and this corpus's ~31-word vocabulary makes rare-shingle pair
   // density pathological (~9% of all doc pairs at sf0.1 — SURVEY §4).
   // Above this bound the candidate set is deterministically
-  // hash-sampled down to ~CAP pairs (ring-hash mod k, mirrored
+  // hash-sampled down to ~CAP pairs (integer-mixer mod k, mirrored
   // verbatim by the oracle); below it the audit runs unsampled — at
   // sf0.01 the candidate count sits under the bound, so the gate
   // hashes the exact form there.
@@ -820,7 +820,7 @@ object DedupQueries extends QueryPack {
       val sh = shingles(s, d)
       // adversarial-corpus bound (VERDICT r9 item 6): candidates ride
       // the slot-capped generator — k derives from the pair-SLOT count
-      // (known before any pair materializes), the md5-ring sample runs
+      // (known before any pair materializes), the integer-mixer sample runs
       // BEFORE the distinct, and the oracle recomputes the same k from
       // the same slot arithmetic. k = 1 at sf0.01 → exact audit there.
       val cands = Dedup.sharedShingleCandidatesSampled(

@@ -12,6 +12,11 @@ import org.apache.spark.sql.types._
   * these batch twins give the DuckDB oracle something to hash.
   */
 object EventsQueries extends QueryPack {
+  /** One scratch root for q215's stream-feed copies, created lazily on
+    * first use — see the q215 comment for why it must not be per-call.
+    */
+  private lazy val q215Scratch = graft.plans.EtlQueries.tmpWarehouse() + "/q215"
+
 
   private val dec = DecimalType(18, 2)
   private val GAP_US = 30L * 60 * 1000000 // 30-min session gap
@@ -469,12 +474,14 @@ object EventsQueries extends QueryPack {
     "q215_stream_sessions" -> ((s, d) => {
       import graft.streaming.EventPipelines
       val ev = Tables.events(s, d).select(col("user_id"), col("ts"))
-      // scratch copy of the feed lives under the shutdown-hook-cleaned
-      // scratch root (same device as EtlTiming), and is deleted as soon
-      // as the memory-sink drain completes (the sink holds the rows;
-      // the files are dead weight) — warmup + timed + verify
-      // invocations must not accumulate parquet copies of the corpus
-      val dir = graft.plans.EtlQueries.tmpWarehouse() + "/q215"
+      // scratch copy of the feed lives under ONE shutdown-hook-cleaned
+      // scratch root reused across invocations (tmpWarehouse() creates
+      // a fresh root AND registers a hook per call — calling it per
+      // invocation leaked an empty root + a hook each run), and is
+      // deleted as soon as the memory-sink drain completes (the sink
+      // holds the rows; the files are dead weight) — warmup + timed +
+      // verify invocations must not accumulate parquet copies
+      val dir = q215Scratch
       ev.unionByName(
         ev.agg((max(col("ts")) + expr("INTERVAL 30 DAYS")).as("ts"))
           .select(lit(-1L).as("user_id"), col("ts")))

@@ -730,17 +730,6 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
-  // The fused ring hash must be VALUE-identical to the plain form on
-  // every corpus key (its whole point is evaluating md5 once per row
-  // instead of once per nibble — same bits out).
-  test("md5Ring48Fused equals md5Ring48 on every doc_id") {
-    import graft.functions.TextFunctions.{md5Ring48, md5Ring48Fused}
-    val diff = graft.sources.Tables.documents(spark, sf)
-      .select(md5Ring48($"doc_id").as("a"), md5Ring48Fused($"doc_id").as("b"))
-      .filter($"a" =!= $"b").count()
-    assert(diff == 0)
-  }
-
   // The slot-capped candidate sampler: k = 1 (cap above the slot
   // count) must reproduce the exact relation, a small cap must return
   // a non-empty subset of it, and the subset must be the deterministic
