@@ -730,6 +730,39 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  // The incremental trainer's SCALE claim, pinned as a plan-shape
+  // assertion (the q218-no-Window / q216-no-cartesian discipline): one
+  // driver action per merge round plus bounded setup. The replaced
+  // DataFrame loop paid ~4 jobs/round (winner collect + eager patch
+  // checkpoint + AQE stages); a regression to per-phase actions blows
+  // straight past this bound.
+  test("incremental BPE job count is O(rounds): one fold action per merge + bounded setup") {
+    val sc = spark.sparkContext
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    sc.addSparkListener(listener)
+    try {
+      val rounds = 8
+      val merges = TextQueries.bpeMergeTableMerges(
+        graft.sources.Tables.documents(spark, sf), "text", "doc_id", rounds)
+      assert(merges.count() == rounds)
+      // listener events are async: poll until the count settles
+      var prev = -1
+      var cur = jobs.get
+      while (cur != prev) { Thread.sleep(250); prev = cur; cur = jobs.get }
+      // setup = corpus-bytes agg + repartition + initial pair counts
+      // (AQE may split each into a few jobs); then 1 action/round, no
+      // compaction below 16 rounds, no state materialization for the
+      // merge-table path
+      assert(cur <= rounds + 16, s"jobs=$cur for $rounds merges")
+    } finally sc.removeSparkListener(listener)
+  }
+
   // The slot-capped candidate sampler: k = 1 (cap above the slot
   // count) must reproduce the exact relation, a small cap must return
   // a non-empty subset of it, and the subset must be the deterministic
