@@ -683,6 +683,97 @@ object Dedup {
       .select(col("id").as(idCol), col("cluster_id"))
   }
 
+  /** Alternating large-star / small-star connected components (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC
+    * 2014) — the O(n+m)-PER-ROUND long-diameter algorithm, and the one
+    * to reach for at 100 TB. [[connectedComponentsHashToMin]] also
+    * converges in O(log d) batches, but its cluster-SET state has a
+    * measured quadratic-ish transient on long chains: on q158's chain
+    * graph at sf0.1 (14,990 seed rows, max diameter ~10³) the relation
+    * inflates 14,990 → 44,870 → 163k → 614k → 2.07M → 3.05M before
+    * collapsing to 10,205 at convergence — a 200× midpoint blowup that
+    * IS the query's task time, and at petabyte chain scale an OOM. The
+    * star operations never materialize member sets, only parent-pointer
+    * edges, so every round's relation is ≤ the seed's O(n+m):
+    *
+    *  - large-star: every node points its LARGER neighbours at the
+    *    minimum of its neighbourhood (incl. itself) — long tails fold
+    *    in half;
+    *  - small-star: every node re-points its smaller-or-equal
+    *    neighbours (and itself) at that minimum — stars flatten.
+    *
+    * Both preserve connectivity and the component minimum; the unique
+    * fixpoint is the star forest rooted at each component's min, so
+    * labels match [[connectedComponents]] / [[connectedComponentsHashToMin]]
+    * bit for bit (TextDedupSpec pins all three equal on chains,
+    * cliques, bridges, and random graphs). One LS + one SS per
+    * materialized batch, convergence by the same observed
+    * (count, bit_xor) signature on the checkpoint job — one Spark job
+    * per batch, no extra action. Edges stay canonically (big, small)
+    * between rounds: LS emits (v, m) with m ≤ u < v, SS emits (x, m)
+    * with m = min of a ≤-neighbourhood, so orientation is free and
+    * `distinct` dedupes globally.
+    *
+    * `checkpointDir`: as in [[connectedComponentsHashToMin]] — None →
+    * localCheckpoint; Some(dir) → reliable checkpoints for executor
+    * loss at cluster scale.
+    */
+  def connectedComponentsAlternatingStar(edges: DataFrame, nodes: DataFrame,
+                                         idCol: String, maxIters: Int = 60,
+                                         checkpointDir: Option[String] = None): DataFrame = {
+    val spark = edges.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def cut(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+    val nodeIds = nodes.select(col(idCol).as("id"))
+    // canonical (a > b) undirected edge relation, self-loops dropped
+    var e = cut(edges.toDF("u", "v").where(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("a"),
+        least(col("u"), col("v")).as("b"))
+      .distinct())
+    def largeStar(cur: DataFrame): DataFrame = {
+      // both directions: Γ(u) for every endpoint
+      val bidir = cur.select(col("a").as("x"), col("b").as("y"))
+        .unionByName(cur.select(col("b").as("x"), col("a").as("y")))
+      val mins = bidir.groupBy(col("x"))
+        .agg(least(min(col("y")), first(col("x"))).as("m"))
+      // v > u points at m(u); m ≤ u < v keeps (big, small) canonical
+      bidir.join(mins, Seq("x")).where(col("y") > col("x"))
+        .select(col("y").as("a"), col("m").as("b"))
+        .where(col("a") =!= col("b")).distinct()
+    }
+    def smallStar(cur: DataFrame): DataFrame = {
+      // cur is canonical (a > b): the ≤-neighbourhood of a IS its b-list
+      val mins = cur.groupBy(col("a")).agg(min(col("b")).as("m"))
+      val withM = cur.join(mins, Seq("a"))
+      withM.where(col("b") =!= col("m"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .unionByName(mins.select(col("a"), col("m").as("b")))
+        .where(col("a") =!= col("b")).distinct()
+    }
+    var iter = 0
+    var prevSig: (Long, Long) = (-1L, -1L)
+    var converged = e.isEmpty
+    while (!converged) {
+      iter += 1
+      if (iter > maxIters) throw new IllegalStateException(
+        s"connectedComponentsAlternatingStar: no convergence after $maxIters " +
+          "batches — raise maxIters")
+      val next = smallStar(largeStar(e))
+      val obs = org.apache.spark.sql.Observation()
+      val ck = cut(next.observe(obs, count(lit(1)).as("n"),
+        bit_xor(xxhash64(col("a"), col("b"))).as("h")))
+      val sig = (Option(obs.get("n")).map(_.asInstanceOf[Long]).getOrElse(0L),
+        Option(obs.get("h")).map(_.asInstanceOf[Long]).getOrElse(0L))
+      converged = sig == prevSig
+      prevSig = sig
+      e = ck
+    }
+    // fixpoint is the star forest (v, component min); absent = singleton
+    nodeIds.join(e.select(col("a").as("id"), col("b").as("lab")), Seq("id"), "left")
+      .select(col("id").as(idCol), coalesce(col("lab"), col("id")).as("cluster_id"))
+  }
+
   /** The keep-one pass that ends every dedup pipeline: label clusters
     * over the near-dup pair graph ([[connectedComponents]]), keep the
     * minimum id per cluster, and return the surviving rows of `docs`.

@@ -150,6 +150,29 @@ object DedupQueries extends QueryPack {
         .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
     }),
 
+    // q158's SAME chain graph through alternating large-star /
+    // small-star CC (Kiveris et al. 2014) — the O(n+m)-per-round
+    // long-diameter algorithm. Hash-to-Min's cluster-set state has a
+    // measured 200× transient on these chains (14,990 rows ballooning
+    // to 3.05M mid-convergence before collapsing — see
+    // Dedup.connectedComponentsAlternatingStar's scaladoc); the star
+    // rounds carry parent-pointer edges only, so the relation NEVER
+    // exceeds the seed size and the same answer lands in a fraction of
+    // the task time. Identical output contract and oracle as q158:
+    // both converge to min-id labels.
+    "q255_cc_alternating_star" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      val edges = docs.select(col("doc_id").as("src"),
+        lead(col("doc_id"), 1).over(w).as("dst")).where(col("dst").isNotNull)
+      val cc = Dedup.connectedComponentsAlternatingStar(
+        edges, docs.select(col("doc_id")), "doc_id")
+      val sizes = cc.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+      cc.join(sizes, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+    }),
+
     // Exact-substring near-dup detection (Lee et al. 2022 ExactSubstr,
     // arXiv:2107.06499): longest verbatim shared token run per
     // candidate pair — the quoted-paragraph signal whole-doc Jaccard
@@ -1547,6 +1570,13 @@ object DedupQueries extends QueryPack {
        SELECT id AS doc_id, CAST(min(dist) AS BIGINT) AS hops
        FROM walk GROUP BY id""",
     "q158_cc_hash_to_min" ->
+      """SELECT doc_id,
+                min(doc_id) OVER (PARTITION BY lang) AS cluster_id,
+                count(*)    OVER (PARTITION BY lang) AS cluster_size
+         FROM documents""",
+    // same chain graph, same min-label contract as q158 — the chain's
+    // components ARE the languages, so the oracle is the same window
+    "q255_cc_alternating_star" ->
       """SELECT doc_id,
                 min(doc_id) OVER (PARTITION BY lang) AS cluster_id,
                 count(*)    OVER (PARTITION BY lang) AS cluster_size

@@ -195,6 +195,43 @@ class TextDedupSpec extends SparkSpec {
     assert(ck.sorted.sameElements(got.sorted))
   }
 
+  test("alternatingStar ≡ min-label ≡ hash-to-min: chains, cliques, bridges, random graphs, empty") {
+    def stars(es: Seq[(Long, Long)], ns: Seq[Long]): Map[Long, Long] =
+      Dedup.connectedComponentsAlternatingStar(
+        es.toDF("id_1", "id_2"), ns.toDF("doc_id"), "doc_id")
+        .as[(Long, Long)].collect().toMap
+    // mixed chain + clique + singleton
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L))
+    assert(stars(edges, 1L to 7L) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 7L))
+    // dangling endpoint bridges; output restricted to the given nodes
+    assert(stars(Seq((2L, 99L), (99L, 3L)), Seq(2L, 3L, 4L)) ==
+      Map(2L -> 2L, 3L -> 2L, 4L -> 4L))
+    // no edges: every node its own singleton
+    assert(stars(Seq.empty, Seq(5L, 9L)) == Map(5L -> 5L, 9L -> 9L))
+    // the 200-node path that throws min-label: stars converge and the
+    // reliable-checkpoint path matches
+    val n = 200L
+    val chain = (1L until n).map(i => (i, i + 1))
+    val labs = stars(chain, 1L to n)
+    assert(labs.size == n.toInt && labs.values.forall(_ == 1L))
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-star").toString
+    assert(Dedup.connectedComponentsAlternatingStar(
+      chain.toDF("id_1", "id_2"), (1L to n).toDF("doc_id"), "doc_id",
+      checkpointDir = Some(dir)).as[(Long, Long)].collect().toMap == labs)
+    // seeded random graphs: identical to min-label CC label for label
+    val rnd = new scala.util.Random(42)
+    (1 to 4).foreach { _ =>
+      val ns = 1L to 12L
+      val es = Seq.fill(10)((rnd.nextInt(12) + 1L, rnd.nextInt(12) + 1L))
+        .filter(p => p._1 != p._2)
+      val want = Dedup.connectedComponents(
+        es.toDF("id_1", "id_2"), ns.toDF("doc_id"), "doc_id")
+        .as[(Long, Long)].collect().toMap
+      assert(stars(es, ns) == want, s"edges=$es")
+    }
+  }
+
   test("tokensNormalized handles tabs, runs of spaces, and empty text") {
     val messy = Seq((1L, " the\tquick  brown  fox "), (2L, ""), (3L, "   "))
       .toDF("doc_id", "text")
