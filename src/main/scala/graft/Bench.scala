@@ -155,9 +155,13 @@ object Bench {
         // LATER full run this round (local iteration) must not clobber
         // that committed evidence — divert to a _local name instead.
         val primary = new java.io.File(hist, f"detail_r$round%02d.json")
+        // and successive local runs get fresh _local/_local2/... names —
+        // the second local run must not eat the first's ledger either
         val target =
-          if (primary.isFile) new java.io.File(hist, f"detail_r$round%02d_local.json")
-          else primary
+          if (!primary.isFile) primary
+          else Iterator.from(0).map(k => new java.io.File(hist,
+              f"detail_r$round%02d_local" + (if (k == 0) "" else k.toString) + ".json"))
+            .find(!_.isFile).get
         java.nio.file.Files.writeString(target.toPath, full): Unit
       }
     } catch {

@@ -638,18 +638,14 @@ object Dedup {
   def connectedComponentsHashToMin(edges: DataFrame, nodes: DataFrame,
                                    idCol: String, maxIters: Int = 40,
                                    checkpointDir: Option[String] = None): DataFrame = {
-    val spark = edges.sparkSession
-    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
-    def cut(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
     val e = edges.toDF("src", "dst")
     val und = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
     val nodeIds = nodes.select(col(idCol).as("id"))
     // C(v) = {v} ∪ N(v), over every edge endpoint plus every node
-    var c = cut(nodeIds.select(col("id"), col("id").as("member"))
+    val seed = nodeIds.select(col("id"), col("id").as("member"))
       .unionByName(und.select(col("src").as("id"), col("src").as("member")))
       .unionByName(und.select(col("src").as("id"), col("dst").as("member")))
-      .distinct())
+      .distinct()
     def step(cur: DataFrame): DataFrame = {
       val mins = cur.groupBy(col("id")).agg(min(col("member")).as("m"))
       val withMin = cur.join(mins, Seq("id"))
@@ -657,30 +653,63 @@ object Dedup {
         .unionByName(withMin.select(col("m").as("id"), col("member")))
         .distinct()
     }
+    // two H2M steps per materialized batch; odd maxIters rounds DOWN
+    // to even — the guard must never exceed the stated bound, so the
+    // last un-runnable half-batch is skipped
+    val fixed = iterateToFixpoint(seed, cur => step(step(cur)),
+      sigCols = ("id", "member"), maxIters = maxIters, itersPerBatch = 2,
+      name = "connectedComponentsHashToMin", checkpointDir = checkpointDir)
+    fixed.groupBy(col("id")).agg(min(col("member")).as("cluster_id"))
+      .join(nodeIds, Seq("id"), "left_semi")
+      .select(col("id").as(idCol), col("cluster_id"))
+  }
+
+  /** The iterate-to-fixpoint scaffolding shared by the batched CC
+    * loops ([[connectedComponentsHashToMin]],
+    * [[connectedComponentsAlternatingStar]]): per batch apply `step`,
+    * materialize through an EAGER cut (localCheckpoint; or a reliable
+    * checkpoint when `checkpointDir` is set, so a thousand-executor run
+    * survives executor loss mid-iteration), and detect the fixed point
+    * by a (count, bit_xor(xxhash64(sigCols))) signature OBSERVED on the
+    * checkpoint job itself — one Spark job per batch, no extra action.
+    * bit_xor, not sum: a set signature that can't overflow under ANSI;
+    * a batch of pure no-op steps reproduces it exactly. The PREVIOUS
+    * generation is unpersisted as soon as the new one is materialized —
+    * without that, a d-diameter run pins O(log d) full copies of the
+    * relation in the block manager, the same k×O(n+m) blowup class the
+    * star algorithm exists to avoid. (On the reliable-checkpoint path
+    * the files outlive the unpersisted cache until application end —
+    * they are the recovery story.) Throws after `maxIters` accounted
+    * iterations (`itersPerBatch` per batch).
+    */
+  private def iterateToFixpoint(seed: DataFrame, step: DataFrame => DataFrame,
+                                sigCols: (String, String), maxIters: Int,
+                                itersPerBatch: Int, name: String,
+                                checkpointDir: Option[String]): DataFrame = {
+    val spark = seed.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def cut(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+    var cur = cut(seed)
     var iter = 0
     var prevSig: (Long, Long) = (-1L, -1L)
     var converged = false
     while (!converged) {
-      iter += 2 // two H2M steps per materialized batch
-      // odd maxIters rounds DOWN to even: the guard must never exceed
-      // the stated bound, so the last un-runnable half-batch is skipped
+      iter += itersPerBatch
       if (iter > maxIters) throw new IllegalStateException(
-        s"connectedComponentsHashToMin: no convergence after $maxIters " +
-          "rounds — O(log d) bound exceeded; raise maxIters")
-      val next = step(step(c))
+        s"$name: no convergence after $maxIters rounds — raise maxIters")
+      val next = step(cur)
       val obs = org.apache.spark.sql.Observation()
-      // bit_xor, not sum: a set signature that can't overflow under ANSI
       val ck = cut(next.observe(obs, count(lit(1)).as("n"),
-        bit_xor(xxhash64(col("id"), col("member"))).as("h")))
+        bit_xor(xxhash64(col(sigCols._1), col(sigCols._2))).as("h")))
       val sig = (Option(obs.get("n")).map(_.asInstanceOf[Long]).getOrElse(0L),
         Option(obs.get("h")).map(_.asInstanceOf[Long]).getOrElse(0L))
       converged = sig == prevSig
       prevSig = sig
-      c = ck
+      cur.unpersist(blocking = false) // ck is eagerly materialized above
+      cur = ck
     }
-    c.groupBy(col("id")).agg(min(col("member")).as("cluster_id"))
-      .join(nodeIds, Seq("id"), "left_semi")
-      .select(col("id").as(idCol), col("cluster_id"))
+    cur
   }
 
   /** Alternating large-star / small-star connected components (Kiveris
@@ -721,16 +750,12 @@ object Dedup {
   def connectedComponentsAlternatingStar(edges: DataFrame, nodes: DataFrame,
                                          idCol: String, maxIters: Int = 60,
                                          checkpointDir: Option[String] = None): DataFrame = {
-    val spark = edges.sparkSession
-    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
-    def cut(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
     val nodeIds = nodes.select(col(idCol).as("id"))
     // canonical (a > b) undirected edge relation, self-loops dropped
-    var e = cut(edges.toDF("u", "v").where(col("u") =!= col("v"))
+    val seed = edges.toDF("u", "v").where(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("a"),
         least(col("u"), col("v")).as("b"))
-      .distinct())
+      .distinct()
     def largeStar(cur: DataFrame): DataFrame = {
       // both directions: Γ(u) for every endpoint
       val bidir = cur.select(col("a").as("x"), col("b").as("y"))
@@ -751,26 +776,11 @@ object Dedup {
         .unionByName(mins.select(col("a"), col("m").as("b")))
         .where(col("a") =!= col("b")).distinct()
     }
-    var iter = 0
-    var prevSig: (Long, Long) = (-1L, -1L)
-    var converged = e.isEmpty
-    while (!converged) {
-      iter += 1
-      if (iter > maxIters) throw new IllegalStateException(
-        s"connectedComponentsAlternatingStar: no convergence after $maxIters " +
-          "batches — raise maxIters")
-      val next = smallStar(largeStar(e))
-      val obs = org.apache.spark.sql.Observation()
-      val ck = cut(next.observe(obs, count(lit(1)).as("n"),
-        bit_xor(xxhash64(col("a"), col("b"))).as("h")))
-      val sig = (Option(obs.get("n")).map(_.asInstanceOf[Long]).getOrElse(0L),
-        Option(obs.get("h")).map(_.asInstanceOf[Long]).getOrElse(0L))
-      converged = sig == prevSig
-      prevSig = sig
-      e = ck
-    }
+    val fixed = iterateToFixpoint(seed, cur => smallStar(largeStar(cur)),
+      sigCols = ("a", "b"), maxIters = maxIters, itersPerBatch = 1,
+      name = "connectedComponentsAlternatingStar", checkpointDir = checkpointDir)
     // fixpoint is the star forest (v, component min); absent = singleton
-    nodeIds.join(e.select(col("a").as("id"), col("b").as("lab")), Seq("id"), "left")
+    nodeIds.join(fixed.select(col("a").as("id"), col("b").as("lab")), Seq("id"), "left")
       .select(col("id").as(idCol), coalesce(col("lab"), col("id")).as("cluster_id"))
   }
 

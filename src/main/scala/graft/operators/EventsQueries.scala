@@ -474,14 +474,15 @@ object EventsQueries extends QueryPack {
     "q215_stream_sessions" -> ((s, d) => {
       import graft.streaming.EventPipelines
       val ev = Tables.events(s, d).select(col("user_id"), col("ts"))
-      // scratch copy of the feed lives under ONE shutdown-hook-cleaned
-      // scratch root reused across invocations (tmpWarehouse() creates
+      // scratch copy of the feed lives in a PER-INVOCATION subdir of
+      // ONE shutdown-hook-cleaned scratch root (tmpWarehouse() creates
       // a fresh root AND registers a hook per call — calling it per
-      // invocation leaked an empty root + a hook each run), and is
-      // deleted as soon as the memory-sink drain completes (the sink
-      // holds the rows; the files are dead weight) — warmup + timed +
-      // verify invocations must not accumulate parquet copies
-      val dir = q215Scratch
+      // invocation leaked an empty root + a hook each run; a single
+      // shared subdir would instead race concurrent sessions in one
+      // JVM), and is deleted as soon as the memory-sink drain completes
+      // (the sink holds the rows; the files are dead weight) — warmup +
+      // timed + verify invocations must not accumulate parquet copies
+      val dir = q215Scratch + "/" + java.util.UUID.randomUUID()
       ev.unionByName(
         ev.agg((max(col("ts")) + expr("INTERVAL 30 DAYS")).as("ts"))
           .select(lit(-1L).as("user_id"), col("ts")))

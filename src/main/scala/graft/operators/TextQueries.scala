@@ -1546,18 +1546,16 @@ object TextQueries extends QueryPack {
     */
   private[operators] def bpeTrain(docs: org.apache.spark.sql.DataFrame,
                                   textCol: String, idCol: String,
-                                  rounds: Int): org.apache.spark.sql.DataFrame = {
-    val (merges, st) =
-      bpeTrainIncremental(docs, textCol, idCol, rounds, needState = true)
+                                  rounds: Int): org.apache.spark.sql.DataFrame =
     // The per-round formulation this trainer replaced — and q146's
     // DuckDB oracle, whose every round is `FROM s_{i-1}, t_i`, a cross
     // join with the 1-row winner — EMPTIES the state when pairs
     // exhaust before `rounds` (an empty winner relation annihilates
-    // the state). Keep that contract: exhaustion before the budget →
-    // empty state. (bpeMergeTable's early stop is different by design:
-    // it returns the MERGES, which are complete at exhaustion.)
-    if (merges.length < rounds) st.limit(0) else st
-  }
+    // the state). bpeTrainIncremental keeps that contract, returning
+    // the empty state without ever materializing the discarded one.
+    // (bpeMergeTable's early stop is different by design: it returns
+    // the MERGES, which are complete at exhaustion.)
+    bpeTrainIncremental(docs, textCol, idCol, rounds, needState = true)._2
 
   /** The INCREMENTAL-PAIR-COUNT BPE trainer every BPE entry point now
     * rides (q146 via [[bpeTrain]], q160/q163/q180 via
@@ -1716,11 +1714,13 @@ object TextQueries extends QueryPack {
       }
     }
     val stateDf =
-      if (!needState) {
+      if (!needState || exhausted) {
         // Merge-table-only callers (q160/q163/q180/q254) discard the
-        // state: skip the two corpus passes its materialization costs
-        // and release EVERY generation — nothing will ever compute
-        // through the truncated lineage because nothing is returned.
+        // state, and EXHAUSTION before the budget returns an empty one
+        // (the oracle's cross-join contract — see [[bpeTrain]]): either
+        // way, skip the two corpus passes materialization costs and
+        // release EVERY generation — nothing will ever compute through
+        // the truncated lineage because nothing is returned.
         (pcGens ++ stateGens).foreach(_.unpersist(blocking = false))
         baseDf.limit(0)
       } else {

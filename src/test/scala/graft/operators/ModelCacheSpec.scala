@@ -29,6 +29,12 @@ class ModelCacheSpec extends SparkSpec {
   }
 
   test("ModelWarm covers EVERY registered cache (new caches must ship a warm step)") {
+    // Force-load EVERY query pack first: newCache registration happens
+    // at object init, so a cache in a pack this test never touched
+    // would otherwise be invisible to the registry and the guard would
+    // pass exactly when it should fail. SparkEntry.queries references
+    // all packs.
+    assert(graft.SparkEntry.queries.nonEmpty)
     // a fresh session so coverage counts only what the warm pass built
     val s = spark.newSession()
     graft.operators.ModelWarm.steps.foreach { case (name, fn) =>
