@@ -23,6 +23,16 @@ object Bench {
       val rest = all.keySet.diff(etlFirst.toSet).toSeq.sorted
       (etlFirst.filter(all.contains) ++ rest).map(k => k -> all(k))
     }
+    // q123 runs its 12 recall measurements CONCURRENTLY — a correct
+    // relation whose single timing number is scheduler-overlap noise
+    // (4.0↔13.3 s across same-code runs, the ledger's highest-variance
+    // row; round-10 verdict directive 5). Its ledger duty is carried by
+    // the four per-scorer rows q257-q260 (the same measurements, one
+    // codec each, sequential probes), so full runs skip q123 and the
+    // history gets four stable rows instead of one noisy one. q123
+    // stays in Verify (its hash pins the four curves against each
+    // other) and remains nameable in BENCH_ONLY A/B runs.
+    val benchSkip = Set("q123_adc_recall")
     val selected = only match {
       case Some(names) =>
         // a typo'd name must not silently select nothing and report a
@@ -31,8 +41,32 @@ object Bench {
         require(unknown.isEmpty,
           s"SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: ${unknown.mkString(",")}")
         ordered.filter { case (n, _) => names.contains(n) }
-      case None => ordered
+      case None => ordered.filterNot { case (n, _) => benchSkip.contains(n) }
     }
+    // q158 retains Hash-to-Min CC as a measured NEGATIVE CONTROL next to
+    // q255's alternating-star (same chain graph, same oracle): its
+    // cluster-SET state transiently inflates ~200× (14,990 → 3.05M rows
+    // at sf0.1) — the documented reason the star algorithm is the
+    // serving choice for long-diameter graphs. A full-scale bench row
+    // that can blow 70 s and pressure the shared block manager is the
+    // wrong place for a negative control (round-10 verdict directive 2),
+    // so its ledger row runs at sf0.01 — the comparison stays measured
+    // every round, bounded. Applied only when it is a real DEMOTION
+    // (target exists and is a smaller sf than the bench dir); recorded
+    // in the detail JSON so the evidence is self-describing.
+    val demotions: Map[String, String] = Map("q158_cc_hash_to_min" -> "sf0.01")
+    def sfOf(dir: String): Double =
+      "sf([0-9.]+)".r.findFirstMatchIn(new java.io.File(dir).getName)
+        .flatMap(m => m.group(1).toDoubleOption).getOrElse(Double.MaxValue)
+    // ledger-only: a BENCH_ONLY A/B run measures what it names at the
+    // named scale (undemoted)
+    val demotedDirs: Map[String, String] =
+      if (only.isDefined) Map.empty
+      else demotions.flatMap { case (q, sib) =>
+        val f = new java.io.File(new java.io.File(sfDir).getCanonicalFile.getParentFile, sib)
+        if (f.isDirectory && sfOf(f.getName) < sfOf(sfDir)) Some(q -> f.toString) else None
+      }
+    def dirFor(name: String): String = demotedDirs.getOrElse(name, sfDir)
     // Warm the JVM (JIT, codegen compilation, parquet reader init) with one
     // pass at the smallest scale factor so timed numbers measure the
     // engine, not first-call compilation. Standard steady-state practice.
@@ -77,16 +111,31 @@ object Bench {
         name -> t
       }
     val diag = sys.env.get("SPARK_GRAFT_BENCH_DIAG").contains("1")
+    // Per-query attribution ledger (round-10 directive 1): a QueryCaches
+    // MISS inside a timed query means a shared model trained (and
+    // persisted a fresh generation) on that query's clock — exactly the
+    // unattributed 4-40× blow-up class of the round-10 official run. The
+    // miss delta and the block-manager footprint after each query go
+    // into the detail JSON, so the next environment-specific regression
+    // is attributable from committed evidence alone.
+    val missByQuery = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val storageByQuery = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    def storageMb(): Long =
+      spark.sparkContext.getRDDStorageInfo.map(i => i.memSize + i.diskSize).sum >> 20
     val results = warmResults.toMap ++ selected.map { case (name, fn) =>
       if (diag) {
         val rt = Runtime.getRuntime
         System.err.println(f"[bench-diag] before $name: heapUsed=${(rt.totalMemory - rt.freeMemory) / (1 << 20)}%d MiB, cachedRdds=${spark.sparkContext.getRDDStorageInfo.length}%d")
       }
+      val missesBefore = graft.operators.QueryCaches.stats._2
       val t0 = System.nanoTime()
       // a failed query reports -1, not a fast-looking elapsed time
-      val t = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      val t = try { fn(spark, dirFor(name)).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
+      val missDelta = graft.operators.QueryCaches.stats._2 - missesBefore
+      if (missDelta > 0) missByQuery(name) = missDelta
+      storageByQuery(name) = storageMb()
       name -> t
     }.toMap
     // 3-decimal timings, locale-fixed: ms resolution is all a
@@ -116,10 +165,31 @@ object Bench {
     // the capture can hold whole; the full per-query map goes to a file.
     val detail = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/tmp/bench_" + new java.io.File(sfDir).getName + ".json")
+    // warm_total: the named-model-training subtotal, separated so
+    // cross-round headline diffs can mechanically include or exclude the
+    // warm rows (they joined the total in round 10 — a ~22 s step change
+    // that otherwise reads as a code regression).
+    val warmTotal = warmResults.collect { case (_, t) if t >= 0 => t }.sum
+    def jLongMap(m: collection.Map[String, Long]): String =
+      m.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+    val storagePeak = if (storageByQuery.isEmpty) 0L else storageByQuery.values.max
+    val demoted = demotedDirs.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":\"" + jesc(v) + "\"" }
+      .mkString("{", ",", "}")
+    val skipped = (if (only.isEmpty) benchSkip.toSeq.sorted else Nil)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val attribution =
+      s""""warm_total":${f3(warmTotal)},"cache_misses":${jLongMap(missByQuery)},""" +
+        s""""cache_misses_total":${missByQuery.values.sum},""" +
+        s""""storage_mb_peak":$storagePeak,"storage_mb":${jLongMap(storageByQuery)},""" +
+        s""""bench_skipped":$skipped,"demoted":$demoted"""
     val full =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":$sf}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec",$attribution,"queries":$qs,"sf":$sf}"""
     val short =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":{"q60_full_etl":${f3(
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","warm_total":${f3(warmTotal)},""" +
+        s""""cache_misses_total":${missByQuery.values.sum},"storage_mb_peak":$storagePeak,""" +
+        s""""queries":{"q60_full_etl":${f3(
         results.getOrElse("q60_full_etl", -1.0))}},"sf":$sf,"n":${results.size},"detail":"${jesc(detail)}"}"""
     println(short)
     // Persist the full map; a read-only /tmp must not fail a bench that

@@ -49,6 +49,19 @@ object Sessions {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
+    // RDD.unpersist warns "was locally checkpointed … cannot be
+    // recomputed after unpersisting" on EVERY retired fixpoint
+    // generation (the CC/BPE loops now unpersist at the RDD level —
+    // Dataset.unpersist was a silent no-op for checkpoint-backed
+    // frames). The warning exists to flag accidental unpersists of
+    // state someone might still recompute through; the loops retire
+    // only generations whose successor is already materialized, so per
+    // long-diameter run it is pure repetition burying real warnings.
+    // Same centrally-documented device as WindowExec above; misuse is
+    // guarded by the block-manager-bound specs in TextDedupSpec.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
     spark
   }
 }

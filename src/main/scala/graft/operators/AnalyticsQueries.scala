@@ -206,6 +206,43 @@ object AnalyticsQueries extends QueryPack {
         coalesce(lag(col("rev_cents"), 1).over(byDay), lit(0L)).as("prev_day_cents"))
     }),
 
+    // The last BI-parity composition (reference: PowerBI_Report/
+    // readme.md:60,66 — the "Top 10 products" overview chart whose
+    // custom tooltip shows each product's weekly order trend): weekly
+    // per-product distinct-order counts and revenue, a trailing-4-week
+    // revenue frame per product (RANGE over the week date — q93's
+    // device at week grain, so a product's gap weeks SHRINK the frame
+    // instead of a 4-ROW frame silently widening it), and the per-week
+    // top-10 revenue rank (q06's device) — one relation serving both
+    // the chart (rank filter) and its tooltip (the trend columns).
+    // Revenue is quantized to cent longs before any window → exact
+    // integer arithmetic, order-independent across engines. Scale: one
+    // (product, week) partial-agg shuffle; both windows partition by
+    // bounded keys (a product's weeks / a week's products), no global
+    // sort anywhere.
+    "q256_weekly_product_trend" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val weekly = Tables.lineitem(s, d).select(
+          col("l_partkey").cast(LongType).as("product_id"),
+          date_trunc("week", to_date(col("l_shipdate"))).cast(DateType).as("wk"),
+          col("l_orderkey"),
+          (col("l_extendedprice").cast(dec) * 100).cast(LongType).as("cents"))
+        .groupBy(col("product_id"), col("wk"))
+        .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+          sum(col("cents")).as("rev_cents"))
+      val trail = Window.partitionBy(col("product_id"))
+        .orderBy(datediff(col("wk"), lit("1992-01-01")))
+        .rangeBetween(-21, Window.currentRow)
+      val rankW = Window.partitionBy(col("wk"))
+        .orderBy(col("rev_cents").desc, col("product_id"))
+      weekly
+        .withColumn("rev_4w_cents", sum(col("rev_cents")).over(trail))
+        .withColumn("rank_in_week", row_number().over(rankW).cast(IntegerType))
+        .filter(col("rank_in_week") <= 10)
+        .select(col("wk"), col("product_id"), col("n_orders"),
+          col("rev_cents"), col("rev_4w_cents"), col("rank_in_week"))
+    }),
+
     // §2.4 grouping-sets, CUBE form — completes the family next to
     // ROLLUP (q73) and PIVOT (q09): every (priority, year) cell plus
     // both one-dimension margins plus the grand total in ONE pass.
@@ -400,6 +437,24 @@ object AnalyticsQueries extends QueryPack {
            COALESCE(LAG(rev_cents, 1) OVER (PARTITION BY c_nationkey ORDER BY dt), 0)
              AS prev_day_cents
          FROM daily""",
+    "q256_weekly_product_trend" ->
+      """WITH weekly AS (
+           SELECT CAST(l_partkey AS BIGINT) AS product_id,
+                  CAST(date_trunc('week', CAST(l_shipdate AS DATE)) AS DATE) AS wk,
+                  count(DISTINCT l_orderkey) AS n_orders,
+                  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+                    AS rev_cents
+           FROM lineitem GROUP BY 1, 2),
+         t AS (
+           SELECT product_id, wk, n_orders, rev_cents,
+                  CAST(SUM(rev_cents) OVER (PARTITION BY product_id ORDER BY wk
+                       RANGE BETWEEN INTERVAL 21 DAY PRECEDING AND CURRENT ROW) AS BIGINT)
+                    AS rev_4w_cents,
+                  CAST(row_number() OVER (PARTITION BY wk
+                       ORDER BY rev_cents DESC, product_id) AS INT) AS rank_in_week
+           FROM weekly)
+         SELECT wk, product_id, n_orders, rev_cents, rev_4w_cents, rank_in_week
+         FROM t WHERE rank_in_week <= 10""",
     "q09_sales_pivot" -> {
       val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
       val cols = segs.map(g =>

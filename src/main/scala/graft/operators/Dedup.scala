@@ -687,10 +687,34 @@ object Dedup {
                                 itersPerBatch: Int, name: String,
                                 checkpointDir: Option[String]): DataFrame = {
     val spark = seed.sparkSession
-    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
-    def cut(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
-    var cur = cut(seed)
+    val sc = spark.sparkContext
+    checkpointDir.foreach(sc.setCheckpointDir)
+    // Dataset.unpersist is a NO-OP for a localCheckpointed DataFrame:
+    // it clears CacheManager (InMemoryRelation) entries, but
+    // localCheckpoint persists at the RDD level, invisible to the
+    // CacheManager — the previous generation's blocks would only die
+    // when the ContextCleaner GC'd the old RDD, nondeterministically.
+    // So the eager cut is wrapped to DIFF the context's persistent-RDD
+    // ids around the materialization, and retirement unpersists those
+    // ids directly. The diff attributes correctly when no OTHER thread
+    // persists during the (synchronous, eager) cut — true of this
+    // library's sequential query execution; a concurrent persist that
+    // slipped into the window would at worst be unpersisted early and
+    // recomputed from lineage (a perf wobble, never wrong results).
+    // The reliable-checkpoint path persists nothing in the block
+    // manager (recovery lives in the checkpoint files), so its diff is
+    // naturally empty.
+    def cut(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val ck = if (checkpointDir.isDefined) df.checkpoint(true)
+               else df.localCheckpoint(true)
+      val after = sc.getPersistentRDDs.keySet
+      (ck, (after -- before).toSet)
+    }
+    def retire(ids: Set[Int]): Unit =
+      ids.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    var (cur, curIds) = cut(seed)
     var iter = 0
     var prevSig: (Long, Long) = (-1L, -1L)
     var converged = false
@@ -700,14 +724,15 @@ object Dedup {
         s"$name: no convergence after $maxIters rounds — raise maxIters")
       val next = step(cur)
       val obs = org.apache.spark.sql.Observation()
-      val ck = cut(next.observe(obs, count(lit(1)).as("n"),
+      val (ck, ckIds) = cut(next.observe(obs, count(lit(1)).as("n"),
         bit_xor(xxhash64(col(sigCols._1), col(sigCols._2))).as("h")))
       val sig = (Option(obs.get("n")).map(_.asInstanceOf[Long]).getOrElse(0L),
         Option(obs.get("h")).map(_.asInstanceOf[Long]).getOrElse(0L))
       converged = sig == prevSig
       prevSig = sig
-      cur.unpersist(blocking = false) // ck is eagerly materialized above
+      retire(curIds) // ck is eagerly materialized above
       cur = ck
+      curIds = ckIds
     }
     cur
   }

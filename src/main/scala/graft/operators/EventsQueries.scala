@@ -495,9 +495,14 @@ object EventsQueries extends QueryPack {
       locally { // reclaim the feed copy now, not at JVM exit
         import java.nio.file.{Files, Path}
         val root = Path.of(dir)
+        // Using closes the walk stream — an unclosed Files.walk holds a
+        // directory handle per invocation (warmup + timed + verify each
+        // pay one), the per-query leak twin of the shutdown hook's
+        // one-shot walk
         if (Files.exists(root))
-          Files.walk(root).sorted(java.util.Comparator.reverseOrder[Path]())
-            .forEach(p => Files.deleteIfExists(p): Unit)
+          scala.util.Using.resource(Files.walk(root))(
+            _.sorted(java.util.Comparator.reverseOrder[Path]())
+              .forEach(p => Files.deleteIfExists(p): Unit))
       }
       s.table("q215_sessions")
         .filter(col("user_id") >= 0)

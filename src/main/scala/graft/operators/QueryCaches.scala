@@ -36,8 +36,10 @@ object QueryCaches {
     * localCheckpointed model state the cached DataFrames pin in the
     * block manager, so ContextCleaner can reclaim it after GC).
     */
-  def evictSession(s: SparkSession): Unit =
+  def evictSession(s: SparkSession): Unit = {
     registry.forEach(_.keySet.removeIf(k => k._1 eq s))
+    fpMemo.keySet.removeIf(k => k._1 eq s): Unit
+  }
 
   /** How many cached entries a session currently owns (test seam). */
   def cachedEntries(s: SparkSession): Int = {
@@ -62,27 +64,58 @@ object QueryCaches {
   private val hooked = java.util.Collections.newSetFromMap(
     new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean])
 
-  /** Cheap content fingerprint of a corpus directory: recursive
-    * (path, size, mtime) fold over the FS listing — no data read. Folded
-    * into the cache key so a rewritten corpus (e.g. testdata
-    * regeneration within one session) misses the cache instead of
-    * silently serving results trained on the old bytes. A missing dir
-    * fingerprints as 0 (the training itself will surface the error).
+  /** Cheap content fingerprint of a corpus directory: COMMUTATIVE sum
+    * of per-file (name, size) hashes over the recursive FS listing — no
+    * data read. Folded into the cache key so a rewritten corpus (e.g.
+    * testdata regeneration within one session) misses the cache instead
+    * of silently serving results trained on the old bytes. Two
+    * deliberate non-features, both bench-regression lessons (round 10's
+    * official run re-trained shared models behind consumer queries,
+    * 4-40× per-query blow-ups totalling ~430 s):
+    *
+    *  - ORDER-INDEPENDENT: `fs.listFiles` guarantees no enumeration
+    *    order, so an order-sensitive fold (the previous form) silently
+    *    keys the same corpus differently whenever readdir order varies
+    *    between calls — every "hit" becomes a full retrain.
+    *  - NO MTIME: a copy/touch/rsync of unchanged bytes (or mtime
+    *    granularity differences across filesystems) must not invalidate
+    *    trained models. Spark-written datasets get fresh part-file
+    *    NAMES on every rewrite, so (name, size) already catches any
+    *    real rewrite the mtime term could.
+    *
+    * The computed value is memoized per (session, dir) — one FS listing
+    * per corpus per session, and one KEY per corpus per session, so a
+    * warm-step's trained model can never be missed by later queries
+    * over the same dir (an in-session rewrite of the SAME dir is
+    * correspondingly only detected on a fresh session or after
+    * [[evictSession]], which also clears the memo — the documented
+    * trade for key stability). A missing dir fingerprints as 0 (the
+    * training itself will surface the error).
     */
-  private def fingerprint(s: SparkSession, d: String): Long =
-    try {
+  private val fpMemo = new java.util.concurrent.ConcurrentHashMap[Key, java.lang.Long]
+  private[operators] def fingerprint(s: SparkSession, d: String): Long =
+    fpMemo.computeIfAbsent((s, d), _ => try {
       val p = new org.apache.hadoop.fs.Path(d)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       val it = fs.listFiles(p, true)
-      var h = 1125899906842597L
+      var h = 0L
       while (it.hasNext) {
         val f = it.next()
-        h = h * 31 + f.getPath.getName.hashCode
-        h = h * 31 + f.getLen
-        h = h * 31 + f.getModificationTime
+        h += f.getPath.getName.hashCode * 1125899906842597L + f.getLen
       }
       h
-    } catch { case _: java.io.IOException => 0L }
+    } catch { case _: java.io.IOException => 0L })
+
+  // Hit/miss ledger (bench attribution): a MISS is a full model
+  // training, so the bench snapshots these around every timed query and
+  // publishes nonzero deltas in the detail JSON — a driver-environment
+  // regression like round 10's is then attributable from the committed
+  // evidence alone. Every miss also logs its composite key to stderr.
+  private val hitCount = new java.util.concurrent.atomic.AtomicLong
+  private val missCount = new java.util.concurrent.atomic.AtomicLong
+  /** (hits, misses) since JVM start — monotonic; diff around a region
+    * to attribute it. */
+  def stats: (Long, Long) = (hitCount.get, missCount.get)
 
   private[operators] def cached[V](cache: Cache[V], s: SparkSession, d: String)(train: => V): V = {
     if (hooked.add(s))
@@ -94,6 +127,14 @@ object QueryCaches {
         }
       })
     registry.forEach(_.keySet.removeIf(k => k._1.sparkContext.isStopped))
-    cache.computeIfAbsent((s, s"$d@${fingerprint(s, d)}"), _ => train)
+    fpMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    val key = (s, s"$d@${fingerprint(s, d)}")
+    var missed = false
+    val v = cache.computeIfAbsent(key, _ => { missed = true; train })
+    if (missed) {
+      missCount.incrementAndGet()
+      System.err.println(s"[graft-cache] miss (training now): ${key._2}")
+    } else hitCount.incrementAndGet(): Unit
+    v
   }
 }

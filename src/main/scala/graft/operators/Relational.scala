@@ -258,6 +258,14 @@ object Relational {
       case s: StructType   => s.fields.exists(f => hasMap(f.dataType))
       case _               => false
     }
+    // a misspelled saltCols name would otherwise pass every check here
+    // (the map-type filter below matches on schema FIELDS, silently
+    // skipping a nonexistent name) and only surface later as a generic
+    // unresolved-column analysis error far from the call site
+    val unknown = saltCols.filterNot(fact.columns.toSet)
+    require(unknown.isEmpty,
+      s"saltedJoin: saltCols name columns absent from the fact schema: " +
+        s"${unknown.mkString(", ")} (have: ${fact.columns.mkString(", ")})")
     val names =
       if (saltCols.nonEmpty) saltCols
       else fact.schema.fields.filterNot(f => hasMap(f.dataType)).map(_.name).toSeq

@@ -85,6 +85,72 @@ object SimilarityQueries extends QueryPack {
       (pqr, meanCents)
     }
 
+  /** The four served codecs whose recall q123/q257-q260 report, in the
+    * output's canonical order. */
+  private val ADC_SCORER_NAMES =
+    Seq("adc_raw", "adc_residual", "adc_rerank", "sq8")
+
+  /** The (scorer, nprobe) recall measurement behind q123 (all four
+    * curves in one relation) and the per-scorer ledger rows q257-q260.
+    * `concurrent` overlaps the independent measurement jobs over the
+    * shared materialized models (q123's 12-job form — fastest
+    * wall-clock, but scheduler-overlap timing noise); the per-scorer
+    * rows run their 3 probe widths sequentially for a stable
+    * single-codec bench number. Output relation and hash are identical
+    * either way (Future.sequence preserves tuple order).
+    */
+  private def adcRecall(s: SparkSession, d: String, names: Seq[String],
+                        concurrent: Boolean): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val (cents, cells) = ivfIndex(s, d)
+    val exact = exactKnn(s, d).select(col("vec_id"), col("nn_id"))
+    import s.implicits._
+    val (pqr, meanCents) = residModel(s, d)
+    val all: Seq[(String, Int => DataFrame)] = Seq(
+      "adc_raw" -> (p => Similarity.ivfAdcKnn(emb, "vec_id", "embedding",
+        pqModel(s, d), cents, cells, p, 3)),
+      "adc_residual" -> (p => Similarity.ivfAdcResidualKnn(emb, "vec_id", "embedding",
+        pqr, cents, meanCents, cells, p, 3)),
+      "adc_rerank" -> (p => Similarity.ivfAdcRerankKnn(emb, "vec_id", "embedding",
+        pqr, cents, meanCents, cells, p, RERANK_R, 3)),
+      "sq8" -> (p => Similarity.sq8IvfKnn(emb, "vec_id", "embedding",
+        cents, cells, 64, p, 3, stats = Some(sq8StatsCached(s, d)))))
+    val scorers = all.filter(sc => names.contains(sc._1))
+    require(scorers.size == names.size,
+      s"adcRecall: unknown scorer in $names (have ${all.map(_._1)})")
+    def measure(name: String, fn: Int => DataFrame, p: Int): (String, Int, Long, Long, Long) = {
+      val served = fn(p).select(col("vec_id"), col("nn_id"))
+      val r = exact
+        .join(served.withColumn("hit", lit(1)), Seq("vec_id", "nn_id"), "left")
+        .agg(count(lit(1)).as("n"), sum(coalesce(col("hit"), lit(0))).as("o"))
+        .head()
+      val (n, o) = (r.getLong(0), r.getLong(1))
+      (name, p, n, o, if (n == 0) 0L else math.floor(10000.0 * o / n).toLong)
+    }
+    val measured: Seq[(String, Int, Long, Long, Long)] =
+      if (!concurrent)
+        for { (name, fn) <- scorers; p <- NPROBES } yield measure(name, fn, p)
+      else {
+        // Concurrent form: independent reads of shared materialized
+        // models — overlap their stages instead of draining schedules
+        // end-to-end. Dedicated executor sized to the job count (each
+        // future BLOCKS on a Spark action — the shared fork-join pool
+        // would starve on low-core machines), and a bounded wait so a
+        // wedged job fails loudly instead of hanging forever.
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration._
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          scorers.size * NPROBES.size)
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+        try Await.result(
+          Future.sequence(for { (name, fn) <- scorers; p <- NPROBES } yield
+            Future(scala.concurrent.blocking(measure(name, fn, p)))),
+          30.minutes)
+        finally pool.shutdown()
+      }
+    measured.toDF("scorer", "nprobe", "n_exact_pairs", "n_overlap_pairs", "recall_bps")
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact brute-force cosine top-3 neighbors (baseline ANN), served
     // from the shared cache q86/q119 also measure against.
@@ -499,52 +565,29 @@ object SimilarityQueries extends QueryPack {
     // residual ≥ raw at equal bits, re-rank ≥ residual at equal routing
     // (quantization loss removed), and SQ8 ≈ exact-routing recall
     // (8 bits/dim is near-lossless, the point of the codec).
-    "q123_adc_recall" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val (cents, cells) = ivfIndex(s, d)
-      val exact = exactKnn(s, d).select(col("vec_id"), col("nn_id"))
-      import s.implicits._
-      val (pqr, meanCents) = residModel(s, d)
-      val scorers: Seq[(String, Int => DataFrame)] = Seq(
-        "adc_raw" -> (p => Similarity.ivfAdcKnn(emb, "vec_id", "embedding",
-          pqModel(s, d), cents, cells, p, 3)),
-        "adc_residual" -> (p => Similarity.ivfAdcResidualKnn(emb, "vec_id", "embedding",
-          pqr, cents, meanCents, cells, p, 3)),
-        "adc_rerank" -> (p => Similarity.ivfAdcRerankKnn(emb, "vec_id", "embedding",
-          pqr, cents, meanCents, cells, p, RERANK_R, 3)),
-        "sq8" -> (p => Similarity.sq8IvfKnn(emb, "vec_id", "embedding",
-          cents, cells, 64, p, 3, stats = Some(sq8StatsCached(s, d)))))
-      // The 12 (scorer, nprobe) measurement jobs are independent reads
-      // of shared materialized models — run them CONCURRENTLY so the
-      // cluster overlaps their stages instead of draining 12 schedules
-      // end-to-end. Future.sequence preserves tuple order, so the
-      // output relation (and its hash) is identical to the serial run.
-      // Dedicated executor sized to the job count (each future BLOCKS
-      // on a Spark action — the shared fork-join pool would starve on
-      // low-core machines), and a bounded wait so a wedged job fails
-      // loudly instead of hanging the query forever.
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration._
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        scorers.size * NPROBES.size)
-      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
-      try {
-        val measured = Future.sequence(
-          for { (name, fn) <- scorers; p <- NPROBES } yield Future {
-            val served = fn(p).select(col("vec_id"), col("nn_id"))
-            val r = scala.concurrent.blocking {
-              exact
-                .join(served.withColumn("hit", lit(1)), Seq("vec_id", "nn_id"), "left")
-                .agg(count(lit(1)).as("n"), sum(coalesce(col("hit"), lit(0))).as("o"))
-                .head()
-            }
-            val (n, o) = (r.getLong(0), r.getLong(1))
-            (name, p, n, o, if (n == 0) 0L else math.floor(10000.0 * o / n).toLong)
-          })
-        Await.result(measured, 30.minutes)
-          .toDF("scorer", "nprobe", "n_exact_pairs", "n_overlap_pairs", "recall_bps")
-      } finally pool.shutdown()
-    }),
+    "q123_adc_recall" -> ((s, d) =>
+      adcRecall(s, d, ADC_SCORER_NAMES, concurrent = true)),
+
+    // q123's 12 concurrent measurements make ONE bench row whose
+    // timing is dominated by scheduler overlap — measured 4.0↔13.3 s
+    // across same-code runs, the highest-variance row in the ledger
+    // (round-10 verdict directive 5: it masks real regressions in the
+    // round-over-round diff). These four are the SAME measurements as
+    // per-scorer rows, each running its 3 probe widths sequentially —
+    // a stable serving-path number per codec. q123 stays the combined
+    // relation (its single hash pins all four curves against each
+    // other: residual ≥ raw at equal bits, re-rank ≥ residual,
+    // SQ8 ≈ exact routing); the BENCH times the per-scorer rows and
+    // skips q123 (graft.Bench's benchSkip), so the ledger carries four
+    // stable rows instead of one noisy one.
+    "q257_adc_recall_raw" -> ((s, d) =>
+      adcRecall(s, d, Seq("adc_raw"), concurrent = false)),
+    "q258_adc_recall_residual" -> ((s, d) =>
+      adcRecall(s, d, Seq("adc_residual"), concurrent = false)),
+    "q259_adc_recall_rerank" -> ((s, d) =>
+      adcRecall(s, d, Seq("adc_rerank"), concurrent = false)),
+    "q260_adc_recall_sq8" -> ((s, d) =>
+      adcRecall(s, d, Seq("sq8"), concurrent = false)),
 
     // MEASURED recall of the trained IVF index against the exact
     // brute-force top-3 — the eval every ANN deployment needs before
@@ -1065,6 +1108,95 @@ object SimilarityQueries extends QueryPack {
        |    WHERE ${cosSql("e.embedding", "c.centroid")} IS NOT NULL)
        |  WHERE rn <= $nprobe)""".stripMargin
 
+  /** The q123/q257-q260 oracle builder: shared trained chains + exact
+    * baseline + the per-probe serving CTEs for all four codecs (DuckDB
+    * prunes whichever a given statement never references), closed by
+    * one summary row per requested (scorer, nprobe). `scorers` pairs
+    * the output scorer name with its summary-CTE prefix.
+    */
+  private def adcRecallOracle(scorers: Seq[(String, String)]): String = {
+    val adcRaw = pqAdcSql
+    val adcRes = residAdcSql
+    val perP = NPROBES.map { p =>
+      s"""${probesSql(p, s"$p")},
+         |praw$p AS (SELECT vec_id, nn_id FROM (
+         |  SELECT q.vec_id, r.vec_id AS nn_id,
+         |         row_number() OVER (PARTITION BY q.vec_id
+         |           ORDER BY $adcRaw DESC, r.vec_id) AS rn
+         |  FROM embeddings q
+         |  JOIN probes$p p ON p.vec_id = q.vec_id
+         |  JOIN a${KM_ROUNDS + 1} ce ON ce.cid = p.cid
+         |  JOIN recon r ON r.vec_id = ce.vec_id AND r.vec_id != q.vec_id
+         |  WHERE $adcRaw IS NOT NULL)
+         |  WHERE rn <= 3),
+         |pres$p AS (SELECT vec_id, nn_id FROM (
+         |  SELECT q.vec_id, r.vec_id AS nn_id,
+         |         row_number() OVER (PARTITION BY q.vec_id
+         |           ORDER BY $adcRes DESC, r.vec_id) AS rn
+         |  FROM embeddings q
+         |  JOIN probes$p p ON p.vec_id = q.vec_id
+         |  JOIN mcents cc ON cc.cid = p.cid
+         |  JOIN a${KM_ROUNDS + 1} ce ON ce.cid = p.cid
+         |  JOIN rrecon r ON r.vec_id = ce.vec_id AND r.vec_id != q.vec_id
+         |  WHERE $adcRes IS NOT NULL)
+         |  WHERE rn <= 3),
+         |${residShortSql(s"$p")},
+         |prer$p AS (SELECT vec_id, nn_id FROM (
+         |  SELECT s.vec_id, s.nn_id,
+         |         row_number() OVER (PARTITION BY s.vec_id
+         |           ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC, s.nn_id) AS rn
+         |  FROM short$p s
+         |  JOIN embeddings q ON q.vec_id = s.vec_id
+         |  JOIN embeddings c ON c.vec_id = s.nn_id
+         |  WHERE ${cosSql("q.embedding", "c.embedding")} IS NOT NULL)
+         |  WHERE rn <= 3),
+         |psq8$p AS (SELECT vec_id, nn_id FROM (
+         |  SELECT q.vec_id, r.vec_id AS nn_id,
+         |         row_number() OVER (PARTITION BY q.vec_id
+         |           ORDER BY ${cosSql("q.embedding", "r.recon")} DESC, r.vec_id) AS rn
+         |  FROM embeddings q
+         |  JOIN probes$p p ON p.vec_id = q.vec_id
+         |  JOIN a${KM_ROUNDS + 1} ce ON ce.cid = p.cid
+         |  JOIN rec r ON r.vec_id = ce.vec_id AND r.vec_id != q.vec_id
+         |  WHERE ${cosSql("q.embedding", "r.recon")} IS NOT NULL)
+         |  WHERE rn <= 3),
+         |sraw$p AS (SELECT (SELECT count(*) FROM exact) AS n,
+         |                  (SELECT count(*) FROM exact JOIN praw$p USING (vec_id, nn_id)) AS o),
+         |sres$p AS (SELECT (SELECT count(*) FROM exact) AS n,
+         |                  (SELECT count(*) FROM exact JOIN pres$p USING (vec_id, nn_id)) AS o),
+         |srer$p AS (SELECT (SELECT count(*) FROM exact) AS n,
+         |                  (SELECT count(*) FROM exact JOIN prer$p USING (vec_id, nn_id)) AS o),
+         |ssq8$p AS (SELECT (SELECT count(*) FROM exact) AS n,
+         |                  (SELECT count(*) FROM exact JOIN psq8$p USING (vec_id, nn_id)) AS o)""".stripMargin
+    }.mkString(",\n")
+    val rows = (for {
+      (scorer, pre) <- scorers
+      p <- NPROBES
+    } yield
+      s"""SELECT '$scorer' AS scorer, CAST($p AS INT) AS nprobe,
+         |       CAST(n AS BIGINT) AS n_exact_pairs, CAST(o AS BIGINT) AS n_overlap_pairs,
+         |       CASE WHEN n = 0 THEN CAST(0 AS BIGINT)
+         |            ELSE CAST(floor(10000.0 * o / n) AS BIGINT) END AS recall_bps
+         |FROM $pre$p""".stripMargin).mkString("\nUNION ALL\n")
+    s"""${kmeansWith(KM_K, KM_ROUNDS)},
+       |$pqChainsSql,
+       |$pqReconSql,
+       |$meanCentsSql,
+       |$residSql,
+       |$pqResidChainsSql,
+       |$residReconSql,
+       |$sq8CtesSql,
+       |exact AS (SELECT vec_id, nn_id FROM (
+       |  SELECT a.vec_id, b.vec_id AS nn_id,
+       |         row_number() OVER (PARTITION BY a.vec_id
+       |              ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id) AS rn
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+       |  WHERE ${cosSql("a.embedding", "b.embedding")} IS NOT NULL)
+       |  WHERE rn <= 3),
+       |$perP
+       |$rows""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q104_pq_adc" -> {
       val adc = pqAdcSql
@@ -1264,93 +1396,20 @@ object SimilarityQueries extends QueryPack {
          |  WHERE $cos IS NOT NULL)
          |WHERE rn <= 3""".stripMargin
     },
-    // ADC recall: all three served scorers (raw-PQ q118, residual-PQ
-    // q124, exactly-re-ranked shortlist q126) at each probe width vs
-    // the guarded exact baseline — one integral row per (scorer,
-    // nprobe).
-    "q123_adc_recall" -> {
-      val adcRaw = pqAdcSql
-      val adcRes = residAdcSql
-      val perP = NPROBES.map { p =>
-        s"""${probesSql(p, s"$p")},
-           |praw$p AS (SELECT vec_id, nn_id FROM (
-           |  SELECT q.vec_id, r.vec_id AS nn_id,
-           |         row_number() OVER (PARTITION BY q.vec_id
-           |           ORDER BY $adcRaw DESC, r.vec_id) AS rn
-           |  FROM embeddings q
-           |  JOIN probes$p p ON p.vec_id = q.vec_id
-           |  JOIN a${KM_ROUNDS + 1} ce ON ce.cid = p.cid
-           |  JOIN recon r ON r.vec_id = ce.vec_id AND r.vec_id != q.vec_id
-           |  WHERE $adcRaw IS NOT NULL)
-           |  WHERE rn <= 3),
-           |pres$p AS (SELECT vec_id, nn_id FROM (
-           |  SELECT q.vec_id, r.vec_id AS nn_id,
-           |         row_number() OVER (PARTITION BY q.vec_id
-           |           ORDER BY $adcRes DESC, r.vec_id) AS rn
-           |  FROM embeddings q
-           |  JOIN probes$p p ON p.vec_id = q.vec_id
-           |  JOIN mcents cc ON cc.cid = p.cid
-           |  JOIN a${KM_ROUNDS + 1} ce ON ce.cid = p.cid
-           |  JOIN rrecon r ON r.vec_id = ce.vec_id AND r.vec_id != q.vec_id
-           |  WHERE $adcRes IS NOT NULL)
-           |  WHERE rn <= 3),
-           |${residShortSql(s"$p")},
-           |prer$p AS (SELECT vec_id, nn_id FROM (
-           |  SELECT s.vec_id, s.nn_id,
-           |         row_number() OVER (PARTITION BY s.vec_id
-           |           ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC, s.nn_id) AS rn
-           |  FROM short$p s
-           |  JOIN embeddings q ON q.vec_id = s.vec_id
-           |  JOIN embeddings c ON c.vec_id = s.nn_id
-           |  WHERE ${cosSql("q.embedding", "c.embedding")} IS NOT NULL)
-           |  WHERE rn <= 3),
-           |psq8$p AS (SELECT vec_id, nn_id FROM (
-           |  SELECT q.vec_id, r.vec_id AS nn_id,
-           |         row_number() OVER (PARTITION BY q.vec_id
-           |           ORDER BY ${cosSql("q.embedding", "r.recon")} DESC, r.vec_id) AS rn
-           |  FROM embeddings q
-           |  JOIN probes$p p ON p.vec_id = q.vec_id
-           |  JOIN a${KM_ROUNDS + 1} ce ON ce.cid = p.cid
-           |  JOIN rec r ON r.vec_id = ce.vec_id AND r.vec_id != q.vec_id
-           |  WHERE ${cosSql("q.embedding", "r.recon")} IS NOT NULL)
-           |  WHERE rn <= 3),
-           |sraw$p AS (SELECT (SELECT count(*) FROM exact) AS n,
-           |                  (SELECT count(*) FROM exact JOIN praw$p USING (vec_id, nn_id)) AS o),
-           |sres$p AS (SELECT (SELECT count(*) FROM exact) AS n,
-           |                  (SELECT count(*) FROM exact JOIN pres$p USING (vec_id, nn_id)) AS o),
-           |srer$p AS (SELECT (SELECT count(*) FROM exact) AS n,
-           |                  (SELECT count(*) FROM exact JOIN prer$p USING (vec_id, nn_id)) AS o),
-           |ssq8$p AS (SELECT (SELECT count(*) FROM exact) AS n,
-           |                  (SELECT count(*) FROM exact JOIN psq8$p USING (vec_id, nn_id)) AS o)""".stripMargin
-      }.mkString(",\n")
-      val rows = (for {
-        (scorer, pre) <- Seq("adc_raw" -> "sraw", "adc_residual" -> "sres",
-          "adc_rerank" -> "srer", "sq8" -> "ssq8")
-        p <- NPROBES
-      } yield
-        s"""SELECT '$scorer' AS scorer, CAST($p AS INT) AS nprobe,
-           |       CAST(n AS BIGINT) AS n_exact_pairs, CAST(o AS BIGINT) AS n_overlap_pairs,
-           |       CASE WHEN n = 0 THEN CAST(0 AS BIGINT)
-           |            ELSE CAST(floor(10000.0 * o / n) AS BIGINT) END AS recall_bps
-           |FROM $pre$p""".stripMargin).mkString("\nUNION ALL\n")
-      s"""${kmeansWith(KM_K, KM_ROUNDS)},
-         |$pqChainsSql,
-         |$pqReconSql,
-         |$meanCentsSql,
-         |$residSql,
-         |$pqResidChainsSql,
-         |$residReconSql,
-         |$sq8CtesSql,
-         |exact AS (SELECT vec_id, nn_id FROM (
-         |  SELECT a.vec_id, b.vec_id AS nn_id,
-         |         row_number() OVER (PARTITION BY a.vec_id
-         |              ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.vec_id) AS rn
-         |  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
-         |  WHERE ${cosSql("a.embedding", "b.embedding")} IS NOT NULL)
-         |  WHERE rn <= 3),
-         |$perP
-         |$rows""".stripMargin
-    },
+    // ADC recall: all four served scorers (raw-PQ q118, residual-PQ
+    // q124, exactly-re-ranked shortlist q126, SQ8 q153) at each probe
+    // width vs the guarded exact baseline — one integral row per
+    // (scorer, nprobe).
+    "q123_adc_recall" -> adcRecallOracle(Seq("adc_raw" -> "sraw",
+      "adc_residual" -> "sres", "adc_rerank" -> "srer", "sq8" -> "ssq8")),
+    // The per-scorer ledger twins (q257-q260): the IDENTICAL statement
+    // filtered to one codec's branch — DuckDB prunes the unreferenced
+    // scorers' CTEs, so each oracle pays its own serving chain plus the
+    // shared training chains only.
+    "q257_adc_recall_raw" -> adcRecallOracle(Seq("adc_raw" -> "sraw")),
+    "q258_adc_recall_residual" -> adcRecallOracle(Seq("adc_residual" -> "sres")),
+    "q259_adc_recall_rerank" -> adcRecallOracle(Seq("adc_rerank" -> "srer")),
+    "q260_adc_recall_sq8" -> adcRecallOracle(Seq("sq8" -> "ssq8")),
     // Incremental maintenance: train on the retained 90%, argmax-assign
     // the held-out arrivals against the FINAL centroids (top-1, ties
     // cid asc, zero-norm dropped) — mirrors Similarity.assignToCells.

@@ -1546,7 +1546,8 @@ object TextQueries extends QueryPack {
     */
   private[operators] def bpeTrain(docs: org.apache.spark.sql.DataFrame,
                                   textCol: String, idCol: String,
-                                  rounds: Int): org.apache.spark.sql.DataFrame =
+                                  rounds: Int,
+                                  checkpointDir: Option[String] = None): org.apache.spark.sql.DataFrame =
     // The per-round formulation this trainer replaced — and q146's
     // DuckDB oracle, whose every round is `FROM s_{i-1}, t_i`, a cross
     // join with the 1-row winner — EMPTIES the state when pairs
@@ -1555,7 +1556,8 @@ object TextQueries extends QueryPack {
     // the empty state without ever materializing the discarded one.
     // (bpeMergeTable's early stop is different by design: it returns
     // the MERGES, which are complete at exhaustion.)
-    bpeTrainIncremental(docs, textCol, idCol, rounds, needState = true)._2
+    bpeTrainIncremental(docs, textCol, idCol, rounds, needState = true,
+      checkpointDir = checkpointDir)._2
 
   /** The INCREMENTAL-PAIR-COUNT BPE trainer every BPE entry point now
     * rides (q146 via [[bpeTrain]], q160/q163/q180 via
@@ -1619,10 +1621,26 @@ object TextQueries extends QueryPack {
     * Returns (ordered merges as (rank, pair, count), final corpus
     * state (idCol, st) in the double-spaced form).
     */
+  /** The one persisted final-state RDD a `needState` training may keep
+    * alive per session: the returned DataFrame is backed by it, so it
+    * cannot be unpersisted here — but the NEXT training (or a dead
+    * context) retires it, bounding what used to be an unbounded leak
+    * (warmup + timed + verify each stranded a corpus-sized
+    * MEMORY_AND_DISK copy for the session's lifetime) at one copy per
+    * live session. Safe because needState callers (q146) consume the
+    * returned frame within their own invocation; a caller replaying a
+    * STALE frame after the next training recomputes through intact
+    * lineage (q146 trains 3 rounds — below `compactEvery`, so nothing
+    * is truncated) — slower, never wrong.
+    */
+  private val keptBpeState =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, org.apache.spark.rdd.RDD[_]]
+
   private def bpeTrainIncremental(docs: org.apache.spark.sql.DataFrame,
                                   textCol: String, idCol: String,
                                   nMerges: Int,
-                                  needState: Boolean): (Seq[(Int, String, Long)], org.apache.spark.sql.DataFrame) = {
+                                  needState: Boolean,
+                                  checkpointDir: Option[String] = None): (Seq[(Int, String, Long)], org.apache.spark.sql.DataFrame) = {
     import org.apache.spark.HashPartitioner
     import org.apache.spark.rdd.RDD
     import org.apache.spark.sql.Row
@@ -1631,6 +1649,14 @@ object TextQueries extends QueryPack {
     val compactEvery = 16
     val spark = docs.sparkSession
     val sc = spark.sparkContext
+    // Cluster escape hatch (mirrors the CC loops' contract): with a
+    // checkpointDir the compactEvery lineage cuts become RELIABLE
+    // checkpoints, so the generation-queue unpersists below stay safe
+    // under executor/block loss — recovery reads the checkpoint files.
+    // Without one (local mode), localCheckpoint + the single-JVM
+    // disk-backed storage level carry the same guarantee.
+    checkpointDir.foreach(sc.setCheckpointDir)
+    keptBpeState.keySet.removeIf(_.sparkContext.isStopped)
     val debug = sys.env.contains("SPARK_GRAFT_BPE_DEBUG")
     val baseDf = docs.select(col(idCol),
       concat(lit(" "), regexp_replace(col(textCol), lit(" "), lit("  ")),
@@ -1707,8 +1733,10 @@ object TextQueries extends QueryPack {
         if (rank % compactEvery == 0) {
           // Lineage cut: force the frontier, then truncate. Without
           // this a 32k-merge run would serialize a 32k-deep dependency
-          // chain into every task closure.
-          state.localCheckpoint(); pc.localCheckpoint()
+          // chain into every task closure. Reliable when a
+          // checkpointDir is set (cluster runs), local otherwise.
+          if (checkpointDir.isDefined) { state.checkpoint(); pc.checkpoint() }
+          else { state.localCheckpoint(); pc.localCheckpoint() }
           state.count(); pc.count()
         }
       }
@@ -1732,6 +1760,10 @@ object TextQueries extends QueryPack {
         val keep = state
         (pcGens ++ stateGens.filter(_ ne keep))
           .foreach(_.unpersist(blocking = false))
+        // retire the PREVIOUS invocation's kept state (see
+        // [[keptBpeState]]) — the leak bound this registry exists for
+        Option(keptBpeState.put(spark, keep))
+          .filter(_ ne keep).foreach(_.unpersist(blocking = false))
         spark.createDataFrame(
           state.map { case (id, st) => Row(id, st) }, outSchema)
       }
@@ -1823,10 +1855,12 @@ object TextQueries extends QueryPack {
     */
   private[operators] def bpeMergeTableMerges(docs: org.apache.spark.sql.DataFrame,
                                              textCol: String, idCol: String,
-                                             nMerges: Int): org.apache.spark.sql.DataFrame = {
+                                             nMerges: Int,
+                                             checkpointDir: Option[String] = None): org.apache.spark.sql.DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    bpeTrainIncremental(docs, textCol, idCol, nMerges, needState = false)._1
+    bpeTrainIncremental(docs, textCol, idCol, nMerges, needState = false,
+      checkpointDir = checkpointDir)._1
       .toDF("rank", "pair", "pair_count")
   }
 

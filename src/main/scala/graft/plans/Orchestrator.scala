@@ -571,8 +571,9 @@ object EtlQueries extends graft.QueryPack {
       import java.util.Comparator
       val root = Path.of(whRoot)
       if (Files.exists(root))
-        Files.walk(root).sorted(Comparator.reverseOrder[Path]())
-          .forEach(p => Files.deleteIfExists(p): Unit)
+        scala.util.Using.resource(Files.walk(root))(
+          _.sorted(Comparator.reverseOrder[Path]())
+            .forEach(p => Files.deleteIfExists(p): Unit))
     }
     whRoot
   }

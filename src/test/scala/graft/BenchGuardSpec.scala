@@ -1,0 +1,58 @@
+package graft
+
+/** The anti-"first toucher pays" guard (round-10 verdict directive 7).
+  *
+  * Failure class being pinned: some SHARED state (a model cache, a
+  * lazily-built index, any future memoized structure) trains lazily,
+  * so whichever timed query touches it first silently pays its full
+  * build cost — the round-9 q160/q104/q207 bench-attribution bug, and
+  * the class the named `warm_*` rows exist to prevent. ModelCacheSpec
+  * already asserts every REGISTERED QueryCaches cache has a warm step;
+  * this spec catches the next cost-shift mechanism that is NOT routed
+  * through QueryCaches: after the full warm pass, it runs every query
+  * twice at sf0.001 and asserts the FIRST run hides no one-time cost
+  * the second run doesn't pay — `t1 ≤ max(floor, factor · t2)`.
+  * (The converse direction — t2 bounded by t1 — can never catch this
+  * bug: a hidden training makes t1 big and t2 small, which passes any
+  * "second within a factor of first" check trivially.)
+  *
+  * Generosity calibration: the first pass also pays per-query codegen
+  * (Janino) and plan compilation, ~0.1-1 s at sf0.001 — hence the
+  * absolute floor; the factor covers scheduler/GC wobble. A hidden
+  * shared build worth caring about costs multiple seconds even at
+  * sf0.001 (LSH pairs / PQ training / BPE at sf0.1 measured 2-14 s),
+  * which clears the floor.
+  *
+  * Exclusions: the two ETL macros build a fresh tmpfs warehouse per
+  * invocation by design — nothing is shared between their runs, and
+  * their dozens of parquet writes carry write-path variance that has
+  * nothing to do with this failure class.
+  */
+class BenchGuardSpec extends SparkSpec {
+
+  test("after the warm pass, no query's first run hides a one-time shared cost (cold≈warm guard)") {
+    val s = spark.newSession()
+    operators.ModelWarm.steps.foreach { case (name, fn) =>
+      try fn(s, sf)
+      catch { case e: Throwable => fail(s"warm step $name failed: $e") }
+    }
+    val excluded = Set("q60_full_etl", "q74_incremental_etl")
+    val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => excluded.contains(n) }
+    def pass(): Map[String, Double] = qs.map { case (n, fn) =>
+      val t0 = System.nanoTime()
+      fn(s, sf).count(): Unit
+      n -> (System.nanoTime() - t0) / 1e9
+    }.toMap
+    val t1 = pass()
+    val t2 = pass()
+    val offenders = qs.map(_._1)
+      .filter(n => t1(n) > math.max(8.0, 5.0 * t2(n)))
+      .map(n => f"$n: first=${t1(n)}%.2f s vs second=${t2(n)}%.2f s")
+    assert(offenders.isEmpty,
+      s"queries whose first post-warm run hides a one-time cost " +
+        s"(add a ModelWarm step or stop sharing state silently):\n  " +
+        offenders.mkString("\n  "))
+    operators.QueryCaches.evictSession(s)
+  }
+}

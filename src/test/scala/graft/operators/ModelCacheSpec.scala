@@ -28,6 +28,60 @@ class ModelCacheSpec extends SparkSpec {
     assert(SimilarityQueries.cachedEntries(s1) == 0)
   }
 
+  test("cache keys are stable under mtime churn: one miss, then hits (round-10 driver-bench regression class)") {
+    import java.nio.file.{Files, Path}
+    val s = spark.newSession()
+    // a private corpus copy we may legally touch (testdata is read-only)
+    val dir = Files.createTempDirectory("graft-fp-corpus")
+    val src = Path.of(sf, "documents.parquet")
+    // the table may be a single parquet file or a part-file directory
+    if (Files.isDirectory(src)) {
+      val sub = Files.createDirectory(dir.resolve("documents.parquet"))
+      scala.util.Using.resource(Files.list(src))(_.forEach { p =>
+        Files.copy(p, sub.resolve(p.getFileName.toString)): Unit
+      })
+    } else Files.copy(src, dir.resolve("documents.parquet")): Unit
+    val (_, m0) = QueryCaches.stats
+    DedupQueries.shingles(s, dir.toString).count(): Unit // trains: 1 miss
+    // churn every mtime the way a driver-side rsync/copy of unchanged
+    // bytes would — the suspected round-10 invalidation source. Neither
+    // the memoized key nor a fresh fingerprint may care.
+    scala.util.Using.resource(Files.walk(dir))(_.forEach(p =>
+      Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(12345000L)): Unit))
+    DedupQueries.shingles(s, dir.toString).count(): Unit // must be a HIT
+    DedupQueries.shingles(s, dir.toString).count(): Unit // and again
+    val (_, m1) = QueryCaches.stats
+    assert(m1 - m0 == 1, s"expected exactly one training miss, got ${m1 - m0}")
+    QueryCaches.evictSession(s)
+  }
+
+  test("fingerprint is (name, size)-commutative: independent of creation order, path prefix, and mtime") {
+    import java.nio.file.{Files, Path}
+    val s = spark.newSession()
+    def mk(names: Seq[(String, Int)]): Path = {
+      val d = Files.createTempDirectory("graft-fp")
+      names.foreach { case (n, len) =>
+        Files.write(d.resolve(n), Array.fill[Byte](len)('x')): Unit
+      }
+      d
+    }
+    // same (name, size) multiset, different parent dir, reversed
+    // creation order (hence different readdir layout on many FS), and
+    // different mtimes — the fingerprint must agree, because any of
+    // those varying across two calls in one run retrains EVERY cached
+    // model behind a timed query
+    val files = Seq("part-0000.parquet" -> 100, "part-0001.parquet" -> 37, "_SUCCESS" -> 0)
+    val a = mk(files)
+    Thread.sleep(20)
+    val b = mk(files.reverse)
+    assert(QueryCaches.fingerprint(s, a.toString) == QueryCaches.fingerprint(s, b.toString))
+    // and a genuinely different corpus (one size differs) must not collide
+    val c = mk(Seq("part-0000.parquet" -> 101, "part-0001.parquet" -> 37, "_SUCCESS" -> 0))
+    assert(QueryCaches.fingerprint(s, a.toString) != QueryCaches.fingerprint(s, c.toString))
+    QueryCaches.evictSession(s)
+  }
+
   test("ModelWarm covers EVERY registered cache (new caches must ship a warm step)") {
     // Force-load EVERY query pack first: newCache registration happens
     // at object init, so a cache in a pack this test never touched

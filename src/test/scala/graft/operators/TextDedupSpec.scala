@@ -232,6 +232,40 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("CC fixpoint retires generations at the RDD level: ≤1 persisted RDD per run (block-manager bound)") {
+    // Dataset.unpersist is a no-op for localCheckpointed frames (it
+    // only clears CacheManager entries) — the loop must unpersist the
+    // backing RDD ids, or a d-diameter run pins O(log d) full copies.
+    // The 200-node chain drives many batches; only the FINAL generation
+    // (the returned relation's backing) may remain per invocation.
+    val sc = spark.sparkContext
+    val n = 200L
+    val chain = (1L until n).map(i => (i, i + 1)).toDF("id_1", "id_2")
+    val nodes = (1L to n).toDF("doc_id")
+    val b1 = sc.getPersistentRDDs.size
+    Dedup.connectedComponentsAlternatingStar(chain, nodes, "doc_id").count(): Unit
+    assert(sc.getPersistentRDDs.size - b1 <= 1,
+      s"alternating-star left ${sc.getPersistentRDDs.size - b1} persisted RDDs")
+    val b2 = sc.getPersistentRDDs.size
+    Dedup.connectedComponentsHashToMin(chain, nodes, "doc_id").count(): Unit
+    assert(sc.getPersistentRDDs.size - b2 <= 1,
+      s"hash-to-min left ${sc.getPersistentRDDs.size - b2} persisted RDDs")
+  }
+
+  test("bpeTrain bounds kept state at one persisted RDD per session (needState leak fix)") {
+    // each needState training used to strand a corpus-sized
+    // MEMORY_AND_DISK copy for the session's lifetime (warmup + timed +
+    // verify each one more); now the next training retires the previous
+    // invocation's kept state, so two back-to-back trainings leave at
+    // most one copy (plus nothing else from the generation queues).
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.size
+    TextQueries.queries("q146_bpe_train")(spark, sf).count(): Unit
+    TextQueries.queries("q146_bpe_train")(spark, sf).count(): Unit
+    val leaked = sc.getPersistentRDDs.size - before
+    assert(leaked <= 1, s"two bpeTrain invocations left $leaked persisted RDDs (want ≤1)")
+  }
+
   test("tokensNormalized handles tabs, runs of spaces, and empty text") {
     val messy = Seq((1L, " the\tquick  brown  fox "), (2L, ""), (3L, "   "))
       .toDF("doc_id", "text")
