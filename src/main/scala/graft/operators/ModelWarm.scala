@@ -27,6 +27,7 @@ object ModelWarm {
   val steps: Seq[(String, (SparkSession, String) => Unit)] = Seq(
     "warm_shingles" -> ((s, d) => { DedupQueries.shingles(s, d); () }),
     "warm_lsh_pairs" -> ((s, d) => { DedupQueries.nearDupPairs(s, d); () }),
+    "warm_contain_cands" -> ((s, d) => { DedupQueries.containCands(s, d); () }),
     "warm_bpe_merges" -> ((s, d) => { TextQueries.trainedMergeTable(s, d); () }),
     "warm_classifier" -> ((s, d) => {
       TextQueries.classifierScores(s, d)
