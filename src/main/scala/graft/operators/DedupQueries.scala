@@ -877,13 +877,13 @@ object DedupQueries extends QueryPack {
       // join drops nothing. The cap-bounded pair relation is pinned as
       // the broadcast side of the first join (candidates are ≤ CAP rows
       // at ANY corpus size — the posting table is not); the second join
-      // is left declarative: statless local inputs make Catalyst build
-      // the posting-table hash (cheap in-process at this scale), a
-      // stats-bearing cluster scan degrades it to a co-partitioned
-      // shuffle join on (id_2, shingle) — measured here, the forced
-      // shuffle_hash variant cost ~2 s MORE at sf0.1 (three extra
-      // exchanges of the pairs×shingles intermediate) for a
-      // 250k-row/~15 MB local build it avoided.
+      // is left declarative: size estimates + AQE runtime stats pick
+      // the physical strategy, which at this scale is a hash build of
+      // the ~15 MB posting table (cheap in-process) and at corpus
+      // scale a co-partitioned shuffle join on (id_2, shingle) — a
+      // forced shuffle_hash variant measured ~2 s MORE at sf0.1 (three
+      // extra exchanges of the pairs×shingles intermediate) for the
+      // small local build it avoided.
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       sh.select(col("doc_id").as("id_1"), col("shingle"))
         .join(broadcast(cands), Seq("id_1"))
