@@ -57,6 +57,11 @@ object Sessions {
     // state someone might still recompute through; the loops retire
     // only generations whose successor is already materialized, so per
     // long-diameter run it is pure repetition burying real warnings.
+    // Scope: the logger is the RDD's runtime class, so this silences
+    // ALL MapPartitionsRDD warns — acceptable ONLY because this
+    // builder constructs local[*] sessions (tests/bench/verify); a
+    // cluster deployment builds its own SparkSession and keeps every
+    // warning (e.g. localCheckpoint-vs-dynamic-allocation) intact.
     // Same centrally-documented device as WindowExec above; misuse is
     // guarded by the block-manager-bound specs in TextDedupSpec.
     org.apache.logging.log4j.core.config.Configurator.setLevel(

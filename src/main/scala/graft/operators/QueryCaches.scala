@@ -4,9 +4,10 @@ import org.apache.spark.sql.SparkSession
 
 /** Bounded compute-once registry shared by the query packs' train-once
   * caches (similarity models, verified near-dup pairs). One entry per
-  * (session, corpus dir + content fingerprint) — the fingerprint (file
-  * names/sizes/mtimes) makes an in-session corpus rewrite a cache miss,
-  * not stale data; entries are EVICTED when their session's
+  * (session, corpus dir + content fingerprint) — the fingerprint (an
+  * order-independent mix of per-file names and sizes, deliberately NO
+  * mtime, see [[fingerprint]]) makes an in-session corpus rewrite a
+  * cache miss, not stale data; entries are EVICTED when their session's
   * context stops (an ApplicationEnd listener registered on first use,
   * plus a dead-context sweep on every access as belt-and-braces) — a
   * long-lived JVM cycling sessions never pins dead sessions'
@@ -91,8 +92,24 @@ object QueryCaches {
     * [[evictSession]], which also clears the memo — the documented
     * trade for key stability). A missing dir fingerprints as 0 (the
     * training itself will surface the error).
+    *
+    * Each per-file hash passes through a 64-bit finalizer BEFORE the
+    * commutative sum: a raw linear term (nameHash·P + len) would make
+    * the sum collapse to (Σ nameHash, Σ len), so any byte
+    * redistribution preserving the name multiset and the total size —
+    * e.g. a regeneration where part-0000/part-0001 swap sizes — would
+    * collide and silently serve models trained on the old bytes. The
+    * mix makes each (name, size) contribution non-linear, so only
+    * identical multisets of (name, size) pairs agree.
     */
   private val fpMemo = new java.util.concurrent.ConcurrentHashMap[Key, java.lang.Long]
+  // splitmix64 finalizer (public-domain constants; Steele et al. 2014)
+  private def mix64(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
   private[operators] def fingerprint(s: SparkSession, d: String): Long =
     fpMemo.computeIfAbsent((s, d), _ => try {
       val p = new org.apache.hadoop.fs.Path(d)
@@ -101,7 +118,7 @@ object QueryCaches {
       var h = 0L
       while (it.hasNext) {
         val f = it.next()
-        h += f.getPath.getName.hashCode * 1125899906842597L + f.getLen
+        h += mix64(f.getPath.getName.hashCode * 1125899906842597L + f.getLen)
       }
       h
     } catch { case _: java.io.IOException => 0L })

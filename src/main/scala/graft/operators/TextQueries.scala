@@ -1647,6 +1647,19 @@ object TextQueries extends QueryPack {
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
     import org.apache.spark.storage.StorageLevel
     val compactEvery = 16
+    // The [[keptBpeState]] retirement's "a stale replay recomputes
+    // through intact lineage — slower, never wrong" promise holds ONLY
+    // while a needState training never crosses a compactEvery lineage
+    // cut (a truncated final state that a later training unpersists
+    // would fail a replay with a missing-checkpoint-block error, not
+    // recompute). Enforce the invariant instead of assuming it; a
+    // future >= compactEvery needState caller must consciously pick a
+    // retirement story (e.g. reliable checkpointDir + no registry).
+    require(!needState || nMerges < compactEvery,
+      s"bpeTrainIncremental: needState with nMerges=$nMerges >= " +
+        s"compactEvery=$compactEvery would truncate the kept state's " +
+        "lineage and make keptBpeState retirement unsafe on replay — " +
+        "see the keptBpeState scaladoc before raising this bound")
     val spark = docs.sparkSession
     val sc = spark.sparkContext
     // Cluster escape hatch (mirrors the CC loops' contract): with a

@@ -44,15 +44,18 @@ class BenchGuardSpec extends SparkSpec {
       fn(s, sf).count(): Unit
       n -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    val t1 = pass()
-    val t2 = pass()
-    val offenders = qs.map(_._1)
-      .filter(n => t1(n) > math.max(8.0, 5.0 * t2(n)))
-      .map(n => f"$n: first=${t1(n)}%.2f s vs second=${t2(n)}%.2f s")
-    assert(offenders.isEmpty,
-      s"queries whose first post-warm run hides a one-time cost " +
-        s"(add a ModelWarm step or stop sharing state silently):\n  " +
-        offenders.mkString("\n  "))
-    operators.QueryCaches.evictSession(s)
+    try {
+      val t1 = pass()
+      val t2 = pass()
+      val offenders = qs.map(_._1)
+        .filter(n => t1(n) > math.max(8.0, 5.0 * t2(n)))
+        .map(n => f"$n: first=${t1(n)}%.2f s vs second=${t2(n)}%.2f s")
+      assert(offenders.isEmpty,
+        s"queries whose first post-warm run hides a one-time cost " +
+          s"(add a ModelWarm step or stop sharing state silently):\n  " +
+          offenders.mkString("\n  "))
+    } finally operators.QueryCaches.evictSession(s) // even on a failing
+    // pass/assert: otherwise this session's sf-scale models stay pinned
+    // in the shared block manager for every later suite in the JVM
   }
 }

@@ -79,6 +79,13 @@ class ModelCacheSpec extends SparkSpec {
     // and a genuinely different corpus (one size differs) must not collide
     val c = mk(Seq("part-0000.parquet" -> 101, "part-0001.parquet" -> 37, "_SUCCESS" -> 0))
     assert(QueryCaches.fingerprint(s, a.toString) != QueryCaches.fingerprint(s, c.toString))
+    // nor may a byte REDISTRIBUTION with the same name multiset and the
+    // same total size: a linear per-file term would collapse the
+    // commutative sum to (Σ nameHash, Σ len) and serve stale models on
+    // exactly the in-session-regeneration case the fingerprint exists
+    // for — the per-file finalizer mix is what this pins
+    val d = mk(Seq("part-0000.parquet" -> 37, "part-0001.parquet" -> 100, "_SUCCESS" -> 0))
+    assert(QueryCaches.fingerprint(s, a.toString) != QueryCaches.fingerprint(s, d.toString))
     QueryCaches.evictSession(s)
   }
 
