@@ -1,5 +1,32 @@
 package graft
 object Bench {
+  // q123 runs its 12 recall measurements CONCURRENTLY — a correct
+  // relation whose single timing number is scheduler-overlap noise
+  // (4.0↔13.3 s across same-code runs, the ledger's highest-variance
+  // row; round-10 verdict directive 5). Its ledger duty is carried by
+  // the four per-scorer rows q257-q260 (the same measurements, one
+  // codec each, sequential probes), so full runs skip q123 and the
+  // history gets four stable rows instead of one noisy one. q123
+  // stays in Verify (its hash pins the four curves against each
+  // other) and remains nameable in BENCH_ONLY A/B runs.
+  private[graft] val benchSkip = Set("q123_adc_recall")
+  // q158 retains Hash-to-Min CC as a measured NEGATIVE CONTROL next to
+  // q255's alternating-star (same chain graph, same oracle): its
+  // cluster-SET state transiently inflates ~200× (14,990 → 3.05M rows
+  // at sf0.1) — the documented reason the star algorithm is the
+  // serving choice for long-diameter graphs. A full-scale bench row
+  // that can blow 70 s and pressure the shared block manager is the
+  // wrong place for a negative control (round-10 verdict directive 2),
+  // so its ledger row runs at sf0.01 — the comparison stays measured
+  // every round, bounded. Applied only when it is a real DEMOTION
+  // (target exists and is a smaller sf than the bench dir); recorded
+  // in the detail JSON so the evidence is self-describing.
+  // Both maps are name-checked against SparkEntry.queries by
+  // BenchGuardSpec: a typo here would otherwise silently skip/demote
+  // NOTHING — the silent-regression class this ledger exists to kill.
+  private[graft] val demotions: Map[String, String] =
+    Map("q158_cc_hash_to_min" -> "sf0.01")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local(app = "graft-bench")
@@ -23,16 +50,6 @@ object Bench {
       val rest = all.keySet.diff(etlFirst.toSet).toSeq.sorted
       (etlFirst.filter(all.contains) ++ rest).map(k => k -> all(k))
     }
-    // q123 runs its 12 recall measurements CONCURRENTLY — a correct
-    // relation whose single timing number is scheduler-overlap noise
-    // (4.0↔13.3 s across same-code runs, the ledger's highest-variance
-    // row; round-10 verdict directive 5). Its ledger duty is carried by
-    // the four per-scorer rows q257-q260 (the same measurements, one
-    // codec each, sequential probes), so full runs skip q123 and the
-    // history gets four stable rows instead of one noisy one. q123
-    // stays in Verify (its hash pins the four curves against each
-    // other) and remains nameable in BENCH_ONLY A/B runs.
-    val benchSkip = Set("q123_adc_recall")
     val selected = only match {
       case Some(names) =>
         // a typo'd name must not silently select nothing and report a
@@ -43,18 +60,6 @@ object Bench {
         ordered.filter { case (n, _) => names.contains(n) }
       case None => ordered.filterNot { case (n, _) => benchSkip.contains(n) }
     }
-    // q158 retains Hash-to-Min CC as a measured NEGATIVE CONTROL next to
-    // q255's alternating-star (same chain graph, same oracle): its
-    // cluster-SET state transiently inflates ~200× (14,990 → 3.05M rows
-    // at sf0.1) — the documented reason the star algorithm is the
-    // serving choice for long-diameter graphs. A full-scale bench row
-    // that can blow 70 s and pressure the shared block manager is the
-    // wrong place for a negative control (round-10 verdict directive 2),
-    // so its ledger row runs at sf0.01 — the comparison stays measured
-    // every round, bounded. Applied only when it is a real DEMOTION
-    // (target exists and is a smaller sf than the bench dir); recorded
-    // in the detail JSON so the evidence is self-describing.
-    val demotions: Map[String, String] = Map("q158_cc_hash_to_min" -> "sf0.01")
     def sfOf(dir: String): Double =
       "sf([0-9.]+)".r.findFirstMatchIn(new java.io.File(dir).getName)
         .flatMap(m => m.group(1).toDoubleOption).getOrElse(Double.MaxValue)

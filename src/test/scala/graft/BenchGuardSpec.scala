@@ -30,6 +30,20 @@ package graft
   */
 class BenchGuardSpec extends SparkSpec {
 
+  test("Bench's skip/demotion ledger names real queries (typo = silent full-scale run)") {
+    // demotions.flatMap and benchSkip.filterNot both NO-OP on an
+    // unknown name: a typo would silently run q158 at full scale or
+    // time q123's noisy row again, with the detail JSON still claiming
+    // the demotion/skip. Name-check both maps against the real surface.
+    val known = SparkEntry.queries.keySet
+    val stray = (Bench.benchSkip ++ Bench.demotions.keySet).diff(known)
+    assert(stray.isEmpty,
+      s"Bench.benchSkip/demotions name unknown queries: ${stray.mkString(", ")}")
+    // and a demotion target must look like a scale-factor dir name
+    Bench.demotions.values.foreach(sib =>
+      assert(sib.matches("sf[0-9.]+"), s"demotion target '$sib' is not an sf dir name"))
+  }
+
   test("after the warm pass, no query's first run hides a one-time shared cost (cold≈warm guard)") {
     val s = spark.newSession()
     operators.ModelWarm.steps.foreach { case (name, fn) =>
