@@ -363,6 +363,40 @@ class OrchestratorSpec extends SparkSpec {
       Tables.supplier(spark, sf).count())
   }
 
+  test("re-run skips unchanged dim groups, logs the skip, re-runs on any input change") {
+    val root = java.nio.file.Files.createTempDirectory("graft-wh-skip").toString
+    val o = new Orchestrator(spark, sf, root)
+    val full = o.runFullEtl()
+    // bare 3NF+DM re-run with nothing staged: all three dim groups must
+    // skip (their input AND output files are bit-identical), counts
+    // must come back unchanged from the recorded state, and the O2
+    // audit trail must carry one explicit skip event per group
+    val noop = o.stage3nf() ++ o.stageDm()
+    noop.foreach { case (t, n) => assert(full(t) == n, s"$t: ${full(t)} -> $n") }
+    o.log.flush()
+    val skips = o.wh.read("bl_cl", "etl_log")
+      .filter($"message".startsWith("skipped"))
+      .select($"procedure").as[String].collect().toSet
+    assert(skips == Set("load_3nf_dims", "load_dm_dims", "load_dim_dates"))
+    // a one-row staging change to a DIM input re-runs the 3NF dim group
+    // (and, because its outputs are rewritten, the DM dim group too) —
+    // the skip is change-detection, never a stale-data shortcut
+    val staged = o.wh.read("staging", "products")
+    o.wh.overwrite(staged.unionByName(
+      Seq(("999777", "skip-probe product", "Brand#99", "STANDARD POLISHED TIN",
+        "7", "123.45")).toDF(staged.columns.toIndexedSeq: _*)),
+      "staging", "products")
+    val after = o.stage3nf() ++ o.stageDm()
+    val stagingTables = Set("customers", "products", "suppliers", "orders", "sales")
+    assert(after.keySet == full.keySet -- stagingTables)
+    assert(o.wh.read("bl_3nf", "ce_products_scd")
+      .filter($"product_id" === 999777L).count() == 1,
+      "staged new product must reach the re-run 3NF dim group")
+    assert(o.wh.read("bl_dm", "dim_products_scd")
+      .filter($"product_id" === 999777L).count() == 1,
+      "re-versioned 3NF output must cascade into the re-run DM dim group")
+  }
+
   test("etl log captures one completed row per loader") {
     firstRun
     val log = orch.wh.read("bl_cl", "etl_log")
