@@ -410,7 +410,12 @@ class Orchestrator(spark: SparkSession, sfDir: String, whRoot: String) {
     if (!wh.exists(layer, table))
       return wh.overwrite(src, layer, table, partitionBy = Seq("order_month"))
     val existing = wh.readPartitioned(layer, table, "order_month")
-    val wm = existing.agg(max(col("order_dt"))).head().get(0)
+    // one probe scan serves both the watermark AND the no-op branch's
+    // returned row count (it used to re-scan the whole fact just to
+    // report an unchanged count)
+    val probe = existing.agg(max(col("order_dt")), count(lit(1))).head()
+    val wm = probe.get(0)
+    val nExisting = probe.getLong(1)
     if (wm == null)
       return wh.overwrite(src, layer, table, partitionBy = Seq("order_month"))
     val wmMonth = new java.text.SimpleDateFormat("yyyyMM")
@@ -458,7 +463,7 @@ class Orchestrator(spark: SparkSession, sfDir: String, whRoot: String) {
         val nCorrected = correctedIds.count()
         val affected = fresh.select("order_month").distinct()
           .collect().map(_.getString(0)).sorted
-        if (affected.isEmpty && nCorrected == 0) existing.count() // no-op run
+        if (affected.isEmpty && nCorrected == 0) nExisting // no-op run
         else {
           // whenever 190001 is rewritten (corrections out, new orphans
           // in, or both) the surviving existing rows must ride the swap;
@@ -504,7 +509,11 @@ class Orchestrator(spark: SparkSession, sfDir: String, whRoot: String) {
     if (!wh.exists(layer, table))
       return wh.overwrite(src3nf, layer, table, partitionBy = Seq("order_month"))
     val existing = wh.readPartitioned(layer, table, "order_month")
-    val wm = existing.agg(max(col("order_dt"))).head().get(0)
+    // same one-scan probe as loadFactIncremental: watermark + the
+    // unchanged count the no-op branch returns
+    val probe = existing.agg(max(col("order_dt")), count(lit(1))).head()
+    val wm = probe.get(0)
+    val nExisting = probe.getLong(1)
     if (wm == null)
       return wh.overwrite(src3nf, layer, table, partitionBy = Seq("order_month"))
     val wmMonth = new java.text.SimpleDateFormat("yyyyMM")
@@ -525,7 +534,7 @@ class Orchestrator(spark: SparkSession, sfDir: String, whRoot: String) {
     val (srcFbN, srcFbChk) = fbSig(src3nf)
     val (dmFbN, dmFbChk) = fbSig(existing)
     val fbDrift = srcFbN != dmFbN || srcFbChk != dmFbChk
-    if (affected.isEmpty && !fbDrift) existing.count()
+    if (affected.isEmpty && !fbDrift) nExisting
     else {
       if (fbDrift && srcFbN == 0)
         wh.dropPartition(layer, table, "order_month", "190001")
