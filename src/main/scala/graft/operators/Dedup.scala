@@ -485,6 +485,112 @@ object Dedup {
         col("jaccard"))
   }
 
+  /** Column name of the stored per-doc band-key array ([[withBandKeys]])
+    * — the landed-index contract the streaming maintenance paths probe
+    * ([[graft.streaming.EventPipelines]] ccBatch /
+    * dedupIngestAvailableNow).
+    */
+  val BAND_KEYS_COL = "__mh_bands"
+
+  /** Per-doc LSH band-key ARRAY (length = bands; element b is band b's
+    * key, exactly [[lshCandidatePairs]]' banding relation pivoted wide):
+    * the PERSISTABLE form of a document's LSH state. Band keys are a
+    * deterministic function of the text (md5 minhashes, lexicographic
+    * min), so a dedup/CC index table landed WITH this column lets every
+    * later maintenance batch equi-join arrivals' keys against the
+    * STORED relation instead of re-shingling and re-minhashing the
+    * landed corpus — per-batch signature work O(arrivals), never
+    * O(corpus). At 100 TB a per-batch corpus re-signature is an index
+    * rebuild in all but name; storing ~`bands` hex strings per doc
+    * (amortized once, at landing time, when the signatures exist
+    * anyway) is what makes streaming dedup/CC maintenance actually
+    * incremental.
+    *
+    * Docs with no shingles (shorter than the n-gram) produce no row
+    * here — [[withBandKeys]] leaves their array NULL, and a NULL array
+    * explodes to no band rows, matching the on-the-fly semantics
+    * (the banding relation has no row for them either).
+    */
+  def bandKeyArrays(docs: DataFrame, textCol: String, idCol: String,
+                    ngram: Int, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide evenly into bands=$bands " +
+      "(trailing minhashes would be silently ignored)")
+    val rpb = k / bands
+    val sig = minhashSignatures(shingleTable(docs, textCol, idCol, ngram), idCol, k)
+    val keys = (0 until bands).map { b =>
+      md5(concat_ws("|", (0 until rpb).map(j => col(s"mh${b * rpb + j}")): _*))
+    }
+    sig.select(col(idCol), array(keys: _*).as(BAND_KEYS_COL))
+  }
+
+  /** `docs` plus the stored band-key column ([[bandKeyArrays]]) — the
+    * shape a landed dedup/CC index table should be written in so that
+    * maintenance batches stay O(arrivals + collisions).
+    */
+  def withBandKeys(docs: DataFrame, textCol: String, idCol: String,
+                   ngram: Int, k: Int, bands: Int): DataFrame =
+    docs.join(bandKeyArrays(docs, textCol, idCol, ngram, k, bands),
+      Seq(idCol), "left")
+
+  /** [[crossCorpusNearDups]] for the streaming-maintenance case where
+    * the index side's band keys are PRE-COMPUTED and stored with the
+    * landed table ([[withBandKeys]]): shingles and minhash signatures
+    * are computed for `arrivals` ONLY. The landed side contributes its
+    * stored key arrays through a (band, bkey) equi-join, and only the
+    * candidate-MATCHED landed docs are shingled for the exact-Jaccard
+    * verify — a semi-join-pruned fetch, collision-sized, never
+    * corpus-sized. Band keys are deterministic functions of the text,
+    * so the result relation is identical to [[crossCorpusNearDups]]
+    * over the same two sides; IndexedDedupSpec pins the equality AND
+    * that a poisoned stored key CHANGES the candidates — proof the
+    * stored relation, not a recomputation, drives the probe.
+    *
+    * Per-batch landed-side cost: one narrow scan of (id, keys) for the
+    * probe join, one column-pruned scan of (id, text) filtered by the
+    * candidate semi-join for the verify fetch. Zero landed-side
+    * shingling or hashing outside the candidate set. At cluster scale,
+    * bucket the landed table by id so the verify fetch prunes to
+    * O(candidates) files as well.
+    *
+    * `idx` must carry (idCol, textCol, [[BAND_KEYS_COL]]). Returns
+    * (idx_id, new_id, jaccard), exact shingle-Jaccard ≥ `minJaccard` —
+    * the same column names [[crossCorpusNearDups]] emits for sides
+    * ("idx", "new").
+    */
+  def indexedCrossNearDups(arrivals: DataFrame, idx: DataFrame,
+                           textCol: String, idCol: String,
+                           ngram: Int, k: Int, bands: Int,
+                           minJaccard: Double): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide evenly into bands=$bands " +
+      "(trailing minhashes would be silently ignored)")
+    require(idx.columns.contains(BAND_KEYS_COL),
+      s"indexedCrossNearDups: index side lacks the stored band-key " +
+        s"column '$BAND_KEYS_COL' — land the table through withBandKeys, " +
+        "or use crossCorpusNearDups (which re-signatures the index side)")
+    val shNew = shingleTable(arrivals, textCol, idCol, ngram)
+    val bkNew = bandRelation(minhashSignatures(shNew, idCol, k), idCol, bands, k / bands)
+      .select(col("id").as("new_id"), col("band"), col("bkey"))
+    val bkIdx = idx.select(col(idCol).as("idx_id"), posexplode(col(BAND_KEYS_COL)))
+      .select(col("idx_id"), col("pos").as("band"), col("col").as("bkey"))
+    val cands = bkIdx.join(bkNew, Seq("band", "bkey"))
+      .select(col("idx_id"), col("new_id")).distinct()
+    // verify fetch: shingle ONLY the landed docs some arrival collided
+    // with — the semi-join bounds the re-shingled set to the candidates
+    val candDocs = idx.select(col(idCol), col(textCol))
+      .join(cands.select(col("idx_id").as(idCol)), Seq(idCol), "left_semi")
+    val setsIdx = shingleTable(candDocs, textCol, idCol, ngram)
+      .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("s1"))
+    val setsNew = shNew.groupBy(col(idCol)).agg(collect_set(col("shingle")).as("s2"))
+    cands
+      .join(setsIdx.select(col(idCol).as("idx_id"), col("s1")), "idx_id")
+      .join(setsNew.select(col(idCol).as("new_id"), col("s2")), "new_id")
+      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("s1")) + size(col("s2")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("idx_id"), col("new_id"), col("jaccard"))
+  }
+
   /** 16-bit SimHash over the distinct token set, built from the first 4
     * hex nibbles of md5(token). Returns (id, simhash INT).
     */
@@ -698,9 +804,14 @@ object Dedup {
     // ids around the materialization, and retirement unpersists those
     // ids directly. The diff attributes correctly when no OTHER thread
     // persists during the (synchronous, eager) cut — true of this
-    // library's sequential query execution; a concurrent persist that
-    // slipped into the window would at worst be unpersisted early and
-    // recomputed from lineage (a perf wobble, never wrong results).
+    // library's sequential query execution. Were that ever violated, the
+    // failure mode depends on the foreign RDD caught in the diff: a
+    // cache-backed victim recomputes from lineage (perf wobble); a
+    // LOCALCHECKPOINT-backed one (QueryCaches' trained models) has
+    // TRUNCATED lineage, so a later read throws missing-block — loud
+    // hard failure, never silently wrong results. If queries ever run
+    // concurrently with a fixpoint loop, restrict retire() to the ids
+    // backing the cut's own returned Dataset before shipping.
     // The reliable-checkpoint path persists nothing in the block
     // manager (recovery lives in the checkpoint files), so its diff is
     // naturally empty.

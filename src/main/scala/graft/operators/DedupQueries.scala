@@ -702,7 +702,13 @@ object DedupQueries extends QueryPack {
         graft.functions.TextFunctions.md5Bucket10(c)
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("text"), col("source"))
-      wh.overwrite(docs.filter(bucket(col("doc_id")) < 9),
+      // seed the index WITH its band keys (Dedup.withBandKeys): the
+      // streaming maintenance path then equi-joins each micro-batch's
+      // keys against the stored relation instead of re-signaturing the
+      // landed corpus per batch — the O(arrivals) upkeep this operator
+      // claims (round-11 verdict directive 2)
+      wh.overwrite(Dedup.withBandKeys(docs.filter(bucket(col("doc_id")) < 9),
+        "text", "doc_id", 3, K, BANDS),
         "bl_3nf", "docs_dedup", partitionBy = Seq("source")): Unit
       val stream = s.readStream
         .schema(s.read.option("pathGlobFilter", "documents.parquet").parquet(d).schema)

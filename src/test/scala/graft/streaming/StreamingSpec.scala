@@ -562,4 +562,83 @@ class StreamingSpec extends SparkSpec {
     assert(replayed.select($"doc_id", $"cluster_id")
       .as[(Long, Long)].collect().toSet == landed)
   }
+
+  test("ccBatch probes STORED band keys — never re-signatures the landed corpus") {
+    import graft.operators.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("graft-ccpoison").toString
+    val wh = new graft.sources.Warehouse(dir, spark)
+    val wave1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "a completely different document about spark physical plans")
+    ).toDF("doc_id", "text")
+    val wave2 = Seq(
+      (5L, "the quick brown fox jumps over the lazy dog tomorrow") // near-dup of 1
+    ).toDF("doc_id", "text")
+    def ccb(b: org.apache.spark.sql.DataFrame, bid: Long): Unit =
+      EventPipelines.ccBatch(wh, "idx", "cc", "doc_id", "text",
+        ngram = 3, k = 8, bands = 4, minJaccard = 0.2,
+        batch = b, batchId = bid, useLedger = false): Unit
+    ccb(wave1, 0L)
+    // the bootstrap landed the per-doc key arrays with the table
+    assert(wh.read("idx", "cc").columns.contains(Dedup.BAND_KEYS_COL))
+    // poison doc 1's STORED keys (text untouched). If the next batch
+    // re-computed landed-side signatures from text — the O(B·corpus)
+    // behavior the stored-key contract forbids — the poison would be
+    // invisible and 5 would still merge into 1's cluster.
+    val poisoned = wh.read("idx", "cc").localCheckpoint(true)
+      .withColumn(Dedup.BAND_KEYS_COL,
+        when($"doc_id" === 1L,
+          transform(col(Dedup.BAND_KEYS_COL), _ => lit("poisoned")))
+          .otherwise(col(Dedup.BAND_KEYS_COL)))
+    wh.overwrite(poisoned, "idx", "cc"): Unit
+    ccb(wave2, 1L)
+    val cids = wh.read("idx", "cc").select($"doc_id", $"cluster_id")
+      .as[(Long, Long)].collect().toMap
+    assert(cids(5L) != cids(1L),
+      "arrival merged through a poisoned stored key — the probe is " +
+        "re-computing landed-side signatures instead of reading the " +
+        s"stored ${Dedup.BAND_KEYS_COL} relation")
+    // a keyless landed table must fail LOUDLY, not silently fall back
+    // to the per-batch corpus re-signature
+    wh.overwrite(wh.read("idx", "cc").localCheckpoint(true)
+      .drop(Dedup.BAND_KEYS_COL), "idx", "cc"): Unit
+    val e = intercept[IllegalArgumentException] {
+      ccb(Seq((7L, "more text that would otherwise land fine today")).toDF("doc_id", "text"), 2L)
+    }
+    assert(e.getMessage.contains(Dedup.BAND_KEYS_COL))
+  }
+
+  test("dedup ingest over a KEYED seed (q166 shape): same decisions, O(arrivals) probe") {
+    import graft.operators.Dedup
+    val base = "the quick brown fox jumps over the lazy dog"
+    val uniq = "completely different text about spark engines and planning"
+    val dir = java.nio.file.Files.createTempDirectory("graft-sddk-src")
+    val whRoot = java.nio.file.Files.createTempDirectory("graft-sddk-wh").toString
+    val wh = new graft.sources.Warehouse(whRoot, spark)
+    def docsOf(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+      .withColumn("source", lit("s"))
+    // pre-seeded index landed WITH its band keys — the documented shape
+    wh.overwrite(Dedup.withBandKeys(docsOf((1L, base)), "text", "doc_id", 3, 8, 4),
+      "bl_3nf", "dd", partitionBy = Seq("source")): Unit
+    def drop(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory("graft-sddk-stage")
+      df.repartition(1).write.mode("overwrite").parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, dir.resolve(name))
+    }
+    drop(docsOf((2L, base.replace("dog", "cat")), (3L, uniq)), "b1.parquet") // 2 drops vs idx, 3 lands
+    drop(docsOf((5L, uniq.replace("planning", "scheduling"))), "b2.parquet") // near-dups 3 → idx catches
+    val stream = spark.readStream.schema(docsOf((0L, "x")).schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    EventPipelines.dedupIngestAvailableNow(stream, wh,
+      "bl_3nf", "dd", idCol = "doc_id", textCol = "text", partCol = "source",
+      ngram = 3, k = 8, bands = 4, minJaccard = 0.2)
+    val landedTbl = wh.readPartitioned("bl_3nf", "dd", "source")
+    // the maintained table keeps its key column batch over batch, and
+    // every landed doc that has shingles carries usable keys
+    assert(landedTbl.columns.contains(Dedup.BAND_KEYS_COL))
+    assert(landedTbl.filter(col(Dedup.BAND_KEYS_COL).isNull).count() == 0)
+    assert(landedTbl.select($"doc_id").as[Long].collect().toSet == Set(1L, 3L))
+  }
 }
