@@ -1,0 +1,31 @@
+package graft
+
+/** Side-channel sub-timings that long macro-queries publish for the
+  * bench detail JSON. q74 times THREE orchestrator passes (initial
+  * load / incremental wave / no-op re-run) inside one ledger row;
+  * round 11's driver run blew that row to 175.7 s against 16.6 s of
+  * same-code local evidence with nothing in the committed ledger
+  * naming the pass. Each pass records itself here and [[Bench]]
+  * drains the entries after the query, emitting them as
+  * `sub_timings` next to the wall time — so a q74 anomaly names a
+  * pass, not a 175-second blob (round-11 verdict directive 3).
+  * Recording is harmless outside the bench: Verify and the specs
+  * leave entries nobody reads, and drain() clears what it returns.
+  */
+object BenchProbes {
+  private val subs = new java.util.concurrent.ConcurrentHashMap[String, Double]
+
+  def record(query: String, part: String, sec: Double): Unit = {
+    subs.put(s"$query/$part", sec): Unit
+  }
+
+  /** Remove and return `query`'s recorded parts (part name → seconds). */
+  def drain(query: String): Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    val full = subs.asScala.collect {
+      case (k, v) if k.startsWith(query + "/") => k -> v.doubleValue
+    }.toMap
+    full.keys.foreach(subs.remove)
+    full.map { case (k, v) => k.stripPrefix(query + "/") -> v }
+  }
+}

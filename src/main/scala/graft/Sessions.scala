@@ -54,19 +54,23 @@ object Sessions {
     // generation (the CC/BPE loops now unpersist at the RDD level —
     // Dataset.unpersist was a silent no-op for checkpoint-backed
     // frames). The warning exists to flag accidental unpersists of
-    // state someone might still recompute through; the loops retire
-    // only generations whose successor is already materialized, so per
-    // long-diameter run it is pure repetition burying real warnings.
-    // Scope: the logger is the RDD's runtime class, so this silences
-    // ALL MapPartitionsRDD warns — acceptable ONLY because this
-    // builder constructs local[*] sessions (tests/bench/verify); a
-    // cluster deployment builds its own SparkSession and keeps every
-    // warning (e.g. localCheckpoint-vs-dynamic-allocation) intact.
-    // Same centrally-documented device as WindowExec above; misuse is
-    // guarded by the block-manager-bound specs in TextDedupSpec.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd.MapPartitionsRDD",
-      org.apache.logging.log4j.Level.ERROR)
+    // state someone might still read through — EXACTLY the signal that
+    // would diagnose a real retirement bug (a wrongly-retired
+    // checkpoint-backed model fails loudly on its next read, and this
+    // warn is the breadcrumb). So suppression is OPT-IN: only the
+    // high-volume harness entrypoints (Bench/Verify set the property —
+    // thousands of deliberate retirements per run, pure repetition
+    // burying real warnings) silence it; tests and ad-hoc sessions
+    // keep every warning. Scope when enabled: the logger is the RDD's
+    // runtime class, so it silences ALL MapPartitionsRDD warns — a
+    // cluster deployment builds its own SparkSession and is never
+    // affected. Misuse is guarded by the block-manager-bound specs in
+    // TextDedupSpec either way.
+    if (sys.props.get("graft.quietRddWarns")
+        .orElse(sys.env.get("SPARK_GRAFT_QUIET_RDD_WARNS")).contains("1"))
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.rdd.MapPartitionsRDD",
+        org.apache.logging.log4j.Level.ERROR)
     spark
   }
 }

@@ -5,6 +5,9 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    // harness run: thousands of deliberate fixpoint retirements — see
+    // Sessions' opt-in MapPartitionsRDD warn suppression
+    System.setProperty("graft.quietRddWarns", "1")
     val (sfDir, outDir) = (args(0), args(1))
     // optional extra args: run only these queries (local dev subset)
     val only = args.drop(2).toSet

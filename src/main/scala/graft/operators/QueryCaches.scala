@@ -37,10 +37,8 @@ object QueryCaches {
     * localCheckpointed model state the cached DataFrames pin in the
     * block manager, so ContextCleaner can reclaim it after GC).
     */
-  def evictSession(s: SparkSession): Unit = {
+  def evictSession(s: SparkSession): Unit =
     registry.forEach(_.keySet.removeIf(k => k._1 eq s))
-    fpMemo.keySet.removeIf(k => k._1 eq s): Unit
-  }
 
   /** How many cached entries a session currently owns (test seam). */
   def cachedEntries(s: SparkSession): Int = {
@@ -84,14 +82,16 @@ object QueryCaches {
     *    NAMES on every rewrite, so (name, size) already catches any
     *    real rewrite the mtime term could.
     *
-    * The computed value is memoized per (session, dir) — one FS listing
-    * per corpus per session, and one KEY per corpus per session, so a
-    * warm-step's trained model can never be missed by later queries
-    * over the same dir (an in-session rewrite of the SAME dir is
-    * correspondingly only detected on a fresh session or after
-    * [[evictSession]], which also clears the memo — the documented
-    * trade for key stability). A missing dir fingerprints as 0 (the
-    * training itself will surface the error).
+    * The value is recomputed on EVERY cache access — deliberately NOT
+    * memoized. A (session, dir) memo (round 11's shape) made the
+    * object-level guarantee a lie: an in-session rewrite of the SAME
+    * dir kept serving models trained on the old bytes until
+    * [[evictSession]]. Key stability without the memo comes from the
+    * hash itself (order-independent, mtime-free: unchanged files ⇒
+    * identical fingerprint on every recomputation), and the cost is
+    * one driver-side recursive listing per access — metadata-only,
+    * microseconds against the queries it keys. A missing dir
+    * fingerprints as 0 (the training itself will surface the error).
     *
     * Each per-file hash passes through a 64-bit finalizer BEFORE the
     * commutative sum: a raw linear term (nameHash·P + len) would make
@@ -102,7 +102,6 @@ object QueryCaches {
     * mix makes each (name, size) contribution non-linear, so only
     * identical multisets of (name, size) pairs agree.
     */
-  private val fpMemo = new java.util.concurrent.ConcurrentHashMap[Key, java.lang.Long]
   // splitmix64 finalizer (public-domain constants; Steele et al. 2014)
   private def mix64(z0: Long): Long = {
     var z = z0
@@ -111,7 +110,7 @@ object QueryCaches {
     z ^ (z >>> 31)
   }
   private[operators] def fingerprint(s: SparkSession, d: String): Long =
-    fpMemo.computeIfAbsent((s, d), _ => try {
+    try {
       val p = new org.apache.hadoop.fs.Path(d)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       val it = fs.listFiles(p, true)
@@ -121,7 +120,7 @@ object QueryCaches {
         h += mix64(f.getPath.getName.hashCode * 1125899906842597L + f.getLen)
       }
       h
-    } catch { case _: java.io.IOException => 0L })
+    } catch { case _: java.io.IOException => 0L }
 
   // Hit/miss ledger (bench attribution): a MISS is a full model
   // training, so the bench snapshots these around every timed query and
@@ -144,7 +143,6 @@ object QueryCaches {
         }
       })
     registry.forEach(_.keySet.removeIf(k => k._1.sparkContext.isStopped))
-    fpMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
     val key = (s, s"$d@${fingerprint(s, d)}")
     var missed = false
     val v = cache.computeIfAbsent(key, _ => { missed = true; train })

@@ -98,10 +98,23 @@ class Orchestrator(spark: SparkSession, sfDir: String, whRoot: String) {
   // work each time); at 100 TB an incremental pass that re-merges every
   // unchanged dimension is the difference between O(changed) and
   // O(warehouse), so each independent loader GROUP records the exact
-  // file listing (relative path, size, mtime — no hashing, no
-  // collisions: identical listings mean the same physical files) of its
-  // inputs AND outputs after a completed load, plus the row counts it
-  // returned. A later run with an identical listing skips the group,
+  // file listing (relative path, size, mtime) of its inputs AND outputs
+  // after a completed load, plus the row counts it returned.
+  //   Listing-identity caveat: "identical listing ⇒ same bytes" holds
+  // for everything Spark writes (fresh part names per rewrite) but is
+  // NOT absolute for externally editable inputs — an in-place edit
+  // preserving name, size, AND ms-mtime (touch -r, same-ms rewrite,
+  // coarse-mtime filesystems) would wrongly skip with stale dims. mtime
+  // is DELIBERATELY kept here even though QueryCaches.fingerprint
+  // deliberately DROPS it: the two contracts optimize opposite error
+  // costs. A skip-ledger false INVALIDATION merely re-runs a load
+  // (cheap, correct), while a false SKIP is silent stale data — so the
+  // ledger keeps every discriminating bit it can get. A cache false
+  // invalidation is a full model retrain (the round-10 430 s blow-up),
+  // while its false hit needs a byte-identical (name,size) multiset
+  // under Spark-written names — so the cache trades mtime away for key
+  // stability. Do not "unify" them into either shape.
+  // A later run with an identical listing skips the group,
   // logs the skip per group (the O2 audit trail stays complete), and
   // returns the recorded counts. Any change — a staged extract, an
   // external table edit, a schema upgrade — changes some file and
@@ -743,6 +756,18 @@ object EtlQueries extends graft.QueryPack {
       import graft.sources.Tables
       val orch = new Orchestrator(s, d, tmpWarehouse())
       val wh = orch.wh
+      // Each orchestrator pass publishes its own duration to BenchProbes:
+      // the bench emits them as sub_timings next to q74's wall time, so a
+      // ledger anomaly names a PASS (initial / incremental / no-op), not
+      // a one-number macro blob (round-11 verdict directive 3 — the
+      // official run's 175.7 s vs 16.6 s local had nothing to point at).
+      def pass[T](part: String)(body: => T): T = {
+        val t0 = System.nanoTime()
+        val r = body
+        graft.BenchProbes.record("q74_incremental_etl", part,
+          (System.nanoTime() - t0) / 1e9)
+        r
+      }
       def stage(name: String, df: DataFrame, cols: Seq[String]): Unit = {
         wh.overwrite(Staging.clean(df, cols), "staging", name): Unit
       }
@@ -759,7 +784,7 @@ object EtlQueries extends graft.QueryPack {
       val oSub = Tables.orders(s, d).filter(col("o_orderkey") % 5 === 0)
       stage("orders", oSub, oCols)
       stage("sales", liSub, lCols)
-      orch.stage3nf(); orch.stageDm()
+      pass("pass1_initial") { orch.stage3nf(); orch.stageDm() }
       // the late extract: last month's orders + their lines, +60 days,
       // fresh keys — strictly past the watermark
       val month = date_format(to_date(col("o_orderdate")), "yyyyMM")
@@ -780,7 +805,7 @@ object EtlQueries extends graft.QueryPack {
         wh.read("staging", "orders"), Seq("o_orderkey")), "staging", "orders"): Unit
       wh.overwrite(Staging.antiJoinAppend(Staging.clean(lateL, lCols),
         wh.read("staging", "sales"), Seq("l_orderkey", "l_linenumber")), "staging", "sales"): Unit
-      orch.stage3nf(); orch.stageDm()
+      pass("pass2_incremental") { orch.stage3nf(); orch.stageDm() }
       // Third pass: the reference's idempotency re-run on UNCHANGED
       // data (python/dw_etl_tests.py:371-410) — zero rows staged, so
       // both fact loaders MUST take their no-op branch (empty
@@ -801,7 +826,7 @@ object EtlQueries extends graft.QueryPack {
       val sigBefore3nf = factSig("bl_3nf", "ce_sales")
       val sigBeforeDm = factSig("bl_dm", "fct_sales")
       val t0 = System.nanoTime()
-      orch.stage3nf(); orch.stageDm()
+      pass("pass3_noop") { orch.stage3nf(); orch.stageDm() }
       val noopS = (System.nanoTime() - t0) / 1e9
       require(factSig("bl_3nf", "ce_sales") == sigBefore3nf,
         "no-op ETL re-run rewrote bl_3nf.ce_sales partition files")
