@@ -560,35 +560,82 @@ object Dedup {
   def indexedCrossNearDups(arrivals: DataFrame, idx: DataFrame,
                            textCol: String, idCol: String,
                            ngram: Int, k: Int, bands: Int,
-                           minJaccard: Double): DataFrame = {
-    require(k % bands == 0, s"k=$k must divide evenly into bands=$bands " +
-      "(trailing minhashes would be silently ignored)")
-    require(idx.columns.contains(BAND_KEYS_COL),
-      s"indexedCrossNearDups: index side lacks the stored band-key " +
-        s"column '$BAND_KEYS_COL' — land the table through withBandKeys, " +
-        "or use crossCorpusNearDups (which re-signatures the index side)")
-    val shNew = shingleTable(arrivals, textCol, idCol, ngram)
-    val bkNew = bandRelation(minhashSignatures(shNew, idCol, k), idCol, bands, k / bands)
-      .select(col("id").as("new_id"), col("band"), col("bkey"))
-    val bkIdx = idx.select(col(idCol).as("idx_id"), posexplode(col(BAND_KEYS_COL)))
-      .select(col("idx_id"), col("pos").as("band"), col("col").as("bkey"))
-    val cands = bkIdx.join(bkNew, Seq("band", "bkey"))
+                           minJaccard: Double): DataFrame =
+    storedKeyCrossNearDups(
+      withBandKeys(arrivals, textCol, idCol, ngram, k, bands), idx,
+      textCol, idCol, ngram, minJaccard)
+
+  /** [[indexedCrossNearDups]] when BOTH sides carry stored band keys
+    * (the streaming-CC layout, where arrivals' keys were computed at
+    * doc-landing time): zero signature work anywhere — candidates come
+    * from a (band, bkey) equi-join of the two stored relations, and
+    * ONLY candidate-matched docs on either side are shingled for the
+    * exact-Jaccard verify. Returns (idx_id, new_id, jaccard). */
+  def storedKeyCrossNearDups(arrivals: DataFrame, idx: DataFrame,
+                             textCol: String, idCol: String,
+                             ngram: Int, minJaccard: Double): DataFrame = {
+    Seq("arrivals" -> arrivals, "index" -> idx).foreach { case (side, df) =>
+      require(df.columns.contains(BAND_KEYS_COL),
+        s"storedKeyCrossNearDups: $side side lacks the stored band-key " +
+          s"column '$BAND_KEYS_COL' — land it through withBandKeys, " +
+          "or use crossCorpusNearDups (which re-signatures both sides)")
+    }
+    def keysOf(df: DataFrame, as: String): DataFrame =
+      df.select(col(idCol).as(as), posexplode(col(BAND_KEYS_COL)))
+        .select(col(as), col("pos").as("band"), col("col").as("bkey"))
+    val cands = keysOf(idx, "idx_id")
+      .join(keysOf(arrivals, "new_id"), Seq("band", "bkey"))
       .select(col("idx_id"), col("new_id")).distinct()
-    // verify fetch: shingle ONLY the landed docs some arrival collided
-    // with — the semi-join bounds the re-shingled set to the candidates
-    val candDocs = idx.select(col(idCol), col(textCol))
-      .join(cands.select(col("idx_id").as(idCol)), Seq(idCol), "left_semi")
-    val setsIdx = shingleTable(candDocs, textCol, idCol, ngram)
-      .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("s1"))
-    val setsNew = shNew.groupBy(col(idCol)).agg(collect_set(col("shingle")).as("s2"))
+    // verify fetch: shingle ONLY docs some candidate touches — the
+    // semi-joins bound the shingled set to the collision volume
+    def setsOf(df: DataFrame, role: String, as: String): DataFrame =
+      shingleTable(df.select(col(idCol), col(textCol))
+          .join(cands.select(col(role).as(idCol)), Seq(idCol), "left_semi"),
+        textCol, idCol, ngram)
+        .groupBy(col(idCol)).agg(collect_set(col("shingle")).as(as))
     cands
-      .join(setsIdx.select(col(idCol).as("idx_id"), col("s1")), "idx_id")
-      .join(setsNew.select(col(idCol).as("new_id"), col("s2")), "new_id")
+      .join(setsOf(idx, "idx_id", "s1").select(col(idCol).as("idx_id"), col("s1")), "idx_id")
+      .join(setsOf(arrivals, "new_id", "s2").select(col(idCol).as("new_id"), col("s2")), "new_id")
       .withColumn("inter", size(array_intersect(col("s1"), col("s2"))))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("s1")) + size(col("s2")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= minJaccard)
       .select(col("idx_id"), col("new_id"), col("jaccard"))
+  }
+
+  /** WITHIN-set near-dup pairs over stored band keys — the arrivals'
+    * internal pair relation in the streaming-CC fold, computed without
+    * re-deriving signatures ([[minhashLshNearDups]]' result relation
+    * whenever the stored keys came from [[bandKeyArrays]] with the same
+    * (ngram, k, bands); IndexedDedupSpec pins the equality). Candidates
+    * are the stored-key self-join (id_1 < id_2); only candidate-touched
+    * docs are shingled for the exact-Jaccard verify.
+    * Returns (id_1, id_2, jaccard). */
+  def storedKeySelfNearDups(docs: DataFrame, textCol: String, idCol: String,
+                            ngram: Int, minJaccard: Double): DataFrame = {
+    require(docs.columns.contains(BAND_KEYS_COL),
+      s"storedKeySelfNearDups: input lacks the stored band-key column " +
+        s"'$BAND_KEYS_COL' — land it through withBandKeys, or use " +
+        "minhashLshNearDups (which derives signatures from the text)")
+    val bk = docs.select(col(idCol).as("id"), posexplode(col(BAND_KEYS_COL)))
+      .select(col("id"), col("pos").as("band"), col("col").as("bkey"))
+    val cands = bk.toDF("id_1", "band", "bkey")
+      .join(bk.toDF("id_2", "band", "bkey"), Seq("band", "bkey"))
+      .filter(col("id_1") < col("id_2"))
+      .select(col("id_1"), col("id_2")).distinct()
+    val touched = cands.select(col("id_1").as(idCol))
+      .unionByName(cands.select(col("id_2").as(idCol)))
+    val sets = shingleTable(docs.select(col(idCol), col(textCol))
+        .join(touched, Seq(idCol), "left_semi"), textCol, idCol, ngram)
+      .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("sset"))
+    cands
+      .join(sets.select(col(idCol).as("id_1"), col("sset").as("s1")), "id_1")
+      .join(sets.select(col(idCol).as("id_2"), col("sset").as("s2")), "id_2")
+      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("s1")) + size(col("s2")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_1"), col("id_2"), col("jaccard"))
   }
 
   /** 16-bit SimHash over the distinct token set, built from the first 4

@@ -29,10 +29,21 @@ class Orchestrator(spark: SparkSession, sfDir: String, whRoot: String) {
   private val dec = DecimalType(18, 2)
 
   /** Runs all three stages; returns per-table row counts. */
-  def runFullEtl(): Map[String, Long] = {
+  /** `probe` receives (stage, seconds) per completed stage — the bench
+    * ledger's sub-timing hook (q60 publishes staging/3nf/dm through
+    * [[graft.BenchProbes]] so a blown-up ETL row names a stage); the
+    * default is a no-op for every other caller. */
+  def runFullEtl(probe: (String, Double) => Unit = (_, _) => ()): Map[String, Long] = {
     val t0 = System.nanoTime()
+    def timed(stage: String)(body: => Map[String, Long]): Map[String, Long] = {
+      val s0 = System.nanoTime()
+      val r = body
+      probe(stage, (System.nanoTime() - s0) / 1e9)
+      r
+    }
     try {
-      val counts = stageStaging() ++ stage3nf() ++ stageDm()
+      val counts = timed("staging")(stageStaging()) ++
+        timed("3nf")(stage3nf()) ++ timed("dm")(stageDm())
       log.append("run_full_etl", f"pipeline completed in ${(System.nanoTime() - t0) / 1e9}%.2f s",
         counts.values.sum)
       counts
@@ -887,7 +898,8 @@ object EtlQueries extends graft.QueryPack {
       // ephemeral bench warehouse on tmpfs when available: the query
       // measures the pipeline's compute, not the host VM's bursty disk
       val orch = new Orchestrator(s, d, tmpWarehouse())
-      orch.runFullEtl()
+      orch.runFullEtl((stage, sec) =>
+        graft.BenchProbes.record("q60_full_etl", stage, sec))
       orch.wh.read("bl_dm", "fct_sales")
         // partition-column type inference reads the month dir as int
         .withColumn("order_month", col("order_month").cast("string"))

@@ -111,6 +111,22 @@ class Warehouse(val root: String, spark: SparkSession) {
     n
   }
 
+  /** Committed partition values of a partitioned table, read from the
+    * partition directory names — zero Spark jobs, no footer reads. The
+    * metadata query sequence-number derivations use (e.g. the
+    * streaming-CC wave counter) — an aggregation over the partition
+    * column would schedule a full scan job for what the directory
+    * listing already knows.
+    */
+  def partitionValues(layer: String, table: String, partCol: String): Seq[String] = {
+    recover(layer, table)
+    val dir = new Path(path(layer, table))
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith(partCol + "=") && !n.endsWith("__old"))
+      .map(_.stripPrefix(partCol + "="))
+  }
+
   /** Data files inside one partition dir — the compaction observable
     * (counted through the table's own FileSystem, so it works on any
     * Hadoop-compatible store, not just local disk).

@@ -72,6 +72,30 @@ class IndexedDedupSpec extends SparkSpec {
     assert(!got.exists(_._1 == 4L))
   }
 
+  test("storedKeySelfNearDups over stored keys ≡ minhashLshNearDups from text") {
+    val docs = idxDocs.unionByName(newDocs)
+    val got = Dedup.storedKeySelfNearDups(
+      Dedup.withBandKeys(docs, "text", "doc_id", NGRAM, K, BANDS),
+      "text", "doc_id", NGRAM, MIN_J)
+      .as[(Long, Long, Double)].collect().toSet
+    val want = Dedup.minhashLshNearDups(docs, "text", "doc_id",
+      NGRAM, K, BANDS, MIN_J)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("storedKeyCrossNearDups with pre-keyed arrivals ≡ the recomputing path") {
+    val idx = Dedup.withBandKeys(idxDocs, "text", "doc_id", NGRAM, K, BANDS)
+    val arr = Dedup.withBandKeys(newDocs, "text", "doc_id", NGRAM, K, BANDS)
+    val got = asPairs(Dedup.storedKeyCrossNearDups(arr, idx, "text", "doc_id",
+      NGRAM, MIN_J))
+    val tagged = idxDocs.withColumn("__side", lit("idx"))
+      .unionByName(newDocs.withColumn("__side", lit("new")))
+    val want = asPairs(Dedup.crossCorpusNearDups(tagged, "text", "doc_id",
+      "__side", "idx", "new", NGRAM, K, BANDS, MIN_J))
+    assert(got == want && got.nonEmpty)
+  }
+
   test("bandKeyArrays matches the banding relation the candidate joins use") {
     // element b of the stored array == the (band=b, bkey) row of
     // lshCandidatePairs' exploded relation — same md5-concat recipe, so

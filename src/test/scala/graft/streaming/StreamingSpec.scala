@@ -532,8 +532,10 @@ class StreamingSpec extends SparkSpec {
       ngram = 3, k = 8, bands = 4, minJaccard = 0.2,
       checkpointDir = Some(s"$dir/ckpt"))
     drain()
-    val landed = wh.read("idx", "cc").select($"doc_id", $"cluster_id")
-      .as[(Long, Long)].collect().toSet
+    def assignment(): Set[(Long, Long)] =
+      EventPipelines.ccAssignment(wh, "idx", "cc")
+        .select($"doc_id", $"cluster_id").as[(Long, Long)].collect().toSet
+    val landed = assignment()
     val full = Dedup.connectedComponents(
       Dedup.minhashLshNearDups(docs, "text", "doc_id", 3, 8, 4, 0.2)
         .select($"id_1", $"id_2"),
@@ -544,23 +546,25 @@ class StreamingSpec extends SparkSpec {
     val cids = landed.toMap
     assert(cids(1L) == cids(2L) && cids(2L) == cids(5L))
     assert(cids(3L) == cids(4L) && cids(3L) != cids(1L))
+    // the docs index is append-only: one wave partition per micro-batch,
+    // stored band keys landed with each wave, text landed exactly once
+    val docsTbl = wh.read("idx", "cc")
+    assert(docsTbl.columns.contains(Dedup.BAND_KEYS_COL))
+    assert(docsTbl.select(col(EventPipelines.CcWaveCol)).distinct().count() == 3)
+    assert(docsTbl.count() == 6)
     // a second drain of the SAME files replays ledgered batch ids: no-op
     drain()
-    val again = wh.read("idx", "cc").select($"doc_id", $"cluster_id")
-      .as[(Long, Long)].collect().toSet
-    assert(again == landed)
-    // the crash window BETWEEN overwrite and ledger marker: replay the
-    // last batch with the ledger OFF (as a post-crash restart would) —
-    // the anti-join replay guard must fold the re-delivered ids to a
-    // no-op, never duplicate rows in the landed index
+    assert(assignment() == landed)
+    // the crash window BETWEEN doc-landing and ledger marker: replay
+    // the last batch with the ledger OFF (as a post-crash restart
+    // would) — the anti-join replay guard must fold the re-delivered
+    // ids to an empty wave, never duplicate docs or perturb labels
     EventPipelines.ccBatch(wh, "idx", "cc", "doc_id", "text",
       ngram = 3, k = 8, bands = 4, minJaccard = 0.2,
       batch = docs.filter($"doc_id" === 5), batchId = 99L,
       useLedger = false): Unit
-    val replayed = wh.read("idx", "cc")
-    assert(replayed.count() == landed.size, "replay duplicated landed rows")
-    assert(replayed.select($"doc_id", $"cluster_id")
-      .as[(Long, Long)].collect().toSet == landed)
+    assert(wh.read("idx", "cc").count() == landed.size, "replay duplicated landed docs")
+    assert(assignment() == landed)
   }
 
   test("ccBatch probes STORED band keys — never re-signatures the landed corpus") {
@@ -579,7 +583,7 @@ class StreamingSpec extends SparkSpec {
         ngram = 3, k = 8, bands = 4, minJaccard = 0.2,
         batch = b, batchId = bid, useLedger = false): Unit
     ccb(wave1, 0L)
-    // the bootstrap landed the per-doc key arrays with the table
+    // the bootstrap landed the per-doc key arrays with the docs wave
     assert(wh.read("idx", "cc").columns.contains(Dedup.BAND_KEYS_COL))
     // poison doc 1's STORED keys (text untouched). If the next batch
     // re-computed landed-side signatures from text — the O(B·corpus)
@@ -590,22 +594,63 @@ class StreamingSpec extends SparkSpec {
         when($"doc_id" === 1L,
           transform(col(Dedup.BAND_KEYS_COL), _ => lit("poisoned")))
           .otherwise(col(Dedup.BAND_KEYS_COL)))
-    wh.overwrite(poisoned, "idx", "cc"): Unit
+    wh.overwrite(poisoned, "idx", "cc",
+      partitionBy = Seq(EventPipelines.CcWaveCol)): Unit
     ccb(wave2, 1L)
-    val cids = wh.read("idx", "cc").select($"doc_id", $"cluster_id")
-      .as[(Long, Long)].collect().toMap
+    val cids = EventPipelines.ccAssignment(wh, "idx", "cc")
+      .select($"doc_id", $"cluster_id").as[(Long, Long)].collect().toMap
     assert(cids(5L) != cids(1L),
       "arrival merged through a poisoned stored key — the probe is " +
         "re-computing landed-side signatures instead of reading the " +
         s"stored ${Dedup.BAND_KEYS_COL} relation")
-    // a keyless landed table must fail LOUDLY, not silently fall back
+    // a keyless docs table must fail LOUDLY, not silently fall back
     // to the per-batch corpus re-signature
     wh.overwrite(wh.read("idx", "cc").localCheckpoint(true)
-      .drop(Dedup.BAND_KEYS_COL), "idx", "cc"): Unit
+      .drop(Dedup.BAND_KEYS_COL), "idx", "cc",
+      partitionBy = Seq(EventPipelines.CcWaveCol)): Unit
     val e = intercept[IllegalArgumentException] {
       ccb(Seq((7L, "more text that would otherwise land fine today")).toDF("doc_id", "text"), 2L)
     }
     assert(e.getMessage.contains(Dedup.BAND_KEYS_COL))
+  }
+
+  test("ccBatch self-heals the docs-landed/version-unpublished crash window") {
+    import graft.operators.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("graft-ccheal").toString
+    val wh = new graft.sources.Warehouse(dir, spark)
+    val all = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),   // near-dup of 1
+      (3L, "a completely different document about spark physical plans"),
+      (4L, "a completely different document about spark logical plans"), // near-dup of 3
+      (5L, "the quick brown fox jumps over the lazy dog tomorrow") // bridges 1-2
+    ).toDF("doc_id", "text")
+    def ccb(ids: Long*)(bid: Long): Unit =
+      EventPipelines.ccBatch(wh, "idx", "cc", "doc_id", "text",
+        ngram = 3, k = 8, bands = 4, minJaccard = 0.2,
+        batch = all.filter($"doc_id".isin(ids: _*)), batchId = bid,
+        useLedger = false): Unit
+    ccb(1L, 2L)(0L)
+    ccb(3L, 4L)(1L)
+    // simulate the crash BETWEEN doc-landing and version publish: batch
+    // 1's docs stay landed, its published snapshot disappears
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    val latest = wh.latestVersion("idx", "cc__assign").get
+    rm(new java.io.File(wh.path("idx", "cc__assign__versions"), s"v=$latest"))
+    // the next batch must fold the ORPHANED docs (3, 4) in along with
+    // its own arrival (5) against the still-consistent v1 snapshot —
+    // "arrivals" are docs missing from the snapshot, not batch rows
+    ccb(5L)(2L)
+    val got = EventPipelines.ccAssignment(wh, "idx", "cc")
+      .select($"doc_id", $"cluster_id").as[(Long, Long)].collect().toSet
+    val full = Dedup.connectedComponents(
+      Dedup.minhashLshNearDups(all, "text", "doc_id", 3, 8, 4, 0.2)
+        .select($"id_1", $"id_2"),
+      all.select($"doc_id"), "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(got == full, s"self-heal diverged: $got vs $full")
   }
 
   test("dedup ingest over a KEYED seed (q166 shape): same decisions, O(arrivals) probe") {
