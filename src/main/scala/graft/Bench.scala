@@ -61,11 +61,12 @@ object Bench {
   }
 
   /** One measured execution: wall seconds, start offset from run
-    * start, executor task/CPU/GC milliseconds + task count, and any
-    * [[BenchProbes]] sub-timings the query published. */
+    * start, executor task/CPU/GC milliseconds + task count, the
+    * QueryCaches miss delta this attempt paid, and any [[BenchProbes]]
+    * sub-timings the query published. */
   private case class Attempt(sec: Double, startS: Double, taskMs: Long,
                              cpuMs: Long, gcMs: Long, nTasks: Long,
-                             subs: Map[String, Double])
+                             missDelta: Long, subs: Map[String, Double])
 
   def main(args: Array[String]): Unit = {
     // bench runs retire thousands of fixpoint generations; the
@@ -187,7 +188,14 @@ object Bench {
     // sorted-name order; now they are written down)
     val runT0 = System.nanoTime()
     def attempt(name: String, body: () => Unit): Attempt = {
+      // discard any stale sub-timings first: the sf0.001 warmup pass
+      // above executed this query's body too, so without the purge a
+      // FAILED timed run would publish a mix of timed parts and
+      // warmup-scale leftovers as its sub_timings — corrupted exactly
+      // where the evidence matters most
+      BenchProbes.drain(name): Unit
       val s0 = acc.snap()
+      val missesBefore = graft.operators.QueryCaches.stats._2
       val startS = (System.nanoTime() - runT0) / 1e9
       val t0 = System.nanoTime()
       // a failed query reports -1, not a fast-looking elapsed time
@@ -196,7 +204,9 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
       val s1 = acc.snap()
       Attempt(sec, startS, s1(0) - s0(0), (s1(1) - s0(1)) / 1000000L,
-        s1(2) - s0(2), s1(3) - s0(3), BenchProbes.drain(name))
+        s1(2) - s0(2), s1(3) - s0(3),
+        graft.operators.QueryCaches.stats._2 - missesBefore,
+        BenchProbes.drain(name))
     }
     // Shared-model training as NAMED, separately-timed steps (see
     // ModelWarm): every per-query number below is a serving-path
@@ -234,7 +244,6 @@ object Bench {
         val rt = Runtime.getRuntime
         System.err.println(f"[bench-diag] before $name: heapUsed=${(rt.totalMemory - rt.freeMemory) / (1 << 20)}%d MiB, cachedRdds=${spark.sparkContext.getRDDStorageInfo.length}%d")
       }
-      val missesBefore = graft.operators.QueryCaches.stats._2
       val first = attempt(name, () => { fn(spark, dirFor(name)).count(): Unit })
       // Min-of-two stall absorption (round-11 verdict directive 4): a
       // first execution beyond 3× the committed local best is either a
@@ -259,8 +268,10 @@ object Bench {
         case _ => first
       }
       attempts(name) = kept
-      val missDelta = graft.operators.QueryCaches.stats._2 - missesBefore
-      if (missDelta > 0) missByQuery(name) = missDelta
+      // the KEPT attempt's miss delta — a retry's fast second run must
+      // not be published next to a miss the discarded first run paid
+      // (its cost is visible in `retried`, not hidden in the kept wall)
+      if (kept.missDelta > 0) missByQuery(name) = kept.missDelta
       storageByQuery(name) = storageMb()
     }
     // 3-decimal timings, locale-fixed: ms resolution is all a
@@ -283,8 +294,17 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
-    val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
-      .map(_.group(1)).getOrElse("\"" + jesc(sfDir) + "\"")
+    // the emitted sf derives from the BASENAME, exactly like benchSf
+    // and the bestKnown matcher: the old full-path regex could stamp
+    // "sf":0.1 on a run over /…/sf0.1_subsets/mini, and that committed
+    // file would then poison every real sf0.1 run's retry baseline
+    // (spurious min-of-two re-runs forever). A non-sf dir is recorded
+    // as its (escaped) path string — never number-matched.
+    val sf =
+      if (benchSf != Double.MaxValue)
+        "sf([0-9.]+)".r.findFirstMatchIn(new java.io.File(sfDir).getName)
+          .map(_.group(1)).getOrElse("\"" + jesc(sfDir) + "\"")
+      else "\"" + jesc(sfDir) + "\""
     // The full per-query map makes the JSON line ~2.6 KB — longer than
     // line-capped log capture allows, which destroyed the committed perf
     // evidence three rounds running. Stdout gets a SHORT total-only line

@@ -394,15 +394,46 @@ object Dedup {
   /** The banding relation (id, band, bkey) both candidate joins build
     * on — one row per (doc, band).
     */
+  /** Band b's key expression over signature columns mh0..mh{k−1}:
+    * md5(mh_{b·r} ‖ '|' ‖ … ‖ mh_{b·r+r−1}). ONE definition shared by
+    * the on-the-fly banding relation and the persisted key arrays
+    * ([[bandKeyArrays]]) — if the two recipes ever desynchronized,
+    * stored-key candidate joins would silently stop matching
+    * recomputed ones (missed near-dups, wrong dedup decisions, with
+    * only IndexedDedupSpec's equality pins standing in the way).
+    */
+  private def bandKeyExprs(bands: Int, rowsPerBand: Int): Seq[Column] =
+    (0 until bands).map { b =>
+      md5(concat_ws("|",
+        (0 until rowsPerBand).map(j => col(s"mh${b * rowsPerBand + j}")): _*))
+    }
+
+  /** The exact-Jaccard verification every near-dup operator ends with:
+    * attach each side's distinct-shingle set to the candidate pairs,
+    * compute |∩| / |∪| via array_intersect, keep pairs ≥ `minJaccard`.
+    * `sets1`/`sets2` are 2-column (id, shingle-set) relations for the
+    * `id1`/`id2` roles of `cands`. One definition so a threshold or
+    * null-semantics change can't fork across the five operators.
+    */
+  private def jaccardVerified(cands: DataFrame, sets1: DataFrame,
+                              sets2: DataFrame, id1: String, id2: String,
+                              minJaccard: Double): DataFrame =
+    cands
+      .join(sets1.toDF(id1, "s1"), id1)
+      .join(sets2.toDF(id2, "s2"), id2)
+      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("s1")) + size(col("s2")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col(id1), col(id2), col("jaccard"))
+
   private def bandRelation(signatures: DataFrame, idCol: String,
                            bands: Int, rowsPerBand: Int): DataFrame = {
     require(bands >= 1 && rowsPerBand >= 1,
       s"bands=$bands rowsPerBand=$rowsPerBand: rowsPerBand of 0 would give every doc " +
         "the same band key and materialize the all-pairs cross product")
-    val bandStructs = (0 until bands).map { b =>
-      val key = md5(concat_ws("|",
-        (0 until rowsPerBand).map(j => col(s"mh${b * rowsPerBand + j}")): _*))
-      struct(lit(b).as("band"), key.as("bkey"))
+    val bandStructs = bandKeyExprs(bands, rowsPerBand).zipWithIndex.map {
+      case (key, b) => struct(lit(b).as("band"), key.as("bkey"))
     }
     signatures
       .select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
@@ -433,14 +464,7 @@ object Dedup {
     // jaccard table — a pair sharing no shingle has jaccard 0 and is
     // filtered either way.
     val sets = sh.groupBy(col(idCol)).agg(collect_set(col("shingle")).as("sset"))
-    cands
-      .join(sets.select(col(idCol).as("id_1"), col("sset").as("s1")), "id_1")
-      .join(sets.select(col(idCol).as("id_2"), col("sset").as("s2")), "id_2")
-      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (size(col("s1")) + size(col("s2")) - col("inter")).cast("double"))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("id_1"), col("id_2"), col("jaccard"))
+    jaccardVerified(cands, sets, sets, "id_1", "id_2", minJaccard)
   }
 
   /** Fuzzy decontamination BETWEEN corpora: near-dup (left, right) doc
@@ -474,13 +498,7 @@ object Dedup {
       .select(col("id").as("rid"), col("band"), col("bkey"))
     val cands = l.join(r, Seq("band", "bkey")).select(col("lid"), col("rid")).distinct()
     val sets = sh.groupBy(col(idCol)).agg(collect_set(col("shingle")).as("sset"))
-    cands
-      .join(sets.select(col(idCol).as("lid"), col("sset").as("s1")), "lid")
-      .join(sets.select(col(idCol).as("rid"), col("sset").as("s2")), "rid")
-      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (size(col("s1")) + size(col("s2")) - col("inter")).cast("double"))
-      .filter(col("jaccard") >= minJaccard)
+    jaccardVerified(cands, sets, sets, "lid", "rid", minJaccard)
       .select(col("lid").as(s"${leftSide}_id"), col("rid").as(s"${rightSide}_id"),
         col("jaccard"))
   }
@@ -515,12 +533,9 @@ object Dedup {
                     ngram: Int, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, s"k=$k must divide evenly into bands=$bands " +
       "(trailing minhashes would be silently ignored)")
-    val rpb = k / bands
     val sig = minhashSignatures(shingleTable(docs, textCol, idCol, ngram), idCol, k)
-    val keys = (0 until bands).map { b =>
-      md5(concat_ws("|", (0 until rpb).map(j => col(s"mh${b * rpb + j}")): _*))
-    }
-    sig.select(col(idCol), array(keys: _*).as(BAND_KEYS_COL))
+    sig.select(col(idCol),
+      array(bandKeyExprs(bands, k / bands): _*).as(BAND_KEYS_COL))
   }
 
   /** `docs` plus the stored band-key column ([[bandKeyArrays]]) — the
@@ -588,19 +603,13 @@ object Dedup {
       .select(col("idx_id"), col("new_id")).distinct()
     // verify fetch: shingle ONLY docs some candidate touches — the
     // semi-joins bound the shingled set to the collision volume
-    def setsOf(df: DataFrame, role: String, as: String): DataFrame =
+    def setsOf(df: DataFrame, role: String): DataFrame =
       shingleTable(df.select(col(idCol), col(textCol))
           .join(cands.select(col(role).as(idCol)), Seq(idCol), "left_semi"),
         textCol, idCol, ngram)
-        .groupBy(col(idCol)).agg(collect_set(col("shingle")).as(as))
-    cands
-      .join(setsOf(idx, "idx_id", "s1").select(col(idCol).as("idx_id"), col("s1")), "idx_id")
-      .join(setsOf(arrivals, "new_id", "s2").select(col(idCol).as("new_id"), col("s2")), "new_id")
-      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (size(col("s1")) + size(col("s2")) - col("inter")).cast("double"))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("idx_id"), col("new_id"), col("jaccard"))
+        .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("sset"))
+    jaccardVerified(cands, setsOf(idx, "idx_id"), setsOf(arrivals, "new_id"),
+      "idx_id", "new_id", minJaccard)
   }
 
   /** WITHIN-set near-dup pairs over stored band keys — the arrivals'
@@ -628,14 +637,7 @@ object Dedup {
     val sets = shingleTable(docs.select(col(idCol), col(textCol))
         .join(touched, Seq(idCol), "left_semi"), textCol, idCol, ngram)
       .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("sset"))
-    cands
-      .join(sets.select(col(idCol).as("id_1"), col("sset").as("s1")), "id_1")
-      .join(sets.select(col(idCol).as("id_2"), col("sset").as("s2")), "id_2")
-      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (size(col("s1")) + size(col("s2")) - col("inter")).cast("double"))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("id_1"), col("id_2"), col("jaccard"))
+    jaccardVerified(cands, sets, sets, "id_1", "id_2", minJaccard)
   }
 
   /** 16-bit SimHash over the distinct token set, built from the first 4

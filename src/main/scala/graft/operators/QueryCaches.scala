@@ -144,6 +144,15 @@ object QueryCaches {
       })
     registry.forEach(_.keySet.removeIf(k => k._1.sparkContext.isStopped))
     val key = (s, s"$d@${fingerprint(s, d)}")
+    // Sweep SUPERSEDED entries for the same (session, dir): after an
+    // in-session corpus rewrite the new fingerprint mints a new key,
+    // and without this sweep the old entry would sit in the registry
+    // until session end, strongly referencing DataFrames that pin the
+    // stale model's localCheckpoint blocks — repeated regeneration in
+    // a long-lived session would grow the block manager unboundedly.
+    // Keyed on the "dir@" prefix, so other dirs' entries are untouched.
+    registry.forEach(_.keySet.removeIf(k =>
+      (k._1 eq s) && k._2.startsWith(d + "@") && k._2 != key._2))
     var missed = false
     val v = cache.computeIfAbsent(key, _ => { missed = true; train })
     if (missed) {

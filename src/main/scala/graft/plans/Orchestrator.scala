@@ -785,20 +785,23 @@ object EtlQueries extends graft.QueryPack {
       val oCols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate")
       val lCols = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
         "l_quantity", "l_extendedprice", "l_shipdate")
-      stage("customers", Tables.customer(s, d),
-        Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
-      stage("products", Tables.part(s, d),
-        Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"))
-      stage("suppliers", Tables.supplier(s, d),
-        Seq("s_suppkey", "s_name", "s_acctbal", "s_nationkey"))
       val liSub = Tables.lineitem(s, d).filter(col("l_orderkey") % 5 === 0)
       val oSub = Tables.orders(s, d).filter(col("o_orderkey") % 5 === 0)
-      stage("orders", oSub, oCols)
-      stage("sales", liSub, lCols)
+      pass("stage_inputs") {
+        stage("customers", Tables.customer(s, d),
+          Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
+        stage("products", Tables.part(s, d),
+          Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"))
+        stage("suppliers", Tables.supplier(s, d),
+          Seq("s_suppkey", "s_name", "s_acctbal", "s_nationkey"))
+        stage("orders", oSub, oCols)
+        stage("sales", liSub, lCols)
+      }
       pass("pass1_initial") { orch.stage3nf(); orch.stageDm() }
       // the late extract: last month's orders + their lines, +60 days,
       // fresh keys — strictly past the watermark
       val month = date_format(to_date(col("o_orderdate")), "yyyyMM")
+      val tLate0 = System.nanoTime()
       val lastMonth = oSub.agg(max(month)).head().getString(0)
       val lateO = oSub.filter(month === lastMonth).select(
         (col("o_orderkey").cast(LongType) + 10000000L).as("o_orderkey"),
@@ -816,6 +819,8 @@ object EtlQueries extends graft.QueryPack {
         wh.read("staging", "orders"), Seq("o_orderkey")), "staging", "orders"): Unit
       wh.overwrite(Staging.antiJoinAppend(Staging.clean(lateL, lCols),
         wh.read("staging", "sales"), Seq("l_orderkey", "l_linenumber")), "staging", "sales"): Unit
+      graft.BenchProbes.record("q74_incremental_etl", "late_extract",
+        (System.nanoTime() - tLate0) / 1e9)
       pass("pass2_incremental") { orch.stage3nf(); orch.stageDm() }
       // Third pass: the reference's idempotency re-run on UNCHANGED
       // data (python/dw_etl_tests.py:371-410) — zero rows staged, so

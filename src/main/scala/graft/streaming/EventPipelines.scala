@@ -437,7 +437,7 @@ object EventPipelines {
       .apply(dedupBatch(batch, Seq(idCol)))
       .select(col(idCol), col(textCol)).localCheckpoint(true)
     val docsExist = wh.exists(layer, table)
-    if (docsExist)
+    if (docsExist) {
       require(wh.read(layer, table).columns.contains(Dedup.BAND_KEYS_COL),
         s"ccBatch: docs table $layer.$table lacks the stored band-key " +
           s"column '${Dedup.BAND_KEYS_COL}'. ccBatch lands its own waves " +
@@ -445,6 +445,16 @@ object EventPipelines {
           "through Dedup.withBandKeys — silently falling back to " +
           "re-signaturing the whole landed corpus per micro-batch is the " +
           "O(B·corpus) behavior this contract exists to forbid")
+      // layout must be wave-partitioned too: an unpartitioned keyed seed
+      // would pass the column check, then the wave swap below drops a
+      // __wave=N subdir next to root-level data files — a mixed layout
+      // Spark rejects on the very next read, AFTER the table was mutated
+      require(wh.partitionValues(layer, table, CcWaveCol).nonEmpty,
+        s"ccBatch: docs table $layer.$table is not partitioned by " +
+          s"$CcWaveCol. Pre-seed with .withColumn(\"$CcWaveCol\", " +
+          "lit(\"0\")) and overwrite(..., partitionBy = Seq(CcWaveCol)) " +
+          "so maintenance waves can land as sibling partitions")
+    }
     // 1. land NEW docs (with their band keys, computed once here) as
     //    this batch's wave partition. The anti-join is the replay
     //    guard: re-delivered ids fold to an empty wave, so landing is
@@ -575,13 +585,18 @@ object EventPipelines {
       else {
         val landed = wh.readPartitioned(layer, table, partCol)
         if (landed.columns.contains(Dedup.BAND_KEYS_COL)) {
-          val hits = Dedup.indexedCrossNearDups(survivors,
+          // key the batch ONCE and cut: the probe and the landing both
+          // need the keys, and the keyed lineage embeds the whole
+          // within-batch LSH DAG — without the cut the signatures run
+          // twice and the LSH subtree several times per micro-batch,
+          // the exact per-batch compute this path exists to minimize
+          val keyed = Dedup.withBandKeys(survivors, textCol, idCol, ngram, k, bands)
+            .localCheckpoint(true)
+          val hits = Dedup.storedKeyCrossNearDups(keyed,
             landed.select(col(idCol), col(textCol), col(Dedup.BAND_KEYS_COL)),
-            textCol, idCol, ngram, k, bands, minJaccard)
-          Dedup.withBandKeys(
-            survivors.join(hits.select(col("new_id").as(idCol)).distinct(),
-              Seq(idCol), "left_anti"),
-            textCol, idCol, ngram, k, bands)
+            textCol, idCol, ngram, minJaccard)
+          keyed.join(hits.select(col("new_id").as(idCol)).distinct(),
+            Seq(idCol), "left_anti")
         } else {
           // legacy keyless index (pre-seeded without withBandKeys):
           // correct but re-signatures the landed side EVERY batch — the

@@ -614,6 +614,28 @@ class StreamingSpec extends SparkSpec {
     assert(e.getMessage.contains(Dedup.BAND_KEYS_COL))
   }
 
+  test("ccBatch rejects a keyed but UNPARTITIONED pre-seed BEFORE mutating it") {
+    import graft.operators.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("graft-ccflat").toString
+    val wh = new graft.sources.Warehouse(dir, spark)
+    val seed = Seq((1L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    // keyed (passes the column check) but NOT wave-partitioned: the
+    // wave swap would drop a __wave=N subdir next to root-level files —
+    // a mixed layout Spark rejects on the next read, AFTER mutation
+    wh.overwrite(Dedup.withBandKeys(seed, "text", "doc_id", 3, 8, 4),
+      "idx", "cc"): Unit
+    val before = wh.read("idx", "cc").count()
+    val e = intercept[IllegalArgumentException] {
+      EventPipelines.ccBatch(wh, "idx", "cc", "doc_id", "text",
+        ngram = 3, k = 8, bands = 4, minJaccard = 0.2,
+        batch = Seq((2L, "another doc entirely")).toDF("doc_id", "text"),
+        batchId = 0L, useLedger = false): Unit
+    }
+    assert(e.getMessage.contains(EventPipelines.CcWaveCol))
+    assert(wh.read("idx", "cc").count() == before, "reject must not mutate")
+  }
+
   test("ccBatch self-heals the docs-landed/version-unpublished crash window") {
     import graft.operators.Dedup
     val dir = java.nio.file.Files.createTempDirectory("graft-ccheal").toString
