@@ -96,6 +96,29 @@ class IndexedDedupSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("plan shape: the stored-key probe computes NO minhash signatures anywhere") {
+    // both inputs are materialized (lineage cut), so the probe's plan
+    // is ONLY the probe: if it re-derived signatures from text on
+    // either side, the mh* aggregate columns would appear in it — the
+    // O(corpus)-per-batch work the stored-key contract forbids
+    val idx = Dedup.withBandKeys(idxDocs, "text", "doc_id", NGRAM, K, BANDS)
+      .localCheckpoint(true)
+    val arr = Dedup.withBandKeys(newDocs, "text", "doc_id", NGRAM, K, BANDS)
+      .localCheckpoint(true)
+    val probe = Dedup.storedKeyCrossNearDups(arr, idx, "text", "doc_id",
+      NGRAM, MIN_J)
+    assert(!probe.queryExecution.optimizedPlan.toString.contains("mh0"),
+      "stored-key probe plan contains signature computation")
+    // positive control: the recomputing path's plan DOES carry them
+    val tagged = idxDocs.withColumn("__side", lit("idx"))
+      .unionByName(newDocs.withColumn("__side", lit("new")))
+    val recompute = Dedup.crossCorpusNearDups(tagged, "text", "doc_id",
+      "__side", "idx", "new", NGRAM, K, BANDS, MIN_J)
+    assert(recompute.queryExecution.optimizedPlan.toString.contains("mh0"))
+    // and the probe still finds the pairs (the plan is minimal, not empty)
+    assert(asPairs(probe).nonEmpty)
+  }
+
   test("bandKeyArrays matches the banding relation the candidate joins use") {
     // element b of the stored array == the (band=b, bkey) row of
     // lshCandidatePairs' exploded relation — same md5-concat recipe, so
