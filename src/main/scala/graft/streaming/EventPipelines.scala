@@ -433,9 +433,13 @@ object EventPipelines {
               prep: Option[DataFrame => DataFrame] = None): Boolean = {
     import graft.operators.Dedup
     if (useLedger && wh.batchCommitted(layer, table, batchId, ledgerNs)) return false
+    // no eager cut here: `incoming` has exactly ONE consumer (the fresh
+    // wave below, which is itself checkpointed) — the cut it used to
+    // carry was for the old single-table shape that re-read arrivals
+    // four times per batch
     val incoming = prep.getOrElse(identity[DataFrame] _)
       .apply(dedupBatch(batch, Seq(idCol)))
-      .select(col(idCol), col(textCol)).localCheckpoint(true)
+      .select(col(idCol), col(textCol))
     val docsExist = wh.exists(layer, table)
     if (docsExist) {
       require(wh.read(layer, table).columns.contains(Dedup.BAND_KEYS_COL),
