@@ -37,11 +37,13 @@ object Bench {
     * With per-query task/CPU/GC time committed next to the wall time,
     * a stalled wall with flat task time is PROVABLE external
     * contention from the evidence alone — no judge inference over
-    * blow-up clustering required. Deltas are attributed to whichever
-    * query is running when the task ENDS; stragglers from a previous
-    * query's canceled/speculative stages can bleed a few ms across the
-    * boundary — noise, not attribution error, since queries run
-    * sequentially and .count() drains each query's jobs.
+    * blow-up clustering required. Task-end events arrive on the ASYNC
+    * listener bus, so each snapshot is taken only after
+    * [[org.apache.spark.graft.ListenerBusDrain]] drains the queues —
+    * without that, a heavy query's still-queued events would land in
+    * the NEXT query's delta (worst exactly when the rig is loaded,
+    * i.e. when the evidence matters). Residual bleed is then only
+    * canceled/speculative stragglers — noise, not attribution error.
     */
   private final class TaskAccum extends org.apache.spark.scheduler.SparkListener {
     val runMs = new java.util.concurrent.atomic.AtomicLong
@@ -194,6 +196,7 @@ object Bench {
       // warmup-scale leftovers as its sub_timings — corrupted exactly
       // where the evidence matters most
       BenchProbes.drain(name): Unit
+      org.apache.spark.graft.ListenerBusDrain.drain(spark.sparkContext)
       val s0 = acc.snap()
       val missesBefore = graft.operators.QueryCaches.stats._2
       val startS = (System.nanoTime() - runT0) / 1e9
@@ -202,6 +205,7 @@ object Bench {
       val sec = try { body(); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
+      org.apache.spark.graft.ListenerBusDrain.drain(spark.sparkContext)
       val s1 = acc.snap()
       Attempt(sec, startS, s1(0) - s0(0), (s1(1) - s0(1)) / 1000000L,
         s1(2) - s0(2), s1(3) - s0(3),
@@ -222,6 +226,13 @@ object Bench {
       case None => only.isEmpty
     }
     val attempts = scala.collection.mutable.LinkedHashMap.empty[String, Attempt]
+    // warm_total below sums THESE names, not a "warm_" prefix match —
+    // a future step named without the prefix must not silently leave
+    // the warm subtotal while staying in the headline (the round-10
+    // step-change misread class)
+    val warmNames: Set[String] =
+      if (warmModels) graft.operators.ModelWarm.steps.map(_._1).toSet
+      else Set.empty
     if (warmModels)
       graft.operators.ModelWarm.steps.foreach { case (name, fn) =>
         attempts(name) = attempt(name, () => fn(spark, sfDir))
@@ -236,7 +247,12 @@ object Bench {
     // is attributable from committed evidence alone.
     val missByQuery = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val storageByQuery = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-    val retried = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // the DISCARDED first attempt, in full: without its task/CPU/miss
+    // evidence a retried row could not distinguish "external stall
+    // absorbed" from "a real first-run cost (e.g. a per-run retrain)
+    // that the warm re-run hides" — the reading rule would then
+    // mislabel a real regression as rig contention every round
+    val retried = scala.collection.mutable.LinkedHashMap.empty[String, Attempt]
     def storageMb(): Long =
       spark.sparkContext.getRDDStorageInfo.map(i => i.memSize + i.diskSize).sum >> 20
     selected.foreach { case (name, fn) =>
@@ -262,7 +278,7 @@ object Bench {
           System.err.println(f"[bench] $name ${first.sec}%.3f s > 3x best-known " +
             f"$best%.3f s - re-running once (min-of-two)")
           val second = attempt(name, () => { fn(spark, dirFor(name)).count(): Unit })
-          retried(name) = first.sec
+          retried(name) = first
           if (second.sec >= 0 && (first.sec < 0 || second.sec < first.sec)) second
           else first
         case _ => first
@@ -316,7 +332,7 @@ object Bench {
     // warm rows (they joined the total in round 10 — a ~22 s step change
     // that otherwise reads as a code regression).
     val warmTotal = attempts.collect {
-      case (k, a) if k.startsWith("warm_") && a.sec >= 0 => a.sec }.sum
+      case (k, a) if warmNames(k) && a.sec >= 0 => a.sec }.sum
     def jLongMap(m: collection.Map[String, Long]): String =
       m.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
@@ -336,6 +352,11 @@ object Bench {
     val subsJson = attempts.toSeq.filter(_._2.subs.nonEmpty).sortBy(_._1)
       .map { case (q, a) => "\"" + q + "\":" + jDoubleMap(a.subs) }
       .mkString("{", ",", "}")
+    val retriedJson = retried.toSeq.sortBy(_._1).map { case (k, a) =>
+      "\"" + k + "\":{\"sec\":" + f3(a.sec) + ",\"task_ms\":" + a.taskMs +
+        ",\"cpu_ms\":" + a.cpuMs + ",\"gc_ms\":" + a.gcMs +
+        ",\"tasks\":" + a.nTasks + ",\"cache_misses\":" + a.missDelta + "}"
+    }.mkString("{", ",", "}")
     val attribution =
       s""""warm_total":${f3(warmTotal)},"cache_misses":${jLongMap(missByQuery)},""" +
         s""""cache_misses_total":${missByQuery.values.sum},""" +
@@ -346,7 +367,7 @@ object Bench {
         s""""cpu_ms":${jLongMap(attempts.map { case (k, a) => k -> a.cpuMs })},""" +
         s""""gc_ms":${jLongMap(attempts.map { case (k, a) => k -> a.gcMs })},""" +
         s""""tasks":${jLongMap(attempts.map { case (k, a) => k -> a.nTasks })},""" +
-        s""""retried":${jDoubleMap(retried)},"sub_timings":$subsJson"""
+        s""""retried":$retriedJson,"sub_timings":$subsJson"""
     val full =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec",$attribution,"queries":$qs,"sf":$sf}"""
     val short =

@@ -19,6 +19,18 @@ object BenchProbes {
     subs.put(s"$query/$part", sec): Unit
   }
 
+  /** Time `body` and record it as (query, part) — the ONE bracketing
+    * wrapper every probe site uses, so the behavior can't drift across
+    * hand-rolled copies: a body that throws records NOTHING (a
+    * half-timed part would read as a fast pass in the ledger, next to
+    * a -1 wall time that says otherwise). */
+  def timed[T](query: String, part: String)(body: => T): T = {
+    val t0 = System.nanoTime()
+    val r = body
+    record(query, part, (System.nanoTime() - t0) / 1e9)
+    r
+  }
+
   /** Remove and return `query`'s recorded parts (part name → seconds). */
   def drain(query: String): Map[String, Double] = {
     import scala.jdk.CollectionConverters._

@@ -707,23 +707,21 @@ object DedupQueries extends QueryPack {
       // keys against the stored relation instead of re-signaturing the
       // landed corpus per batch — the O(arrivals) upkeep this operator
       // claims (round-11 verdict directive 2)
-      val t0 = System.nanoTime()
-      wh.overwrite(Dedup.withBandKeys(docs.filter(bucket(col("doc_id")) < 9),
-        "text", "doc_id", 3, K, BANDS),
-        "bl_3nf", "docs_dedup", partitionBy = Seq("source")): Unit
-      graft.BenchProbes.record("q166_stream_dedup_ingest", "seed_index",
-        (System.nanoTime() - t0) / 1e9)
+      graft.BenchProbes.timed("q166_stream_dedup_ingest", "seed_index") {
+        wh.overwrite(Dedup.withBandKeys(docs.filter(bucket(col("doc_id")) < 9),
+          "text", "doc_id", 3, K, BANDS),
+          "bl_3nf", "docs_dedup", partitionBy = Seq("source")): Unit
+      }
       val stream = s.readStream
         .schema(s.read.option("pathGlobFilter", "documents.parquet").parquet(d).schema)
         .option("pathGlobFilter", "documents.parquet").parquet(d)
-      val t1 = System.nanoTime()
-      EventPipelines.dedupIngestAvailableNow(stream, wh, "bl_3nf", "docs_dedup",
-        idCol = "doc_id", textCol = "text", partCol = "source",
-        ngram = 3, k = K, bands = BANDS, minJaccard = MIN_JACCARD,
-        prep = Some(b => b.filter(bucket(col("doc_id")) === 9)
-          .select(col("doc_id"), col("text"), col("source"))))
-      graft.BenchProbes.record("q166_stream_dedup_ingest", "stream_drain",
-        (System.nanoTime() - t1) / 1e9)
+      graft.BenchProbes.timed("q166_stream_dedup_ingest", "stream_drain") {
+        EventPipelines.dedupIngestAvailableNow(stream, wh, "bl_3nf", "docs_dedup",
+          idCol = "doc_id", textCol = "text", partCol = "source",
+          ngram = 3, k = K, bands = BANDS, minJaccard = MIN_JACCARD,
+          prep = Some(b => b.filter(bucket(col("doc_id")) === 9)
+            .select(col("doc_id"), col("text"), col("source"))))
+      }
       wh.readPartitioned("bl_3nf", "docs_dedup", "source")
         .select(col("doc_id"), col("source"))
     }),
@@ -750,19 +748,17 @@ object DedupQueries extends QueryPack {
       val stream = s.readStream
         .schema(s.read.option("pathGlobFilter", "documents.parquet").parquet(d).schema)
         .option("pathGlobFilter", "documents.parquet").parquet(d)
-      def wave(part: String)(pred: org.apache.spark.sql.Column => org.apache.spark.sql.Column) = {
-        val t0 = System.nanoTime()
-        EventPipelines.ccMaintainAvailableNow(stream, wh, "bl_3nf", "cc_assign",
-          idCol = "doc_id", textCol = "text",
-          ngram = 3, k = K, bands = BANDS, minJaccard = MIN_JACCARD,
-          prep = Some(b => b.filter(pred(col("doc_id")))
-            .select(col("doc_id"), col("text"))))
-        // per-wave sub-timing for the bench ledger: wave1 bootstraps
-        // (90% of the corpus — one signature pass is inherent), waves
-        // 2-3 are the O(arrivals) stored-key maintenance batches
-        graft.BenchProbes.record("q228_stream_cc", part,
-          (System.nanoTime() - t0) / 1e9)
-      }
+      // per-wave sub-timing for the bench ledger: wave1 bootstraps
+      // (90% of the corpus — one signature pass is inherent), waves
+      // 2-3 are the O(arrivals) stored-key maintenance batches
+      def wave(part: String)(pred: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        graft.BenchProbes.timed("q228_stream_cc", part) {
+          EventPipelines.ccMaintainAvailableNow(stream, wh, "bl_3nf", "cc_assign",
+            idCol = "doc_id", textCol = "text",
+            ngram = 3, k = K, bands = BANDS, minJaccard = MIN_JACCARD,
+            prep = Some(b => b.filter(pred(col("doc_id")))
+              .select(col("doc_id"), col("text"))))
+        }
       wave("wave1_bootstrap")(c => bucket(c) < 9)
       wave("wave2_even")(c => bucket(c) === 9 && c % 2 === 0)
       wave("wave3_odd")(c => bucket(c) === 9 && c % 2 === 1)

@@ -28,8 +28,8 @@ class Orchestrator(spark: SparkSession, sfDir: String, whRoot: String) {
   val log = new EtlLog(wh, spark)
   private val dec = DecimalType(18, 2)
 
-  /** Runs all three stages; returns per-table row counts. */
-  /** `probe` receives (stage, seconds) per completed stage — the bench
+  /** Runs all three stages; returns per-table row counts. `probe`
+    * receives (stage, seconds) per completed stage — the bench
     * ledger's sub-timing hook (q60 publishes staging/3nf/dm through
     * [[graft.BenchProbes]] so a blown-up ETL row names a stage); the
     * default is a no-op for every other caller. */
@@ -772,13 +772,8 @@ object EtlQueries extends graft.QueryPack {
       // ledger anomaly names a PASS (initial / incremental / no-op), not
       // a one-number macro blob (round-11 verdict directive 3 — the
       // official run's 175.7 s vs 16.6 s local had nothing to point at).
-      def pass[T](part: String)(body: => T): T = {
-        val t0 = System.nanoTime()
-        val r = body
-        graft.BenchProbes.record("q74_incremental_etl", part,
-          (System.nanoTime() - t0) / 1e9)
-        r
-      }
+      def pass[T](part: String)(body: => T): T =
+        graft.BenchProbes.timed("q74_incremental_etl", part)(body)
       def stage(name: String, df: DataFrame, cols: Seq[String]): Unit = {
         wh.overwrite(Staging.clean(df, cols), "staging", name): Unit
       }
@@ -801,26 +796,25 @@ object EtlQueries extends graft.QueryPack {
       // the late extract: last month's orders + their lines, +60 days,
       // fresh keys — strictly past the watermark
       val month = date_format(to_date(col("o_orderdate")), "yyyyMM")
-      val tLate0 = System.nanoTime()
-      val lastMonth = oSub.agg(max(month)).head().getString(0)
-      val lateO = oSub.filter(month === lastMonth).select(
-        (col("o_orderkey").cast(LongType) + 10000000L).as("o_orderkey"),
-        col("o_custkey"), col("o_orderstatus"),
-        date_add(to_date(col("o_orderdate")), 60).as("o_orderdate"))
-      val lateL = liSub
-        .join(oSub.filter(month === lastMonth).select(col("o_orderkey").as("l_orderkey")),
-          Seq("l_orderkey"), "left_semi")
-        .select(
-          (col("l_orderkey").cast(LongType) + 10000000L).as("l_orderkey"),
-          col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
-          col("l_quantity"), col("l_extendedprice"),
-          date_add(to_date(col("l_shipdate")), 60).as("l_shipdate"))
-      wh.overwrite(Staging.antiJoinAppend(Staging.clean(lateO, oCols),
-        wh.read("staging", "orders"), Seq("o_orderkey")), "staging", "orders"): Unit
-      wh.overwrite(Staging.antiJoinAppend(Staging.clean(lateL, lCols),
-        wh.read("staging", "sales"), Seq("l_orderkey", "l_linenumber")), "staging", "sales"): Unit
-      graft.BenchProbes.record("q74_incremental_etl", "late_extract",
-        (System.nanoTime() - tLate0) / 1e9)
+      pass("late_extract") {
+        val lastMonth = oSub.agg(max(month)).head().getString(0)
+        val lateO = oSub.filter(month === lastMonth).select(
+          (col("o_orderkey").cast(LongType) + 10000000L).as("o_orderkey"),
+          col("o_custkey"), col("o_orderstatus"),
+          date_add(to_date(col("o_orderdate")), 60).as("o_orderdate"))
+        val lateL = liSub
+          .join(oSub.filter(month === lastMonth).select(col("o_orderkey").as("l_orderkey")),
+            Seq("l_orderkey"), "left_semi")
+          .select(
+            (col("l_orderkey").cast(LongType) + 10000000L).as("l_orderkey"),
+            col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+            col("l_quantity"), col("l_extendedprice"),
+            date_add(to_date(col("l_shipdate")), 60).as("l_shipdate"))
+        wh.overwrite(Staging.antiJoinAppend(Staging.clean(lateO, oCols),
+          wh.read("staging", "orders"), Seq("o_orderkey")), "staging", "orders"): Unit
+        wh.overwrite(Staging.antiJoinAppend(Staging.clean(lateL, lCols),
+          wh.read("staging", "sales"), Seq("l_orderkey", "l_linenumber")), "staging", "sales"): Unit
+      }
       pass("pass2_incremental") { orch.stage3nf(); orch.stageDm() }
       // Third pass: the reference's idempotency re-run on UNCHANGED
       // data (python/dw_etl_tests.py:371-410) — zero rows staged, so

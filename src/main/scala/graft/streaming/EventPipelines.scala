@@ -433,16 +433,23 @@ object EventPipelines {
               prep: Option[DataFrame => DataFrame] = None): Boolean = {
     import graft.operators.Dedup
     if (useLedger && wh.batchCommitted(layer, table, batchId, ledgerNs)) return false
-    // no eager cut here: `incoming` has exactly ONE consumer (the fresh
-    // wave below, which is itself checkpointed) — the cut it used to
-    // carry was for the old single-table shape that re-read arrivals
-    // four times per batch
     val incoming = prep.getOrElse(identity[DataFrame] _)
       .apply(dedupBatch(batch, Seq(idCol)))
       .select(col(idCol), col(textCol))
     val docsExist = wh.exists(layer, table)
-    if (docsExist) {
-      require(wh.read(layer, table).columns.contains(Dedup.BAND_KEYS_COL),
+    // ONE pre-write read and ONE partition listing serve the schema
+    // require, the layout require, the replay anti-join, and the wave
+    // counter — the docs table grows a partition per batch, so repeated
+    // schema-inference/listing passes would be O(waves) metadata I/O
+    // per batch on the very table whose design goal is O(arrivals).
+    // (The post-land read further down is separate by necessity: a
+    // DataFrame's file index is captured at read time, so it must be
+    // rebuilt to see the new wave.)
+    val docsBefore = if (docsExist) Some(wh.read(layer, table)) else None
+    val waves =
+      if (docsExist) wh.partitionValues(layer, table, CcWaveCol) else Nil
+    docsBefore.foreach { d =>
+      require(d.columns.contains(Dedup.BAND_KEYS_COL),
         s"ccBatch: docs table $layer.$table lacks the stored band-key " +
           s"column '${Dedup.BAND_KEYS_COL}'. ccBatch lands its own waves " +
           "with the column; an externally pre-seeded index must be landed " +
@@ -453,7 +460,7 @@ object EventPipelines {
       // would pass the column check, then the wave swap below drops a
       // __wave=N subdir next to root-level data files — a mixed layout
       // Spark rejects on the very next read, AFTER the table was mutated
-      require(wh.partitionValues(layer, table, CcWaveCol).nonEmpty,
+      require(waves.nonEmpty,
         s"ccBatch: docs table $layer.$table is not partitioned by " +
           s"$CcWaveCol. Pre-seed with .withColumn(\"$CcWaveCol\", " +
           "lit(\"0\")) and overwrite(..., partitionBy = Seq(CcWaveCol)) " +
@@ -462,14 +469,17 @@ object EventPipelines {
     // 1. land NEW docs (with their band keys, computed once here) as
     //    this batch's wave partition. The anti-join is the replay
     //    guard: re-delivered ids fold to an empty wave, so landing is
-    //    idempotent as the Warehouse ledger contract requires.
-    val fresh =
-      if (!docsExist) incoming
-      else incoming.join(wh.read(layer, table).select(col(idCol)), Seq(idCol), "left_anti")
+    //    idempotent as the Warehouse ledger contract requires. The cut
+    //    sits AFTER the anti-join and BEFORE withBandKeys, which
+    //    self-joins its input (docs side + key side) — an uncut fresh
+    //    would evaluate the batch prep and the landed-id anti-join
+    //    twice per wave.
+    val fresh = (docsBefore match {
+      case Some(d) => incoming.join(d.select(col(idCol)), Seq(idCol), "left_anti")
+      case None => incoming
+    }).localCheckpoint(true)
     val nextWave: Long =
-      if (!docsExist) 0L
-      else wh.partitionValues(layer, table, CcWaveCol)
-        .flatMap(_.toLongOption).maxOption.map(_ + 1L).getOrElse(0L)
+      waves.flatMap(_.toLongOption).maxOption.map(_ + 1L).getOrElse(0L)
     val freshKeyed = Dedup.withBandKeys(fresh, textCol, idCol, ngram, k, bands)
       .withColumn(CcWaveCol, lit(nextWave.toString)).localCheckpoint(true)
     if (!freshKeyed.isEmpty) {
