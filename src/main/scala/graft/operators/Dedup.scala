@@ -658,6 +658,72 @@ object Dedup {
     sums.select(col(idCol), fp.cast("int").as("simhash"))
   }
 
+  /** [[connectedComponents]]' small-graph fast path: solve the
+    * (materialized, undirected) edge relation with a driver union-find
+    * and return the labelled `nodes` through one broadcast join — or
+    * None when the graph is too big / ids aren't integral / ids are
+    * nullable-with-nulls, in which case the caller falls back to the
+    * distributed fixpoint. Union always points the larger root at the
+    * smaller, so every tree's root IS the minimum member — the exact
+    * label contract of the distributed path. The broadcast map holds
+    * only edge-TOUCHED ids (≤ 2·edge-limit entries); nodes absent from
+    * it are singletons and label themselves via coalesce, so |nodes|
+    * never bounds driver memory. `graft.cc.driverEdgeLimit` (session
+    * conf, default 2,000,000 undirected rows = 1M edges) sizes the
+    * gate; 0 disables the path (the fixpoint specs pin the distributed
+    * algorithm that way).
+    */
+  private def driverUnionFind(und: DataFrame, nodes: DataFrame,
+                              idCol: String): Option[DataFrame] = {
+    import org.apache.spark.sql.types._
+    val spark = und.sparkSession
+    val idType = nodes.schema(nodes.schema.fieldIndex(idCol)).dataType
+    val integral: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
+    // same-type gate: the distributed path's unionByName would coerce
+    // mixed node/edge id types to their common type in the OUTPUT
+    // schema — rather than replicate the coercion rules, fall back
+    if (!integral.contains(idType) ||
+        und.schema.fields.exists(_.dataType != idType)) return None
+    val limit = spark.conf.getOption("graft.cc.driverEdgeLimit")
+      .flatMap(_.toLongOption).getOrElse(2000000L)
+    // und is localCheckpointed by the caller — both jobs are block reads
+    if (limit <= 0L || und.count() > limit) return None
+    val rows = und.select(col("src").cast("long"), col("dst").cast("long")).collect()
+    if (rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) return None
+    val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrDefault(x, x): Long
+      while (p != x) { // path-halving
+        val gp = parent.getOrDefault(p, p): Long
+        parent.put(x, gp): Unit
+        x = gp
+        p = parent.getOrDefault(x, x)
+      }
+      x
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]
+    rows.foreach { r =>
+      val a = r.getLong(0); val b = r.getLong(1)
+      seen.add(a): Unit; seen.add(b): Unit
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent.put(rb, ra): Unit else parent.put(ra, rb): Unit
+      }
+    }
+    val entries = new java.util.ArrayList[org.apache.spark.sql.Row](seen.size)
+    seen.forEach(id => entries.add(
+      org.apache.spark.sql.Row(id.longValue, find(id.longValue))): Unit)
+    val mapDf = spark.createDataFrame(entries, StructType(Seq(
+        StructField("id", LongType), StructField("__cc_comp", LongType))))
+      .select(col("id").cast(idType).as("id"),
+        col("__cc_comp").cast(idType).as("__cc_comp"))
+    Some(nodes.select(col(idCol).as("id")).distinct()
+      .join(broadcast(mapDf), Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("__cc_comp"), col("id")).as("cluster_id")))
+  }
+
   /** Near-dup CLUSTERS: connected components over a pair-edge relation,
     * labelling every node with the minimum id reachable from it — the
     * step after pair generation in a dedup pipeline (one keeper per
@@ -675,6 +741,24 @@ object Dedup {
     * Throws if `maxIters` rounds don't converge — a wrong-but-plausible
     * result is worse than a loud failure.
     *
+    * Physical strategy by SIZE, like Spark's own broadcast threshold:
+    * when the (materialized) undirected edge relation is at most
+    * `graft.cc.driverEdgeLimit` rows (default 2M ≈ 1M edges — tens of
+    * MB collected) and ids are integral, the components are solved by
+    * a driver union-find and re-applied to `nodes` through ONE
+    * broadcast join; otherwise the distributed min-label fixpoint
+    * below runs. The fast path exists for the contraction fold
+    * ([[contractedCcMerge]]): its graph is O(components touched +
+    * arrivals) — collision-sized by design — where a multi-round
+    * distributed fixpoint pays per-round scheduling latency orders of
+    * magnitude above the actual work (measured 3.0 s of a 3.6 s
+    * streaming-CC wave at sf0.1 for a 5k-edge graph). Labels are
+    * identical by construction (min id per component, same integral
+    * ordering), so which path ran is invisible in any result —
+    * TextDedupSpec pins the equality. The broadcast map is bounded by
+    * the edge limit, never by |nodes|, so the fast path stays safe
+    * when `nodes` is corpus-sized and the fallback covers the rest.
+    *
     * `cluster_id` is the minimum id in the component of the edge graph
     * (dangling edge endpoints included — they bridge their neighbours
     * even when absent from `nodes`); when the minimum is a dangling id,
@@ -685,6 +769,10 @@ object Dedup {
     val e = edges.toDF("src", "dst")
     val und = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint(true)
+    driverUnionFind(und, nodes, idCol) match {
+      case Some(labelled) => return labelled
+      case None => ()
+    }
     // propagate over EVERY edge endpoint, even ids missing from `nodes`
     // (e.g. a doc dropped by an upstream filter after pair generation):
     // a dangling endpoint must still bridge its neighbours, or the

@@ -588,28 +588,38 @@ object EventPipelines {
     // relation instead (micro-batches are bounded by construction).
     val dedupPrep: DataFrame => DataFrame = { b0 =>
       val b = prep.getOrElse(identity[DataFrame] _).apply(b0)
-      val within = Dedup.minhashLshNearDups(b, textCol, idCol,
-        ngram, k, bands, minJaccard)
-      val survivors = b.join(
+      // key the batch ONCE, before anything else, and cut: the
+      // within-batch pair relation, the stored-key probe, and the
+      // landing all need the same deterministic band keys, so one
+      // signature pass serves all three (the previous shape ran
+      // minhashLshNearDups over the raw batch and THEN re-signatured
+      // the survivors for landing — two O(batch) signature passes per
+      // micro-batch; storedKeySelfNearDups over keys from the same
+      // (ngram, k, bands) is pinned pair-identical by IndexedDedupSpec)
+      val keyed = Dedup.withBandKeys(b, textCol, idCol, ngram, k, bands)
+        .localCheckpoint(true)
+      val within = Dedup.storedKeySelfNearDups(keyed, textCol, idCol,
+        ngram, minJaccard)
+      // survivors keep their band-key column — per-doc and dedup-proof.
+      // Cut here too: the stored-key probe reads its arrivals side
+      // several times (band-key explode + candidate-pruned verify
+      // fetch), and each read would otherwise re-evaluate the
+      // within-batch pair DAG above (measured 5.1 s of an 8 s batch
+      // without this cut at sf0.1). Both cuts are batch-sized.
+      val survivors = keyed.join(
         within.select(col("id_2").as(idCol)).distinct(), Seq(idCol), "left_anti")
+        .localCheckpoint(true)
       val out = if (!wh.exists(layer, table))
-        // first batch creates the table: land it keyed, so every later
-        // batch takes the stored-key probe
-        Dedup.withBandKeys(survivors, textCol, idCol, ngram, k, bands)
+        // first batch creates the table keyed, so every later batch
+        // takes the stored-key probe
+        survivors
       else {
         val landed = wh.readPartitioned(layer, table, partCol)
         if (landed.columns.contains(Dedup.BAND_KEYS_COL)) {
-          // key the batch ONCE and cut: the probe and the landing both
-          // need the keys, and the keyed lineage embeds the whole
-          // within-batch LSH DAG — without the cut the signatures run
-          // twice and the LSH subtree several times per micro-batch,
-          // the exact per-batch compute this path exists to minimize
-          val keyed = Dedup.withBandKeys(survivors, textCol, idCol, ngram, k, bands)
-            .localCheckpoint(true)
-          val hits = Dedup.storedKeyCrossNearDups(keyed,
+          val hits = Dedup.storedKeyCrossNearDups(survivors,
             landed.select(col(idCol), col(textCol), col(Dedup.BAND_KEYS_COL)),
             textCol, idCol, ngram, minJaccard)
-          keyed.join(hits.select(col("new_id").as(idCol)).distinct(),
+          survivors.join(hits.select(col("new_id").as(idCol)).distinct(),
             Seq(idCol), "left_anti")
         } else {
           // legacy keyless index (pre-seeded without withBandKeys):
@@ -628,8 +638,11 @@ object EventPipelines {
               .withColumn("__side", lit("new")))
           val hits = Dedup.crossCorpusNearDups(tagged, textCol, idCol,
             "__side", "new", "idx", ngram, k, bands, minJaccard)
-          survivors.join(hits.select(col("new_id").as(idCol)).distinct(),
-            Seq(idCol), "left_anti")
+          // the keyless table's parquet schema is fixed at seed time —
+          // landing must not carry the batch's key column into it
+          survivors.drop(Dedup.BAND_KEYS_COL)
+            .join(hits.select(col("new_id").as(idCol)).distinct(),
+              Seq(idCol), "left_anti")
         }
       }
       out.localCheckpoint(true)

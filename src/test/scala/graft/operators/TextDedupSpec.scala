@@ -134,31 +134,68 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
-  test("connectedComponents labels chains, cliques and singletons") {
+  /** Run `body` with the driver-union-find gate forced off, so the
+    * assertions inside pin the DISTRIBUTED min-label fixpoint — the
+    * path a >1M-edge graph takes in production. */
+  private def distributedCcOnly[T](body: => T): T = {
+    spark.conf.set("graft.cc.driverEdgeLimit", "0")
+    try body finally spark.conf.unset("graft.cc.driverEdgeLimit")
+  }
+
+  test("connectedComponents labels chains, cliques and singletons — driver and distributed paths agree") {
     val nodes = (1L to 7L).toDF("doc_id")
     // chain 1-2-3, clique 4-5-6 (all pairs), singleton 7
     val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L))
       .toDF("id_1", "id_2")
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 7L)
+    // default conf: small graph ⇒ the driver union-find fast path
     val got = Dedup.connectedComponents(edges, nodes, "doc_id")
       .as[(Long, Long)].collect().toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 7L))
-    // a long path needs diameter rounds — maxIters=1 must refuse loudly
+    assert(got == want)
+    // forced distributed fixpoint: identical labels
+    assert(distributedCcOnly {
+      Dedup.connectedComponents(edges, nodes, "doc_id")
+        .as[(Long, Long)].collect().toMap
+    } == want)
+    // a long path needs diameter rounds — the FIXPOINT at maxIters=1
+    // must refuse loudly (the fast path has no non-convergence to hide)
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L))
       .toDF("id_1", "id_2")
-    intercept[IllegalStateException] {
-      Dedup.connectedComponents(path, nodes, "doc_id", maxIters = 1)
+    distributedCcOnly {
+      intercept[IllegalStateException] {
+        Dedup.connectedComponents(path, nodes, "doc_id", maxIters = 1)
+      }
     }
     // and converge given room
     val full = Dedup.connectedComponents(path, nodes, "doc_id")
       .as[(Long, Long)].collect().toMap
     assert(full.values.toSet == Set(1L))
     // a dangling endpoint (dropped upstream) still bridges its
-    // neighbours; output stays restricted to the given nodes
+    // neighbours; output stays restricted to the given nodes — both paths
     val bridge = Seq((2L, 99L), (99L, 3L)).toDF("id_1", "id_2")
     val some = Seq(2L, 3L, 4L).toDF("doc_id")
-    val br = Dedup.connectedComponents(bridge, some, "doc_id")
-      .as[(Long, Long)].collect().toMap
-    assert(br == Map(2L -> 2L, 3L -> 2L, 4L -> 4L))
+    val wantBr = Map(2L -> 2L, 3L -> 2L, 4L -> 4L)
+    assert(Dedup.connectedComponents(bridge, some, "doc_id")
+      .as[(Long, Long)].collect().toMap == wantBr)
+    assert(distributedCcOnly {
+      Dedup.connectedComponents(bridge, some, "doc_id")
+        .as[(Long, Long)].collect().toMap
+    } == wantBr)
+    // duplicate node rows still yield one labelled row per id (both paths)
+    val dupNodes = Seq(2L, 2L, 3L).toDF("doc_id")
+    val wantDup = Seq((2L, 2L), (3L, 2L))
+    assert(Dedup.connectedComponents(bridge, dupNodes, "doc_id")
+      .as[(Long, Long)].collect().sorted.toSeq == wantDup)
+    assert(distributedCcOnly {
+      Dedup.connectedComponents(bridge, dupNodes, "doc_id")
+        .as[(Long, Long)].collect().sorted.toSeq
+    } == wantDup)
+    // non-integral ids can't take the driver path — string ids still label
+    val sNodes = Seq("a", "b", "c").toDF("doc_id")
+    val sEdges = Seq(("a", "b")).toDF("id_1", "id_2")
+    assert(Dedup.connectedComponents(sEdges, sNodes, "doc_id")
+      .as[(String, String)].collect().toMap ==
+      Map("a" -> "a", "b" -> "a", "c" -> "c"))
   }
 
   test("hashToMin ≡ min-label CC on converging inputs; O(log d) on chains that throw min-label") {
@@ -176,12 +213,15 @@ class TextDedupSpec extends SparkSpec {
     assert(Dedup.connectedComponentsHashToMin(bridge, some, "doc_id")
       .as[(Long, Long)].collect().toMap == Map(2L -> 2L, 3L -> 2L, 4L -> 4L))
     // a 200-node path: diameter 199 ≫ min-label's 25-round default,
-    // which must refuse loudly…
+    // whose FIXPOINT must refuse loudly (forced — the driver fast path
+    // would solve it without iterating)…
     val n = 200L
     val chainNodes = (1L to n).toDF("doc_id")
     val chain = (1L until n).map(i => (i, i + 1)).toDF("id_1", "id_2")
-    intercept[IllegalStateException] {
-      Dedup.connectedComponents(chain, chainNodes, "doc_id")
+    distributedCcOnly {
+      intercept[IllegalStateException] {
+        Dedup.connectedComponents(chain, chainNodes, "doc_id")
+      }
     }
     // …while hash-to-min converges inside 2·log2(d) + slack rounds
     val maxRounds = 2 * (math.log(n.toDouble) / math.log(2)).ceil.toInt + 4
@@ -219,15 +259,21 @@ class TextDedupSpec extends SparkSpec {
     assert(Dedup.connectedComponentsAlternatingStar(
       chain.toDF("id_1", "id_2"), (1L to n).toDF("doc_id"), "doc_id",
       checkpointDir = Some(dir)).as[(Long, Long)].collect().toMap == labs)
-    // seeded random graphs: identical to min-label CC label for label
+    // seeded random graphs: alternating-star ≡ min-label FIXPOINT ≡
+    // min-label driver fast path, label for label
     val rnd = new scala.util.Random(42)
     (1 to 4).foreach { _ =>
       val ns = 1L to 12L
       val es = Seq.fill(10)((rnd.nextInt(12) + 1L, rnd.nextInt(12) + 1L))
         .filter(p => p._1 != p._2)
-      val want = Dedup.connectedComponents(
+      val want = distributedCcOnly {
+        Dedup.connectedComponents(
+          es.toDF("id_1", "id_2"), ns.toDF("doc_id"), "doc_id")
+          .as[(Long, Long)].collect().toMap
+      }
+      assert(Dedup.connectedComponents(
         es.toDF("id_1", "id_2"), ns.toDF("doc_id"), "doc_id")
-        .as[(Long, Long)].collect().toMap
+        .as[(Long, Long)].collect().toMap == want, s"fast-path edges=$es")
       assert(stars(es, ns) == want, s"edges=$es")
     }
   }
