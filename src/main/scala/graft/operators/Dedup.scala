@@ -766,11 +766,29 @@ object Dedup {
     */
   def connectedComponents(edges: DataFrame, nodes: DataFrame, idCol: String,
                           maxIters: Int = 25): DataFrame = {
+    // generation retirement at the RDD level, same mechanism (and same
+    // sequential-execution caveat) as [[iterateToFixpoint]]'s cut/retire:
+    // Dataset.unpersist is a no-op for localCheckpointed frames, so a
+    // d-diameter run would otherwise strand d label generations in the
+    // block manager until context GC
+    val sc = edges.sparkSession.sparkContext
+    def cut(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val ck = df.localCheckpoint(true)
+      (ck, (sc.getPersistentRDDs.keySet -- before).toSet)
+    }
+    def retire(ids: Set[Int]): Unit =
+      ids.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     val e = edges.toDF("src", "dst")
-    val und = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(true)
+    val (und, undIds) = cut(
+      e.unionByName(e.select(col("dst").as("src"), col("src").as("dst"))).distinct())
     driverUnionFind(und, nodes, idCol) match {
-      case Some(labelled) => return labelled
+      case Some(labelled) =>
+        // the labelled plan reads only `nodes` + the broadcast map —
+        // the edge blocks are dead weight from here
+        retire(undIds)
+        return labelled
       case None => ()
     }
     // propagate over EVERY edge endpoint, even ids missing from `nodes`
@@ -779,8 +797,7 @@ object Dedup {
     // component silently splits. Output is restricted back to `nodes`.
     val nodeIds = nodes.select(col(idCol).as("id"))
     val seeds = nodeIds.unionByName(und.select(col("src").as("id"))).distinct()
-    var labels = seeds.select(col("id"), col("id").as("comp"))
-      .localCheckpoint(true)
+    var (labels, labelIds) = cut(seeds.select(col("id"), col("id").as("comp")))
     var iter = 0
     var changed = 1L
     while (changed > 0) {
@@ -794,14 +811,16 @@ object Dedup {
       // one job per round, not a propagate job plus a count job — at
       // diameter d that halves the driver round-trips
       val obs = org.apache.spark.sql.Observation()
-      val joined = labels.join(contrib, Seq("id"), "left")
+      val (joined, joinedIds) = cut(labels.join(contrib, Seq("id"), "left")
         .select(col("id"), col("comp"),
           least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp2"))
-        .observe(obs, sum(when(col("comp2") < col("comp"), 1L).otherwise(0L)).as("n"))
-        .localCheckpoint(true)
+        .observe(obs, sum(when(col("comp2") < col("comp"), 1L).otherwise(0L)).as("n")))
       changed = Option(obs.get("n")).map(_.asInstanceOf[Long]).getOrElse(0L)
+      retire(labelIds) // joined is eagerly materialized above
       labels = joined.select(col("id"), col("comp2").as("comp"))
+      labelIds = joinedIds
     }
+    retire(undIds) // the returned plan reads only the final generation
     labels.join(nodeIds, Seq("id"), "left_semi")
       .select(col("id").as(idCol), col("comp").as("cluster_id"))
   }

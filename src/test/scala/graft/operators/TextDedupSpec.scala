@@ -296,6 +296,22 @@ class TextDedupSpec extends SparkSpec {
     Dedup.connectedComponentsHashToMin(chain, nodes, "doc_id").count(): Unit
     assert(sc.getPersistentRDDs.size - b2 <= 1,
       s"hash-to-min left ${sc.getPersistentRDDs.size - b2} persisted RDDs")
+    // min-label's fixpoint (forced — below the driver-path gate it
+    // wouldn't iterate): a 20-round run must not strand 20 generations
+    val short = (1L until 20L).map(i => (i, i + 1)).toDF("id_1", "id_2")
+    val shortNodes = (1L to 20L).toDF("doc_id")
+    val b3 = sc.getPersistentRDDs.size
+    distributedCcOnly {
+      Dedup.connectedComponents(short, shortNodes, "doc_id").count(): Unit
+    }
+    assert(sc.getPersistentRDDs.size - b3 <= 1,
+      s"min-label left ${sc.getPersistentRDDs.size - b3} persisted RDDs")
+    // the driver fast path retires the materialized edge relation too —
+    // its returned plan persists NOTHING
+    val b4 = sc.getPersistentRDDs.size
+    Dedup.connectedComponents(short, shortNodes, "doc_id").count(): Unit
+    assert(sc.getPersistentRDDs.size - b4 == 0,
+      s"driver path left ${sc.getPersistentRDDs.size - b4} persisted RDDs")
   }
 
   test("bpeTrain bounds kept state at one persisted RDD per session (needState leak fix)") {
