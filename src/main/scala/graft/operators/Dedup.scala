@@ -669,15 +669,21 @@ object Dedup {
     * only edge-TOUCHED ids (≤ 2·edge-limit entries); nodes absent from
     * it are singletons and label themselves via coalesce, so |nodes|
     * never bounds driver memory. `graft.cc.driverEdgeLimit` (session
-    * conf, default 2,000,000 undirected rows = 1M edges) sizes the
-    * gate; 0 disables the path (the fixpoint specs pin the distributed
-    * algorithm that way).
+    * conf) caps the UNDIRECTED edge relation's ROW count (≈ 2× the
+    * distinct edges), default 1,000,000 rows ≈ 500k edges; 0 disables
+    * the path (the fixpoint specs pin the distributed algorithm that
+    * way). Transient driver cost at the default cap is order 100 MB
+    * (collected rows + the boxed union-find maps) — size the cap to
+    * the driver; the intended regime is the contraction fold's
+    * collision-sized graphs, thousands of edges, where the cost is KB.
     */
   private def driverUnionFind(und: DataFrame, nodes: DataFrame,
                               idCol: String): Option[DataFrame] = {
     import org.apache.spark.sql.types._
     val spark = und.sparkSession
-    val idType = nodes.schema(nodes.schema.fieldIndex(idCol)).dataType
+    // resolve through the analyzer (no job), so idCol follows the same
+    // case-sensitivity rules as every col(idCol) below
+    val idType = nodes.select(col(idCol)).schema.head.dataType
     val integral: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
     // same-type gate: the distributed path's unionByName would coerce
     // mixed node/edge id types to their common type in the OUTPUT
@@ -685,7 +691,7 @@ object Dedup {
     if (!integral.contains(idType) ||
         und.schema.fields.exists(_.dataType != idType)) return None
     val limit = spark.conf.getOption("graft.cc.driverEdgeLimit")
-      .flatMap(_.toLongOption).getOrElse(2000000L)
+      .flatMap(_.toLongOption).getOrElse(1000000L)
     // und is localCheckpointed by the caller — both jobs are block reads
     if (limit <= 0L || und.count() > limit) return None
     val rows = und.select(col("src").cast("long"), col("dst").cast("long")).collect()
@@ -718,7 +724,11 @@ object Dedup {
         StructField("id", LongType), StructField("__cc_comp", LongType))))
       .select(col("id").cast(idType).as("id"),
         col("__cc_comp").cast(idType).as("__cc_comp"))
+    // parity with the distributed path's final left_semi join, whose
+    // null-rejecting equality silently drops a NULL node id — without
+    // this filter the two paths would differ by exactly that row
     Some(nodes.select(col(idCol).as("id")).distinct()
+      .where(col("id").isNotNull)
       .join(broadcast(mapDf), Seq("id"), "left")
       .select(col("id").as(idCol),
         coalesce(col("__cc_comp"), col("id")).as("cluster_id")))
@@ -743,8 +753,9 @@ object Dedup {
     *
     * Physical strategy by SIZE, like Spark's own broadcast threshold:
     * when the (materialized) undirected edge relation is at most
-    * `graft.cc.driverEdgeLimit` rows (default 2M ≈ 1M edges — tens of
-    * MB collected) and ids are integral, the components are solved by
+    * `graft.cc.driverEdgeLimit` ROWS (≈ 2× the distinct edges; default
+    * 1M rows ≈ 500k edges, order 100 MB transient on the driver at
+    * that cap) and ids are integral, the components are solved by
     * a driver union-find and re-applied to `nodes` through ONE
     * broadcast join; otherwise the distributed min-label fixpoint
     * below runs. The fast path exists for the contraction fold
@@ -766,20 +777,12 @@ object Dedup {
     */
   def connectedComponents(edges: DataFrame, nodes: DataFrame, idCol: String,
                           maxIters: Int = 25): DataFrame = {
-    // generation retirement at the RDD level, same mechanism (and same
-    // sequential-execution caveat) as [[iterateToFixpoint]]'s cut/retire:
-    // Dataset.unpersist is a no-op for localCheckpointed frames, so a
-    // d-diameter run would otherwise strand d label generations in the
-    // block manager until context GC
-    val sc = edges.sparkSession.sparkContext
-    def cut(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet
-      val ck = df.localCheckpoint(true)
-      (ck, (sc.getPersistentRDDs.keySet -- before).toSet)
-    }
-    def retire(ids: Set[Int]): Unit =
-      ids.foreach(id =>
-        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    // generation retirement at the RDD level ([[cutTracked]]): without
+    // it a d-diameter run strands d label generations in the block
+    // manager until context GC
+    val spark = edges.sparkSession
+    def cut(df: DataFrame): (DataFrame, Set[Int]) = cutTracked(df)
+    def retire(ids: Set[Int]): Unit = retireTracked(spark, ids)
     val e = edges.toDF("src", "dst")
     val (und, undIds) = cut(
       e.unionByName(e.select(col("dst").as("src"), col("src").as("dst"))).distinct())
@@ -926,6 +929,50 @@ object Dedup {
       .select(col("id").as(idCol), col("cluster_id"))
   }
 
+  /** Eagerly materialize `df` and return it with the set of
+    * persistent-RDD ids the materialization registered — the ONE
+    * tracked-cut implementation behind every generation-retirement
+    * site (the fixpoint loops, [[connectedComponents]], the streaming
+    * per-batch cuts in [[graft.streaming.EventPipelines]]).
+    *
+    * Why tracking exists: Dataset.unpersist is a NO-OP for a
+    * localCheckpointed DataFrame — it clears CacheManager
+    * (InMemoryRelation) entries, but localCheckpoint persists at the
+    * RDD level, invisible to the CacheManager — so superseded
+    * generations would only die when the ContextCleaner GC'd the old
+    * RDD, nondeterministically. The id DIFF around the (synchronous,
+    * eager) cut attributes correctly when no OTHER thread persists
+    * during it — true of this library's sequential query execution.
+    * Were that ever violated, the failure mode depends on the foreign
+    * RDD caught in the diff: a cache-backed victim recomputes from
+    * lineage (perf wobble); a LOCALCHECKPOINT-backed one (QueryCaches'
+    * trained models) has TRUNCATED lineage, so a later read throws
+    * missing-block — loud hard failure, never silently wrong results.
+    * If queries ever run concurrently with a retirement site, restrict
+    * [[retireTracked]] to the ids backing the cut's own returned
+    * Dataset before shipping. With `reliable = true` the cut is a
+    * reliable checkpoint instead (survives executor loss; recovery
+    * lives in the checkpoint files), which persists nothing in the
+    * block manager — its diff is naturally empty.
+    */
+  private[graft] def cutTracked(df: DataFrame,
+                                reliable: Boolean = false): (DataFrame, Set[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val ck = if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    (ck, (sc.getPersistentRDDs.keySet -- before).toSet)
+  }
+
+  /** Unpersist the RDD ids a [[cutTracked]] returned — call once the
+    * generation is superseded (its replacement materialized) or fully
+    * consumed (its last reader's job finished). See [[cutTracked]] for
+    * the attribution caveat. */
+  private[graft] def retireTracked(spark: org.apache.spark.sql.SparkSession,
+                                   ids: Set[Int]): Unit =
+    ids.foreach(id =>
+      spark.sparkContext.getPersistentRDDs.get(id)
+        .foreach(_.unpersist(blocking = false)))
+
   /** The iterate-to-fixpoint scaffolding shared by the batched CC
     * loops ([[connectedComponentsHashToMin]],
     * [[connectedComponentsAlternatingStar]]): per batch apply `step`,
@@ -951,36 +998,9 @@ object Dedup {
     val spark = seed.sparkSession
     val sc = spark.sparkContext
     checkpointDir.foreach(sc.setCheckpointDir)
-    // Dataset.unpersist is a NO-OP for a localCheckpointed DataFrame:
-    // it clears CacheManager (InMemoryRelation) entries, but
-    // localCheckpoint persists at the RDD level, invisible to the
-    // CacheManager — the previous generation's blocks would only die
-    // when the ContextCleaner GC'd the old RDD, nondeterministically.
-    // So the eager cut is wrapped to DIFF the context's persistent-RDD
-    // ids around the materialization, and retirement unpersists those
-    // ids directly. The diff attributes correctly when no OTHER thread
-    // persists during the (synchronous, eager) cut — true of this
-    // library's sequential query execution. Were that ever violated, the
-    // failure mode depends on the foreign RDD caught in the diff: a
-    // cache-backed victim recomputes from lineage (perf wobble); a
-    // LOCALCHECKPOINT-backed one (QueryCaches' trained models) has
-    // TRUNCATED lineage, so a later read throws missing-block — loud
-    // hard failure, never silently wrong results. If queries ever run
-    // concurrently with a fixpoint loop, restrict retire() to the ids
-    // backing the cut's own returned Dataset before shipping.
-    // The reliable-checkpoint path persists nothing in the block
-    // manager (recovery lives in the checkpoint files), so its diff is
-    // naturally empty.
-    def cut(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet
-      val ck = if (checkpointDir.isDefined) df.checkpoint(true)
-               else df.localCheckpoint(true)
-      val after = sc.getPersistentRDDs.keySet
-      (ck, (after -- before).toSet)
-    }
-    def retire(ids: Set[Int]): Unit =
-      ids.foreach(id =>
-        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    def cut(df: DataFrame): (DataFrame, Set[Int]) =
+      cutTracked(df, reliable = checkpointDir.isDefined)
+    def retire(ids: Set[Int]): Unit = retireTracked(spark, ids)
     var (cur, curIds) = cut(seed)
     var iter = 0
     var prevSig: (Long, Long) = (-1L, -1L)

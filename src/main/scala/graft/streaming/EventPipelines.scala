@@ -474,56 +474,68 @@ object EventPipelines {
     //    self-joins its input (docs side + key side) — an uncut fresh
     //    would evaluate the batch prep and the landed-id anti-join
     //    twice per wave.
-    val fresh = (docsBefore match {
-      case Some(d) => incoming.join(d.select(col(idCol)), Seq(idCol), "left_anti")
-      case None => incoming
-    }).localCheckpoint(true)
-    val nextWave: Long =
-      waves.flatMap(_.toLongOption).maxOption.map(_ + 1L).getOrElse(0L)
-    val freshKeyed = Dedup.withBandKeys(fresh, textCol, idCol, ngram, k, bands)
-      .withColumn(CcWaveCol, lit(nextWave.toString)).localCheckpoint(true)
-    if (!freshKeyed.isEmpty) {
-      if (!docsExist)
-        wh.overwrite(freshKeyed, layer, table, partitionBy = Seq(CcWaveCol)): Unit
-      else wh.overwritePartitions(freshKeyed, layer, table, CcWaveCol): Unit
-    } else if (!docsExist) {
-      // empty first batch: nothing landed, nothing to assign
+    // every cut below is batch-internal — dead by the time ccBatch
+    // returns (freshKeyed lands as the wave partition, unassigned is
+    // consumed by the version write) — so their blocks are retired on
+    // exit (Dataset.unpersist can't free checkpoint-backed blocks; a
+    // long stream would otherwise strand three cuts per micro-batch)
+    val sparkOfBatch = batch.sparkSession
+    var batchCuts = Set.empty[Int]
+    try {
+      val (fresh, freshIds) = Dedup.cutTracked(docsBefore match {
+        case Some(d) => incoming.join(d.select(col(idCol)), Seq(idCol), "left_anti")
+        case None => incoming
+      })
+      batchCuts ++= freshIds
+      val nextWave: Long =
+        waves.flatMap(_.toLongOption).maxOption.map(_ + 1L).getOrElse(0L)
+      val (freshKeyed, fkIds) = Dedup.cutTracked(
+        Dedup.withBandKeys(fresh, textCol, idCol, ngram, k, bands)
+          .withColumn(CcWaveCol, lit(nextWave.toString)))
+      batchCuts ++= fkIds
+      if (!freshKeyed.isEmpty) {
+        if (!docsExist)
+          wh.overwrite(freshKeyed, layer, table, partitionBy = Seq(CcWaveCol)): Unit
+        else wh.overwritePartitions(freshKeyed, layer, table, CcWaveCol): Unit
+      } else if (!docsExist) {
+        // empty first batch: nothing landed, nothing to assign
+        if (useLedger) wh.markBatchCommitted(layer, table, batchId, ledgerNs)
+        return true
+      }
+      // 2. fold every UNASSIGNED doc — this wave's, plus any orphans a
+      //    crash left between doc-landing and version publish — into the
+      //    last consistent snapshot
+      val docs = wh.read(layer, table)
+      val at = ccAssignTable(table)
+      val assign = wh.latestVersion(layer, at) match {
+        case Some(v) => wh.readVersion(layer, at, v)
+          .select(col(idCol), col("cluster_id"))
+        case None => docs.select(col(idCol), col(idCol).as("cluster_id")).limit(0)
+      }
+      val (unassigned, uIds) = Dedup.cutTracked(docs
+        .select(col(idCol), col(textCol), col(Dedup.BAND_KEYS_COL))
+        .join(assign.select(col(idCol)), Seq(idCol), "left_anti"))
+      batchCuts ++= uIds
+      if (unassigned.isEmpty) {
+        // pure replay (docs landed AND version published): metadata only
+        if (useLedger) wh.markBatchCommitted(layer, table, batchId, ledgerNs)
+        return true
+      }
+      val assignedDocs = docs
+        .select(col(idCol), col(textCol), col(Dedup.BAND_KEYS_COL))
+        .join(assign.select(col(idCol)), Seq(idCol), "left_semi")
+      val newPairs = Dedup.storedKeySelfNearDups(unassigned, textCol, idCol,
+        ngram, minJaccard).select(col("id_1"), col("id_2"))
+      val cross = Dedup.storedKeyCrossNearDups(unassigned, assignedDocs,
+        textCol, idCol, ngram, minJaccard)
+      val newAssign = Dedup.contractedCcMerge(assign,
+        unassigned.select(col(idCol)), idCol,
+        cross, "idx_id", "new_id", newPairs)
+      wh.writeVersion(newAssign.select(col(idCol), col("cluster_id")), layer, at): Unit
+      wh.vacuumVersions(layer, at, keep = 2): Unit
       if (useLedger) wh.markBatchCommitted(layer, table, batchId, ledgerNs)
-      return true
-    }
-    // 2. fold every UNASSIGNED doc — this wave's, plus any orphans a
-    //    crash left between doc-landing and version publish — into the
-    //    last consistent snapshot
-    val docs = wh.read(layer, table)
-    val at = ccAssignTable(table)
-    val assign = wh.latestVersion(layer, at) match {
-      case Some(v) => wh.readVersion(layer, at, v)
-        .select(col(idCol), col("cluster_id"))
-      case None => docs.select(col(idCol), col(idCol).as("cluster_id")).limit(0)
-    }
-    val unassigned = docs
-      .select(col(idCol), col(textCol), col(Dedup.BAND_KEYS_COL))
-      .join(assign.select(col(idCol)), Seq(idCol), "left_anti")
-      .localCheckpoint(true)
-    if (unassigned.isEmpty) {
-      // pure replay (docs landed AND version published): metadata only
-      if (useLedger) wh.markBatchCommitted(layer, table, batchId, ledgerNs)
-      return true
-    }
-    val assignedDocs = docs
-      .select(col(idCol), col(textCol), col(Dedup.BAND_KEYS_COL))
-      .join(assign.select(col(idCol)), Seq(idCol), "left_semi")
-    val newPairs = Dedup.storedKeySelfNearDups(unassigned, textCol, idCol,
-      ngram, minJaccard).select(col("id_1"), col("id_2"))
-    val cross = Dedup.storedKeyCrossNearDups(unassigned, assignedDocs,
-      textCol, idCol, ngram, minJaccard)
-    val newAssign = Dedup.contractedCcMerge(assign,
-      unassigned.select(col(idCol)), idCol,
-      cross, "idx_id", "new_id", newPairs)
-    wh.writeVersion(newAssign.select(col(idCol), col("cluster_id")), layer, at): Unit
-    wh.vacuumVersions(layer, at, keep = 2): Unit
-    if (useLedger) wh.markBatchCommitted(layer, table, batchId, ledgerNs)
-    true
+      true
+    } finally Dedup.retireTracked(sparkOfBatch, batchCuts)
   }
 
   /** Streaming connected-components maintenance — [[ccBatch]] under
@@ -586,7 +598,17 @@ object EventPipelines {
     // attach. Re-running that per reference is ~3× the batch's dedup
     // cost in tiny re-shuffled stages; the cut pins one batch-sized
     // relation instead (micro-batches are bounded by construction).
+    // Each batch's cuts are RETIRED as soon as their last reader is
+    // done (Dedup.cutTracked / retireTracked — Dataset.unpersist can't
+    // free checkpoint-backed blocks), so a long drain strands at most
+    // ONE batch-sized relation (the latest landed output, retired at
+    // the next batch's entry; foreachBatch is sequential), never one
+    // set per micro-batch.
+    val sparkOfDocs = docs.sparkSession
+    var prevOutIds: Set[Int] = Set.empty
     val dedupPrep: DataFrame => DataFrame = { b0 =>
+      Dedup.retireTracked(sparkOfDocs, prevOutIds)
+      prevOutIds = Set.empty
       val b = prep.getOrElse(identity[DataFrame] _).apply(b0)
       // key the batch ONCE, before anything else, and cut: the
       // within-batch pair relation, the stored-key probe, and the
@@ -596,8 +618,8 @@ object EventPipelines {
       // the survivors for landing — two O(batch) signature passes per
       // micro-batch; storedKeySelfNearDups over keys from the same
       // (ngram, k, bands) is pinned pair-identical by IndexedDedupSpec)
-      val keyed = Dedup.withBandKeys(b, textCol, idCol, ngram, k, bands)
-        .localCheckpoint(true)
+      val (keyed, keyedIds) = Dedup.cutTracked(
+        Dedup.withBandKeys(b, textCol, idCol, ngram, k, bands))
       val within = Dedup.storedKeySelfNearDups(keyed, textCol, idCol,
         ngram, minJaccard)
       // survivors keep their band-key column — per-doc and dedup-proof.
@@ -606,16 +628,19 @@ object EventPipelines {
       // fetch), and each read would otherwise re-evaluate the
       // within-batch pair DAG above (measured 5.1 s of an 8 s batch
       // without this cut at sf0.1). Both cuts are batch-sized.
-      val survivors = keyed.join(
-        within.select(col("id_2").as(idCol)).distinct(), Seq(idCol), "left_anti")
-        .localCheckpoint(true)
-      val out = if (!wh.exists(layer, table))
+      val (survivors, survIds) = Dedup.cutTracked(keyed.join(
+        within.select(col("id_2").as(idCol)).distinct(), Seq(idCol), "left_anti"))
+      // the probe and the landing read only the materialized survivors
+      Dedup.retireTracked(sparkOfDocs, keyedIds)
+      if (!wh.exists(layer, table)) {
         // first batch creates the table keyed, so every later batch
-        // takes the stored-key probe
+        // takes the stored-key probe; survivors IS the output — a
+        // second cut would just duplicate its blocks
+        prevOutIds = survIds
         survivors
-      else {
+      } else {
         val landed = wh.readPartitioned(layer, table, partCol)
-        if (landed.columns.contains(Dedup.BAND_KEYS_COL)) {
+        val outExpr = if (landed.columns.contains(Dedup.BAND_KEYS_COL)) {
           val hits = Dedup.storedKeyCrossNearDups(survivors,
             landed.select(col(idCol), col(textCol), col(Dedup.BAND_KEYS_COL)),
             textCol, idCol, ngram, minJaccard)
@@ -644,8 +669,12 @@ object EventPipelines {
             .join(hits.select(col("new_id").as(idCol)).distinct(),
               Seq(idCol), "left_anti")
         }
+        val (out, outIds) = Dedup.cutTracked(outExpr)
+        // out is materialized; survivors has no reader left
+        Dedup.retireTracked(sparkOfDocs, survIds)
+        prevOutIds = outIds
+        out
       }
-      out.localCheckpoint(true)
     }
     ingestAvailableNow(docs, wh, layer, table, keys = Seq(idCol),
       partCol = partCol, checkpointDir = checkpointDir, prep = Some(dedupPrep))

@@ -196,6 +196,15 @@ class TextDedupSpec extends SparkSpec {
     assert(Dedup.connectedComponents(sEdges, sNodes, "doc_id")
       .as[(String, String)].collect().toMap ==
       Map("a" -> "a", "b" -> "a", "c" -> "c"))
+    // a NULL node id drops on BOTH paths: the fixpoint's final semi-join
+    // rejects NULL=NULL, and the fast path filters to match
+    val nullNodes = Seq(Some(2L), None, Some(3L), Some(4L)).toDF("doc_id")
+    assert(Dedup.connectedComponents(bridge, nullNodes, "doc_id")
+      .as[(Long, Long)].collect().toMap == wantBr)
+    assert(distributedCcOnly {
+      Dedup.connectedComponents(bridge, nullNodes, "doc_id")
+        .as[(Long, Long)].collect().toMap
+    } == wantBr)
   }
 
   test("hashToMin ≡ min-label CC on converging inputs; O(log d) on chains that throw min-label") {
