@@ -786,46 +786,59 @@ object Dedup {
     val e = edges.toDF("src", "dst")
     val (und, undIds) = cut(
       e.unionByName(e.select(col("dst").as("src"), col("src").as("dst"))).distinct())
-    driverUnionFind(und, nodes, idCol) match {
-      case Some(labelled) =>
-        // the labelled plan reads only `nodes` + the broadcast map —
-        // the edge blocks are dead weight from here
-        retire(undIds)
-        return labelled
-      case None => ()
+    // an exception below (maxIters throw, analysis error) must not
+    // strand the cuts made so far — retire everything still live
+    // except, on success, the final label generation the returned
+    // plan reads
+    var labelIds = Set.empty[Int]
+    try {
+      driverUnionFind(und, nodes, idCol) match {
+        case Some(labelled) =>
+          // the labelled plan reads only `nodes` + the broadcast map —
+          // the edge blocks are dead weight from here
+          retire(undIds)
+          return labelled
+        case None => ()
+      }
+      // propagate over EVERY edge endpoint, even ids missing from `nodes`
+      // (e.g. a doc dropped by an upstream filter after pair generation):
+      // a dangling endpoint must still bridge its neighbours, or the
+      // component silently splits. Output is restricted back to `nodes`.
+      val nodeIds = nodes.select(col(idCol).as("id"))
+      val seeds = nodeIds.unionByName(und.select(col("src").as("id"))).distinct()
+      val (labels0, labelIds0) = cut(seeds.select(col("id"), col("id").as("comp")))
+      var labels = labels0
+      labelIds = labelIds0
+      var iter = 0
+      var changed = 1L
+      while (changed > 0) {
+        iter += 1
+        if (iter > maxIters) throw new IllegalStateException(
+          s"connectedComponents: no convergence after $maxIters rounds — " +
+            "graph diameter exceeds the bound; raise maxIters")
+        val contrib = und.join(labels.select(col("id").as("src"), col("comp")), "src")
+          .groupBy(col("dst").as("id")).agg(min(col("comp")).as("nmin"))
+        // the changed-count rides the checkpoint job itself (observe):
+        // one job per round, not a propagate job plus a count job — at
+        // diameter d that halves the driver round-trips
+        val obs = org.apache.spark.sql.Observation()
+        val (joined, joinedIds) = cut(labels.join(contrib, Seq("id"), "left")
+          .select(col("id"), col("comp"),
+            least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp2"))
+          .observe(obs, sum(when(col("comp2") < col("comp"), 1L).otherwise(0L)).as("n")))
+        changed = Option(obs.get("n")).map(_.asInstanceOf[Long]).getOrElse(0L)
+        retire(labelIds) // joined is eagerly materialized above
+        labels = joined.select(col("id"), col("comp2").as("comp"))
+        labelIds = joinedIds
+      }
+      retire(undIds) // the returned plan reads only the final generation
+      labels.join(nodeIds, Seq("id"), "left_semi")
+        .select(col("id").as(idCol), col("comp").as("cluster_id"))
+    } catch {
+      case scala.util.control.NonFatal(t) =>
+        retire(undIds ++ labelIds)
+        throw t
     }
-    // propagate over EVERY edge endpoint, even ids missing from `nodes`
-    // (e.g. a doc dropped by an upstream filter after pair generation):
-    // a dangling endpoint must still bridge its neighbours, or the
-    // component silently splits. Output is restricted back to `nodes`.
-    val nodeIds = nodes.select(col(idCol).as("id"))
-    val seeds = nodeIds.unionByName(und.select(col("src").as("id"))).distinct()
-    var (labels, labelIds) = cut(seeds.select(col("id"), col("id").as("comp")))
-    var iter = 0
-    var changed = 1L
-    while (changed > 0) {
-      iter += 1
-      if (iter > maxIters) throw new IllegalStateException(
-        s"connectedComponents: no convergence after $maxIters rounds — " +
-          "graph diameter exceeds the bound; raise maxIters")
-      val contrib = und.join(labels.select(col("id").as("src"), col("comp")), "src")
-        .groupBy(col("dst").as("id")).agg(min(col("comp")).as("nmin"))
-      // the changed-count rides the checkpoint job itself (observe):
-      // one job per round, not a propagate job plus a count job — at
-      // diameter d that halves the driver round-trips
-      val obs = org.apache.spark.sql.Observation()
-      val (joined, joinedIds) = cut(labels.join(contrib, Seq("id"), "left")
-        .select(col("id"), col("comp"),
-          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp2"))
-        .observe(obs, sum(when(col("comp2") < col("comp"), 1L).otherwise(0L)).as("n")))
-      changed = Option(obs.get("n")).map(_.asInstanceOf[Long]).getOrElse(0L)
-      retire(labelIds) // joined is eagerly materialized above
-      labels = joined.select(col("id"), col("comp2").as("comp"))
-      labelIds = joinedIds
-    }
-    retire(undIds) // the returned plan reads only the final generation
-    labels.join(nodeIds, Seq("id"), "left_semi")
-      .select(col("id").as(idCol), col("comp").as("cluster_id"))
   }
 
   /** The contraction fold shared by incremental (q220) and streaming

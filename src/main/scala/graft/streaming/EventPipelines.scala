@@ -528,10 +528,18 @@ object EventPipelines {
         ngram, minJaccard).select(col("id_1"), col("id_2"))
       val cross = Dedup.storedKeyCrossNearDups(unassigned, assignedDocs,
         textCol, idCol, ngram, minJaccard)
+      // section-level id diff around the fold + version write: the
+      // contraction's INTERNAL cuts (notably the distributed-CC
+      // fallback's final label generation, which connectedComponents
+      // cannot retire — its returned plan reads it) have no reader
+      // once the version is landed, so whatever the section persisted
+      // joins this batch's retirement set
+      val beforeMerge = sparkOfBatch.sparkContext.getPersistentRDDs.keySet
       val newAssign = Dedup.contractedCcMerge(assign,
         unassigned.select(col(idCol)), idCol,
         cross, "idx_id", "new_id", newPairs)
       wh.writeVersion(newAssign.select(col(idCol), col("cluster_id")), layer, at): Unit
+      batchCuts ++= (sparkOfBatch.sparkContext.getPersistentRDDs.keySet -- beforeMerge)
       wh.vacuumVersions(layer, at, keep = 2): Unit
       if (useLedger) wh.markBatchCommitted(layer, table, batchId, ledgerNs)
       true
@@ -678,6 +686,9 @@ object EventPipelines {
     }
     ingestAvailableNow(docs, wh, layer, table, keys = Seq(idCol),
       partCol = partCol, checkpointDir = checkpointDir, prep = Some(dedupPrep))
+    // the drain is complete (availableNowLedgered awaits termination):
+    // the last batch's landed output has no reader left either
+    Dedup.retireTracked(sparkOfDocs, prevOutIds)
   }
 
   /** Streaming SCD1 — the reference's C1 upsert meeting the streaming

@@ -316,10 +316,12 @@ class TextDedupSpec extends SparkSpec {
     assert(sc.getPersistentRDDs.size - b3 <= 1,
       s"min-label left ${sc.getPersistentRDDs.size - b3} persisted RDDs")
     // the driver fast path retires the materialized edge relation too —
-    // its returned plan persists NOTHING
+    // its returned plan persists NOTHING (<=, not ==: persistentRdds is
+    // weak-valued, so a GC reaping earlier sections' leftovers between
+    // the two reads can make the diff negative)
     val b4 = sc.getPersistentRDDs.size
     Dedup.connectedComponents(short, shortNodes, "doc_id").count(): Unit
-    assert(sc.getPersistentRDDs.size - b4 == 0,
+    assert(sc.getPersistentRDDs.size - b4 <= 0,
       s"driver path left ${sc.getPersistentRDDs.size - b4} persisted RDDs")
   }
 
