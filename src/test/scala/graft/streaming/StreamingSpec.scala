@@ -708,4 +708,53 @@ class StreamingSpec extends SparkSpec {
     assert(landedTbl.filter(col(Dedup.BAND_KEYS_COL).isNull).count() == 0)
     assert(landedTbl.select($"doc_id").as[Long].collect().toSet == Set(1L, 3L))
   }
+
+  test("streaming drains retire every per-batch cut: no persisted-RDD growth (incl. the distributed-CC fallback)") {
+    import graft.operators.Dedup
+    val sc = spark.sparkContext
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "a completely different document about spark physical plans"),
+      (4L, "a completely different document about spark logical plans"),
+      (5L, "the quick brown fox jumps over the lazy dog tomorrow")
+    ).toDF("doc_id", "text")
+    val arrDir = java.nio.file.Files.createTempDirectory("graft-ccleak").toString
+    docs.filter($"doc_id" <= 2).coalesce(1).write.parquet(s"$arrDir/f1")
+    docs.filter($"doc_id" === 3 || $"doc_id" === 4).coalesce(1).write.parquet(s"$arrDir/f2")
+    docs.filter($"doc_id" === 5).coalesce(1).write.parquet(s"$arrDir/f3")
+    val wh = new graft.sources.Warehouse(
+      java.nio.file.Files.createTempDirectory("graft-ccleak-wh").toString, spark)
+    // force the distributed min-label fallback inside the contraction
+    // fold: its final label generation is cut INSIDE connectedComponents
+    // (unretirable there — the returned plan reads it) and must be
+    // caught by ccBatch's section-level id diff
+    spark.conf.set("graft.cc.driverEdgeLimit", "0")
+    val before = sc.getPersistentRDDs.size
+    try {
+      EventPipelines.ccMaintainAvailableNow(
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1)
+          .parquet(s"$arrDir/*"),
+        wh, "idx", "ccleak", "doc_id", "text",
+        ngram = 3, k = 8, bands = 4, minJaccard = 0.2)
+    } finally spark.conf.unset("graft.cc.driverEdgeLimit")
+    // <=, not ==: persistentRdds is weak-valued — a GC between the two
+    // reads can reap other tests' leftovers and drive the diff negative
+    assert(sc.getPersistentRDDs.size - before <= 0,
+      s"ccMaintain drain left ${sc.getPersistentRDDs.size - before} persisted RDDs")
+    // dedup ingest: same bound — keyed/survivors retire per batch and
+    // the LAST batch's landed output retires when the drain completes
+    val dd = docs.withColumn("source", lit("s"))
+    val ddDir = java.nio.file.Files.createTempDirectory("graft-ddleak").toString
+    dd.filter($"doc_id" <= 3).coalesce(1).write.parquet(s"$ddDir/f1")
+    dd.filter($"doc_id" >= 4).coalesce(1).write.parquet(s"$ddDir/f2")
+    val before2 = sc.getPersistentRDDs.size
+    EventPipelines.dedupIngestAvailableNow(
+      spark.readStream.schema(dd.schema).option("maxFilesPerTrigger", 1)
+        .parquet(s"$ddDir/*"),
+      wh, "idx", "ddleak", idCol = "doc_id", textCol = "text",
+      partCol = "source", ngram = 3, k = 8, bands = 4, minJaccard = 0.2)
+    assert(sc.getPersistentRDDs.size - before2 <= 0,
+      s"dedup-ingest drain left ${sc.getPersistentRDDs.size - before2} persisted RDDs")
+  }
 }
