@@ -970,10 +970,20 @@ object Dedup {
     */
   private[graft] def cutTracked(df: DataFrame,
                                 reliable: Boolean = false): (DataFrame, Set[Int]) = {
-    val sc = df.sparkSession.sparkContext
+    val spark = df.sparkSession
+    val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
-    val ck = if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
-    (ck, (sc.getPersistentRDDs.keySet -- before).toSet)
+    try {
+      val ck = if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+      (ck, (sc.getPersistentRDDs.keySet -- before).toSet)
+    } catch {
+      // a failed materialization job registered its RDD as persisted
+      // BEFORE the job ran — the ids never reach the caller, so no
+      // catch out there can free them; clean up the half-cut here
+      case scala.util.control.NonFatal(t) =>
+        retireTracked(spark, (sc.getPersistentRDDs.keySet -- before).toSet)
+        throw t
+    }
   }
 
   /** Unpersist the RDD ids a [[cutTracked]] returned — call once the

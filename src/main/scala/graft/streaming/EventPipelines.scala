@@ -535,11 +535,18 @@ object EventPipelines {
       // once the version is landed, so whatever the section persisted
       // joins this batch's retirement set
       val beforeMerge = sparkOfBatch.sparkContext.getPersistentRDDs.keySet
-      val newAssign = Dedup.contractedCcMerge(assign,
-        unassigned.select(col(idCol)), idCol,
-        cross, "idx_id", "new_id", newPairs)
-      wh.writeVersion(newAssign.select(col(idCol), col("cluster_id")), layer, at): Unit
-      batchCuts ++= (sparkOfBatch.sparkContext.getPersistentRDDs.keySet -- beforeMerge)
+      try {
+        val newAssign = Dedup.contractedCcMerge(assign,
+          unassigned.select(col(idCol)), idCol,
+          cross, "idx_id", "new_id", newPairs)
+        wh.writeVersion(newAssign.select(col(idCol), col("cluster_id")), layer, at): Unit
+      } finally
+        // captured in a finally: a failed fold or version write must
+        // still hand the section's cuts (notably the distributed-CC
+        // fallback's final label generation) to the batch retirement —
+        // an unpublished version has no reader, so retiring is safe on
+        // the failure path too
+        batchCuts ++= (sparkOfBatch.sparkContext.getPersistentRDDs.keySet -- beforeMerge)
       wh.vacuumVersions(layer, at, keep = 2): Unit
       if (useLedger) wh.markBatchCommitted(layer, table, batchId, ledgerNs)
       true
@@ -617,78 +624,95 @@ object EventPipelines {
     val dedupPrep: DataFrame => DataFrame = { b0 =>
       Dedup.retireTracked(sparkOfDocs, prevOutIds)
       prevOutIds = Set.empty
-      val b = prep.getOrElse(identity[DataFrame] _).apply(b0)
-      // key the batch ONCE, before anything else, and cut: the
-      // within-batch pair relation, the stored-key probe, and the
-      // landing all need the same deterministic band keys, so one
-      // signature pass serves all three (the previous shape ran
-      // minhashLshNearDups over the raw batch and THEN re-signatured
-      // the survivors for landing — two O(batch) signature passes per
-      // micro-batch; storedKeySelfNearDups over keys from the same
-      // (ngram, k, bands) is pinned pair-identical by IndexedDedupSpec)
-      val (keyed, keyedIds) = Dedup.cutTracked(
-        Dedup.withBandKeys(b, textCol, idCol, ngram, k, bands))
-      val within = Dedup.storedKeySelfNearDups(keyed, textCol, idCol,
-        ngram, minJaccard)
-      // survivors keep their band-key column — per-doc and dedup-proof.
-      // Cut here too: the stored-key probe reads its arrivals side
-      // several times (band-key explode + candidate-pruned verify
-      // fetch), and each read would otherwise re-evaluate the
-      // within-batch pair DAG above (measured 5.1 s of an 8 s batch
-      // without this cut at sf0.1). Both cuts are batch-sized.
-      val (survivors, survIds) = Dedup.cutTracked(keyed.join(
-        within.select(col("id_2").as(idCol)).distinct(), Seq(idCol), "left_anti"))
-      // the probe and the landing read only the materialized survivors
-      Dedup.retireTracked(sparkOfDocs, keyedIds)
-      if (!wh.exists(layer, table)) {
-        // first batch creates the table keyed, so every later batch
-        // takes the stored-key probe; survivors IS the output — a
-        // second cut would just duplicate its blocks
-        prevOutIds = survIds
-        survivors
-      } else {
-        val landed = wh.readPartitioned(layer, table, partCol)
-        val outExpr = if (landed.columns.contains(Dedup.BAND_KEYS_COL)) {
-          val hits = Dedup.storedKeyCrossNearDups(survivors,
-            landed.select(col(idCol), col(textCol), col(Dedup.BAND_KEYS_COL)),
-            textCol, idCol, ngram, minJaccard)
-          survivors.join(hits.select(col("new_id").as(idCol)).distinct(),
-            Seq(idCol), "left_anti")
+      // cuts this batch made that have NOT been handed to a survivor
+      // (prevOutIds) or retired yet — retired on a mid-batch failure,
+      // where nothing downstream will ever hold their ids
+      var pending = Set.empty[Int]
+      try {
+        val b = prep.getOrElse(identity[DataFrame] _).apply(b0)
+        // key the batch ONCE, before anything else, and cut: the
+        // within-batch pair relation, the stored-key probe, and the
+        // landing all need the same deterministic band keys, so one
+        // signature pass serves all three (the previous shape ran
+        // minhashLshNearDups over the raw batch and THEN re-signatured
+        // the survivors for landing — two O(batch) signature passes per
+        // micro-batch; storedKeySelfNearDups over keys from the same
+        // (ngram, k, bands) is pinned pair-identical by IndexedDedupSpec)
+        val (keyed, keyedIds) = Dedup.cutTracked(
+          Dedup.withBandKeys(b, textCol, idCol, ngram, k, bands))
+        pending ++= keyedIds
+        val within = Dedup.storedKeySelfNearDups(keyed, textCol, idCol,
+          ngram, minJaccard)
+        // survivors keep their band-key column — per-doc and dedup-proof.
+        // Cut here too: the stored-key probe reads its arrivals side
+        // several times (band-key explode + candidate-pruned verify
+        // fetch), and each read would otherwise re-evaluate the
+        // within-batch pair DAG above (measured 5.1 s of an 8 s batch
+        // without this cut at sf0.1). Both cuts are batch-sized.
+        val (survivors, survIds) = Dedup.cutTracked(keyed.join(
+          within.select(col("id_2").as(idCol)).distinct(), Seq(idCol), "left_anti"))
+        pending ++= survIds
+        // the probe and the landing read only the materialized survivors
+        Dedup.retireTracked(sparkOfDocs, keyedIds)
+        pending --= keyedIds
+        if (!wh.exists(layer, table)) {
+          // first batch creates the table keyed, so every later batch
+          // takes the stored-key probe; survivors IS the output — a
+          // second cut would just duplicate its blocks
+          prevOutIds = survIds
+          pending --= survIds
+          survivors
         } else {
-          // legacy keyless index (pre-seeded without withBandKeys):
-          // correct but re-signatures the landed side EVERY batch — the
-          // parquet schema is fixed at seed time, so the upgrade is a
-          // one-time reland through withBandKeys, not something a batch
-          // can do partially (per-partition swaps would leave mixed
-          // schemas)
-          System.err.println(s"[graft-stream] $layer.$table lacks stored " +
-            s"band keys ('${Dedup.BAND_KEYS_COL}'); falling back to " +
-            "O(landed) re-signature per batch — seed the index through " +
-            "Dedup.withBandKeys to make maintenance O(arrivals)")
-          val tagged = landed.select(col(idCol), col(textCol))
-            .withColumn("__side", lit("idx"))
-            .unionByName(survivors.select(col(idCol), col(textCol))
-              .withColumn("__side", lit("new")))
-          val hits = Dedup.crossCorpusNearDups(tagged, textCol, idCol,
-            "__side", "new", "idx", ngram, k, bands, minJaccard)
-          // the keyless table's parquet schema is fixed at seed time —
-          // landing must not carry the batch's key column into it
-          survivors.drop(Dedup.BAND_KEYS_COL)
-            .join(hits.select(col("new_id").as(idCol)).distinct(),
+          val landed = wh.readPartitioned(layer, table, partCol)
+          val outExpr = if (landed.columns.contains(Dedup.BAND_KEYS_COL)) {
+            val hits = Dedup.storedKeyCrossNearDups(survivors,
+              landed.select(col(idCol), col(textCol), col(Dedup.BAND_KEYS_COL)),
+              textCol, idCol, ngram, minJaccard)
+            survivors.join(hits.select(col("new_id").as(idCol)).distinct(),
               Seq(idCol), "left_anti")
+          } else {
+            // legacy keyless index (pre-seeded without withBandKeys):
+            // correct but re-signatures the landed side EVERY batch — the
+            // parquet schema is fixed at seed time, so the upgrade is a
+            // one-time reland through withBandKeys, not something a batch
+            // can do partially (per-partition swaps would leave mixed
+            // schemas)
+            System.err.println(s"[graft-stream] $layer.$table lacks stored " +
+              s"band keys ('${Dedup.BAND_KEYS_COL}'); falling back to " +
+              "O(landed) re-signature per batch — seed the index through " +
+              "Dedup.withBandKeys to make maintenance O(arrivals)")
+            val tagged = landed.select(col(idCol), col(textCol))
+              .withColumn("__side", lit("idx"))
+              .unionByName(survivors.select(col(idCol), col(textCol))
+                .withColumn("__side", lit("new")))
+            val hits = Dedup.crossCorpusNearDups(tagged, textCol, idCol,
+              "__side", "new", "idx", ngram, k, bands, minJaccard)
+            // the keyless table's parquet schema is fixed at seed time —
+            // landing must not carry the batch's key column into it
+            survivors.drop(Dedup.BAND_KEYS_COL)
+              .join(hits.select(col("new_id").as(idCol)).distinct(),
+                Seq(idCol), "left_anti")
+          }
+          val (out, outIds) = Dedup.cutTracked(outExpr)
+          // out is materialized; survivors has no reader left
+          Dedup.retireTracked(sparkOfDocs, survIds)
+          prevOutIds = outIds
+          pending --= survIds
+          out
         }
-        val (out, outIds) = Dedup.cutTracked(outExpr)
-        // out is materialized; survivors has no reader left
-        Dedup.retireTracked(sparkOfDocs, survIds)
-        prevOutIds = outIds
-        out
+      } catch {
+        // a mid-batch failure leaves nothing downstream holding these
+        // ids — retire whatever this batch cut and hasn't handed off
+        case scala.util.control.NonFatal(t) =>
+          Dedup.retireTracked(sparkOfDocs, pending)
+          throw t
       }
     }
-    ingestAvailableNow(docs, wh, layer, table, keys = Seq(idCol),
+    try ingestAvailableNow(docs, wh, layer, table, keys = Seq(idCol),
       partCol = partCol, checkpointDir = checkpointDir, prep = Some(dedupPrep))
-    // the drain is complete (availableNowLedgered awaits termination):
-    // the last batch's landed output has no reader left either
-    Dedup.retireTracked(sparkOfDocs, prevOutIds)
+    // drained OR failed: the last successful batch's landed output is
+    // parquet now — its cut has no reader left either way
+    finally Dedup.retireTracked(sparkOfDocs, prevOutIds)
   }
 
   /** Streaming SCD1 — the reference's C1 upsert meeting the streaming

@@ -293,36 +293,43 @@ class TextDedupSpec extends SparkSpec {
     // backing RDD ids, or a d-diameter run pins O(log d) full copies.
     // The 200-node chain drives many batches; only the FINAL generation
     // (the returned relation's backing) may remain per invocation.
+    // keySet diffs, not size diffs: persistentRdds is weak-valued, so a
+    // GC reaping OTHER tests' leftovers between the reads could mask a
+    // real leak under a size comparison. New ids are monotonic — a NEW
+    // id still registered after the run IS this run's leftover.
     val sc = spark.sparkContext
+    def newIds[T](body: => T): Set[Int] = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      body
+      sc.getPersistentRDDs.keySet.toSet -- before
+    }
     val n = 200L
     val chain = (1L until n).map(i => (i, i + 1)).toDF("id_1", "id_2")
     val nodes = (1L to n).toDF("doc_id")
-    val b1 = sc.getPersistentRDDs.size
-    Dedup.connectedComponentsAlternatingStar(chain, nodes, "doc_id").count(): Unit
-    assert(sc.getPersistentRDDs.size - b1 <= 1,
-      s"alternating-star left ${sc.getPersistentRDDs.size - b1} persisted RDDs")
-    val b2 = sc.getPersistentRDDs.size
-    Dedup.connectedComponentsHashToMin(chain, nodes, "doc_id").count(): Unit
-    assert(sc.getPersistentRDDs.size - b2 <= 1,
-      s"hash-to-min left ${sc.getPersistentRDDs.size - b2} persisted RDDs")
+    val l1 = newIds {
+      Dedup.connectedComponentsAlternatingStar(chain, nodes, "doc_id").count(): Unit
+    }
+    assert(l1.size <= 1, s"alternating-star left persisted RDDs: $l1")
+    val l2 = newIds {
+      Dedup.connectedComponentsHashToMin(chain, nodes, "doc_id").count(): Unit
+    }
+    assert(l2.size <= 1, s"hash-to-min left persisted RDDs: $l2")
     // min-label's fixpoint (forced — below the driver-path gate it
     // wouldn't iterate): a 20-round run must not strand 20 generations
     val short = (1L until 20L).map(i => (i, i + 1)).toDF("id_1", "id_2")
     val shortNodes = (1L to 20L).toDF("doc_id")
-    val b3 = sc.getPersistentRDDs.size
-    distributedCcOnly {
+    val l3 = newIds {
+      distributedCcOnly {
+        Dedup.connectedComponents(short, shortNodes, "doc_id").count(): Unit
+      }
+    }
+    assert(l3.size <= 1, s"min-label left persisted RDDs: $l3")
+    // the driver fast path retires the materialized edge relation too —
+    // its returned plan persists NOTHING
+    val l4 = newIds {
       Dedup.connectedComponents(short, shortNodes, "doc_id").count(): Unit
     }
-    assert(sc.getPersistentRDDs.size - b3 <= 1,
-      s"min-label left ${sc.getPersistentRDDs.size - b3} persisted RDDs")
-    // the driver fast path retires the materialized edge relation too —
-    // its returned plan persists NOTHING (<=, not ==: persistentRdds is
-    // weak-valued, so a GC reaping earlier sections' leftovers between
-    // the two reads can make the diff negative)
-    val b4 = sc.getPersistentRDDs.size
-    Dedup.connectedComponents(short, shortNodes, "doc_id").count(): Unit
-    assert(sc.getPersistentRDDs.size - b4 <= 0,
-      s"driver path left ${sc.getPersistentRDDs.size - b4} persisted RDDs")
+    assert(l4.isEmpty, s"driver path left persisted RDDs: $l4")
   }
 
   test("bpeTrain bounds kept state at one persisted RDD per session (needState leak fix)") {

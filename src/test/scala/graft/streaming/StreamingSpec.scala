@@ -730,7 +730,11 @@ class StreamingSpec extends SparkSpec {
     // (unretirable there — the returned plan reads it) and must be
     // caught by ccBatch's section-level id diff
     spark.conf.set("graft.cc.driverEdgeLimit", "0")
-    val before = sc.getPersistentRDDs.size
+    // keySet diff, not a size diff: persistentRdds is weak-valued, so a
+    // GC reaping OTHER tests' leftovers between the reads could mask a
+    // genuine leak under a size comparison. New ids are monotonic, and
+    // a NEW id still registered after the drain IS a leak.
+    val before = sc.getPersistentRDDs.keySet.toSet
     try {
       EventPipelines.ccMaintainAvailableNow(
         spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1)
@@ -738,23 +742,21 @@ class StreamingSpec extends SparkSpec {
         wh, "idx", "ccleak", "doc_id", "text",
         ngram = 3, k = 8, bands = 4, minJaccard = 0.2)
     } finally spark.conf.unset("graft.cc.driverEdgeLimit")
-    // <=, not ==: persistentRdds is weak-valued — a GC between the two
-    // reads can reap other tests' leftovers and drive the diff negative
-    assert(sc.getPersistentRDDs.size - before <= 0,
-      s"ccMaintain drain left ${sc.getPersistentRDDs.size - before} persisted RDDs")
+    val leaked = sc.getPersistentRDDs.keySet.toSet -- before
+    assert(leaked.isEmpty, s"ccMaintain drain left persisted RDDs: $leaked")
     // dedup ingest: same bound — keyed/survivors retire per batch and
     // the LAST batch's landed output retires when the drain completes
     val dd = docs.withColumn("source", lit("s"))
     val ddDir = java.nio.file.Files.createTempDirectory("graft-ddleak").toString
     dd.filter($"doc_id" <= 3).coalesce(1).write.parquet(s"$ddDir/f1")
     dd.filter($"doc_id" >= 4).coalesce(1).write.parquet(s"$ddDir/f2")
-    val before2 = sc.getPersistentRDDs.size
+    val before2 = sc.getPersistentRDDs.keySet.toSet
     EventPipelines.dedupIngestAvailableNow(
       spark.readStream.schema(dd.schema).option("maxFilesPerTrigger", 1)
         .parquet(s"$ddDir/*"),
       wh, "idx", "ddleak", idCol = "doc_id", textCol = "text",
       partCol = "source", ngram = 3, k = 8, bands = 4, minJaccard = 0.2)
-    assert(sc.getPersistentRDDs.size - before2 <= 0,
-      s"dedup-ingest drain left ${sc.getPersistentRDDs.size - before2} persisted RDDs")
+    val leaked2 = sc.getPersistentRDDs.keySet.toSet -- before2
+    assert(leaked2.isEmpty, s"dedup-ingest drain left persisted RDDs: $leaked2")
   }
 }
