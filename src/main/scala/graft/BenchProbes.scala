@@ -19,15 +19,30 @@ object BenchProbes {
     subs.put(s"$query/$part", sec): Unit
   }
 
+  /** Bytes-read snapshot hook, installed by [[Bench]] around its task
+    * listener (and drained listener bus): when set, [[timed]] also
+    * records each part's source-bytes delta as `<part>_read_mb` —
+    * which is how the per-WAVE I/O evidence for the streaming-index
+    * read contract lands in the committed ledger's `sub_timings`
+    * (round-12 verdict directive 1's acceptance metric, at sub-query
+    * granularity). Unset outside the bench: zero overhead.
+    */
+  @volatile var bytesProbe: Option[() => Long] = None
+
   /** Time `body` and record it as (query, part) — the ONE bracketing
     * wrapper every probe site uses, so the behavior can't drift across
     * hand-rolled copies: a body that throws records NOTHING (a
     * half-timed part would read as a fast pass in the ledger, next to
     * a -1 wall time that says otherwise). */
   def timed[T](query: String, part: String)(body: => T): T = {
+    val b0 = bytesProbe.map(_.apply())
     val t0 = System.nanoTime()
     val r = body
     record(query, part, (System.nanoTime() - t0) / 1e9)
+    b0.foreach { b =>
+      record(query, part + "_read_mb",
+        (bytesProbe.map(_.apply()).getOrElse(b) - b) / 1048576.0)
+    }
     r
   }
 

@@ -510,6 +510,45 @@ object Dedup {
     */
   val BAND_KEYS_COL = "__mh_bands"
 
+  /** Secondary partition column of a BUCKETED landed index: id-hash
+    * dir under each wave/day partition, so point-set fetches (the
+    * verify stage's candidate docs, the landing anti-join's replay
+    * guard) prune to O(touched buckets) FILES instead of scanning the
+    * corpus — the 100 TB contract [[storedKeyCrossNearDups]]'s
+    * scaladoc prescribes. Bucket counts are fixed at table creation
+    * (`graft.dedup.idBuckets`, default 32 — size it so one bucket ≈
+    * one task's worth of docs at your corpus scale) and pinned in
+    * table meta; the swap unit stays the top-level partition dir, so
+    * the atomic-rename crash story is unchanged.
+    */
+  val ID_BUCKET_COL = "__bucket"
+
+  /** Key-hash partition column of the landed KEY-POSTING table
+    * (`<table>__keys`, the [[keyPostings]] relation written per wave):
+    * the probe reads only the arrivals' key buckets
+    * (`graft.dedup.keyBuckets`, default 32), so per-batch probe I/O is
+    * O(arrival keys × bucket size), never a full key-column scan of
+    * the corpus.
+    */
+  val KEY_BUCKET_COL = "__kb"
+
+  /** The id-hash bucket expression — ONE definition shared by every
+    * writer and reader of a bucketed layout (a drifted copy would
+    * silently prune the wrong files: missed candidates, wrong dedup
+    * decisions).
+    */
+  private[graft] def idBucket(c: Column, n: Int): Column =
+    pmod(xxhash64(c), lit(n)).cast("int")
+
+  /** Distinct bucket values of `c` under `n` buckets, collected —
+    * bounded by `n` regardless of row count, so the collect is always
+    * driver-safe; the values feed an `isin` predicate that statically
+    * prunes the bucketed table's file listing.
+    */
+  private[graft] def bucketValuesOf(df: DataFrame, c: Column, n: Int): Seq[Int] =
+    df.select(idBucket(c, n).as("__b")).distinct().collect()
+      .map(_.getInt(0)).toIndexedSeq
+
   /** Per-doc LSH band-key ARRAY (length = bands; element b is band b's
     * key, exactly [[lshCandidatePairs]]' banding relation pivoted wide):
     * the PERSISTABLE form of a document's LSH state. Band keys are a
@@ -595,20 +634,52 @@ object Dedup {
           s"column '$BAND_KEYS_COL' — land it through withBandKeys, " +
           "or use crossCorpusNearDups (which re-signatures both sides)")
     }
-    def keysOf(df: DataFrame, as: String): DataFrame =
-      df.select(col(idCol).as(as), posexplode(col(BAND_KEYS_COL)))
-        .select(col(as), col("pos").as("band"), col("col").as("bkey"))
-    val cands = keysOf(idx, "idx_id")
-      .join(keysOf(arrivals, "new_id"), Seq("band", "bkey"))
+    val cands = postingCandidates(keyPostings(idx, idCol, "idx_id"),
+      keyPostings(arrivals, idCol, "new_id"))
+    verifyCrossCandidates(cands, idx, arrivals, textCol, idCol, ngram, minJaccard)
+  }
+
+  /** The (id-as-`as`, band, bkey) POSTING relation of a stored band-key
+    * column — [[lshCandidatePairs]]' banding relation read back from
+    * the persisted arrays instead of recomputed. The same relation,
+    * exploded at LANDING time and written as its own bucketed table,
+    * is what lets a streaming maintenance batch prune the probe to the
+    * arrivals' key buckets (see [[graft.streaming.EventPipelines]]).
+    */
+  private[graft] def keyPostings(df: DataFrame, idCol: String, as: String): DataFrame =
+    df.select(col(idCol).as(as), posexplode(col(BAND_KEYS_COL)))
+      .select(col(as), col("pos").as("band"), col("col").as("bkey"))
+
+  /** Candidate (idx_id, new_id) pairs from two key-posting relations —
+    * one (band, bkey) equi-join, zero signature work. Either side may
+    * be PRUNED to a superset of the matching keys (e.g. by key-hash
+    * bucket) without changing the result: a match implies equal bkey,
+    * so any pruning that keeps every key equal to some opposite-side
+    * key is lossless.
+    */
+  private[graft] def postingCandidates(idxKeys: DataFrame, newKeys: DataFrame): DataFrame =
+    idxKeys.join(newKeys, Seq("band", "bkey"))
       .select(col("idx_id"), col("new_id")).distinct()
-    // verify fetch: shingle ONLY docs some candidate touches — the
-    // semi-joins bound the shingled set to the collision volume
+
+  /** The exact-Jaccard verify stage over candidate (idx_id, new_id)
+    * pairs: shingle ONLY docs some candidate touches — the semi-joins
+    * bound the shingled set to the collision volume. `idxDocs` /
+    * `newDocs` are (idCol, textCol, …) relations that must CONTAIN the
+    * candidate-touched docs of their role; a superset is fine (the
+    * semi-join prunes rows), and a caller holding a physically
+    * bucketed index passes a file-pruned superset so the text scan is
+    * O(candidates) files, not O(corpus).
+    */
+  private[graft] def verifyCrossCandidates(cands: DataFrame, idxDocs: DataFrame,
+                                           newDocs: DataFrame, textCol: String,
+                                           idCol: String, ngram: Int,
+                                           minJaccard: Double): DataFrame = {
     def setsOf(df: DataFrame, role: String): DataFrame =
       shingleTable(df.select(col(idCol), col(textCol))
           .join(cands.select(col(role).as(idCol)), Seq(idCol), "left_semi"),
         textCol, idCol, ngram)
         .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("sset"))
-    jaccardVerified(cands, setsOf(idx, "idx_id"), setsOf(arrivals, "new_id"),
+    jaccardVerified(cands, setsOf(idxDocs, "idx_id"), setsOf(newDocs, "new_id"),
       "idx_id", "new_id", minJaccard)
   }
 
@@ -658,6 +729,17 @@ object Dedup {
     sums.select(col(idCol), fp.cast("int").as("simhash"))
   }
 
+  /** Numeric session conf with a LOUD parse failure: a malformed value
+    * (e.g. "500_000", "1e6") must not silently fall back to the default
+    * and re-enable the very behavior the user was tuning away.
+    */
+  private[graft] def longConf(spark: org.apache.spark.sql.SparkSession,
+                              key: String, default: Long): Long =
+    spark.conf.getOption(key).map { v =>
+      v.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"$key='$v' is not a long integer (no underscores/exponents)"))
+    }.getOrElse(default)
+
   /** [[connectedComponents]]' small-graph fast path: solve the
     * (materialized, undirected) edge relation with a driver union-find
     * and return the labelled `nodes` through one broadcast join — or
@@ -669,13 +751,16 @@ object Dedup {
     * only edge-TOUCHED ids (≤ 2·edge-limit entries); nodes absent from
     * it are singletons and label themselves via coalesce, so |nodes|
     * never bounds driver memory. `graft.cc.driverEdgeLimit` (session
-    * conf) caps the UNDIRECTED edge relation's ROW count (≈ 2× the
-    * distinct edges), default 1,000,000 rows ≈ 500k edges; 0 disables
-    * the path (the fixpoint specs pin the distributed algorithm that
-    * way). Transient driver cost at the default cap is order 100 MB
-    * (collected rows + the boxed union-find maps) — size the cap to
-    * the driver; the intended regime is the contraction fold's
-    * collision-sized graphs, thousands of edges, where the cost is KB.
+    * conf, documented in the README's scale-conf list; a malformed
+    * value fails loudly via [[longConf]]) caps the UNDIRECTED edge
+    * relation's ROW count (≈ 2× the distinct edges), default 100,000
+    * rows ≈ 50k edges — order 10 MB transient on the driver (collected
+    * rows + the boxed union-find maps), sized so existing distributed
+    * callers can never silently acquire a ~100 MB driver dependency;
+    * raise it on a fat driver, 0 disables the path (the fixpoint specs
+    * pin the distributed algorithm that way). The intended regime is
+    * the contraction fold's collision-sized graphs, thousands of
+    * edges, where the cost is KB.
     */
   private def driverUnionFind(und: DataFrame, nodes: DataFrame,
                               idCol: String): Option[DataFrame] = {
@@ -690,8 +775,7 @@ object Dedup {
     // schema — rather than replicate the coercion rules, fall back
     if (!integral.contains(idType) ||
         und.schema.fields.exists(_.dataType != idType)) return None
-    val limit = spark.conf.getOption("graft.cc.driverEdgeLimit")
-      .flatMap(_.toLongOption).getOrElse(1000000L)
+    val limit = longConf(spark, "graft.cc.driverEdgeLimit", 100000L)
     // und is localCheckpointed by the caller — both jobs are block reads
     if (limit <= 0L || und.count() > limit) return None
     val rows = und.select(col("src").cast("long"), col("dst").cast("long")).collect()
@@ -754,7 +838,7 @@ object Dedup {
     * Physical strategy by SIZE, like Spark's own broadcast threshold:
     * when the (materialized) undirected edge relation is at most
     * `graft.cc.driverEdgeLimit` ROWS (≈ 2× the distinct edges; default
-    * 1M rows ≈ 500k edges, order 100 MB transient on the driver at
+    * 100k rows ≈ 50k edges, order 10 MB transient on the driver at
     * that cap) and ids are integral, the components are solved by
     * a driver union-find and re-applied to `nodes` through ONE
     * broadcast join; otherwise the distributed min-label fixpoint
@@ -776,7 +860,21 @@ object Dedup {
     * pick a surviving keeper downstream via min(id) per cluster_id.
     */
   def connectedComponents(edges: DataFrame, nodes: DataFrame, idCol: String,
-                          maxIters: Int = 25): DataFrame = {
+                          maxIters: Int = 25): DataFrame =
+    connectedComponentsTracked(edges, nodes, idCol, maxIters)._1
+
+  /** [[connectedComponents]] returning ALSO the persisted-RDD ids the
+    * returned plan still reads (the distributed fixpoint's final label
+    * generation; empty on the driver fast path). The function itself
+    * cannot retire them — the result would throw missing-block on its
+    * next read — so a caller that fully consumes the result (e.g. the
+    * streaming fold, which lands it as a snapshot version) retires
+    * them afterwards via [[retireTracked]]; batch callers may ignore
+    * the ids and let session teardown reclaim the blocks.
+    */
+  private[graft] def connectedComponentsTracked(
+      edges: DataFrame, nodes: DataFrame, idCol: String,
+      maxIters: Int = 25): (DataFrame, Set[Int]) = {
     // generation retirement at the RDD level ([[cutTracked]]): without
     // it a d-diameter run strands d label generations in the block
     // manager until context GC
@@ -797,7 +895,7 @@ object Dedup {
           // the labelled plan reads only `nodes` + the broadcast map —
           // the edge blocks are dead weight from here
           retire(undIds)
-          return labelled
+          return (labelled, Set.empty)
         case None => ()
       }
       // propagate over EVERY edge endpoint, even ids missing from `nodes`
@@ -832,8 +930,8 @@ object Dedup {
         labelIds = joinedIds
       }
       retire(undIds) // the returned plan reads only the final generation
-      labels.join(nodeIds, Seq("id"), "left_semi")
-        .select(col("id").as(idCol), col("comp").as("cluster_id"))
+      (labels.join(nodeIds, Seq("id"), "left_semi")
+        .select(col("id").as(idCol), col("comp").as("cluster_id")), labelIds)
     } catch {
       case scala.util.control.NonFatal(t) =>
         retire(undIds ++ labelIds)
@@ -862,19 +960,33 @@ object Dedup {
     */
   def contractedCcMerge(assign: DataFrame, arrivalIds: DataFrame, idCol: String,
                         crossEdges: DataFrame, idxCol: String, newCol: String,
-                        newPairs: DataFrame): DataFrame = {
+                        newPairs: DataFrame): DataFrame =
+    contractedCcMergeTracked(assign, arrivalIds, idCol, crossEdges, idxCol,
+      newCol, newPairs)._1
+
+  /** [[contractedCcMerge]] returning ALSO the persisted-RDD ids its
+    * result plan still reads (passed through from
+    * [[connectedComponentsTracked]]) — the streaming fold retires them
+    * precisely once its snapshot version is landed, instead of diffing
+    * the session-global persisted-RDD key set around the call (which
+    * could capture and kill a concurrent thread's persists).
+    */
+  private[graft] def contractedCcMergeTracked(
+      assign: DataFrame, arrivalIds: DataFrame, idCol: String,
+      crossEdges: DataFrame, idxCol: String, newCol: String,
+      newPairs: DataFrame): (DataFrame, Set[Int]) = {
     val cEdges = crossEdges
       .join(assign.withColumnRenamed(idCol, idxCol), Seq(idxCol))
       .select(col("cluster_id").as("src"), col(newCol).as("dst"))
       .unionByName(newPairs.select(col("id_1").as("src"), col("id_2").as("dst")))
     val cNodes = assign.select(col("cluster_id").as("id")).distinct()
       .unionByName(arrivalIds.select(col(idCol).as("id")))
-    val merged = connectedComponents(cEdges, cNodes, "id")
-      .select(col("id"), col("cluster_id").as("__merged"))
-    assign.select(col(idCol), col("cluster_id").as("id"))
+    val (cc, ccIds) = connectedComponentsTracked(cEdges, cNodes, "id")
+    val merged = cc.select(col("id"), col("cluster_id").as("__merged"))
+    (assign.select(col(idCol), col("cluster_id").as("id"))
       .unionByName(arrivalIds.select(col(idCol), col(idCol).as("id")))
       .join(merged, Seq("id"))
-      .select(col(idCol), col("__merged").as("cluster_id"))
+      .select(col(idCol), col("__merged").as("cluster_id")), ccIds)
   }
 
   /** [[connectedComponents]]'s long-diameter twin: Hash-to-Min
@@ -953,20 +1065,19 @@ object Dedup {
     * (InMemoryRelation) entries, but localCheckpoint persists at the
     * RDD level, invisible to the CacheManager — so superseded
     * generations would only die when the ContextCleaner GC'd the old
-    * RDD, nondeterministically. The id DIFF around the (synchronous,
-    * eager) cut attributes correctly when no OTHER thread persists
-    * during it — true of this library's sequential query execution.
-    * Were that ever violated, the failure mode depends on the foreign
-    * RDD caught in the diff: a cache-backed victim recomputes from
-    * lineage (perf wobble); a LOCALCHECKPOINT-backed one (QueryCaches'
-    * trained models) has TRUNCATED lineage, so a later read throws
-    * missing-block — loud hard failure, never silently wrong results.
-    * If queries ever run concurrently with a retirement site, restrict
-    * [[retireTracked]] to the ids backing the cut's own returned
-    * Dataset before shipping. With `reliable = true` the cut is a
-    * reliable checkpoint instead (survives executor loss; recovery
-    * lives in the checkpoint files), which persists nothing in the
-    * block manager — its diff is naturally empty.
+    * RDD, nondeterministically. Attribution is PRECISE, not a time
+    * window: the cut Dataset's plan is a `LogicalRDD` wrapping exactly
+    * the RDD the localCheckpoint persisted, so the id is read off the
+    * plan itself — an RDD persisted CONCURRENTLY by another thread of
+    * the session (serving reads during a maintenance drain, a
+    * QueryCaches training) can never be captured and wrongly retired.
+    * The window diff survives only as (a) the fallback for an
+    * unexpected plan shape and (b) the failure-path cleanup, where
+    * over-capture at worst frees blocks a failed job abandoned. With
+    * `reliable = true` the cut is a reliable checkpoint instead
+    * (survives executor loss; recovery lives in the checkpoint files),
+    * which persists nothing in the block manager — its id set is
+    * empty by construction.
     */
   private[graft] def cutTracked(df: DataFrame,
                                 reliable: Boolean = false): (DataFrame, Set[Int]) = {
@@ -975,7 +1086,15 @@ object Dedup {
     val before = sc.getPersistentRDDs.keySet
     try {
       val ck = if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
-      (ck, (sc.getPersistentRDDs.keySet -- before).toSet)
+      val ids: Set[Int] =
+        if (reliable) Set.empty
+        else ck.queryExecution.analyzed match {
+          // Dataset.checkpoint returns ofRows(LogicalRDD(output, rdd))
+          // over the freshly persisted internal RDD — its id IS the cut
+          case l: org.apache.spark.sql.execution.LogicalRDD => Set(l.rdd.id)
+          case _ => (sc.getPersistentRDDs.keySet -- before).toSet
+        }
+      (ck, ids)
     } catch {
       // a failed materialization job registered its RDD as persisted
       // BEFORE the job ran — the ids never reach the caller, so no
@@ -988,8 +1107,9 @@ object Dedup {
 
   /** Unpersist the RDD ids a [[cutTracked]] returned — call once the
     * generation is superseded (its replacement materialized) or fully
-    * consumed (its last reader's job finished). See [[cutTracked]] for
-    * the attribution caveat. */
+    * consumed (its last reader's job finished). Ids are plan-extracted
+    * ([[cutTracked]]), so retiring can only ever free the cut's own
+    * blocks. */
   private[graft] def retireTracked(spark: org.apache.spark.sql.SparkSession,
                                    ids: Set[Int]): Unit =
     ids.foreach(id =>

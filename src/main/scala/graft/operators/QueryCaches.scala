@@ -37,8 +37,10 @@ object QueryCaches {
     * localCheckpointed model state the cached DataFrames pin in the
     * block manager, so ContextCleaner can reclaim it after GC).
     */
-  def evictSession(s: SparkSession): Unit =
+  def evictSession(s: SparkSession): Unit = {
     registry.forEach(_.keySet.removeIf(k => k._1 eq s))
+    fpMemo.keySet.removeIf(_._1 eq s)
+  }
 
   /** How many cached entries a session currently owns (test seam). */
   def cachedEntries(s: SparkSession): Int = {
@@ -82,15 +84,22 @@ object QueryCaches {
     *    NAMES on every rewrite, so (name, size) already catches any
     *    real rewrite the mtime term could.
     *
-    * The value is recomputed on EVERY cache access — deliberately NOT
-    * memoized. A (session, dir) memo (round 11's shape) made the
-    * object-level guarantee a lie: an in-session rewrite of the SAME
-    * dir kept serving models trained on the old bytes until
-    * [[evictSession]]. Key stability without the memo comes from the
-    * hash itself (order-independent, mtime-free: unchanged files ⇒
-    * identical fingerprint on every recomputation), and the cost is
-    * one driver-side recursive listing per access — metadata-only,
-    * microseconds against the queries it keys. A missing dir
+    * The value is recomputed on EVERY cache access BY DEFAULT —
+    * deliberately NOT memoized. A (session, dir) memo (round 11's
+    * shape) made the object-level guarantee a lie: an in-session
+    * rewrite of the SAME dir kept serving models trained on the old
+    * bytes until [[evictSession]]. Key stability without the memo
+    * comes from the hash itself (order-independent, mtime-free:
+    * unchanged files ⇒ identical fingerprint on every recomputation),
+    * and the cost is one driver-side recursive listing per access —
+    * metadata-only, microseconds against the queries it keys on this
+    * rig. Fronting a millions-of-files object store, per-access
+    * listing becomes O(files) namenode metadata per access: set
+    * `graft.cache.fingerprintTtlMs` (session conf) to memoize the
+    * fingerprint for that long, and call [[invalidate]] after any
+    * in-session rewrite of a memoized dir — under a TTL the staleness
+    * guarantee is explicitly time-bounded, the documented trade
+    * (ModelCacheSpec regression-tests both regimes). A missing dir
     * fingerprints as 0 (the training itself will surface the error).
     *
     * Each per-file hash passes through a 64-bit finalizer BEFORE the
@@ -109,6 +118,37 @@ object QueryCaches {
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
     z ^ (z >>> 31)
   }
+  // fingerprint memo for the TTL regime — (session, dir) → (value,
+  // computed-at nanos). Absent entries and ttl <= 0 mean per-access
+  // listing; swept with the session like every other cache.
+  private val fpMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (Long, Long)]
+
+  /** Drop `dir`'s memoized fingerprint for this session — the explicit
+    * invalidation seam for the TTL regime: call it after rewriting a
+    * corpus in-session and the next cache access re-lists immediately
+    * (and, the content having changed, misses and retrains). A no-op
+    * when nothing is memoized.
+    */
+  def invalidate(s: SparkSession, dir: String): Unit =
+    fpMemo.keySet.removeIf(k => (k._1 eq s) && k._2 == dir)
+
+  private def fingerprintCached(s: SparkSession, d: String): Long = {
+    val ttlMs = Dedup.longConf(s, "graft.cache.fingerprintTtlMs", 0L)
+    if (ttlMs <= 0L) { invalidate(s, d); fingerprint(s, d) }
+    else {
+      val now = System.nanoTime()
+      val k = (s, d)
+      Option(fpMemo.get(k)) match {
+        case Some((v, at)) if (now - at) / 1000000L < ttlMs => v
+        case _ =>
+          val v = fingerprint(s, d)
+          fpMemo.put(k, (v, now)): Unit
+          v
+      }
+    }
+  }
+
   private[operators] def fingerprint(s: SparkSession, d: String): Long =
     try {
       val p = new org.apache.hadoop.fs.Path(d)
@@ -143,7 +183,8 @@ object QueryCaches {
         }
       })
     registry.forEach(_.keySet.removeIf(k => k._1.sparkContext.isStopped))
-    val key = (s, s"$d@${fingerprint(s, d)}")
+    fpMemo.keySet.removeIf(_._1.sparkContext.isStopped)
+    val key = (s, s"$d@${fingerprintCached(s, d)}")
     // Sweep SUPERSEDED entries for the same (session, dir): after an
     // in-session corpus rewrite the new fingerprint mints a new key,
     // and without this sweep the old entry would sit in the registry

@@ -75,14 +75,22 @@ class Warehouse(val root: String, spark: SparkSession) {
     * transactions.
     */
   def overwritePartitions(df: DataFrame, layer: String, table: String,
-                          partCol: String): Long = {
+                          partCol: String,
+                          subPartitionBy: Seq[String] = Nil): Long = {
     val target = new Path(path(layer, table))
     require(fs.exists(target), s"overwritePartitions: $layer.$table must already exist")
     val tmp = new Path(path(layer, table + "__ptmp"))
     fs.delete(tmp, true)
     val obs = Observation()
-    df.repartition(col(partCol)).observe(obs, count(lit(1)).as("n"))
-      .write.mode("overwrite").partitionBy(partCol).parquet(tmp.toString)
+    // `subPartitionBy` nests extra partition levels UNDER partCol (e.g.
+    // the dedup-index id-hash bucket dirs); the swap below still moves
+    // whole top-level partCol dirs, nested levels ride along — so the
+    // atomicity unit stays the partCol value. The table's layout must
+    // be uniform: every write to it must pass the same sub-partitions,
+    // or readers hit Spark's conflicting-directory-structures error.
+    val partCols = partCol +: subPartitionBy
+    df.repartition(partCols.map(col): _*).observe(obs, count(lit(1)).as("n"))
+      .write.mode("overwrite").partitionBy(partCols: _*).parquet(tmp.toString)
     val n = obs.get("n").asInstanceOf[Long]
     // Swap in ASCENDING partition order: a crash mid-loop then leaves
     // new data only for a chronological PREFIX of the affected months,
@@ -126,6 +134,71 @@ class Warehouse(val root: String, spark: SparkSession) {
       .filter(n => n.startsWith(partCol + "=") && !n.endsWith("__old"))
       .map(_.stripPrefix(partCol + "="))
   }
+
+  /** Whether the table's partition dirs nest a `subCol=` level — the
+    * layout probe behind the streaming dedup/CC index's bucketed-mode
+    * detection. Schema-based detection (does the read carry the
+    * column?) is unsound: a table re-landed flat can carry the bucket
+    * as a DATA column, and writing it as a partition dir next to flat
+    * waves is exactly the mixed layout Spark rejects. Two listings, no
+    * Spark job.
+    */
+  def hasSubPartition(layer: String, table: String, partCol: String,
+                      subCol: String): Boolean = {
+    recover(layer, table)
+    val dir = new Path(path(layer, table))
+    fs.exists(dir) && fs.listStatus(dir).exists { st =>
+      st.isDirectory && st.getPath.getName.startsWith(partCol + "=") &&
+        !st.getPath.getName.endsWith("__old") &&
+        fs.listStatus(st.getPath).exists(_.getPath.getName.startsWith(subCol + "="))
+    }
+  }
+
+  // ---- table / version metadata ----
+  //
+  // Tiny key→value sidecar files. Table meta (`<table>__meta/<name>`)
+  // records layout constants fixed at table creation (e.g. the id-hash
+  // bucket count) that every later writer must reuse — deriving them
+  // from session conf per batch would silently fork the layout when a
+  // deployment changes the conf. Version meta (`…__versions/v=N/
+  // _graft_<name>`) rides inside the snapshot dir: vacuumed with it,
+  // invisible to parquet reads (underscore prefix), and written AFTER
+  // the version commits — readers must treat a missing entry as
+  // "unknown" and fall back (the crash window between data commit and
+  // meta write is the documented fallback trigger).
+
+  private def writeSmallFile(p: Path, value: String): Unit = {
+    fs.mkdirs(p.getParent): Unit
+    val out = fs.create(p, true)
+    try out.write(value.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readSmallFile(p: Path): Option[String] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val b = new Array[Byte](4096)
+        var n = in.read(b)
+        while (n >= 0) { buf.write(b, 0, n); n = in.read(b) }
+        Some(buf.toString("UTF-8"))
+      } finally in.close()
+    }
+
+  def putTableMeta(layer: String, table: String, name: String, value: String): Unit =
+    writeSmallFile(new Path(path(layer, table + "__meta"), name), value)
+
+  def getTableMeta(layer: String, table: String, name: String): Option[String] =
+    readSmallFile(new Path(path(layer, table + "__meta"), name))
+
+  def putVersionMeta(layer: String, table: String, version: Int,
+                     name: String, value: String): Unit =
+    writeSmallFile(new Path(versionsDir(layer, table), s"v=$version/_graft_$name"), value)
+
+  def getVersionMeta(layer: String, table: String, version: Int,
+                     name: String): Option[String] =
+    readSmallFile(new Path(versionsDir(layer, table), s"v=$version/_graft_$name"))
 
   /** Data files inside one partition dir — the compaction observable
     * (counted through the table's own FileSystem, so it works on any

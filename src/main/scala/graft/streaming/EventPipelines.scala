@@ -248,28 +248,80 @@ object EventPipelines {
     * partitions that gained rows. With `useLedger`, an already-committed
     * batchId is a metadata-only skip (see Warehouse's ledger doc — the
     * exactly-once pattern for foreachBatch replays after a crash).
+    *
+    * `idBuckets > 0` (single-key tables only) bootstraps the BUCKETED
+    * layout: rows additionally partition by the id-hash dir
+    * [[graft.operators.Dedup.ID_BUCKET_COL]], and the bucket count is
+    * pinned as table meta so every later batch derives the same layout
+    * regardless of session conf. Bucketing buys two file-pruned reads
+    * at any corpus size: the replay-guard anti-join scans only the
+    * arrival ids' bucket dirs (O(batch) files, not the corpus id
+    * column), and an index consumer (the streaming dedup probe) can
+    * fetch candidate docs by bucket. On an EXISTING table the layout
+    * is detected from the directories, never from this parameter — a
+    * flat table stays flat (mixed layouts are unreadable).
+    *
+    * `onFresh` observes the rows that actually land (post both dedup
+    * gates), BEFORE the table write — the seam the dedup-ingest path
+    * uses to land key postings first (crash between the two writes
+    * leaves re-landable orphan keys, never landed docs without keys).
     * Returns whether the batch actually landed.
     */
   def landBatch(wh: graft.sources.Warehouse, layer: String, table: String,
                 keys: Seq[String], partCol: String, batch: DataFrame,
                 batchId: Long, useLedger: Boolean, ledgerNs: String = "",
-                prep: Option[DataFrame => DataFrame] = None): Boolean = {
+                prep: Option[DataFrame => DataFrame] = None,
+                idBuckets: Int = 0,
+                onFresh: Option[DataFrame => Unit] = None): Boolean = {
+    import graft.operators.Dedup
     if (useLedger && wh.batchCommitted(layer, table, batchId, ledgerNs)) return false
     // `prep` derives the partition column from the deduped batch;
     // default is the event-day derivation this pipeline was built for
     val deduped = prep.getOrElse((b: DataFrame) => withEventDay(b, partCol))
       .apply(dedupBatch(batch, keys))
-    if (!wh.exists(layer, table))
-      wh.overwrite(deduped, layer, table, partitionBy = Seq(partCol)): Unit
-    else {
+    if (!wh.exists(layer, table)) {
+      onFresh.foreach(_(deduped))
+      if (idBuckets > 0 && keys.size == 1) {
+        wh.overwrite(deduped.withColumn(Dedup.ID_BUCKET_COL,
+            Dedup.idBucket(col(keys.head), idBuckets)),
+          layer, table, partitionBy = Seq(partCol, Dedup.ID_BUCKET_COL)): Unit
+        wh.putTableMeta(layer, table, "idBuckets", idBuckets.toString)
+      } else wh.overwrite(deduped, layer, table, partitionBy = Seq(partCol)): Unit
+    } else {
       val existing = wh.readPartitioned(layer, table, partCol)
-      val fresh = deduped.join(existing, keys, "left_anti")
+      val bucketsOf: Option[Int] =
+        if (keys.size == 1 &&
+            wh.hasSubPartition(layer, table, partCol, Dedup.ID_BUCKET_COL))
+          Some(wh.getTableMeta(layer, table, "idBuckets").flatMap(_.toIntOption)
+            .getOrElse(throw new IllegalStateException(
+              s"landBatch: $layer.$table has ${Dedup.ID_BUCKET_COL} dirs but no " +
+                "idBuckets table meta — bucketed layout corrupted")))
+        else None
+      // anti-join replay guard; under the bucketed layout the landed
+      // side prunes to the arrival ids' bucket dirs — O(batch) files
+      val guard = bucketsOf match {
+        case Some(ib) =>
+          val bks = Dedup.bucketValuesOf(deduped, col(keys.head), ib)
+          existing.where(col(Dedup.ID_BUCKET_COL).isin(bks: _*))
+            .select(keys.map(col): _*)
+        case None => existing.select(keys.map(col): _*)
+      }
+      val fresh = deduped.join(guard, keys, "left_anti")
+      onFresh.foreach(_(fresh))
       // rewrite ONLY the days that gained rows, carrying each such
-      // day's existing rows through the swap
-      val affectedExisting = existing.join(
-        fresh.select(partCol).distinct(), Seq(partCol), "left_semi")
-      wh.overwritePartitions(affectedExisting.unionByName(fresh),
-        layer, table, partCol): Unit
+      // day's existing rows through the swap. Days come from a driver
+      // collect (bounded by the batch's day spread) so the carried
+      // rows' scan is statically partition-pruned — the previous
+      // semi-join pruned rows but still scanned every file.
+      val days = fresh.select(col(partCol)).distinct().collect().map(_.get(0))
+      if (days.nonEmpty) {
+        val affectedExisting = existing.where(col(partCol).isin(days: _*))
+        val freshOut = bucketsOf.fold(fresh)(ib => fresh.withColumn(
+          Dedup.ID_BUCKET_COL, Dedup.idBucket(col(keys.head), ib)))
+        wh.overwritePartitions(affectedExisting.unionByName(freshOut),
+          layer, table, partCol,
+          subPartitionBy = bucketsOf.map(_ => Dedup.ID_BUCKET_COL).toSeq): Unit
+      }
     }
     if (useLedger) wh.markBatchCommitted(layer, table, batchId, ledgerNs)
     true
@@ -323,11 +375,14 @@ object EventPipelines {
                          layer: String, table: String, keys: Seq[String],
                          partCol: String = "event_day",
                          checkpointDir: Option[String] = None,
-                         prep: Option[DataFrame => DataFrame] = None): Unit =
+                         prep: Option[DataFrame => DataFrame] = None,
+                         idBuckets: Int = 0,
+                         onFresh: Option[DataFrame => Unit] = None): Unit =
     availableNowLedgered(events, wh, layer, table, checkpointDir) {
       (batch, bid, useLedger, ns) =>
         landBatch(wh, layer, table, keys, partCol, batch, bid,
-          useLedger = useLedger, ledgerNs = ns, prep = prep): Unit
+          useLedger = useLedger, ledgerNs = ns, prep = prep,
+          idBuckets = idBuckets, onFresh = onFresh): Unit
     }
 
   /** One STREAMING SCD1 micro-batch: the per-batch body of
@@ -384,45 +439,70 @@ object EventPipelines {
   }
 
   /** One streaming connected-components maintenance micro-batch: the
-    * q220 contraction algorithm under a TWO-RELATION layout that makes
-    * per-batch cost O(arrivals + collisions) in WRITE amplification as
-    * well as signature work:
+    * q220 contraction algorithm under a THREE-RELATION layout that
+    * makes per-batch cost O(arrivals + collisions) in WRITE
+    * amplification, signature work, AND bytes read from the landed
+    * corpus:
     *
     *  - `<table>` — the docs index: (idCol, textCol,
     *    [[graft.operators.Dedup.BAND_KEYS_COL]]), partitioned by
-    *    [[CcWaveCol]] (the landing batch id) and APPEND-ONLY: a batch
-    *    lands exactly one new wave partition via the per-partition
-    *    atomic swap, and re-delivered ids anti-join to an empty write.
-    *    A doc's text and band keys never change, so no batch rewrites
-    *    landed waves — the previous single-table shape rewrote the
-    *    ENTIRE corpus, text included, on every micro-batch just to
-    *    refresh labels: an O(B · corpus) write path at 100 TB, the
-    *    same rebuild-in-all-but-name class as the re-shingling this
-    *    operator already eliminated (round-11 verdict directive 2).
+    *    [[CcWaveCol]] (a landing sequence number) with
+    *    [[graft.operators.Dedup.ID_BUCKET_COL]] id-hash dirs nested
+    *    under each wave, and APPEND-ONLY: a batch lands exactly one
+    *    new wave partition via the per-partition atomic swap, and
+    *    re-delivered ids anti-join to an empty write. A doc's text
+    *    and band keys never change, so no batch rewrites landed
+    *    waves. The bucket dirs make every point-set fetch file-pruned:
+    *    the replay anti-join reads only the arrival ids' buckets and
+    *    the verify stage reads only candidate buckets' text — never a
+    *    full text-column scan of the corpus per micro-batch (the
+    *    round-12 "unpruned-scan at 100 TB" residual).
+    *  - `<table>__keys` — the [[graft.operators.Dedup.keyPostings]]
+    *    relation (idCol, band, bkey), partitioned by (wave,
+    *    [[graft.operators.Dedup.KEY_BUCKET_COL]]) and landed with the
+    *    SAME wave number as its docs, keys first — a crash between
+    *    the two writes leaves orphan keys the docs-wave replay
+    *    overwrites (wave numbers derive from the DOCS table), never
+    *    landed docs without keys. The probe equi-join reads only the
+    *    arrivals' key buckets of this relation instead of the whole
+    *    landed key column. A docs table found bucketed WITHOUT its
+    *    keys table (manual deletion) is healed by one loud full-pass
+    *    rebuild from the stored arrays.
     *  - `<table>__assign` — the NARROW (idCol, cluster_id) assignment,
     *    re-published per batch as a Warehouse snapshot VERSION
     *    (_SUCCESS-gated commit): readers keep the previous consistent
     *    snapshot until the new one is fully landed, torn writes are
     *    invisible, and the per-batch rewrite is label-sized, never
-    *    text-sized. Old versions are vacuumed to the newest 2.
+    *    text-sized. Old versions are vacuumed to the newest 2. Each
+    *    version carries a `waveHighWatermark` meta entry = the max
+    *    docs wave the fold covered, written AFTER the version commits.
     *
     * The fold itself: "arrivals" are the docs NOT IN the latest
     * snapshot — not "rows of this batch" — which makes every crash
     * window self-healing: docs landed + version unpublished ⇒ the
     * replay (or simply the next batch) finds them unassigned and folds
-    * them against the still-consistent previous snapshot. Probe edges
-    * come from STORED band keys on BOTH sides
-    * ([[graft.operators.Dedup.storedKeyCrossNearDups]] /
-    * `storedKeySelfNearDups` — zero signature recompute anywhere;
-    * only candidate-matched docs are shingled for the exact-Jaccard
-    * verify), assigned components CONTRACT to their labels, and CC
-    * runs on the contracted graph. Band keys and labels are
-    * deterministic functions of the text, so the assignment after ANY
-    * ledgered batch sequence is identical to one batch CC over
-    * everything landed — the q228 gate hash-proves it against the
-    * full-recompute oracle. Bootstrap needs no special case: an
-    * absent snapshot is an empty assignment, so batch 1's docs are
-    * all unassigned and the contraction degenerates to plain CC.
+    * them against the still-consistent previous snapshot. The
+    * high-watermark turns unassigned-detection into a partition-pruned
+    * read of waves AFTER the watermark (the fold assigns every doc in
+    * the table, so waves ≤ hw are exactly the covered docs); a missing
+    * watermark (crash between version commit and meta write, or a
+    * pre-watermark snapshot) falls back to the full anti-join scan.
+    * Probe edges come from STORED band keys on BOTH sides
+    * ([[graft.operators.Dedup.postingCandidates]] over the landed
+    * posting table and the arrivals' stored arrays — zero signature
+    * recompute anywhere; only candidate-matched docs are shingled for
+    * the exact-Jaccard verify, fetched bucket-pruned), assigned
+    * components CONTRACT to their labels, and CC runs on the
+    * contracted graph. Band keys and labels are deterministic
+    * functions of the text, so the assignment after ANY ledgered batch
+    * sequence is identical to one batch CC over everything landed —
+    * the q228 gate hash-proves it against the full-recompute oracle,
+    * and pruning is lossless by construction (bucket membership is a
+    * function of the equi-join key). Bootstrap needs no special case:
+    * an absent snapshot is an empty assignment, so batch 1's docs are
+    * all unassigned and the contraction degenerates to plain CC. A
+    * LEGACY pre-seeded index (flat waves, no bucket dirs) keeps the
+    * round-12 full-scan read path — layouts never mix within a table.
     * Returns whether the batch landed (ledgered replays skip).
     */
   def ccBatch(wh: graft.sources.Warehouse, layer: String, table: String,
@@ -433,6 +513,7 @@ object EventPipelines {
               prep: Option[DataFrame => DataFrame] = None): Boolean = {
     import graft.operators.Dedup
     if (useLedger && wh.batchCommitted(layer, table, batchId, ledgerNs)) return false
+    val sparkOfBatch = batch.sparkSession
     val incoming = prep.getOrElse(identity[DataFrame] _)
       .apply(dedupBatch(batch, Seq(idCol)))
       .select(col(idCol), col(textCol))
@@ -466,37 +547,123 @@ object EventPipelines {
           "lit(\"0\")) and overwrite(..., partitionBy = Seq(CcWaveCol)) " +
           "so maintenance waves can land as sibling partitions")
     }
+    val kt = s"${table}__keys"
+    // bucketed mode: a fresh table bootstraps the bucketed layout with
+    // the session's bucket confs; an existing table's layout is read
+    // off its directories + pinned meta (NEVER the conf — a changed
+    // conf must not fork a table's physical layout mid-life)
+    val bucketedMeta: Option[(Int, Int)] =
+      if (!docsExist) {
+        val ib = Dedup.longConf(sparkOfBatch, "graft.dedup.idBuckets", 32L).toInt
+        val kb = Dedup.longConf(sparkOfBatch, "graft.dedup.keyBuckets", 32L).toInt
+        require(ib >= 1 && kb >= 1,
+          s"ccBatch: graft.dedup.idBuckets=$ib / keyBuckets=$kb must be >= 1")
+        Some((ib, kb))
+      } else if (wh.hasSubPartition(layer, table, CcWaveCol, Dedup.ID_BUCKET_COL)) {
+        val ib = wh.getTableMeta(layer, table, "idBuckets").flatMap(_.toIntOption)
+          .getOrElse(throw new IllegalStateException(
+            s"ccBatch: $layer.$table has ${Dedup.ID_BUCKET_COL} dirs but no " +
+              "idBuckets table meta — bucketed layout corrupted"))
+        val kb =
+          if (wh.exists(layer, kt))
+            wh.getTableMeta(layer, kt, "keyBuckets").flatMap(_.toIntOption)
+              .getOrElse(throw new IllegalStateException(
+                s"ccBatch: $layer.$kt exists but has no keyBuckets table " +
+                  "meta — bucketed layout corrupted"))
+          else Dedup.longConf(sparkOfBatch, "graft.dedup.keyBuckets", 32L).toInt
+        Some((ib, kb))
+      } else None
+    // heal a bucketed docs table whose key-posting sibling went missing:
+    // probing without it would silently drop every landed-side candidate
+    bucketedMeta.foreach { case (_, kb) =>
+      if (docsExist && !wh.exists(layer, kt)) {
+        val d = docsBefore.get
+        val kv = d.select(col(idCol), col(CcWaveCol).cast("string").as(CcWaveCol),
+            posexplode(col(Dedup.BAND_KEYS_COL)))
+          .select(col(idCol), col("pos").as("band"), col("col").as("bkey"),
+            col(CcWaveCol))
+          .withColumn(Dedup.KEY_BUCKET_COL, Dedup.idBucket(col("bkey"), kb))
+        // empty postings (every landed doc shingle-less) are the
+        // LEGITIMATE absent-table state, not a loss — see the landing
+        if (!kv.isEmpty) {
+          System.err.println(s"[graft-stream] $layer.$kt missing for bucketed " +
+            s"docs table $layer.$table — rebuilding key postings from the " +
+            "stored band-key arrays (one full pass)")
+          wh.overwrite(kv, layer, kt,
+            partitionBy = Seq(CcWaveCol, Dedup.KEY_BUCKET_COL)): Unit
+          wh.putTableMeta(layer, kt, "keyBuckets", kb.toString)
+        }
+      }
+    }
     // 1. land NEW docs (with their band keys, computed once here) as
     //    this batch's wave partition. The anti-join is the replay
     //    guard: re-delivered ids fold to an empty wave, so landing is
-    //    idempotent as the Warehouse ledger contract requires. The cut
-    //    sits AFTER the anti-join and BEFORE withBandKeys, which
-    //    self-joins its input (docs side + key side) — an uncut fresh
-    //    would evaluate the batch prep and the landed-id anti-join
-    //    twice per wave.
+    //    idempotent as the Warehouse ledger contract requires; under
+    //    the bucketed layout its landed side reads only the arrival
+    //    ids' bucket dirs. The cut sits AFTER the anti-join and BEFORE
+    //    withBandKeys, which self-joins its input (docs side + key
+    //    side) — an uncut fresh would evaluate the batch prep and the
+    //    landed-id anti-join twice per wave.
     // every cut below is batch-internal — dead by the time ccBatch
     // returns (freshKeyed lands as the wave partition, unassigned is
     // consumed by the version write) — so their blocks are retired on
     // exit (Dataset.unpersist can't free checkpoint-backed blocks; a
-    // long stream would otherwise strand three cuts per micro-batch)
-    val sparkOfBatch = batch.sparkSession
+    // long stream would otherwise strand the cuts of every micro-batch)
     var batchCuts = Set.empty[Int]
     try {
-      val (fresh, freshIds) = Dedup.cutTracked(docsBefore match {
-        case Some(d) => incoming.join(d.select(col(idCol)), Seq(idCol), "left_anti")
-        case None => incoming
-      })
+      val (fresh, freshIds) = (docsBefore, bucketedMeta) match {
+        case (None, _) => Dedup.cutTracked(incoming)
+        case (Some(d), Some((ib, _))) =>
+          val (inc, incIds) = Dedup.cutTracked(incoming)
+          batchCuts ++= incIds
+          val bks = Dedup.bucketValuesOf(inc, col(idCol), ib)
+          val landedIds = d.where(col(Dedup.ID_BUCKET_COL).isin(bks: _*))
+            .select(col(idCol))
+          val cut = Dedup.cutTracked(inc.join(landedIds, Seq(idCol), "left_anti"))
+          Dedup.retireTracked(sparkOfBatch, incIds) // consumed by the cut
+          batchCuts --= incIds
+          cut
+        case (Some(d), None) =>
+          Dedup.cutTracked(
+            incoming.join(d.select(col(idCol)), Seq(idCol), "left_anti"))
+      }
       batchCuts ++= freshIds
       val nextWave: Long =
         waves.flatMap(_.toLongOption).maxOption.map(_ + 1L).getOrElse(0L)
-      val (freshKeyed, fkIds) = Dedup.cutTracked(
-        Dedup.withBandKeys(fresh, textCol, idCol, ngram, k, bands)
-          .withColumn(CcWaveCol, lit(nextWave.toString)))
+      val (freshKeyed, fkIds) = Dedup.cutTracked {
+        val fk = Dedup.withBandKeys(fresh, textCol, idCol, ngram, k, bands)
+          .withColumn(CcWaveCol, lit(nextWave.toString))
+        bucketedMeta.fold(fk) { case (ib, _) =>
+          fk.withColumn(Dedup.ID_BUCKET_COL, Dedup.idBucket(col(idCol), ib)) }
+      }
       batchCuts ++= fkIds
-      if (!freshKeyed.isEmpty) {
-        if (!docsExist)
-          wh.overwrite(freshKeyed, layer, table, partitionBy = Seq(CcWaveCol)): Unit
-        else wh.overwritePartitions(freshKeyed, layer, table, CcWaveCol): Unit
+      val freshLanded = !freshKeyed.isEmpty
+      if (freshLanded) {
+        // key postings FIRST, same wave number (see the layout doc)
+        bucketedMeta.foreach { case (_, kb) =>
+          val kv = Dedup.keyPostings(freshKeyed, idCol, idCol)
+            .withColumn(Dedup.KEY_BUCKET_COL, Dedup.idBucket(col("bkey"), kb))
+            .withColumn(CcWaveCol, lit(nextWave.toString))
+          if (!docsExist || !wh.exists(layer, kt)) {
+            // an all-shingle-less wave posts NO keys; creating the
+            // table empty would make it unreadable (no schema to
+            // infer) — leave it absent, the probe falls back until a
+            // keyed wave creates it
+            if (!kv.isEmpty) {
+              wh.overwrite(kv, layer, kt,
+                partitionBy = Seq(CcWaveCol, Dedup.KEY_BUCKET_COL)): Unit
+              wh.putTableMeta(layer, kt, "keyBuckets", kb.toString)
+            }
+          } else wh.overwritePartitions(kv, layer, kt, CcWaveCol,
+            subPartitionBy = Seq(Dedup.KEY_BUCKET_COL)): Unit
+        }
+        if (!docsExist) {
+          wh.overwrite(freshKeyed, layer, table, partitionBy =
+            CcWaveCol +: bucketedMeta.map(_ => Dedup.ID_BUCKET_COL).toSeq): Unit
+          bucketedMeta.foreach { case (ib, _) =>
+            wh.putTableMeta(layer, table, "idBuckets", ib.toString) }
+        } else wh.overwritePartitions(freshKeyed, layer, table, CcWaveCol,
+          subPartitionBy = bucketedMeta.map(_ => Dedup.ID_BUCKET_COL).toSeq): Unit
       } else if (!docsExist) {
         // empty first batch: nothing landed, nothing to assign
         if (useLedger) wh.markBatchCommitted(layer, table, batchId, ledgerNs)
@@ -507,46 +674,82 @@ object EventPipelines {
       //    last consistent snapshot
       val docs = wh.read(layer, table)
       val at = ccAssignTable(table)
-      val assign = wh.latestVersion(layer, at) match {
+      val latestV = wh.latestVersion(layer, at)
+      val assign = latestV match {
         case Some(v) => wh.readVersion(layer, at, v)
           .select(col(idCol), col("cluster_id"))
         case None => docs.select(col(idCol), col(idCol).as("cluster_id")).limit(0)
       }
-      val (unassigned, uIds) = Dedup.cutTracked(docs
-        .select(col(idCol), col(textCol), col(Dedup.BAND_KEYS_COL))
-        .join(assign.select(col(idCol)), Seq(idCol), "left_anti"))
+      val hwOpt: Option[Long] = latestV
+        .flatMap(v => wh.getVersionMeta(layer, at, v, "waveHighWatermark"))
+        .flatMap(_.toLongOption)
+      val waveLong = col(CcWaveCol).cast("long")
+      val (unassigned, uIds) = Dedup.cutTracked(hwOpt match {
+        // waves after the watermark ARE the unassigned docs (the fold
+        // assigns every doc present, and the meta commits only after
+        // the version does) — a partition-pruned read, O(arrivals +
+        // crash-window waves) files
+        case Some(hw) => docs.where(waveLong > hw)
+          .select(col(idCol), col(textCol), col(Dedup.BAND_KEYS_COL))
+        case None => docs
+          .select(col(idCol), col(textCol), col(Dedup.BAND_KEYS_COL))
+          .join(assign.select(col(idCol)), Seq(idCol), "left_anti")
+      })
       batchCuts ++= uIds
       if (unassigned.isEmpty) {
         // pure replay (docs landed AND version published): metadata only
         if (useLedger) wh.markBatchCommitted(layer, table, batchId, ledgerNs)
         return true
       }
-      val assignedDocs = docs
-        .select(col(idCol), col(textCol), col(Dedup.BAND_KEYS_COL))
-        .join(assign.select(col(idCol)), Seq(idCol), "left_semi")
       val newPairs = Dedup.storedKeySelfNearDups(unassigned, textCol, idCol,
         ngram, minJaccard).select(col("id_1"), col("id_2"))
-      val cross = Dedup.storedKeyCrossNearDups(unassigned, assignedDocs,
-        textCol, idCol, ngram, minJaccard)
-      // section-level id diff around the fold + version write: the
-      // contraction's INTERNAL cuts (notably the distributed-CC
-      // fallback's final label generation, which connectedComponents
-      // cannot retire — its returned plan reads it) have no reader
-      // once the version is landed, so whatever the section persisted
-      // joins this batch's retirement set
-      val beforeMerge = sparkOfBatch.sparkContext.getPersistentRDDs.keySet
-      try {
-        val newAssign = Dedup.contractedCcMerge(assign,
-          unassigned.select(col(idCol)), idCol,
-          cross, "idx_id", "new_id", newPairs)
-        wh.writeVersion(newAssign.select(col(idCol), col("cluster_id")), layer, at): Unit
-      } finally
-        // captured in a finally: a failed fold or version write must
-        // still hand the section's cuts (notably the distributed-CC
-        // fallback's final label generation) to the batch retirement —
-        // an unpublished version has no reader, so retiring is safe on
-        // the failure path too
-        batchCuts ++= (sparkOfBatch.sparkContext.getPersistentRDDs.keySet -- beforeMerge)
+      val cross = (bucketedMeta, hwOpt) match {
+        case (Some((ib, kb)), Some(hw)) if wh.exists(layer, kt) =>
+          // pruned probe: arrivals' key buckets select the stored
+          // posting partitions; candidates' id buckets select the
+          // verify files. Both prunings are lossless (bucket = hash of
+          // the join key), so this is storedKeyCrossNearDups' result
+          // relation read through O(arrivals + collisions) files.
+          val arrKeys = Dedup.keyPostings(unassigned, idCol, "new_id")
+          val kbs = Dedup.bucketValuesOf(arrKeys, col("bkey"), kb)
+          val idxKeys = wh.read(layer, kt)
+            .where(waveLong <= hw && col(Dedup.KEY_BUCKET_COL).isin(kbs: _*))
+            .select(col(idCol).as("idx_id"), col("band"), col("bkey"))
+          val (cands, candIds) =
+            Dedup.cutTracked(Dedup.postingCandidates(idxKeys, arrKeys))
+          batchCuts ++= candIds
+          val dbs = Dedup.bucketValuesOf(cands, col("idx_id"), ib)
+          val idxDocs = docs
+            .where(waveLong <= hw && col(Dedup.ID_BUCKET_COL).isin(dbs: _*))
+            .select(col(idCol), col(textCol))
+          Dedup.verifyCrossCandidates(cands, idxDocs, unassigned,
+            textCol, idCol, ngram, minJaccard)
+        case _ =>
+          // legacy layout, or the version-commit/meta crash window:
+          // the round-12 full-scan stored-key path
+          val assignedDocs = docs
+            .select(col(idCol), col(textCol), col(Dedup.BAND_KEYS_COL))
+            .join(assign.select(col(idCol)), Seq(idCol), "left_semi")
+          Dedup.storedKeyCrossNearDups(unassigned, assignedDocs,
+            textCol, idCol, ngram, minJaccard)
+      }
+      // the fold's internal cuts come back PRECISELY attributed (the
+      // distributed-CC fallback's final label generation, which
+      // connectedComponents cannot retire — its returned plan reads
+      // it); they join the batch retirement once the version is landed.
+      // No session-global persisted-id diff: a concurrent thread's
+      // persists (serving reads during a drain) can never be captured.
+      val (newAssign, mergeIds) = Dedup.contractedCcMergeTracked(assign,
+        unassigned.select(col(idCol)), idCol,
+        cross, "idx_id", "new_id", newPairs)
+      batchCuts ++= mergeIds
+      val vNew = wh.writeVersion(
+        newAssign.select(col(idCol), col("cluster_id")), layer, at)
+      // the fold covered every wave present in the table right now
+      val hwNew =
+        if (freshLanded) nextWave
+        else waves.flatMap(_.toLongOption).maxOption.getOrElse(-1L)
+      wh.putVersionMeta(layer, at, vNew, "waveHighWatermark", hwNew.toString)
       wh.vacuumVersions(layer, at, keep = 2): Unit
       if (useLedger) wh.markBatchCommitted(layer, table, batchId, ledgerNs)
       true
@@ -582,19 +785,28 @@ object EventPipelines {
     *      of the same batch drops (pairwise min-id rule — deterministic
     *      and batch-local; full CC clustering belongs to the offline
     *      pass, not the ingest door);
-    *  (2) checked against the LANDED corpus: when the landed table
-    *      carries the stored band-key column
-    *      ([[graft.operators.Dedup.withBandKeys]] — how this operator
-    *      lands every table it creates, and how a pre-seeded index
-    *      should be landed), arrivals' keys equi-join the STORED key
-    *      relation and only candidate-matched landed docs are shingled
-    *      for the verify — per-batch signature work O(batch), landed
-    *      side never re-signatured (round-11 verdict directive 2). A
-    *      LEGACY keyless landed table still works through the
-    *      recomputing cross-corpus path (new × indexed candidates only,
-    *      but O(landed) re-signature per batch — warned to stderr);
+    *  (2) checked against the LANDED corpus, best layout first:
+    *      a. BUCKETED index (what this operator bootstraps on an empty
+    *         table, and what [[seedDedupIndex]] pre-seeds): the landed
+    *         table carries stored band keys AND id-hash bucket dirs,
+    *         with a `<table>__keys` posting sibling partitioned by
+    *         key-hash bucket. The probe reads only the arrivals' key
+    *         buckets of the posting table and the verify fetch reads
+    *         only candidate buckets' text — per-batch landed-side I/O
+    *         O(arrivals + collisions) FILES, never a text- or
+    *         key-column scan of the corpus (the round-12 residual);
+    *      b. stored band keys, flat layout (a pre-seed via
+    *         [[graft.operators.Dedup.withBandKeys]] alone): arrivals'
+    *         keys equi-join the stored key relation, candidates'
+    *         text is row-pruned but the scan is not file-pruned —
+    *         signature work O(batch), landed-side reads O(corpus);
+    *      c. LEGACY keyless landed table: the recomputing cross-corpus
+    *         path (new × indexed candidates only, but O(landed)
+    *         re-signature per batch — warned to stderr);
     *  (3) landed exactly-once via [[landBatch]] (key dedup, per-`partCol`
-    *      atomic swaps, optional ledger under a durable checkpoint).
+    *      atomic swaps, optional ledger under a durable checkpoint); on
+    *      the bucketed layout the landing also appends the batch's key
+    *      postings (keys first — see [[landBatch]]'s crash note).
     * Per-batch cost: O(batch + collisions), never O(corpus²) — and with
     * stored keys, never O(landed) signature work either.
     * The landed table must carry `textCol` — it IS the dedup index side.
@@ -656,48 +868,88 @@ object EventPipelines {
         Dedup.retireTracked(sparkOfDocs, keyedIds)
         pending --= keyedIds
         if (!wh.exists(layer, table)) {
-          // first batch creates the table keyed, so every later batch
-          // takes the stored-key probe; survivors IS the output — a
-          // second cut would just duplicate its blocks
+          // first batch creates the table keyed + bucketed, so every
+          // later batch takes the pruned stored-key probe; survivors IS
+          // the output — a second cut would just duplicate its blocks
           prevOutIds = survIds
           pending --= survIds
           survivors
         } else {
           val landed = wh.readPartitioned(layer, table, partCol)
-          val outExpr = if (landed.columns.contains(Dedup.BAND_KEYS_COL)) {
-            val hits = Dedup.storedKeyCrossNearDups(survivors,
-              landed.select(col(idCol), col(textCol), col(Dedup.BAND_KEYS_COL)),
-              textCol, idCol, ngram, minJaccard)
-            survivors.join(hits.select(col("new_id").as(idCol)).distinct(),
-              Seq(idCol), "left_anti")
-          } else {
-            // legacy keyless index (pre-seeded without withBandKeys):
-            // correct but re-signatures the landed side EVERY batch — the
-            // parquet schema is fixed at seed time, so the upgrade is a
-            // one-time reland through withBandKeys, not something a batch
-            // can do partially (per-partition swaps would leave mixed
-            // schemas)
-            System.err.println(s"[graft-stream] $layer.$table lacks stored " +
-              s"band keys ('${Dedup.BAND_KEYS_COL}'); falling back to " +
-              "O(landed) re-signature per batch — seed the index through " +
-              "Dedup.withBandKeys to make maintenance O(arrivals)")
-            val tagged = landed.select(col(idCol), col(textCol))
-              .withColumn("__side", lit("idx"))
-              .unionByName(survivors.select(col(idCol), col(textCol))
-                .withColumn("__side", lit("new")))
-            val hits = Dedup.crossCorpusNearDups(tagged, textCol, idCol,
-              "__side", "new", "idx", ngram, k, bands, minJaccard)
-            // the keyless table's parquet schema is fixed at seed time —
-            // landing must not carry the batch's key column into it
-            survivors.drop(Dedup.BAND_KEYS_COL)
-              .join(hits.select(col("new_id").as(idCol)).distinct(),
+          val keysTbl = s"${table}__keys"
+          val bucketed: Option[(Int, Int)] =
+            if (wh.hasSubPartition(layer, table, partCol, Dedup.ID_BUCKET_COL) &&
+                wh.exists(layer, keysTbl))
+              for {
+                ib <- wh.getTableMeta(layer, table, "idBuckets")
+                  .flatMap(_.toIntOption)
+                kb <- wh.getTableMeta(layer, keysTbl, "keyBuckets")
+                  .flatMap(_.toIntOption)
+              } yield (ib, kb)
+            else None
+          var probeCuts = Set.empty[Int]
+          val outExpr = bucketed match {
+            case Some((ib, kb)) =>
+              // pruned probe (layout a): arrivals' key buckets select
+              // the posting partitions, candidates' id buckets select
+              // the verify files — both prunings lossless (bucket =
+              // hash of the equi-join key), so decisions are identical
+              // to the full-scan stored-key path below
+              val arrKeys = Dedup.keyPostings(survivors, idCol, "new_id")
+              val kbs = Dedup.bucketValuesOf(arrKeys, col("bkey"), kb)
+              val idxKeys = wh.read(layer, keysTbl)
+                .where(col(Dedup.KEY_BUCKET_COL).isin(kbs: _*))
+                .select(col(idCol).as("idx_id"), col("band"), col("bkey"))
+              // cut: the candidate relation feeds a bucket collect, two
+              // verify semi-joins, and the verify join itself
+              val (cands, candIds) =
+                Dedup.cutTracked(Dedup.postingCandidates(idxKeys, arrKeys))
+              pending ++= candIds
+              probeCuts = candIds
+              val dbs = Dedup.bucketValuesOf(cands, col("idx_id"), ib)
+              val idxDocs = landed
+                .where(col(Dedup.ID_BUCKET_COL).isin(dbs: _*))
+                .select(col(idCol), col(textCol))
+              val hits = Dedup.verifyCrossCandidates(cands, idxDocs,
+                survivors, textCol, idCol, ngram, minJaccard)
+              survivors.join(hits.select(col("new_id").as(idCol)).distinct(),
                 Seq(idCol), "left_anti")
+            case None if landed.columns.contains(Dedup.BAND_KEYS_COL) =>
+              val hits = Dedup.storedKeyCrossNearDups(survivors,
+                landed.select(col(idCol), col(textCol), col(Dedup.BAND_KEYS_COL)),
+                textCol, idCol, ngram, minJaccard)
+              survivors.join(hits.select(col("new_id").as(idCol)).distinct(),
+                Seq(idCol), "left_anti")
+            case None =>
+              // legacy keyless index (pre-seeded without withBandKeys):
+              // correct but re-signatures the landed side EVERY batch —
+              // the parquet schema is fixed at seed time, so the upgrade
+              // is a one-time reland through withBandKeys/seedDedupIndex,
+              // not something a batch can do partially (per-partition
+              // swaps would leave mixed schemas)
+              System.err.println(s"[graft-stream] $layer.$table lacks stored " +
+                s"band keys ('${Dedup.BAND_KEYS_COL}'); falling back to " +
+                "O(landed) re-signature per batch — seed the index through " +
+                "Dedup.withBandKeys to make maintenance O(arrivals)")
+              val tagged = landed.select(col(idCol), col(textCol))
+                .withColumn("__side", lit("idx"))
+                .unionByName(survivors.select(col(idCol), col(textCol))
+                  .withColumn("__side", lit("new")))
+              val hits = Dedup.crossCorpusNearDups(tagged, textCol, idCol,
+                "__side", "new", "idx", ngram, k, bands, minJaccard)
+              // the keyless table's parquet schema is fixed at seed time —
+              // landing must not carry the batch's key column into it
+              survivors.drop(Dedup.BAND_KEYS_COL)
+                .join(hits.select(col("new_id").as(idCol)).distinct(),
+                  Seq(idCol), "left_anti")
           }
           val (out, outIds) = Dedup.cutTracked(outExpr)
-          // out is materialized; survivors has no reader left
-          Dedup.retireTracked(sparkOfDocs, survIds)
+          // out is materialized; survivors and the probe's candidate
+          // cut have no reader left
+          Dedup.retireTracked(sparkOfDocs, survIds ++ probeCuts)
           prevOutIds = outIds
           pending --= survIds
+          pending --= probeCuts
           out
         }
       } catch {
@@ -708,11 +960,106 @@ object EventPipelines {
           throw t
       }
     }
+    // landing-time keys maintenance (bucketed layout only): append the
+    // batch's postings as a wave of `<table>__keys`, BEFORE the docs
+    // write — see landBatch's crash note. Runs after the probe, so the
+    // current batch never probes its own keys.
+    val keysTbl = s"${table}__keys"
+    val onFresh: DataFrame => Unit = { fresh =>
+      val bootstrapping = !wh.exists(layer, table)
+      val bucketedNow = !bootstrapping &&
+        wh.hasSubPartition(layer, table, partCol, Dedup.ID_BUCKET_COL)
+      if (bucketedNow && !wh.exists(layer, keysTbl)) {
+        // heal a bucketed table whose posting sibling went missing —
+        // probing with a PARTIAL posting table would silently drop
+        // landed-side candidates, so rebuild it whole (one loud pass)
+        val kb = Dedup.longConf(sparkOfDocs, "graft.dedup.keyBuckets", 32L).toInt
+        val landed = wh.readPartitioned(layer, table, partCol)
+        val kv0 = Dedup.keyPostings(landed, idCol, idCol)
+          .withColumn(Dedup.KEY_BUCKET_COL, Dedup.idBucket(col("bkey"), kb))
+          .withColumn(CcWaveCol, lit("0"))
+        // empty postings (all landed docs shingle-less) are the
+        // legitimate absent-table state; creating an empty table would
+        // make it unreadable (no schema to infer)
+        if (!kv0.isEmpty) {
+          System.err.println(s"[graft-stream] $layer.$keysTbl missing for " +
+            s"bucketed table $layer.$table — rebuilding key postings from " +
+            "the stored band-key arrays (one full pass)")
+          wh.overwrite(kv0, layer, keysTbl,
+            partitionBy = Seq(CcWaveCol, Dedup.KEY_BUCKET_COL)): Unit
+          wh.putTableMeta(layer, keysTbl, "keyBuckets", kb.toString)
+        }
+      }
+      if (fresh.columns.contains(Dedup.BAND_KEYS_COL) &&
+          (bootstrapping || bucketedNow)) {
+        val kb =
+          if (wh.exists(layer, keysTbl))
+            wh.getTableMeta(layer, keysTbl, "keyBuckets").flatMap(_.toIntOption)
+              .getOrElse(throw new IllegalStateException(
+                s"dedupIngest: $layer.$keysTbl exists but has no keyBuckets " +
+                  "table meta — bucketed layout corrupted"))
+          else Dedup.longConf(sparkOfDocs, "graft.dedup.keyBuckets", 32L).toInt
+        val wave = wh.partitionValues(layer, keysTbl, CcWaveCol)
+          .flatMap(_.toLongOption).maxOption.map(_ + 1L).getOrElse(0L)
+        val kv = Dedup.keyPostings(fresh, idCol, idCol)
+          .withColumn(Dedup.KEY_BUCKET_COL, Dedup.idBucket(col("bkey"), kb))
+          .withColumn(CcWaveCol, lit(wave.toString))
+        if (!wh.exists(layer, keysTbl)) {
+          // empty-batch bootstrap must not create an empty (hence
+          // unreadable) posting table
+          if (!kv.isEmpty) {
+            wh.overwrite(kv, layer, keysTbl,
+              partitionBy = Seq(CcWaveCol, Dedup.KEY_BUCKET_COL)): Unit
+            wh.putTableMeta(layer, keysTbl, "keyBuckets", kb.toString)
+          }
+        } else wh.overwritePartitions(kv, layer, keysTbl, CcWaveCol,
+          subPartitionBy = Seq(Dedup.KEY_BUCKET_COL)): Unit
+      }
+    }
     try ingestAvailableNow(docs, wh, layer, table, keys = Seq(idCol),
-      partCol = partCol, checkpointDir = checkpointDir, prep = Some(dedupPrep))
+      partCol = partCol, checkpointDir = checkpointDir, prep = Some(dedupPrep),
+      idBuckets = Dedup.longConf(sparkOfDocs, "graft.dedup.idBuckets", 32L).toInt,
+      onFresh = Some(onFresh))
     // drained OR failed: the last successful batch's landed output is
     // parquet now — its cut has no reader left either way
     finally Dedup.retireTracked(sparkOfDocs, prevOutIds)
+  }
+
+  /** Pre-seed a dedup-ingest index table in the BUCKETED layout
+    * ([[dedupIngestAvailableNow]]'s "layout a"): the docs landed with
+    * their stored band keys under (partCol, id-hash bucket) dirs, plus
+    * the `<table>__keys` posting sibling as wave 0 — so the very first
+    * maintenance batch probes file-pruned instead of paying a corpus
+    * scan. Bucket counts come from `graft.dedup.idBuckets` /
+    * `graft.dedup.keyBuckets` (default 32 each) and are pinned as
+    * table meta.
+    */
+  def seedDedupIndex(wh: graft.sources.Warehouse, layer: String, table: String,
+                     docs: DataFrame, idCol: String, textCol: String,
+                     partCol: String, ngram: Int, k: Int, bands: Int): Unit = {
+    import graft.operators.Dedup
+    val spark = docs.sparkSession
+    val ib = Dedup.longConf(spark, "graft.dedup.idBuckets", 32L).toInt
+    val kb = Dedup.longConf(spark, "graft.dedup.keyBuckets", 32L).toInt
+    require(ib >= 1 && kb >= 1,
+      s"seedDedupIndex: graft.dedup.idBuckets=$ib / keyBuckets=$kb must be >= 1")
+    // one signature pass serves both writes; retired on exit (the seed
+    // is corpus-sized — stranding it would pin the whole corpus in the
+    // block manager)
+    val (keyed, ids) = Dedup.cutTracked(
+      Dedup.withBandKeys(docs, textCol, idCol, ngram, k, bands))
+    try {
+      wh.overwrite(keyed.withColumn(Dedup.ID_BUCKET_COL,
+          Dedup.idBucket(col(idCol), ib)),
+        layer, table, partitionBy = Seq(partCol, Dedup.ID_BUCKET_COL)): Unit
+      wh.putTableMeta(layer, table, "idBuckets", ib.toString)
+      val kv = Dedup.keyPostings(keyed, idCol, idCol)
+        .withColumn(Dedup.KEY_BUCKET_COL, Dedup.idBucket(col("bkey"), kb))
+        .withColumn(CcWaveCol, lit("0"))
+      wh.overwrite(kv, layer, s"${table}__keys",
+        partitionBy = Seq(CcWaveCol, Dedup.KEY_BUCKET_COL)): Unit
+      wh.putTableMeta(layer, s"${table}__keys", "keyBuckets", kb.toString)
+    } finally Dedup.retireTracked(spark, ids)
   }
 
   /** Streaming SCD1 — the reference's C1 upsert meeting the streaming

@@ -56,6 +56,51 @@ class ModelCacheSpec extends SparkSpec {
     QueryCaches.evictSession(s)
   }
 
+  test("fingerprint memo: default regime re-lists per access (in-session rewrite ⇒ miss); TTL regime is stale-by-contract until invalidate(dir)") {
+    import java.nio.file.{Files, Path}
+    val s = spark.newSession()
+    // private corpus copy (same device as the mtime test)
+    val dir = Files.createTempDirectory("graft-ttl-corpus")
+    val src = Path.of(sf, "documents.parquet")
+    if (Files.isDirectory(src)) {
+      val sub = Files.createDirectory(dir.resolve("documents.parquet"))
+      scala.util.Using.resource(Files.list(src))(_.forEach { p =>
+        Files.copy(p, sub.resolve(p.getFileName.toString)): Unit
+      })
+    } else Files.copy(src, dir.resolve("documents.parquet")): Unit
+    def misses = QueryCaches.stats._2
+    def access(): Unit = DedupQueries.shingles(s, dir.toString).count(): Unit
+    // a sibling file changes the dir fingerprint without touching the
+    // parquet the query reads — the cheapest stand-in for a rewrite
+    def rewrite(n: String): Unit =
+      Files.write(dir.resolve(n), Array.fill[Byte](7)('x')): Unit
+    val m0 = misses
+    access()
+    assert(misses - m0 == 1) // trains once
+    access()
+    assert(misses - m0 == 1) // unchanged corpus ⇒ hit
+    rewrite("extra1")
+    access()
+    assert(misses - m0 == 2,
+      "default regime must re-list per access: an in-session rewrite is " +
+        "an IMMEDIATE miss (the round-11 stale-memo hazard)")
+    // TTL regime: listing memoized, staleness explicitly time-bounded
+    s.conf.set("graft.cache.fingerprintTtlMs", "3600000")
+    access()
+    assert(misses - m0 == 2) // same content ⇒ hit; memo primed
+    rewrite("extra2")
+    access()
+    assert(misses - m0 == 2,
+      "under a TTL the rewrite is invisible until expiry/invalidate — " +
+        "the documented trade for O(1) listings on a huge store")
+    QueryCaches.invalidate(s, dir.toString) // the explicit seam
+    access()
+    assert(misses - m0 == 3,
+      "invalidate(dir) must force a fresh listing ⇒ miss ⇒ retrain")
+    s.conf.unset("graft.cache.fingerprintTtlMs")
+    QueryCaches.evictSession(s)
+  }
+
   test("fingerprint is (name, size)-commutative: independent of creation order, path prefix, and mtime") {
     import java.nio.file.{Files, Path}
     val s = spark.newSession()

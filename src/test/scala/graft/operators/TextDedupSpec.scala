@@ -207,6 +207,50 @@ class TextDedupSpec extends SparkSpec {
     } == wantBr)
   }
 
+  test("driverEdgeLimit boundary: exactly at the cap = driver path; one row over = distributed fixpoint; malformed conf fails loudly") {
+    import org.apache.spark.sql.DataFrame
+    val nodes = (1L to 40L).toDF("doc_id")
+    // star around node 1 (diameter 2 — converges on both paths):
+    // 39 edges → undirected relation = 2 rows per distinct edge = 78
+    val edges = (2L to 40L).map(i => (1L, i)).toDF("id_1", "id_2")
+    val undRows = 78L
+    val want = (1L to 40L).map(_ -> 1L).toMap
+    val sc = spark.sparkContext
+    // path selection is observable in the block manager: the driver
+    // path retires everything it cut (no persisted label generation
+    // survives the call); the distributed fixpoint's FINAL labels stay
+    // persisted because the returned plan reads them. Keep the result
+    // DataFrame referenced so weak-valued getPersistentRDDs can't reap
+    // it mid-assertion.
+    def ccWithLimit(limit: Long): (DataFrame, Map[Long, Long], Set[Int]) = {
+      spark.conf.set("graft.cc.driverEdgeLimit", limit.toString)
+      try {
+        val before = sc.getPersistentRDDs.keySet.toSet
+        val df = Dedup.connectedComponents(edges, nodes, "doc_id")
+        val got = df.as[(Long, Long)].collect().toMap
+        (df, got, sc.getPersistentRDDs.keySet.toSet -- before)
+      } finally spark.conf.unset("graft.cc.driverEdgeLimit")
+    }
+    val (_, atCap, leftAt) = ccWithLimit(undRows)
+    assert(atCap == want)
+    assert(leftAt.isEmpty,
+      s"at the cap the driver path must leave no persisted generations, left $leftAt")
+    val (dfOver, overCap, leftOver) = ccWithLimit(undRows - 1)
+    assert(overCap == want)
+    assert(leftOver.nonEmpty,
+      "one row past the cap must take the distributed path — a future " +
+        "refactor collecting an over-limit edge set onto the driver " +
+        "would show up as an empty set here")
+    assert(dfOver != null) // reference alive through the assertions above
+    Dedup.retireTracked(spark, leftOver)
+    // a malformed limit must fail loudly, never silently re-enable the
+    // default fast path the user was tuning away
+    spark.conf.set("graft.cc.driverEdgeLimit", "500_000")
+    try intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(edges, nodes, "doc_id")
+    } finally spark.conf.unset("graft.cc.driverEdgeLimit")
+  }
+
   test("hashToMin ≡ min-label CC on converging inputs; O(log d) on chains that throw min-label") {
     val nodes = (1L to 7L).toDF("doc_id")
     val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L))

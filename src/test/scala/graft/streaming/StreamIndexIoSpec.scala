@@ -1,0 +1,178 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** The streaming index's READ contract (round-12 verdict directive 1):
+  * a maintenance batch's I/O from the landed corpus is O(arrivals +
+  * collisions) — wave high-watermark prunes unassigned-detection to
+  * new waves, the key-posting table prunes the probe to the arrivals'
+  * key buckets, and the id-bucket dirs prune the verify fetch to
+  * candidate buckets. Measured with real task input metrics, not plan
+  * inspection: the same evidence axis the bench ledger commits.
+  */
+class StreamIndexIoSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Total source bytes read by `body`'s jobs (task InputMetrics,
+    * listener bus drained before the snapshot so a heavy body's queued
+    * task-end events can't leak out of the measurement).
+    */
+  private def bytesOf(body: => Unit): Long = {
+    val acc = new java.util.concurrent.atomic.AtomicLong
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) acc.addAndGet(m.inputMetrics.bytesRead): Unit
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      body
+      org.apache.spark.graft.ListenerBusDrain.drain(spark.sparkContext)
+      acc.get
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  // mostly-distinct docs (long texts, so data bytes dominate parquet
+  // footer overhead) with a couple of planted near-dup families
+  private def doc(i: Long): (Long, String) = {
+    val words = (0 until 80).map(j => s"w${(i * 131 + j * 17) % 997}_$j")
+    (i, words.mkString(" "))
+  }
+  private def nearDupOf(base: (Long, String), id: Long): (Long, String) =
+    (id, base._2.replaceFirst("w\\S+_3 ", "edited "))
+
+  private def fullCc(corpus: Seq[(Long, String)]): Map[Long, Long] =
+    Dedup.connectedComponents(
+      Dedup.minhashLshNearDups(corpus.toDF("doc_id", "text"),
+        "text", "doc_id", 3, 8, 4, 0.2).select($"id_1", $"id_2"),
+      corpus.toDF("doc_id", "text").select($"doc_id"), "doc_id")
+      .as[(Long, Long)].collect().toMap
+
+  private def ccb(wh: graft.sources.Warehouse, b: Seq[(Long, String)],
+                  bid: Long): Unit =
+    EventPipelines.ccBatch(wh, "idx", "cc", "doc_id", "text",
+      ngram = 3, k = 8, bands = 4, minJaccard = 0.2,
+      batch = b.toDF("doc_id", "text"), batchId = bid, useLedger = false): Unit
+
+  private def assignment(wh: graft.sources.Warehouse): Map[Long, Long] =
+    EventPipelines.ccAssignment(wh, "idx", "cc")
+      .select($"doc_id", $"cluster_id").as[(Long, Long)].collect().toMap
+
+  test("ccBatch maintenance reads O(arrivals + collisions) bytes: pruned far below the bootstrap scan, layout + watermark committed") {
+    val wh = new graft.sources.Warehouse(
+      java.nio.file.Files.createTempDirectory("graft-ccio").toString, spark)
+    val wave0 = (1L to 300L).map(doc)
+    val wave1 = (301L to 600L).map(doc)
+    val arrivals = Seq(nearDupOf(doc(5L), 601L), doc(602L))
+    val bootstrapBytes = bytesOf { ccb(wh, wave0, 0L) }
+    ccb(wh, wave1, 1L)
+    val maintBytes = bytesOf { ccb(wh, arrivals, 2L) }
+    // the layout the contract rides on: id-bucket dirs under each wave,
+    // the key-posting sibling, and the published wave high-watermark
+    assert(wh.hasSubPartition("idx", "cc",
+      EventPipelines.CcWaveCol, Dedup.ID_BUCKET_COL))
+    assert(wh.exists("idx", "cc__keys"))
+    assert(wh.hasSubPartition("idx", "cc__keys",
+      EventPipelines.CcWaveCol, Dedup.KEY_BUCKET_COL))
+    val v = wh.latestVersion("idx", "cc__assign").get
+    assert(wh.getVersionMeta("idx", "cc__assign", v, "waveHighWatermark")
+      .contains("2"))
+    // correctness first: the pruned fold still equals one-shot batch CC
+    val all = wave0 ++ wave1 ++ arrivals
+    assert(assignment(wh) == fullCc(all))
+    val cids = assignment(wh)
+    assert(cids(601L) == cids(5L) && cids(602L) != cids(5L))
+    // THE contract: a 2-doc maintenance batch against a 600-doc landed
+    // corpus reads far less than the corpus-sized bootstrap scan — the
+    // unassigned read is wave-pruned, the probe reads only the
+    // arrivals' key buckets, the verify only candidate id buckets. The
+    // 3x margin is generous (pruned reads ~1/10 here); a regression to
+    // any full-corpus text or key scan lands maintenance within ~2x of
+    // bootstrap and fails loudly.
+    assert(maintBytes > 0, "maintenance batch read nothing — measurement broken")
+    assert(maintBytes * 3 < bootstrapBytes,
+      s"maintenance batch read $maintBytes bytes vs bootstrap $bootstrapBytes — " +
+        "an unpruned landed-corpus scan is back")
+  }
+
+  test("missing waveHighWatermark meta (version-commit/meta crash window) falls back to the anti-join scan, stays correct, and republishes") {
+    val wh = new graft.sources.Warehouse(
+      java.nio.file.Files.createTempDirectory("graft-cchw").toString, spark)
+    val wave0 = (1L to 20L).map(doc)
+    ccb(wh, wave0, 0L)
+    val v = wh.latestVersion("idx", "cc__assign").get
+    // simulate the crash between writeVersion and putVersionMeta
+    val metaFile = new java.io.File(
+      wh.path("idx", "cc__assign__versions"), s"v=$v/_graft_waveHighWatermark")
+    assert(metaFile.isFile)
+    assert(metaFile.delete())
+    val arrivals = Seq(nearDupOf(doc(3L), 21L))
+    ccb(wh, arrivals, 1L)
+    assert(assignment(wh) == fullCc(wave0 ++ arrivals))
+    // the next fold republished the watermark on its own version
+    val v2 = wh.latestVersion("idx", "cc__assign").get
+    assert(wh.getVersionMeta("idx", "cc__assign", v2, "waveHighWatermark")
+      .contains("1"))
+  }
+
+  test("the pruned probe is driven by the STORED posting table: poisoning it kills the merge the docs-side arrays would still make") {
+    val wh = new graft.sources.Warehouse(
+      java.nio.file.Files.createTempDirectory("graft-ccpoisonk").toString, spark)
+    val wave0 = (1L to 10L).map(doc)
+    ccb(wh, wave0, 0L)
+    // poison doc 7's POSTING rows (docs-side arrays left intact): an
+    // implementation that probes the docs table's key arrays — or
+    // recomputes signatures from text — would still merge the arrival;
+    // only a probe reading the posting relation goes quiet
+    val kt = wh.read("idx", "cc__keys").localCheckpoint(true)
+    wh.overwrite(kt.withColumn("bkey",
+        when($"doc_id" === 7L, lit("poisoned")).otherwise($"bkey")),
+      "idx", "cc__keys",
+      partitionBy = Seq(EventPipelines.CcWaveCol, Dedup.KEY_BUCKET_COL)): Unit
+    ccb(wh, Seq(nearDupOf(doc(7L), 11L)), 1L)
+    val cids = assignment(wh)
+    assert(cids(11L) != cids(7L),
+      "arrival merged through a poisoned posting row — the pruned probe " +
+        "is not reading the stored key-posting relation")
+  }
+
+  test("dedupIngest bootstraps the bucketed layout: posting sibling + bucket dirs + decisions identical to the batch rule") {
+    val base = doc(1L)
+    val other = doc(2L)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-ddio-src")
+    val wh = new graft.sources.Warehouse(
+      java.nio.file.Files.createTempDirectory("graft-ddio-wh").toString, spark)
+    def docsOf(rows: (Long, String)*) =
+      rows.toDF("doc_id", "text").withColumn("source", lit("s"))
+    def drop(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory("graft-ddio-stage")
+      df.repartition(1).write.mode("overwrite").parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, srcDir.resolve(name)): Unit
+    }
+    drop(docsOf(base, other), "b1.parquet")
+    // 3 near-dups 1 (must drop vs the landed index), 4 is fresh
+    drop(docsOf(nearDupOf(base, 3L), doc(4L)), "b2.parquet")
+    val stream = spark.readStream.schema(docsOf((0L, "x")).schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    EventPipelines.dedupIngestAvailableNow(stream, wh,
+      "bl_3nf", "dd", idCol = "doc_id", textCol = "text", partCol = "source",
+      ngram = 3, k = 8, bands = 4, minJaccard = 0.2)
+    val landed = wh.readPartitioned("bl_3nf", "dd", "source")
+    assert(landed.select($"doc_id").as[Long].collect().toSet == Set(1L, 2L, 4L))
+    // the bootstrap created the full bucketed layout, metas pinned
+    assert(wh.hasSubPartition("bl_3nf", "dd", "source", Dedup.ID_BUCKET_COL))
+    assert(wh.getTableMeta("bl_3nf", "dd", "idBuckets").isDefined)
+    assert(wh.exists("bl_3nf", "dd__keys"))
+    assert(wh.getTableMeta("bl_3nf", "dd__keys", "keyBuckets").isDefined)
+    // every landed doc's postings are present (batch 2's fresh doc too)
+    val posted = wh.read("bl_3nf", "dd__keys")
+      .select($"doc_id").distinct().as[Long].collect().toSet
+    assert(posted == Set(1L, 2L, 4L))
+  }
+}
