@@ -516,7 +516,7 @@ object Dedup {
     * guard) prune to O(touched buckets) FILES instead of scanning the
     * corpus — the 100 TB contract [[storedKeyCrossNearDups]]'s
     * scaladoc prescribes. Bucket counts are fixed at table creation
-    * (`graft.dedup.idBuckets`, default 32 — size it so one bucket ≈
+    * (`graft.dedup.idBuckets`, default 8 on this rig — size it so one bucket ≈
     * one task's worth of docs at your corpus scale) and pinned in
     * table meta; the swap unit stays the top-level partition dir, so
     * the atomic-rename crash story is unchanged.
@@ -526,7 +526,7 @@ object Dedup {
   /** Key-hash partition column of the landed KEY-POSTING table
     * (`<table>__keys`, the [[keyPostings]] relation written per wave):
     * the probe reads only the arrivals' key buckets
-    * (`graft.dedup.keyBuckets`, default 32), so per-batch probe I/O is
+    * (`graft.dedup.keyBuckets`, default 8), so per-batch probe I/O is
     * O(arrival keys × bucket size), never a full key-column scan of
     * the corpus.
     */
@@ -548,6 +548,38 @@ object Dedup {
   private[graft] def bucketValuesOf(df: DataFrame, c: Column, n: Int): Seq[Int] =
     df.select(idBucket(c, n).as("__b")).distinct().collect()
       .map(_.getInt(0)).toIndexedSeq
+
+  /** [[bucketValuesOf]] as an `observe` aggregate, so the bucket set
+    * rides an EXISTING materialization job (a [[cutTracked]] cut)
+    * instead of scheduling its own collect — the streaming maintenance
+    * path is latency-bound at ~10 small jobs per micro-batch, and each
+    * saved driver round-trip is real wall time there. Bounded by `n`
+    * like the collect form.
+    */
+  private[graft] def bucketSetExpr(c: Column, n: Int): Column =
+    collect_set(idBucket(c, n))
+
+  /** Distinct KEY-bucket values of a stored band-key ARRAY column as
+    * an `observe` aggregate (one set per relation, flattened across
+    * the per-doc arrays; NULL arrays contribute nothing — they post no
+    * keys either).
+    */
+  private[graft] def keyBucketSetExpr(bands: Column, n: Int): Column =
+    array_distinct(flatten(collect_list(
+      transform(bands, k => idBucket(k, n)))))
+
+  /** Decode an observed bucket set back to ints (Observation hands the
+    * aggregate over as a generic Seq). */
+  private[graft] def observedBuckets(v: Any): Seq[Int] = v match {
+    case null => Nil
+    case s: scala.collection.Seq[_] => s.toSeq.map {
+      case i: Int => i
+      case l: Long => l.toInt
+      case x => x.toString.toInt
+    }
+    case x => throw new IllegalStateException(
+      s"observed bucket set has unexpected shape: ${x.getClass}")
+  }
 
   /** Per-doc LSH band-key ARRAY (length = bands; element b is band b's
     * key, exactly [[lshCandidatePairs]]' banding relation pivoted wide):
@@ -762,7 +794,7 @@ object Dedup {
     * the contraction fold's collision-sized graphs, thousands of
     * edges, where the cost is KB.
     */
-  private def driverUnionFind(und: DataFrame, nodes: DataFrame,
+  private def driverUnionFind(und: DataFrame, undCount: Long, nodes: DataFrame,
                               idCol: String): Option[DataFrame] = {
     import org.apache.spark.sql.types._
     val spark = und.sparkSession
@@ -776,8 +808,9 @@ object Dedup {
     if (!integral.contains(idType) ||
         und.schema.fields.exists(_.dataType != idType)) return None
     val limit = longConf(spark, "graft.cc.driverEdgeLimit", 100000L)
-    // und is localCheckpointed by the caller — both jobs are block reads
-    if (limit <= 0L || und.count() > limit) return None
+    // undCount rode the caller's cut job as an observe — the gate costs
+    // zero extra jobs on either path
+    if (limit <= 0L || undCount > limit) return None
     val rows = und.select(col("src").cast("long"), col("dst").cast("long")).collect()
     if (rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) return None
     val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]
@@ -882,15 +915,19 @@ object Dedup {
     def cut(df: DataFrame): (DataFrame, Set[Int]) = cutTracked(df)
     def retire(ids: Set[Int]): Unit = retireTracked(spark, ids)
     val e = edges.toDF("src", "dst")
+    // the undirected row count (the fast-path gate) rides the cut job
+    val obsUnd = org.apache.spark.sql.Observation()
     val (und, undIds) = cut(
-      e.unionByName(e.select(col("dst").as("src"), col("src").as("dst"))).distinct())
+      e.unionByName(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+        .observe(obsUnd, count(lit(1)).as("n")))
+    val undCount = Option(obsUnd.get("n")).map(_.asInstanceOf[Long]).getOrElse(0L)
     // an exception below (maxIters throw, analysis error) must not
     // strand the cuts made so far — retire everything still live
     // except, on success, the final label generation the returned
     // plan reads
     var labelIds = Set.empty[Int]
     try {
-      driverUnionFind(und, nodes, idCol) match {
+      driverUnionFind(und, undCount, nodes, idCol) match {
         case Some(labelled) =>
           // the labelled plan reads only `nodes` + the broadcast map —
           // the edge blocks are dead weight from here

@@ -554,8 +554,8 @@ object EventPipelines {
     // conf must not fork a table's physical layout mid-life)
     val bucketedMeta: Option[(Int, Int)] =
       if (!docsExist) {
-        val ib = Dedup.longConf(sparkOfBatch, "graft.dedup.idBuckets", 32L).toInt
-        val kb = Dedup.longConf(sparkOfBatch, "graft.dedup.keyBuckets", 32L).toInt
+        val ib = Dedup.longConf(sparkOfBatch, "graft.dedup.idBuckets", 8L).toInt
+        val kb = Dedup.longConf(sparkOfBatch, "graft.dedup.keyBuckets", 8L).toInt
         require(ib >= 1 && kb >= 1,
           s"ccBatch: graft.dedup.idBuckets=$ib / keyBuckets=$kb must be >= 1")
         Some((ib, kb))
@@ -570,7 +570,7 @@ object EventPipelines {
               .getOrElse(throw new IllegalStateException(
                 s"ccBatch: $layer.$kt exists but has no keyBuckets table " +
                   "meta — bucketed layout corrupted"))
-          else Dedup.longConf(sparkOfBatch, "graft.dedup.keyBuckets", 32L).toInt
+          else Dedup.longConf(sparkOfBatch, "graft.dedup.keyBuckets", 8L).toInt
         Some((ib, kb))
       } else None
     // heal a bucketed docs table whose key-posting sibling went missing:
@@ -614,9 +614,14 @@ object EventPipelines {
       val (fresh, freshIds) = (docsBefore, bucketedMeta) match {
         case (None, _) => Dedup.cutTracked(incoming)
         case (Some(d), Some((ib, _))) =>
-          val (inc, incIds) = Dedup.cutTracked(incoming)
+          // the arrival-bucket set rides the cut's own job (observe) —
+          // the maintenance path is latency-bound on small jobs, so no
+          // separate collect round-trip
+          val obsInc = org.apache.spark.sql.Observation()
+          val (inc, incIds) = Dedup.cutTracked(incoming.observe(obsInc,
+            Dedup.bucketSetExpr(col(idCol), ib).as("bks")))
           batchCuts ++= incIds
-          val bks = Dedup.bucketValuesOf(inc, col(idCol), ib)
+          val bks = Dedup.observedBuckets(obsInc.get("bks"))
           val landedIds = d.where(col(Dedup.ID_BUCKET_COL).isin(bks: _*))
             .select(col(idCol))
           val cut = Dedup.cutTracked(inc.join(landedIds, Seq(idCol), "left_anti"))
@@ -630,14 +635,18 @@ object EventPipelines {
       batchCuts ++= freshIds
       val nextWave: Long =
         waves.flatMap(_.toLongOption).maxOption.map(_ + 1L).getOrElse(0L)
+      // the row count (the landed/empty branch) rides the cut job too
+      val obsF = org.apache.spark.sql.Observation()
       val (freshKeyed, fkIds) = Dedup.cutTracked {
         val fk = Dedup.withBandKeys(fresh, textCol, idCol, ngram, k, bands)
           .withColumn(CcWaveCol, lit(nextWave.toString))
         bucketedMeta.fold(fk) { case (ib, _) =>
           fk.withColumn(Dedup.ID_BUCKET_COL, Dedup.idBucket(col(idCol), ib)) }
+          .observe(obsF, count(lit(1)).as("n"))
       }
       batchCuts ++= fkIds
-      val freshLanded = !freshKeyed.isEmpty
+      val freshLanded =
+        Option(obsF.get("n")).map(_.asInstanceOf[Long]).getOrElse(0L) > 0L
       if (freshLanded) {
         // key postings FIRST, same wave number (see the layout doc)
         bucketedMeta.foreach { case (_, kb) =>
@@ -684,7 +693,7 @@ object EventPipelines {
         .flatMap(v => wh.getVersionMeta(layer, at, v, "waveHighWatermark"))
         .flatMap(_.toLongOption)
       val waveLong = col(CcWaveCol).cast("long")
-      val (unassigned, uIds) = Dedup.cutTracked(hwOpt match {
+      val unassignedBase = hwOpt match {
         // waves after the watermark ARE the unassigned docs (the fold
         // assigns every doc present, and the meta commits only after
         // the version does) — a partition-pruned read, O(arrivals +
@@ -694,9 +703,18 @@ object EventPipelines {
         case None => docs
           .select(col(idCol), col(textCol), col(Dedup.BAND_KEYS_COL))
           .join(assign.select(col(idCol)), Seq(idCol), "left_anti")
-      })
+      }
+      // the row count (pure-replay detection) and, on the bucketed
+      // layout, the arrivals' key-bucket set ride the cut job — zero
+      // separate driver round-trips
+      val obsU = org.apache.spark.sql.Observation()
+      val uExprs = count(lit(1)).as("n") +: bucketedMeta.toSeq.map {
+        case (_, kb) => Dedup.keyBucketSetExpr(col(Dedup.BAND_KEYS_COL), kb).as("kbs")
+      }
+      val (unassigned, uIds) = Dedup.cutTracked(
+        unassignedBase.observe(obsU, uExprs.head, uExprs.tail: _*))
       batchCuts ++= uIds
-      if (unassigned.isEmpty) {
+      if (Option(obsU.get("n")).map(_.asInstanceOf[Long]).getOrElse(0L) == 0L) {
         // pure replay (docs landed AND version published): metadata only
         if (useLedger) wh.markBatchCommitted(layer, table, batchId, ledgerNs)
         return true
@@ -711,14 +729,16 @@ object EventPipelines {
           // the join key), so this is storedKeyCrossNearDups' result
           // relation read through O(arrivals + collisions) files.
           val arrKeys = Dedup.keyPostings(unassigned, idCol, "new_id")
-          val kbs = Dedup.bucketValuesOf(arrKeys, col("bkey"), kb)
+          val kbs = Dedup.observedBuckets(obsU.get("kbs"))
           val idxKeys = wh.read(layer, kt)
             .where(waveLong <= hw && col(Dedup.KEY_BUCKET_COL).isin(kbs: _*))
             .select(col(idCol).as("idx_id"), col("band"), col("bkey"))
-          val (cands, candIds) =
-            Dedup.cutTracked(Dedup.postingCandidates(idxKeys, arrKeys))
+          val obsC = org.apache.spark.sql.Observation()
+          val (cands, candIds) = Dedup.cutTracked(
+            Dedup.postingCandidates(idxKeys, arrKeys)
+              .observe(obsC, Dedup.bucketSetExpr(col("idx_id"), ib).as("dbs")))
           batchCuts ++= candIds
-          val dbs = Dedup.bucketValuesOf(cands, col("idx_id"), ib)
+          val dbs = Dedup.observedBuckets(obsC.get("dbs"))
           val idxDocs = docs
             .where(waveLong <= hw && col(Dedup.ID_BUCKET_COL).isin(dbs: _*))
             .select(col(idCol), col(textCol))
@@ -855,19 +875,41 @@ object EventPipelines {
         pending ++= keyedIds
         val within = Dedup.storedKeySelfNearDups(keyed, textCol, idCol,
           ngram, minJaccard)
+        // layout detection up front so the survivors cut can carry the
+        // arrivals' key-bucket set as an observe (no separate collect
+        // job — the drain is latency-bound on small jobs)
+        val tableExists = wh.exists(layer, table)
+        val keysTbl = s"${table}__keys"
+        val bucketed: Option[(Int, Int)] =
+          if (tableExists &&
+              wh.hasSubPartition(layer, table, partCol, Dedup.ID_BUCKET_COL) &&
+              wh.exists(layer, keysTbl))
+            for {
+              ib <- wh.getTableMeta(layer, table, "idBuckets")
+                .flatMap(_.toIntOption)
+              kb <- wh.getTableMeta(layer, keysTbl, "keyBuckets")
+                .flatMap(_.toIntOption)
+            } yield (ib, kb)
+          else None
         // survivors keep their band-key column — per-doc and dedup-proof.
         // Cut here too: the stored-key probe reads its arrivals side
         // several times (band-key explode + candidate-pruned verify
         // fetch), and each read would otherwise re-evaluate the
         // within-batch pair DAG above (measured 5.1 s of an 8 s batch
         // without this cut at sf0.1). Both cuts are batch-sized.
-        val (survivors, survIds) = Dedup.cutTracked(keyed.join(
-          within.select(col("id_2").as(idCol)).distinct(), Seq(idCol), "left_anti"))
+        val obsS = bucketed.map { case (_, kb) =>
+          val o = org.apache.spark.sql.Observation()
+          (o, Dedup.keyBucketSetExpr(col(Dedup.BAND_KEYS_COL), kb).as("kbs"))
+        }
+        val survBase = keyed.join(
+          within.select(col("id_2").as(idCol)).distinct(), Seq(idCol), "left_anti")
+        val (survivors, survIds) = Dedup.cutTracked(
+          obsS.fold(survBase) { case (o, e) => survBase.observe(o, e) })
         pending ++= survIds
         // the probe and the landing read only the materialized survivors
         Dedup.retireTracked(sparkOfDocs, keyedIds)
         pending --= keyedIds
-        if (!wh.exists(layer, table)) {
+        if (!tableExists) {
           // first batch creates the table keyed + bucketed, so every
           // later batch takes the pruned stored-key probe; survivors IS
           // the output — a second cut would just duplicate its blocks
@@ -876,17 +918,6 @@ object EventPipelines {
           survivors
         } else {
           val landed = wh.readPartitioned(layer, table, partCol)
-          val keysTbl = s"${table}__keys"
-          val bucketed: Option[(Int, Int)] =
-            if (wh.hasSubPartition(layer, table, partCol, Dedup.ID_BUCKET_COL) &&
-                wh.exists(layer, keysTbl))
-              for {
-                ib <- wh.getTableMeta(layer, table, "idBuckets")
-                  .flatMap(_.toIntOption)
-                kb <- wh.getTableMeta(layer, keysTbl, "keyBuckets")
-                  .flatMap(_.toIntOption)
-              } yield (ib, kb)
-            else None
           var probeCuts = Set.empty[Int]
           val outExpr = bucketed match {
             case Some((ib, kb)) =>
@@ -896,17 +927,19 @@ object EventPipelines {
               // hash of the equi-join key), so decisions are identical
               // to the full-scan stored-key path below
               val arrKeys = Dedup.keyPostings(survivors, idCol, "new_id")
-              val kbs = Dedup.bucketValuesOf(arrKeys, col("bkey"), kb)
+              val kbs = Dedup.observedBuckets(obsS.get._1.get("kbs"))
               val idxKeys = wh.read(layer, keysTbl)
                 .where(col(Dedup.KEY_BUCKET_COL).isin(kbs: _*))
                 .select(col(idCol).as("idx_id"), col("band"), col("bkey"))
-              // cut: the candidate relation feeds a bucket collect, two
-              // verify semi-joins, and the verify join itself
-              val (cands, candIds) =
-                Dedup.cutTracked(Dedup.postingCandidates(idxKeys, arrKeys))
+              // cut: the candidate relation feeds the verify semi-joins
+              // and the verify join; its id-bucket set rides the cut
+              val obsC = org.apache.spark.sql.Observation()
+              val (cands, candIds) = Dedup.cutTracked(
+                Dedup.postingCandidates(idxKeys, arrKeys)
+                  .observe(obsC, Dedup.bucketSetExpr(col("idx_id"), ib).as("dbs")))
               pending ++= candIds
               probeCuts = candIds
-              val dbs = Dedup.bucketValuesOf(cands, col("idx_id"), ib)
+              val dbs = Dedup.observedBuckets(obsC.get("dbs"))
               val idxDocs = landed
                 .where(col(Dedup.ID_BUCKET_COL).isin(dbs: _*))
                 .select(col(idCol), col(textCol))
@@ -973,7 +1006,7 @@ object EventPipelines {
         // heal a bucketed table whose posting sibling went missing —
         // probing with a PARTIAL posting table would silently drop
         // landed-side candidates, so rebuild it whole (one loud pass)
-        val kb = Dedup.longConf(sparkOfDocs, "graft.dedup.keyBuckets", 32L).toInt
+        val kb = Dedup.longConf(sparkOfDocs, "graft.dedup.keyBuckets", 8L).toInt
         val landed = wh.readPartitioned(layer, table, partCol)
         val kv0 = Dedup.keyPostings(landed, idCol, idCol)
           .withColumn(Dedup.KEY_BUCKET_COL, Dedup.idBucket(col("bkey"), kb))
@@ -998,7 +1031,7 @@ object EventPipelines {
               .getOrElse(throw new IllegalStateException(
                 s"dedupIngest: $layer.$keysTbl exists but has no keyBuckets " +
                   "table meta — bucketed layout corrupted"))
-          else Dedup.longConf(sparkOfDocs, "graft.dedup.keyBuckets", 32L).toInt
+          else Dedup.longConf(sparkOfDocs, "graft.dedup.keyBuckets", 8L).toInt
         val wave = wh.partitionValues(layer, keysTbl, CcWaveCol)
           .flatMap(_.toLongOption).maxOption.map(_ + 1L).getOrElse(0L)
         val kv = Dedup.keyPostings(fresh, idCol, idCol)
@@ -1018,7 +1051,7 @@ object EventPipelines {
     }
     try ingestAvailableNow(docs, wh, layer, table, keys = Seq(idCol),
       partCol = partCol, checkpointDir = checkpointDir, prep = Some(dedupPrep),
-      idBuckets = Dedup.longConf(sparkOfDocs, "graft.dedup.idBuckets", 32L).toInt,
+      idBuckets = Dedup.longConf(sparkOfDocs, "graft.dedup.idBuckets", 8L).toInt,
       onFresh = Some(onFresh))
     // drained OR failed: the last successful batch's landed output is
     // parquet now — its cut has no reader left either way
@@ -1031,7 +1064,7 @@ object EventPipelines {
     * the `<table>__keys` posting sibling as wave 0 — so the very first
     * maintenance batch probes file-pruned instead of paying a corpus
     * scan. Bucket counts come from `graft.dedup.idBuckets` /
-    * `graft.dedup.keyBuckets` (default 32 each) and are pinned as
+    * `graft.dedup.keyBuckets` (default 8 each — size so one bucket ≈ a task-worth of docs at your corpus scale) and are pinned as
     * table meta.
     */
   def seedDedupIndex(wh: graft.sources.Warehouse, layer: String, table: String,
@@ -1039,8 +1072,8 @@ object EventPipelines {
                      partCol: String, ngram: Int, k: Int, bands: Int): Unit = {
     import graft.operators.Dedup
     val spark = docs.sparkSession
-    val ib = Dedup.longConf(spark, "graft.dedup.idBuckets", 32L).toInt
-    val kb = Dedup.longConf(spark, "graft.dedup.keyBuckets", 32L).toInt
+    val ib = Dedup.longConf(spark, "graft.dedup.idBuckets", 8L).toInt
+    val kb = Dedup.longConf(spark, "graft.dedup.keyBuckets", 8L).toInt
     require(ib >= 1 && kb >= 1,
       s"seedDedupIndex: graft.dedup.idBuckets=$ib / keyBuckets=$kb must be >= 1")
     // one signature pass serves both writes; retired on exit (the seed
