@@ -298,22 +298,34 @@ object EventPipelines {
                 "idBuckets table meta — bucketed layout corrupted")))
         else None
       // anti-join replay guard; under the bucketed layout the landed
-      // side prunes to the arrival ids' bucket dirs — O(batch) files
-      val guard = bucketsOf match {
+      // side prunes to the arrival ids' bucket dirs — O(batch) files.
+      // The rewrite set is driver-collected (bounded by the batch's
+      // day/bucket spread) so the carried rows' scan is statically
+      // partition-pruned — the previous semi-join pruned rows but
+      // still scanned every file. On the bucketed path guard buckets
+      // and touched days come from ONE collect over the deduped batch
+      // (the landing path is latency-bound on small jobs); days then
+      // derive from ARRIVALS rather than survivors, so a day whose
+      // every arrival was already landed is rewritten unchanged — an
+      // idempotent, batch-bounded over-write that only a non-ledgered
+      // crash replay actually hits.
+      val (guard, daysOpt) = bucketsOf match {
         case Some(ib) =>
-          val bks = Dedup.bucketValuesOf(deduped, col(keys.head), ib)
-          existing.where(col(Dedup.ID_BUCKET_COL).isin(bks: _*))
-            .select(keys.map(col): _*)
-        case None => existing.select(keys.map(col): _*)
+          val both = deduped.select(
+              Dedup.idBucket(col(keys.head), ib).as("__b"), col(partCol))
+            .distinct().collect()
+          val bks = both.map(_.getInt(0)).distinct.toIndexedSeq
+          (existing.where(col(Dedup.ID_BUCKET_COL).isin(bks: _*))
+            .select(keys.map(col): _*),
+            Some(both.map(_.get(1)).distinct.toIndexedSeq))
+        case None => (existing.select(keys.map(col): _*), None)
       }
       val fresh = deduped.join(guard, keys, "left_anti")
       onFresh.foreach(_(fresh))
-      // rewrite ONLY the days that gained rows, carrying each such
-      // day's existing rows through the swap. Days come from a driver
-      // collect (bounded by the batch's day spread) so the carried
-      // rows' scan is statically partition-pruned — the previous
-      // semi-join pruned rows but still scanned every file.
-      val days = fresh.select(col(partCol)).distinct().collect().map(_.get(0))
+      // rewrite ONLY touched days, carrying each day's existing rows
+      // through the swap
+      val days = daysOpt.getOrElse(
+        fresh.select(col(partCol)).distinct().collect().map(_.get(0)).toIndexedSeq)
       if (days.nonEmpty) {
         val affectedExisting = existing.where(col(partCol).isin(days: _*))
         val freshOut = bucketsOf.fold(fresh)(ib => fresh.withColumn(
