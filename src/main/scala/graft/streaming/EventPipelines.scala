@@ -1088,23 +1088,20 @@ object EventPipelines {
     val kb = Dedup.longConf(spark, "graft.dedup.keyBuckets", 8L).toInt
     require(ib >= 1 && kb >= 1,
       s"seedDedupIndex: graft.dedup.idBuckets=$ib / keyBuckets=$kb must be >= 1")
-    // one signature pass serves both writes; retired on exit (the seed
-    // is corpus-sized — stranding it would pin the whole corpus in the
-    // block manager)
-    val (keyed, ids) = Dedup.cutTracked(
-      Dedup.withBandKeys(docs, textCol, idCol, ngram, k, bands))
-    try {
-      wh.overwrite(keyed.withColumn(Dedup.ID_BUCKET_COL,
-          Dedup.idBucket(col(idCol), ib)),
-        layer, table, partitionBy = Seq(partCol, Dedup.ID_BUCKET_COL)): Unit
-      wh.putTableMeta(layer, table, "idBuckets", ib.toString)
-      val kv = Dedup.keyPostings(keyed, idCol, idCol)
-        .withColumn(Dedup.KEY_BUCKET_COL, Dedup.idBucket(col("bkey"), kb))
-        .withColumn(CcWaveCol, lit("0"))
-      wh.overwrite(kv, layer, s"${table}__keys",
-        partitionBy = Seq(CcWaveCol, Dedup.KEY_BUCKET_COL)): Unit
-      wh.putTableMeta(layer, s"${table}__keys", "keyBuckets", kb.toString)
-    } finally Dedup.retireTracked(spark, ids)
+    // ONE signature pass, fused into the docs write; the posting
+    // sibling then derives from the LANDED table's stored arrays — a
+    // narrow (id, keys) column read, no recompute and no corpus-sized
+    // localCheckpoint pinned in the block manager while two writes run
+    wh.overwrite(Dedup.withBandKeys(docs, textCol, idCol, ngram, k, bands)
+        .withColumn(Dedup.ID_BUCKET_COL, Dedup.idBucket(col(idCol), ib)),
+      layer, table, partitionBy = Seq(partCol, Dedup.ID_BUCKET_COL)): Unit
+    wh.putTableMeta(layer, table, "idBuckets", ib.toString)
+    val kv = Dedup.keyPostings(wh.read(layer, table), idCol, idCol)
+      .withColumn(Dedup.KEY_BUCKET_COL, Dedup.idBucket(col("bkey"), kb))
+      .withColumn(CcWaveCol, lit("0"))
+    wh.overwrite(kv, layer, s"${table}__keys",
+      partitionBy = Seq(CcWaveCol, Dedup.KEY_BUCKET_COL)): Unit
+    wh.putTableMeta(layer, s"${table}__keys", "keyBuckets", kb.toString)
   }
 
   /** Streaming SCD1 — the reference's C1 upsert meeting the streaming

@@ -140,6 +140,42 @@ class StreamIndexIoSpec extends SparkSpec {
         "is not reading the stored key-posting relation")
   }
 
+  test("seedDedupIndex pre-seeds the full bucketed layout; the first drained batch probes it correctly") {
+    val wh = new graft.sources.Warehouse(
+      java.nio.file.Files.createTempDirectory("graft-seed-wh").toString, spark)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-seed-src")
+    def docsOf(rows: (Long, String)*) =
+      rows.toDF("doc_id", "text").withColumn("source", lit("s"))
+    EventPipelines.seedDedupIndex(wh, "bl_3nf", "sd",
+      docsOf(doc(1L), doc(2L)), idCol = "doc_id", textCol = "text",
+      partCol = "source", ngram = 3, k = 8, bands = 4)
+    // the seed landed both relations + metas — the shape the very
+    // first maintenance batch needs for the pruned probe
+    assert(wh.hasSubPartition("bl_3nf", "sd", "source", Dedup.ID_BUCKET_COL))
+    assert(wh.getTableMeta("bl_3nf", "sd", "idBuckets").isDefined)
+    assert(wh.hasSubPartition("bl_3nf", "sd__keys",
+      EventPipelines.CcWaveCol, Dedup.KEY_BUCKET_COL))
+    assert(wh.getTableMeta("bl_3nf", "sd__keys", "keyBuckets").isDefined)
+    assert(wh.read("bl_3nf", "sd__keys").select($"doc_id").distinct()
+      .as[Long].collect().toSet == Set(1L, 2L))
+    // drain one batch against the seed: 3 near-dups seeded 1 → drops;
+    // 4 is fresh → lands with its postings appended
+    val b = docsOf(nearDupOf(doc(1L), 3L), doc(4L)).repartition(1)
+    val stage = java.nio.file.Files.createTempDirectory("graft-seed-stage")
+    b.write.mode("overwrite").parquet(stage.toString)
+    val part = new java.io.File(stage.toString).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath, srcDir.resolve("b1.parquet")): Unit
+    val stream = spark.readStream.schema(b.schema).parquet(srcDir.toString)
+    EventPipelines.dedupIngestAvailableNow(stream, wh,
+      "bl_3nf", "sd", idCol = "doc_id", textCol = "text", partCol = "source",
+      ngram = 3, k = 8, bands = 4, minJaccard = 0.2)
+    assert(wh.readPartitioned("bl_3nf", "sd", "source")
+      .select($"doc_id").as[Long].collect().toSet == Set(1L, 2L, 4L))
+    assert(wh.read("bl_3nf", "sd__keys").select($"doc_id").distinct()
+      .as[Long].collect().toSet == Set(1L, 2L, 4L))
+  }
+
   test("dedupIngest bootstraps the bucketed layout: posting sibling + bucket dirs + decisions identical to the batch rule") {
     val base = doc(1L)
     val other = doc(2L)
