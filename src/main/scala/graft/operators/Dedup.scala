@@ -560,13 +560,41 @@ object Dedup {
     collect_set(idBucket(c, n))
 
   /** Distinct KEY-bucket values of a stored band-key ARRAY column as
-    * an `observe` aggregate (one set per relation, flattened across
-    * the per-doc arrays; NULL arrays contribute nothing — they post no
-    * keys either).
+    * `observe` aggregates — one BOUNDED `collect_set` per band position
+    * (element i of every row's array), plus a max-array-size guard.
+    * A single `collect_list` of the per-row bucket arrays would be the
+    * obvious one-expression form, but its aggregation state is
+    * O(rows × bands) — a million-doc micro-batch would ship hundreds of
+    * MB of per-row arrays through the observe accumulator to the driver
+    * before the final distinct ran. Per-band `collect_set`s dedup
+    * incrementally, so total state is ≤ nBands × n ints regardless of
+    * batch size. NULL arrays and missing positions contribute nothing
+    * (`try_element_at` → NULL, guarded before hashing — `xxhash64` of a
+    * NULL input is NOT null, it degenerates to the seed's hash).
+    * `nBands` is the writer-side band count the stored arrays were
+    * landed with; should a longer array ever appear (a mis-paired
+    * seed), the size guard makes [[observedKeyBuckets]] fall back to
+    * ALL n buckets — a lossless over-read, never a missed candidate.
     */
-  private[graft] def keyBucketSetExpr(bands: Column, n: Int): Column =
-    array_distinct(flatten(collect_list(
-      transform(bands, k => idBucket(k, n)))))
+  private[graft] def keyBucketSetExprs(bands: Column, n: Int, nBands: Int,
+                                       prefix: String): Seq[Column] =
+    max(coalesce(size(bands), lit(0))).as(s"${prefix}_sz") +:
+      (0 until nBands).map { i =>
+        val e = try_element_at(bands, lit(i + 1))
+        collect_set(when(e.isNotNull, idBucket(e, n))).as(s"$prefix$i")
+      }
+
+  /** Union of the per-band sets [[keyBucketSetExprs]] observed, with
+    * the size-guard fallback (stored arrays wider than the declared
+    * band count ⇒ every bucket). */
+  private[graft] def observedKeyBuckets(obs: org.apache.spark.sql.Observation,
+                                        prefix: String, n: Int,
+                                        nBands: Int): Seq[Int] = {
+    val sz = Option(obs.get(s"${prefix}_sz")).map(_.toString.toInt).getOrElse(0)
+    if (sz > nBands) 0 until n
+    else (0 until nBands).flatMap(i => observedBuckets(obs.get(s"$prefix$i")))
+      .distinct
+  }
 
   /** Decode an observed bucket set back to ints (Observation hands the
     * aggregate over as a generic Seq). */

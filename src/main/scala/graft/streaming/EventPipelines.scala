@@ -720,8 +720,9 @@ object EventPipelines {
       // layout, the arrivals' key-bucket set ride the cut job — zero
       // separate driver round-trips
       val obsU = org.apache.spark.sql.Observation()
-      val uExprs = count(lit(1)).as("n") +: bucketedMeta.toSeq.map {
-        case (_, kb) => Dedup.keyBucketSetExpr(col(Dedup.BAND_KEYS_COL), kb).as("kbs")
+      val uExprs = count(lit(1)).as("n") +: bucketedMeta.toSeq.flatMap {
+        case (_, kb) =>
+          Dedup.keyBucketSetExprs(col(Dedup.BAND_KEYS_COL), kb, bands, "kb")
       }
       val (unassigned, uIds) = Dedup.cutTracked(
         unassignedBase.observe(obsU, uExprs.head, uExprs.tail: _*))
@@ -741,7 +742,7 @@ object EventPipelines {
           // the join key), so this is storedKeyCrossNearDups' result
           // relation read through O(arrivals + collisions) files.
           val arrKeys = Dedup.keyPostings(unassigned, idCol, "new_id")
-          val kbs = Dedup.observedBuckets(obsU.get("kbs"))
+          val kbs = Dedup.observedKeyBuckets(obsU, "kb", kb, bands)
           val idxKeys = wh.read(layer, kt)
             .where(waveLong <= hw && col(Dedup.KEY_BUCKET_COL).isin(kbs: _*))
             .select(col(idCol).as("idx_id"), col("band"), col("bkey"))
@@ -911,12 +912,13 @@ object EventPipelines {
         // without this cut at sf0.1). Both cuts are batch-sized.
         val obsS = bucketed.map { case (_, kb) =>
           val o = org.apache.spark.sql.Observation()
-          (o, Dedup.keyBucketSetExpr(col(Dedup.BAND_KEYS_COL), kb).as("kbs"))
+          (o, Dedup.keyBucketSetExprs(col(Dedup.BAND_KEYS_COL), kb, bands, "kb"))
         }
         val survBase = keyed.join(
           within.select(col("id_2").as(idCol)).distinct(), Seq(idCol), "left_anti")
         val (survivors, survIds) = Dedup.cutTracked(
-          obsS.fold(survBase) { case (o, e) => survBase.observe(o, e) })
+          obsS.fold(survBase) { case (o, es) =>
+            survBase.observe(o, es.head, es.tail: _*) })
         pending ++= survIds
         // the probe and the landing read only the materialized survivors
         Dedup.retireTracked(sparkOfDocs, keyedIds)
@@ -939,7 +941,7 @@ object EventPipelines {
               // hash of the equi-join key), so decisions are identical
               // to the full-scan stored-key path below
               val arrKeys = Dedup.keyPostings(survivors, idCol, "new_id")
-              val kbs = Dedup.observedBuckets(obsS.get._1.get("kbs"))
+              val kbs = Dedup.observedKeyBuckets(obsS.get._1, "kb", kb, bands)
               val idxKeys = wh.read(layer, keysTbl)
                 .where(col(Dedup.KEY_BUCKET_COL).isin(kbs: _*))
                 .select(col(idCol).as("idx_id"), col("band"), col("bkey"))

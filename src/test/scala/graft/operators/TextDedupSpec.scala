@@ -978,4 +978,36 @@ class TextDedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(again == capped)
   }
+
+  // The observe-riding key-bucket set: the per-band collect_set form
+  // (aggregation state bounded by nBands × n, never O(rows × bands))
+  // must equal the flat exploded bucket set — a lost bucket would make
+  // the streaming probe's file pruning LOSSY (silently missed
+  // candidates). NULL arrays contribute nothing; arrays WIDER than the
+  // declared band count trip the size guard to all n buckets (lossless
+  // over-read, never a miss).
+  test("keyBucketSetExprs: per-band union ≡ exploded bucket set; null-safe; oversize falls back to all buckets") {
+    val n = 8
+    val df = Seq(
+      (1L, Seq("alpha", "beta", "gamma")),
+      (2L, Seq("delta", "epsilon", "zeta")),
+      (3L, null: Seq[String]),
+      (4L, Seq("eta", "theta", "iota"))
+    ).toDF("id", Dedup.BAND_KEYS_COL)
+    val expected = df.select(explode(col(Dedup.BAND_KEYS_COL)).as("k"))
+      .select(Dedup.idBucket(col("k"), n).as("b"))
+      .distinct().as[Int].collect().toSet
+    val obs = org.apache.spark.sql.Observation()
+    val exprs = Dedup.keyBucketSetExprs(col(Dedup.BAND_KEYS_COL), n, 3, "kb")
+    df.observe(obs, exprs.head, exprs.tail: _*).count(): Unit
+    val got = Dedup.observedKeyBuckets(obs, "kb", n, 3)
+    assert(got.toSet == expected, s"per-band union $got != exploded $expected")
+    assert(got.size == got.distinct.size)
+    // declared band count narrower than the stored arrays: the guard
+    // must widen to every bucket rather than silently drop band 3's keys
+    val obs2 = org.apache.spark.sql.Observation()
+    val exprs2 = Dedup.keyBucketSetExprs(col(Dedup.BAND_KEYS_COL), n, 2, "kb")
+    df.observe(obs2, exprs2.head, exprs2.tail: _*).count(): Unit
+    assert(Dedup.observedKeyBuckets(obs2, "kb", n, 2).toSet == (0 until n).toSet)
+  }
 }
