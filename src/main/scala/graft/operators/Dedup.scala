@@ -800,6 +800,19 @@ object Dedup {
         s"$key='$v' is not a long integer (no underscores/exponents)"))
     }.getOrElse(default)
 
+  /** Boolean session conf, as loud as [[longConf]]: only "true"/"false"
+    * parse ("1", "yes", a typo'd "flase" must not silently pick either
+    * side of a physical-strategy switch).
+    */
+  private[graft] def boolConf(spark: org.apache.spark.sql.SparkSession,
+                              key: String, default: Boolean): Boolean =
+    spark.conf.getOption(key).map {
+      case "true" => true
+      case "false" => false
+      case v => throw new IllegalArgumentException(
+        s"$key='$v' is not 'true' or 'false'")
+    }.getOrElse(default)
+
   /** [[connectedComponents]]' small-graph fast path: solve the
     * (materialized, undirected) edge relation with a driver union-find
     * and return the labelled `nodes` through one broadcast join — or

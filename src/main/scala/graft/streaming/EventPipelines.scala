@@ -516,6 +516,19 @@ object EventPipelines {
     * LEGACY pre-seeded index (flat waves, no bucket dirs) keeps the
     * round-12 full-scan read path — layouts never mix within a table.
     * Returns whether the batch landed (ledgered replays skip).
+    *
+    * Named residual — per-batch file LISTING, not bytes: each
+    * `wh.read` here builds a fresh InMemoryFileIndex, which lists the
+    * whole table's directories before partition pruning drops them, so
+    * a maintenance batch's driver-side metadata cost is O(table dirs)
+    * (a handful of listings per batch) even though its data bytes are
+    * O(arrivals + collisions). Irrelevant on this rig and modest on a
+    * real store until waves × buckets reaches millions of files; past
+    * that, front the index with a manifest/metastore-backed file index
+    * (or build reads from explicit `__wave=`/`__bucket=` dir paths +
+    * `basePath`, both already enumerated by the pre-read listing) so
+    * listing prunes like the bytes do. The BYTES contract
+    * (StreamIndexIoSpec) is unaffected either way.
     */
   def ccBatch(wh: graft.sources.Warehouse, layer: String, table: String,
               idCol: String, textCol: String,
@@ -647,14 +660,22 @@ object EventPipelines {
       batchCuts ++= freshIds
       val nextWave: Long =
         waves.flatMap(_.toLongOption).maxOption.map(_ + 1L).getOrElse(0L)
-      // the row count (the landed/empty branch) rides the cut job too
+      // the row count (the landed/empty branch) AND the batch's
+      // key-bucket sets ride the cut job: on the no-crash fast path
+      // below the fresh docs ARE the unassigned set, so observing
+      // their buckets here lets the fold skip the post-land table
+      // read (and its whole-table listing) entirely
       val obsF = org.apache.spark.sql.Observation()
+      val fExprs = count(lit(1)).as("n") +: bucketedMeta.toSeq.flatMap {
+        case (_, kb) =>
+          Dedup.keyBucketSetExprs(col(Dedup.BAND_KEYS_COL), kb, bands, "kb")
+      }
       val (freshKeyed, fkIds) = Dedup.cutTracked {
         val fk = Dedup.withBandKeys(fresh, textCol, idCol, ngram, k, bands)
           .withColumn(CcWaveCol, lit(nextWave.toString))
         bucketedMeta.fold(fk) { case (ib, _) =>
           fk.withColumn(Dedup.ID_BUCKET_COL, Dedup.idBucket(col(idCol), ib)) }
-          .observe(obsF, count(lit(1)).as("n"))
+          .observe(obsF, fExprs.head, fExprs.tail: _*)
       }
       batchCuts ++= fkIds
       val freshLanded =
@@ -692,49 +713,83 @@ object EventPipelines {
       }
       // 2. fold every UNASSIGNED doc — this wave's, plus any orphans a
       //    crash left between doc-landing and version publish — into the
-      //    last consistent snapshot
-      val docs = wh.read(layer, table)
+      //    last consistent snapshot. `docs` is LAZY: on the no-crash
+      //    fast path below the fold never touches the landed table at
+      //    all (the arrivals are already materialized as freshKeyed),
+      //    so the common maintenance batch pays zero post-land listing
+      //    and zero re-read of the bytes it just wrote.
+      lazy val docs = wh.read(layer, table)
       val at = ccAssignTable(table)
       val latestV = wh.latestVersion(layer, at)
       val assign = latestV match {
         case Some(v) => wh.readVersion(layer, at, v)
           .select(col(idCol), col("cluster_id"))
-        case None => docs.select(col(idCol), col(idCol).as("cluster_id")).limit(0)
+        // bootstrap shape comes off the in-memory cut, not a table read
+        case None =>
+          freshKeyed.select(col(idCol), col(idCol).as("cluster_id")).limit(0)
       }
       val hwOpt: Option[Long] = latestV
         .flatMap(v => wh.getVersionMeta(layer, at, v, "waveHighWatermark"))
         .flatMap(_.toLongOption)
       val waveLong = col(CcWaveCol).cast("long")
-      val unassignedBase = hwOpt match {
-        // waves after the watermark ARE the unassigned docs (the fold
-        // assigns every doc present, and the meta commits only after
-        // the version does) — a partition-pruned read, O(arrivals +
-        // crash-window waves) files
-        case Some(hw) => docs.where(waveLong > hw)
-          .select(col(idCol), col(textCol), col(Dedup.BAND_KEYS_COL))
-        case None => docs
-          .select(col(idCol), col(textCol), col(Dedup.BAND_KEYS_COL))
-          .join(assign.select(col(idCol)), Seq(idCol), "left_anti")
-      }
-      // the row count (pure-replay detection) and, on the bucketed
-      // layout, the arrivals' key-bucket set ride the cut job — zero
-      // separate driver round-trips
-      val obsU = org.apache.spark.sql.Observation()
-      val uExprs = count(lit(1)).as("n") +: bucketedMeta.toSeq.flatMap {
-        case (_, kb) =>
-          Dedup.keyBucketSetExprs(col(Dedup.BAND_KEYS_COL), kb, bands, "kb")
-      }
-      val (unassigned, uIds) = Dedup.cutTracked(
-        unassignedBase.observe(obsU, uExprs.head, uExprs.tail: _*))
-      batchCuts ++= uIds
-      if (Option(obsU.get("n")).map(_.asInstanceOf[Long]).getOrElse(0L) == 0L) {
-        // pure replay (docs landed AND version published): metadata only
-        if (useLedger) wh.markBatchCommitted(layer, table, batchId, ledgerNs)
-        return true
-      }
+      val priorMax = waves.flatMap(_.toLongOption).maxOption.getOrElse(-1L)
+      // FAST PATH: a fresh wave landed and the snapshot covers every
+      // pre-existing wave (hw == priorMax; or a true bootstrap, where
+      // nothing precedes) ⇒ the unassigned set is EXACTLY this batch's
+      // freshKeyed cut, already in the block manager with its key
+      // buckets observed on the cut job. Any crash window (orphan
+      // waves: hw < priorMax; missing meta: hwOpt None with docs
+      // present; replay with nothing fresh) keeps the reading fold.
+      // `graft.cc.fastFold=false` (loud parse) forces the reading fold
+      // everywhere — the kill switch and the spec seam proving the two
+      // paths agree label-for-label while the fast one runs fewer jobs.
+      val fastArrivals = graft.operators.Dedup.boolConf(
+          sparkOfBatch, "graft.cc.fastFold", default = true) && freshLanded &&
+        (hwOpt.contains(priorMax) || (!docsExist && latestV.isEmpty))
+      val (unassigned, obsKb) =
+        if (fastArrivals)
+          (freshKeyed.select(col(idCol), col(textCol), col(Dedup.BAND_KEYS_COL)),
+            obsF)
+        else {
+          val unassignedBase = hwOpt match {
+            // waves after the watermark ARE the unassigned docs (the fold
+            // assigns every doc present, and the meta commits only after
+            // the version does) — a partition-pruned read, O(arrivals +
+            // crash-window waves) files
+            case Some(hw) => docs.where(waveLong > hw)
+              .select(col(idCol), col(textCol), col(Dedup.BAND_KEYS_COL))
+            case None => docs
+              .select(col(idCol), col(textCol), col(Dedup.BAND_KEYS_COL))
+              .join(assign.select(col(idCol)), Seq(idCol), "left_anti")
+          }
+          // the row count (pure-replay detection) and, on the bucketed
+          // layout, the arrivals' key-bucket set ride the cut job — zero
+          // separate driver round-trips
+          val obsU = org.apache.spark.sql.Observation()
+          val uExprs = count(lit(1)).as("n") +: bucketedMeta.toSeq.flatMap {
+            case (_, kb) =>
+              Dedup.keyBucketSetExprs(col(Dedup.BAND_KEYS_COL), kb, bands, "kb")
+          }
+          val (u, uIds) = Dedup.cutTracked(
+            unassignedBase.observe(obsU, uExprs.head, uExprs.tail: _*))
+          batchCuts ++= uIds
+          if (Option(obsU.get("n")).map(_.asInstanceOf[Long]).getOrElse(0L) == 0L) {
+            // pure replay (docs landed AND version published): metadata only
+            if (useLedger) wh.markBatchCommitted(layer, table, batchId, ledgerNs)
+            return true
+          }
+          (u, obsU)
+        }
       val newPairs = Dedup.storedKeySelfNearDups(unassigned, textCol, idCol,
         ngram, minJaccard).select(col("id_1"), col("id_2"))
       val cross = (bucketedMeta, hwOpt) match {
+        case _ if latestV.isEmpty =>
+          // no snapshot ⇒ nothing is assigned ⇒ no cross edges by
+          // definition (the legacy branch would compute the same empty
+          // relation the long way round — through a read of the table
+          // this batch just wrote)
+          unassigned.select(col(idCol).as("idx_id"), col(idCol).as("new_id"))
+            .limit(0)
         case (Some((ib, kb)), Some(hw)) if wh.exists(layer, kt) =>
           // pruned probe: arrivals' key buckets select the stored
           // posting partitions; candidates' id buckets select the
@@ -742,7 +797,7 @@ object EventPipelines {
           // the join key), so this is storedKeyCrossNearDups' result
           // relation read through O(arrivals + collisions) files.
           val arrKeys = Dedup.keyPostings(unassigned, idCol, "new_id")
-          val kbs = Dedup.observedKeyBuckets(obsU, "kb", kb, bands)
+          val kbs = Dedup.observedKeyBuckets(obsKb, "kb", kb, bands)
           val idxKeys = wh.read(layer, kt)
             .where(waveLong <= hw && col(Dedup.KEY_BUCKET_COL).isin(kbs: _*))
             .select(col(idCol).as("idx_id"), col("band"), col("bkey"))
@@ -752,9 +807,13 @@ object EventPipelines {
               .observe(obsC, Dedup.bucketSetExpr(col("idx_id"), ib).as("dbs")))
           batchCuts ++= candIds
           val dbs = Dedup.observedBuckets(obsC.get("dbs"))
-          val idxDocs = docs
-            .where(waveLong <= hw && col(Dedup.ID_BUCKET_COL).isin(dbs: _*))
-            .select(col(idCol), col(textCol))
+          // zero collisions ⇒ nothing to verify ⇒ don't even build (or
+          // list) the landed-table read
+          val idxDocs =
+            if (dbs.isEmpty) unassigned.select(col(idCol), col(textCol)).limit(0)
+            else docs
+              .where(waveLong <= hw && col(Dedup.ID_BUCKET_COL).isin(dbs: _*))
+              .select(col(idCol), col(textCol))
           Dedup.verifyCrossCandidates(cands, idxDocs, unassigned,
             textCol, idCol, ngram, minJaccard)
         case _ =>

@@ -62,41 +62,95 @@ class StreamIndexIoSpec extends SparkSpec {
     EventPipelines.ccAssignment(wh, "idx", "cc")
       .select($"doc_id", $"cluster_id").as[(Long, Long)].collect().toMap
 
-  test("ccBatch maintenance reads O(arrivals + collisions) bytes: pruned far below the bootstrap scan, layout + watermark committed") {
-    val wh = new graft.sources.Warehouse(
-      java.nio.file.Files.createTempDirectory("graft-ccio").toString, spark)
-    val wave0 = (1L to 300L).map(doc)
-    val wave1 = (301L to 600L).map(doc)
-    val arrivals = Seq(nearDupOf(doc(5L), 601L), doc(602L))
-    val bootstrapBytes = bytesOf { ccb(wh, wave0, 0L) }
-    ccb(wh, wave1, 1L)
-    val maintBytes = bytesOf { ccb(wh, arrivals, 2L) }
+  test("ccBatch maintenance reads O(arrivals + collisions) bytes: flat across a 4x corpus, layout + watermark committed") {
+    // identical 2-doc arrival batch against a 600-doc and a 2400-doc
+    // landed corpus: the maintenance fold's bytes must track the
+    // ARRIVALS (footer/meta constants + the narrow label snapshot),
+    // never the corpus — an unpruned text or key scan grows ~4x here
+    // and trips the bound. This scale-flat form is footer- and
+    // compression-proof where an absolute "< one corpus scan" bound is
+    // not: at toy scale ~35 small-file touches of parquet footer
+    // overhead already exceed one dictionary-compressed text column.
+    def build(nDocs: Long, tag: String): graft.sources.Warehouse = {
+      val wh = new graft.sources.Warehouse(
+        java.nio.file.Files.createTempDirectory(s"graft-ccio$tag").toString, spark)
+      ccb(wh, (1L to nDocs / 2).map(doc), 0L)
+      ccb(wh, (nDocs / 2 + 1L to nDocs).map(doc), 1L)
+      wh
+    }
+    val arrivals = Seq(nearDupOf(doc(5L), 9001L), doc(9002L))
+    val whA = build(600L, "a")
+    val whB = build(2400L, "b")
+    val maintA = bytesOf { ccb(whA, arrivals, 2L) }
+    val maintB = bytesOf { ccb(whB, arrivals, 2L) }
     // the layout the contract rides on: id-bucket dirs under each wave,
     // the key-posting sibling, and the published wave high-watermark
-    assert(wh.hasSubPartition("idx", "cc",
+    assert(whA.hasSubPartition("idx", "cc",
       EventPipelines.CcWaveCol, Dedup.ID_BUCKET_COL))
-    assert(wh.exists("idx", "cc__keys"))
-    assert(wh.hasSubPartition("idx", "cc__keys",
+    assert(whA.exists("idx", "cc__keys"))
+    assert(whA.hasSubPartition("idx", "cc__keys",
       EventPipelines.CcWaveCol, Dedup.KEY_BUCKET_COL))
-    val v = wh.latestVersion("idx", "cc__assign").get
-    assert(wh.getVersionMeta("idx", "cc__assign", v, "waveHighWatermark")
+    val v = whA.latestVersion("idx", "cc__assign").get
+    assert(whA.getVersionMeta("idx", "cc__assign", v, "waveHighWatermark")
       .contains("2"))
     // correctness first: the pruned fold still equals one-shot batch CC
-    val all = wave0 ++ wave1 ++ arrivals
-    assert(assignment(wh) == fullCc(all))
-    val cids = assignment(wh)
-    assert(cids(601L) == cids(5L) && cids(602L) != cids(5L))
-    // THE contract: a 2-doc maintenance batch against a 600-doc landed
-    // corpus reads far less than the corpus-sized bootstrap scan — the
-    // unassigned read is wave-pruned, the probe reads only the
-    // arrivals' key buckets, the verify only candidate id buckets. The
-    // 3x margin is generous (pruned reads ~1/10 here); a regression to
-    // any full-corpus text or key scan lands maintenance within ~2x of
-    // bootstrap and fails loudly.
-    assert(maintBytes > 0, "maintenance batch read nothing — measurement broken")
-    assert(maintBytes * 3 < bootstrapBytes,
-      s"maintenance batch read $maintBytes bytes vs bootstrap $bootstrapBytes — " +
+    val all = (1L to 600L).map(doc) ++ arrivals
+    assert(assignment(whA) == fullCc(all))
+    val cids = assignment(whA)
+    assert(cids(9001L) == cids(5L) && cids(9002L) != cids(5L))
+    info(s"maintenance bytes: $maintA (600-doc corpus) vs $maintB (2400-doc corpus)")
+    assert(maintA > 0, "maintenance batch read nothing — measurement broken")
+    // THE contract: 4x the landed corpus, ~flat maintenance bytes. The
+    // legitimate growth terms are the label-sized snapshot read and 4x
+    // bigger bucket files behind constant-count point reads — well
+    // under 1.6x; any full-corpus text/key scan contributes ~4x.
+    assert(maintB < maintA * 1.6,
+      s"maintenance read grew $maintA -> $maintB bytes across a 4x corpus — " +
         "an unpruned landed-corpus scan is back")
+  }
+
+  test("the no-crash fold takes the fast path: label-identical to the forced reading fold, in strictly fewer jobs") {
+    // same 2-wave + maintenance sequence under graft.cc.fastFold on vs
+    // off; the fast path must (a) produce the identical assignment and
+    // (b) schedule strictly fewer jobs for the maintenance batch (it
+    // skips the unassigned table read and its cut job). (b) is the
+    // existence proof that the path actually fires — a silently-dead
+    // gate would pass every equality spec.
+    def jobsOf(body: => Unit): Int = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        body
+        org.apache.spark.graft.ListenerBusDrain.drain(spark.sparkContext)
+        jobs.get
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    def run(fast: Boolean): (Map[Long, Long], Int) = {
+      spark.conf.set("graft.cc.fastFold", fast.toString)
+      try {
+        val wh = new graft.sources.Warehouse(
+          java.nio.file.Files.createTempDirectory(s"graft-ccfast$fast").toString,
+          spark)
+        ccb(wh, (1L to 30L).map(doc), 0L)
+        ccb(wh, (31L to 60L).map(doc), 1L)
+        val n = jobsOf { ccb(wh, Seq(nearDupOf(doc(7L), 61L), doc(62L)), 2L) }
+        (assignment(wh), n)
+      } finally spark.conf.unset("graft.cc.fastFold")
+    }
+    val (aFast, jFast) = run(fast = true)
+    val (aSlow, jSlow) = run(fast = false)
+    assert(aFast == aSlow, "fast fold diverged from the reading fold")
+    val cids = aFast
+    assert(cids(61L) == cids(7L) && cids(62L) != cids(7L))
+    info(s"maintenance jobs: $jFast fast vs $jSlow reading fold")
+    assert(jFast < jSlow,
+      s"fast path scheduled $jFast jobs vs $jSlow — it is not firing")
   }
 
   test("missing waveHighWatermark meta (version-commit/meta crash window) falls back to the anti-join scan, stays correct, and republishes") {
