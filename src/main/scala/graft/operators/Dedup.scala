@@ -664,7 +664,11 @@ object Dedup {
     * candidate semi-join for the verify fetch. Zero landed-side
     * shingling or hashing outside the candidate set. At cluster scale,
     * bucket the landed table by id so the verify fetch prunes to
-    * O(candidates) files as well.
+    * O(candidates) FILES as well — that is exactly what the streaming
+    * index's bucketed layout does ([[graft.streaming.EventPipelines]]:
+    * [[ID_BUCKET_COL]] dirs + the [[KEY_BUCKET_COL]]-partitioned
+    * posting sibling); this entry point remains the flat-layout /
+    * ad-hoc form, row-pruned but not file-pruned.
     *
     * `idx` must carry (idCol, textCol, [[BAND_KEYS_COL]]). Returns
     * (idx_id, new_id, jaccard), exact shingle-Jaccard ≥ `minJaccard` —
