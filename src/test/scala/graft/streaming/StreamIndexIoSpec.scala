@@ -151,6 +151,15 @@ class StreamIndexIoSpec extends SparkSpec {
     info(s"maintenance jobs: $jFast fast vs $jSlow reading fold")
     assert(jFast < jSlow,
       s"fast path scheduled $jFast jobs vs $jSlow — it is not firing")
+    // a malformed switch must fail loudly, never silently pick a side
+    // (the driverEdgeLimit discipline)
+    spark.conf.set("graft.cc.fastFold", "yes")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        graft.operators.Dedup.boolConf(spark, "graft.cc.fastFold", default = true)
+      }
+      assert(e.getMessage.contains("graft.cc.fastFold"))
+    } finally spark.conf.unset("graft.cc.fastFold")
   }
 
   test("missing waveHighWatermark meta (version-commit/meta crash window) falls back to the anti-join scan, stays correct, and republishes") {
