@@ -979,6 +979,49 @@ class TextDedupSpec extends SparkSpec {
     assert(again == capped)
   }
 
+  // The retirement-attribution contract (the round-12 concurrency
+  // hazard): cutTracked reads its id off the cut's own plan, so a
+  // relation persisted CONCURRENTLY by another thread of the session
+  // (serving reads during a maintenance drain, a QueryCaches training)
+  // can never be captured — and retiring the returned ids can never
+  // kill it. Under the old global keySet diff this test fails two
+  // ways: ids.size > 1 when a foreign persist lands inside the cut
+  // window, and the survival scan throws missing-block after
+  // retirement truncates a foreign localCheckpoint's lineage.
+  test("cutTracked attribution is plan-precise: concurrent persists are never captured or retired") {
+    val preexisting = (1 to 5).map(i =>
+      spark.range(i * 1000L, i * 1000L + 100L).toDF("v").localCheckpoint(true))
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val foreign =
+      new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.DataFrame]()
+    val failed = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val t = new Thread(() => {
+      var i = 100000L
+      try while (!stop.get) {
+        foreign.add(spark.range(i, i + 50L).toDF("v").localCheckpoint(true)): Unit
+        i += 100L
+      } catch { case e: Throwable => failed.set(e) }
+    })
+    t.start()
+    try {
+      (1 to 15).foreach { i =>
+        val (ck, ids) = Dedup.cutTracked(
+          spark.range(i * 10L, i * 10L + 200L).toDF("x"))
+        assert(ids.size == 1,
+          s"cut $i captured ${ids.size} ids — attribution is a window " +
+            "diff again, a concurrent persist was swept in")
+        assert(ck.count() == 200)
+        Dedup.retireTracked(spark, ids)
+      }
+    } finally { stop.set(true); t.join() }
+    assert(failed.get == null, s"foreign thread died: ${failed.get}")
+    // every concurrently-persisted relation survives the retirements:
+    // reading a truncated-lineage localCheckpoint would throw
+    preexisting.foreach(df => assert(df.count() == 100))
+    assert(!foreign.isEmpty, "foreign thread persisted nothing — no race exercised")
+    foreign.forEach(df => assert(df.count() == 50))
+  }
+
   // The observe-riding key-bucket set: the per-band collect_set form
   // (aggregation state bounded by nBands × n, never O(rows × bands))
   // must equal the flat exploded bucket set — a lost bucket would make
