@@ -23,6 +23,16 @@ package graft
   * sf0.001 (LSH pairs / PQ training / BPE at sf0.1 measured 2-14 s),
   * which clears the floor.
   *
+  * Two-axis verdict, because this suite runs on a noisy shared rig:
+  * the wall ratio NAMES a suspect, and the executor-CPU delta between
+  * the two runs CONFIRMS it. A hidden shared build is real work — it
+  * burns CPU the second run doesn't. An external stall (hypervisor
+  * contention, the round-13 flake: q139 first=26.4 s vs second=3.1 s
+  * at sf0.001 with flat CPU) stretches wall and task time while the
+  * executors sit off-CPU, so it cannot clear the CPU floor. This is
+  * the same wall-vs-cpu reading discipline the bench ledger documents
+  * (bench/README), applied to the guard itself.
+  *
   * Exclusions: the two ETL macros build a fresh tmpfs warehouse per
   * invocation by design — nothing is shared between their runs, and
   * their dozens of parquet writes carry write-path variance that has
@@ -53,22 +63,45 @@ class BenchGuardSpec extends SparkSpec {
     val excluded = Set("q60_full_etl", "q74_incremental_etl")
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (n, _) => excluded.contains(n) }
-    def pass(): Map[String, Double] = qs.map { case (n, fn) =>
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) cpuNs.addAndGet(m.executorCpuTime): Unit
+      }
+    }
+    s.sparkContext.addSparkListener(listener)
+    def pass(): Map[String, (Double, Double)] = qs.map { case (n, fn) =>
+      org.apache.spark.graft.ListenerBusDrain.drain(s.sparkContext)
+      val c0 = cpuNs.get
       val t0 = System.nanoTime()
       fn(s, sf).count(): Unit
-      n -> (System.nanoTime() - t0) / 1e9
+      val wall = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.graft.ListenerBusDrain.drain(s.sparkContext)
+      n -> (wall, (cpuNs.get - c0) / 1e9)
     }.toMap
     try {
       val t1 = pass()
       val t2 = pass()
       val offenders = qs.map(_._1)
-        .filter(n => t1(n) > math.max(8.0, 5.0 * t2(n)))
-        .map(n => f"$n: first=${t1(n)}%.2f s vs second=${t2(n)}%.2f s")
+        .filter { n =>
+          val wallSuspect = t1(n)._1 > math.max(8.0, 5.0 * t2(n)._1)
+          // real shared work the first run hid = CPU the second never
+          // pays; a rig stall leaves the CPU delta under the floor
+          val cpuConfirms = t1(n)._2 - t2(n)._2 > math.max(3.0, 2.0 * t2(n)._2)
+          wallSuspect && cpuConfirms
+        }
+        .map(n => f"$n: first=${t1(n)._1}%.2f s (cpu ${t1(n)._2}%.2f) vs " +
+          f"second=${t2(n)._1}%.2f s (cpu ${t2(n)._2}%.2f)")
       assert(offenders.isEmpty,
         s"queries whose first post-warm run hides a one-time cost " +
           s"(add a ModelWarm step or stop sharing state silently):\n  " +
           offenders.mkString("\n  "))
-    } finally operators.QueryCaches.evictSession(s) // even on a failing
+    } finally {
+      s.sparkContext.removeSparkListener(listener)
+      operators.QueryCaches.evictSession(s)
+    } // even on a failing
     // pass/assert: otherwise this session's sf-scale models stay pinned
     // in the shared block manager for every later suite in the JVM
   }
