@@ -135,6 +135,55 @@ class Warehouse(val root: String, spark: SparkSession) {
       .map(_.stripPrefix(partCol + "="))
   }
 
+  /** Committed (partition value → nested sub-partition values) tree of
+    * a two-level layout, off the directory names alone: one top-level
+    * listing plus one listing per partition dir, zero Spark jobs, no
+    * footer reads. This is the "pre-read listing" the streaming
+    * dedup/CC maintenance paths build their PATH-LISTED reads from
+    * ([[readLeafDirs]]): handing Spark the exact leaf dirs a pruned
+    * read needs keeps per-batch listing O(selected dirs), where a
+    * table-root read's InMemoryFileIndex would list every wave ×
+    * bucket dir before partition pruning drops them. Cost here is
+    * O(partition dirs) RPCs — bounded by the wave compaction the same
+    * paths trigger ([[graft.streaming.EventPipelines]]).
+    */
+  def partitionTree(layer: String, table: String, partCol: String,
+                    subCol: String): Seq[(String, Seq[String])] = {
+    recover(layer, table)
+    val dir = new Path(path(layer, table))
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(partCol + "=") &&
+        !st.getPath.getName.endsWith("__old"))
+      .map { st =>
+        val subs = fs.listStatus(st.getPath).toSeq.map(_.getPath.getName)
+          .filter(n => n.startsWith(subCol + "=") && !n.endsWith("__old"))
+          .map(_.stripPrefix(subCol + "="))
+        st.getPath.getName.stripPrefix(partCol + "=") -> subs
+      }
+  }
+
+  /** Read ONLY the given partition leaf dirs (paths relative to the
+    * table root, e.g. `__wave=3/__bucket=5`), with `basePath` pinned to
+    * the table root so the partition columns still materialize from
+    * the dir names. The caller enumerates the leaves from
+    * [[partitionTree]] — Spark's file index then lists just these
+    * dirs, so a pruned read's METADATA cost matches its byte cost
+    * (O(selected dirs), never O(table dirs)). Callers must pass a
+    * non-empty set (an empty relation needs no read at all) of leaves
+    * that exist (they came from the tree listing; this is a
+    * single-writer table between listing and read).
+    */
+  def readLeafDirs(layer: String, table: String, leafDirs: Seq[String]): DataFrame = {
+    require(leafDirs.nonEmpty,
+      s"readLeafDirs($layer.$table): empty leaf-dir set — callers " +
+        "short-circuit to an empty relation instead of scheduling a read")
+    recover(layer, table)
+    val base = path(layer, table)
+    spark.read.option("basePath", base)
+      .parquet(leafDirs.map(d => s"$base/$d"): _*)
+  }
+
   /** Whether the table's partition dirs nest a `subCol=` level — the
     * layout probe behind the streaming dedup/CC index's bucketed-mode
     * detection. Schema-based detection (does the read carry the

@@ -320,20 +320,31 @@ object EventPipelines {
             Some(both.map(_.get(1)).distinct.toIndexedSeq))
         case None => (existing.select(keys.map(col): _*), None)
       }
-      val fresh = deduped.join(guard, keys, "left_anti")
-      onFresh.foreach(_(fresh))
-      // rewrite ONLY touched days, carrying each day's existing rows
-      // through the swap
-      val days = daysOpt.getOrElse(
-        fresh.select(col(partCol)).distinct().collect().map(_.get(0)).toIndexedSeq)
-      if (days.nonEmpty) {
-        val affectedExisting = existing.where(col(partCol).isin(days: _*))
-        val freshOut = bucketsOf.fold(fresh)(ib => fresh.withColumn(
-          Dedup.ID_BUCKET_COL, Dedup.idBucket(col(keys.head), ib)))
-        wh.overwritePartitions(affectedExisting.unionByName(freshOut),
-          layer, table, partCol,
-          subPartitionBy = bucketsOf.map(_ => Dedup.ID_BUCKET_COL).toSeq): Unit
-      }
+      val freshRaw = deduped.join(guard, keys, "left_anti")
+      // with an onFresh sink TWO writes read the fresh rows (the
+      // posting wave, then the docs union below) — cut once so the
+      // anti-join and its landed-side pruned read run ONE pass and
+      // both sinks consume cached blocks (the "one pass, two sinks"
+      // fuse; without the cut each write re-evaluated the whole
+      // anti-join lineage). Batch-sized, retired before return.
+      val (fresh, freshCut) =
+        if (onFresh.isDefined) Dedup.cutTracked(freshRaw)
+        else (freshRaw, Set.empty[Int])
+      try {
+        onFresh.foreach(_(fresh))
+        // rewrite ONLY touched days, carrying each day's existing rows
+        // through the swap
+        val days = daysOpt.getOrElse(
+          fresh.select(col(partCol)).distinct().collect().map(_.get(0)).toIndexedSeq)
+        if (days.nonEmpty) {
+          val affectedExisting = existing.where(col(partCol).isin(days: _*))
+          val freshOut = bucketsOf.fold(fresh)(ib => fresh.withColumn(
+            Dedup.ID_BUCKET_COL, Dedup.idBucket(col(keys.head), ib)))
+          wh.overwritePartitions(affectedExisting.unionByName(freshOut),
+            layer, table, partCol,
+            subPartitionBy = bucketsOf.map(_ => Dedup.ID_BUCKET_COL).toSeq): Unit
+        }
+      } finally Dedup.retireTracked(batch.sparkSession, freshCut)
     }
     if (useLedger) wh.markBatchCommitted(layer, table, batchId, ledgerNs)
     true
@@ -439,6 +450,84 @@ object EventPipelines {
 
   private def ccAssignTable(table: String): String = s"${table}__assign"
 
+  /** Leaf dirs (relative to the table root, `__wave=W/<subCol>=B`) of a
+    * two-level partition tree, filtered by a wave predicate and an
+    * optional bucket set — the enumerator behind every PATH-LISTED
+    * pruned read ([[graft.sources.Warehouse.readLeafDirs]]): the tree
+    * was one bounded listing, and handing Spark the exact leaves keeps
+    * a pruned read's metadata cost equal to its byte cost. Bucket
+    * pruning is lossless for the same reason the data pruning is
+    * (bucket = hash of the equi-join key); a non-numeric wave or
+    * bucket dir value simply never matches — foreign dirs are ignored,
+    * not crashed on.
+    */
+  private def leafDirsOf(tree: Seq[(String, Seq[String])], subCol: String,
+                         wavePred: Long => Boolean,
+                         buckets: Option[Set[Int]]): Seq[String] =
+    tree.flatMap { case (w, bs) =>
+      if (!w.toLongOption.exists(wavePred)) Nil
+      else bs.filter(b => buckets.forall(s => b.toIntOption.exists(s.contains)))
+        .map(b => s"$CcWaveCol=$w/$subCol=$b")
+    }
+
+  /** Default settled-wave dir budget before [[compactCcWaves]] runs —
+    * `graft.cc.compactWaveDirs` (loud parse). The bound that keeps
+    * per-batch METADATA O(arrivals): without compaction the
+    * append-only index grows one wave dir per micro-batch forever
+    * (a year of minutely batches ≈ 500k waves × buckets dirs), so
+    * listings — and any full read: bootstrap, heal, batch consumers —
+    * degrade with stream LIFETIME even while maintenance bytes stay
+    * O(arrivals). Amortization: each settled doc is rewritten once per
+    * `threshold` batches (corpus/threshold per batch); size the
+    * threshold so that stays below the arrival rate's write volume.
+    * The next refinement at extreme lifetimes is size-tiered merging
+    * (LSM-style: geometric super-wave generations, O(log waves) dirs
+    * for O(log) rewrites per doc) — not needed until compaction I/O
+    * itself shows up next to the arrival volume.
+    */
+  private def compactWaveDirsConf(spark: SparkSession): Long = {
+    val v = graft.operators.Dedup.longConf(spark, "graft.cc.compactWaveDirs", 48L)
+    require(v >= 2, s"graft.cc.compactWaveDirs=$v must be >= 2")
+    v
+  }
+
+  /** Fold every SETTLED wave (≤ the published watermark `hw`) of the
+    * bucketed docs index — and its key-posting sibling — into ONE
+    * consolidated super-wave dir `__wave=hw`, preserving the bucket
+    * sub-dirs. Waves beyond the watermark (a crash window's orphans)
+    * are passed through untouched.
+    *
+    * Correctness rides on two facts. (1) The watermark contract is a
+    * PREDICATE, not an enumeration: "waves ≤ hw are exactly the
+    * assigned docs" — collapsing their rows into the dir `__wave=hw`
+    * keeps every row on the same side of every `wave ≤/> hw`
+    * predicate the fold, the probe, and the verify fetch use, so no
+    * reader can tell compacted from uncompacted state (the label-
+    * equality specs re-run green across the boundary). (2) The commit
+    * is the SAME whole-table atomic swap as any load
+    * ([[graft.sources.Warehouse.overwrite]]): a crash mid-write leaves
+    * the old layout intact, a crash mid-swap is healed by recover(),
+    * and a crash between the docs swap and the keys swap is benign —
+    * the keys' un-collapsed waves are all still ≤ hw, so the pruned
+    * probe reads them identically and the next compaction finishes
+    * the job. Wave numbers stay monotonic (the super-wave reuses hw;
+    * the landing counter derives from max+1).
+    */
+  private[streaming] def compactCcWaves(wh: graft.sources.Warehouse,
+                                        layer: String, table: String,
+                                        hw: Long): Unit = {
+    import graft.operators.Dedup
+    val waveLong = col(CcWaveCol).cast("long")
+    def collapse = when(waveLong <= hw, lit(hw.toString))
+      .otherwise(col(CcWaveCol).cast("string")).as(CcWaveCol)
+    wh.overwrite(wh.read(layer, table).withColumn(CcWaveCol, collapse),
+      layer, table, partitionBy = Seq(CcWaveCol, Dedup.ID_BUCKET_COL)): Unit
+    val kt = s"${table}__keys"
+    if (wh.exists(layer, kt))
+      wh.overwrite(wh.read(layer, kt).withColumn(CcWaveCol, collapse),
+        layer, kt, partitionBy = Seq(CcWaveCol, Dedup.KEY_BUCKET_COL)): Unit
+  }
+
   /** The current cluster assignment maintained by [[ccBatch]] — the
     * latest committed snapshot version of the narrow (id, cluster_id)
     * relation. Throws if no batch has published one yet. */
@@ -463,8 +552,12 @@ object EventPipelines {
     *    under each wave, and APPEND-ONLY: a batch lands exactly one
     *    new wave partition via the per-partition atomic swap, and
     *    re-delivered ids anti-join to an empty write. A doc's text
-    *    and band keys never change, so no batch rewrites landed
-    *    waves. The bucket dirs make every point-set fetch file-pruned:
+    *    and band keys never change, so no batch rewrites landed waves
+    *    — except the bounded-metadata maintenance: settled waves
+    *    compact into a super-wave dir once their dir count exceeds
+    *    the budget (see [[compactCcWaves]]; an atomic whole-table
+    *    swap, invisible to every wave predicate).
+    *    The bucket dirs make every point-set fetch file-pruned:
     *    the replay anti-join reads only the arrival ids' buckets and
     *    the verify stage reads only candidate buckets' text — never a
     *    full text-column scan of the corpus per micro-batch (the
@@ -517,18 +610,21 @@ object EventPipelines {
     * round-12 full-scan read path — layouts never mix within a table.
     * Returns whether the batch landed (ledgered replays skip).
     *
-    * Named residual — per-batch file LISTING, not bytes: each
-    * `wh.read` here builds a fresh InMemoryFileIndex, which lists the
-    * whole table's directories before partition pruning drops them, so
-    * a maintenance batch's driver-side metadata cost is O(table dirs)
-    * (a handful of listings per batch) even though its data bytes are
-    * O(arrivals + collisions). Irrelevant on this rig and modest on a
-    * real store until waves × buckets reaches millions of files; past
-    * that, front the index with a manifest/metastore-backed file index
-    * (or build reads from explicit `__wave=`/`__bucket=` dir paths +
-    * `basePath`, both already enumerated by the pre-read listing) so
-    * listing prunes like the bytes do. The BYTES contract
-    * (StreamIndexIoSpec) is unaffected either way.
+    * METADATA is bounded like the bytes are (the round-13 residual,
+    * closed): every pruned read here is PATH-LISTED — built from the
+    * explicit leaf dirs ([[graft.sources.Warehouse.readLeafDirs]] +
+    * `basePath`) that one bounded partition-tree listing enumerated —
+    * so a batch's file-index work is O(selected dirs), never a
+    * table-root listing of every wave × bucket; and the wave-dir count
+    * itself is bounded by settled-wave COMPACTION ([[compactCcWaves]]:
+    * waves ≤ the watermark fold into one super-wave dir via the
+    * whole-table atomic swap once they exceed
+    * `graft.cc.compactWaveDirs`), so tree listings, bootstrap/heal
+    * full reads, and batch consumers don't degrade with stream
+    * lifetime. StreamIndexIoSpec pins both axes with real
+    * measurements: task-metrics bytes flat across a 4× corpus, and
+    * filesystem-counted listed paths flat across 5× the accumulated
+    * batches.
     */
   def ccBatch(wh: graft.sources.Warehouse, layer: String, table: String,
               idCol: String, textCol: String,
@@ -543,19 +639,31 @@ object EventPipelines {
       .apply(dedupBatch(batch, Seq(idCol)))
       .select(col(idCol), col(textCol))
     val docsExist = wh.exists(layer, table)
-    // ONE pre-write read and ONE partition listing serve the schema
-    // require, the layout require, the replay anti-join, and the wave
-    // counter — the docs table grows a partition per batch, so repeated
-    // schema-inference/listing passes would be O(waves) metadata I/O
-    // per batch on the very table whose design goal is O(arrivals).
-    // (The post-land read further down is separate by necessity: a
-    // DataFrame's file index is captured at read time, so it must be
-    // rebuilt to see the new wave.)
-    val docsBefore = if (docsExist) Some(wh.read(layer, table)) else None
-    val waves =
-      if (docsExist) wh.partitionValues(layer, table, CcWaveCol) else Nil
-    docsBefore.foreach { d =>
-      require(d.columns.contains(Dedup.BAND_KEYS_COL),
+    // ONE partition-TREE listing (O(wave dirs) RPCs, wave-dir count
+    // bounded by the compaction below) serves the layout probe, the
+    // schema/layout requires, the wave counter, AND enumerates the
+    // leaf dirs every pruned read in this batch is built from
+    // (Warehouse.readLeafDirs) — the docs table grows a partition per
+    // batch, so repeated table-root listings would be O(waves)
+    // metadata I/O per batch on the very table whose design goal is
+    // O(arrivals). (The post-land tree further down is separate by
+    // necessity: the listing must be redone to see the new wave.)
+    val tree =
+      if (docsExist) wh.partitionTree(layer, table, CcWaveCol, Dedup.ID_BUCKET_COL)
+      else Nil
+    val waves = tree.map(_._1)
+    val isBucketedLayout = tree.exists(_._2.nonEmpty)
+    // legacy flat layouts keep whole-table reads; bucketed tables get
+    // their schema probed off ONE leaf dir (footer-only, no listing)
+    val docsBefore =
+      if (docsExist && !isBucketedLayout) Some(wh.read(layer, table)) else None
+    if (docsExist) {
+      val colsOf = docsBefore.map(_.columns).getOrElse {
+        val (w, bs) = tree.find(_._2.nonEmpty).get
+        wh.readLeafDirs(layer, table,
+          Seq(s"$CcWaveCol=$w/${Dedup.ID_BUCKET_COL}=${bs.head}")).columns
+      }
+      require(colsOf.contains(Dedup.BAND_KEYS_COL),
         s"ccBatch: docs table $layer.$table lacks the stored band-key " +
           s"column '${Dedup.BAND_KEYS_COL}'. ccBatch lands its own waves " +
           "with the column; an externally pre-seeded index must be landed " +
@@ -584,7 +692,7 @@ object EventPipelines {
         require(ib >= 1 && kb >= 1,
           s"ccBatch: graft.dedup.idBuckets=$ib / keyBuckets=$kb must be >= 1")
         Some((ib, kb))
-      } else if (wh.hasSubPartition(layer, table, CcWaveCol, Dedup.ID_BUCKET_COL)) {
+      } else if (isBucketedLayout) {
         val ib = wh.getTableMeta(layer, table, "idBuckets").flatMap(_.toIntOption)
           .getOrElse(throw new IllegalStateException(
             s"ccBatch: $layer.$table has ${Dedup.ID_BUCKET_COL} dirs but no " +
@@ -602,7 +710,8 @@ object EventPipelines {
     // probing without it would silently drop every landed-side candidate
     bucketedMeta.foreach { case (_, kb) =>
       if (docsExist && !wh.exists(layer, kt)) {
-        val d = docsBefore.get
+        // one loud full pass by design — a whole-table read is the heal
+        val d = wh.read(layer, table)
         val kv = d.select(col(idCol), col(CcWaveCol).cast("string").as(CcWaveCol),
             posexplode(col(Dedup.BAND_KEYS_COL)))
           .select(col(idCol), col("pos").as("band"), col("col").as("bkey"),
@@ -636,9 +745,9 @@ object EventPipelines {
     // long stream would otherwise strand the cuts of every micro-batch)
     var batchCuts = Set.empty[Int]
     try {
-      val (fresh, freshIds) = (docsBefore, bucketedMeta) match {
-        case (None, _) => Dedup.cutTracked(incoming)
-        case (Some(d), Some((ib, _))) =>
+      val (fresh, freshIds) = (docsExist, bucketedMeta) match {
+        case (false, _) => Dedup.cutTracked(incoming)
+        case (true, Some((ib, _))) =>
           // the arrival-bucket set rides the cut's own job (observe) —
           // the maintenance path is latency-bound on small jobs, so no
           // separate collect round-trip
@@ -646,16 +755,23 @@ object EventPipelines {
           val (inc, incIds) = Dedup.cutTracked(incoming.observe(obsInc,
             Dedup.bucketSetExpr(col(idCol), ib).as("bks")))
           batchCuts ++= incIds
-          val bks = Dedup.observedBuckets(obsInc.get("bks"))
-          val landedIds = d.where(col(Dedup.ID_BUCKET_COL).isin(bks: _*))
-            .select(col(idCol))
-          val cut = Dedup.cutTracked(inc.join(landedIds, Seq(idCol), "left_anti"))
-          Dedup.retireTracked(sparkOfBatch, incIds) // consumed by the cut
-          batchCuts --= incIds
-          cut
-        case (Some(d), None) =>
+          val bks = Dedup.observedBuckets(obsInc.get("bks")).toSet
+          // PATH-LISTED landed side: the arrival buckets select leaf
+          // dirs off the already-listed tree, so the anti-join's file
+          // index lists O(arrival buckets) dirs, never the table
+          val leafs = leafDirsOf(tree, Dedup.ID_BUCKET_COL, _ => true, Some(bks))
+          if (leafs.isEmpty) (inc, incIds) // no landed bucket can collide
+          else {
+            val landedIds = wh.readLeafDirs(layer, table, leafs)
+              .select(col(idCol))
+            val cut = Dedup.cutTracked(inc.join(landedIds, Seq(idCol), "left_anti"))
+            Dedup.retireTracked(sparkOfBatch, incIds) // consumed by the cut
+            batchCuts --= incIds
+            cut
+          }
+        case (true, None) =>
           Dedup.cutTracked(
-            incoming.join(d.select(col(idCol)), Seq(idCol), "left_anti"))
+            incoming.join(docsBefore.get.select(col(idCol)), Seq(idCol), "left_anti"))
       }
       batchCuts ++= freshIds
       val nextWave: Long =
@@ -713,12 +829,17 @@ object EventPipelines {
       }
       // 2. fold every UNASSIGNED doc — this wave's, plus any orphans a
       //    crash left between doc-landing and version publish — into the
-      //    last consistent snapshot. `docs` is LAZY: on the no-crash
-      //    fast path below the fold never touches the landed table at
-      //    all (the arrivals are already materialized as freshKeyed),
-      //    so the common maintenance batch pays zero post-land listing
-      //    and zero re-read of the bytes it just wrote.
+      //    last consistent snapshot. `docs` (the legacy whole-table
+      //    read) and `treePost` (the post-land dir tree the bucketed
+      //    pruned reads path-list from — the pre-land `tree` cannot see
+      //    the fresh wave) are LAZY: on the no-crash fast path below
+      //    the fold never touches the landed table at all (the
+      //    arrivals are already materialized as freshKeyed), so the
+      //    common maintenance batch pays zero post-land listing and
+      //    zero re-read of the bytes it just wrote.
       lazy val docs = wh.read(layer, table)
+      lazy val treePost =
+        wh.partitionTree(layer, table, CcWaveCol, Dedup.ID_BUCKET_COL)
       val at = ccAssignTable(table)
       val latestV = wh.latestVersion(layer, at)
       val assign = latestV match {
@@ -751,14 +872,26 @@ object EventPipelines {
           (freshKeyed.select(col(idCol), col(textCol), col(Dedup.BAND_KEYS_COL)),
             obsF)
         else {
-          val unassignedBase = hwOpt match {
+          val unassignedBase = (hwOpt, bucketedMeta) match {
             // waves after the watermark ARE the unassigned docs (the fold
             // assigns every doc present, and the meta commits only after
-            // the version does) — a partition-pruned read, O(arrivals +
-            // crash-window waves) files
-            case Some(hw) => docs.where(waveLong > hw)
+            // the version does) — on the bucketed layout a PATH-LISTED
+            // read of exactly those waves' leaf dirs (O(arrivals +
+            // crash-window waves) dirs listed AND read); flat legacy
+            // tables keep the partition-pruned table read
+            case (Some(hw), Some(_)) =>
+              val leafs = leafDirsOf(treePost, Dedup.ID_BUCKET_COL, _ > hw, None)
+              if (leafs.isEmpty) {
+                // no wave beyond the watermark ⇒ nothing unassigned ⇒
+                // pure replay (docs landed AND version published)
+                if (useLedger) wh.markBatchCommitted(layer, table, batchId, ledgerNs)
+                return true
+              }
+              wh.readLeafDirs(layer, table, leafs).where(waveLong > hw)
+                .select(col(idCol), col(textCol), col(Dedup.BAND_KEYS_COL))
+            case (Some(hw), None) => docs.where(waveLong > hw)
               .select(col(idCol), col(textCol), col(Dedup.BAND_KEYS_COL))
-            case None => docs
+            case (None, _) => docs
               .select(col(idCol), col(textCol), col(Dedup.BAND_KEYS_COL))
               .join(assign.select(col(idCol)), Seq(idCol), "left_anti")
           }
@@ -795,24 +928,33 @@ object EventPipelines {
           // posting partitions; candidates' id buckets select the
           // verify files. Both prunings are lossless (bucket = hash of
           // the join key), so this is storedKeyCrossNearDups' result
-          // relation read through O(arrivals + collisions) files.
+          // relation read through O(arrivals + collisions) files — and
+          // both reads are PATH-LISTED off their dir trees, so the
+          // metadata cost matches the byte cost (never a table-root
+          // listing that enumerates every wave × bucket first).
           val arrKeys = Dedup.keyPostings(unassigned, idCol, "new_id")
-          val kbs = Dedup.observedKeyBuckets(obsKb, "kb", kb, bands)
-          val idxKeys = wh.read(layer, kt)
-            .where(waveLong <= hw && col(Dedup.KEY_BUCKET_COL).isin(kbs: _*))
-            .select(col(idCol).as("idx_id"), col("band"), col("bkey"))
+          val kbs = Dedup.observedKeyBuckets(obsKb, "kb", kb, bands).toSet
+          val ktTree = wh.partitionTree(layer, kt, CcWaveCol, Dedup.KEY_BUCKET_COL)
+          val kLeafs = leafDirsOf(ktTree, Dedup.KEY_BUCKET_COL, _ <= hw, Some(kbs))
+          val idxKeys =
+            if (kLeafs.isEmpty)
+              Dedup.keyPostings(unassigned.limit(0), idCol, "idx_id")
+            else wh.readLeafDirs(layer, kt, kLeafs).where(waveLong <= hw)
+              .select(col(idCol).as("idx_id"), col("band"), col("bkey"))
           val obsC = org.apache.spark.sql.Observation()
           val (cands, candIds) = Dedup.cutTracked(
             Dedup.postingCandidates(idxKeys, arrKeys)
               .observe(obsC, Dedup.bucketSetExpr(col("idx_id"), ib).as("dbs")))
           batchCuts ++= candIds
-          val dbs = Dedup.observedBuckets(obsC.get("dbs"))
+          val dbs = Dedup.observedBuckets(obsC.get("dbs")).toSet
           // zero collisions ⇒ nothing to verify ⇒ don't even build (or
           // list) the landed-table read
+          val dLeafs =
+            if (dbs.isEmpty) Nil
+            else leafDirsOf(treePost, Dedup.ID_BUCKET_COL, _ <= hw, Some(dbs))
           val idxDocs =
-            if (dbs.isEmpty) unassigned.select(col(idCol), col(textCol)).limit(0)
-            else docs
-              .where(waveLong <= hw && col(Dedup.ID_BUCKET_COL).isin(dbs: _*))
+            if (dLeafs.isEmpty) unassigned.select(col(idCol), col(textCol)).limit(0)
+            else wh.readLeafDirs(layer, table, dLeafs).where(waveLong <= hw)
               .select(col(idCol), col(textCol))
           Dedup.verifyCrossCandidates(cands, idxDocs, unassigned,
             textCol, idCol, ngram, minJaccard)
@@ -843,6 +985,17 @@ object EventPipelines {
         else waves.flatMap(_.toLongOption).maxOption.getOrElse(-1L)
       wh.putVersionMeta(layer, at, vNew, "waveHighWatermark", hwNew.toString)
       wh.vacuumVersions(layer, at, keep = 2): Unit
+      // settled-wave compaction: once the dir count of waves the new
+      // watermark covers exceeds the budget, fold them into one
+      // super-wave dir (atomic swap; see compactCcWaves). Counted off
+      // the already-listed pre-land tree + this batch's wave — no
+      // extra listing on the batches that don't compact.
+      if (bucketedMeta.isDefined) {
+        val settled = (waves.flatMap(_.toLongOption) ++
+          (if (freshLanded) Seq(nextWave) else Nil)).count(_ <= hwNew)
+        if (settled > compactWaveDirsConf(sparkOfBatch))
+          compactCcWaves(wh, layer, table, hwNew)
+      }
       if (useLedger) wh.markBatchCommitted(layer, table, batchId, ledgerNs)
       true
     } finally Dedup.retireTracked(sparkOfBatch, batchCuts)
@@ -990,7 +1143,9 @@ object EventPipelines {
           pending --= survIds
           survivors
         } else {
-          val landed = wh.readPartitioned(layer, table, partCol)
+          // lazy: the bucketed probe path never builds the table-root
+          // read (spark.read lists eagerly at construction)
+          lazy val landed = wh.readPartitioned(layer, table, partCol)
           var probeCuts = Set.empty[Int]
           val outExpr = bucketed match {
             case Some((ib, kb)) =>
@@ -998,12 +1153,25 @@ object EventPipelines {
               // the posting partitions, candidates' id buckets select
               // the verify files — both prunings lossless (bucket =
               // hash of the equi-join key), so decisions are identical
-              // to the full-scan stored-key path below
+              // to the full-scan stored-key path below. Both reads are
+              // PATH-LISTED off one bounded dir-tree listing each
+              // (readLeafDirs): the posting table accretes a wave dir
+              // per batch (until compaction folds them — see onFresh),
+              // and a table-root read would re-list every one of them
+              // before pruning.
               val arrKeys = Dedup.keyPostings(survivors, idCol, "new_id")
-              val kbs = Dedup.observedKeyBuckets(obsS.get._1, "kb", kb, bands)
-              val idxKeys = wh.read(layer, keysTbl)
-                .where(col(Dedup.KEY_BUCKET_COL).isin(kbs: _*))
-                .select(col(idCol).as("idx_id"), col("band"), col("bkey"))
+              val kbs = Dedup.observedKeyBuckets(obsS.get._1, "kb", kb, bands).toSet
+              val kTree = wh.partitionTree(layer, keysTbl, CcWaveCol,
+                Dedup.KEY_BUCKET_COL)
+              val kLeafs = kTree.flatMap { case (w, bs) =>
+                bs.filter(b => b.toIntOption.exists(kbs.contains))
+                  .map(b => s"$CcWaveCol=$w/${Dedup.KEY_BUCKET_COL}=$b")
+              }
+              val idxKeys =
+                if (kLeafs.isEmpty)
+                  Dedup.keyPostings(survivors.limit(0), idCol, "idx_id")
+                else wh.readLeafDirs(layer, keysTbl, kLeafs)
+                  .select(col(idCol).as("idx_id"), col("band"), col("bkey"))
               // cut: the candidate relation feeds the verify semi-joins
               // and the verify join; its id-bucket set rides the cut
               val obsC = org.apache.spark.sql.Observation()
@@ -1012,10 +1180,18 @@ object EventPipelines {
                   .observe(obsC, Dedup.bucketSetExpr(col("idx_id"), ib).as("dbs")))
               pending ++= candIds
               probeCuts = candIds
-              val dbs = Dedup.observedBuckets(obsC.get("dbs"))
-              val idxDocs = landed
-                .where(col(Dedup.ID_BUCKET_COL).isin(dbs: _*))
-                .select(col(idCol), col(textCol))
+              val dbs = Dedup.observedBuckets(obsC.get("dbs")).toSet
+              val dTree = wh.partitionTree(layer, table, partCol,
+                Dedup.ID_BUCKET_COL)
+              val dLeafs = dTree.flatMap { case (p, bs) =>
+                bs.filter(b => b.toIntOption.exists(dbs.contains))
+                  .map(b => s"$partCol=$p/${Dedup.ID_BUCKET_COL}=$b")
+              }
+              val idxDocs =
+                if (dLeafs.isEmpty)
+                  survivors.select(col(idCol), col(textCol)).limit(0)
+                else wh.readLeafDirs(layer, table, dLeafs)
+                  .select(col(idCol), col(textCol))
               val hits = Dedup.verifyCrossCandidates(cands, idxDocs,
                 survivors, textCol, idCol, ngram, minJaccard)
               survivors.join(hits.select(col("new_id").as(idCol)).distinct(),
@@ -1105,8 +1281,9 @@ object EventPipelines {
                 s"dedupIngest: $layer.$keysTbl exists but has no keyBuckets " +
                   "table meta — bucketed layout corrupted"))
           else Dedup.longConf(sparkOfDocs, "graft.dedup.keyBuckets", 8L).toInt
-        val wave = wh.partitionValues(layer, keysTbl, CcWaveCol)
-          .flatMap(_.toLongOption).maxOption.map(_ + 1L).getOrElse(0L)
+        val kWaves = wh.partitionValues(layer, keysTbl, CcWaveCol)
+          .flatMap(_.toLongOption)
+        val wave = kWaves.maxOption.map(_ + 1L).getOrElse(0L)
         val kv = Dedup.keyPostings(fresh, idCol, idCol)
           .withColumn(Dedup.KEY_BUCKET_COL, Dedup.idBucket(col("bkey"), kb))
           .withColumn(CcWaveCol, lit(wave.toString))
@@ -1118,8 +1295,22 @@ object EventPipelines {
               partitionBy = Seq(CcWaveCol, Dedup.KEY_BUCKET_COL)): Unit
             wh.putTableMeta(layer, keysTbl, "keyBuckets", kb.toString)
           }
-        } else wh.overwritePartitions(kv, layer, keysTbl, CcWaveCol,
-          subPartitionBy = Seq(Dedup.KEY_BUCKET_COL)): Unit
+        } else {
+          wh.overwritePartitions(kv, layer, keysTbl, CcWaveCol,
+            subPartitionBy = Seq(Dedup.KEY_BUCKET_COL)): Unit
+          // posting-sibling wave compaction: every posting is settled
+          // the moment its doc is landed (no watermark to wait on), so
+          // once the wave-dir count exceeds the budget, fold ALL waves
+          // into the newest dir via the whole-table atomic swap — the
+          // probe's tree listing stays bounded by the budget instead
+          // of growing one dir per micro-batch for the stream's life.
+          // Counted off the listing the wave counter already did.
+          if (kWaves.size + 1 > compactWaveDirsConf(sparkOfDocs))
+            wh.overwrite(wh.read(layer, keysTbl)
+                .withColumn(CcWaveCol, lit(wave.toString)),
+              layer, keysTbl,
+              partitionBy = Seq(CcWaveCol, Dedup.KEY_BUCKET_COL)): Unit
+        }
       }
     }
     try ingestAvailableNow(docs, wh, layer, table, keys = Seq(idCol),

@@ -15,26 +15,14 @@ import org.apache.spark.sql.functions._
 class StreamIndexIoSpec extends SparkSpec {
   import spark.implicits._
 
-  /** Total source bytes read by `body`'s jobs (task InputMetrics,
-    * listener bus drained before the snapshot so a heavy body's queued
-    * task-end events can't leak out of the measurement).
+  /** Total source bytes read by `body`'s OWN jobs — attributed through
+    * [[graft.ScopedTaskMetrics]] (tagged local property → job → stage →
+    * task), so a concurrent suite's tasks on the shared SparkContext
+    * can neither inflate the measurement nor (worse) deflate the
+    * 600-vs-2400 ratio the contract assertion rides on.
     */
-  private def bytesOf(body: => Unit): Long = {
-    val acc = new java.util.concurrent.atomic.AtomicLong
-    val l = new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(
-          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-        val m = e.taskMetrics
-        if (m != null) acc.addAndGet(m.inputMetrics.bytesRead): Unit
-      }
-    }
-    spark.sparkContext.addSparkListener(l)
-    try {
-      body
-      org.apache.spark.graft.ListenerBusDrain.drain(spark.sparkContext)
-      acc.get
-    } finally spark.sparkContext.removeSparkListener(l)
-  }
+  private def bytesOf(body: => Unit): Long =
+    graft.ScopedTaskMetrics.measure(spark) { body }.bytesRead
 
   // mostly-distinct docs (long texts, so data bytes dominate parquet
   // footer overhead) with a couple of planted near-dup families
@@ -109,6 +97,70 @@ class StreamIndexIoSpec extends SparkSpec {
         "an unpruned landed-corpus scan is back")
   }
 
+  test("maintenance LISTING stays ~flat as waves accumulate: settled-wave compaction + path-listed reads bound metadata like the bytes") {
+    // the round-13 metadata residual, closed and pinned with a REAL
+    // filesystem counter (graft.CountingFs): one-doc batches accrete
+    // waves; the metadata ops of a steady batch after ~30 waves must
+    // match a batch after ~5. Without BOTH halves of the fix this
+    // grows with stream lifetime — table-root reads re-list every
+    // wave × bucket dir (path-listed reads kill that), and even
+    // path-listed trees grow one dir per batch forever (compaction
+    // kills that). The 2x bound vs the ~5x accumulation cleanly
+    // separates; the real win is re-checked at the end (dir count
+    // stays within the budget).
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.set("fs.countfs.impl", classOf[graft.CountingFs].getName)
+    spark.conf.set("graft.cc.compactWaveDirs", "6")
+    try {
+      val root = java.nio.file.Files.createTempDirectory("graft-cclist").toString
+      val wh = new graft.sources.Warehouse("countfs://" + root, spark)
+      def opsOf(body: => Unit): Long = {
+        val o0 = graft.CountingFs.metadataOps
+        body
+        graft.CountingFs.metadataOps - o0
+      }
+      val all = scala.collection.mutable.Buffer.empty[(Long, String)]
+      def run(bid: Long): Long = {
+        val b = Seq(doc(5000L + bid))
+        all ++= b
+        opsOf { ccb(wh, b, bid) }
+      }
+      // with budget 6 compactions land at batches 6/12/18/24, so
+      // batches 5 and 29 are both steady (non-compacting) batches
+      // opening on the same wave-dir count — like for like
+      (0L until 5L).foreach(run)
+      val early = run(5L)
+      (6L until 29L).foreach(run)
+      val late = run(29L)
+      info(s"metadata ops per maintenance batch: $early (after 5 waves) vs " +
+        s"$late (after 29 waves, 4 compactions)")
+      assert(early > 0, "counting filesystem saw nothing — instrument broken")
+      assert(late < early * 2.0,
+        s"maintenance metadata ops grew $early -> $late across accumulated " +
+          "waves — a table-root listing or unbounded wave growth is back")
+      // the bound is real: the wave-dir count sits within the budget
+      val dirs = wh.partitionValues("idx", "cc", EventPipelines.CcWaveCol)
+      assert(dirs.size <= 7, s"wave dirs not compacted: ${dirs.sorted}")
+      // correctness across four compaction boundaries: label-identical
+      // to the one-shot batch CC over everything landed
+      assert(assignment(wh) == fullCc(all.toSeq))
+      // and the crash window still self-heals on a COMPACTED table:
+      // drop the watermark meta (version-commit/meta crash), next batch
+      // falls back to the anti-join scan, stays correct, republishes
+      val v = wh.latestVersion("idx", "cc__assign").get
+      val metaP = new org.apache.hadoop.fs.Path(
+        wh.path("idx", "cc__assign__versions"), s"v=$v/_graft_waveHighWatermark")
+      val cfs = metaP.getFileSystem(hconf)
+      assert(cfs.exists(metaP) && cfs.delete(metaP, false))
+      val lastDoc = Seq(nearDupOf(doc(5000L), 9900L))
+      all ++= lastDoc
+      ccb(wh, lastDoc, 30L)
+      val cids = assignment(wh)
+      assert(cids == fullCc(all.toSeq))
+      assert(cids(9900L) == cids(5000L))
+    } finally spark.conf.unset("graft.cc.compactWaveDirs")
+  }
+
   test("the no-crash fold takes the fast path: label-identical to the forced reading fold, in strictly fewer jobs") {
     // same 2-wave + maintenance sequence under graft.cc.fastFold on vs
     // off; the fast path must (a) produce the identical assignment and
@@ -116,21 +168,11 @@ class StreamIndexIoSpec extends SparkSpec {
     // skips the unassigned table read and its cut job). (b) is the
     // existence proof that the path actually fires — a silently-dead
     // gate would pass every equality spec.
-    def jobsOf(body: => Unit): Int = {
-      val jobs = new java.util.concurrent.atomic.AtomicInteger()
-      val l = new org.apache.spark.scheduler.SparkListener {
-        override def onJobStart(
-            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-          jobs.incrementAndGet(); ()
-        }
-      }
-      spark.sparkContext.addSparkListener(l)
-      try {
-        body
-        org.apache.spark.graft.ListenerBusDrain.drain(spark.sparkContext)
-        jobs.get
-      } finally spark.sparkContext.removeSparkListener(l)
-    }
+    // scoped to the batch's OWN jobs (tagged local property): the
+    // fast-vs-reading margin is only ~3 jobs, and a context-wide count
+    // would flip on any concurrent suite's stray job (round-13 ADVICE)
+    def jobsOf(body: => Unit): Int =
+      graft.ScopedTaskMetrics.measure(spark) { body }.jobs
     def run(fast: Boolean): (Map[Long, Long], Int) = {
       spark.conf.set("graft.cc.fastFold", fast.toString)
       try {
