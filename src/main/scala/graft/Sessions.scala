@@ -35,6 +35,22 @@ object Sessions {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // A/B seam: session confs from the environment
+    // (SPARK_GRAFT_SESSION_CONF="k=v;k2=v2"). graft.* keys cannot ride
+    // -D system properties (Spark only forwards spark.*-prefixed ones
+    // into the conf), and bench A/B runs (driver-CC cap experiments,
+    // fastFold off, compaction budgets) need a no-recompile way to set
+    // them. Malformed entries fail loudly — a typo'd key=value pair
+    // must not silently run the DEFAULT side of an A/B.
+    sys.env.get("SPARK_GRAFT_SESSION_CONF").foreach { s =>
+      s.split(';').map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) if k.nonEmpty && v.nonEmpty => spark.conf.set(k, v)
+          case _ => throw new IllegalArgumentException(
+            s"SPARK_GRAFT_SESSION_CONF entry '$kv' is not key=value")
+        }
+      }
+    }
     // WindowExec's "No Partition Defined" warning exists to flag
     // corpus-sized single-partition sorts; every unpartitioned window
     // in this library is over a PROVABLY BOUNDED relation (k-row
