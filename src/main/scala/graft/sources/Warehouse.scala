@@ -47,12 +47,34 @@ class Warehouse(val root: String, spark: SparkSession) {
     // a leftover WITH a live dir is a superseded version — drop it.
     // One top-level listing (≤ #months entries), cheap even on an
     // object store.
-    if (fs.exists(target))
+    if (fs.exists(target)) {
       fs.listStatus(target).filter(_.getPath.getName.endsWith("__old")).foreach { st =>
         val live = new Path(target, st.getPath.getName.stripSuffix("__old"))
         if (!fs.exists(live)) fs.rename(st.getPath, live): Unit
         else fs.delete(st.getPath, true): Unit
       }
+      // LEAF-level swaps (overwritePartitions swapLeaves=true): their
+      // `__old` backups live one level down, so healing them needs a
+      // per-partition scan — O(partition dirs) listings, which would
+      // tax EVERY read of a many-partition table for a crash that
+      // almost never happened. The `__ptmp` staging dir gates it:
+      // leaf swaps only run while it exists, so its absence (the
+      // steady state, one cheap probe) proves there is nothing nested
+      // to heal; a crashed leaf swap leaves it behind and the next
+      // reader pays the one recovery scan. The stale `__ptmp` itself
+      // is deleted by the next writer, exactly as before.
+      if (fs.exists(new Path(path(layer, table + "__ptmp"))))
+        fs.listStatus(target)
+          .filter(st => st.isDirectory && !st.getPath.getName.endsWith("__old"))
+          .foreach { p =>
+            fs.listStatus(p.getPath).filter(_.getPath.getName.endsWith("__old"))
+              .foreach { st =>
+                val live = new Path(p.getPath, st.getPath.getName.stripSuffix("__old"))
+                if (!fs.exists(live)) fs.rename(st.getPath, live): Unit
+                else fs.delete(st.getPath, true): Unit
+              }
+          }
+    }
   }
 
   /** Read a partitioned table with the partition column normalized back
@@ -76,18 +98,32 @@ class Warehouse(val root: String, spark: SparkSession) {
     */
   def overwritePartitions(df: DataFrame, layer: String, table: String,
                           partCol: String,
-                          subPartitionBy: Seq[String] = Nil): Long = {
+                          subPartitionBy: Seq[String] = Nil,
+                          swapLeaves: Boolean = false): Long = {
     val target = new Path(path(layer, table))
     require(fs.exists(target), s"overwritePartitions: $layer.$table must already exist")
+    require(!swapLeaves || subPartitionBy.nonEmpty,
+      "overwritePartitions(swapLeaves=true): needs a nested sub-partition level")
     val tmp = new Path(path(layer, table + "__ptmp"))
     fs.delete(tmp, true)
     val obs = Observation()
     // `subPartitionBy` nests extra partition levels UNDER partCol (e.g.
-    // the dedup-index id-hash bucket dirs); the swap below still moves
-    // whole top-level partCol dirs, nested levels ride along — so the
-    // atomicity unit stays the partCol value. The table's layout must
-    // be uniform: every write to it must pass the same sub-partitions,
-    // or readers hit Spark's conflicting-directory-structures error.
+    // the dedup-index id-hash bucket dirs). With swapLeaves=false the
+    // swap moves whole top-level partCol dirs, nested levels ride
+    // along — the atomicity unit is the partCol value. With
+    // swapLeaves=true the swap unit is the individual LEAF dir
+    // (partCol=p/sub=b): only leaves present in `df` are replaced and
+    // UNTOUCHED SIBLING BUCKETS OF A TOUCHED PARTITION SURVIVE — the
+    // write-amplification contract for bucketed ingest tables, where a
+    // batch touches O(batch) buckets of a partition holding a whole
+    // corpus slice (callers then carry only the touched leaves' rows,
+    // so write cost is O(touched leaves), never O(touched partitions)).
+    // The caller owns the completeness obligation that makes this
+    // sound: a leaf present in `df` must contain ALL rows that belong
+    // in it (carried + fresh), exactly like a partition under the
+    // top-level mode. The table's layout must be uniform either way:
+    // every write must pass the same sub-partitions, or readers hit
+    // Spark's conflicting-directory-structures error.
     val partCols = partCol +: subPartitionBy
     df.repartition(partCols.map(col): _*).observe(obs, count(lit(1)).as("n"))
       .write.mode("overwrite").partitionBy(partCols: _*).parquet(tmp.toString)
@@ -103,17 +139,32 @@ class Warehouse(val root: String, spark: SparkSession) {
     // partition with the tmp dir below. Single writer per table assumed
     // (the orchestrator's stage ordering guarantees it); a concurrent
     // reader's recover() at worst makes a rename fail loudly here.
+    // Leaf-mode crash story: nested `sub=b__old` backups are healed by
+    // recover()'s __ptmp-gated scan (see recover); a crash mid-loop
+    // re-lands idempotently through the caller's replay guard.
+    def swapDir(st: org.apache.hadoop.fs.FileStatus, liveParent: Path): Unit = {
+      val live = new Path(liveParent, st.getPath.getName)
+      val old = new Path(liveParent, st.getPath.getName + "__old")
+      fs.delete(old, true)
+      if (fs.exists(live))
+        require(fs.rename(live, old), s"rename $live -> $old failed")
+      require(fs.rename(st.getPath, live), s"rename ${st.getPath} -> $live failed")
+      fs.delete(old, true)
+    }
     fs.listStatus(tmp)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(partCol + "="))
       .sortBy(_.getPath.getName)
       .foreach { st =>
-        val live = new Path(target, st.getPath.getName)
-        val old = new Path(target, st.getPath.getName + "__old")
-        fs.delete(old, true)
-        if (fs.exists(live))
-          require(fs.rename(live, old), s"rename $live -> $old failed")
-        require(fs.rename(st.getPath, live), s"rename ${st.getPath} -> $live failed")
-        fs.delete(old, true)
+        if (!swapLeaves) swapDir(st, target)
+        else {
+          val liveParent = new Path(target, st.getPath.getName)
+          fs.mkdirs(liveParent): Unit
+          fs.listStatus(st.getPath)
+            .filter(c => c.isDirectory &&
+              c.getPath.getName.startsWith(subPartitionBy.head + "="))
+            .sortBy(_.getPath.getName)
+            .foreach(swapDir(_, liveParent))
+        }
       }
     fs.delete(tmp, true)
     n

@@ -309,7 +309,7 @@ object EventPipelines {
       // every arrival was already landed is rewritten unchanged — an
       // idempotent, batch-bounded over-write that only a non-ledgered
       // crash replay actually hits.
-      val (guard, daysOpt) = bucketsOf match {
+      val (guard, touchedOpt) = bucketsOf match {
         case Some(ib) =>
           val both = deduped.select(
               Dedup.idBucket(col(keys.head), ib).as("__b"), col(partCol))
@@ -317,9 +317,10 @@ object EventPipelines {
           val bks = both.map(_.getInt(0)).distinct.toIndexedSeq
           (existing.where(col(Dedup.ID_BUCKET_COL).isin(bks: _*))
             .select(keys.map(col): _*),
-            Some(both.map(_.get(1)).distinct.toIndexedSeq))
+            Some((both.map(_.get(1)).distinct.toIndexedSeq, bks)))
         case None => (existing.select(keys.map(col): _*), None)
       }
+      val daysOpt = touchedOpt.map(_._1)
       val freshRaw = deduped.join(guard, keys, "left_anti")
       // with an onFresh sink TWO writes read the fresh rows (the
       // posting wave, then the docs union below) — cut once so the
@@ -337,12 +338,28 @@ object EventPipelines {
         val days = daysOpt.getOrElse(
           fresh.select(col(partCol)).distinct().collect().map(_.get(0)).toIndexedSeq)
         if (days.nonEmpty) {
-          val affectedExisting = existing.where(col(partCol).isin(days: _*))
+          // bucketed tables swap at the LEAF level and carry only the
+          // touched (day, bucket) leaves' existing rows — a batch's
+          // write cost is O(touched leaves), never O(touched
+          // partitions): a partition here can hold a whole corpus
+          // slice (the dedup-ingest source layout), and rewriting all
+          // of it per micro-batch is the write-amplification twin of
+          // the read-scan class this layout exists to kill. The
+          // day×bucket cross product over-selects combos the batch
+          // didn't actually touch — a bounded, idempotent over-carry
+          // (that leaf is rewritten with exactly its own rows), chosen
+          // over a per-combo predicate for plan simplicity. Flat
+          // tables keep whole-partition swaps.
+          val affectedExisting = bucketsOf.fold(
+            existing.where(col(partCol).isin(days: _*)))(_ =>
+            existing.where(col(partCol).isin(days: _*) &&
+              col(Dedup.ID_BUCKET_COL).isin(touchedOpt.get._2: _*)))
           val freshOut = bucketsOf.fold(fresh)(ib => fresh.withColumn(
             Dedup.ID_BUCKET_COL, Dedup.idBucket(col(keys.head), ib)))
           wh.overwritePartitions(affectedExisting.unionByName(freshOut),
             layer, table, partCol,
-            subPartitionBy = bucketsOf.map(_ => Dedup.ID_BUCKET_COL).toSeq): Unit
+            subPartitionBy = bucketsOf.map(_ => Dedup.ID_BUCKET_COL).toSeq,
+            swapLeaves = bucketsOf.isDefined): Unit
         }
       } finally Dedup.retireTracked(batch.sparkSession, freshCut)
     }
