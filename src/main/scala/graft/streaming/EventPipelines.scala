@@ -254,10 +254,15 @@ object EventPipelines {
     * [[graft.operators.Dedup.ID_BUCKET_COL]], and the bucket count is
     * pinned as table meta so every later batch derives the same layout
     * regardless of session conf. Bucketing buys two file-pruned reads
-    * at any corpus size: the replay-guard anti-join scans only the
+    * at any corpus size — the replay-guard anti-join scans only the
     * arrival ids' bucket dirs (O(batch) files, not the corpus id
     * column), and an index consumer (the streaming dedup probe) can
-    * fetch candidate docs by bucket. On an EXISTING table the layout
+    * fetch candidate docs by bucket — plus leaf-bounded WRITES: the
+    * landing swaps individual (partCol, bucket) leaf dirs
+    * ([[graft.sources.Warehouse.overwritePartitions]] swapLeaves) and
+    * carries only the touched leaves' existing rows, so per-batch
+    * write cost is O(touched leaves) even when a partCol value holds
+    * a whole corpus slice (the dedup-ingest source layout). On an EXISTING table the layout
     * is detected from the directories, never from this parameter — a
     * flat table stays flat (mixed layouts are unreadable).
     *
