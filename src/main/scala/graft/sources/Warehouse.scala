@@ -60,9 +60,15 @@ class Warehouse(val root: String, spark: SparkSession) {
       // almost never happened. The `__ptmp` staging dir gates it:
       // leaf swaps only run while it exists, so its absence (the
       // steady state, one cheap probe) proves there is nothing nested
-      // to heal; a crashed leaf swap leaves it behind and the next
-      // reader pays the one recovery scan. The stale `__ptmp` itself
-      // is deleted by the next writer, exactly as before.
+      // to heal. Honest bound on the crashed case: readers cannot
+      // delete the stale `__ptmp` (it is indistinguishable from an
+      // ACTIVE writer's staging data, which a delete would destroy),
+      // so every read between the crash and the table's next write
+      // re-pays this scan finding nothing; the next writer's
+      // entry-recover + staging reset clears it. A permanently
+      // decommissioned writer leaves the tax in place until the dir
+      // is removed out-of-band — the single-writer ownership model's
+      // operational remainder, stated rather than hidden.
       if (fs.exists(new Path(path(layer, table + "__ptmp"))))
         fs.listStatus(target)
           .filter(st => st.isDirectory && !st.getPath.getName.endsWith("__old"))
@@ -100,6 +106,12 @@ class Warehouse(val root: String, spark: SparkSession) {
                           partCol: String,
                           subPartitionBy: Seq[String] = Nil,
                           swapLeaves: Boolean = false): Long = {
+    // heal BEFORE touching the staging dir: deleting a crashed leaf
+    // swap's __ptmp first would destroy the gate recover() keys on
+    // while nested __old backups still hold the only copy of their
+    // leaves' rows — every in-repo caller happens to read/exists (and
+    // so recover) first, but this method must not depend on that
+    recover(layer, table)
     val target = new Path(path(layer, table))
     require(fs.exists(target), s"overwritePartitions: $layer.$table must already exist")
     require(!swapLeaves || subPartitionBy.nonEmpty,

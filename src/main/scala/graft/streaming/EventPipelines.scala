@@ -322,7 +322,8 @@ object EventPipelines {
           val bks = both.map(_.getInt(0)).distinct.toIndexedSeq
           (existing.where(col(Dedup.ID_BUCKET_COL).isin(bks: _*))
             .select(keys.map(col): _*),
-            Some((both.map(_.get(1)).distinct.toIndexedSeq, bks)))
+            Some((both.map(_.get(1)).distinct.toIndexedSeq,
+              both.map(r => (r.get(1), r.getInt(0))).toIndexedSeq)))
         case None => (existing.select(keys.map(col): _*), None)
       }
       val daysOpt = touchedOpt.map(_._1)
@@ -343,22 +344,26 @@ object EventPipelines {
         val days = daysOpt.getOrElse(
           fresh.select(col(partCol)).distinct().collect().map(_.get(0)).toIndexedSeq)
         if (days.nonEmpty) {
-          // bucketed tables swap at the LEAF level and carry only the
-          // touched (day, bucket) leaves' existing rows — a batch's
+          // bucketed tables swap at the LEAF level and carry EXACTLY
+          // the touched (day, bucket) pairs' existing rows — a batch's
           // write cost is O(touched leaves), never O(touched
           // partitions): a partition here can hold a whole corpus
           // slice (the dedup-ingest source layout), and rewriting all
           // of it per micro-batch is the write-amplification twin of
-          // the read-scan class this layout exists to kill. The
-          // day×bucket cross product over-selects combos the batch
-          // didn't actually touch — a bounded, idempotent over-carry
-          // (that leaf is rewritten with exactly its own rows), chosen
-          // over a per-combo predicate for plan simplicity. Flat
-          // tables keep whole-partition swaps.
-          val affectedExisting = bucketsOf.fold(
-            existing.where(col(partCol).isin(days: _*)))(_ =>
-            existing.where(col(partCol).isin(days: _*) &&
-              col(Dedup.ID_BUCKET_COL).isin(touchedOpt.get._2: _*)))
+          // the read-scan class this layout exists to kill. The pair
+          // set comes off the same single collect as the guard
+          // buckets, so exactness costs no extra job — a days×buckets
+          // cross product would rewrite up to spread² leaves a spread
+          // batch never touched. Flat tables keep whole-partition
+          // swaps.
+          val affectedExisting = touchedOpt match {
+            case None => existing.where(col(partCol).isin(days: _*))
+            case Some((_, pairs)) =>
+              existing.where(pairs.map { case (d, b) =>
+                col(partCol) === lit(d) &&
+                  col(Dedup.ID_BUCKET_COL) === lit(b)
+              }.reduce(_ || _))
+          }
           val freshOut = bucketsOf.fold(fresh)(ib => fresh.withColumn(
             Dedup.ID_BUCKET_COL, Dedup.idBucket(col(keys.head), ib)))
           wh.overwritePartitions(affectedExisting.unionByName(freshOut),
@@ -472,25 +477,35 @@ object EventPipelines {
 
   private def ccAssignTable(table: String): String = s"${table}__assign"
 
-  /** Leaf dirs (relative to the table root, `__wave=W/<subCol>=B`) of a
-    * two-level partition tree, filtered by a wave predicate and an
-    * optional bucket set — the enumerator behind every PATH-LISTED
-    * pruned read ([[graft.sources.Warehouse.readLeafDirs]]): the tree
-    * was one bounded listing, and handing Spark the exact leaves keeps
-    * a pruned read's metadata cost equal to its byte cost. Bucket
-    * pruning is lossless for the same reason the data pruning is
-    * (bucket = hash of the equi-join key); a non-numeric wave or
-    * bucket dir value simply never matches — foreign dirs are ignored,
-    * not crashed on.
+  /** Leaf dirs (relative to the table root, `<partCol>=P/<subCol>=B`)
+    * of a two-level partition tree, filtered by a top-level predicate
+    * and an optional bucket set — the ONE enumerator behind every
+    * PATH-LISTED pruned read ([[graft.sources.Warehouse.readLeafDirs]]):
+    * the tree was one bounded listing, and handing Spark the exact
+    * leaves keeps a pruned read's metadata cost equal to its byte
+    * cost. Bucket pruning is lossless for the same reason the data
+    * pruning is (bucket = hash of the equi-join key); a non-matching
+    * (e.g. foreign non-numeric) partition or bucket dir value simply
+    * never selects — ignored, not crashed on, and not handed to a
+    * parquet read it could blow up.
     */
-  private def leafDirsOf(tree: Seq[(String, Seq[String])], subCol: String,
-                         wavePred: Long => Boolean,
+  private def leafDirsOf(tree: Seq[(String, Seq[String])],
+                         partCol: String, subCol: String,
+                         keepPart: String => Boolean,
                          buckets: Option[Set[Int]]): Seq[String] =
-    tree.flatMap { case (w, bs) =>
-      if (!w.toLongOption.exists(wavePred)) Nil
+    tree.flatMap { case (p, bs) =>
+      if (!keepPart(p)) Nil
       else bs.filter(b => buckets.forall(s => b.toIntOption.exists(s.contains)))
-        .map(b => s"$CcWaveCol=$w/$subCol=$b")
+        .map(b => s"$partCol=$p/$subCol=$b")
     }
+
+  /** [[leafDirsOf]] for WAVE-keyed trees (the CC index and every
+    * posting sibling): the top-level filter is a numeric predicate,
+    * and a non-numeric dir value is foreign by definition. */
+  private def waveLeafDirsOf(tree: Seq[(String, Seq[String])], subCol: String,
+                             wavePred: Long => Boolean,
+                             buckets: Option[Set[Int]]): Seq[String] =
+    leafDirsOf(tree, CcWaveCol, subCol, _.toLongOption.exists(wavePred), buckets)
 
   /** Default settled-wave dir budget before [[compactCcWaves]] runs —
     * `graft.cc.compactWaveDirs` (loud parse). The bound that keeps
@@ -676,7 +691,14 @@ object EventPipelines {
     val waves = tree.map(_._1)
     val isBucketedLayout = tree.exists(_._2.nonEmpty)
     // legacy flat layouts keep whole-table reads; bucketed tables get
-    // their schema probed off ONE leaf dir (footer-only, no listing)
+    // their schema probed off ONE leaf dir (footer-only, no listing).
+    // The column require below is a SINGLE-FOOTER best-effort gate on
+    // both paths — a table-root read also infers from one footer
+    // (mergeSchema off) — so a heterogeneous external pre-seed (some
+    // leaves keyed, some not) can pass it; the loud failure point for
+    // that malformation is the fold's own multi-leaf read. ccBatch's
+    // own waves are always keyed, so a table it built is homogeneous
+    // by construction.
     val docsBefore =
       if (docsExist && !isBucketedLayout) Some(wh.read(layer, table)) else None
     if (docsExist) {
@@ -781,7 +803,7 @@ object EventPipelines {
           // PATH-LISTED landed side: the arrival buckets select leaf
           // dirs off the already-listed tree, so the anti-join's file
           // index lists O(arrival buckets) dirs, never the table
-          val leafs = leafDirsOf(tree, Dedup.ID_BUCKET_COL, _ => true, Some(bks))
+          val leafs = waveLeafDirsOf(tree, Dedup.ID_BUCKET_COL, _ => true, Some(bks))
           if (leafs.isEmpty) (inc, incIds) // no landed bucket can collide
           else {
             val landedIds = wh.readLeafDirs(layer, table, leafs)
@@ -902,7 +924,7 @@ object EventPipelines {
             // crash-window waves) dirs listed AND read); flat legacy
             // tables keep the partition-pruned table read
             case (Some(hw), Some(_)) =>
-              val leafs = leafDirsOf(treePost, Dedup.ID_BUCKET_COL, _ > hw, None)
+              val leafs = waveLeafDirsOf(treePost, Dedup.ID_BUCKET_COL, _ > hw, None)
               if (leafs.isEmpty) {
                 // no wave beyond the watermark ⇒ nothing unassigned ⇒
                 // pure replay (docs landed AND version published)
@@ -957,7 +979,7 @@ object EventPipelines {
           val arrKeys = Dedup.keyPostings(unassigned, idCol, "new_id")
           val kbs = Dedup.observedKeyBuckets(obsKb, "kb", kb, bands).toSet
           val ktTree = wh.partitionTree(layer, kt, CcWaveCol, Dedup.KEY_BUCKET_COL)
-          val kLeafs = leafDirsOf(ktTree, Dedup.KEY_BUCKET_COL, _ <= hw, Some(kbs))
+          val kLeafs = waveLeafDirsOf(ktTree, Dedup.KEY_BUCKET_COL, _ <= hw, Some(kbs))
           val idxKeys =
             if (kLeafs.isEmpty)
               Dedup.keyPostings(unassigned.limit(0), idCol, "idx_id")
@@ -973,7 +995,7 @@ object EventPipelines {
           // list) the landed-table read
           val dLeafs =
             if (dbs.isEmpty) Nil
-            else leafDirsOf(treePost, Dedup.ID_BUCKET_COL, _ <= hw, Some(dbs))
+            else waveLeafDirsOf(treePost, Dedup.ID_BUCKET_COL, _ <= hw, Some(dbs))
           val idxDocs =
             if (dLeafs.isEmpty) unassigned.select(col(idCol), col(textCol)).limit(0)
             else wh.readLeafDirs(layer, table, dLeafs).where(waveLong <= hw)
@@ -1185,10 +1207,8 @@ object EventPipelines {
               val kbs = Dedup.observedKeyBuckets(obsS.get._1, "kb", kb, bands).toSet
               val kTree = wh.partitionTree(layer, keysTbl, CcWaveCol,
                 Dedup.KEY_BUCKET_COL)
-              val kLeafs = kTree.flatMap { case (w, bs) =>
-                bs.filter(b => b.toIntOption.exists(kbs.contains))
-                  .map(b => s"$CcWaveCol=$w/${Dedup.KEY_BUCKET_COL}=$b")
-              }
+              val kLeafs = waveLeafDirsOf(kTree, Dedup.KEY_BUCKET_COL,
+                _ => true, Some(kbs))
               val idxKeys =
                 if (kLeafs.isEmpty)
                   Dedup.keyPostings(survivors.limit(0), idCol, "idx_id")
@@ -1205,10 +1225,11 @@ object EventPipelines {
               val dbs = Dedup.observedBuckets(obsC.get("dbs")).toSet
               val dTree = wh.partitionTree(layer, table, partCol,
                 Dedup.ID_BUCKET_COL)
-              val dLeafs = dTree.flatMap { case (p, bs) =>
-                bs.filter(b => b.toIntOption.exists(dbs.contains))
-                  .map(b => s"$partCol=$p/${Dedup.ID_BUCKET_COL}=$b")
-              }
+              // the docs tree is keyed by the STRING partCol (source),
+              // so every top-level value passes; bucket pruning does
+              // the selection
+              val dLeafs = leafDirsOf(dTree, partCol, Dedup.ID_BUCKET_COL,
+                _ => true, Some(dbs))
               val idxDocs =
                 if (dLeafs.isEmpty)
                   survivors.select(col(idCol), col(textCol)).limit(0)
