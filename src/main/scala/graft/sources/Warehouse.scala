@@ -22,6 +22,102 @@ class Warehouse(val root: String, spark: SparkSession) {
 
   def path(layer: String, table: String): String = s"$root/$layer/$table"
 
+  private def loudLongConf(key: String, default: Long): Long =
+    spark.conf.getOption(key).map { v =>
+      v.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"$key='$v' is not a long"))
+    }.getOrElse(default)
+
+  // ---- single-writer lease ----
+  //
+  // The swap machinery (overwrite / overwritePartitions /
+  // mergePartitionDirs) assumes ONE writer per table: two orchestrator
+  // instances pointed at the same warehouse would interleave renames
+  // and corrupt silently. The lease turns that into a LOUD failure: a
+  // mutation creates `<table>__lock` (create-if-absent — atomic on
+  // HDFS-like stores), heartbeats its mtime while the write runs, and
+  // deletes it on exit. A second live writer's acquire fails against a
+  // fresh mtime and throws naming the holder; a DEAD writer's lock
+  // goes stale `graft.wh.writerLeaseMs` (default 60 s) after its last
+  // heartbeat and is reclaimed, so a crash never wedges the table for
+  // longer than one lease. Readers never touch the lock.
+
+  private val writerId = java.util.UUID.randomUUID().toString
+  private val heldLocks = new java.util.concurrent.ConcurrentHashMap[String, Integer]
+
+  private def withWriterLock[T](layer: String, table: String)(body: => T): T = {
+    val key = s"$layer/$table"
+    val depth = heldLocks.merge(key, Integer.valueOf(1),
+      (a, b) => Integer.valueOf(a.intValue + b.intValue)).intValue
+    def unwind(): Unit =
+      heldLocks.compute(key, (_, d) =>
+        if (d == null || d.intValue <= 1) null
+        else Integer.valueOf(d.intValue - 1)): Unit
+    if (depth > 1) try body finally unwind() // re-entrant (compact → overwrite)
+    else {
+      val lock = new Path(path(layer, table + "__lock"))
+      val ttl = loudLongConf("graft.wh.writerLeaseMs", 60000L)
+      require(ttl > 0, s"graft.wh.writerLeaseMs=$ttl must be > 0")
+      var hb: Option[java.util.concurrent.ScheduledFuture[_]] = None
+      try {
+        // a failed acquire must still unwind the depth counter (the
+        // finally below), or the next attempt on this instance would
+        // silently take the re-entrant path with no lease at all
+        acquireLease(lock, ttl)
+        hb = Some(Warehouse.heartbeats.scheduleAtFixedRate(
+          () => try fs.setTimes(lock, System.currentTimeMillis(), -1)
+            catch { case _: java.io.IOException => () },
+          math.max(1000L, ttl / 4), math.max(1000L, ttl / 4),
+          java.util.concurrent.TimeUnit.MILLISECONDS))
+        body
+      } finally {
+        hb.foreach { h =>
+          h.cancel(false): Unit
+          fs.delete(lock, false): Unit
+        }
+        unwind()
+      }
+    }
+  }
+
+  private def acquireLease(lock: Path, ttl: Long): Unit = {
+    var attempts = 0
+    var held = false
+    while (!held) {
+      try {
+        val out = fs.create(lock, false)
+        try out.write(writerId.getBytes("UTF-8")) finally out.close()
+        held = true
+      } catch {
+        case _: java.io.IOException =>
+          attempts += 1
+          val st = try Some(fs.getFileStatus(lock)) catch {
+            case _: java.io.FileNotFoundException => None
+          }
+          st match {
+            case None => () // holder released between create and stat — retry
+            case Some(s)
+              if System.currentTimeMillis() - s.getModificationTime > ttl =>
+              // dead writer: past its lease with no heartbeat — reclaim.
+              // Two stealers racing both delete; create(false) above lets
+              // exactly one win.
+              fs.delete(lock, false): Unit
+            case Some(_) =>
+              val holder = readSmallFile(lock).getOrElse("<unreadable>")
+              throw new IllegalStateException(
+                s"writer lease $lock is held by writer $holder — a second " +
+                  "live writer on one table interleaves swaps and corrupts " +
+                  "silently, so this fails loudly instead. If the holder is " +
+                  "dead, the lease expires graft.wh.writerLeaseMs=" + ttl +
+                  " ms after its last heartbeat (or run vacuumStaging " +
+                  "once you are certain no writer is live)")
+          }
+          if (attempts > 5) throw new IllegalStateException(
+            s"could not acquire writer lease $lock after $attempts attempts")
+      }
+    }
+  }
+
   def exists(layer: String, table: String): Boolean = {
     recover(layer, table)
     fs.exists(new Path(path(layer, table), "_SUCCESS"))
@@ -64,11 +160,11 @@ class Warehouse(val root: String, spark: SparkSession) {
       // delete the stale `__ptmp` (it is indistinguishable from an
       // ACTIVE writer's staging data, which a delete would destroy),
       // so every read between the crash and the table's next write
-      // re-pays this scan finding nothing; the next writer's
-      // entry-recover + staging reset clears it. A permanently
-      // decommissioned writer leaves the tax in place until the dir
-      // is removed out-of-band — the single-writer ownership model's
-      // operational remainder, stated rather than hidden.
+      // re-pays this scan finding nothing. EVERY completed write
+      // clears it — overwritePartitions resets it, overwrite()
+      // deletes it on exit (a whole-table swap makes any staged leaf
+      // data dead by construction) — and a permanently decommissioned
+      // writer's leftover is reclaimed by [[vacuumStaging]].
       if (fs.exists(new Path(path(layer, table + "__ptmp"))))
         fs.listStatus(target)
           .filter(st => st.isDirectory && !st.getPath.getName.endsWith("__old"))
@@ -80,6 +176,125 @@ class Warehouse(val root: String, spark: SparkSession) {
                 else fs.delete(st.getPath, true): Unit
               }
           }
+    }
+    // a COMMITTED partition-dir merge (marker present) replays to
+    // completion before any read proceeds — see mergePartitionDirs
+    replayMerge(layer, table)
+  }
+
+  /** OPERATIONAL reclaim of a dead writer's leftovers: staging dirs
+    * (`__tmp`, `__ptmp`, `__ctmp`) and the writer lease (`__lock`).
+    * The caller asserts NO writer is live on this table — an active
+    * writer's staging data would be destroyed, which is exactly why
+    * readers can never do this themselves (recover()'s documented
+    * staleness remainder). A committed-but-unfinished merge is
+    * replayed to completion FIRST, so deleting `__ctmp` never strands
+    * rows the marker still owed to the live tree.
+    */
+  def vacuumStaging(layer: String, table: String): Unit = {
+    recover(layer, table)
+    Seq("__tmp", "__ptmp", "__ctmp", "__lock").foreach(sfx =>
+      fs.delete(new Path(path(layer, table + sfx)), true): Unit)
+  }
+
+  // ---- atomic partition-dir merge (the compaction primitive) ----
+
+  private def mergeMarker(layer: String, table: String) =
+    new Path(path(layer, table + "__cmerge"))
+
+  /** Replace `sources` partition dirs of `partCol` with ONE
+    * consolidated dir `partCol=target`, atomically from every reader's
+    * perspective — the primitive under size-tiered wave compaction
+    * ([[graft.streaming.EventPipelines]]): merging K settled waves
+    * into one super-wave must never present a state where rows exist
+    * in both the merged dir and a source dir (double-read) or in
+    * neither (loss).
+    *
+    * `df` must carry ALL rows of the source dirs with `partCol`
+    * already relabeled to `target` on every row (the caller owns that
+    * completeness obligation, like overwritePartitions' leaf
+    * contract). Protocol: (1) write `df` to the `__ctmp` staging tree;
+    * (2) write the `__cmerge` marker (staged via rename, sentinel-
+    * terminated — a torn marker is detected and ignored) listing
+    * sources + target: THE commit point; (3) delete the source dirs,
+    * install the staged target dir, drop marker + staging. A crash
+    * before (2) leaves the live tree untouched (stale `__ctmp` is
+    * reset by the next merge, overwrite(), or [[vacuumStaging]]); a
+    * crash anywhere after (2) is replayed to completion by the next
+    * reader's recover() — deletes are idempotent and the staged
+    * target, which contains every merged row, wins over a live
+    * target dir. Returns (rows merged, staged bytes written) — the
+    * compaction cost observable the bench ledger attributes.
+    */
+  def mergePartitionDirs(df: DataFrame, layer: String, table: String,
+                         partCol: String, sources: Seq[String], target: String,
+                         subPartitionBy: Seq[String] = Nil): (Long, Long) =
+    withWriterLock(layer, table) {
+      recover(layer, table) // replay any previously committed merge first
+      require(sources.nonEmpty && sources.contains(target),
+        s"mergePartitionDirs: target '$target' must be one of the merged " +
+          s"sources (${sources.mkString(",")}) — the consolidated dir reuses " +
+          "an existing partition value so value-derived invariants (wave " +
+          "counters, watermark predicates) survive the merge")
+      val live = new Path(path(layer, table))
+      require(fs.exists(live), s"mergePartitionDirs: $layer.$table must exist")
+      val ctmp = new Path(path(layer, table + "__ctmp"))
+      fs.delete(ctmp, true)
+      val partCols = partCol +: subPartitionBy
+      val obs = Observation()
+      df.repartition(partCols.map(col): _*).observe(obs, count(lit(1)).as("n"))
+        .write.mode("overwrite").partitionBy(partCols: _*).parquet(ctmp.toString)
+      val n = obs.get("n").asInstanceOf[Long]
+      val staged = new Path(ctmp, s"$partCol=$target")
+      require(fs.exists(staged),
+        s"mergePartitionDirs: staging landed no $partCol=$target dir — every " +
+          s"row of df must carry $partCol='$target'")
+      val bytes = fs.getContentSummary(staged).getLength
+      // commit point: stage the marker then rename — rename is atomic,
+      // so a reader never parses a torn marker; the sentinel line is
+      // the belt to that suspender (replayMerge ignores markers
+      // without it, and an un-replayed ignored marker is safe: source
+      // deletion only ever happens under a VALID marker)
+      val marker = mergeMarker(layer, table)
+      val markerTmp = new Path(marker.toString + ".tmp")
+      writeSmallFile(markerTmp,
+        ((partCol +: target +: sources) :+ "#end").mkString("\n"))
+      fs.delete(marker, false)
+      require(fs.rename(markerTmp, marker), s"rename $markerTmp -> $marker failed")
+      replayMerge(layer, table)
+      (n, bytes)
+    }
+
+  /** Complete a committed partition-dir merge ([[mergePartitionDirs]]
+    * step 3) — idempotent, so recover() can replay it after a crash at
+    * any point past the marker commit.
+    */
+  private def replayMerge(layer: String, table: String): Unit = {
+    val marker = mergeMarker(layer, table)
+    readSmallFile(marker).foreach { m =>
+      val lines = m.split("\n")
+      if (lines.length < 4 || lines.last != "#end") {
+        // torn marker (no atomic rename available on this store): no
+        // replay ever ran under it, so the live tree is untouched —
+        // drop it and let the next compaction pass redo the merge
+        fs.delete(marker, false): Unit
+      } else {
+        val partCol = lines(0)
+        val target = lines(1)
+        val sources = lines.slice(2, lines.length - 1).toSeq
+        val live = new Path(path(layer, table))
+        val ctmp = new Path(path(layer, table + "__ctmp"))
+        sources.filterNot(_ == target).foreach(s =>
+          fs.delete(new Path(live, s"$partCol=$s"), true): Unit)
+        val staged = new Path(ctmp, s"$partCol=$target")
+        if (fs.exists(staged)) {
+          val tgt = new Path(live, s"$partCol=$target")
+          fs.delete(tgt, true): Unit
+          require(fs.rename(staged, tgt), s"rename $staged -> $tgt failed")
+        }
+        fs.delete(ctmp, true): Unit
+        fs.delete(marker, false): Unit
+      }
     }
   }
 
@@ -105,7 +320,7 @@ class Warehouse(val root: String, spark: SparkSession) {
   def overwritePartitions(df: DataFrame, layer: String, table: String,
                           partCol: String,
                           subPartitionBy: Seq[String] = Nil,
-                          swapLeaves: Boolean = false): Long = {
+                          swapLeaves: Boolean = false): Long = withWriterLock(layer, table) {
     // heal BEFORE touching the staging dir: deleting a crashed leaf
     // swap's __ptmp first would destroy the gate recover() keys on
     // while nested __old backups still hold the only copy of their
@@ -252,17 +467,30 @@ class Warehouse(val root: String, spark: SparkSession) {
     * detection. Schema-based detection (does the read carry the
     * column?) is unsound: a table re-landed flat can carry the bucket
     * as a DATA column, and writing it as a partition dir next to flat
-    * waves is exactly the mixed layout Spark rejects. Two listings, no
-    * Spark job.
+    * waves is exactly the mixed layout Spark rejects. A MIXED tree
+    * (some partition dirs nested, some flat — only a malformed
+    * external pre-seed can produce it) throws instead of answering:
+    * either answer would route a pruned read that silently misses the
+    * other half's rows, where failing here is loud and pre-mutation.
+    * O(partition dirs) listings, no Spark job.
     */
   def hasSubPartition(layer: String, table: String, partCol: String,
                       subCol: String): Boolean = {
     recover(layer, table)
     val dir = new Path(path(layer, table))
-    fs.exists(dir) && fs.listStatus(dir).exists { st =>
-      st.isDirectory && st.getPath.getName.startsWith(partCol + "=") &&
-        !st.getPath.getName.endsWith("__old") &&
-        fs.listStatus(st.getPath).exists(_.getPath.getName.startsWith(subCol + "="))
+    if (!fs.exists(dir)) false
+    else {
+      val parts = fs.listStatus(dir).filter(st =>
+        st.isDirectory && st.getPath.getName.startsWith(partCol + "=") &&
+          !st.getPath.getName.endsWith("__old"))
+      val nested = parts.map(st =>
+        fs.listStatus(st.getPath).exists(_.getPath.getName.startsWith(subCol + "=")))
+      if (nested.exists(identity) && !nested.forall(identity))
+        throw new IllegalStateException(
+          s"$layer.$table mixes $subCol=-nested and flat $partCol= dirs — " +
+            "a pruned read routed off either answer would silently miss " +
+            "the other layout's rows; re-land the table under ONE layout")
+      nested.exists(identity)
     }
   }
 
@@ -311,6 +539,14 @@ class Warehouse(val root: String, spark: SparkSession) {
   def getVersionMeta(layer: String, table: String, version: Int,
                      name: String): Option[String] =
     readSmallFile(new Path(versionsDir(layer, table), s"v=$version/_graft_$name"))
+
+  /** Total bytes under the table dir — the whole-table compaction cost
+    * observable (one recursive summary call, no Spark job).
+    */
+  def tableBytes(layer: String, table: String): Long = {
+    val dir = new Path(path(layer, table))
+    if (!fs.exists(dir)) 0L else fs.getContentSummary(dir).getLength
+  }
 
   /** Data files inside one partition dir — the compaction observable
     * (counted through the table's own FileSystem, so it works on any
@@ -423,7 +659,12 @@ class Warehouse(val root: String, spark: SparkSession) {
     * load_fct_sales_fact_table_dimensional_layer.sql:55-102).
     */
   def overwrite(df: DataFrame, layer: String, table: String,
-                partitionBy: Seq[String] = Nil, preClustered: Boolean = false): Long = {
+                partitionBy: Seq[String] = Nil, preClustered: Boolean = false): Long = withWriterLock(layer, table) {
+    // replay any committed-but-unfinished partition merge BEFORE the
+    // full replace: just deleting its marker would strand the live
+    // tree mid-replay (sources gone, staged target not installed),
+    // and leaving the marker would replay it against the NEW table
+    recover(layer, table)
     val target = new Path(path(layer, table))
     val tmp = new Path(path(layer, table + "__tmp"))
     val old = new Path(path(layer, table + "__old"))
@@ -454,6 +695,13 @@ class Warehouse(val root: String, spark: SparkSession) {
       require(fs.rename(target, old), s"rename $target -> $old failed")
     require(fs.rename(tmp, target), s"rename $tmp -> $target failed")
     fs.delete(old, true)
+    // the whole table was just atomically replaced, so any staged
+    // leaf-swap (`__ptmp`) or merge (`__ctmp`) data is dead by
+    // construction — clearing it here means a table whose writes are
+    // all overwrites never pays recover()'s __ptmp-gated nested scan
+    // indefinitely after one crashed leaf swap
+    fs.delete(new Path(path(layer, table + "__ptmp")), true)
+    fs.delete(new Path(path(layer, table + "__ctmp")), true)
     n
   }
 
@@ -590,4 +838,16 @@ class Warehouse(val root: String, spark: SparkSession) {
       fs.delete(new Path(versionsDir(layer, table), s"v=$v"), true): Unit)
     drop
   }
+}
+
+object Warehouse {
+  /** One shared daemon thread heartbeats every held writer lease —
+    * a timer per mutation would mint a thread per write.
+    */
+  private val heartbeats = java.util.concurrent.Executors
+    .newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-wh-lease-heartbeat")
+      t.setDaemon(true)
+      t
+    })
 }
