@@ -219,11 +219,16 @@ object Bench {
       val s0 = acc.snap()
       val missesBefore = graft.operators.QueryCaches.stats._2
       val startS = (System.nanoTime() - runT0) / 1e9
+      // name the attempt for BenchProbes.accumulate: operator internals
+      // (wave-compaction passes) attribute their cost to THIS query's
+      // sub_timings row while the attempt runs
+      BenchProbes.currentQuery = Some(name)
       val t0 = System.nanoTime()
       // a failed query reports -1, not a fast-looking elapsed time
       val sec = try { body(); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
+        finally BenchProbes.currentQuery = None
       org.apache.spark.graft.ListenerBusDrain.drain(spark.sparkContext)
       val s1 = acc.snap()
       Attempt(sec, startS, s1(0) - s0(0), (s1(1) - s0(1)) / 1000000L,

@@ -19,6 +19,29 @@ object BenchProbes {
     subs.put(s"$query/$part", sec): Unit
   }
 
+  /** The query the bench is currently timing — set by [[Bench]] around
+    * each attempt so operator INTERNALS that fire a variable number of
+    * times per query (the streaming index's wave compactions) can
+    * attribute their cost without threading a query name through every
+    * call chain. A plain @volatile var, not a ThreadLocal: streaming
+    * micro-batches run on stream-execution threads, never the timing
+    * thread, and the bench times exactly one query at a time. None
+    * outside the bench, so [[accumulate]] is a no-op there.
+    */
+  @volatile var currentQuery: Option[String] = None
+
+  /** Add `delta` onto the current query's `part` row (no-op when no
+    * query is being timed). SUM semantics, unlike [[record]]'s put:
+    * one query can trip several compaction passes, and a ledger row
+    * that kept only the last merge would under-report exactly the
+    * amortized cost the row exists to surface (round-14 verdict
+    * directive 2).
+    */
+  def accumulate(part: String, delta: Double): Unit =
+    currentQuery.foreach { q =>
+      subs.merge(s"$q/$part", delta, (a, b) => a + b): Unit
+    }
+
   /** Bytes-read snapshot hook, installed by [[Bench]] around its task
     * listener (and drained listener bus): when set, [[timed]] also
     * records each part's source-bytes delta as `<part>_read_mb` —

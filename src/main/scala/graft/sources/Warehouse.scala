@@ -548,6 +548,18 @@ class Warehouse(val root: String, spark: SparkSession) {
     if (!fs.exists(dir)) 0L else fs.getContentSummary(dir).getLength
   }
 
+  /** Bytes under ONE partition dir — the size signal the size-tiered
+    * wave compaction ranks merge candidates by (one recursive summary
+    * call per dir, no Spark job; 0 for a missing dir). Only probed on
+    * batches that actually trip the compaction threshold, so the
+    * steady-state maintenance batch pays nothing for it.
+    */
+  def partitionDirBytes(layer: String, table: String, partCol: String,
+                        value: String): Long = {
+    val dir = new Path(path(layer, table), s"$partCol=$value")
+    if (!fs.exists(dir)) 0L else fs.getContentSummary(dir).getLength
+  }
+
   /** Data files inside one partition dir — the compaction observable
     * (counted through the table's own FileSystem, so it works on any
     * Hadoop-compatible store, not just local disk).
