@@ -57,12 +57,23 @@ object Dedup {
     */
   def jaccardPairs(shingles: DataFrame, idCol: String, minJaccard: Double,
                    maxShingleDf: Option[Int] = None): DataFrame = {
+    // ONE user-pinned shingle exchange at the top ([[KernelPar]]): the
+    // pair EXPLOSION below runs in this exchange's reduce stage, and
+    // its Σ df·(df−1)/2 output rows are invisible to AQE's byte-based
+    // coalescing of the (small) shingle input — left alone the whole
+    // explosion lands on 1-4 tasks. In capped mode the hot-df aggregate
+    // and the anti-join probe are subtrees of the SAME pinned exchange
+    // (ReuseExchange), so the pin adds no shuffle on either branch.
+    // Per-group results are partition-independent (count aggregates),
+    // so the relation is unchanged under any partitioning.
+    val shP = shingles.repartition(
+      KernelPar.partitions(shingles.sparkSession), col("shingle"))
     val sh = maxShingleDf match {
       case Some(cap) =>
-        val hot = shingles.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        val hot = shP.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
           .filter(col("df") > cap).select("shingle")
-        shingles.join(hot, Seq("shingle"), "left_anti")
-      case None => shingles
+        shP.join(hot, Seq("shingle"), "left_anti")
+      case None => shP
     }
     // Intersection counting WITHOUT a self-join: group each shingle's
     // (sorted) doc list, emit its ordered pairs set-based, count pairs.
@@ -296,6 +307,13 @@ object Dedup {
     // q246's 5 s at sf0.1). A non-distinct input would only OVERcount
     // nd, which tightens the df cap — never emits a wrong pair
     // (collect_set dedups ids regardless).
+    // NOT [[KernelPar]]-pinned, deliberately: the capped candidate
+    // build's total compute is bounded by capPairSlots (the explosion
+    // is sampled down BEFORE it materializes), so the whole build is
+    // ~2.5 s of work at bench scale — a pinned exchange only added a
+    // shuffle hop and task overhead (measured: +13% at pin=8, +57% at
+    // pin=32 vs the byte-derived baseline; every other shingle kernel
+    // won from the pin, this one lost at every setting).
     val docSh = shingles.select(col(idCol), col("shingle"))
     val dfRel0 = docSh.groupBy(col("shingle"))
       .agg(count(lit(1)).as("nd"))
@@ -456,6 +474,12 @@ object Dedup {
                          ngram: Int, k: Int, bands: Int, minJaccard: Double): DataFrame = {
     require(k % bands == 0, s"k=$k must divide evenly into bands=$bands " +
       "(trailing minhashes would be silently ignored)")
+    // NB on parallelism: the k md5 evaluations per shingle row run
+    // MAP-SIDE of the signature aggregate's exchange, so their
+    // parallelism is `docs`' split count. Batch callers with a
+    // byte-tiny scan input spread it first ([[KernelPar.spread]] at the
+    // call site — kept OUT of this operator so streaming callers with
+    // shuffle-rooted inputs never pay spread's `.rdd` plan probe).
     val sh = shingleTable(docs, textCol, idCol, ngram)
     val cands = lshCandidatePairs(minhashSignatures(sh, idCol, k), idCol, bands, k / bands)
     // Verify ONLY the candidates (work ∝ candidate density, never all
@@ -489,6 +513,8 @@ object Dedup {
       s"rightSide ('$leftSide') — the output would carry two ambiguous " +
       s"'${leftSide}_id' columns and unordered same-side pairs; use " +
       "minhashLshNearDups for within-corpus dedup")
+    // same map-side parallelism note as [[minhashLshNearDups]]: batch
+    // callers spread a byte-tiny scan input at the call site
     val sh = shingleTable(docs, textCol, idCol, ngram)
     val bk = bandRelation(minhashSignatures(sh, idCol, k), idCol, bands, k / bands)
       .join(docs.select(col(idCol).as("id"), col(sideCol).as("side")), Seq("id"))

@@ -49,7 +49,12 @@ object DedupQueries extends QueryPack {
   private[operators] def nearDupPairs(s: org.apache.spark.sql.SparkSession,
                            d: String): org.apache.spark.sql.DataFrame =
     QueryCaches.cached(pairsCache, s, d)(
-      Dedup.minhashLshNearDups(Tables.documents(s, d), "text", "doc_id",
+      // spread the scan ([[KernelPar.spread]]): the per-shingle md5
+      // signature hashing runs map-side of the first exchange, i.e. at
+      // the scan's byte-derived split count — near-serial on a small
+      // corpus file
+      Dedup.minhashLshNearDups(KernelPar.spread(Tables.documents(s, d)),
+        "text", "doc_id",
         ngram = 3, k = K, bands = BANDS, minJaccard = MIN_JACCARD)
         .localCheckpoint(true))
 
@@ -104,6 +109,9 @@ object DedupQueries extends QueryPack {
     // corpora) never reaches verification.
     "q144_near_decontaminate" -> ((s, d) => {
       val bucket = graft.functions.TextFunctions.md5Bucket10(col("doc_id"))
+      // not spread: measured a wash at kernel parallelism and a 2.8×
+      // regression at full-thread parallelism — the cross-corpus probe
+      // is verification-bound on a small candidate set, not hash-bound
       val tagged = Tables.documents(s, d)
         .withColumn("split", when(bucket < 9, "train").otherwise("eval"))
       Dedup.crossCorpusNearDups(tagged, "text", "doc_id", "split",
@@ -981,8 +989,8 @@ object DedupQueries extends QueryPack {
 
     "q157_incremental_dedup" -> ((s, d) => {
       val bucket = graft.functions.TextFunctions.md5Bucket10(col("doc_id"))
-      val tagged = Tables.documents(s, d)
-        .withColumn("split", when(bucket < 9, "idx").otherwise("new"))
+      val tagged = KernelPar.spread(Tables.documents(s, d)
+        .withColumn("split", when(bucket < 9, "idx").otherwise("new")))
       val vsIndex = Dedup.crossCorpusNearDups(tagged, "text", "doc_id",
         "split", "new", "idx", ngram = 3, k = K, bands = BANDS,
         minJaccard = MIN_JACCARD)

@@ -69,15 +69,39 @@ object Similarity {
     import graft.functions.VectorFunctions.{dot, norm}
     // norms precomputed once per SIDE, not once per pair — same fold,
     // same doubles, 1/3 the flops of cosine-per-pair
+    //
+    // The streamed side is repartitioned to the session's compute
+    // parallelism ([[KernelPar]]): the join's work is O(N²) cosines but
+    // its INPUT is N small rows, so byte-based split sizing leaves the
+    // whole nested loop on however few partitions the scan produced
+    // (measured: 4 tasks for the 2000-vector corpus — a 32-core session
+    // ran the 4M-pair loop 87% idle). Round-robin of N rows is noise
+    // next to the N² stage it spreads; per-row results are independent
+    // and the TopK agg's merge is a total order, so the relation is
+    // bit-identical under any partitioning.
+    //
+    // Zero-norm endpoints are dropped PER SIDE (N rows) instead of via
+    // a cos-isNotNull filter on the joined relation (N² rows): the
+    // pushed-down null filter landed INSIDE the nested-loop join
+    // condition, where the interpreted `vec_dot` ran once in the
+    // condition and again in the projection — two 64-dim dots per pair.
+    // cos is NULL exactly when a side's norm is 0 (norms are
+    // non-negative, and for float32 coordinates a nonzero norm is
+    // ≥ ~1.4e-45, so the na·nb product ≥ ~2e-90 can never underflow a
+    // DOUBLE to 0 — the when-guard cannot fire once both sides are
+    // filtered), so the relation is unchanged and the join condition
+    // shrinks to the id inequality alone.
     val a = emb.select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("__va"),
       norm(col(vecCol)).as("__na"))
+      .filter(col("__na") =!= 0)
+      .repartition(KernelPar.partitions(emb.sparkSession))
     val b = emb.select(col(idCol).cast("long").as("nn_id"), col(vecCol).as("__vb"),
       norm(col(vecCol)).as("__nb"))
+      .filter(col("__nb") =!= 0)
     val topk = org.apache.spark.sql.functions.udaf(new graft.functions.TopKByScore(k))
     a.join(b, col("vec_id") =!= col("nn_id"))
       .withColumn("cos",
         safeCos(dot(col("__va"), col("__vb")), col("__na"), col("__nb")))
-      .filter(col("cos").isNotNull) // zero-norm endpoints: no cosine
       .groupBy(col("vec_id"))
       .agg(topk(col("cos"), col("nn_id")).as("__nns"))
       .select(col("vec_id"), posexplode(col("__nns")))
