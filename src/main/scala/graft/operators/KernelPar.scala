@@ -23,17 +23,20 @@ import org.apache.spark.sql.SparkSession
   * `graft.kernel.parallelism` (session conf, loud parse; a
   * user-specified repartition count is exempt from AQE's byte-based
   * coalescing — the point of the pin). The derived default is
-  * max(2, defaultParallelism / 4) — deliberately BELOW the
-  * hardware-thread count, because these stages are memory-bound
-  * (string hashing, broadcast-relation probes, array scans), and
-  * memory-bound kernels saturate well under the logical-CPU count on
-  * SMT / oversubscribed-vCPU hosts. Measured on the 32-vCPU bench rig
-  * (three alternating cold runs of the six kernel-bound queries,
-  * medians): byte-derived partitioning 17.6 s total, pin=8 (= cores/4)
-  * 13.3 s, pin=32 (= all threads) 23.3 s with per-task CPU inflated
-  * 5-20× — full-thread concurrency thrashes the shared cache and is
-  * strictly WORSE than leaving the stage near-serial. cores/4 won on
-  * every one of the six queries.
+  * min(defaultParallelism, max(8, defaultParallelism / 4)):
+  * every task slot up to 8-way, and a QUARTER of the advertised
+  * threads beyond that — deliberately below the hardware-thread count,
+  * because these stages are memory-bound (string hashing,
+  * broadcast-relation probes, array scans), and memory-bound kernels
+  * saturate well under the logical-CPU count on SMT /
+  * oversubscribed-vCPU hosts. Measured on the 32-vCPU bench rig
+  * (alternating cold runs of the six kernel-bound queries, medians):
+  * byte-derived partitioning 17.6 s total, pin=8 (= threads/4) 13.3 s,
+  * pin=32 (= all threads) 23.3 s with per-task CPU inflated 5-20× —
+  * full-thread concurrency thrashes the shared cache and is strictly
+  * WORSE than leaving the stage near-serial; up to 8-way, added
+  * concurrency never hurt any measured kernel (a pure-arithmetic probe
+  * put the host's real concurrent throughput at ~8 cores' worth).
   *
   * Production: the default still scales with the cluster (it derives
   * from defaultParallelism, never a constant), but a deployment on
@@ -48,7 +51,10 @@ object KernelPar {
     require(conf >= 0 && conf <= 1000000,
       s"graft.kernel.parallelism=$conf out of range [0 (derive), 1000000]")
     if (conf > 0L) conf.toInt
-    else math.max(2, spark.sparkContext.defaultParallelism / 4)
+    else {
+      val dp = spark.sparkContext.defaultParallelism
+      math.min(dp, math.max(8, dp / 4))
+    }
   }
 
   /** Spread a SCAN-ROOTED relation to at least [[partitions]] splits —
