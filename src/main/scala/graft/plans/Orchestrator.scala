@@ -29,25 +29,92 @@ class Orchestrator(spark: SparkSession, sfDir: String, whRoot: String) {
   private val dec = DecimalType(18, 2)
 
   /** Runs all three stages; returns per-table row counts. `probe`
-    * receives (stage, seconds) per completed stage — the bench
-    * ledger's sub-timing hook (q60 publishes staging/3nf/dm through
+    * receives (stage, seconds) per stage — the bench ledger's
+    * sub-timing hook (q60 publishes staging/3nf/dm through
     * [[graft.BenchProbes]] so a blown-up ETL row names a stage); the
-    * default is a no-op for every other caller. */
+    * default is a no-op for every other caller.
+    *
+    * The 15 loaders run as a dependency DAG (guide §2.6: actions are
+    * only sequential because driver code calls them sequentially):
+    * each loader starts the moment the tables it READS are written,
+    * not at its stage's barrier — 3NF dims start once the three dim
+    * staging tables land (concurrent with the big sales/orders staging
+    * loads), the 3NF fact waits on sales/orders staging + the dim
+    * group, DM dims need only the 3NF dims (concurrent with the 3NF
+    * fact), and dim_dates/fct_sales wait on ce_sales alone. The
+    * parent-first dependency ORDER is exactly the reference's — only
+    * the false barriers between independent loaders are gone. Phase
+    * spans (first loader start → last loader end) now OVERLAP, so
+    * their sum can exceed the pipeline wall; each span still names
+    * the stage a blow-up lives in.
+    */
   def runFullEtl(probe: (String, Double) => Unit = (_, _) => ()): Map[String, Long] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = Orchestrator.loaderPool
     val t0 = System.nanoTime()
-    def timed(stage: String)(body: => Map[String, Long]): Map[String, Long] = {
-      val s0 = System.nanoTime()
-      val r = body
-      probe(stage, (System.nanoTime() - s0) / 1e9)
-      r
+    val phaseStart = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+    val phaseEnd = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+    def mark[T](phase: String)(body: => T): T = {
+      phaseStart.putIfAbsent(phase, System.nanoTime()): Unit
+      try body
+      finally phaseEnd.merge(phase, System.nanoTime(),
+        (a, b) => if (a >= b) a else b): Unit
     }
     try {
-      val counts = timed("staging")(stageStaging()) ++
-        timed("3nf")(stage3nf()) ++ timed("dm")(stageDm())
+      val staged: Map[String, Future[(String, Long)]] =
+        stagingTaskList.map { case (n, task) =>
+          n -> Future(mark("staging")(task()))
+        }.toMap
+      def after[T](deps: Seq[Future[_]])(body: => T): Future[T] =
+        Future.sequence(deps).flatMap(_ => Future(body))
+      val dims3nfF = after(Seq(staged("customers"), staged("suppliers"),
+        staged("products")))(mark("3nf")(dims3nfGroup()))
+      val fact3nfF = after(Seq(staged("sales"), staged("orders"), dims3nfF))(
+        mark("3nf")(Map("ce_sales" -> load3nfFact())))
+      val dmDimsF = after(Seq(dims3nfF))(mark("dm")(dmDimsGroup()))
+      val dmRestF = after(Seq(fact3nfF))(mark("dm")(dmFactAndDates()))
+      val roots: Seq[Future[Map[String, Long]]] =
+        Future.sequence(staged.values.toSeq).map(_.toMap) ::
+          List(dims3nfF, fact3nfF, dmDimsF, dmRestF)
+      // settle ALL before rethrowing (same discipline as inParallel):
+      // an immediate retry must never race a straggler loader's swap
+      val settled = Await.result(
+        Future.sequence(roots.map(_.transform(scala.util.Success(_)))),
+        Duration.Inf)
+      val counts = settled.flatMap(_.get).toMap
       log.append("run_full_etl", f"pipeline completed in ${(System.nanoTime() - t0) / 1e9}%.2f s",
         counts.values.sum)
       counts
-    } finally log.flush() // failure outside a logged{} block still lands buffered events
+    } finally {
+      // spans of whatever phases ran — on failure too (attribution)
+      phaseStart.forEach { (phase, s) =>
+        Option(phaseEnd.get(phase)).foreach(e =>
+          probe(phase, (e - s) / 1e9))
+      }
+      log.flush() // failure outside a logged{} block still lands buffered events
+    }
+  }
+
+  /** The 3NF + DM stages as the same dependency DAG (no staging) — the
+    * incremental path's unit of work (q74 runs it three times over a
+    * staged-inputs delta). Identical loads and counts to
+    * `stage3nf() ++ stageDm()`; only the false barriers between
+    * independent loaders are removed (DM dims overlap the 3NF fact).
+    */
+  def run3nfDm(): Map[String, Long] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = Orchestrator.loaderPool
+    val dims3nfF = Future(dims3nfGroup())
+    val fact3nfF = dims3nfF.flatMap(_ =>
+      Future(Map("ce_sales" -> load3nfFact())))
+    val dmDimsF = dims3nfF.flatMap(_ => Future(dmDimsGroup()))
+    val dmRestF = fact3nfF.flatMap(_ => Future(dmFactAndDates()))
+    val settled = Await.result(
+      Future.sequence(List(dims3nfF, fact3nfF, dmDimsF, dmRestF)
+        .map(_.transform(scala.util.Success(_)))), Duration.Inf)
+    settled.flatMap(_.get).toMap
   }
 
   /** Run independent loads of one stage concurrently — Spark schedules
@@ -56,7 +123,7 @@ class Orchestrator(spark: SparkSession, sfDir: String, whRoot: String) {
     * dependency ORDER between stages (and products→fact within stage 2)
     * stays sequential.
     */
-  private def inParallel(tasks: Seq[() => (String, Long)]): Map[String, Long] = {
+  private[plans] def inParallel(tasks: Seq[() => (String, Long)]): Map[String, Long] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     import scala.util.Try
@@ -73,7 +140,11 @@ class Orchestrator(spark: SparkSession, sfDir: String, whRoot: String) {
 
   // -- Stage 1: staging — cast-to-string clean + distinct + anti-join append
   //    (reference: sql/staging/load_staging_*_table.sql)
-  def stageStaging(): Map[String, Long] = {
+  def stageStaging(): Map[String, Long] = inParallel(stagingTaskList.map(_._2))
+
+  /** The five staging loads, NAMED so [[runFullEtl]]'s DAG can key a
+    * downstream loader to exactly the staging tables it reads. */
+  private def stagingTaskList: Seq[(String, () => (String, Long))] = {
     def load(name: String, src: DataFrame, cols: Seq[String], keys: Seq[String]): (String, Long) = {
       val cleaned = Staging.clean(src, cols)
       // additive schema evolution (pad-with-NULL, keep history) or full
@@ -85,19 +156,19 @@ class Orchestrator(spark: SparkSession, sfDir: String, whRoot: String) {
         else Staging.evolveAppend(cleaned, wh.read("staging", name), keys)
       name -> log.logged(s"load_staging_$name")(wh.overwrite(merged, "staging", name))
     }
-    inParallel(Seq(
-      () => load("customers", Tables.customer(spark, sfDir),
-        Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"), Seq("c_custkey")),
-      () => load("products", Tables.part(spark, sfDir),
+    Seq(
+      "customers" -> (() => load("customers", Tables.customer(spark, sfDir),
+        Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"), Seq("c_custkey"))),
+      "products" -> (() => load("products", Tables.part(spark, sfDir),
         Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"),
-        Seq("p_partkey", "p_retailprice")), // key+price: lets a price change re-enter (SURVEY §3.4.4)
-      () => load("suppliers", Tables.supplier(spark, sfDir),
-        Seq("s_suppkey", "s_name", "s_acctbal", "s_nationkey"), Seq("s_suppkey")),
-      () => load("sales", Tables.lineitem(spark, sfDir),
+        Seq("p_partkey", "p_retailprice"))), // key+price: lets a price change re-enter (SURVEY §3.4.4)
+      "suppliers" -> (() => load("suppliers", Tables.supplier(spark, sfDir),
+        Seq("s_suppkey", "s_name", "s_acctbal", "s_nationkey"), Seq("s_suppkey"))),
+      "sales" -> (() => load("sales", Tables.lineitem(spark, sfDir),
         Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity",
           "l_extendedprice", "l_shipdate"),
-        Seq("l_orderkey", "l_linenumber")),
-      () => load("orders", Tables.orders(spark, sfDir),
+        Seq("l_orderkey", "l_linenumber"))),
+      "orders" -> (() => load("orders", Tables.orders(spark, sfDir),
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"), Seq("o_orderkey"))))
   }
 
@@ -197,11 +268,16 @@ class Orchestrator(spark: SparkSession, sfDir: String, whRoot: String) {
   // -- Stage 2: 3NF — 4-level geo hierarchy + 2-level product tree
   //    (insert-only), SCD1 customers (split name, city link), SCD2
   //    products (subcategory link), supplier dim, incremental sales fact
-  def stage3nf(): Map[String, Long] = {
+  def stage3nf(): Map[String, Long] =
+    dims3nfGroup() + ("ce_sales" -> load3nfFact())
+
+  /** The nine 3NF dimension loads as one skip-able group (everything in
+    * [[stage3nf]] except the fact). */
+  private def dims3nfGroup(): Map[String, Long] = {
     val runDt = current_date()
     val runTs = date_trunc("second", current_timestamp())
 
-    val dims = groupUnchanged("3nf_dims", dims3nfDirs) match {
+    groupUnchanged("3nf_dims", dims3nfDirs) match {
       case Some(counts) =>
         log.append("load_3nf_dims",
           "skipped: staging/source inputs and dim outputs unchanged since last load",
@@ -227,7 +303,6 @@ class Orchestrator(spark: SparkSession, sfDir: String, whRoot: String) {
         recordGroup("3nf_dims", dims3nfDirs, counts)
         counts
     }
-    dims + ("ce_sales" -> load3nfFact())
   }
 
   private def stage3nfDims(runDt: org.apache.spark.sql.Column,
@@ -248,34 +323,56 @@ class Orchestrator(spark: SparkSession, sfDir: String, whRoot: String) {
     val realCountries = countriesSrc.filter(col("country_id") =!= -1)
     val custGeo = Hierarchy.custGeoFrom(custStaged)
     val supGeo = Hierarchy.supGeoFrom(supStaged)
-    // states/cities are bounded (≤ 125 / ≤ 500 rows) but their
-    // derivation scans the two largest staging tables — localize so the
-    // four loaders sharing them don't re-run the distinct-shuffle each
-    val statesSrc = localize(withDefaultRow(
-      Hierarchy.states(custGeo, supGeo, realCountries),
-      Seq(lit(-1L), lit("n.a."), lit(-1L))))
-    val citiesSrc = localize(withDefaultRow(
-      Hierarchy.cities(custGeo, realCountries, statesSrc),
-      Seq(lit(-1L), lit("n.a."), lit(-1L))))
-
-    // Product tree: tiny fixed-cardinality relations (≤ ~6 categories,
-    // ≤ ~150 subcategories), so materialize them ONCE on the driver —
-    // the tree writes and the products SCD2 merge below then all run in
-    // the same parallel batch sharing identical resolved ids, with no
-    // read-after-swap race and no sequential stage on the critical
-    // path. New names get ids past the existing max — the reference's
-    // NEXTVAL (F19, reference: sql/3nf/load_3nf_ce_categories_table.sql).
-    val catsLocal = localize(resumeSurrogates(
-      prodStaged.select(Hierarchy.categoryOf(col("p_type")).as("category_name")).distinct(),
-      "bl_3nf", "ce_categories", "category_name", "category_id"))
-    val subsSrc = prodStaged.select(
-        Hierarchy.subcategoryOf(col("p_type"), col("p_brand")).as("subcategory_name"),
-        Hierarchy.categoryOf(col("p_type")).as("category_ref")).distinct()
-      .join(broadcast(catsLocal), upper(col("category_ref")) === upper(col("category_name")), "left")
-      .select(col("subcategory_name"),
-        coalesce(col("category_id"), lit(-1L)).as("subcategory_category_id"))
-    val subsLocal = localize(resumeSurrogates(subsSrc, "bl_3nf", "ce_subcategories",
-      "subcategory_name", "subcategory_id"))
+    // Two INDEPENDENT driver-materialization chains (each a pair of
+    // bounded collects) — run them concurrently so the critical path
+    // pays two collects, not four (guide §2.6: the collects are
+    // independent Spark jobs the driver was serializing for no reason).
+    //   geo chain — states/cities are bounded (≤ 125 / ≤ 500 rows) but
+    // their derivation scans the two largest staging tables — localize
+    // so the four loaders sharing them don't re-run the distinct-
+    // shuffle each.
+    //   product chain — tiny fixed-cardinality relations (≤ ~6
+    // categories, ≤ ~150 subcategories), materialized ONCE on the
+    // driver: the tree writes and the products SCD2 merge below then
+    // all run in the same parallel batch sharing identical resolved
+    // ids, with no read-after-swap race and no sequential stage on the
+    // critical path. New names get ids past the existing max — the
+    // reference's NEXTVAL (F19, reference:
+    // sql/3nf/load_3nf_ce_categories_table.sql).
+    val (statesSrc, citiesSrc, catsLocal, subsLocal) = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext = Orchestrator.loaderPool
+      val geoF = Future {
+        val st = localize(withDefaultRow(
+          Hierarchy.states(custGeo, supGeo, realCountries),
+          Seq(lit(-1L), lit("n.a."), lit(-1L))))
+        val ci = localize(withDefaultRow(
+          Hierarchy.cities(custGeo, realCountries, st),
+          Seq(lit(-1L), lit("n.a."), lit(-1L))))
+        (st, ci)
+      }
+      val prodF = Future {
+        val cats = localize(resumeSurrogates(
+          prodStaged.select(Hierarchy.categoryOf(col("p_type")).as("category_name")).distinct(),
+          "bl_3nf", "ce_categories", "category_name", "category_id"))
+        val subsSrc = prodStaged.select(
+            Hierarchy.subcategoryOf(col("p_type"), col("p_brand")).as("subcategory_name"),
+            Hierarchy.categoryOf(col("p_type")).as("category_ref")).distinct()
+          .join(broadcast(cats), upper(col("category_ref")) === upper(col("category_name")), "left")
+          .select(col("subcategory_name"),
+            coalesce(col("category_id"), lit(-1L)).as("subcategory_category_id"))
+        val subs = localize(resumeSurrogates(subsSrc, "bl_3nf", "ce_subcategories",
+          "subcategory_name", "subcategory_id"))
+        (cats, subs)
+      }
+      // settle both before rethrowing (the inParallel discipline)
+      val geoT = scala.util.Try(Await.result(geoF, Duration.Inf))
+      val prodT = scala.util.Try(Await.result(prodF, Duration.Inf))
+      val (st, ci) = geoT.get
+      val (cats, subs) = prodT.get
+      (st, ci, cats, subs)
+    }
 
     // Geo levels + SCD1 customers + SCD2 products + suppliers are
     // independent of each other — loaded concurrently; the fact load
@@ -480,13 +577,25 @@ class Orchestrator(spark: SparkSession, sfDir: String, whRoot: String) {
       // in its real month. Never both (duplicate), never neither. An
       // order backfilled BELOW the watermark stays pinned — that is the
       // watermark contract, same as the reference's.
+      //   The corrected COUNT and the affected month set ride ONE
+      // aggregation job (they used to be a count plus a distinct-
+      // collect — two scans of `fresh`). The marker join must keep
+      // SEMI-join row semantics — sale_src_id is NOT unique in either
+      // relation (the source data carries duplicate (orderkey,
+      // linenumber) pairs), so the fallback ids are deduped before the
+      // left join and the count is of MATCHED FRESH ROWS, exactly what
+      // correctedIds.count() measured.
       val correctedIds = fresh
         .join(fallback.select("sale_src_id"), Seq("sale_src_id"), "left_semi")
-        .select("sale_src_id").persist()
+        .select("sale_src_id")
       try {
-        val nCorrected = correctedIds.count()
-        val affected = fresh.select("order_month").distinct()
-          .collect().map(_.getString(0)).sorted
+        val probeRow = fresh
+          .join(fallback.select(col("sale_src_id")).distinct()
+            .withColumn("__infb", lit(1)), Seq("sale_src_id"), "left")
+          .agg(sort_array(collect_set(col("order_month"))).as("m"),
+            count(col("__infb")).as("nc")).head()
+        val affected = probeRow.getSeq[String](0).toArray
+        val nCorrected = probeRow.getLong(1)
         if (affected.isEmpty && nCorrected == 0) nExisting // no-op run
         else {
           // whenever 190001 is rewritten (corrections out, new orphans
@@ -517,7 +626,7 @@ class Orchestrator(spark: SparkSession, sfDir: String, whRoot: String) {
           wh.overwritePartitions(slice, layer, table, "order_month")
           wh.read(layer, table).count() // zero-column footer scan
         }
-      } finally { correctedIds.unpersist(); fresh.unpersist(); () }
+      } finally { fresh.unpersist(); () }
     } finally { candidates.unpersist(); () }
   }
 
@@ -533,30 +642,40 @@ class Orchestrator(spark: SparkSession, sfDir: String, whRoot: String) {
     if (!wh.exists(layer, table))
       return wh.overwrite(src3nf, layer, table, partitionBy = Seq("order_month"))
     val existing = wh.readPartitioned(layer, table, "order_month")
-    // same one-scan probe as loadFactIncremental: watermark + the
-    // unchanged count the no-op branch returns
-    val probe = existing.agg(max(col("order_dt")), count(lit(1))).head()
+    // ONE probe scan of the existing fact serves the watermark, the
+    // unchanged count the no-op branch returns, AND the fallback-drift
+    // signature of the 190001 partition (it used to be a separate
+    // pruned scan — a whole extra job on every incremental/no-op pass).
+    // Drift compares a count + key-checksum, not counts alone (a
+    // move-k-in/move-k-out run would collide on count); the when()
+    // restricts both signature aggregates to the fallback partition
+    // (aggregates skip the NULLs every other row contributes).
+    val isFb = col("order_month") === "190001"
+    val probe = existing.agg(max(col("order_dt")), count(lit(1)),
+      count(when(isFb, 1)),
+      coalesce(bit_xor(when(isFb, xxhash64(col("sale_src_id")))), lit(0L))).head()
     val wm = probe.get(0)
     val nExisting = probe.getLong(1)
     if (wm == null)
       return wh.overwrite(src3nf, layer, table, partitionBy = Seq("order_month"))
+    val (dmFbN, dmFbChk) = (probe.getLong(2), probe.getLong(3))
     val wmMonth = new java.text.SimpleDateFormat("yyyyMM")
       .format(wm.asInstanceOf[java.util.Date])
-    val affected = src3nf
-      .filter(col("order_month") >= wmMonth && col("order_dt") > lit(wm))
-      .select("order_month").distinct().collect().map(_.getString(0)).sorted
-    // fallback drift: the 3NF 190001 partition both loses rows (re-maps)
-    // and gains rows (new orphans) between runs, so compare a count +
-    // key-checksum signature, not counts alone (a move-k-in/move-k-out
-    // run would collide on count). Both scans are partition-pruned.
-    def fbSig(df: DataFrame): (Long, Long) = {
-      val r = df.filter(col("order_month") === "190001")
-        .agg(count(lit(1)),
-          coalesce(bit_xor(xxhash64(col("sale_src_id"))), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
-    }
-    val (srcFbN, srcFbChk) = fbSig(src3nf)
-    val (dmFbN, dmFbChk) = fbSig(existing)
+    // One discovery scan of the 3NF side serves the affected-month set
+    // AND the source fallback signature (previously two jobs). The
+    // leading disjunction references ONLY the partition column, so the
+    // scan stays pruned to months >= the watermark's plus 190001; the
+    // second conjunct restores row-exactness on the watermark branch.
+    val srcProbe = src3nf
+      .filter((col("order_month") >= wmMonth || isFb) &&
+        (col("order_dt") > lit(wm) || isFb))
+      .agg(sort_array(collect_set(
+        when(col("order_month") >= wmMonth && col("order_dt") > lit(wm),
+          col("order_month")))).as("m"),
+        count(when(isFb, 1)),
+        coalesce(bit_xor(when(isFb, xxhash64(col("sale_src_id")))), lit(0L))).head()
+    val affected = srcProbe.getSeq[String](0).toArray
+    val (srcFbN, srcFbChk) = (srcProbe.getLong(1), srcProbe.getLong(2))
     val fbDrift = srcFbN != dmFbN || srcFbChk != dmFbChk
     if (affected.isEmpty && !fbDrift) nExisting
     else {
@@ -605,17 +724,24 @@ class Orchestrator(spark: SparkSession, sfDir: String, whRoot: String) {
     Seq(wh.path("bl_3nf", "ce_sales"), wh.path("bl_dm", "dim_dates"))
 
   def stageDm(): Map[String, Long] = {
-    val runTs = date_trunc("second", current_timestamp())
-    val fact3nf = wh.readPartitioned("bl_3nf", "ce_sales", "order_month")
-    val dmDimsSkip = groupUnchanged("dm_dims", dimsDmDirs)
-    val datesSkip = groupUnchanged("dim_dates", dimDatesDirs)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = Orchestrator.loaderPool
+    // the two halves read disjoint stage-2 outputs (dims: the 3NF dims;
+    // dates/fact: ce_sales) — same concurrency as the old single
+    // inParallel batch, split so runFullEtl's DAG can start each half
+    // the moment ITS inputs are written
+    val dimsF = Future(scala.util.Try(dmDimsGroup()))
+    val restF = Future(scala.util.Try(dmFactAndDates()))
+    val dims = Await.result(dimsF, Duration.Inf)
+    val rest = Await.result(restF, Duration.Inf)
+    dims.get ++ rest.get
+  }
 
-    // All DM loads read only stage-2 outputs → fully concurrent; a
-    // skipped group simply contributes no tasks (and its recorded
-    // counts at the end).
-    val datesTask: Seq[() => (String, Long)] = if (datesSkip.isDefined) Seq.empty else Seq(
-      () => "dim_dates" -> log.logged("load_dim_dates")(
-        wh.overwrite(DimDates.autoRanged(spark, fact3nf, "order_dt"), "bl_dm", "dim_dates")))
+  /** The three DM dimension loads as one skip-able group. */
+  private def dmDimsGroup(): Map[String, Long] = {
+    val runTs = date_trunc("second", current_timestamp())
+    val dmDimsSkip = groupUnchanged("dm_dims", dimsDmDirs)
     val dimTasks: Seq[() => (String, Long)] = if (dmDimsSkip.isDefined) Seq.empty else Seq(
       () => {
         // J3 at reference depth: the 4-join snowflake flatten
@@ -662,22 +788,33 @@ class Orchestrator(spark: SparkSession, sfDir: String, whRoot: String) {
             Scd.scd2Merge(target, active, Seq("product_id"), tracked, runTs),
             "bl_dm", "dim_products_scd"))
       })
-    // Fact: month-partitioned (reference's RANGE partitions →
-    // partitionBy); incremental runs rebuild only post-watermark months
-    val ran = inParallel(datesTask ++ dimTasks :+ (
-      () => "fct_sales" -> log.logged("load_fct_sales")(
-        syncFactMonths(fact3nf, "bl_dm", "fct_sales"))): Seq[() => (String, Long)])
-    val dmDims = dmDimsSkip match {
+    dmDimsSkip match {
       case Some(counts) =>
         log.append("load_dm_dims",
           "skipped: 3NF inputs and DM dim outputs unchanged since last load",
           counts.values.sum)
         counts
       case None =>
-        val counts = ran.filter { case (t, _) => t != "fct_sales" && t != "dim_dates" }
+        val counts = inParallel(dimTasks)
         recordGroup("dm_dims", dimsDmDirs, counts)
         counts
     }
+  }
+
+  /** The DM loads that read ce_sales: the date dimension (its own skip
+    * group — it depends on the FACT's date range, not the dims) and the
+    * month-partitioned incremental fact sync, run concurrently. */
+  private def dmFactAndDates(): Map[String, Long] = {
+    val fact3nf = wh.readPartitioned("bl_3nf", "ce_sales", "order_month")
+    val datesSkip = groupUnchanged("dim_dates", dimDatesDirs)
+    val datesTask: Seq[() => (String, Long)] = if (datesSkip.isDefined) Seq.empty else Seq(
+      () => "dim_dates" -> log.logged("load_dim_dates")(
+        wh.overwrite(DimDates.autoRanged(spark, fact3nf, "order_dt"), "bl_dm", "dim_dates")))
+    // Fact: month-partitioned (reference's RANGE partitions →
+    // partitionBy); incremental runs rebuild only post-watermark months
+    val ran = inParallel(datesTask :+ (
+      () => "fct_sales" -> log.logged("load_fct_sales")(
+        syncFactMonths(fact3nf, "bl_dm", "fct_sales"))): Seq[() => (String, Long)])
     val dates = datesSkip match {
       case Some(counts) =>
         log.append("load_dim_dates",
@@ -689,7 +826,7 @@ class Orchestrator(spark: SparkSession, sfDir: String, whRoot: String) {
         recordGroup("dim_dates", dimDatesDirs, counts)
         counts
     }
-    dmDims ++ dates + ("fct_sales" -> ran("fct_sales"))
+    dates + ("fct_sales" -> ran("fct_sales"))
   }
 
   /** C3 insert-only append against the existing warehouse table, with
@@ -774,25 +911,27 @@ object EtlQueries extends graft.QueryPack {
       // official run's 175.7 s vs 16.6 s local had nothing to point at).
       def pass[T](part: String)(body: => T): T =
         graft.BenchProbes.timed("q74_incremental_etl", part)(body)
-      def stage(name: String, df: DataFrame, cols: Seq[String]): Unit = {
-        wh.overwrite(Staging.clean(df, cols), "staging", name): Unit
-      }
+      def stage(name: String, df: DataFrame, cols: Seq[String]): (String, Long) =
+        name -> wh.overwrite(Staging.clean(df, cols), "staging", name)
       val oCols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate")
       val lCols = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
         "l_quantity", "l_extendedprice", "l_shipdate")
       val liSub = Tables.lineitem(s, d).filter(col("l_orderkey") % 5 === 0)
       val oSub = Tables.orders(s, d).filter(col("o_orderkey") % 5 === 0)
       pass("stage_inputs") {
-        stage("customers", Tables.customer(s, d),
-          Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
-        stage("products", Tables.part(s, d),
-          Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"))
-        stage("suppliers", Tables.supplier(s, d),
-          Seq("s_suppkey", "s_name", "s_acctbal", "s_nationkey"))
-        stage("orders", oSub, oCols)
-        stage("sales", liSub, lCols)
+        // five independent table writes — overlapped like stageStaging's
+        // (guide §2.6), not serialized on the driver
+        orch.inParallel(Seq(
+          () => stage("customers", Tables.customer(s, d),
+            Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment")),
+          () => stage("products", Tables.part(s, d),
+            Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")),
+          () => stage("suppliers", Tables.supplier(s, d),
+            Seq("s_suppkey", "s_name", "s_acctbal", "s_nationkey")),
+          () => stage("orders", oSub, oCols),
+          () => stage("sales", liSub, lCols))): Unit
       }
-      pass("pass1_initial") { orch.stage3nf(); orch.stageDm() }
+      pass("pass1_initial") { orch.run3nfDm() }
       // the late extract: last month's orders + their lines, +60 days,
       // fresh keys — strictly past the watermark
       val month = date_format(to_date(col("o_orderdate")), "yyyyMM")
@@ -810,12 +949,14 @@ object EtlQueries extends graft.QueryPack {
             col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
             col("l_quantity"), col("l_extendedprice"),
             date_add(to_date(col("l_shipdate")), 60).as("l_shipdate"))
-        wh.overwrite(Staging.antiJoinAppend(Staging.clean(lateO, oCols),
-          wh.read("staging", "orders"), Seq("o_orderkey")), "staging", "orders"): Unit
-        wh.overwrite(Staging.antiJoinAppend(Staging.clean(lateL, lCols),
-          wh.read("staging", "sales"), Seq("l_orderkey", "l_linenumber")), "staging", "sales"): Unit
+        // two independent staging-table appends — overlapped
+        orch.inParallel(Seq(
+          () => "orders" -> wh.overwrite(Staging.antiJoinAppend(Staging.clean(lateO, oCols),
+            wh.read("staging", "orders"), Seq("o_orderkey")), "staging", "orders"),
+          () => "sales" -> wh.overwrite(Staging.antiJoinAppend(Staging.clean(lateL, lCols),
+            wh.read("staging", "sales"), Seq("l_orderkey", "l_linenumber")), "staging", "sales"))): Unit
       }
-      pass("pass2_incremental") { orch.stage3nf(); orch.stageDm() }
+      pass("pass2_incremental") { orch.run3nfDm() }
       // Third pass: the reference's idempotency re-run on UNCHANGED
       // data (python/dw_etl_tests.py:371-410) — zero rows staged, so
       // both fact loaders MUST take their no-op branch (empty
@@ -836,7 +977,7 @@ object EtlQueries extends graft.QueryPack {
       val sigBefore3nf = factSig("bl_3nf", "ce_sales")
       val sigBeforeDm = factSig("bl_dm", "fct_sales")
       val t0 = System.nanoTime()
-      pass("pass3_noop") { orch.stage3nf(); orch.stageDm() }
+      pass("pass3_noop") { orch.run3nfDm() }
       val noopS = (System.nanoTime() - t0) / 1e9
       require(factSig("bl_3nf", "ce_sales") == sigBefore3nf,
         "no-op ETL re-run rewrote bl_3nf.ce_sales partition files")
