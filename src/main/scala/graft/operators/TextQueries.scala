@@ -1685,6 +1685,80 @@ object TextQueries extends QueryPack {
     // double-spacing overhead is irrelevant).
     val corpusBytes = docs
       .select(coalesce(sum(octet_length(col(textCol))), lit(0L))).head.getLong(0)
+    // DRIVER fast path, size-gated — the same physical-strategy switch
+    // as connectedComponents' driverUnionFind, for the same regime:
+    // below `graft.bpe.driverCorpusLimit` corpus BYTES (default 4 MB;
+    // 0 disables, loud parse) the actual work per merge round is
+    // microseconds of string scanning, while the distributed loop pays
+    // two scheduled stages per round — measured ~90 ms/round on a
+    // 1.5 MB corpus, i.e. ~6 s of pure per-round scheduling latency
+    // for q254's 64 merges against < 0.1 s of compute. Semantics are
+    // bit-identical by construction: the state strings are collected
+    // from the SAME Spark-built double-spaced projection, and the
+    // tokenizer/argmax/replace primitives are the shared BpeOps used
+    // by the RDD loop (pair multiset via BpeOps.pairs, winner via the
+    // BpeOps.better fold over any iteration order — associative,
+    // commutative, total — and the literal mergePatterns replace).
+    // BpePropertySpec pins the two paths equal on the same corpus.
+    // Driver transient is O(corpus + distinct pairs) — bounded by the
+    // gate, the driverEdgeLimit sizing argument. At 100 TB the gate
+    // never fires and the distributed delta loop below is unchanged.
+    val driverLimit = Dedup.longConf(spark, "graft.bpe.driverCorpusLimit", 4L << 20)
+    if (driverLimit > 0 && corpusBytes <= driverLimit) {
+      val rows = baseDf.collect()
+      val ids = new Array[Any](rows.length)
+      val sts = new Array[String](rows.length)
+      var i = 0
+      while (i < rows.length) {
+        ids(i) = rows(i).get(0)
+        sts(i) = if (rows(i).isNullAt(1)) null else rows(i).getString(1)
+        i += 1
+      }
+      val pc = new java.util.HashMap[String, java.lang.Long]
+      i = 0
+      while (i < sts.length) {
+        BpeOps.pairs(sts(i)).foreach(p => pc.merge(p, 1L, (a, b) => a + b): Unit)
+        i += 1
+      }
+      val merges = Seq.newBuilder[(Int, String, Long)]
+      val sentinel = ("", Long.MinValue)
+      var rank = 0
+      var exhausted = false
+      while (rank < nMerges && !exhausted) {
+        var top = sentinel
+        pc.forEach((p, c) => top = BpeOps.better(top, (p, c)))
+        if (top._2 == Long.MinValue) exhausted = true
+        else {
+          rank += 1
+          merges += ((rank, top._1, top._2))
+          val (needle, repl) = BpeOps.mergePatterns(top._1)
+          var k = 0
+          while (k < sts.length) {
+            val st = sts(k)
+            if (st != null && st.contains(needle)) {
+              val nst = st.replace(needle, repl)
+              // net per-doc delta: −pairs(old), +pairs(new) — the sum
+              // over docs is the RDD path's reduceByKey'd round delta
+              BpeOps.pairs(st).foreach(p => pc.merge(p, -1L, (a, b) => a + b): Unit)
+              BpeOps.pairs(nst).foreach(p => pc.merge(p, 1L, (a, b) => a + b): Unit)
+              sts(k) = nst
+            }
+            k += 1
+          }
+          // the RDD path's post-round filter(_._2 > 0)
+          pc.values.removeIf(c => c <= 0L): Unit
+        }
+      }
+      val stateDf =
+        if (!needState || exhausted) baseDf.limit(0)
+        else {
+          val out = new java.util.ArrayList[Row](sts.length)
+          i = 0
+          while (i < sts.length) { out.add(Row(ids(i), sts(i))): Unit; i += 1 }
+          spark.createDataFrame(out, outSchema)
+        }
+      return (merges.result(), stateDf)
+    }
     val statePart = math.max(1L,
       math.min(sc.defaultParallelism.toLong, corpusBytes / (1L << 20))).toInt
     val part = new HashPartitioner(statePart)
@@ -1719,9 +1793,7 @@ object TextQueries extends QueryPack {
         rank += 1
         val (pair, c) = top
         merges += ((rank, pair, c))
-        val Array(a, b) = pair.split(" ", 2)
-        val needle = " " + a + "  " + b + " "
-        val repl = " " + a + "" + b + " "
+        val (needle, repl) = BpeOps.mergePatterns(pair)
         val prevState = state
         // Net pair delta of the round: −pairs(old), +pairs(new) over
         // exactly the docs that contain the winning pair. reduceByKey
@@ -1832,6 +1904,13 @@ object TextQueries extends QueryPack {
         val by = y._1.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         if (java.util.Arrays.compareUnsigned(bx, by) <= 0) x else y
       }
+    /** The winning pair's literal replace patterns over the double-
+      * spaced form — (needle, replacement) — shared by the RDD loop
+      * and the driver fast path so the two can never drift. */
+    def mergePatterns(pair: String): (String, String) = {
+      val Array(a, b) = pair.split(" ", 2)
+      (" " + a + "  " + b + " ", " " + a + "" + b + " ")
+    }
   }
 
   /** The ARTIFACT-emitting trainer q146's loop was missing: train to a
@@ -1886,8 +1965,8 @@ object TextQueries extends QueryPack {
   private[operators] def bpeReplay(mergesInOrder: Seq[String], text: String): Seq[String] = {
     val init = " " + text.replace(" ", "  ") + " "
     val done = mergesInOrder.foldLeft(init) { (st, pair) =>
-      val Array(a, b) = pair.split(" ", 2)
-      st.replace(" " + a + "  " + b + " ", " " + a + "" + b + " ")
+      val (needle, repl) = BpeOps.mergePatterns(pair)
+      st.replace(needle, repl)
     }
     done.trim.split("  ").toSeq
   }

@@ -113,4 +113,33 @@ class BpePropertySpec extends SparkSpec {
       else assert(gotState == wantState, s"corpus=$corpus")
     }
   }
+
+  // ---- driver fast path ≡ distributed RDD loop ----------------------------
+
+  test("size-gated driver path ≡ distributed RDD loop (merges AND final state)") {
+    // the gate fires by default on these KB corpora; conf=0 forces the
+    // distributed delta loop — the two must be bit-equal on merges,
+    // counts, AND the needState final state (the same both-paths pin
+    // as connectedComponents' driverUnionFind vs fixpoint)
+    forAll(corpusGen, 5) { corpus =>
+      val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val nMerges = 4
+      val driverMerges = TextQueries
+        .bpeMergeTableMerges(docs, "text", "doc_id", nMerges)
+        .orderBy($"rank").as[(Int, String, Long)].collect().toSeq
+      val driverState = TextQueries.bpeTrain(docs, "text", "doc_id", nMerges)
+        .as[(Long, String)].collect().toMap
+      spark.conf.set("graft.bpe.driverCorpusLimit", "0")
+      try {
+        val rddMerges = TextQueries
+          .bpeMergeTableMerges(docs, "text", "doc_id", nMerges)
+          .orderBy($"rank").as[(Int, String, Long)].collect().toSeq
+        val rddState = TextQueries.bpeTrain(docs, "text", "doc_id", nMerges)
+          .as[(Long, String)].collect().toMap
+        assert(driverMerges == rddMerges, s"corpus=$corpus")
+        assert(driverState == rddState, s"corpus=$corpus")
+      } finally spark.conf.unset("graft.bpe.driverCorpusLimit")
+    }
+  }
 }
