@@ -1492,6 +1492,35 @@ object Dedup {
     */
   def simhashPairs(sim: DataFrame, idCol: String, maxHamming: Int,
                    bits: Int = 16): DataFrame = {
+    val (groups, fpPairs) = simhashFpRelations(sim, maxHamming, bits)
+    // Hamming-0: every ordered pair within one fingerprint group.
+    val intra = groups.filter(size(col("ids")) > 1)
+      .select(explode(orderedPairsOf(col("ids"), "id_1", "id_2")).as("p"))
+      .select(col("p.id_1").as("id_1"), col("p.id_2").as("id_2"),
+        lit(0).cast("int").as("hamming"))
+    val cross = fpPairs
+      .join(groups.select(col("__sh").as("sh_1"), col("ids").as("ids_1")), Seq("sh_1"))
+      .join(groups.select(col("__sh").as("sh_2"), col("ids").as("ids_2")), Seq("sh_2"))
+      .select(explode(col("ids_1")).as("id_a"), col("ids_2"), col("hamming"))
+      .select(col("id_a"), explode(col("ids_2")).as("id_b"), col("hamming"))
+      .select(least(col("id_a"), col("id_b")).as("id_1"),
+        greatest(col("id_a"), col("id_b")).as("id_2"),
+        col("hamming").cast("int").as("hamming"))
+    intra.unionByName(cross)
+  }
+
+  /** The shared fingerprint-level stage of [[simhashPairs]] /
+    * [[simhashConnectivityEdges]]: (groups, fpPairs) where `groups` is
+    * one row per DISTINCT fingerprint (__sh, sorted id list) and
+    * `fpPairs` the hamming-verified distinct fingerprint pairs
+    * (sh_1 < sh_2, hamming ≤ maxHamming). The quadratic block join
+    * runs over COMPACT (block, value, fingerprint) keys only — the id
+    * lists never ride the candidate stream (guide §2.3/§8: decide on
+    * lightweight proxies, attach payloads once after the distinct);
+    * they re-attach via two fingerprint-keyed joins against `groups`.
+    */
+  private def simhashFpRelations(sim: DataFrame, maxHamming: Int,
+                                 bits: Int): (DataFrame, DataFrame) = {
     val nBlocks = maxHamming + 1
     require(nBlocks <= bits,
       s"maxHamming=$maxHamming needs $nBlocks pigeonhole blocks but the " +
@@ -1499,11 +1528,6 @@ object Dedup {
         "qualifies anyway — use a wider simhash")
     val groups = sim.toDF("__id", "__sh")
       .groupBy(col("__sh")).agg(sort_array(collect_set(col("__id"))).as("ids"))
-    // Hamming-0: every ordered pair within one fingerprint group.
-    val intra = groups.filter(size(col("ids")) > 1)
-      .select(explode(orderedPairsOf(col("ids"), "id_1", "id_2")).as("p"))
-      .select(col("p.id_1").as("id_1"), col("p.id_2").as("id_2"),
-        lit(0).cast("int").as("hamming"))
     // Block j covers bit range [j*bits/n, (j+1)*bits/n) — near-equal widths.
     val blockStructs = (0 until nBlocks).map { j =>
       val lo = j * bits / nBlocks
@@ -1512,25 +1536,47 @@ object Dedup {
         shiftright(col("__sh"), lo).bitwiseAND(lit((1L << (hi - lo)) - 1)).as("bval"))
     }
     val exploded = groups
-      .select(col("__sh"), col("ids"), explode(array(blockStructs: _*)).as("b"))
-      .select(col("__sh"), col("ids"), col("b.blk").as("blk"), col("b.bval").as("bval"))
-    val a = exploded.toDF("sh_1", "ids_1", "blk", "bval")
-    val b = exploded.toDF("sh_2", "ids_2", "blk", "bval")
+      .select(col("__sh"), explode(array(blockStructs: _*)).as("b"))
+      .select(col("__sh"), col("b.blk").as("blk"), col("b.bval").as("bval"))
+    val a = exploded.toDF("sh_1", "blk", "bval")
+    val b = exploded.toDF("sh_2", "blk", "bval")
     // sh_1 < sh_2 dedups the symmetric candidate, distinct() the
-    // pair agreeing on >1 block (ids_i are functions of sh_i, so
-    // distinct over (sh, ids, hamming) ≡ distinct over (sh, hamming)).
+    // pair agreeing on >1 block.
     val fpPairs = a.join(b, Seq("blk", "bval"))
       .filter(col("sh_1") < col("sh_2"))
       .withColumn("hamming", bit_count(col("sh_1").bitwiseXOR(col("sh_2"))))
       .filter(col("hamming") <= maxHamming)
-      .select(col("ids_1"), col("ids_2"), col("hamming"))
+      .select(col("sh_1"), col("sh_2"), col("hamming"))
       .distinct()
+    (groups, fpPairs)
+  }
+
+  /** CONNECTIVITY-equivalent reduction of [[simhashPairs]]' edge set,
+    * for consumers that feed the pairs into connected components and
+    * never read per-pair rows: an identical-fingerprint group is a
+    * clique — a STAR (min id → every other member, g−1 edges instead
+    * of g·(g−1)/2) preserves its connectivity exactly — and a
+    * qualifying fingerprint pair fully links two groups, so ONE
+    * representative edge (min id of each side) replaces the |g_1|·|g_2|
+    * bipartite expansion. Components (and therefore min-id labels) of
+    * the reduced relation equal the full relation's bit for bit —
+    * TextDedupSpec pins the equality — while the edge count drops from
+    * quadratic in group sizes to O(docs + fingerprint pairs). At dedup
+    * corpus scale this is the difference between a CC input that fits
+    * the driver union-find fast path and a multi-round distributed
+    * fixpoint over clique blow-up.
+    */
+  def simhashConnectivityEdges(sim: DataFrame, idCol: String, maxHamming: Int,
+                               bits: Int = 16): DataFrame = {
+    val (groups, fpPairs) = simhashFpRelations(sim, maxHamming, bits)
+    val star = groups.filter(size(col("ids")) > 1)
+      .select(element_at(col("ids"), 1).as("id_1"),
+        explode(slice(col("ids"), lit(2), size(col("ids")) - 1)).as("id_2"))
+    val reps = groups.select(col("__sh"), element_at(col("ids"), 1).as("rep"))
     val cross = fpPairs
-      .select(explode(col("ids_1")).as("id_a"), col("ids_2"), col("hamming"))
-      .select(col("id_a"), explode(col("ids_2")).as("id_b"), col("hamming"))
-      .select(least(col("id_a"), col("id_b")).as("id_1"),
-        greatest(col("id_a"), col("id_b")).as("id_2"),
-        col("hamming").cast("int").as("hamming"))
-    intra.unionByName(cross)
+      .join(reps.select(col("__sh").as("sh_1"), col("rep").as("id_1")), Seq("sh_1"))
+      .join(reps.select(col("__sh").as("sh_2"), col("rep").as("id_2")), Seq("sh_2"))
+      .select(col("id_1"), col("id_2"))
+    star.unionByName(cross)
   }
 }

@@ -502,19 +502,32 @@ object DedupQueries extends QueryPack {
     // column a reviewer reads to see WHY the cluster exists.
     "q195_crossmodal_clusters" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val text = Dedup.simhashPairs(
-        Dedup.simhashWide(docs, "text", "doc_id"), "doc_id",
+      // each modality's fingerprint relation is materialized once
+      // (bounded: one row per doc) and feeds BOTH the per-pair edge
+      // relation (the evidence columns) and the CC input below
+      val textFp = Dedup.simhashWide(docs, "text", "doc_id")
+        .localCheckpoint(true)
+      val text = Dedup.simhashPairs(textFp, "doc_id",
         maxHamming = 3, bits = 60)
         .select(col("id_1"), col("id_2"), lit(1L).as("is_text"))
       val payload = docs.select(col("doc_id"),
         encode(col("text"), "UTF-8").as("payload"))
-      val fp = Multimodal.decodeImageGrid(payload, rows = 6, cols = 11)
+      val imgFp = Multimodal.decodeImageGrid(payload, rows = 6, cols = 11)
         .select(col("doc_id"), Multimodal.dHash(col("luma"), 6, 11).as("dhash"))
-      val img = Dedup.simhashPairs(fp, "doc_id", maxHamming = 3, bits = 60)
+        .localCheckpoint(true)
+      val img = Dedup.simhashPairs(imgFp, "doc_id", maxHamming = 3, bits = 60)
         .select(col("id_1"), col("id_2"), lit(0L).as("is_text"))
       val pairs = text.unionByName(img).localCheckpoint(true)
-      val cc = Dedup.connectedComponents(
-        pairs.select(col("id_1"), col("id_2")).distinct(),
+      // CC consumes only CONNECTIVITY, so it gets the star-reduced
+      // edge relation (O(docs + fingerprint pairs) edges instead of
+      // the clique expansion — same components, same min-id labels;
+      // the full `pairs` relation above still feeds the per-modality
+      // edge counts, which DO need every pair row)
+      val connEdges = Dedup
+        .simhashConnectivityEdges(textFp, "doc_id", maxHamming = 3, bits = 60)
+        .unionByName(Dedup
+          .simhashConnectivityEdges(imgFp, "doc_id", maxHamming = 3, bits = 60))
+      val cc = Dedup.connectedComponents(connEdges,
         docs.select(col("doc_id")), "doc_id").localCheckpoint(true)
       val edgeStats = pairs
         .join(cc.toDF("id_1", "cluster_id"), "id_1")

@@ -134,6 +134,30 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("simhashConnectivityEdges ≡ simhashPairs under connected components (star reduction is lossless)") {
+    // the reduced relation must induce the SAME components (and
+    // therefore the same min-id labels) as the full pair expansion, at
+    // several hamming thresholds — including h=15 where nearly every
+    // fingerprint pair qualifies and the reduction is at its sparsest
+    // relative to the full clique blow-up
+    for (h <- Seq(1, 3, 8, 15)) {
+      val sim = Dedup.simhash16(docs, "text", "doc_id")
+      val full = Dedup.connectedComponents(
+        Dedup.simhashPairs(sim, "doc_id", h).select($"id_1", $"id_2"),
+        docs.select($"doc_id"), "doc_id")
+        .as[(Long, Long)].collect().toMap
+      val reduced = Dedup.connectedComponents(
+        Dedup.simhashConnectivityEdges(sim, "doc_id", h),
+        docs.select($"doc_id"), "doc_id")
+        .as[(Long, Long)].collect().toMap
+      assert(reduced == full, s"maxHamming=$h")
+      // and the reduction is never LARGER than the full pair relation
+      val nFull = Dedup.simhashPairs(sim, "doc_id", h).count()
+      val nReduced = Dedup.simhashConnectivityEdges(sim, "doc_id", h).count()
+      assert(nReduced <= nFull, s"maxHamming=$h: $nReduced > $nFull")
+    }
+  }
+
   /** Run `body` with the driver-union-find gate forced off, so the
     * assertions inside pin the DISTRIBUTED min-label fixpoint — the
     * path a >1M-edge graph takes in production. */
