@@ -108,15 +108,25 @@ object DedupQueries extends QueryPack {
     // train-side internal duplication (the dominant density in web
     // corpora) never reaches verification.
     "q144_near_decontaminate" -> ((s, d) => {
+      // Derived from the SHARED whole-corpus pair relation
+      // ([[nearDupPairs]] — the same cached build q46/q68/q80/q145/q217
+      // ride): minhash signatures and band keys are per-document, so
+      // the cross-corpus pair set is EXACTLY the mixed-side slice of
+      // the full LSH pair relation (guide §2.4: operators keyed the
+      // same way share one build). The previous body re-shingled and
+      // re-signatured the whole corpus through a second
+      // crossCorpusNearDups pipeline per run.
       val bucket = graft.functions.TextFunctions.md5Bucket10(col("doc_id"))
-      // not spread: measured a wash at kernel parallelism and a 2.8×
-      // regression at full-thread parallelism — the cross-corpus probe
-      // is verification-bound on a small candidate set, not hash-bound
-      val tagged = Tables.documents(s, d)
-        .withColumn("split", when(bucket < 9, "train").otherwise("eval"))
-      Dedup.crossCorpusNearDups(tagged, "text", "doc_id", "split",
-        "train", "eval", ngram = 3, k = K, bands = BANDS,
-        minJaccard = MIN_JACCARD)
+      val sides = Tables.documents(s, d).select(col("doc_id"),
+        when(bucket < 9, "train").otherwise("eval").as("split"))
+      nearDupPairs(s, d)
+        .join(sides.select(col("doc_id").as("id_1"), col("split").as("split_1")), "id_1")
+        .join(sides.select(col("doc_id").as("id_2"), col("split").as("split_2")), "id_2")
+        .filter(col("split_1") =!= col("split_2"))
+        .select(
+          when(col("split_1") === "train", col("id_1")).otherwise(col("id_2")).as("train_id"),
+          when(col("split_1") === "train", col("id_2")).otherwise(col("id_1")).as("eval_id"),
+          col("jaccard"))
     }),
 
     // 16-bit SimHash fingerprints per document.
@@ -337,24 +347,38 @@ object DedupQueries extends QueryPack {
     // LSH pair relation decomposes exactly into indexed×indexed ∪
     // indexed×new ∪ new×new.
     "q220_incremental_cc" -> ((s, d) => {
-      import graft.functions.TextFunctions.hexNibble
       val docs = Tables.documents(s, d)
       val bucket = graft.functions.TextFunctions.md5Bucket10(col("doc_id"))
       val tagged = docs.withColumn("side",
         when(bucket < 9, "indexed").otherwise("new"))
-      val indexed = tagged.filter(col("side") === "indexed")
       val arrivals = tagged.filter(col("side") === "new")
-      val idxPairs = Dedup.minhashLshNearDups(indexed, "text", "doc_id",
-        ngram = 3, k = K, bands = BANDS, minJaccard = MIN_JACCARD)
+      // ONE pair build instead of three: minhash signatures and band
+      // keys are per-document, so the LSH pair relation over the union
+      // decomposes EXACTLY into indexed×indexed ∪ indexed×new ∪
+      // new×new — the three slices below are filters of the SHARED
+      // cached whole-corpus relation ([[nearDupPairs]]), not three
+      // separate shingle→signature→verify pipelines over overlapping
+      // corpus slices (guide §2.4). The incremental machinery under
+      // test — the contracted CC fold — is unchanged.
+      val sides = docs.select(col("doc_id"),
+        when(bucket < 9, "indexed").otherwise("new").as("side"))
+      val allPairs = nearDupPairs(s, d)
+        .join(sides.select(col("doc_id").as("id_1"), col("side").as("side_1")), "id_1")
+        .join(sides.select(col("doc_id").as("id_2"), col("side").as("side_2")), "id_2")
+        .localCheckpoint(true)
+      val idxPairs = allPairs
+        .filter(col("side_1") === "indexed" && col("side_2") === "indexed")
         .select(col("id_1"), col("id_2"))
       val assign = Dedup.connectedComponents(idxPairs,
-        indexed.select(col("doc_id")), "doc_id")
+        tagged.filter(col("side") === "indexed").select(col("doc_id")), "doc_id")
         .select(col("doc_id"), col("cluster_id")).localCheckpoint(true)
-      val cross = Dedup.crossCorpusNearDups(tagged, "text", "doc_id",
-        "side", "indexed", "new", ngram = 3, k = K, bands = BANDS,
-        minJaccard = MIN_JACCARD)
-      val newPairs = Dedup.minhashLshNearDups(arrivals, "text", "doc_id",
-        ngram = 3, k = K, bands = BANDS, minJaccard = MIN_JACCARD)
+      val cross = allPairs.filter(col("side_1") =!= col("side_2"))
+        .select(
+          when(col("side_1") === "indexed", col("id_1")).otherwise(col("id_2")).as("indexed_id"),
+          when(col("side_1") === "indexed", col("id_2")).otherwise(col("id_1")).as("new_id"))
+      val newPairs = allPairs
+        .filter(col("side_1") === "new" && col("side_2") === "new")
+        .select(col("id_1"), col("id_2"))
       val finalAssign = Dedup.contractedCcMerge(assign,
         arrivals.select(col("doc_id")), "doc_id",
         cross, "indexed_id", "new_id", newPairs)
