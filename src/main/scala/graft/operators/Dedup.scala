@@ -1519,8 +1519,8 @@ object Dedup {
     * lightweight proxies, attach payloads once after the distinct);
     * they re-attach via two fingerprint-keyed joins against `groups`.
     */
-  private def simhashFpRelations(sim: DataFrame, maxHamming: Int,
-                                 bits: Int): (DataFrame, DataFrame) = {
+  private[operators] def simhashFpRelations(sim: DataFrame, maxHamming: Int,
+                                            bits: Int): (DataFrame, DataFrame) = {
     val nBlocks = maxHamming + 1
     require(nBlocks <= bits,
       s"maxHamming=$maxHamming needs $nBlocks pigeonhole blocks but the " +

@@ -272,13 +272,35 @@ object DedupQueries extends QueryPack {
     // across engines — iterated FLOAT PageRank never hash-matches
     // because in-mass summation order varies with the physical plan.
     "q139_pagerank" -> ((s, d) => {
+      // The SimHash near-dup graph is a BLOW-UP of its fingerprint
+      // quotient (identical fingerprints form cliques, qualifying
+      // fingerprint pairs complete bipartite links), so the integer
+      // PageRank runs on the CONTRACTED class graph — |distinct
+      // fingerprints| rows per round instead of the quadratically
+      // expanded member edge relation (3.85M pairs at sf0.1) — and
+      // ranks expand back by one broadcast-sized join. Bit-identical
+      // to pageRank over the expanded graph (the update is an integer
+      // multiple of per-member shares; GraphSpec pins the equality,
+      // the oracle pins this query's output).
       val docs = Tables.documents(s, d)
-      val pairs = Dedup.simhashPairs(
-        Dedup.simhash16(docs, "text", "doc_id"), "doc_id", maxHamming = 3)
-        .select(col("id_1").as("src"), col("id_2").as("dst"))
-      val und = pairs.unionByName(
-        pairs.select(col("dst").as("src"), col("src").as("dst")))
-      Graph.pageRank(docs, "doc_id", und, rounds = 3)
+      val sim = Dedup.simhash16(docs, "text", "doc_id").localCheckpoint(true)
+      val (groups, fpPairs) = Dedup.simhashFpRelations(sim, maxHamming = 3, bits = 16)
+      val classes = groups.select(col("__sh").as("cls"), size(col("ids")).as("cnt"))
+      // the node set is ALL docs (a tokenless doc has no fingerprint
+      // row — it is an isolated node that converges to the teleport
+      // fixpoint with degree 0, attached via the left-join defaults)
+      val nDocs = docs.count()
+      val ranked = Graph.pageRankContracted(classes, "cls", "cnt",
+        fpPairs.select(col("sh_1"), col("sh_2")), rounds = 3,
+        nNodes = Some(nDocs))
+      val teleportOnly = 15L * (1000000000000L / nDocs) / 100L
+      docs.select(col("doc_id"))
+        .join(sim.toDF("doc_id", "cls"), Seq("doc_id"), "left")
+        // 16-bit fingerprint space bounds the class relation at 65,536
+        // rows at ANY corpus scale — broadcast-safe by construction
+        .join(broadcast(ranked), Seq("cls"), "left")
+        .select(col("doc_id"), coalesce(col("degree"), lit(0L)).as("degree"),
+          coalesce(col("rank_q"), lit(teleportOnly)).as("rank_q"))
     }),
 
     // Seed-proximity curation ([[Graph.seedDistances]]): hop distance

@@ -74,6 +74,76 @@ object Graph {
         col("r").as("rank_q"))
   }
 
+  /** [[pageRank]] over a graph given in CONTRACTED (class) form, for
+    * graphs that are blow-ups of a small quotient: `classes` =
+    * (classCol, cntCol) with one row per equivalence class of
+    * STRUCTURALLY IDENTICAL nodes — every member adjacent to every
+    * other member of its own class and to every member of each
+    * adjacent class, and to nothing else (exactly the shape a
+    * fingerprint-group near-dup graph has: identical fingerprints form
+    * cliques, qualifying fingerprint pairs form complete bipartite
+    * links). `classEdges` = distinct undirected class adjacency
+    * (c1 ≠ c2, each unordered pair once).
+    *
+    * Member ranks are class-uniform by induction — the integer update
+    * r'(v) = (15·base + 85·Σ (r(u) div deg(u))) div 100 depends only on
+    * class-level aggregates: every member of class i has
+    * deg d_i = (cnt_i − 1) + Σ_{j ∈ N(i)} cnt_j and in-mass
+    * S_i = (cnt_i − 1)·(r_i div d_i) + Σ_j cnt_j·(r_j div d_j), each
+    * term an integer MULTIPLE of a per-member share, so the class-level
+    * arithmetic reproduces the member-level sums exactly — bit-identical
+    * to [[pageRank]] over the blown-up member graph (GraphSpec pins it).
+    * Rounds run over |classes| rows instead of the quadratically
+    * blown-up member edge relation: the dedup-graph regime where the
+    * member relation is millions of rows and the quotient thousands.
+    *
+    * Returns per-CLASS (classCol, degree, rank_q); expand to members
+    * with one join. `nNodes` (the teleport base's denominator)
+    * defaults to Σ cnt; pass it explicitly when the NODE set is larger
+    * than the classed members (e.g. isolated nodes carried outside the
+    * class relation — they converge to the teleport-only fixpoint
+    * (15·base) div 100 with degree 0, exactly as in [[pageRank]], and
+    * the caller attaches that constant on expansion).
+    */
+  def pageRankContracted(classes: DataFrame, classCol: String, cntCol: String,
+                         classEdges: DataFrame, rounds: Int,
+                         scale: Long = 1000000000000L,
+                         nNodes: Option[Long] = None): DataFrame = {
+    require(rounds >= 1, s"pageRankContracted needs at least 1 round, got $rounds")
+    val cls = classes.select(col(classCol).as("c"), col(cntCol).cast("long").as("cnt"))
+      .localCheckpoint(true)
+    val e = classEdges.toDF("c1", "c2")
+    val und = e.unionByName(e.select(col("c2").as("c1"), col("c1").as("c2")))
+      .localCheckpoint(true)
+    // degree of every member of class i: own clique + adjacent classes
+    val nbrCnt = und.join(cls.select(col("c").as("c2"), col("cnt").as("cnt2")), Seq("c2"))
+      .groupBy(col("c1").as("c")).agg(sum(col("cnt2")).as("nbr"))
+    val degC = cls.join(nbrCnt, Seq("c"), "left")
+      .select(col("c"), col("cnt"),
+        (col("cnt") - 1L + coalesce(col("nbr"), lit(0L))).as("d"))
+      .localCheckpoint(true)
+    val n = nNodes.getOrElse(
+      cls.agg(coalesce(sum(col("cnt")), lit(0L))).head().getLong(0))
+    require(n > 0, "pageRankContracted over an empty node set")
+    val base = scale / n
+    var r = degC.select(col("c"), col("cnt"), col("d"), lit(base).as("r"))
+    for (_ <- 1 to rounds) {
+      // per-member share; a zero-degree class is a size-1 singleton
+      // with no neighbors — it contributes nothing anywhere
+      val sh = r.select(col("c"), col("cnt"),
+        when(col("d") > 0, expr("r div d")).otherwise(lit(0L)).as("share"))
+      val nbrIn = und
+        .join(sh.select(col("c").as("c2"), (col("cnt") * col("share")).as("m")), Seq("c2"))
+        .groupBy(col("c1").as("c")).agg(sum(col("m")).as("nbrS"))
+      r = r.join(sh.select(col("c"), col("share")), Seq("c"))
+        .join(nbrIn, Seq("c"), "left")
+        .select(col("c"), col("cnt"), col("d"),
+          expr(s"(15 * ${base}L + 85 * ((cnt - 1L) * share + coalesce(nbrS, 0L))) div 100").as("r"))
+        .localCheckpoint(true)
+    }
+    r.select(col("c").as(classCol), col("d").as("degree"), col("r").as("rank_q"))
+  }
+
   /** Bounded-hop BFS distance from a SEED SET over an undirected pair
     * relation — the "distance to trusted documents" primitive of
     * seed-based quality propagation (the TrustRank idea restricted to

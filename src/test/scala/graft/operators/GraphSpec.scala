@@ -57,4 +57,57 @@ class GraphSpec extends SparkSpec {
     // the hub (degree 2) outranks the leaves every round
     assert(got.find(_._1 == 2L).get._3 > got.find(_._1 == 1L).get._3)
   }
+
+  test("pageRankContracted ≡ pageRank over the blown-up member graph (random class graphs)") {
+    // random quotient graphs: classes of size 1-4, random class edges;
+    // the blown-up member graph makes every same-class pair and every
+    // cross-pair of adjacent classes an edge — the exact structure the
+    // contraction assumes. Ranks and degrees must match bit for bit
+    // per member, across several rounds, including isolated nodes
+    // carried OUTSIDE the class relation via nNodes + the caller-side
+    // teleport default (the q139 expansion shape).
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 4) {
+      val nClasses = 2 + rnd.nextInt(4)
+      val sizes = (0 until nClasses).map(_ => 1 + rnd.nextInt(4))
+      val memberOf = sizes.zipWithIndex.flatMap { case (g, c) =>
+        (0 until g).map(_ => c) }.zipWithIndex.map { case (c, m) => (m.toLong, c) }
+      val clsEdges = (for {
+        a <- 0 until nClasses; b <- (a + 1) until nClasses
+        if rnd.nextBoolean()
+      } yield (a, b)).toSeq
+      val nIsolated = rnd.nextInt(3) // extra classless nodes
+      val isolated = (0 until nIsolated).map(i => 10000L + i)
+      val memberEdges =
+        memberOf.combinations(2).collect {
+          case Seq((m1, c1), (m2, c2))
+            if c1 == c2 || clsEdges.contains((math.min(c1, c2), math.max(c1, c2))) =>
+            (m1, m2)
+        }.toSeq
+      val allIds = memberOf.map(_._1) ++ isolated
+      val nodes = allIds.toDF("id")
+      val e = memberEdges.toDF("src", "dst")
+      val und = e.unionByName(e.select($"dst".as("src"), $"src".as("dst")))
+      val rounds = 1 + rnd.nextInt(3)
+      val want = Graph.pageRank(nodes, "id", und, rounds = rounds)
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      val classes = sizes.zipWithIndex.map { case (g, c) => (c, g.toLong) }
+        .toDF("cls", "cnt")
+      val ranked = Graph.pageRankContracted(classes, "cls", "cnt",
+        clsEdges.toDF("c1", "c2"), rounds = rounds,
+        nNodes = Some(allIds.length.toLong))
+      val teleportOnly = 15L * (1000000000000L / allIds.length) / 100L
+      val got = memberOf.toDF("id", "cls")
+        .unionByName(isolated.map(i => (i, -1)).toDF("id", "cls"))
+        .join(ranked.withColumnRenamed("cls", "cls2"),
+          $"cls" === $"cls2", "left")
+        .select($"id",
+          org.apache.spark.sql.functions.coalesce($"degree",
+            org.apache.spark.sql.functions.lit(0L)).as("degree"),
+          org.apache.spark.sql.functions.coalesce($"rank_q",
+            org.apache.spark.sql.functions.lit(teleportOnly)).as("rank_q"))
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got == want, s"trial=$trial sizes=$sizes clsEdges=$clsEdges rounds=$rounds")
+    }
+  }
 }
