@@ -51,11 +51,18 @@ object KernelPar {
     require(conf >= 0 && conf <= 1000000,
       s"graft.kernel.parallelism=$conf out of range [0 (derive), 1000000]")
     if (conf > 0L) conf.toInt
-    else {
-      val dp = spark.sparkContext.defaultParallelism
-      math.min(dp, math.max(8, dp / 4))
-    }
+    else derive(spark.sparkContext.defaultParallelism)
   }
+
+  /** The derived-default formula, exposed for direct spec coverage at
+    * simulated cluster sizes (a live test session cannot fake a
+    * thousand-slot defaultParallelism): min(dp, max(8, dp / 4)) —
+    * scales linearly with the session past 32 slots, never a constant
+    * cap (KernelParSpec pins the shape so the 8-way floor tuned on
+    * this rig can never fossilize into a cluster-size cap).
+    */
+  private[operators] def derive(dp: Int): Int =
+    math.min(dp, math.max(8, dp / 4))
 
   /** Spread a SCAN-ROOTED relation to at least [[partitions]] splits —
     * for kernels whose expensive work is MAP-SIDE of their first

@@ -95,4 +95,26 @@ class KernelParSpec extends SparkSpec {
     assert(run("1", None) == run("7", None))
     assert(run("1", Some(2)) == run("7", Some(2)))
   }
+
+  test("derive: tracks defaultParallelism at cluster sizes — the 8-way floor is a floor, not a cap") {
+    // rig-floor regime: every slot up to 8-way
+    assert(KernelPar.derive(1) == 1)
+    assert(KernelPar.derive(4) == 4)
+    assert(KernelPar.derive(8) == 8)
+    // oversubscription regime: a quarter of the advertised threads,
+    // floored at 8
+    assert(KernelPar.derive(16) == 8)
+    assert(KernelPar.derive(32) == 8)
+    // cluster regime: scales LINEARLY with the session — a 4096-slot
+    // cluster must get 1024-way kernels, never this rig's 8
+    assert(KernelPar.derive(64) == 16)
+    assert(KernelPar.derive(512) == 128)
+    assert(KernelPar.derive(4096) == 1024)
+    // monotone and never above the slot count at any size
+    (1 to 5000).foldLeft(0) { (prev, dp) =>
+      val p = KernelPar.derive(dp)
+      assert(p >= prev && p <= dp, s"dp=$dp p=$p prev=$prev")
+      p
+    }: Unit
+  }
 }
